@@ -1,0 +1,305 @@
+"""Table metadata: snapshots + schemas + specs, serialized as versioned JSON
+files with atomic compare-and-swap commit.
+
+ref: core/.../TableMetadata.java:47, TableMetadataParser.java, SnapshotParser.java,
+HadoopTableOperations (version-hint + rename commit), SnapshotProducer.java:249-285
+(optimistic retry loop — implemented in ops.py).
+
+Layout under <table_location>/metadata/:
+  v<N>.metadata.json      — full metadata at version N
+  version-hint.text       — latest committed N (advisory fast-path)
+  manifest-*.parquet      — manifest files (one row per data/delete file entry)
+  snap-<id>.parquet       — manifest list for a snapshot
+
+Atomicity: os.link(tmp, final) fails with EEXIST if another writer committed
+the same version first — a true CAS on POSIX local/NFS filesystems.  Object
+stores without atomic create-if-absent need an external lock service (same
+caveat as the reference's HadoopTableOperations; documented, not solved)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+from linkedin_iceberg_spark.catalog.spec import PartitionSpec
+from linkedin_iceberg_spark.schema import Schema
+
+FORMAT_VERSION = 2
+
+# snapshot summary operations (ref: api/.../SnapshotSummary / DataOperations)
+OP_APPEND = "append"
+OP_REPLACE = "replace"
+OP_OVERWRITE = "overwrite"
+OP_DELETE = "delete"
+
+
+class CommitFailedException(Exception):
+    """Concurrent commit won the CAS; caller should refresh and retry."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    snapshot_id: int
+    parent_snapshot_id: Optional[int]
+    sequence_number: int
+    timestamp_ms: int
+    operation: str
+    manifest_list: str  # path to snap-*.parquet, relative to metadata dir
+    summary: dict = field(default_factory=dict)
+    schema_id: int = 0
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot-id": self.snapshot_id,
+            "parent-snapshot-id": self.parent_snapshot_id,
+            "sequence-number": self.sequence_number,
+            "timestamp-ms": self.timestamp_ms,
+            "summary": {"operation": self.operation, **self.summary},
+            "manifest-list": self.manifest_list,
+            "schema-id": self.schema_id,
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "Snapshot":
+        summary = dict(j.get("summary") or {})
+        op = summary.pop("operation", OP_APPEND)
+        return cls(j["snapshot-id"], j.get("parent-snapshot-id"),
+                   j.get("sequence-number", 0), j["timestamp-ms"], op,
+                   j["manifest-list"], summary, j.get("schema-id", 0))
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    location: str
+    last_sequence_number: int
+    last_updated_ms: int
+    last_column_id: int
+    current_schema_id: int
+    schemas: list          # list[Schema]
+    default_spec_id: int
+    specs: list            # list[PartitionSpec]
+    properties: dict
+    current_snapshot_id: Optional[int]
+    snapshots: list        # list[Snapshot]
+    snapshot_log: list     # [{timestamp-ms, snapshot-id}]
+    metadata_log: list     # [{timestamp-ms, metadata-file}]
+    refs: dict = field(default_factory=dict)   # branch/tag name -> snapshot-id
+    staged_wap: dict = field(default_factory=dict)  # wap.id -> snapshot-id
+
+    # -- accessors ----------------------------------------------------------
+    @property
+    def schema(self) -> Schema:
+        for s in self.schemas:
+            if s.schema_id == self.current_schema_id:
+                return s
+        raise ValueError("current schema not found")
+
+    def schema_by_id(self, schema_id: int) -> Schema:
+        for s in self.schemas:
+            if s.schema_id == schema_id:
+                return s
+        raise ValueError(f"no schema with id {schema_id}")
+
+    @property
+    def spec(self) -> PartitionSpec:
+        for s in self.specs:
+            if s.spec_id == self.default_spec_id:
+                return s.bind(self.schema)
+        raise ValueError("default spec not found")
+
+    def spec_by_id(self, spec_id: int) -> PartitionSpec:
+        for s in self.specs:
+            if s.spec_id == spec_id:
+                return s
+        raise ValueError(f"no spec with id {spec_id}")
+
+    def snapshot_by_id(self, snapshot_id: int) -> Optional[Snapshot]:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        return None
+
+    @property
+    def current_snapshot(self) -> Optional[Snapshot]:
+        if self.current_snapshot_id is None:
+            return None
+        return self.snapshot_by_id(self.current_snapshot_id)
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Optional[Snapshot]:
+        """Latest snapshot whose commit time <= timestamp (time travel)."""
+        best = None
+        for entry in self.snapshot_log:
+            if entry["timestamp-ms"] <= timestamp_ms:
+                best = entry["snapshot-id"]
+        return self.snapshot_by_id(best) if best is not None else None
+
+    def ancestry(self, snapshot_id: Optional[int] = None) -> list:
+        """Snapshot ids from the given (default current) back to the root."""
+        out = []
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        while sid is not None:
+            snap = self.snapshot_by_id(sid)
+            if snap is None:
+                break
+            out.append(sid)
+            sid = snap.parent_snapshot_id
+        return out
+
+    # -- mutation helpers (pure; return new TableMetadata) ------------------
+    def with_snapshot(self, snap: Snapshot, set_current: bool = True) -> "TableMetadata":
+        md = replace(self)
+        md.snapshots = [*self.snapshots, snap]
+        md.last_sequence_number = max(self.last_sequence_number,
+                                      snap.sequence_number)
+        md.last_updated_ms = snap.timestamp_ms
+        if set_current:
+            md.current_snapshot_id = snap.snapshot_id
+            md.snapshot_log = [*self.snapshot_log,
+                               {"timestamp-ms": snap.timestamp_ms,
+                                "snapshot-id": snap.snapshot_id}]
+        return md
+
+    def next_sequence_number(self) -> int:
+        return self.last_sequence_number + 1
+
+    # -- serde --------------------------------------------------------------
+    def to_json(self) -> dict:
+        return {
+            "format-version": FORMAT_VERSION,
+            "table-uuid": self.table_uuid,
+            "location": self.location,
+            "last-sequence-number": self.last_sequence_number,
+            "last-updated-ms": self.last_updated_ms,
+            "last-column-id": self.last_column_id,
+            "current-schema-id": self.current_schema_id,
+            "schemas": [s.to_json() for s in self.schemas],
+            "default-spec-id": self.default_spec_id,
+            "partition-specs": [s.to_json() for s in self.specs],
+            "properties": self.properties,
+            "current-snapshot-id": self.current_snapshot_id,
+            "snapshots": [s.to_json() for s in self.snapshots],
+            "snapshot-log": self.snapshot_log,
+            "metadata-log": self.metadata_log,
+            "refs": self.refs,
+            "staged-wap": self.staged_wap,
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "TableMetadata":
+        return cls(
+            table_uuid=j["table-uuid"],
+            location=j["location"],
+            last_sequence_number=j.get("last-sequence-number", 0),
+            last_updated_ms=j.get("last-updated-ms", 0),
+            last_column_id=j.get("last-column-id", 0),
+            current_schema_id=j.get("current-schema-id", 0),
+            schemas=[Schema.from_json(s) for s in j["schemas"]],
+            default_spec_id=j.get("default-spec-id", 0),
+            specs=[PartitionSpec.from_json(s) for s in j["partition-specs"]],
+            properties=j.get("properties", {}),
+            current_snapshot_id=j.get("current-snapshot-id"),
+            snapshots=[Snapshot.from_json(s) for s in j.get("snapshots", [])],
+            snapshot_log=j.get("snapshot-log", []),
+            metadata_log=j.get("metadata-log", []),
+            refs=j.get("refs", {}),
+            staged_wap=j.get("staged-wap", {}),
+        )
+
+    @classmethod
+    def new_table(cls, location: str, schema: Schema, spec: PartitionSpec,
+                  properties: Optional[dict] = None) -> "TableMetadata":
+        return cls(
+            table_uuid=str(uuid.uuid4()),
+            location=location,
+            last_sequence_number=0,
+            last_updated_ms=int(time.time() * 1000),
+            last_column_id=schema.highest_field_id,
+            current_schema_id=schema.schema_id,
+            schemas=[schema],
+            default_spec_id=spec.spec_id,
+            specs=[spec],
+            properties=dict(properties or {}),
+            current_snapshot_id=None,
+            snapshots=[],
+            snapshot_log=[],
+            metadata_log=[],
+        )
+
+
+# ---------------------------------------------------------------------------
+# TableOperations: versioned-file I/O with CAS commit
+# ---------------------------------------------------------------------------
+
+class TableOperations:
+    """ref: core/.../hadoop/HadoopTableOperations.java."""
+
+    def __init__(self, location: str):
+        self.location = location
+        self.metadata_dir = os.path.join(location, "metadata")
+
+    # -- paths --------------------------------------------------------------
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.metadata_dir, f"v{v}.metadata.json")
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.metadata_dir, "version-hint.text")
+
+    def current_version(self) -> int:
+        """Latest committed version; verifies hint against the filesystem."""
+        v = 0
+        try:
+            with open(self._hint_path()) as fh:
+                v = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            v = 0
+        # the hint write is non-atomic wrt the CAS — scan forward to be safe
+        while os.path.exists(self._version_path(v + 1)):
+            v += 1
+        return v
+
+    def refresh(self) -> Optional[TableMetadata]:
+        v = self.current_version()
+        if v == 0:
+            return None
+        with open(self._version_path(v)) as fh:
+            md = TableMetadata.from_json(json.load(fh))
+        md._version = v  # type: ignore[attr-defined]
+        return md
+
+    def commit(self, base_version: int, metadata: TableMetadata) -> int:
+        """CAS: succeeds only if nobody committed base_version+1 first."""
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        new_version = base_version + 1
+        final = self._version_path(new_version)
+        tmp = os.path.join(self.metadata_dir, f".tmp-{uuid.uuid4().hex}.json")
+        j = metadata.to_json()
+        j["metadata-log"] = [*metadata.metadata_log,
+                             {"timestamp-ms": metadata.last_updated_ms,
+                              "metadata-file": f"v{base_version}.metadata.json"}] \
+            if base_version > 0 else []
+        with open(tmp, "w") as fh:
+            json.dump(j, fh, indent=1)
+        try:
+            os.link(tmp, final)  # atomic create-if-absent (POSIX CAS)
+        except FileExistsError:
+            raise CommitFailedException(
+                f"version {new_version} was committed concurrently")
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+        # advisory hint (readers re-verify with the forward scan)
+        hint_tmp = os.path.join(self.metadata_dir, f".hint-{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(new_version))
+        os.replace(hint_tmp, self._hint_path())
+        return new_version
+
+    def new_metadata_path(self, name: str) -> str:
+        return os.path.join(self.metadata_dir, name)

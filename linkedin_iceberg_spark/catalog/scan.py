@@ -1,0 +1,300 @@
+"""TableScan: immutable, refinable scan with two-level metadata pruning.
+
+ref: api/.../TableScan.java:33-130 (refinement API), core/.../BaseTableScan.java:202-220
+(planFiles), ManifestGroup.java:201-261 (manifest-list pruning -> manifest-entry
+filtering), api/.../expressions/ManifestEvaluator.java:50-74 (level 1),
+InclusiveMetricsEvaluator (level 2).
+
+Planning is O(metadata): level 1 drops whole manifests via partition-range
+summaries; level 2 drops files via partition tuples + column min/max/null
+stats.  Data execution is a plain ``spark.read.parquet(*paths)`` with the
+full filter re-applied as a Spark Column (residual re-application is always
+correct; ref: ResidualEvaluator is a perf nicety we skip) — so Catalyst
+still does parquet row-group pruning, column pruning, and codegen on top.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog import manifests as M
+from linkedin_iceberg_spark.catalog.metadata import TableMetadata
+from linkedin_iceberg_spark.expressions import (
+    Evaluator,
+    Expression,
+    InclusiveMetricsEvaluator,
+    always_true,
+    and_,
+    bind,
+    inclusive_projection,
+    to_spark_column,
+)
+from linkedin_iceberg_spark.expressions.expressions import (
+    AlwaysFalse,
+    AlwaysTrue,
+    And,
+    Not,
+    Operation,
+    Or,
+    Predicate,
+    Reference,
+    TransformTerm,
+    rewrite_not,
+)
+from linkedin_iceberg_spark.schema import Schema, type_to_spark
+
+PLAN_PARALLELISM = 8  # manifest read pool (ref: ManifestGroup.java:182-186)
+
+
+class _SummaryEvaluator:
+    """Evaluate a projected partition predicate against manifest
+    partition-field summaries (ref: ManifestEvaluator.java:50-74)."""
+
+    def __init__(self, part_expr: Expression):
+        self.expr = rewrite_not(part_expr)
+
+    def eval(self, summaries: dict) -> bool:
+        return self._eval(self.expr, summaries)
+
+    def _eval(self, e, s) -> bool:
+        if isinstance(e, AlwaysTrue):
+            return True
+        if isinstance(e, AlwaysFalse):
+            return False
+        if isinstance(e, And):
+            return self._eval(e.left, s) and self._eval(e.right, s)
+        if isinstance(e, Or):
+            return self._eval(e.left, s) or self._eval(e.right, s)
+        if isinstance(e, Not):
+            return True  # conservative
+        assert isinstance(e, Predicate)
+        name = e.term.name if isinstance(e.term, Reference) else \
+            getattr(e.term, "name", None)
+        if name is None or name not in s:
+            return True
+        fs = s[name]
+        lo, hi, has_null = fs.get("lower"), fs.get("upper"), fs.get("contains_null")
+        op, v = e.op, e.literal
+        if op == Operation.IS_NULL:
+            return bool(has_null)
+        if op == Operation.NOT_NULL:
+            return not (has_null and lo is None and hi is None)
+        if lo is None or hi is None:
+            return False  # only nulls present -> value predicates can't match
+        if op == Operation.LT:
+            return lo < v
+        if op == Operation.LT_EQ:
+            return lo <= v
+        if op == Operation.GT:
+            return hi > v
+        if op == Operation.GT_EQ:
+            return hi >= v
+        if op == Operation.EQ:
+            return lo <= v <= hi
+        if op == Operation.NOT_EQ:
+            return True
+        if op == Operation.IN:
+            return any(lo <= x <= hi for x in e.literals)
+        if op == Operation.NOT_IN:
+            return True
+        if op == Operation.STARTS_WITH:
+            p = e.literal
+            if isinstance(lo, str) and lo[: len(p)] > p:
+                return False
+            if isinstance(hi, str) and hi[: len(p)] < p:
+                return False
+            return True
+        return True
+
+
+class FileScanTask:
+    """ref: api/.../FileScanTask.java — file + residual + deletes."""
+
+    def __init__(self, data_file, deletes=None, sequence_number: int = 0):
+        self.file = data_file
+        self.deletes = deletes or []
+        self.sequence_number = sequence_number
+
+    def __repr__(self):
+        return f"FileScanTask({self.file.file_path}, deletes={len(self.deletes)})"
+
+
+class TableScan:
+    """Immutable refinement (each with_* returns a new scan)."""
+
+    def __init__(self, table, row_filter: Optional[Expression] = None,
+                 selected: Optional[list] = None,
+                 snapshot_id: Optional[int] = None):
+        self.table = table
+        self.row_filter = row_filter
+        self.selected = selected
+        self.snapshot_id = snapshot_id
+
+    def _copy(self, **kw) -> "TableScan":
+        args = {"row_filter": self.row_filter, "selected": self.selected,
+                "snapshot_id": self.snapshot_id}
+        args.update(kw)
+        return TableScan(self.table, **args)
+
+    def filter(self, expr: Expression) -> "TableScan":
+        combined = expr if self.row_filter is None else \
+            and_(self.row_filter, expr)
+        return self._copy(row_filter=combined)
+
+    def select(self, cols: list) -> "TableScan":
+        return self._copy(selected=list(cols))
+
+    def use_snapshot(self, snapshot_id: int) -> "TableScan":
+        if self.table.metadata.snapshot_by_id(snapshot_id) is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        return self._copy(snapshot_id=snapshot_id)
+
+    def as_of_time(self, timestamp_ms: int) -> "TableScan":
+        snap = self.table.metadata.snapshot_as_of(timestamp_ms)
+        if snap is None:
+            raise ValueError(f"no snapshot as of {timestamp_ms}")
+        return self._copy(snapshot_id=snap.snapshot_id)
+
+    # ------------------------------------------------------------- planning
+    def _snapshot(self):
+        md = self.table.metadata
+        if self.snapshot_id is not None:
+            return md.snapshot_by_id(self.snapshot_id)
+        return md.current_snapshot
+
+    def plan_files(self) -> list:
+        """Two-level pruned list of FileScanTasks."""
+        table = self.table
+        md = table.metadata
+        snap = self._snapshot()
+        if snap is None:
+            return []
+        schema = md.schema
+        bound = bind(schema, self.row_filter) if self.row_filter is not None \
+            else always_true()
+
+        # level 1: manifest-list pruning via partition summaries
+        default_spec = md.spec
+        part_expr = inclusive_projection(default_spec, bound)
+        summary_eval = _SummaryEvaluator(part_expr)
+        infos = M.read_manifest_list(
+            table.ops.new_metadata_path(snap.manifest_list),
+            default_spec.partition_type())
+        live = [i for i in infos
+                if (i.added_files_count + i.existing_files_count) > 0]
+        pruned = [i for i in live if summary_eval.eval(i.partition_summaries)]
+
+        # level 2: read surviving manifests (parallel), filter entries
+        types_by_id = {f.field_id: f.type for f in schema.fields
+                       if isinstance(f.type, str)}
+        ptypes = default_spec.partition_type()
+        part_eval = Evaluator(part_expr)
+        metrics_eval = InclusiveMetricsEvaluator(bound)
+
+        def read_one(info):
+            return M.read_manifest(
+                table.ops.new_metadata_path(info.manifest_path),
+                types_by_id, ptypes)
+
+        if len(pruned) > 1:
+            with ThreadPoolExecutor(max_workers=PLAN_PARALLELISM) as pool:
+                chunks = list(pool.map(read_one, pruned))
+        else:
+            chunks = [read_one(i) for i in pruned]
+
+        data_entries, delete_entries = [], []
+        for entries in chunks:
+            for e in entries:
+                if e.status == M.STATUS_DELETED:
+                    continue
+                if e.data_file.content == M.CONTENT_DATA:
+                    if part_eval.eval(e.data_file.partition) and \
+                            metrics_eval.eval(e.stats_dict()):
+                        data_entries.append(e)
+                else:
+                    delete_entries.append(e)
+
+        # v2 row-level deletes: match delete files to data files by sequence
+        # number (ref: core/.../DeleteFileIndex.java:61-133)
+        tasks = []
+        for e in data_entries:
+            deletes = [d for d in delete_entries
+                       if d.sequence_number >= e.sequence_number
+                       and _partition_compatible(d.data_file, e.data_file)]
+            tasks.append(FileScanTask(e.data_file, deletes, e.sequence_number))
+        return tasks
+
+    # ------------------------------------------------------------ execution
+    def to_df(self) -> DataFrame:
+        table = self.table
+        md = table.metadata
+        schema = md.schema
+        tasks = self.plan_files()
+        if not tasks:
+            empty = table.spark.createDataFrame([], schema.to_spark())
+            return self._finish(empty)
+
+        has_deletes = any(t.deletes for t in tasks)
+        by_schema: dict = {}
+        for t in tasks:
+            by_schema.setdefault(t.file.schema_id, []).append(t.file.file_path)
+        df = read_files_as_current_schema(table.spark, md, by_schema)
+        if has_deletes:
+            from linkedin_iceberg_spark.catalog.deletes import apply_deletes
+            df = apply_deletes(table, tasks, df)
+        return self._finish(df)
+
+    def _finish(self, df: DataFrame) -> DataFrame:
+        if self.row_filter is not None:
+            bound = bind(self.table.metadata.schema, self.row_filter)
+            df = df.filter(to_spark_column(bound))
+        if self.selected:
+            df = df.select(*self.selected)
+        return df
+
+
+def _partition_compatible(delete_file, data_file) -> bool:
+    """Global (partition-less) deletes apply everywhere; partitioned deletes
+    only within their partition."""
+    if not delete_file.partition:
+        return True
+    return delete_file.partition == data_file.partition
+
+
+def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
+                                 paths_by_schema: dict) -> DataFrame:
+    """Read parquet files written under (possibly) older schemas and project
+    to the current schema BY FIELD ID (ref: core read path projection +
+    SchemaUpdate semantics: rename/add/drop/promote never corrupt old files).
+
+    Files are grouped by the schema they were written with; each group is
+    renamed/padded/cast to the current schema, then unioned.  All Spark-side,
+    distributed, no data rewrite."""
+    current = md.schema
+    cur_spark = current.to_spark()
+    out = None
+    for sid in sorted(paths_by_schema):
+        group_paths = paths_by_schema[sid]
+        written = md.schema_by_id(sid)
+        df = spark.read.schema(written.to_spark()).parquet(*group_paths)
+        # align: for each current field, find by id in written schema
+        cols = []
+        for f in current.fields:
+            old_name = written.name_for_id(f.field_id)
+            spark_t = type_to_spark(f.type)
+            if old_name is None:
+                cols.append(F.lit(None).cast(spark_t).alias(f.name))
+            else:
+                old_f = written.find_field(f.field_id)
+                c = F.col(old_name)
+                if old_f.type != f.type:
+                    c = c.cast(spark_t)  # safe promotions only (int->long etc.)
+                cols.append(c.alias(f.name))
+        df = df.select(*cols)
+        out = df if out is None else out.unionByName(df)
+    return out if out is not None else spark.createDataFrame([], cur_spark)

@@ -1,0 +1,144 @@
+"""Per-file column metrics from Parquet footers.
+
+ref: api/.../Metrics.java:32-44 (recordCount, valueCounts, nullValueCounts,
+nanValueCounts, lowerBounds, upperBounds), core/.../MetricsModes.java:34-96
+(default truncate(16)), api/.../util/UnicodeUtil.java (string bound
+truncation with upper-bound increment).
+
+The write path reads footers back with pyarrow — exact stats, no second data
+pass (same strategy as the reference's SparkAppenderFactory footer
+collection).  Row-group stats are aggregated to file level."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+import pyarrow.parquet as pq
+
+TRUNCATE_LEN = 16
+
+
+def truncate_lower(s: str, length: int = TRUNCATE_LEN) -> str:
+    return s[:length]
+
+
+def truncate_upper(s: str, length: int = TRUNCATE_LEN):
+    """Truncate an upper bound UP: increment the last kept char so the
+    truncated bound still sorts >= every real value (ref: UnicodeUtil
+    truncateStringMax).  Returns None if un-incrementable (all U+10FFFF)."""
+    if len(s) <= length:
+        return s
+    prefix = s[:length]
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            chars[i] = chr(cp + 1)
+            return "".join(chars[: i + 1])
+    return None
+
+
+def _normalize(v, type_str: str):
+    """pyarrow footer stat -> native comparable (matching serde decode types)."""
+    if v is None:
+        return None
+    if type_str == "date":
+        if isinstance(v, _dt.date):
+            return v
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    if type_str in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            return v.replace(tzinfo=None) if v.tzinfo else v
+        return v
+    if type_str.startswith("decimal"):
+        return v if isinstance(v, Decimal) else Decimal(str(v))
+    if type_str in ("float", "double"):
+        return float(v)
+    if type_str in ("int", "long", "time"):
+        return int(v)
+    if type_str == "string":
+        return v if isinstance(v, str) else v.decode("utf-8", "replace")
+    if type_str == "binary" or type_str.startswith("fixed"):
+        return bytes(v) if not isinstance(v, bytes) else v
+    return v
+
+
+def collect_file_stats(path: str, schema) -> dict:
+    """Returns dict with record_count, file_size, value_counts,
+    null_value_counts, nan_value_counts, lower_bounds, upper_bounds —
+    all keyed by our field ids (top-level primitive columns only; nested
+    columns get counts but no bounds, like the reference's default)."""
+    md = pq.read_metadata(path)
+    # leaf column index -> dotted path
+    leaf_paths = [md.schema.column(i).path for i in range(md.num_columns)]
+
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    nan_counts: dict[int, int] = {}
+    lowers: dict[int, object] = {}
+    uppers: dict[int, object] = {}
+
+    # our field name -> (field_id, type) for top-level primitives
+    fields = {}
+    for f in schema.fields:
+        if isinstance(f.type, str):
+            fields[f.name] = (f.field_id, f.type)
+
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            col_path = leaf_paths[ci]
+            if col_path not in fields:
+                continue
+            fid, type_str = fields[col_path]
+            st = col.statistics
+            if st is None:
+                continue
+            n = st.num_values + (st.null_count or 0) if st.has_null_count \
+                else st.num_values
+            value_counts[fid] = value_counts.get(fid, 0) + n
+            if st.has_null_count:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st.has_min_max:
+                lo = _normalize(st.min, type_str)
+                hi = _normalize(st.max, type_str)
+                if type_str in ("float", "double") and (
+                        (lo is not None and math.isnan(lo))
+                        or (hi is not None and math.isnan(hi))):
+                    lo = hi = None  # NaN bounds are useless; drop
+                if lo is not None:
+                    cur = lowers.get(fid)
+                    lowers[fid] = lo if cur is None or lo < cur else cur
+                if hi is not None:
+                    cur = uppers.get(fid)
+                    uppers[fid] = hi if cur is None or hi > cur else cur
+
+    # string truncation (metrics mode truncate(16))
+    for fid in list(lowers):
+        if isinstance(lowers[fid], str):
+            lowers[fid] = truncate_lower(lowers[fid])
+    for fid in list(uppers):
+        if isinstance(uppers[fid], str):
+            t = truncate_upper(uppers[fid])
+            if t is None:
+                del uppers[fid]
+            else:
+                uppers[fid] = t
+
+    return {
+        "record_count": md.num_rows,
+        "file_size_in_bytes": _file_size(path),
+        "value_counts": value_counts,
+        "null_value_counts": null_counts,
+        "nan_value_counts": nan_counts,
+        "lower_bounds": lowers,
+        "upper_bounds": uppers,
+    }
+
+
+def _file_size(path: str) -> int:
+    import os
+    return os.path.getsize(path)

@@ -1,0 +1,558 @@
+"""Table: append / overwrite / delete / scan / time travel / snapshot management.
+
+Write path (ref: core/.../io/PartitionedWriter.java + spark2/.../Writer.java):
+  1. derive hidden-partition columns as Spark Columns (JVM-side except bucket)
+  2. cluster by partition key (repartition + sortWithinPartitions — the
+     reference's PartitionedWriter requires key-clustered input, W15)
+  3. write parquet into a per-commit staging dir (files are immutable; no
+     in-place mutation anywhere)
+  4. read footers back for exact per-column stats (driver-side pyarrow pass
+     over only the new files, same as the reference's commit path)
+  5. commit: new manifest + manifest list + metadata JSON via CAS with
+     4-retry exponential backoff (ref: SnapshotProducer.java:249-285,
+     util/Tasks.java:161-176)
+
+Scale note: everything driver-side here is O(files-in-commit) or
+O(manifests), never O(rows) — the same envelope that lets the reference plan
+multi-petabyte tables from one node."""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+import urllib.parse
+import uuid
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog import manifests as M
+from linkedin_iceberg_spark.catalog.metadata import (
+    OP_APPEND,
+    OP_DELETE,
+    OP_OVERWRITE,
+    OP_REPLACE,
+    CommitFailedException,
+    Snapshot,
+    TableMetadata,
+    TableOperations,
+)
+from linkedin_iceberg_spark.catalog.spec import PartitionSpec
+from linkedin_iceberg_spark.catalog.serde import decode_value
+from linkedin_iceberg_spark.catalog.stats import collect_file_stats
+from linkedin_iceberg_spark.expressions import (
+    Evaluator,
+    Expression,
+    StrictMetricsEvaluator,
+    always_true,
+    bind,
+    inclusive_projection,
+    strict_projection,
+    to_spark_column,
+)
+from linkedin_iceberg_spark.schema import Schema
+
+COMMIT_NUM_RETRIES = 4  # ref: TableProperties.java:27
+
+
+def _new_snapshot_id() -> int:
+    return uuid.uuid4().int >> 75  # 53-bit positive id (JSON-safe)
+
+
+class Table:
+    def __init__(self, spark: SparkSession, ops: TableOperations,
+                 metadata: TableMetadata, version: int, name: str = ""):
+        self.spark = spark
+        self.ops = ops
+        self.metadata = metadata
+        self.version = version
+        self.name = name or os.path.basename(ops.location)
+
+    # ------------------------------------------------------------------ api
+    @property
+    def schema(self) -> Schema:
+        return self.metadata.schema
+
+    @property
+    def spec(self) -> PartitionSpec:
+        return self.metadata.spec
+
+    @property
+    def location(self) -> str:
+        return self.metadata.location
+
+    @property
+    def properties(self) -> dict:
+        return self.metadata.properties
+
+    def refresh(self) -> "Table":
+        md = self.ops.refresh()
+        if md is not None:
+            self.metadata = md
+            self.version = getattr(md, "_version", self.version)
+        return self
+
+    def snapshots(self) -> list:
+        return list(self.metadata.snapshots)
+
+    def current_snapshot(self):
+        return self.metadata.current_snapshot
+
+    def history(self) -> list:
+        return list(self.metadata.snapshot_log)
+
+    # ----------------------------------------------------------- data write
+    def _partition_columns(self, df: DataFrame) -> tuple:
+        spec = self.spec
+        write_cols = []
+        for pf in spec.fields:
+            t = pf.bound_transform()
+            df = df.withColumn(pf.write_col, t.to_spark_column(F.col(pf.source_name)))
+            write_cols.append(pf.write_col)
+        return df, write_cols
+
+    def _write_data_files(self, df: DataFrame, fanout: bool = False) -> list:
+        """Write df as parquet into a fresh staging dir; return DataFile list."""
+        staging = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
+        schema = self.schema
+        cols = schema.column_names()
+        df = df.select(*cols)  # enforce column order == table schema
+        df, write_cols = self._partition_columns(df)
+        writer = df.write.mode("errorifexists")
+        max_records = self.properties.get("write.target-max-records-per-file")
+        if max_records:
+            writer = writer.option("maxRecordsPerFile", int(max_records))
+        if write_cols:
+            if not fanout:
+                # cluster by key: one writer-open per partition (W15)
+                df = df.repartition(*write_cols).sortWithinPartitions(*write_cols)
+                writer = df.write.mode("errorifexists")
+                if max_records:
+                    writer = writer.option("maxRecordsPerFile", int(max_records))
+            writer.partitionBy(*write_cols).parquet(staging)
+        else:
+            writer.parquet(staging)
+        return self._collect_data_files(staging, write_cols)
+
+    def _collect_data_files(self, staging: str, write_cols: list) -> list:
+        from concurrent.futures import ThreadPoolExecutor
+
+        spec = self.spec
+        ptypes = spec.partition_type()
+        prefix_len = len("_p_")
+        found = []  # (fpath, partition)
+        for root, _dirs, files in os.walk(staging):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, fn)
+                rel = os.path.relpath(root, staging)
+                partition = {}
+                if rel != ".":
+                    for comp in rel.split(os.sep):
+                        if "=" not in comp:
+                            continue
+                        k, v = comp.split("=", 1)
+                        name = k[prefix_len:] if k.startswith("_p_") else k
+                        v = urllib.parse.unquote(v)
+                        if v == "__HIVE_DEFAULT_PARTITION__":
+                            partition[name] = None
+                        else:
+                            partition[name] = decode_value(
+                                v, ptypes.get(name, "string"))
+                found.append((fpath, partition))
+
+        schema = self.schema
+
+        def build(item):
+            fpath, partition = item
+            stats = collect_file_stats(fpath, schema)
+            return M.DataFile(
+                file_path=fpath,
+                partition=partition,
+                record_count=stats["record_count"],
+                file_size_in_bytes=stats["file_size_in_bytes"],
+                value_counts=stats["value_counts"],
+                null_value_counts=stats["null_value_counts"],
+                nan_value_counts=stats["nan_value_counts"],
+                lower_bounds=stats["lower_bounds"],
+                upper_bounds=stats["upper_bounds"],
+                spec_id=spec.spec_id,
+                schema_id=self.metadata.current_schema_id,
+            )
+
+        # footer reads are I/O bound — parallelize (commit-path analog of the
+        # reference's worker-pool manifest writes)
+        if len(found) > 4:
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                return list(pool.map(build, found))
+        return [build(it) for it in found]
+
+    # ------------------------------------------------------------ commit ops
+    def _types_by_id(self) -> dict:
+        return {f.field_id: f.type for f in self.schema.fields
+                if isinstance(f.type, str)}
+
+    def _commit(self, build_fn: Callable, operation: str,
+                wap_id: Optional[str] = None) -> "Table":
+        """Optimistic commit loop (ref: SnapshotProducer.commit:249-285).
+
+        build_fn(base_metadata, snapshot_id, sequence_number)
+          -> (manifest_list_infos, summary, set_current)
+        """
+        attempt = 0
+        while True:
+            base = self.ops.refresh() or self.metadata
+            version = getattr(base, "_version", 0)
+            snap_id = _new_snapshot_id()
+            seq = base.next_sequence_number()
+            infos, summary, extra = build_fn(base, snap_id, seq)
+            if wap_id is not None:
+                summary = {**summary, "wap.id": wap_id}
+            ml_name = M.manifest_list_name(snap_id)
+            ptypes = base.spec.partition_type()
+            M.write_manifest_list(self.ops.new_metadata_path(ml_name), infos, ptypes)
+            snap = Snapshot(
+                snapshot_id=snap_id,
+                parent_snapshot_id=base.current_snapshot_id,
+                sequence_number=seq,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                manifest_list=ml_name,
+                summary=summary,
+                schema_id=base.current_schema_id,
+            )
+            staged = wap_id is not None
+            md = base.with_snapshot(snap, set_current=not staged)
+            if staged:
+                md.staged_wap = {**md.staged_wap, wap_id: snap_id}
+            try:
+                new_version = self.ops.commit(version, md)
+                md._version = new_version  # type: ignore[attr-defined]
+                self.metadata, self.version = md, new_version
+                return self
+            except CommitFailedException:
+                attempt += 1
+                if attempt > COMMIT_NUM_RETRIES:
+                    raise
+                # exponential backoff w/ jitter (ref: Tasks.java:161-176)
+                time.sleep(min(0.1 * (2 ** attempt) * (1 + random.random()), 2.0))
+
+    def _base_manifest_infos(self, base: TableMetadata) -> list:
+        snap = base.current_snapshot
+        if snap is None:
+            return []
+        ptypes = base.spec.partition_type()
+        return M.read_manifest_list(self.ops.new_metadata_path(snap.manifest_list),
+                                    ptypes)
+
+    def append(self, df: DataFrame, wap_id: Optional[str] = None) -> "Table":
+        """FastAppend semantics: new manifest per commit, never rewrites old
+        manifests (ref: core/.../FastAppend.java).  Manifest merging is done
+        by maintenance.rewrite_manifests (A2)."""
+        files = self._write_data_files(df)
+        types_by_id = self._types_by_id()
+
+        def build(base, snap_id, seq):
+            entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id, seq, f)
+                       for f in files]
+            ptypes = base.spec.partition_type()
+            mname = M.new_manifest_name()
+            info = M.write_manifest(self.ops.new_metadata_path(mname), entries,
+                                    types_by_id, ptypes)
+            info.manifest_path = mname
+            infos = [info, *self._base_manifest_infos(base)]
+            summary = {
+                "added-data-files": str(len(files)),
+                "added-records": str(sum(f.record_count for f in files)),
+                "added-files-size": str(sum(f.file_size_in_bytes for f in files)),
+            }
+            return infos, summary, None
+
+        return self._commit(build, OP_APPEND, wap_id=wap_id)
+
+    # ---------------------------------------------------------------- scans
+    def new_scan(self):
+        from linkedin_iceberg_spark.catalog.scan import TableScan
+        return TableScan(self)
+
+    def scan(self, row_filter: Optional[Expression] = None,
+             select: Optional[list] = None,
+             snapshot_id: Optional[int] = None,
+             as_of_timestamp_ms: Optional[int] = None) -> DataFrame:
+        s = self.new_scan()
+        if row_filter is not None:
+            s = s.filter(row_filter)
+        if select is not None:
+            s = s.select(select)
+        if snapshot_id is not None:
+            s = s.use_snapshot(snapshot_id)
+        if as_of_timestamp_ms is not None:
+            s = s.as_of_time(as_of_timestamp_ms)
+        return s.to_df()
+
+    def to_df(self) -> DataFrame:
+        return self.new_scan().to_df()
+
+    # ------------------------------------------------- delete / overwrite
+    def delete_where(self, expr: Expression) -> "Table":
+        """DELETE FROM t WHERE expr (ref: core/.../StreamingDelete.java +
+        ManifestFilterManager.java).
+
+        Metadata-only when the strict projection / strict metrics prove whole
+        files match; otherwise copy-on-write: rewrite the partially-matching
+        files without the matching rows and swap them in the same commit."""
+        bound = bind(self.schema, expr)
+        snap = self.current_snapshot()
+        if snap is None:
+            return self
+        entries = self._live_entries()
+        strict_part = strict_projection(self.spec, bound)
+        strict_eval = Evaluator(strict_part)
+        metrics_strict = StrictMetricsEvaluator(bound)
+        from linkedin_iceberg_spark.expressions import InclusiveMetricsEvaluator
+        incl_part = inclusive_projection(self.spec, bound)
+        incl_eval = Evaluator(incl_part)
+        metrics_incl = InclusiveMetricsEvaluator(bound)
+
+        drop_whole: list = []
+        rewrite: list = []
+        keep: list = []
+        for e in entries:
+            df_ = e.data_file
+            might_match = incl_eval.eval(df_.partition) and \
+                metrics_incl.eval(e.stats_dict())
+            if not might_match:
+                keep.append(e)
+                continue
+            all_match = strict_eval.eval(df_.partition) or \
+                metrics_strict.eval(e.stats_dict())
+            if all_match:
+                drop_whole.append(e)
+            else:
+                rewrite.append(e)
+
+        new_files: list = []
+        if rewrite:
+            survivors = self._read_files(rewrite) \
+                .filter(~to_spark_column(bound))
+            new_files = self._write_data_files(survivors)
+
+        return self._commit_file_swap(
+            removed=drop_whole + rewrite, added=new_files, operation=OP_DELETE)
+
+    def overwrite_where(self, df: DataFrame, expr: Expression) -> "Table":
+        """INSERT OVERWRITE ... WHERE expr (ref: core/.../BaseOverwriteFiles.java).
+        Deletes matching rows (validated strict) then appends df in the same
+        snapshot."""
+        bound = bind(self.schema, expr)
+        entries = self._live_entries()
+        strict_part = strict_projection(self.spec, bound)
+        strict_eval = Evaluator(strict_part)
+        metrics_strict = StrictMetricsEvaluator(bound)
+        from linkedin_iceberg_spark.expressions import InclusiveMetricsEvaluator
+        incl_part = inclusive_projection(self.spec, bound)
+        incl_eval = Evaluator(incl_part)
+        metrics_incl = InclusiveMetricsEvaluator(bound)
+
+        removed, rewrite, keep = [], [], []
+        for e in entries:
+            might = incl_eval.eval(e.data_file.partition) and \
+                metrics_incl.eval(e.stats_dict())
+            if not might:
+                keep.append(e)
+            elif strict_eval.eval(e.data_file.partition) or \
+                    metrics_strict.eval(e.stats_dict()):
+                removed.append(e)
+            else:
+                rewrite.append(e)
+        extra_files: list = []
+        if rewrite:
+            survivors = self._read_files(rewrite) \
+                .filter(~to_spark_column(bound))
+            extra_files = self._write_data_files(survivors)
+        new_files = self._write_data_files(df) + extra_files
+        return self._commit_file_swap(removed=removed + rewrite,
+                                      added=new_files, operation=OP_OVERWRITE)
+
+    def overwrite_partitions(self, df: DataFrame) -> "Table":
+        """Dynamic partition overwrite: replace exactly the partitions present
+        in df (ref: api/.../ReplacePartitions.java, spark2/.../Writer.java:182-190)."""
+        new_files = self._write_data_files(df)
+        touched = {tuple(sorted(f.partition.items(), key=lambda kv: kv[0]))
+                   for f in new_files}
+
+        entries = self._live_entries()
+        removed = [e for e in entries
+                   if tuple(sorted(e.data_file.partition.items(),
+                                   key=lambda kv: kv[0])) in touched]
+        return self._commit_file_swap(removed=removed, added=new_files,
+                                      operation=OP_OVERWRITE)
+
+    def rewrite_files(self, removed_paths: set, added_files: list) -> "Table":
+        """Compaction commit: swap files, data unchanged
+        (ref: core/.../BaseRewriteFiles.java)."""
+        entries = self._live_entries()
+        removed = [e for e in entries if e.data_file.file_path in removed_paths]
+        return self._commit_file_swap(removed=removed, added=added_files,
+                                      operation=OP_REPLACE)
+
+    def _commit_file_swap(self, removed: list, added: list,
+                          operation: str) -> "Table":
+        """Shared commit: drop `removed` entries, add `added` files.
+        Rewrites the survivor set into fresh manifests (ref:
+        ManifestFilterManager rewriting manifests that contain deletes)."""
+        removed_paths = {e.data_file.file_path for e in removed}
+        types_by_id = self._types_by_id()
+
+        def build(base, snap_id, seq):
+            ptypes = base.spec.partition_type()
+            base_entries = self._live_entries(base=base)
+            keep = [e for e in base_entries
+                    if e.data_file.file_path not in removed_paths]
+            infos = []
+            if keep:
+                kname = M.new_manifest_name()
+                keep_entries = [M.ManifestEntry(M.STATUS_EXISTING, e.snapshot_id,
+                                                e.sequence_number, e.data_file)
+                                for e in keep]
+                info = M.write_manifest(self.ops.new_metadata_path(kname),
+                                        keep_entries, types_by_id, ptypes)
+                info.manifest_path = kname
+                infos.append(info)
+            if added:
+                aname = M.new_manifest_name()
+                add_entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id, seq, f)
+                               for f in added]
+                info = M.write_manifest(self.ops.new_metadata_path(aname),
+                                        add_entries, types_by_id, ptypes)
+                info.manifest_path = aname
+                infos.append(info)
+            summary = {
+                "deleted-data-files": str(len(removed)),
+                "added-data-files": str(len(added)),
+                "deleted-records": str(sum(e.data_file.record_count
+                                           for e in removed)),
+                "added-records": str(sum(f.record_count for f in added)),
+            }
+            return infos, summary, None
+
+        return self._commit(build, operation)
+
+    # ------------------------------------------------------------- plumbing
+    def _live_entries(self, snapshot=None, base: Optional[TableMetadata] = None) -> list:
+        """All live (ADDED/EXISTING) entries for a snapshot (default current)."""
+        md = base or self.metadata
+        snap = snapshot or md.current_snapshot
+        if snap is None:
+            return []
+        ptypes = md.spec.partition_type()
+        types_by_id = {f.field_id: f.type for f in md.schema.fields
+                       if isinstance(f.type, str)}
+        infos = M.read_manifest_list(
+            self.ops.new_metadata_path(snap.manifest_list), ptypes)
+        out = []
+        for info in infos:
+            entries = M.read_manifest(
+                self.ops.new_metadata_path(info.manifest_path),
+                types_by_id, ptypes)
+            out.extend(e for e in entries if e.status != M.STATUS_DELETED)
+        return out
+
+    def _read_files(self, entries: list) -> DataFrame:
+        """Read data files, projecting to the CURRENT schema by field id
+        (rename/add-null/cast handled per historical schema — W11 read side)."""
+        from linkedin_iceberg_spark.catalog.scan import read_files_as_current_schema
+        by_schema: dict = {}
+        for e in entries:
+            by_schema.setdefault(e.data_file.schema_id, []) \
+                .append(e.data_file.file_path)
+        return read_files_as_current_schema(self.spark, self.metadata, by_schema)
+
+    # ----------------------------------------------- snapshot management
+    def rollback_to(self, snapshot_id: int) -> "Table":
+        """ref: core/.../SnapshotManager.java rollback / RollbackToSnapshot."""
+        def do(base: TableMetadata):
+            if base.snapshot_by_id(snapshot_id) is None:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+            import dataclasses
+            md = dataclasses.replace(base)
+            md.current_snapshot_id = snapshot_id
+            md.snapshot_log = [*base.snapshot_log,
+                               {"timestamp-ms": int(time.time() * 1000),
+                                "snapshot-id": snapshot_id}]
+            return md
+        return self._commit_metadata_edit(do)
+
+    def set_current_snapshot(self, snapshot_id: int) -> "Table":
+        return self.rollback_to(snapshot_id)
+
+    def cherry_pick(self, snapshot_id: int) -> "Table":
+        """Publish a staged (WAP) snapshot: fast-forward if it's a direct
+        child of current, else re-apply its file changes
+        (ref: core/.../SnapshotManager.java:65-171, util/WapUtil.java)."""
+        def do(base: TableMetadata):
+            snap = base.snapshot_by_id(snapshot_id)
+            if snap is None:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+            import dataclasses
+            published = set()
+            for s in base.snapshots:
+                wid = s.summary.get("wap.id")
+                if wid and s.snapshot_id in base.ancestry():
+                    published.add(wid)
+            wid = snap.summary.get("wap.id")
+            if wid and wid in published:
+                raise ValueError(f"duplicate WAP id already published: {wid}")
+            if snap.parent_snapshot_id != base.current_snapshot_id:
+                if snap.operation != OP_APPEND:
+                    raise ValueError(
+                        "cannot cherry-pick non-append with divergent base")
+            md = dataclasses.replace(base)
+            md.current_snapshot_id = snapshot_id
+            md.snapshot_log = [*base.snapshot_log,
+                               {"timestamp-ms": int(time.time() * 1000),
+                                "snapshot-id": snapshot_id}]
+            return md
+        return self._commit_metadata_edit(do)
+
+    def update_properties(self, set_props: Optional[dict] = None,
+                          remove: Optional[list] = None) -> "Table":
+        """ref: core/.../PropertiesUpdate.java."""
+        def do(base: TableMetadata):
+            import dataclasses
+            md = dataclasses.replace(base)
+            md.properties = {k: v for k, v in base.properties.items()
+                             if k not in set(remove or [])}
+            md.properties.update({k: str(v) for k, v in (set_props or {}).items()})
+            return md
+        return self._commit_metadata_edit(do)
+
+    def update_schema(self):
+        from linkedin_iceberg_spark.catalog.evolution import SchemaUpdate
+        return SchemaUpdate(self)
+
+    def _commit_metadata_edit(self, edit_fn: Callable) -> "Table":
+        attempt = 0
+        while True:
+            base = self.ops.refresh() or self.metadata
+            version = getattr(base, "_version", 0)
+            md = edit_fn(base)
+            md.last_updated_ms = int(time.time() * 1000)
+            try:
+                new_version = self.ops.commit(version, md)
+                md._version = new_version  # type: ignore[attr-defined]
+                self.metadata, self.version = md, new_version
+                return self
+            except CommitFailedException:
+                attempt += 1
+                if attempt > COMMIT_NUM_RETRIES:
+                    raise
+                time.sleep(min(0.1 * (2 ** attempt), 2.0))
+
+    # ------------------------------------------------------ metadata tables
+    def metadata_table(self, name: str) -> DataFrame:
+        from linkedin_iceberg_spark.catalog.metadata_tables import metadata_table
+        return metadata_table(self, name)

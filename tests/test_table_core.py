@@ -1,0 +1,107 @@
+"""M1 exit tests: create/append/scan/time-travel end-to-end
+(pattern per SURVEY.md §5 item 2 — metadata state asserts after each op)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark import Catalog, PartitionSpec
+from linkedin_iceberg_spark.expressions import (
+    and_, eq, gt_eq, lt, in_, starts_with, is_null, not_null,
+)
+from tests.conftest import assert_df_equals_oracle
+
+
+@pytest.fixture()
+def orders_df(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def test_create_append_scan_matches_oracle(catalog, orders_df, sf_dir):
+    spec = (PartitionSpec.builder_for(
+        __import__("linkedin_iceberg_spark").Schema.from_spark(orders_df.schema))
+        .month("o_orderdate").build())
+    t = catalog.create_table("db.orders", orders_df, spec=spec)
+    assert t.current_snapshot() is None
+    t.append(orders_df)
+    snap = t.current_snapshot()
+    assert snap is not None and snap.operation == "append"
+
+    # full scan row parity
+    assert t.to_df().count() == orders_df.count()
+
+    # filtered scan matches duckdb oracle
+    result = (t.scan(row_filter=gt_eq("o_orderdate", "1995-01-01"))
+              .groupBy("o_orderpriority")
+              .agg(F.count("*").alias("n"))
+              .orderBy("o_orderpriority"))
+    assert_df_equals_oracle(
+        result,
+        """SELECT o_orderpriority, count(*) AS n FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        sf_dir)
+
+
+def test_scan_prunes_files(catalog, orders_df):
+    from linkedin_iceberg_spark import Schema
+    spec = PartitionSpec.builder_for(Schema.from_spark(orders_df.schema)) \
+        .month("o_orderdate").build()
+    t = catalog.create_table("db.orders_pruned", orders_df, spec=spec)
+    t.append(orders_df)
+    all_tasks = t.new_scan().plan_files()
+    assert len(all_tasks) > 1  # partitioned by day -> many files
+    some = t.new_scan().filter(
+        and_(gt_eq("o_orderdate", "1996-01-01"),
+             lt("o_orderdate", "1996-02-01"))).plan_files()
+    assert 0 < len(some) < len(all_tasks)
+    # pruned scan still returns exactly the right rows
+    cnt = t.scan(row_filter=and_(gt_eq("o_orderdate", "1996-01-01"),
+                                 lt("o_orderdate", "1996-02-01"))).count()
+    expected = orders_df.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-02-01")).count()
+    assert cnt == expected
+
+
+def test_time_travel(catalog, orders_df):
+    t = catalog.create_table("db.orders_tt", orders_df)
+    first_half = orders_df.limit(500)
+    t.append(first_half)
+    v1 = t.current_snapshot().snapshot_id
+    t.append(orders_df)
+    assert t.to_df().count() == 500 + orders_df.count()
+    # travel back
+    assert t.scan(snapshot_id=v1).count() == 500
+    # snapshot log has 2 entries
+    assert len(t.history()) == 2
+    # rollback
+    t.rollback_to(v1)
+    assert t.to_df().count() == 500
+
+
+def test_unpartitioned_append_and_filters(catalog, spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    t = catalog.create_table("db.li", li)
+    t.append(li)
+    r = t.scan(row_filter=in_("l_returnflag", ["A", "N"]))
+    expected = li.filter(F.col("l_returnflag").isin("A", "N")).count()
+    assert r.count() == expected
+    r2 = t.scan(row_filter=starts_with("l_linestatus", "O"))
+    assert r2.count() == li.filter(F.col("l_linestatus").startswith("O")).count()
+
+
+def test_stats_pruning_unpartitioned(catalog, spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"id": range(1000), "val": [f"v{i}" for i in range(1000)]})
+    df = spark.createDataFrame(pdf).repartitionByRange(8, "id")
+    t = catalog.create_table("db.stats_prune", df)
+    t.append(df)
+    tasks_all = t.new_scan().plan_files()
+    assert len(tasks_all) >= 2
+    # a point lookup should prune most files via min/max bounds
+    tasks_point = t.new_scan().filter(eq("id", 5)).plan_files()
+    assert len(tasks_point) < len(tasks_all)
+    assert t.scan(row_filter=eq("id", 5)).count() == 1
