@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Headline set: one representative per operator family (agg, join, window,
+sort, set, scalar, dedup, similarity, text, events window, table-format
+scan with hidden-partition pruning).  Each query is executed with a
+``count()``-style full materialization (``write.format("noop")`` is not
+available in local Spark by default, so we drain via ``toLocalIterator``-free
+``count`` of a cached plan -- cheap and shuffle-complete).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from linkedin_iceberg_spark import queries as Q
+from linkedin_iceberg_spark.session import get_spark
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "join_inner_equi",
+    "join_multiway",
+    "join_broadcast_dims",
+    "window_topk_per_group",
+    "join_asof",
+    "sort_global_topk",
+    "set_dedup_rows",
+    "scalar_string_funcs",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality_score",
+    "events_tumbling_window",
+    "table_scan_pruned",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+
+    registry = Q._REGISTRY
+    names = [n for n in HEADLINE if n in registry]
+
+    # JVM/codegen warmup on a tiny slice so q1 doesn't pay startup costs
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        fn, _sql = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

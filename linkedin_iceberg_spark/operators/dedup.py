@@ -1,0 +1,144 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All shuffles are on compact keys (hashes / bucket ids), never full text.
+All hashing is Spark-built-in xxhash64 / hash (JVM-side, codegen'd) so every
+operator is deterministic and UDF-free — the 100 TB hot path stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, cols: list, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per duplicate group.
+    Scale: group on xxhash64(cols) to shuffle 8-byte keys, then resolve the
+    (vanishingly rare) hash collisions within groups by exact compare."""
+    h = F.xxhash64(*cols)
+    w = W.partitionBy(h, *cols).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles of a text column as an array<string>."""
+    toks = F.split(col, r"\s+")
+    # sliding windows via transform over index range
+    return F.expr(
+        f"transform(sequence(0, greatest(size(split({_c(col)}, '\\\\s+')) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(split({_c(col)}, '\\\\s+'), i + 1, {n})))"
+    )
+
+
+def _c(col) -> str:
+    """Column -> SQL string (only used for expr() composition on plain names)."""
+    if isinstance(col, str):
+        return col
+    return col._jc.toString()  # pragma: no cover
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 3) -> DataFrame:
+    """MinHash + LSH banding: near-duplicate candidate pairs.
+
+    Pipeline (all built-in functions):
+      1. shingle: word n-grams                       (no shuffle)
+      2. K minhashes: min over xxhash64(shingle, k)  (no shuffle)
+      3. B bands of R=K/B rows; band signature hash  (no shuffle)
+      4. self-join on (band_id, band_hash)           (the ONLY shuffle;
+         keys are 16 bytes — at 100 TB this is the textbook LSH join)
+    Returns (d1, d2, n_shared_bands) candidate pairs, d1 < d2.
+    """
+    rows_per_band = num_hashes // bands
+    sh = (df.select(id_col, F.explode(
+            F.array_distinct(shingles(text_col, shingle_n))).alias("_sh"))
+          .filter(F.length("_sh") > 0))
+
+    # K minhash values per doc: min over shingles of xxhash64(shingle, seed k)
+    minhash_cols = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(k))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*minhash_cols)
+
+    # band signatures
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_rows.append(F.struct(F.lit(b).alias("band"),
+                                  F.xxhash64(*cols).alias("sig")))
+    banded = (sigs.select(id_col, F.explode(F.array(*band_rows)).alias("b"))
+              .select(id_col, F.col("b.band").alias("band"),
+                      F.col("b.sig").alias("sig")))
+
+    a = banded.alias("a")
+    bb = banded.alias("bb")
+    pairs = (a.join(bb, (F.col("a.band") == F.col("bb.band"))
+                    & (F.col("a.sig") == F.col("bb.sig"))
+                    & (F.col(f"a.{id_col}") < F.col(f"bb.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("d1"),
+                      F.col(f"bb.{id_col}").alias("d2"))
+             .agg(F.count("*").alias("n_shared_bands")))
+    return pairs.orderBy("d1", "d2")
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  max_hamming: int = 6, n_segments: int = 4) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole principle.
+
+    64-bit simhash = sign(sum of ±1 per bit over token hashes).  Any pair
+    within `max_hamming` (< n_segments) must agree on >= 1 of the
+    `n_segments` 16-bit segments -> join only on segment equality.
+    Scale: the join key is (segment_idx, 16-bit value) — tiny shuffle."""
+    toks = (df.select(id_col, F.explode(
+        F.array_distinct(F.split(text_col, r"\s+"))).alias("_w"))
+        .filter(F.length("_w") > 0)
+        .withColumn("_h", F.xxhash64("_w")))
+
+    # per-bit vote: +1 if bit set else -1; simhash bit = vote > 0
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy(id_col).agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        # shiftleft handles bit 63 (two's-complement) — a 1<<63 literal
+        # would overflow a long
+        sim = sim + F.when(F.col(f"v{i}") > 0,
+                           F.shiftleft(F.lit(1).cast("long"), i)) \
+            .otherwise(F.lit(0).cast("long"))
+    fp = votes.select(id_col, sim.alias("simhash"))
+
+    seg_width = 64 // n_segments
+    segs = []
+    for s in range(n_segments):
+        segs.append(F.struct(
+            F.lit(s).alias("seg"),
+            F.shiftrightunsigned(F.col("simhash"), s * seg_width)
+             .bitwiseAND(F.lit((1 << seg_width) - 1)).alias("segval")))
+    seg_df = (fp.select(id_col, "simhash",
+                        F.explode(F.array(*segs)).alias("s"))
+              .select(id_col, "simhash", F.col("s.seg").alias("seg"),
+                      F.col("s.segval").alias("segval")))
+
+    a = seg_df.alias("a")
+    b = seg_df.alias("b")
+    cand = (a.join(b, (F.col("a.seg") == F.col("b.seg"))
+                   & (F.col("a.segval") == F.col("b.segval"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("d1"),
+                    F.col(f"b.{id_col}").alias("d2"),
+                    F.col("a.simhash").alias("h1"),
+                    F.col("b.simhash").alias("h2"))
+            .distinct())
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("d1", "d2", "hamming")
+            .orderBy("d1", "d2"))

@@ -1,0 +1,73 @@
+"""Text analysis operators (SURVEY.md M7): language ID, quality scoring,
+token counting, fingerprinting.  All built-in-function pipelines —
+deterministic, UDF-free, safe at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles (n-gram heuristic stand-in; a real
+# deployment swaps in fastText — decode gated the same way)
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "con", "para"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: score = fraction of tokens in each
+    language's stopword list; argmax wins, 'und' (undetermined) if no hits."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(F.array_distinct(toks), arr))
+        scores.append(F.struct((hits / F.size(toks)).alias("score"),
+                               F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise("und")
+         .alias("lang_pred"),
+        F.round(best["score"], 4).alias("lang_score"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length band + token count + punctuation-ratio heuristic."""
+    n_chars = F.length(text_col)
+    n_tok = F.size(F.split(text_col, r"\s+"))
+    punct = F.length(F.regexp_replace(text_col, "[a-zA-Z0-9 ]", ""))
+    score = (F.when((n_chars >= 100) & (n_chars <= 1000), 0.5).otherwise(0.0)
+             + F.when(n_tok >= 20, 0.3).otherwise(0.0)
+             + F.when((punct / n_chars) < 0.1, 0.2).otherwise(0.0))
+    return df.select(F.col(id_col), F.round(score, 2).alias("quality"))
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic —
+    the standard budget approximation when no tokenizer is available)."""
+    ws = F.size(F.split(text_col, r"\s+"))
+    bpe_ish = F.ceil(F.length(text_col) / 4).cast("long")
+    return df.select(F.col(id_col), ws.alias("n_ws_tokens"),
+                     bpe_ish.alias("n_bpe_est"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", n_minhash: int = 4) -> DataFrame:
+    """Document fingerprint: xxhash64 of normalized text (exact-dup key)
+    plus a compact 4-way shingle minhash (rolling-hash analog) for near-dup
+    blocking."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = F.split(norm, " ")
+    cols = [F.col(id_col), F.xxhash64(norm).alias("exact_fp")]
+    for k in range(n_minhash):
+        cols.append(
+            F.array_min(F.transform(toks, lambda w: F.xxhash64(w, F.lit(k))))
+            .alias(f"minhash{k}"))
+    return df.select(*cols)

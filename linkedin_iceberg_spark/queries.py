@@ -1,0 +1,1048 @@
+"""Declared query surface (SURVEY.md §2B + §M7) with DuckDB oracles.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle-less entries are non-SQL-expressible (LSH, simhash, approx sketches,
+engine internals with no SQL analog) and get the driver's rows-only check.
+
+Column names are aliased identically in the Spark plan and the oracle SQL —
+the driver sorts columns by name before value-hashing.
+
+Scale notes are attached per query: every plan here is shuffle-minimal and
+broadcast-aware; nothing collects unbounded data to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+_REGISTRY: dict = {}
+
+
+def q(name: str, oracle: Optional[str] = None):
+    def deco(fn: Callable):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (nanosAsLong): truncate to micros,
+        # matching the oracle's CAST(ts AS TIMESTAMP)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def queries() -> dict:
+    return {name: (lambda spark, sf_dir, _fn=fn: _fn(spark, sf_dir))
+            for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict:
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items()
+            if sql is not None}
+
+
+# =========================================================================
+# Aggregations
+# =========================================================================
+
+@q("agg_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: the canonical hash-agg with partial aggregation.
+    Scale: map-side combine; 2-col group key -> tiny shuffle."""
+    li = ld(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("sum_disc_price"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                       * (1 + F.col("l_tax"))).alias("sum_charge"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.avg("l_extendedprice").alias("avg_price"),
+                 F.avg("l_discount").alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@q("agg_count_distinct", """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_custs,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def agg_count_distinct(spark, sf_dir):
+    """Scale: two-phase distinct-agg (partial sets then merge) is automatic."""
+    return (ld(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_custs"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+@q("agg_cube", """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+def agg_cube(spark, sf_dir):
+    return (ld(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+            .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                     F.col("l_linestatus").asc_nulls_first()))
+
+
+@q("agg_rollup", """
+SELECT year(o_orderdate) AS yr, o_orderpriority, sum(o_totalprice) AS total
+FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
+ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""")
+def agg_rollup(spark, sf_dir):
+    return (ld(spark, sf_dir, "orders")
+            .withColumn("yr", F.year("o_orderdate"))
+            .rollup("yr", "o_orderpriority")
+            .agg(F.sum("o_totalprice").alias("total"))
+            .orderBy(F.col("yr").asc_nulls_first(),
+                     F.col("o_orderpriority").asc_nulls_first()))
+
+
+@q("agg_pivot", """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+def agg_pivot(spark, sf_dir):
+    return (ld(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .sum("l_quantity")
+            .orderBy("l_returnflag"))
+
+
+@q("agg_stats", """
+SELECT l_returnflag,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+       avg(l_extendedprice) AS avg_price,
+       stddev_samp(l_extendedprice) AS sd_price,
+       var_samp(l_extendedprice) AS var_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+def agg_stats(spark, sf_dir):
+    return (ld(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.min("l_extendedprice").alias("min_price"),
+                 F.max("l_extendedprice").alias("max_price"),
+                 F.avg("l_extendedprice").alias("avg_price"),
+                 F.stddev_samp("l_extendedprice").alias("sd_price"),
+                 F.var_samp("l_extendedprice").alias("var_price"))
+            .orderBy("l_returnflag"))
+
+
+@q("agg_approx_distinct")  # approx sketches differ across engines: rows-only
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++). Scale: constant memory per group."""
+    return (ld(spark, sf_dir, "lineitem")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.expr("approx_percentile(l_extendedprice, 0.5)")
+                  .alias("median_price")))
+
+
+# =========================================================================
+# Joins
+# =========================================================================
+
+@q("join_inner_equi", """
+SELECT o_orderpriority, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def join_inner_equi(spark, sf_dir):
+    """Scale: both sides large -> sort-merge on the join key; AQE handles
+    skew.  Filter pushed below the join."""
+    li = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("revenue"),
+                 F.count("*").alias("n"))
+            .orderBy("o_orderpriority"))
+
+
+@q("join_broadcast_dims", """
+SELECT r_name, n_name, count(*) AS n_custs, sum(c_acctbal) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+def join_broadcast_dims(spark, sf_dir):
+    """Explicit broadcast of small dims -> no shuffle of the fact side."""
+    c = ld(spark, sf_dir, "customer")
+    n = F.broadcast(ld(spark, sf_dir, "nation"))
+    r = F.broadcast(ld(spark, sf_dir, "region"))
+    return (c.join(n, c.c_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_custs"),
+                 F.sum("c_acctbal").alias("total_bal"))
+            .orderBy("r_name", "n_name"))
+
+
+@q("join_left_outer", """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey""")
+def join_left_outer(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"))
+            .orderBy("c_custkey"))
+
+
+@q("join_right_outer", """
+SELECT o_orderkey, c_name
+FROM customer RIGHT JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")
+def join_right_outer(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "right")
+            .filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "c_name")
+            .orderBy("o_orderkey"))
+
+
+@q("join_full_outer", """
+SELECT s_suppkey, s_name, n_name
+FROM supplier FULL OUTER JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_suppkey NULLS FIRST, n_name NULLS FIRST""")
+def join_full_outer(spark, sf_dir):
+    s = ld(spark, sf_dir, "supplier")
+    n = ld(spark, sf_dir, "nation")
+    return (s.join(n, s.s_nationkey == n.n_nationkey, "full_outer")
+            .select("s_suppkey", "s_name", "n_name")
+            .orderBy(F.col("s_suppkey").asc_nulls_first(),
+                     F.col("n_name").asc_nulls_first()))
+
+
+@q("join_semi", """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 100000)
+ORDER BY c_custkey""")
+def join_semi(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@q("join_anti", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey""")
+def join_anti(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@q("join_cross", """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+ORDER BY r_name, n_name""")
+def join_cross(spark, sf_dir):
+    r = ld(spark, sf_dir, "region")
+    n = ld(spark, sf_dir, "nation")
+    return (r.crossJoin(n).select("r_name", "n_name")
+            .orderBy("r_name", "n_name"))
+
+
+@q("join_theta_range", """
+SELECT o_orderkey, count(*) AS n_ship_in_window
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+WHERE o_orderkey <= 2000
+GROUP BY o_orderkey ORDER BY o_orderkey""")
+def join_theta_range(spark, sf_dir):
+    """Range join: equi key + range condition.  Scale: the equi component
+    keeps it a hash/sort-merge join; the range is a post-join filter — never
+    a cross join."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    li = ld(spark, sf_dir, "lineitem")
+    cond = ((li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < F.date_add(o.o_orderdate, 30)
+               .cast("timestamp")))
+    return (o.join(li, cond)
+            .groupBy("o_orderkey")
+            .agg(F.count("*").alias("n_ship_in_window"))
+            .orderBy("o_orderkey"))
+
+
+@q("join_asof", """
+SELECT o_orderkey, e_ts AS last_event_ts, e_type AS last_event_type
+FROM (
+  SELECT o_orderkey, CAST(e.ts AS TIMESTAMP) AS e_ts,
+         e.event_type AS e_type,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY CAST(e.ts AS TIMESTAMP) DESC,
+                            e.event_id DESC) AS rn
+  FROM orders o JOIN events e
+    ON e.user_id = o.o_custkey
+   AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate
+  WHERE o.o_orderkey <= 1000
+) WHERE rn = 1 ORDER BY o_orderkey""")
+def join_asof(spark, sf_dir):
+    """As-of join (Spark lacks a native one): range join + windowed dedupe
+    (SURVEY.md §2B).  Scale: partition by the left key; consider bucketing
+    both sides on the key at 100 TB."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    e = ld(spark, sf_dir, "events")
+    joined = o.join(e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate))
+    w = W.partitionBy("o_orderkey").orderBy(F.col("ts").desc(),
+                                            F.col("event_id").desc())
+    return (joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderkey", F.col("ts").alias("last_event_ts"),
+                    F.col("event_type").alias("last_event_type"))
+            .orderBy("o_orderkey"))
+
+
+@q("join_multiway", """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'R0' AND o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name""")
+def join_multiway(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join.  Catalyst reorders; dims broadcast."""
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+    li = ld(spark, sf_dir, "lineitem")
+    s = ld(spark, sf_dir, "supplier")
+    n = F.broadcast(ld(spark, sf_dir, "nation"))
+    r = F.broadcast(ld(spark, sf_dir, "region"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .filter(F.col("r_name") == "R0")
+            .groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+# =========================================================================
+# Window functions
+# =========================================================================
+
+@q("window_topk_per_group", """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
+def window_topk_per_group(spark, sf_dir):
+    """Top-K per group.  Scale: single hash-partition shuffle on the group
+    key; no global sort."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                           F.col("o_orderkey"))
+    return (ld(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice")
+            .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey"))
+
+
+@q("window_rank_dense", """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+         AS rnk,
+       dense_rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS drnk
+FROM orders WHERE o_orderkey <= 2000
+ORDER BY o_orderpriority, rnk, o_orderkey""")
+def window_rank_dense(spark, sf_dir):
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"))
+            .orderBy("o_orderpriority", "rnk", "o_orderkey"))
+
+
+@q("window_lag_lead", """
+SELECT l_orderkey, l_linenumber, l_shipdate,
+       lag(l_shipdate) OVER (PARTITION BY l_orderkey
+                             ORDER BY l_linenumber, l_shipdate) AS prev_ship,
+       lead(l_shipdate) OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_shipdate) AS next_ship
+FROM lineitem WHERE l_orderkey <= 500
+ORDER BY l_orderkey, l_linenumber""")
+def window_lag_lead(spark, sf_dir):
+    # (l_orderkey, l_linenumber) is not unique in the testdata; l_shipdate
+    # tiebreak makes the lag/lead values engine-order-independent.
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_shipdate")
+    return (ld(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+            .select("l_orderkey", "l_linenumber", "l_shipdate",
+                    F.lag("l_shipdate").over(w).alias("prev_ship"),
+                    F.lead("l_shipdate").over(w).alias("next_ship"))
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+@q("window_running_sum", """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                               o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS running_total
+FROM orders WHERE o_custkey <= 100
+ORDER BY o_custkey, o_orderkey""")
+def window_running_sum(spark, sf_dir):
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (ld(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.sum("o_totalprice").over(w).alias("running_total"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+@q("window_range_frame", """
+SELECT o_orderkey, o_totalprice,
+       count(*) OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+         AS n_similar_price
+FROM orders WHERE o_orderkey <= 1000
+ORDER BY o_totalprice, o_orderkey""")
+def window_range_frame(spark, sf_dir):
+    w = W.orderBy("o_totalprice").rangeBetween(-1000, W.currentRow)
+    return (ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_totalprice",
+                    F.count("*").over(w).alias("n_similar_price"))
+            .orderBy("o_totalprice", "o_orderkey"))
+
+
+@q("window_analytic_suite", """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_key
+FROM orders WHERE o_orderkey <= 1000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderpriority, o_totalprice, o_orderkey""")
+def window_analytic_suite(spark, sf_dir):
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice",
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.percent_rank().over(w).alias("pct_rank"),
+                    F.cume_dist().over(w).alias("cdist"),
+                    F.first("o_orderkey").over(w).alias("first_key"),
+                    F.last("o_orderkey").over(w_full).alias("last_key"))
+            .orderBy("o_orderpriority", "o_totalprice", "o_orderkey"))
+
+
+# =========================================================================
+# Sort / limit / top-k
+# =========================================================================
+
+@q("sort_global_topk", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")
+def sort_global_topk(spark, sf_dir):
+    """Global top-K.  Scale: Spark's TakeOrderedAndProject — per-partition
+    heaps, no global sort."""
+    return (ld(spark, sf_dir, "orders")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .select("o_orderkey", "o_totalprice").limit(10))
+
+
+@q("sort_multi_nulls", """
+SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+ORDER BY s_nationkey DESC NULLS LAST, s_acctbal ASC, s_suppkey""")
+def sort_multi_nulls(spark, sf_dir):
+    return (ld(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey", "s_acctbal")
+            .orderBy(F.col("s_nationkey").desc_nulls_last(),
+                     F.col("s_acctbal").asc(), "s_suppkey"))
+
+
+# =========================================================================
+# Set operations
+# =========================================================================
+
+@q("set_union_all", """
+SELECT c_custkey AS k FROM customer WHERE c_custkey <= 100
+UNION ALL
+SELECT o_custkey AS k FROM orders WHERE o_custkey <= 100
+ORDER BY k""")
+def set_union_all(spark, sf_dir):
+    a = ld(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100) \
+        .select(F.col("c_custkey").alias("k"))
+    b = ld(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100) \
+        .select(F.col("o_custkey").alias("k"))
+    return a.unionByName(b).orderBy("k")
+
+
+@q("set_union_distinct", """
+SELECT c_custkey AS k FROM customer WHERE c_custkey <= 100
+UNION
+SELECT o_custkey AS k FROM orders WHERE o_custkey <= 100
+ORDER BY k""")
+def set_union_distinct(spark, sf_dir):
+    a = ld(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100) \
+        .select(F.col("c_custkey").alias("k"))
+    b = ld(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100) \
+        .select(F.col("o_custkey").alias("k"))
+    return a.unionByName(b).distinct().orderBy("k")
+
+
+@q("set_intersect", """
+SELECT c_custkey AS k FROM customer
+INTERSECT
+SELECT o_custkey AS k FROM orders
+ORDER BY k""")
+def set_intersect(spark, sf_dir):
+    a = ld(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = ld(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b).orderBy("k")
+
+
+@q("set_except", """
+SELECT c_custkey AS k FROM customer
+EXCEPT
+SELECT o_custkey AS k FROM orders
+ORDER BY k""")
+def set_except(spark, sf_dir):
+    a = ld(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = ld(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).distinct().orderBy("k")
+
+
+@q("set_dedup_rows", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus""")
+def set_dedup_rows(spark, sf_dir):
+    return (ld(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_linestatus").distinct()
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+# =========================================================================
+# Scalar functions
+# =========================================================================
+
+@q("scalar_string_funcs", """
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       lower(p_brand) AS lbrand,
+       substr(p_type, 1, 5) AS type5,
+       concat(p_brand, '#', p_type) AS brand_type,
+       length(p_name) AS name_len,
+       trim(p_name) AS tname,
+       replace(p_name, ' ', '_') AS uname2,
+       regexp_extract(p_type, '([A-Za-z]+)', 1) AS first_word
+FROM part WHERE p_partkey <= 500 AND p_name LIKE '%a%'
+ORDER BY p_partkey""")
+def scalar_string_funcs(spark, sf_dir):
+    p = ld(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") <= 500) & F.col("p_name").like("%a%"))
+    return (p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type"))
+         .alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.col("p_name")).alias("tname"),
+        F.regexp_replace("p_name", " ", "_").alias("uname2"),
+        F.regexp_extract("p_type", r"([A-Za-z]+)", 1).alias("first_word"))
+        .orderBy("p_partkey"))
+
+
+@q("scalar_date_funcs", """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr, month(o_orderdate) AS mth,
+       day(o_orderdate) AS dom,
+       date_trunc('month', o_orderdate) AS mstart,
+       o_orderdate + INTERVAL 90 DAY AS due_date,
+       date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")
+def scalar_date_funcs(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return (o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("mstart"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+         .cast("long").alias("days_since_95"))
+        .orderBy("o_orderkey"))
+
+
+@q("scalar_math_funcs", """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS d_abs,
+       round(l_extendedprice, 1) AS price_r1,
+       floor(l_extendedprice) AS price_fl,
+       ceil(l_extendedprice) AS price_ce,
+       power(l_quantity, 2) AS qty_sq,
+       ln(l_extendedprice) AS price_ln,
+       sqrt(l_quantity) AS qty_sqrt,
+       l_quantity % 7 AS qty_mod
+FROM lineitem WHERE l_orderkey <= 200
+ORDER BY l_orderkey, l_linenumber""")
+def scalar_math_funcs(spark, sf_dir):
+    li = ld(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return (li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("d_abs"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_fl"),
+        F.ceil("l_extendedprice").alias("price_ce"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        F.log("l_extendedprice").alias("price_ln"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") % 7).alias("qty_mod"))
+        .orderBy("l_orderkey", "l_linenumber"))
+
+
+@q("scalar_conditional", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+       if(o_totalprice > 150000, 1, 0) AS is_large
+FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")
+def scalar_conditional(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return (o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+         .when(F.col("o_totalprice") > 100000, "mid")
+         .otherwise("small").alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open"))
+         .alias("status_or_open"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+         .alias("is_large"))
+        .orderBy("o_orderkey"))
+
+
+@q("scalar_json_funcs", """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE event_id <= 1000 ORDER BY event_id""")
+def scalar_json_funcs(spark, sf_dir):
+    e = ld(spark, sf_dir, "events").filter(F.col("event_id") <= 1000)
+    return (e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+        .orderBy("event_id"))
+
+
+@q("scalar_array_explode", """
+SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+FROM part WHERE p_partkey <= 200 ORDER BY p_partkey, word""")
+def scalar_array_explode(spark, sf_dir):
+    p = ld(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return (p.select("p_partkey",
+                     F.explode(F.split("p_type", " ")).alias("word"))
+            .orderBy("p_partkey", "word"))
+
+
+@q("scalar_array_funcs", """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_aggregate(embedding, 'sum'), 4) AS vec_sum,
+       round(list_aggregate(embedding, 'max'), 4) AS vec_max
+FROM embeddings WHERE vec_id <= 200 ORDER BY vec_id""")
+def scalar_array_funcs(spark, sf_dir):
+    e = ld(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 200)
+    return (e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate("embedding", F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double")), 4)
+         .alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vec_max"))
+        .orderBy("vec_id"))
+
+
+# =========================================================================
+# North-star: dedup / similarity / text (documents, embeddings)
+# =========================================================================
+
+@q("dedup_exact", """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+ORDER BY doc_id""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup keeping the lowest id (SURVEY.md M7).
+    Scale: hash-groupBy on a 64/128-bit text hash first at 100 TB to avoid
+    shuffling full text; here text is small so group directly."""
+    d = ld(spark, sf_dir, "documents")
+    return (d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "text").orderBy("doc_id"))
+
+
+@q("dedup_ngram_jaccard", """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < 200
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(i * 1.0 / (c1.n + c2.n - i), 4) AS jaccard
+FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.5
+ORDER BY d1, d2""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection via token-set Jaccard with an inverted-index join
+    (NOT a cross join — scale path: only docs sharing a token are compared;
+    at 100 TB add a band/bucket stage like MinHash-LSH, see dedup_minhash_lsh)."""
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+           .distinct())
+    cnt = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("d1"),
+                      F.col("b.doc_id").alias("d2"))
+             .agg(F.count("*").alias("i")))
+    c1 = cnt.alias("c1")
+    c2 = cnt.alias("c2")
+    jac = (inter.join(c1, F.col("d1") == F.col("c1.doc_id"))
+           .join(c2, F.col("d2") == F.col("c2.doc_id"))
+           .withColumn("jaccard",
+                       F.col("i") / (F.col("c1.n") + F.col("c2.n") - F.col("i"))))
+    return (jac.filter(F.col("jaccard") >= 0.5)
+            .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("d1", "d2"))
+
+
+@q("dedup_minhash_lsh")  # hash-function-specific: rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates (SURVEY.md M7).
+
+    shingle -> K minhashes (xxhash64 with K seeds) -> B bands of R rows ->
+    band-hash bucket join.  Scale: the ONLY join is on (band, bucket-hash) —
+    candidate pairs, not all pairs.  Deterministic (seeded hashes)."""
+    from linkedin_iceberg_spark.operators.dedup import minhash_lsh_candidates
+    d = ld(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, text_col="text", id_col="doc_id",
+                                  num_hashes=32, bands=8)
+
+
+@q("dedup_simhash")  # hash-function-specific: rows-only check
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprint per document + hamming-near pairs via
+    4-segment pigeonhole join (scale: join on 16-bit segment equality)."""
+    from linkedin_iceberg_spark.operators.dedup import simhash_pairs
+    d = ld(spark, sf_dir, "documents")
+    return simhash_pairs(d, text_col="text", id_col="doc_id", max_hamming=6)
+
+
+@q("similarity_topk", """
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT q FROM qv)), 5)
+       AS cos_sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10""")
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exact baseline; IVF/LSH variant below).
+    Scale: broadcast the query vector; single pass, TakeOrdered top-k."""
+    from linkedin_iceberg_spark.operators.similarity import cosine_topk
+    e = ld(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(e.filter(F.col("vec_id") != 0), qvec, k=10,
+                       id_col="vec_id", vec_col="embedding")
+
+
+@q("similarity_pairs", """
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 100 AND b.vec_id < 100
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+ORDER BY v1, v2""")
+def similarity_pairs(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= t).  Quadratic candidate set kept
+    honest here on a capped id range; the LSH-bucketed variant
+    (similarity_ann_lsh) is the 100 TB path."""
+    from linkedin_iceberg_spark.operators.similarity import cosine_pairs
+    e = ld(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return cosine_pairs(e, threshold=0.95, id_col="vec_id",
+                        vec_col="embedding")
+
+
+@q("similarity_ann_lsh")  # random-hyperplane specific: rows-only check
+def similarity_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate NN: deterministic random-hyperplane signs
+    bucket vectors; candidates only within buckets."""
+    from linkedin_iceberg_spark.operators.similarity import ann_lsh_candidates
+    e = ld(spark, sf_dir, "embeddings")
+    return ann_lsh_candidates(e, n_planes=8, id_col="vec_id",
+                              vec_col="embedding")
+
+
+@q("text_token_stats", """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_calc,
+       round(length(text) * 1.0 / len(string_split(text, ' ')), 4)
+         AS avg_token_len
+FROM documents ORDER BY doc_id""")
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting (SURVEY.md M7 text analysis)."""
+    d = ld(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_len"))
+        .orderBy("doc_id"))
+
+
+@q("text_quality_score", """
+SELECT doc_id,
+       round((CASE WHEN length(text) BETWEEN 100 AND 1000 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                        * 1.0 / length(text) < 0.1 THEN 0.2 ELSE 0.0 END), 2)
+         AS quality
+FROM documents ORDER BY doc_id""")
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring: length band + token count + punctuation
+    ratio (SURVEY.md M7)."""
+    d = ld(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tok = F.size(F.split("text", " "))
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    score = (F.when((n_chars >= 100) & (n_chars <= 1000), 0.5).otherwise(0.0)
+             + F.when(n_tok >= 20, 0.3).otherwise(0.0)
+             + F.when((punct / n_chars) < 0.1, 0.2).otherwise(0.0))
+    return (d.select("doc_id", F.round(score, 2).alias("quality"))
+            .orderBy("doc_id"))
+
+
+@q("text_lang_id")  # heuristic n-gram profile: rows-only check
+def text_lang_id(spark, sf_dir):
+    """Language ID via stopword-hit heuristic (deterministic)."""
+    from linkedin_iceberg_spark.operators.text import lang_id
+    return lang_id(ld(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@q("text_fingerprint")  # rolling-hash specific: rows-only check
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: xxhash64 over normalized text + winnowed
+    shingle min-hash (deterministic)."""
+    from linkedin_iceberg_spark.operators.text import fingerprint
+    return fingerprint(ld(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# =========================================================================
+# Streaming-equivalent batch windows (events)
+# =========================================================================
+
+@q("events_tumbling_window", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling window agg — same F.window operator Structured Streaming
+    uses; here driven in batch for oracle parity."""
+    e = ld(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "total")
+            .orderBy("window_start", "event_type"))
+
+
+@q("events_sliding_window", """
+SELECT TIMESTAMP '1970-01-01'
+         + INTERVAL (CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - s.x)
+           SECOND AS window_start,
+       count(*) AS n
+FROM events, (SELECT unnest([0, 1800]) AS x) s
+GROUP BY 1 ORDER BY 1""")
+def events_sliding_window(spark, sf_dir):
+    """Sliding window (60 min width, 30 min slide)."""
+    e = ld(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+            .orderBy("window_start"))
+
+
+# =========================================================================
+# Engine table-format plane (catalog ops) — proven against plain-SQL oracles
+# =========================================================================
+
+def _tmp_catalog(spark):
+    import tempfile
+    from linkedin_iceberg_spark import Catalog
+    return Catalog(spark, tempfile.mkdtemp(prefix="liceberg_q_"))
+
+
+@q("table_scan_pruned", """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+ORDER BY o_orderkey""")
+def table_scan_pruned(spark, sf_dir):
+    """Hidden-partitioning pruning end-to-end: write a month-partitioned
+    engine table, scan with a row predicate (never mentioning the partition
+    column), return exactly the right rows."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.expressions import and_, gt_eq, lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .month("o_orderdate").build()
+    t = cat.create_table("q.orders", o, spec=spec)
+    t.append(o)
+    return (t.scan(row_filter=and_(gt_eq("o_orderdate", "1996-01-01"),
+                                   lt("o_orderdate", "1996-04-01")))
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+            .orderBy("o_orderkey"))
+
+
+@q("table_time_travel", """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 5000
+ORDER BY o_orderkey""")
+def table_time_travel(spark, sf_dir):
+    """Append batch1 (keys <= 5000), snapshot, append batch2, then time
+    travel back to the first snapshot — must equal batch1 exactly."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_tt", o)
+    t.append(o.filter(F.col("o_orderkey") <= 5000))
+    v1 = t.current_snapshot().snapshot_id
+    t.append(o.filter(F.col("o_orderkey") > 5000))
+    return (t.scan(snapshot_id=v1)
+            .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
+
+
+@q("table_delete_where", """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+ORDER BY o_orderkey""")
+def table_delete_where(spark, sf_dir):
+    """DELETE FROM WHERE: mixes whole-file drops (strict metrics) with
+    copy-on-write rewrites."""
+    from linkedin_iceberg_spark.expressions import and_, eq, lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_del", o)
+    t.append(o)
+    t.delete_where(and_(eq("o_orderstatus", "F"), lt("o_totalprice", 100000.0)))
+    return (t.to_df().select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("table_schema_evolution", """
+SELECT o_orderkey, o_totalprice AS price, CAST(NULL AS STRING) AS note
+FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""")
+def table_schema_evolution(spark, sf_dir):
+    """Rename + add-column after data is written; old files read under the
+    new schema by field id."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_evo", o)
+    t.append(o.filter(F.col("o_orderkey") <= 3000))
+    t.update_schema().rename_column("o_totalprice", "price") \
+        .add_column("note", "string").commit()
+    return (t.to_df().select("o_orderkey", "price", "note")
+            .orderBy("o_orderkey"))
+
+
+@q("table_overwrite_dynamic", """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+def table_overwrite_dynamic(spark, sf_dir):
+    """Dynamic partition overwrite: rewrite one status partition with the
+    same rows — table must equal the original data."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .identity("o_orderstatus").build()
+    t = cat.create_table("q.orders_dyn", o, spec=spec)
+    t.append(o)
+    t.overwrite_partitions(o.filter(F.col("o_orderstatus") == "F"))
+    return (t.to_df().groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+@q("table_incremental_scan", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey > 5000 AND o_orderkey <= 10000 ORDER BY o_orderkey""")
+def table_incremental_scan(spark, sf_dir):
+    """Incremental scan: only files appended between two snapshots
+    (ref: core/.../IncrementalDataTableScan.java:55-66)."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_inc", o)
+    t.append(o.filter(F.col("o_orderkey") <= 5000))
+    v1 = t.current_snapshot().snapshot_id
+    t.append(o.filter((F.col("o_orderkey") > 5000)
+                      & (F.col("o_orderkey") <= 10000)))
+    v2 = t.current_snapshot().snapshot_id
+    t.append(o.filter(F.col("o_orderkey") > 10000))
+    from linkedin_iceberg_spark.catalog.incremental import appends_between
+    return (appends_between(t, v1, v2)
+            .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))

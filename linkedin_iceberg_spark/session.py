@@ -25,6 +25,9 @@ def get_spark(app_name: str = "linkedin_iceberg_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark cannot
+        # read natively; read as long and convert (sources/testdata.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

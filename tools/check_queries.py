@@ -1,0 +1,95 @@
+"""Run every queries() entry and compare with its oracle_sql() via DuckDB —
+a local mirror of the driver's correctness gate.
+
+Usage: python tools/check_queries.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from linkedin_iceberg_spark.session import get_spark
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def oracle_con(sf_dir: str):
+    con = duckdb.connect()
+    for name in TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            # unify resolution: assert_frame_equal mis-compares ns-vs-us
+            # frames that contain NaT
+            out[c] = (pd.to_datetime(out[c]).dt.tz_localize(None)
+                      .astype("datetime64[us]"))
+        elif pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].round(6)
+        elif out[c].dtype == object:
+            out[c] = out[c].astype(str)
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2:]
+    spark = get_spark("check_queries")
+    con = oracle_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    passed = failed = rows_only = 0
+    t_all = time.time()
+    for name, fn in qs.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            actual = fn(spark, sf_dir).toPandas()
+            if name not in oracles:
+                rows_only += 1
+                print(f"  ROWS-ONLY {name}: {len(actual)} rows "
+                      f"({time.time()-t0:.1f}s)")
+                continue
+            expected = con.execute(oracles[name]).fetchdf()
+            a, e = normalize(actual), normalize(expected)
+            if list(a.columns) != list(e.columns):
+                raise AssertionError(
+                    f"columns: {list(a.columns)} vs {list(e.columns)}")
+            if len(a) != len(e):
+                raise AssertionError(f"rows: {len(a)} vs {len(e)}")
+            pd.testing.assert_frame_equal(a, e, check_dtype=False,
+                                          check_exact=False, rtol=1e-4,
+                                          atol=1e-6)
+            passed += 1
+            print(f"  PASS {name}: {len(a)} rows ({time.time()-t0:.1f}s)")
+        except Exception as ex:
+            failed += 1
+            print(f"  FAIL {name}: {type(ex).__name__}: "
+                  f"{str(ex)[:300]} ({time.time()-t0:.1f}s)")
+            if "-v" in sys.argv:
+                traceback.print_exc()
+    print(f"\n{passed} passed, {failed} failed, {rows_only} rows-only "
+          f"({time.time()-t_all:.0f}s total)")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
