@@ -8,12 +8,21 @@ Representation:
   equality delete file — parquet(<key columns by current names>) + the key
                          field ids recorded in the manifest entry
 
-Application is pure Spark (distributed, broadcast-friendly):
+Application is pure Spark (distributed, broadcast-friendly).  Sequence
+scoping happens at PLAN time: every data file's sequence number is known
+driver-side, so data files are grouped by the exact set of delete files
+that apply to them (an equality delete only hits files with a LOWER
+sequence number — DeleteFileIndex semantics).  Each group is an
+independent parquet read anti-joined with its delete set, and the groups
+are unioned.  Files newer than every delete skip the joins entirely, and
+no group shares lineage with another (deep shared-lineage unions send
+Catalyst's plan deduplication into pathological re-analysis).
+
   position: left_anti join on (_file, _pos) where _pos is the in-file row
-            index from Spark's parquet `_metadata.row_index`
-  equality: left_anti join on the key columns, scoped so only rows from data
-            files with sequence_number < delete.sequence_number are filtered
-            (rows appended after the delete survive).
+            index from Spark's parquet ``_metadata.row_index`` — no shuffle,
+            no window.
+  equality: left_anti join on the key columns (null-safe), delete side
+            broadcast.
 """
 
 from __future__ import annotations
@@ -26,103 +35,89 @@ from linkedin_iceberg_spark.catalog import manifests as M
 POS_DELETE_SCHEMA = "file_path string, pos bigint"
 
 
-def read_with_positions(spark: SparkSession, paths: list, spark_schema,
-                        select_cols: list) -> DataFrame:
-    """Read parquet files exposing _file and _pos metadata columns
-    (ref: core/.../MetadataColumns.java:35-50; Spark's hidden `_metadata`
-    struct provides file_path + row_index natively — no shuffle, no window)."""
-    df = spark.read.schema(spark_schema).parquet(*paths) \
-        .select(*select_cols, F.col("_metadata.file_path").alias("_file"),
-                F.col("_metadata.row_index").alias("_pos"))
-    return df
+def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
+                               paths: list) -> DataFrame:
+    """Read one schema-group of data files projected to the CURRENT schema
+    by field id, with _file/_pos metadata columns attached."""
+    from linkedin_iceberg_spark.schema import type_to_spark
+    schema = md.schema
+    written = md.schema_by_id(schema_id)
+    base = spark.read.schema(written.to_spark()).parquet(*paths) \
+        .withColumn("_file", F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:", "")) \
+        .withColumn("_pos", F.col("_metadata.row_index"))
+    cols = []
+    for fld in schema.fields:
+        old = written.name_for_id(fld.field_id)
+        st = type_to_spark(fld.type)
+        if old is None:
+            cols.append(F.lit(None).cast(st).alias(fld.name))
+        else:
+            c = F.col(old)
+            if written.find_field(fld.field_id).type != fld.type:
+                c = c.cast(st)
+            cols.append(c.alias(fld.name))
+    return base.select(*cols, "_file", "_pos")
 
 
-def apply_deletes(table, tasks: list, df: DataFrame) -> DataFrame:
-    """Apply the delete files attached to the scan tasks to df.
-
-    df must be the union read of the tasks' data files in CURRENT schema.
-    Correct at scale: anti-joins on broadcast-size delete sets are
-    broadcast-hash; big delete sets fall back to shuffle joins — both fine."""
+def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
+    """Produce the live rows of the scan tasks with all attached position/
+    equality delete files applied."""
     spark = table.spark
     md = table.metadata
     schema = md.schema
 
-    pos_delete_files: dict = {}      # seq -> [paths]
-    eq_deletes: list = []            # (seq, key field ids, paths)
+    # group data files by (schema_id, applicable delete-file set)
+    groups: dict = {}
+    for t in tasks:
+        dkey = tuple(sorted(d.data_file.file_path for d in t.deletes))
+        groups.setdefault((t.file.schema_id, dkey), []).append(t)
+
+    # delete-file metadata by path (content kind, seq, equality ids)
+    delete_meta: dict = {}
     for t in tasks:
         for d in t.deletes:
-            f = d.data_file
-            if f.content == M.CONTENT_POSITION_DELETES:
-                pos_delete_files.setdefault(d.sequence_number, []) \
-                    .append(f.file_path)
-            elif f.content == M.CONTENT_EQUALITY_DELETES:
-                eq_deletes.append((d.sequence_number, tuple(f.equality_ids),
-                                   f.file_path))
+            delete_meta[d.data_file.file_path] = d.data_file
 
-    needs_meta = bool(pos_delete_files) or bool(eq_deletes)
-    if not needs_meta:
-        return df
-
-    # re-read with metadata columns so we can scope and position-match
-    by_schema: dict = {}
-    for t in tasks:
-        by_schema.setdefault(t.file.schema_id, []).append(t.file.file_path)
-    seq_by_path = {t.file.file_path: _entry_seq(t) for t in tasks}
-
-    from linkedin_iceberg_spark.catalog.scan import read_files_as_current_schema
-    # read each schema group with metadata cols, align, union
     parts = []
-    for sid, paths in by_schema.items():
-        written = md.schema_by_id(sid)
-        base = spark.read.schema(written.to_spark()).parquet(*paths) \
-            .withColumn("_file", F.col("_metadata.file_path")) \
-            .withColumn("_pos", F.col("_metadata.row_index"))
-        cols = []
-        from linkedin_iceberg_spark.schema import type_to_spark
-        for fld in schema.fields:
-            old = written.name_for_id(fld.field_id)
-            st = type_to_spark(fld.type)
-            if old is None:
-                cols.append(F.lit(None).cast(st).alias(fld.name))
-            else:
-                c = F.col(old)
-                if written.find_field(fld.field_id).type != fld.type:
-                    c = c.cast(st)
-                cols.append(c.alias(fld.name))
-        parts.append(base.select(*cols, "_file", "_pos"))
-    data = parts[0]
+    for (schema_id, dkey), gtasks in groups.items():
+        paths = [t.file.file_path for t in gtasks]
+        has_deletes = bool(dkey)
+        if not has_deletes:
+            # fast path: plain projected read, no metadata columns
+            from linkedin_iceberg_spark.catalog.scan import (
+                read_files_as_current_schema)
+            parts.append(read_files_as_current_schema(
+                spark, md, {schema_id: paths}))
+            continue
+
+        data = _read_group_with_positions(spark, md, schema_id, paths)
+
+        pos_paths = [p for p in dkey
+                     if delete_meta[p].content == M.CONTENT_POSITION_DELETES]
+        if pos_paths:
+            pos_df = (spark.read.schema(POS_DELETE_SCHEMA)
+                      .parquet(*pos_paths)
+                      .withColumnRenamed("file_path", "_file")
+                      .withColumnRenamed("pos", "_pos").distinct())
+            data = data.join(F.broadcast(pos_df), on=["_file", "_pos"],
+                             how="left_anti")
+
+        for p in dkey:
+            f = delete_meta[p]
+            if f.content != M.CONTENT_EQUALITY_DELETES:
+                continue
+            key_names = [schema.name_for_id(i) for i in f.equality_ids]
+            # rename the delete side so the null-safe join is unambiguous
+            keys = spark.read.parquet(p).select(
+                *[F.col(k).alias(f"_k_{k}") for k in key_names]).distinct()
+            cond = [F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+                    for k in key_names]
+            data = data.join(F.broadcast(keys), on=cond, how="left_anti")
+
+        parts.append(data.select(*schema.column_names()))
+
+    out = parts[0]
     for p in parts[1:]:
-        data = data.unionByName(p)
-
-    # data-file sequence numbers (for equality-delete scoping): small map,
-    # broadcast join via a tiny DataFrame
-    seq_rows = [(p, s) for p, s in seq_by_path.items()]
-    seq_df = spark.createDataFrame(seq_rows, "(_file string, _data_seq bigint)")
-    # Spark's _metadata.file_path is a URI (file://...); normalize both sides
-    data = data.withColumn("_file", F.regexp_replace("_file", "^file:", ""))
-    data = data.join(F.broadcast(seq_df), on="_file", how="left")
-
-    # 1) position deletes
-    if pos_delete_files:
-        all_paths = [p for ps in pos_delete_files.values() for p in ps]
-        pos_df = spark.read.schema(POS_DELETE_SCHEMA).parquet(*all_paths) \
-            .withColumnRenamed("file_path", "_file") \
-            .withColumnRenamed("pos", "_pos").distinct()
-        data = data.join(pos_df, on=["_file", "_pos"], how="left_anti")
-
-    # 2) equality deletes, sequence-scoped per delete file
-    for (dseq, key_ids, path) in eq_deletes:
-        key_names = [schema.name_for_id(i) for i in key_ids]
-        keys = spark.read.parquet(path).select(*key_names).distinct()
-        # rows to drop = semi-join where data-file seq < delete seq
-        drop = data.filter(data["_data_seq"] < F.lit(dseq)).join(
-            F.broadcast(keys),
-            on=[data[k].eqNullSafe(keys[k]) for k in key_names],
-            how="left_semi").select("_file", "_pos")
-        data = data.join(drop, on=["_file", "_pos"], how="left_anti")
-
-    return data.select(*schema.column_names())
-
-
-def _entry_seq(task) -> int:
-    return getattr(task, "sequence_number", 0) or 0
+        out = out.unionByName(p)
+    return out

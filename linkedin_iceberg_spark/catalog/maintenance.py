@@ -1,0 +1,222 @@
+"""Maintenance actions: compaction, manifest rewrite, snapshot expiry,
+orphan cleanup — implemented WITH Spark DataFrames, mirroring the reference's
+own Spark actions.
+
+ref: spark/.../actions/RewriteDataFilesAction.java:61-281 (A1),
+RewriteManifestsAction.java:78-294 (A2), ExpireSnapshotsAction.java:54-232
+(A3), RemoveOrphanFilesAction.java:70-257 (A4),
+core/.../RemoveSnapshots.java:55-148 (W14).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog import manifests as M
+
+TARGET_FILE_SIZE = 128 * 1024 * 1024   # ref: TableProperties.java:69
+MANIFEST_TARGET_ENTRIES = 10_000       # ~8 MB of entries (TableProperties:38-42)
+
+
+def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
+                       min_input_files: int = 2) -> dict:
+    """Bin-pack small files per partition and rewrite them (A1).
+
+    Algorithm (as the reference's action): group live files by partition;
+    keep groups with > min_input_files whose members are under target size;
+    read all groups in ONE distributed job; the write path re-clusters by
+    partition key, so each partition's rows land in fresh right-sized files;
+    commit swaps old for new with data unchanged (RewriteFiles, W6).
+    """
+    entries = table._live_entries()
+    by_partition: dict = {}
+    for e in entries:
+        key = tuple(sorted(e.data_file.partition.items()))
+        by_partition.setdefault(key, []).append(e)
+
+    to_rewrite = []
+    for _key, group in by_partition.items():
+        small = [e for e in group
+                 if e.data_file.file_size_in_bytes < target_size_bytes]
+        if len(small) >= min_input_files:
+            to_rewrite.extend(small)
+    if not to_rewrite:
+        return {"rewritten_files": 0, "added_files": 0}
+
+    df = table._read_files(to_rewrite)
+    if not table.spec.is_partitioned():
+        # bin-pack: one output file per target_size of input
+        total = sum(e.data_file.file_size_in_bytes for e in to_rewrite)
+        df = df.coalesce(max(1, (total + target_size_bytes - 1)
+                             // target_size_bytes))
+    # one commit: write clustered by partition key, swap atomically
+    new_files = table._write_data_files(df)
+    removed_paths = {e.data_file.file_path for e in to_rewrite}
+    table.rewrite_files(removed_paths, new_files)
+    return {"rewritten_files": len(to_rewrite), "added_files": len(new_files)}
+
+
+def rewrite_manifests(table,
+                      target_entries: int = MANIFEST_TARGET_ENTRIES) -> dict:
+    """Re-cluster manifest entries by partition into right-sized manifests
+    (A2).  The reference repartitions an entries DataFrame; our entry count
+    is O(files) so we sort driver-side below ~1M files and chunk."""
+    entries = table._live_entries()
+    if not entries:
+        return {"manifests": 0}
+    # cluster by partition so level-1 summaries prune well
+    entries.sort(key=lambda e: tuple(sorted(
+        (k, str(v)) for k, v in e.data_file.partition.items())))
+    chunks = [entries[i:i + target_entries]
+              for i in range(0, len(entries), target_entries)]
+    types_by_id = table._types_by_id()
+
+    def build(base, snap_id, seq):
+        ptypes = base.spec.partition_type()
+        infos = []
+        for chunk in chunks:
+            name = M.new_manifest_name()
+            existing = [M.ManifestEntry(M.STATUS_EXISTING, e.snapshot_id,
+                                        e.sequence_number, e.data_file)
+                        for e in chunk]
+            info = M.write_manifest(table.ops.new_metadata_path(name),
+                                    existing, types_by_id, ptypes)
+            info.manifest_path = name
+            infos.append(info)
+        return infos, {"manifests-replaced": str(len(chunks))}, None
+
+    from linkedin_iceberg_spark.catalog.metadata import OP_REPLACE
+    table._commit(build, OP_REPLACE)
+    return {"manifests": len(chunks)}
+
+
+def expire_snapshots(table, older_than_ms: Optional[int] = None,
+                     retain_last: int = 1, dry_run: bool = False) -> dict:
+    """Expire old snapshots and delete files only they reference (W14 + A3).
+
+    Reachability diff exactly as the reference's Spark action: the set of
+    files reachable BEFORE minus the set reachable AFTER is deleted.  Our
+    manifest lists/manifests are parquet, so both sets are DataFrames and the
+    diff is a distributed ``left_anti`` join — O(metadata) at any scale.
+    """
+    md = table.metadata
+    now_ms = int(time.time() * 1000)
+    cutoff = older_than_ms if older_than_ms is not None else now_ms
+    ancestry = md.ancestry()
+    keep_ids = set(ancestry[:max(1, retain_last)])
+    staged = set(md.staged_wap.values())
+    for s in md.snapshots:
+        sid = s.snapshot_id
+        if sid in keep_ids or sid == md.current_snapshot_id:
+            keep_ids.add(sid)
+        elif sid in staged or s.timestamp_ms >= cutoff:
+            keep_ids.add(sid)
+    expired = [s for s in md.snapshots if s.snapshot_id not in keep_ids]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_data_files": 0,
+                "deleted_manifests": 0}
+
+    spark = table.spark
+    mdp = table.ops.new_metadata_path
+
+    def reachable(snaps):
+        lists = [mdp(s.manifest_list) for s in snaps]
+        if not lists:
+            return None, None
+        man_df = spark.read.parquet(*lists).select("manifest_path").distinct()
+        man_paths = [mdp(r.manifest_path) for r in man_df.collect()]
+        file_df = (spark.read.parquet(*man_paths)
+                   .filter(F.col("status") != M.STATUS_DELETED)
+                   .select("file_path").distinct()) if man_paths else None
+        return man_df, file_df
+
+    kept_snaps = [s for s in md.snapshots if s.snapshot_id in keep_ids]
+    man_before, files_before = reachable(md.snapshots)
+    man_after, files_after = reachable(kept_snaps)
+
+    dead_manifests = (man_before.join(man_after, "manifest_path", "left_anti")
+                      .collect() if man_after is not None
+                      else man_before.collect())
+    dead_files = (files_before.join(files_after, "file_path", "left_anti")
+                  .collect() if files_after is not None and files_before is not None
+                  else (files_before.collect() if files_before is not None else []))
+
+    stats = {"expired_snapshots": len(expired),
+             "deleted_data_files": len(dead_files),
+             "deleted_manifests": len(dead_manifests)}
+    if dry_run:
+        return stats
+
+    # commit metadata without the expired snapshots first, then delete files
+    expired_ids = {s.snapshot_id for s in expired}
+
+    def edit(base):
+        import dataclasses
+        m2 = dataclasses.replace(base)
+        m2.snapshots = [s for s in base.snapshots
+                        if s.snapshot_id not in expired_ids]
+        m2.snapshot_log = [e for e in base.snapshot_log
+                           if e["snapshot-id"] not in expired_ids]
+        return m2
+
+    table._commit_metadata_edit(edit)
+    for s in expired:
+        _rm(mdp(s.manifest_list))
+    for r in dead_manifests:
+        _rm(mdp(r.manifest_path))
+    for r in dead_files:
+        _rm(r.file_path)
+    return stats
+
+
+def remove_orphan_files(table, older_than_ms: Optional[int] = None,
+                        dry_run: bool = False) -> dict:
+    """Delete data files on disk not referenced by ANY snapshot (A4).
+
+    listing DF ⟕anti⟖ valid-files DF, age-gated so in-flight (uncommitted)
+    writes are never swept — same guard as the reference's 3-day default."""
+    spark = table.spark
+    md = table.metadata
+    cutoff = older_than_ms if older_than_ms is not None \
+        else int(time.time() * 1000) - 3 * 24 * 3600 * 1000
+    data_dir = os.path.join(md.location, "data")
+    if not os.path.isdir(data_dir):
+        return {"orphans_deleted": 0}
+    listed = []
+    for root, _d, files in os.walk(data_dir):
+        for fn in files:
+            # data files only; skip Spark job markers / checksums
+            if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            if os.path.getmtime(p) * 1000 < cutoff:
+                listed.append((p,))
+    if not listed:
+        return {"orphans_deleted": 0}
+    listed_df = spark.createDataFrame(listed, "file_path string")
+
+    lists = [table.ops.new_metadata_path(s.manifest_list)
+             for s in md.snapshots]
+    if lists:
+        man_paths = [table.ops.new_metadata_path(r.manifest_path)
+                     for r in spark.read.parquet(*lists)
+                     .select("manifest_path").distinct().collect()]
+        valid = spark.read.parquet(*man_paths).select("file_path").distinct()
+        orphans = listed_df.join(valid, "file_path", "left_anti").collect()
+    else:
+        orphans = listed_df.collect()
+    if not dry_run:
+        for r in orphans:
+            _rm(r.file_path)
+    return {"orphans_deleted": len(orphans)}
+
+
+def _rm(path: str) -> None:
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass

@@ -220,12 +220,21 @@ class TableScan:
                     delete_entries.append(e)
 
         # v2 row-level deletes: match delete files to data files by sequence
-        # number (ref: core/.../DeleteFileIndex.java:61-133)
+        # number (ref: core/.../DeleteFileIndex.java:61-133).  Equality
+        # deletes apply only to STRICTLY older files (rows committed with or
+        # after the delete survive); position deletes apply to same-or-older
+        # files (they may be committed alongside the data they target).
         tasks = []
         for e in data_entries:
-            deletes = [d for d in delete_entries
-                       if d.sequence_number >= e.sequence_number
-                       and _partition_compatible(d.data_file, e.data_file)]
+            deletes = []
+            for d in delete_entries:
+                if not _partition_compatible(d.data_file, e.data_file):
+                    continue
+                if d.data_file.content == M.CONTENT_EQUALITY_DELETES:
+                    if d.sequence_number > e.sequence_number:
+                        deletes.append(d)
+                elif d.sequence_number >= e.sequence_number:
+                    deletes.append(d)
             tasks.append(FileScanTask(e.data_file, deletes, e.sequence_number))
         return tasks
 
@@ -239,14 +248,15 @@ class TableScan:
             empty = table.spark.createDataFrame([], schema.to_spark())
             return self._finish(empty)
 
-        has_deletes = any(t.deletes for t in tasks)
-        by_schema: dict = {}
-        for t in tasks:
-            by_schema.setdefault(t.file.schema_id, []).append(t.file.file_path)
-        df = read_files_as_current_schema(table.spark, md, by_schema)
-        if has_deletes:
+        if any(t.deletes for t in tasks):
             from linkedin_iceberg_spark.catalog.deletes import apply_deletes
-            df = apply_deletes(table, tasks, df)
+            df = apply_deletes(table, tasks)
+        else:
+            by_schema: dict = {}
+            for t in tasks:
+                by_schema.setdefault(t.file.schema_id, []) \
+                    .append(t.file.file_path)
+            df = read_files_as_current_schema(table.spark, md, by_schema)
         return self._finish(df)
 
     def _finish(self, df: DataFrame) -> DataFrame:

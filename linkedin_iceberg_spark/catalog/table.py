@@ -556,3 +556,33 @@ class Table:
     def metadata_table(self, name: str) -> DataFrame:
         from linkedin_iceberg_spark.catalog.metadata_tables import metadata_table
         return metadata_table(self, name)
+
+    # ------------------------------------------------------- v2 row deltas
+    def row_delta(self, data_df: Optional[DataFrame] = None,
+                  position_deletes: Optional[DataFrame] = None,
+                  equality_delete_keys: Optional[DataFrame] = None,
+                  key_cols: Optional[list] = None) -> "Table":
+        from linkedin_iceberg_spark.catalog.row_delta import row_delta
+        return row_delta(self, data_df, position_deletes,
+                         equality_delete_keys, key_cols)
+
+    def upsert(self, df: DataFrame, key_cols: list) -> "Table":
+        from linkedin_iceberg_spark.catalog.row_delta import upsert
+        return upsert(self, df, key_cols)
+
+    # ---------------------------------------------------------- maintenance
+    def rewrite_data_files(self, **kw) -> dict:
+        from linkedin_iceberg_spark.catalog.maintenance import rewrite_data_files
+        return rewrite_data_files(self, **kw)
+
+    def rewrite_manifests(self, **kw) -> dict:
+        from linkedin_iceberg_spark.catalog.maintenance import rewrite_manifests
+        return rewrite_manifests(self, **kw)
+
+    def expire_snapshots(self, **kw) -> dict:
+        from linkedin_iceberg_spark.catalog.maintenance import expire_snapshots
+        return expire_snapshots(self, **kw)
+
+    def remove_orphan_files(self, **kw) -> dict:
+        from linkedin_iceberg_spark.catalog.maintenance import remove_orphan_files
+        return remove_orphan_files(self, **kw)

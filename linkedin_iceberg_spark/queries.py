@@ -1046,3 +1046,236 @@ def table_incremental_scan(spark, sf_dir):
     from linkedin_iceberg_spark.catalog.incremental import appends_between
     return (appends_between(t, v1, v2)
             .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
+
+
+@q("table_merge_upsert", """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey < 100 THEN 999.0 ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""")
+def table_merge_upsert(spark, sf_dir):
+    """MERGE-style upsert via RowDelta (W7): one snapshot that
+    equality-deletes the incoming keys and appends the new rows."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_up", o)
+    t.append(o)
+    changed = (o.filter(F.col("o_orderkey") < 100)
+               .withColumn("o_totalprice", F.lit(999.0)))
+    t.upsert(changed, key_cols=["o_orderkey"])
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("table_position_deletes", """
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey, o_custkey, o_totalprice) AS rn
+  FROM orders WHERE o_orderkey < 2000
+) WHERE rn > 10 ORDER BY o_orderkey""")
+def table_position_deletes(spark, sf_dir):
+    """v2 position deletes (W8): drop in-file row positions 0-9 of a single
+    deterministically-sorted data file; applied on read via an anti-join on
+    Spark's native _metadata.row_index (no shuffle, no window)."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_pd", o)
+    t.append(o.orderBy("o_orderkey", "o_custkey", "o_totalprice").coalesce(1))
+    task = t.new_scan().plan_files()[0]
+    pos = spark.createDataFrame([(task.file.file_path, i) for i in range(10)],
+                                "file_path string, pos bigint")
+    t.row_delta(position_deletes=pos)
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("table_equality_deletes", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey >= 50 OR o_orderkey < 20
+ORDER BY o_orderkey, o_totalprice""")
+def table_equality_deletes(spark, sf_dir):
+    """v2 equality deletes with sequence scoping (W8): delete keys < 50,
+    then re-append keys < 20 — the re-appended rows survive because their
+    file sequence number is higher than the delete's."""
+    from linkedin_iceberg_spark.expressions import lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_ed", o)
+    t.append(o)
+    keys = spark.range(0, 50).select(F.col("id").alias("o_orderkey"))
+    t.row_delta(equality_delete_keys=keys, key_cols=["o_orderkey"])
+    t.append(o.filter(F.col("o_orderkey") < 20))
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey", "o_totalprice"))
+
+
+@q("table_compaction", """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey""")
+def table_compaction(spark, sf_dir):
+    """RewriteDataFiles compaction (A1/W6): 4 small appends bin-packed into
+    fewer files; data identical before and after the swap."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_cp", o)
+    for i in range(4):
+        t.append(o.filter(F.col("o_orderkey") % 4 == i))
+    before = len(t.new_scan().plan_files())
+    t.rewrite_data_files(min_input_files=2)
+    after = len(t.new_scan().plan_files())
+    assert after < before, (before, after)
+    return (t.to_df().select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("table_expire_snapshots", """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""")
+def table_expire_snapshots(spark, sf_dir):
+    """ExpireSnapshots (W14/A3): after compaction + expiry the old snapshots
+    and their unreachable files are gone; current data is untouched."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_ex", o)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    t.rewrite_data_files(min_input_files=2)
+    stats = t.expire_snapshots(retain_last=1)
+    assert stats["expired_snapshots"] == 2 and len(t.snapshots()) == 1, stats
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("meta_partitions_months", """
+SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+         AS month_ordinal,
+       count(*) AS record_count
+FROM orders GROUP BY 1 ORDER BY 1""")
+def meta_partitions_months(spark, sf_dir):
+    """The partitions metadata table (S13) of a month-partitioned table must
+    carry exactly the reference's transform ordinals (months since epoch,
+    ref: api/.../transforms/Timestamps.java:50) with exact row counts."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .month("o_orderdate").build()
+    t = cat.create_table("q.orders_mp", o, spec=spec)
+    t.append(o)
+    parts = t.metadata_table("partitions")
+    return (parts.select(
+        F.get_json_object("partition", "$.o_orderdate_month")
+         .cast("int").alias("month_ordinal"),
+        "record_count")
+        .orderBy("month_ordinal"))
+
+
+@q("meta_snapshots_log", """
+SELECT 'append' AS operation, count(*) AS added_records FROM orders
+WHERE o_orderkey <= 5000
+UNION ALL
+SELECT 'append' AS operation, count(*) AS added_records FROM orders
+WHERE o_orderkey > 5000
+ORDER BY added_records""")
+def meta_snapshots_log(spark, sf_dir):
+    """Snapshots metadata table (S13): operations + commit summaries."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_sn", o)
+    t.append(o.filter(F.col("o_orderkey") <= 5000))
+    t.append(o.filter(F.col("o_orderkey") > 5000))
+    return (t.metadata_table("snapshots")
+            .select("operation",
+                    F.element_at("summary", "added-records").cast("long")
+                     .alias("added_records"))
+            .orderBy("added_records"))
+
+
+@q("meta_files_stats", """
+SELECT count(*) AS n_rows FROM orders""")
+def meta_files_stats(spark, sf_dir):
+    """Files metadata table (S13): per-file record counts collected at write
+    time must sum to the table's exact row count."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_fs", o)
+    t.append(o)
+    return (t.metadata_table("files")
+            .agg(F.sum("record_count").cast("long").alias("n_rows")))
+
+
+@q("streaming_sink_counts", """
+SELECT o_orderpriority, count(*) AS n FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def streaming_sink_counts(spark, sf_dir):
+    """REAL Structured Streaming run (S17): file stream -> epoch-idempotent
+    foreachBatch append into an engine table; the table then answers the
+    aggregate exactly."""
+    import shutil
+    import tempfile
+
+    from linkedin_iceberg_spark.streaming import foreach_batch_writer
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_st", o)
+    tmp = tempfile.mkdtemp(prefix="liceberg_stream_")
+    src_dir = os.path.join(tmp, "in")
+    os.makedirs(src_dir)
+    shutil.copy(os.path.join(sf_dir, "orders.parquet"),
+                os.path.join(src_dir, "orders.parquet"))
+    q_ = (spark.readStream.schema(o.schema).parquet(src_dir)
+          .writeStream.foreachBatch(foreach_batch_writer(t))
+          .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+          .trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    t.refresh()
+    return (t.to_df().groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n")).orderBy("o_orderpriority"))
+
+
+@q("streaming_source_total", """
+SELECT count(*) AS n FROM orders WHERE o_orderkey <= 5000""")
+def streaming_source_total(spark, sf_dir):
+    """Table-as-stream source (S8/S9): readStream over the engine table via
+    the Python DataSource stream reader, drained with availableNow into a
+    memory sink."""
+    import tempfile
+    import uuid as _uuid
+
+    from linkedin_iceberg_spark.streaming.source import read_stream
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_ss", o)
+    t.append(o.filter(F.col("o_orderkey") <= 5000))
+    sink = f"src_sink_{_uuid.uuid4().hex[:8]}"
+    q_ = (read_stream(spark, t).writeStream.format("memory")
+          .queryName(sink)
+          .option("checkpointLocation",
+                  tempfile.mkdtemp(prefix="liceberg_ss_"))
+          .trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    return spark.table(sink).agg(F.count("*").alias("n"))
+
+
+@q("multimodal_meta", """
+SELECT doc_id, octet_length(encode(text)) AS size_bytes
+FROM documents ORDER BY doc_id""")
+def multimodal_meta(spark, sf_dir):
+    """Multimodal column convention (M7): payload bytes + typed metadata
+    struct; size_bytes must equal the exact payload byte length."""
+    from linkedin_iceberg_spark.operators.multimodal import attach_payload
+    d = ld(spark, sf_dir, "documents")
+    return (attach_payload(d, "text", name="img")
+            .select("doc_id", F.col("img_meta.size_bytes").alias("size_bytes"))
+            .orderBy("doc_id"))
+
+
+@q("multimodal_decode_features")  # stub decode is engine-specific: rows-only
+def multimodal_decode_features(spark, sf_dir):
+    """Arrow-batched decode + feature extraction over multimodal payloads
+    (mapInPandas plumbing; decode kernel is a deterministic stub)."""
+    from linkedin_iceberg_spark.operators.multimodal import (
+        attach_payload, decode_image, extract_features)
+    d = ld(spark, sf_dir, "documents")
+    df = extract_features(decode_image(attach_payload(d, "text", name="img"),
+                                       name="img"), name="img", dim=8)
+    return (df.select("doc_id", F.col("img_meta.width").alias("width"),
+                      F.col("img_meta.height").alias("height"), "features")
+            .orderBy("doc_id"))

@@ -1,0 +1,70 @@
+"""Streaming sink: epoch-idempotent appends from Structured Streaming.
+
+ref: spark2/.../StreamingWriter.java:42-107 — commit(epochId, messages)
+dedupes by the epoch id stored in the last commit's summary, so a replayed
+micro-batch (restart, retry) never double-appends.  spark3 equivalent:
+SparkStreamingWrite (spark3/.../SparkStreamingWrite.java).
+
+Usage:
+    q = (df.writeStream.foreachBatch(foreach_batch_writer(table))
+           .option("checkpointLocation", ckpt).start())
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+EPOCH_KEY = "streaming-epoch-id"
+QUERY_KEY = "streaming-query-id"
+
+
+def _committed_epochs(table, query_id: Optional[str]) -> set:
+    out = set()
+    for s in table.metadata.snapshots:
+        e = s.summary.get(EPOCH_KEY)
+        if e is None:
+            continue
+        if query_id is None or s.summary.get(QUERY_KEY) == query_id:
+            out.add(int(e))
+    return out
+
+
+def append_batch_idempotent(table, df: DataFrame, epoch_id: int,
+                            query_id: Optional[str] = None):
+    """Append df unless this (query, epoch) already committed."""
+    table.refresh()
+    if epoch_id in _committed_epochs(table, query_id):
+        return table  # replayed batch: drop (ref StreamingWriter.java:64-77)
+    files = table._write_data_files(df)
+    from linkedin_iceberg_spark.catalog import manifests as M
+    from linkedin_iceberg_spark.catalog.metadata import OP_APPEND
+    types_by_id = table._types_by_id()
+
+    def build(base, snap_id, seq):
+        entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id, seq, f)
+                   for f in files]
+        ptypes = base.spec.partition_type()
+        name = M.new_manifest_name()
+        info = M.write_manifest(table.ops.new_metadata_path(name), entries,
+                                types_by_id, ptypes)
+        info.manifest_path = name
+        infos = [info, *table._base_manifest_infos(base)]
+        summary = {
+            "added-data-files": str(len(files)),
+            "added-records": str(sum(f.record_count for f in files)),
+            EPOCH_KEY: str(epoch_id),
+        }
+        if query_id is not None:
+            summary[QUERY_KEY] = query_id
+        return infos, summary, None
+
+    return table._commit(build, OP_APPEND)
+
+
+def foreach_batch_writer(table, query_id: Optional[str] = None) -> Callable:
+    """Adapter for DataStreamWriter.foreachBatch."""
+    def write(batch_df: DataFrame, epoch_id: int):
+        append_batch_idempotent(table, batch_df, epoch_id, query_id)
+    return write

@@ -1,0 +1,139 @@
+"""Maintenance actions (A1-A4) + metadata tables (S13) + FindFiles/
+ScanSummary (S11-S12) — metadata state asserts after each op, the
+reference's TableTestBase pattern (SURVEY.md §5.2)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark import PartitionSpec, Schema
+from linkedin_iceberg_spark.expressions import gt_eq
+
+
+@pytest.fixture()
+def orders_df(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def test_rewrite_data_files_compacts(catalog, orders_df):
+    t = catalog.create_table("db.compact", orders_df)
+    # 4 small appends -> 4+ small files
+    for i in range(4):
+        t.append(orders_df.filter(F.col("o_orderkey") % 4 == i))
+    n_before = len(t.new_scan().plan_files())
+    assert n_before >= 4
+    total = t.to_df().count()
+
+    stats = t.rewrite_data_files(min_input_files=2)
+    assert stats["rewritten_files"] >= 4
+    assert stats["added_files"] < stats["rewritten_files"]
+    # data unchanged, fewer files
+    assert t.to_df().count() == total
+    assert len(t.new_scan().plan_files()) < n_before
+    assert t.current_snapshot().operation == "replace"
+
+
+def test_rewrite_manifests_clusters(catalog, orders_df):
+    t = catalog.create_table("db.reman", orders_df)
+    for i in range(3):
+        t.append(orders_df.filter(F.col("o_orderkey") % 3 == i))
+    # 3 appends -> 3 manifests
+    assert t.metadata_table("manifests").count() == 3
+    total = t.to_df().count()
+    t.rewrite_manifests()
+    assert t.metadata_table("manifests").count() == 1
+    assert t.to_df().count() == total
+
+
+def test_expire_snapshots_deletes_unreachable(catalog, orders_df):
+    t = catalog.create_table("db.expire", orders_df)
+    t.append(orders_df.limit(100))
+    t.append(orders_df.limit(200))
+    t.overwrite_partitions if False else None
+    # rewrite makes the first files unreachable from the new snapshot
+    t.rewrite_data_files(min_input_files=2)
+    files_before = {task.file.file_path for task in t.new_scan().plan_files()}
+    n_snaps = len(t.snapshots())
+    assert n_snaps == 3
+
+    stats = t.expire_snapshots(retain_last=1)
+    assert stats["expired_snapshots"] == 2
+    assert stats["deleted_data_files"] > 0
+    assert len(t.snapshots()) == 1
+    # surviving files intact, table still reads
+    assert {task.file.file_path for task in t.new_scan().plan_files()} \
+        == files_before
+    for p in files_before:
+        assert os.path.exists(p)
+    assert t.to_df().count() == 300
+
+
+def test_remove_orphan_files(catalog, orders_df):
+    t = catalog.create_table("db.orphan", orders_df)
+    t.append(orders_df.limit(100))
+    # plant an orphan in the data dir
+    orphan_dir = os.path.join(t.location, "data", "stray")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "junk.parquet")
+    orders_df.limit(1).toPandas().to_parquet(orphan)
+    live = {task.file.file_path for task in t.new_scan().plan_files()}
+
+    stats = t.remove_orphan_files(older_than_ms=2**62)  # no age gate in test
+    assert stats["orphans_deleted"] == 1
+    assert not os.path.exists(orphan)
+    for p in live:
+        assert os.path.exists(p)
+    assert t.to_df().count() == 100
+
+
+def test_metadata_tables(catalog, orders_df):
+    schema = Schema.from_spark(orders_df.schema)
+    spec = PartitionSpec.builder_for(schema).identity("o_orderstatus").build()
+    t = catalog.create_table("db.meta", orders_df, spec=spec)
+    t.append(orders_df)
+    t.append(orders_df.limit(10))
+
+    snaps = t.metadata_table("snapshots")
+    assert snaps.count() == 2
+    assert set(snaps.select("operation").distinct().toPandas()["operation"]) \
+        == {"append"}
+
+    hist = t.metadata_table("history").toPandas()
+    assert list(hist["is_current_ancestor"]) == [True, True]
+
+    files = t.metadata_table("files")
+    n_status = orders_df.select("o_orderstatus").distinct().count()
+    assert files.count() >= n_status
+    assert files.filter(F.col("record_count") <= 0).count() == 0
+
+    parts = t.metadata_table("partitions").toPandas()
+    assert len(parts) == n_status
+    assert parts["record_count"].sum() == orders_df.count() + 10
+
+    assert t.metadata_table("entries").count() == files.count()
+    assert t.metadata_table("all_manifests").count() >= \
+        t.metadata_table("manifests").count()
+    refs = t.metadata_table("refs").toPandas()
+    assert list(refs["name"]) == ["main"]
+
+
+def test_find_files_and_scan_summary(catalog, orders_df):
+    from linkedin_iceberg_spark.catalog.find_files import FindFiles, scan_summary
+    schema = Schema.from_spark(orders_df.schema)
+    spec = PartitionSpec.builder_for(schema).identity("o_orderstatus").build()
+    t = catalog.create_table("db.ff", orders_df, spec=spec)
+    t.append(orders_df)
+
+    all_files = FindFiles.in_table(t).collect()
+    by_part = FindFiles.in_table(t) \
+        .in_partition({"o_orderstatus": "F"}).collect()
+    assert 0 < len(by_part) < len(all_files)
+    assert all(f.partition == {"o_orderstatus": "F"} for f in by_part)
+
+    by_filter = FindFiles.in_table(t) \
+        .with_metadata_matching(gt_eq("o_totalprice", 1e9)).collect()
+    assert len(by_filter) == 0  # bounds prove no file can match
+
+    summ = scan_summary(t)
+    assert sum(s["row_count"] for s in summ.values()) == orders_df.count()
