@@ -36,16 +36,24 @@ POS_DELETE_SCHEMA = "file_path string, pos bigint"
 
 
 def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
-                               paths: list) -> DataFrame:
+                               paths: list, fmt: str = "parquet") -> DataFrame:
     """Read one schema-group of data files projected to the CURRENT schema
-    by field id, with _file/_pos metadata columns attached."""
+    by field id, with _file/_pos metadata columns attached.
+
+    _metadata.row_index is parquet-only in Spark; position deletes against
+    other formats are rejected at the writer, so fmt is always parquet when
+    positions are required — other formats only reach here for equality
+    deletes, where _pos is unused (kept for a uniform shape via a null)."""
     from linkedin_iceberg_spark.schema import type_to_spark
     schema = md.schema
     written = md.schema_by_id(schema_id)
-    base = spark.read.schema(written.to_spark()).parquet(*paths) \
+    base = spark.read.schema(written.to_spark()).format(fmt).load(paths) \
         .withColumn("_file", F.regexp_replace(
-            F.col("_metadata.file_path"), "^file:", "")) \
-        .withColumn("_pos", F.col("_metadata.row_index"))
+            F.col("_metadata.file_path"), "^file:", ""))
+    if fmt == "parquet":
+        base = base.withColumn("_pos", F.col("_metadata.row_index"))
+    else:
+        base = base.withColumn("_pos", F.lit(None).cast("long"))
     cols = []
     for fld in schema.fields:
         old = written.name_for_id(fld.field_id)
@@ -67,11 +75,12 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
     md = table.metadata
     schema = md.schema
 
-    # group data files by (schema_id, applicable delete-file set)
+    # group data files by (schema_id, format, applicable delete-file set)
     groups: dict = {}
     for t in tasks:
         dkey = tuple(sorted(d.data_file.file_path for d in t.deletes))
-        groups.setdefault((t.file.schema_id, dkey), []).append(t)
+        groups.setdefault((t.file.schema_id, t.file.file_format, dkey),
+                          []).append(t)
 
     # delete-file metadata by path (content kind, seq, equality ids)
     delete_meta: dict = {}
@@ -80,7 +89,7 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
             delete_meta[d.data_file.file_path] = d.data_file
 
     parts = []
-    for (schema_id, dkey), gtasks in groups.items():
+    for (schema_id, fmt, dkey), gtasks in groups.items():
         paths = [t.file.file_path for t in gtasks]
         has_deletes = bool(dkey)
         if not has_deletes:
@@ -88,10 +97,10 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
             from linkedin_iceberg_spark.catalog.scan import (
                 read_files_as_current_schema)
             parts.append(read_files_as_current_schema(
-                spark, md, {schema_id: paths}))
+                spark, md, {(schema_id, fmt): paths}))
             continue
 
-        data = _read_group_with_positions(spark, md, schema_id, paths)
+        data = _read_group_with_positions(spark, md, schema_id, paths, fmt)
 
         pos_paths = [p for p in dkey
                      if delete_meta[p].content == M.CONTENT_POSITION_DELETES]

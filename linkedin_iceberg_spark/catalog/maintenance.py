@@ -190,7 +190,8 @@ def remove_orphan_files(table, older_than_ms: Optional[int] = None,
     for root, _d, files in os.walk(data_dir):
         for fn in files:
             # data files only; skip Spark job markers / checksums
-            if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
+            if fn.startswith((".", "_")) or \
+                    not fn.endswith((".parquet", ".orc", ".avro")):
                 continue
             p = os.path.join(root, fn)
             if os.path.getmtime(p) * 1000 < cutoff:

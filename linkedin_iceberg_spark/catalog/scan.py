@@ -254,7 +254,8 @@ class TableScan:
         else:
             by_schema: dict = {}
             for t in tasks:
-                by_schema.setdefault(t.file.schema_id, []) \
+                by_schema.setdefault(
+                    (t.file.schema_id, t.file.file_format), []) \
                     .append(t.file.file_path)
             df = read_files_as_current_schema(table.spark, md, by_schema)
         return self._finish(df)
@@ -278,20 +279,24 @@ def _partition_compatible(delete_file, data_file) -> bool:
 
 def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
                                  paths_by_schema: dict) -> DataFrame:
-    """Read parquet files written under (possibly) older schemas and project
-    to the current schema BY FIELD ID (ref: core read path projection +
-    SchemaUpdate semantics: rename/add/drop/promote never corrupt old files).
+    """Read data files written under (possibly) older schemas/formats and
+    project to the current schema BY FIELD ID (ref: core read path
+    projection + SchemaUpdate semantics: rename/add/drop/promote never
+    corrupt old files).
 
-    Files are grouped by the schema they were written with; each group is
+    Files are grouped by (written schema, file format); each group is
     renamed/padded/cast to the current schema, then unioned.  All Spark-side,
-    distributed, no data rewrite."""
+    distributed, no data rewrite.  Keys are (schema_id, format) tuples (a
+    bare int means parquet, for backwards compatibility)."""
     current = md.schema
     cur_spark = current.to_spark()
     out = None
-    for sid in sorted(paths_by_schema):
-        group_paths = paths_by_schema[sid]
+    for key in sorted(paths_by_schema, key=str):
+        sid, fmt = key if isinstance(key, tuple) else (key, "parquet")
+        group_paths = paths_by_schema[key]
         written = md.schema_by_id(sid)
-        df = spark.read.schema(written.to_spark()).parquet(*group_paths)
+        df = spark.read.schema(written.to_spark()).format(fmt) \
+            .load(group_paths)
         # align: for each current field, find by id in written schema
         cols = []
         for f in current.fields:

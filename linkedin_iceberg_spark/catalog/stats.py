@@ -142,3 +142,23 @@ def collect_file_stats(path: str, schema) -> dict:
 def _file_size(path: str) -> int:
     import os
     return os.path.getsize(path)
+
+
+def collect_orc_file_stats(path: str, schema) -> dict:
+    """ORC variant: metrics mode "counts" (ref: MetricsModes.java — the
+    reference supports none/counts/truncate/full per column).  pyarrow.orc
+    exposes row counts but not per-column min/max, so ORC files carry exact
+    record counts and no bounds — scans stay correct (no bounds -> the
+    metrics evaluators conservatively keep the file)."""
+    from pyarrow import orc as pa_orc
+
+    f = pa_orc.ORCFile(path)
+    return {
+        "record_count": f.nrows,
+        "file_size_in_bytes": _file_size(path),
+        "value_counts": {},
+        "null_value_counts": {},
+        "nan_value_counts": {},
+        "lower_bounds": {},
+        "upper_bounds": {},
+    }

@@ -113,39 +113,49 @@ class Table:
             write_cols.append(pf.write_col)
         return df, write_cols
 
+    @property
+    def file_format(self) -> str:
+        """Data file format (ref: TableProperties DEFAULT_FILE_FORMAT,
+        S14-S16: parquet/avro/orc).  Avro requires the external spark-avro
+        module, absent in this environment — fails fast with a clear error."""
+        fmt = self.properties.get("write.format-default", "parquet").lower()
+        if fmt not in ("parquet", "orc", "avro"):
+            raise ValueError(f"unsupported write.format-default: {fmt}")
+        return fmt
+
     def _write_data_files(self, df: DataFrame, fanout: bool = False) -> list:
-        """Write df as parquet into a fresh staging dir; return DataFile list."""
+        """Write df into a fresh staging dir (format per table property);
+        return DataFile list."""
         staging = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
         schema = self.schema
+        fmt = self.file_format
         cols = schema.column_names()
         df = df.select(*cols)  # enforce column order == table schema
         df, write_cols = self._partition_columns(df)
+        if write_cols and not fanout:
+            # cluster by key: one writer-open per partition (W15)
+            df = df.repartition(*write_cols).sortWithinPartitions(*write_cols)
         writer = df.write.mode("errorifexists")
         max_records = self.properties.get("write.target-max-records-per-file")
         if max_records:
             writer = writer.option("maxRecordsPerFile", int(max_records))
         if write_cols:
-            if not fanout:
-                # cluster by key: one writer-open per partition (W15)
-                df = df.repartition(*write_cols).sortWithinPartitions(*write_cols)
-                writer = df.write.mode("errorifexists")
-                if max_records:
-                    writer = writer.option("maxRecordsPerFile", int(max_records))
-            writer.partitionBy(*write_cols).parquet(staging)
-        else:
-            writer.parquet(staging)
-        return self._collect_data_files(staging, write_cols)
+            writer = writer.partitionBy(*write_cols)
+        writer.format(fmt).save(staging)
+        return self._collect_data_files(staging, write_cols, fmt)
 
-    def _collect_data_files(self, staging: str, write_cols: list) -> list:
+    def _collect_data_files(self, staging: str, write_cols: list,
+                            fmt: str = "parquet") -> list:
         from concurrent.futures import ThreadPoolExecutor
 
         spec = self.spec
         ptypes = spec.partition_type()
         prefix_len = len("_p_")
+        ext = ".orc" if fmt == "orc" else f".{fmt}"
         found = []  # (fpath, partition)
         for root, _dirs, files in os.walk(staging):
             for fn in files:
-                if not fn.endswith(".parquet"):
+                if fn.startswith((".", "_")) or not fn.endswith(ext):
                     continue
                 fpath = os.path.join(root, fn)
                 rel = os.path.relpath(root, staging)
@@ -168,9 +178,15 @@ class Table:
 
         def build(item):
             fpath, partition = item
-            stats = collect_file_stats(fpath, schema)
+            if fmt == "orc":
+                from linkedin_iceberg_spark.catalog.stats import (
+                    collect_orc_file_stats)
+                stats = collect_orc_file_stats(fpath, schema)
+            else:
+                stats = collect_file_stats(fpath, schema)
             return M.DataFile(
                 file_path=fpath,
+                file_format=fmt,
                 partition=partition,
                 record_count=stats["record_count"],
                 file_size_in_bytes=stats["file_size_in_bytes"],
@@ -467,7 +483,8 @@ class Table:
         from linkedin_iceberg_spark.catalog.scan import read_files_as_current_schema
         by_schema: dict = {}
         for e in entries:
-            by_schema.setdefault(e.data_file.schema_id, []) \
+            by_schema.setdefault(
+                (e.data_file.schema_id, e.data_file.file_format), []) \
                 .append(e.data_file.file_path)
         return read_files_as_current_schema(self.spark, self.metadata, by_schema)
 
@@ -533,6 +550,10 @@ class Table:
     def update_schema(self):
         from linkedin_iceberg_spark.catalog.evolution import SchemaUpdate
         return SchemaUpdate(self)
+
+    def new_transaction(self):
+        from linkedin_iceberg_spark.catalog.transaction import Transaction
+        return Transaction(self)
 
     def _commit_metadata_edit(self, edit_fn: Callable) -> "Table":
         attempt = 0

@@ -1267,6 +1267,47 @@ def multimodal_meta(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@q("table_format_orc", """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+def table_format_orc(spark, sf_dir):
+    """ORC data files (S16): write an ORC-format table, read it back through
+    the scan path (counts-mode stats, format-aware projection)."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_orc", o,
+                         properties={"write.format-default": "orc"})
+    t.append(o)
+    fmts = {x.file.file_format for x in t.new_scan().plan_files()}
+    assert fmts == {"orc"}, fmts
+    return (t.to_df().groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+@q("table_transaction", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey >= 100 ORDER BY o_orderkey""")
+def table_transaction(spark, sf_dir):
+    """Transaction (W10): append + delete + property update in ONE atomic
+    metadata swap, filter expressed as a predicate string (P13)."""
+    from linkedin_iceberg_spark.expressions.parser import parse_expr
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_txn", o)
+    t.append(o.filter(F.col("o_orderkey") >= 5000))
+    v0 = t.version
+    (t.new_transaction()
+     .append(o.filter(F.col("o_orderkey") < 5000))
+     .delete_where(parse_expr("o_orderkey < 100"))
+     .update_properties({"audited": "true"})
+     .commit())
+    assert t.version == v0 + 1 and t.properties["audited"] == "true"
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("multimodal_decode_features")  # stub decode is engine-specific: rows-only
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched decode + feature extraction over multimodal payloads

@@ -126,7 +126,11 @@ class _TableStreamReader(DataSourceStreamReader):
         for path in partition.paths:
             if not os.path.exists(path):
                 continue
-            t = pq.read_table(path, columns=partition.columns)
+            if path.endswith(".orc"):
+                from pyarrow import orc as pa_orc
+                t = pa_orc.ORCFile(path).read(columns=partition.columns)
+            else:
+                t = pq.read_table(path, columns=partition.columns)
             yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
