@@ -55,8 +55,18 @@ def main() -> int:
     registry = Q._REGISTRY
     names = [n for n in HEADLINE if n in registry]
 
-    # JVM/codegen warmup on a tiny slice so q1 doesn't pay startup costs
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # warmup pass (untimed): JIT + whole-stage-codegen compilation, parquet
+    # footer caches, broadcast infra — the same reason the reference's JMH
+    # harness runs 3 warmup iterations before measuring
+    # (BASELINE.md: IcebergSourceBenchmark.java:49-53)
+    warm_sf = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR",
+                             "/root/testdata/sf0.001")
+    for name in names:
+        fn, _sql = registry[name]
+        try:
+            fn(spark, warm_sf).count()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name in names:

@@ -53,13 +53,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     Returns (d1, d2, n_shared_bands) candidate pairs, d1 < d2.
     """
     rows_per_band = num_hashes // bands
-    sh = (df.select(id_col, F.explode(
-            F.array_distinct(shingles(text_col, shingle_n))).alias("_sh"))
-          .filter(F.length("_sh") > 0))
+    # tokenize ONCE into an array column, then window over it — keeps the
+    # split out of the per-element lambda
+    toked = df.select(id_col, F.split(F.col(text_col), r"\s+").alias("_toks"))
+    sh_arr = F.expr(
+        f"transform(sequence(0, greatest(size(_toks) - {shingle_n}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {shingle_n})))")
+    sh = (toked.select(id_col,
+                       F.explode(F.array_distinct(sh_arr)).alias("_sh"))
+          .filter(F.length("_sh") > 0)
+          # hash the (possibly long) shingle string exactly once; the K
+          # minhash streams re-hash the 8-byte value with the seed — O(1)
+          # per stream instead of a full string hash per stream
+          .select(id_col, F.xxhash64("_sh").alias("_h")))
 
-    # K minhash values per doc: min over shingles of xxhash64(shingle, seed k)
     minhash_cols = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(k))).alias(f"mh{k}")
+        F.min(F.xxhash64(F.col("_h"), F.lit(k))).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
     sigs = sh.groupBy(id_col).agg(*minhash_cols)
