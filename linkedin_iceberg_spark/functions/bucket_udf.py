@@ -22,6 +22,8 @@ from linkedin_iceberg_spark.transforms.bucket_hash import murmur3_32, to_hash_by
 @lru_cache(maxsize=64)
 def bucket_udf(src_type: str, n: int):
     """Returns a pandas UDF computing Iceberg bucket ids for `src_type`."""
+    from linkedin_iceberg_spark.shipping import ship_to_active_session
+    ship_to_active_session()  # executors must import this module
 
     def _one(v):
         if v is None or (isinstance(v, float) and v != v):
@@ -41,6 +43,9 @@ def bucket_udf(src_type: str, n: int):
 def truncate_udf(src_type: str, w: int):
     """Decimal truncate (string/int/binary are handled with built-ins)."""
     from decimal import Decimal
+
+    from linkedin_iceberg_spark.shipping import ship_to_active_session
+    ship_to_active_session()
 
     def _one(v):
         if v is None:

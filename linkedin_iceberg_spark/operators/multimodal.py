@@ -72,6 +72,8 @@ def decode_image(df: DataFrame, name: str = "media",
         raise NotImplementedError(
             "real image decode requires PIL/imageio (not installed); "
             "the stub path is decode_image(df, strict=False)")
+    from linkedin_iceberg_spark.shipping import ship_to_active_session
+    ship_to_active_session()  # mapInPandas closures import this module
     out_schema = df.schema
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,6 +95,8 @@ def extract_features(df: DataFrame, name: str = "media", dim: int = 8,
     """STUB feature extractor: deterministic float vector from payload bytes
     (stands in for an embedding model).  Same mapInPandas shape a real
     encoder would use — batched, partition-preserving."""
+    from linkedin_iceberg_spark.shipping import ship_to_active_session
+    ship_to_active_session()
     out_schema = T.StructType(
         [*df.schema.fields,
          T.StructField(out_col, T.ArrayType(T.FloatType()))])
@@ -114,6 +118,8 @@ def frame_sample(df: DataFrame, name: str = "media", every_n_bytes: int = 64,
                  max_frames: int = 4, out_col: str = "frames") -> DataFrame:
     """STUB frame sampler: slices the payload every N bytes (stands in for
     video frame extraction); returns array<binary>."""
+    from linkedin_iceberg_spark.shipping import ship_to_active_session
+    ship_to_active_session()
     out_schema = T.StructType(
         [*df.schema.fields,
          T.StructField(out_col, T.ArrayType(T.BinaryType()))])

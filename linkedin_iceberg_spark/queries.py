@@ -1048,6 +1048,97 @@ def table_incremental_scan(spark, sf_dir):
             .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
 
 
+@q("table_scan_bucket_pruned", """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey = 42 ORDER BY o_orderkey""")
+def table_scan_bucket_pruned(spark, sf_dir):
+    """Bucket-transform pruning (the murmur3-parity path): an equality
+    predicate on the source column reads only the matching bucket's files —
+    never mentioning the partition column."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.expressions import eq
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .bucket("o_custkey", 8).build()
+    t = cat.create_table("q.orders_bkt", o, spec=spec)
+    t.append(o)
+    n_all = len(t.new_scan().plan_files())
+    pruned = t.new_scan().filter(eq("o_custkey", 42)).plan_files()
+    assert 0 < len(pruned) < n_all, (len(pruned), n_all)
+    return (t.scan(row_filter=eq("o_custkey", 42))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("table_scan_truncate_pruned", """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey >= 30 AND o_custkey < 90 ORDER BY o_orderkey""")
+def table_scan_truncate_pruned(spark, sf_dir):
+    """Truncate-transform pruning: range predicates project into truncated
+    partition space (ref: Truncate.java:100-149 projection rules)."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.expressions import and_, gt_eq, lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .truncate("o_custkey", 20).build()
+    t = cat.create_table("q.orders_tr", o, spec=spec)
+    t.append(o)
+    pred = and_(gt_eq("o_custkey", 30), lt("o_custkey", 90))
+    n_all = len(t.new_scan().plan_files())
+    pruned = t.new_scan().filter(pred).plan_files()
+    assert 0 < len(pruned) < n_all, (len(pruned), n_all)
+    return (t.scan(row_filter=pred).select("o_orderkey", "o_custkey")
+            .orderBy("o_orderkey"))
+
+
+@q("table_migrate_import", """
+SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+def table_migrate_import(spark, sf_dir):
+    """Table import (S22 / the legacy-Hive-adapter analog): snapshot an
+    existing parquet dataset into an engine table, then query it."""
+    cat = _tmp_catalog(spark)
+    t = cat.migrate("q.li_migrated",
+                    os.path.join(sf_dir, "lineitem.parquet"))
+    assert t.current_snapshot() is not None
+    return (t.to_df().groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total"))
+            .orderBy("l_returnflag"))
+
+
+@q("events_session_window", """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id <= 100
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id, count(DISTINCT session_no) AS n_sessions, count(*) AS n_events
+FROM sessions GROUP BY user_id ORDER BY user_id""")
+def events_session_window(spark, sf_dir):
+    """Session windows (30-min gap) — F.session_window, the same operator
+    Structured Streaming uses for stateful sessionization; oracle is the
+    classic gaps-and-islands SQL."""
+    e = ld(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    return (e.groupBy("user_id",
+                      F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"))
+            .orderBy("user_id"))
+
+
 @q("table_merge_upsert", """
 SELECT o_orderkey,
        CASE WHEN o_orderkey < 100 THEN 999.0 ELSE o_totalprice END AS o_totalprice
