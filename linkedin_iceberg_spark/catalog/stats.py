@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import re
 from decimal import Decimal
 
 import pyarrow.parquet as pq
@@ -65,12 +66,28 @@ def _normalize(v, type_str: str):
     return v
 
 
-def collect_file_stats(path: str, schema) -> dict:
+def collect_file_stats(path: str, schema, mode: str = "truncate(16)") -> dict:
     """Returns dict with record_count, file_size, value_counts,
     null_value_counts, nan_value_counts, lower_bounds, upper_bounds —
     all keyed by our field ids (top-level primitive columns only; nested
-    columns get counts but no bounds, like the reference's default)."""
+    columns get counts but no bounds, like the reference's default).
+
+    ``mode`` mirrors MetricsModes.java:34-96 — ``none`` (record count
+    only), ``counts`` (value/null counts, no bounds), ``truncate(N)``
+    (bounds, strings truncated to N; the reference default N=16), ``full``
+    (untruncated bounds)."""
     md = pq.read_metadata(path)
+    if mode == "none":
+        return {
+            "record_count": md.num_rows,
+            "file_size_in_bytes": _file_size(path),
+            "value_counts": {}, "null_value_counts": {},
+            "nan_value_counts": {}, "lower_bounds": {}, "upper_bounds": {},
+        }
+    trunc_len = None
+    if mode.startswith("truncate"):
+        m = re.match(r"truncate\((\d+)\)", mode)
+        trunc_len = int(m.group(1)) if m else TRUNCATE_LEN
     # leaf column index -> dotted path
     leaf_paths = [md.schema.column(i).path for i in range(md.num_columns)]
 
@@ -102,6 +119,8 @@ def collect_file_stats(path: str, schema) -> dict:
             value_counts[fid] = value_counts.get(fid, 0) + n
             if st.has_null_count:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if mode == "counts":
+                continue
             if st.has_min_max:
                 lo = _normalize(st.min, type_str)
                 hi = _normalize(st.max, type_str)
@@ -116,17 +135,18 @@ def collect_file_stats(path: str, schema) -> dict:
                     cur = uppers.get(fid)
                     uppers[fid] = hi if cur is None or hi > cur else cur
 
-    # string truncation (metrics mode truncate(16))
-    for fid in list(lowers):
-        if isinstance(lowers[fid], str):
-            lowers[fid] = truncate_lower(lowers[fid])
-    for fid in list(uppers):
-        if isinstance(uppers[fid], str):
-            t = truncate_upper(uppers[fid])
-            if t is None:
-                del uppers[fid]
-            else:
-                uppers[fid] = t
+    # string truncation (metrics mode truncate(N); "full" keeps exact bounds)
+    if trunc_len is not None:
+        for fid in list(lowers):
+            if isinstance(lowers[fid], str):
+                lowers[fid] = truncate_lower(lowers[fid], trunc_len)
+        for fid in list(uppers):
+            if isinstance(uppers[fid], str):
+                t = truncate_upper(uppers[fid], trunc_len)
+                if t is None:
+                    del uppers[fid]
+                else:
+                    uppers[fid] = t
 
     return {
         "record_count": md.num_rows,

@@ -176,6 +176,10 @@ class Table:
 
         schema = self.schema
 
+        # ref: TableProperties.java:116 DEFAULT_WRITE_METRICS_MODE
+        metrics_mode = self.properties.get(
+            "write.metadata.metrics.default", "truncate(16)")
+
         def build(item):
             fpath, partition = item
             if fmt == "orc":
@@ -183,7 +187,7 @@ class Table:
                     collect_orc_file_stats)
                 stats = collect_orc_file_stats(fpath, schema)
             else:
-                stats = collect_file_stats(fpath, schema)
+                stats = collect_file_stats(fpath, schema, metrics_mode)
             return M.DataFile(
                 file_path=fpath,
                 file_format=fmt,

@@ -105,3 +105,34 @@ def test_stats_pruning_unpartitioned(catalog, spark):
     tasks_point = t.new_scan().filter(eq("id", 5)).plan_files()
     assert len(tasks_point) < len(tasks_all)
     assert t.scan(row_filter=eq("id", 5)).count() == 1
+
+
+def test_metrics_modes(catalog, spark):
+    """W16 metrics modes: none/counts/truncate(N)/full change what the
+    write path records (ref: core/.../MetricsModes.java:34-96)."""
+    import pandas as pd
+    pdf = pd.DataFrame({"id": range(100),
+                        "s": ["x" * 40 + str(i) for i in range(100)]})
+    df = spark.createDataFrame(pdf).coalesce(1)
+
+    def file_of(mode):
+        t = catalog.create_table(
+            f"db.mm_{mode.replace('(', '').replace(')', '')}", df,
+            properties={"write.metadata.metrics.default": mode})
+        t.append(df)
+        return t.new_scan().plan_files()[0].file
+
+    f_none = file_of("none")
+    assert f_none.record_count == 100
+    assert not f_none.value_counts and not f_none.lower_bounds
+
+    f_counts = file_of("counts")
+    assert f_counts.value_counts and not f_counts.lower_bounds
+
+    f_trunc = file_of("truncate(8)")
+    sid = 2  # field id of "s"
+    assert len(f_trunc.lower_bounds[sid]) == 8
+    assert f_trunc.upper_bounds[sid] >= "x" * 40  # truncated UP
+
+    f_full = file_of("full")
+    assert len(f_full.lower_bounds[sid]) == 41
