@@ -268,10 +268,26 @@ class Table:
         return M.read_manifest_list(self.ops.new_metadata_path(snap.manifest_list),
                                     ptypes)
 
-    def append(self, df: DataFrame, wap_id: Optional[str] = None) -> "Table":
+    def append(self, df: DataFrame, wap_id: Optional[str] = None,
+               merge_schema: bool = False) -> "Table":
         """FastAppend semantics: new manifest per commit, never rewrites old
         manifests (ref: core/.../FastAppend.java).  Manifest merging is done
-        by maintenance.rewrite_manifests (A2)."""
+        by maintenance.rewrite_manifests (A2).
+
+        merge_schema=True evolves the table by union-by-name first (ref:
+        SchemaUpdate.applyChanges:403-406): new df columns are added as
+        optional fields; missing table columns are written as null."""
+        if merge_schema:
+            self._merge_schema(df)
+            cols = []
+            for f in self.schema.fields:
+                if f.name in df.columns:
+                    cols.append(F.col(f.name))
+                else:
+                    from linkedin_iceberg_spark.schema import type_to_spark
+                    cols.append(F.lit(None).cast(type_to_spark(f.type))
+                                .alias(f.name))
+            df = df.select(*cols)
         files = self._write_data_files(df)
         types_by_id = self._types_by_id()
 
@@ -292,6 +308,20 @@ class Table:
             return infos, summary, None
 
         return self._commit(build, OP_APPEND, wap_id=wap_id)
+
+    def _merge_schema(self, df: DataFrame) -> None:
+        """Union-by-name schema evolution for merge_schema appends."""
+        from linkedin_iceberg_spark.schema import Schema as _S
+        incoming = _S.from_spark(df.schema)
+        known = {f.name for f in self.schema.fields}
+        new_fields = [f for f in incoming.fields if f.name not in known]
+        if not new_fields:
+            return
+        up = self.update_schema()
+        for f in new_fields:
+            up.add_column(f.name, f.type if isinstance(f.type, str)
+                          else f.type)
+        up.commit()
 
     # ---------------------------------------------------------------- scans
     def new_scan(self):

@@ -261,11 +261,12 @@ def join_semi(spark, sf_dir):
 
 @q("join_anti", """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 400000)
 ORDER BY c_custkey""")
 def join_anti(spark, sf_dir):
     c = ld(spark, sf_dir, "customer")
-    o = ld(spark, sf_dir, "orders")
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey", "c_name").orderBy("c_custkey"))
 
@@ -305,32 +306,33 @@ def join_theta_range(spark, sf_dir):
 
 
 @q("join_asof", """
-SELECT o_orderkey, e_ts AS last_event_ts, e_type AS last_event_type
+SELECT event_id, o_orderkey AS last_order_key, o_orderdate AS last_order_date
 FROM (
-  SELECT o_orderkey, CAST(e.ts AS TIMESTAMP) AS e_ts,
-         e.event_type AS e_type,
-         row_number() OVER (PARTITION BY o_orderkey
-                            ORDER BY CAST(e.ts AS TIMESTAMP) DESC,
-                            e.event_id DESC) AS rn
-  FROM orders o JOIN events e
-    ON e.user_id = o.o_custkey
-   AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate
-  WHERE o.o_orderkey <= 1000
-) WHERE rn = 1 ORDER BY o_orderkey""")
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC,
+                            o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id
+   AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+  WHERE e.event_id <= 500
+) WHERE rn = 1 ORDER BY event_id""")
 def join_asof(spark, sf_dir):
     """As-of join (Spark lacks a native one): range join + windowed dedupe
-    (SURVEY.md §2B).  Scale: partition by the left key; consider bucketing
-    both sides on the key at 100 TB."""
-    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
-    e = ld(spark, sf_dir, "events")
-    joined = o.join(e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate))
-    w = W.partitionBy("o_orderkey").orderBy(F.col("ts").desc(),
-                                            F.col("event_id").desc())
+    (SURVEY.md §2B) — each event matched to the user's most recent order as
+    of the event time.  Scale: partition by the left key; consider
+    bucketing both sides on the key at 100 TB."""
+    e = ld(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    o = ld(spark, sf_dir, "orders")
+    joined = e.join(o, (o.o_custkey == e.user_id)
+                    & (o.o_orderdate <= e.ts))
+    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(),
+                                          F.col("o_orderkey").desc())
     return (joined.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("o_orderkey", F.col("ts").alias("last_event_ts"),
-                    F.col("event_type").alias("last_event_type"))
-            .orderBy("o_orderkey"))
+            .select("event_id", F.col("o_orderkey").alias("last_order_key"),
+                    F.col("o_orderdate").alias("last_order_date"))
+            .orderBy("event_id"))
 
 
 @q("join_multiway", """
@@ -341,7 +343,7 @@ JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = 'R0' AND o_orderdate >= TIMESTAMP '1995-01-01'
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""")
 def join_multiway(spark, sf_dir):
     """TPC-H Q5 shape: 6-way join.  Catalyst reorders; dims broadcast."""
@@ -358,11 +360,100 @@ def join_multiway(spark, sf_dir):
                   & (c.c_nationkey == s.s_nationkey))
             .join(n, s.s_nationkey == n.n_nationkey)
             .join(r, n.n_regionkey == r.r_regionkey)
-            .filter(F.col("r_name") == "R0")
+            .filter(F.col("r_name") == "ASIA")
             .groupBy("n_name")
             .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                   .alias("revenue"))
             .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+@q("agg_filtered_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""")
+def agg_filtered_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter+agg — every predicate pushes to the
+    parquet scan, single partial+final agg, no shuffle of data rows."""
+    li = ld(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue")))
+
+
+@q("join_shipping_priority", """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")
+def join_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter + 3-way join + grouped top-k.
+    Scale: filters push below the joins; the LIMIT is a TakeOrdered, not a
+    global sort."""
+    c = ld(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    li = ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+@q("subquery_above_segment_avg", """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+                      WHERE i.o_orderpriority = o.o_orderpriority)
+  AND o_orderkey <= 2000
+ORDER BY o_orderkey""")
+def subquery_above_segment_avg(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated the way Catalyst would:
+    per-group aggregate + broadcast join back (no per-row subquery)."""
+    o = ld(spark, sf_dir, "orders")
+    avgs = (o.groupBy("o_orderpriority")
+            .agg(F.avg("o_totalprice").alias("_avg")))
+    return (o.filter(F.col("o_orderkey") <= 2000)
+            .join(F.broadcast(avgs), "o_orderpriority")
+            .filter(F.col("o_totalprice") > F.col("_avg"))
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("table_merge_schema_append", """
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey < 100 THEN 'web' END AS channel
+FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")
+def table_merge_schema_append(spark, sf_dir):
+    """Union-by-name schema merge on append (W11 applyChanges): the second
+    batch brings a new column; old rows read as null."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_ms", o)
+    t.append(o.filter(F.col("o_orderkey") >= 100))
+    t.append(o.filter(F.col("o_orderkey") < 100)
+             .withColumn("channel", F.lit("web")), merge_schema=True)
+    return (t.to_df().select("o_orderkey", "o_totalprice", "channel")
+            .orderBy("o_orderkey"))
 
 
 # =========================================================================
@@ -550,11 +641,12 @@ def set_intersect(spark, sf_dir):
 @q("set_except", """
 SELECT c_custkey AS k FROM customer
 EXCEPT
-SELECT o_custkey AS k FROM orders
+SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
 ORDER BY k""")
 def set_except(spark, sf_dir):
     a = ld(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    b = ld(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = ld(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000) \
+        .select(F.col("o_custkey").alias("k"))
     return a.exceptAll(b).distinct().orderBy("k")
 
 
@@ -811,7 +903,7 @@ SELECT a.vec_id AS v1, b.vec_id AS v2,
        round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 100 AND b.vec_id < 100
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
 ORDER BY v1, v2""")
 def similarity_pairs(spark, sf_dir):
     """Embedding near-dup pairs (cosine >= t).  Quadratic candidate set kept
@@ -819,7 +911,7 @@ def similarity_pairs(spark, sf_dir):
     (similarity_ann_lsh) is the 100 TB path."""
     from linkedin_iceberg_spark.operators.similarity import cosine_pairs
     e = ld(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return cosine_pairs(e, threshold=0.95, id_col="vec_id",
+    return cosine_pairs(e, threshold=0.3, id_col="vec_id",
                         vec_col="embedding")
 
 
@@ -1030,19 +1122,19 @@ def table_overwrite_dynamic(spark, sf_dir):
 
 @q("table_incremental_scan", """
 SELECT o_orderkey, o_totalprice FROM orders
-WHERE o_orderkey > 5000 AND o_orderkey <= 10000 ORDER BY o_orderkey""")
+WHERE o_orderkey > 500 AND o_orderkey <= 1000 ORDER BY o_orderkey""")
 def table_incremental_scan(spark, sf_dir):
     """Incremental scan: only files appended between two snapshots
     (ref: core/.../IncrementalDataTableScan.java:55-66)."""
     o = ld(spark, sf_dir, "orders")
     cat = _tmp_catalog(spark)
     t = cat.create_table("q.orders_inc", o)
-    t.append(o.filter(F.col("o_orderkey") <= 5000))
+    t.append(o.filter(F.col("o_orderkey") <= 500))
     v1 = t.current_snapshot().snapshot_id
-    t.append(o.filter((F.col("o_orderkey") > 5000)
-                      & (F.col("o_orderkey") <= 10000)))
+    t.append(o.filter((F.col("o_orderkey") > 500)
+                      & (F.col("o_orderkey") <= 1000)))
     v2 = t.current_snapshot().snapshot_id
-    t.append(o.filter(F.col("o_orderkey") > 10000))
+    t.append(o.filter(F.col("o_orderkey") > 1000))
     from linkedin_iceberg_spark.catalog.incremental import appends_between
     return (appends_between(t, v1, v2)
             .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))

@@ -136,3 +136,21 @@ def test_metrics_modes(catalog, spark):
 
     f_full = file_of("full")
     assert len(f_full.lower_bounds[sid]) == 41
+
+
+def test_append_merge_schema(catalog, spark, sf_dir):
+    """Union-by-name evolution on append (ref: SchemaUpdate.applyChanges)."""
+    import os
+    from pyspark.sql import functions as F
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.merge_app", o)
+    t.append(o.limit(100))
+    extra = (o.limit(50).withColumn("channel", F.lit("web")))
+    t.append(extra, merge_schema=True)
+    df = t.to_df()
+    assert "channel" in df.columns
+    assert df.filter(F.col("channel") == "web").count() == 50
+    assert df.filter(F.col("channel").isNull()).count() == 100
+    # narrower df (missing cols) appends as nulls too
+    t.append(o.limit(10).drop("o_orderpriority"), merge_schema=True)
+    assert t.to_df().filter(F.col("o_orderpriority").isNull()).count() == 10
