@@ -589,6 +589,14 @@ class Table:
         from linkedin_iceberg_spark.catalog.transaction import Transaction
         return Transaction(self)
 
+    def create_temp_view(self, view_name: Optional[str] = None) -> str:
+        """Register the table's current snapshot for raw spark.sql queries
+        (the reference's Spark-catalog registration analog; SURVEY.md §7
+        notes createOrReplaceTempView covers the SQL entry point)."""
+        name = view_name or self.name.replace(".", "_")
+        self.to_df().createOrReplaceTempView(name)
+        return name
+
     def _commit_metadata_edit(self, edit_fn: Callable) -> "Table":
         attempt = 0
         while True:

@@ -154,3 +154,17 @@ def test_append_merge_schema(catalog, spark, sf_dir):
     # narrower df (missing cols) appends as nulls too
     t.append(o.limit(10).drop("o_orderpriority"), merge_schema=True)
     assert t.to_df().filter(F.col("o_orderpriority").isNull()).count() == 10
+
+
+def test_sql_over_temp_view(catalog, spark, sf_dir, orders_df):
+    """Raw SQL over a registered engine table."""
+    t = catalog.create_table("db.sqlview", orders_df)
+    t.append(orders_df)
+    view = t.create_temp_view()
+    got = spark.sql(
+        f"SELECT o_orderpriority, count(*) AS n FROM {view} "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority").collect()
+    exp = (orders_df.groupBy("o_orderpriority")
+           .agg(F.count("*").alias("n"))
+           .orderBy("o_orderpriority").collect())
+    assert got == exp
