@@ -31,8 +31,14 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     read all groups in ONE distributed job; the write path re-clusters by
     partition key, so each partition's rows land in fresh right-sized files;
     commit swaps old for new with data unchanged (RewriteFiles, W6).
+
+    Only CONTENT_DATA files are compaction candidates — v2 delete files are
+    carried through untouched — and pending deletes are APPLIED while
+    rewriting (the compacted file gets a higher sequence number, so stale
+    equality deletes no longer re-hit the surviving rows; ref: the
+    scan/DeleteFileIndex path the reference routes rewrites through).
     """
-    entries = table._live_entries()
+    entries, delete_entries = table._live_data_and_deletes()
     by_partition: dict = {}
     for e in entries:
         key = tuple(sorted(e.data_file.partition.items()))
@@ -47,7 +53,7 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     if not to_rewrite:
         return {"rewritten_files": 0, "added_files": 0}
 
-    df = table._read_files(to_rewrite)
+    df = table._read_live_rows(to_rewrite, delete_entries)
     if not table.spec.is_partitioned():
         # bin-pack: one output file per target_size of input
         total = sum(e.data_file.file_size_in_bytes for e in to_rewrite)

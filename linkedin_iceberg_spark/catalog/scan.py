@@ -219,24 +219,7 @@ class TableScan:
                 else:
                     delete_entries.append(e)
 
-        # v2 row-level deletes: match delete files to data files by sequence
-        # number (ref: core/.../DeleteFileIndex.java:61-133).  Equality
-        # deletes apply only to STRICTLY older files (rows committed with or
-        # after the delete survive); position deletes apply to same-or-older
-        # files (they may be committed alongside the data they target).
-        tasks = []
-        for e in data_entries:
-            deletes = []
-            for d in delete_entries:
-                if not _partition_compatible(d.data_file, e.data_file):
-                    continue
-                if d.data_file.content == M.CONTENT_EQUALITY_DELETES:
-                    if d.sequence_number > e.sequence_number:
-                        deletes.append(d)
-                elif d.sequence_number >= e.sequence_number:
-                    deletes.append(d)
-            tasks.append(FileScanTask(e.data_file, deletes, e.sequence_number))
-        return tasks
+        return match_deletes(data_entries, delete_entries)
 
     # ------------------------------------------------------------ execution
     def to_df(self) -> DataFrame:
@@ -267,6 +250,28 @@ class TableScan:
         if self.selected:
             df = df.select(*self.selected)
         return df
+
+
+def match_deletes(data_entries: list, delete_entries: list) -> list:
+    """v2 row-level deletes: match delete files to data files by sequence
+    number (ref: core/.../DeleteFileIndex.java:61-133).  Equality deletes
+    apply only to STRICTLY older files (rows committed with or after the
+    delete survive); position deletes apply to same-or-older files (they may
+    be committed alongside the data they target).  Shared by scan planning
+    and the DML/compaction rewrite paths (both must see live rows)."""
+    tasks = []
+    for e in data_entries:
+        deletes = []
+        for d in delete_entries:
+            if not _partition_compatible(d.data_file, e.data_file):
+                continue
+            if d.data_file.content == M.CONTENT_EQUALITY_DELETES:
+                if d.sequence_number > e.sequence_number:
+                    deletes.append(d)
+            elif d.sequence_number >= e.sequence_number:
+                deletes.append(d)
+        tasks.append(FileScanTask(e.data_file, deletes, e.sequence_number))
+    return tasks
 
 
 def _partition_compatible(delete_file, data_file) -> bool:

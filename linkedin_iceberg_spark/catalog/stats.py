@@ -35,6 +35,12 @@ def truncate_upper(s: str, length: int = TRUNCATE_LEN):
     chars = list(prefix)
     for i in range(len(chars) - 1, -1, -1):
         cp = ord(chars[i])
+        if cp == 0xD7FF:
+            # skip the surrogate block — U+D800..U+DFFF are not valid
+            # scalar values (ref: UnicodeUtil.truncateStringMax skips
+            # invalid code points)
+            chars[i] = chr(0xE000)
+            return "".join(chars[: i + 1])
         if cp < 0x10FFFF:
             chars[i] = chr(cp + 1)
             return "".join(chars[: i + 1])

@@ -109,7 +109,15 @@ class Table:
         write_cols = []
         for pf in spec.fields:
             t = pf.bound_transform()
-            df = df.withColumn(pf.write_col, t.to_spark_column(F.col(pf.source_name)))
+            c = t.to_spark_column(F.col(pf.source_name))
+            if t.result_type(pf.source_type or "string") == "string":
+                # Spark's partitionBy renders BOTH null and "" as
+                # __HIVE_DEFAULT_PARTITION__, collapsing two distinct
+                # partition values into one directory.  Prefix non-null
+                # string values ("v" + value) so the directory encoding is
+                # injective; _collect_data_files strips it on decode.
+                c = F.when(c.isNotNull(), F.concat(F.lit("v"), c))
+            df = df.withColumn(pf.write_col, c)
             write_cols.append(pf.write_col)
         return df, write_cols
 
@@ -170,8 +178,10 @@ class Table:
                         if v == "__HIVE_DEFAULT_PARTITION__":
                             partition[name] = None
                         else:
-                            partition[name] = decode_value(
-                                v, ptypes.get(name, "string"))
+                            t = ptypes.get(name, "string")
+                            if t == "string" and v.startswith("v"):
+                                v = v[1:]  # strip the injective-encoding prefix
+                            partition[name] = decode_value(v, t)
                 found.append((fpath, partition))
 
         schema = self.schema
@@ -358,7 +368,7 @@ class Table:
         snap = self.current_snapshot()
         if snap is None:
             return self
-        entries = self._live_entries()
+        entries, delete_entries = self._live_data_and_deletes()
         strict_part = strict_projection(self.spec, bound)
         strict_eval = Evaluator(strict_part)
         metrics_strict = StrictMetricsEvaluator(bound)
@@ -377,6 +387,8 @@ class Table:
             if not might_match:
                 keep.append(e)
                 continue
+            # strict match proves every ORIGINAL row matches; live rows are
+            # a subset, so whole-file drop stays safe under pending deletes
             all_match = strict_eval.eval(df_.partition) or \
                 metrics_strict.eval(e.stats_dict())
             if all_match:
@@ -386,7 +398,7 @@ class Table:
 
         new_files: list = []
         if rewrite:
-            survivors = self._read_files(rewrite) \
+            survivors = self._read_live_rows(rewrite, delete_entries) \
                 .filter(~to_spark_column(bound))
             new_files = self._write_data_files(survivors)
 
@@ -398,7 +410,7 @@ class Table:
         Deletes matching rows (validated strict) then appends df in the same
         snapshot."""
         bound = bind(self.schema, expr)
-        entries = self._live_entries()
+        entries, delete_entries = self._live_data_and_deletes()
         strict_part = strict_projection(self.spec, bound)
         strict_eval = Evaluator(strict_part)
         metrics_strict = StrictMetricsEvaluator(bound)
@@ -420,7 +432,7 @@ class Table:
                 rewrite.append(e)
         extra_files: list = []
         if rewrite:
-            survivors = self._read_files(rewrite) \
+            survivors = self._read_live_rows(rewrite, delete_entries) \
                 .filter(~to_spark_column(bound))
             extra_files = self._write_data_files(survivors)
         new_files = self._write_data_files(df) + extra_files
@@ -434,7 +446,7 @@ class Table:
         touched = {tuple(sorted(f.partition.items(), key=lambda kv: kv[0]))
                    for f in new_files}
 
-        entries = self._live_entries()
+        entries, _deletes = self._live_data_and_deletes()
         removed = [e for e in entries
                    if tuple(sorted(e.data_file.partition.items(),
                                    key=lambda kv: kv[0])) in touched]
@@ -444,7 +456,7 @@ class Table:
     def rewrite_files(self, removed_paths: set, added_files: list) -> "Table":
         """Compaction commit: swap files, data unchanged
         (ref: core/.../BaseRewriteFiles.java)."""
-        entries = self._live_entries()
+        entries, _deletes = self._live_data_and_deletes()
         removed = [e for e in entries if e.data_file.file_path in removed_paths]
         return self._commit_file_swap(removed=removed, added=added_files,
                                       operation=OP_REPLACE)
@@ -492,6 +504,30 @@ class Table:
         return self._commit(build, operation)
 
     # ------------------------------------------------------------- plumbing
+    def _live_data_and_deletes(self) -> tuple:
+        """Live entries split into (data, delete-file) lists.  DML and
+        compaction must classify only CONTENT_DATA entries — treating a v2
+        position/equality delete file as data would rewrite it under the
+        table schema (all-null rows) and silently resurrect deleted rows."""
+        data, deletes = [], []
+        for e in self._live_entries():
+            if e.data_file.content == M.CONTENT_DATA:
+                data.append(e)
+            else:
+                deletes.append(e)
+        return data, deletes
+
+    def _read_live_rows(self, data_entries: list, delete_entries: list) -> DataFrame:
+        """Read the LIVE rows of the given data entries: pending position/
+        equality deletes that apply to them (by sequence number) are applied,
+        exactly as the scan path does (ref: DeleteFileIndex semantics)."""
+        from linkedin_iceberg_spark.catalog.scan import match_deletes
+        tasks = match_deletes(data_entries, delete_entries)
+        if any(t.deletes for t in tasks):
+            from linkedin_iceberg_spark.catalog.deletes import apply_deletes
+            return apply_deletes(self, tasks)
+        return self._read_files(data_entries)
+
     def _live_entries(self, snapshot=None, base: Optional[TableMetadata] = None) -> list:
         """All live (ADDED/EXISTING) entries for a snapshot (default current)."""
         md = base or self.metadata
@@ -542,8 +578,11 @@ class Table:
 
     def cherry_pick(self, snapshot_id: int) -> "Table":
         """Publish a staged (WAP) snapshot: fast-forward if it's a direct
-        child of current, else re-apply its file changes
-        (ref: core/.../SnapshotManager.java:65-171, util/WapUtil.java)."""
+        child of current, else RE-APPLY its added files on top of the
+        current base (ref: core/.../SnapshotManager.java:65-171,
+        util/WapUtil.java).  Fast-forwarding a divergent staged snapshot
+        would resurrect its stale manifest list and silently drop every
+        commit made after staging."""
         def do(base: TableMetadata):
             snap = base.snapshot_by_id(snapshot_id)
             if snap is None:
@@ -551,22 +590,46 @@ class Table:
             import dataclasses
             published = set()
             for s in base.snapshots:
-                wid = s.summary.get("wap.id")
-                if wid and s.snapshot_id in base.ancestry():
-                    published.add(wid)
+                wid_ = s.summary.get("wap.id")
+                if wid_ and s.snapshot_id in base.ancestry():
+                    published.add(wid_)
             wid = snap.summary.get("wap.id")
             if wid and wid in published:
                 raise ValueError(f"duplicate WAP id already published: {wid}")
-            if snap.parent_snapshot_id != base.current_snapshot_id:
-                if snap.operation != OP_APPEND:
-                    raise ValueError(
-                        "cannot cherry-pick non-append with divergent base")
-            md = dataclasses.replace(base)
-            md.current_snapshot_id = snapshot_id
-            md.snapshot_log = [*base.snapshot_log,
-                               {"timestamp-ms": int(time.time() * 1000),
-                                "snapshot-id": snapshot_id}]
-            return md
+            if snap.parent_snapshot_id == base.current_snapshot_id:
+                # direct child: fast-forward
+                md = dataclasses.replace(base)
+                md.current_snapshot_id = snapshot_id
+                md.snapshot_log = [*base.snapshot_log,
+                                   {"timestamp-ms": int(time.time() * 1000),
+                                    "snapshot-id": snapshot_id}]
+                return md
+            # divergent base: only appends can be re-applied safely
+            if snap.operation != OP_APPEND:
+                raise ValueError(
+                    "cannot cherry-pick non-append with divergent base")
+            ptypes = base.spec.partition_type()
+            staged_infos = M.read_manifest_list(
+                self.ops.new_metadata_path(snap.manifest_list), ptypes)
+            added = [i for i in staged_infos
+                     if i.added_snapshot_id == snap.snapshot_id]
+            new_id = _new_snapshot_id()
+            ml_name = M.manifest_list_name(new_id)
+            M.write_manifest_list(
+                self.ops.new_metadata_path(ml_name),
+                [*added, *self._base_manifest_infos(base)], ptypes)
+            new_snap = Snapshot(
+                snapshot_id=new_id,
+                parent_snapshot_id=base.current_snapshot_id,
+                sequence_number=base.next_sequence_number(),
+                timestamp_ms=int(time.time() * 1000),
+                operation=OP_APPEND,
+                manifest_list=ml_name,
+                summary={**snap.summary,
+                         "source-snapshot-id": str(snap.snapshot_id)},
+                schema_id=base.current_schema_id,
+            )
+            return base.with_snapshot(new_snap, set_current=True)
         return self._commit_metadata_edit(do)
 
     def update_properties(self, set_props: Optional[dict] = None,

@@ -397,7 +397,26 @@ def coerce_literal(value: Any, type_str: str) -> Any:
                     + _dt.timedelta(microseconds=int(value)))
         raise TypeError(f"cannot coerce {value!r} to timestamp")
     if type_str.startswith("decimal"):
-        return value if isinstance(value, Decimal) else Decimal(str(value))
+        d = value if isinstance(value, Decimal) else Decimal(str(value))
+        # rescale to the column's declared scale so downstream unscaled-value
+        # consumers (bucket hash, truncate) see the stored representation —
+        # e.g. 12.5 must become 12.50 (unscaled 1250) for decimal(_, 2).
+        # Rescaling that would LOSE digits is rejected, matching the
+        # reference Literal.to() (ref: api/.../expressions/Literals.java).
+        import re as _re
+        m = _re.match(r"decimal\(\s*\d+\s*,\s*(\d+)\s*\)", type_str)
+        if m:
+            from decimal import Inexact, localcontext
+            scale = int(m.group(1))
+            try:
+                with localcontext() as ctx:
+                    ctx.traps[Inexact] = True
+                    d = d.quantize(Decimal(1).scaleb(-scale))
+            except Inexact:
+                raise TypeError(
+                    f"cannot coerce {value!r} to {type_str} without "
+                    "precision loss")
+        return d
     if type_str in ("binary",) or type_str.startswith("fixed"):
         return bytes(value)
     if type_str == "uuid":

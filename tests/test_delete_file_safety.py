@@ -1,0 +1,103 @@
+"""DML/compaction must treat v2 delete files as metadata, not data.
+
+Regressions covered:
+  - delete_where CoW rewrite of a file with pending equality deletes must
+    not resurrect the deleted rows (rewrite reads LIVE rows).
+  - rewrite_data_files must not select delete files as compaction input,
+    must carry them through the swap, and must apply pending deletes.
+  - cherry_pick with a divergent base must re-apply the staged append on
+    the CURRENT base instead of fast-forwarding to the staged snapshot's
+    stale manifest list (ref: core/.../SnapshotManager.java:65-171).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog import manifests as M
+from linkedin_iceberg_spark.expressions import gt_eq
+
+
+@pytest.fixture()
+def orders_df(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _eq_delete(spark, t, lo, hi):
+    keys = spark.createDataFrame([(k,) for k in range(lo, hi)],
+                                 "o_orderkey bigint")
+    t.row_delta(equality_delete_keys=keys, key_cols=["o_orderkey"])
+
+
+def test_delete_where_does_not_resurrect_eq_deleted_rows(
+        catalog, orders_df, spark):
+    t = catalog.create_table("db.dw_safety", orders_df)
+    t.append(orders_df)
+    n = orders_df.count()
+    n_lt50 = orders_df.filter(F.col("o_orderkey") < 50).count()
+    _eq_delete(spark, t, 0, 50)
+    assert t.to_df().count() == n - n_lt50
+
+    # partial-file delete forces a CoW rewrite of files that ALSO carry the
+    # pending equality delete; the rewrite must read live rows only
+    hi_cut = 90000
+    n_hi = t.to_df().filter(F.col("o_totalprice") >= hi_cut).count()
+    t.delete_where(gt_eq("o_totalprice", float(hi_cut)))
+    out = t.to_df()
+    assert out.count() == n - n_lt50 - n_hi
+    assert out.filter(F.col("o_orderkey") < 50).count() == 0  # stayed dead
+    assert out.filter(F.col("o_totalprice") >= hi_cut).count() == 0
+
+
+def test_delete_where_keeps_delete_files_live(catalog, orders_df, spark):
+    t = catalog.create_table("db.dw_keep", orders_df)
+    t.append(orders_df)
+    _eq_delete(spark, t, 0, 50)
+    t.delete_where(gt_eq("o_totalprice", 90000.0))
+    # the equality delete file must still be present (not dropped/rewritten)
+    contents = {e.data_file.content for e in t._live_entries()}
+    assert M.CONTENT_EQUALITY_DELETES in contents
+    # and still scope correctly: a later re-append of the keys survives
+    t.append(orders_df.filter((F.col("o_orderkey") < 50)
+                              & (F.col("o_totalprice") < 90000)))
+    back = t.to_df().filter(F.col("o_orderkey") < 50).count()
+    assert back == orders_df.filter((F.col("o_orderkey") < 50)
+                                    & (F.col("o_totalprice") < 90000)).count()
+
+
+def test_compaction_applies_pending_deletes(catalog, orders_df, spark):
+    t = catalog.create_table("db.cp_safety", orders_df)
+    for i in range(4):
+        t.append(orders_df.filter(F.col("o_orderkey") % 4 == i))
+    n = orders_df.count()
+    n_lt50 = orders_df.filter(F.col("o_orderkey") < 50).count()
+    _eq_delete(spark, t, 0, 50)
+    assert t.to_df().count() == n - n_lt50
+
+    stats = t.rewrite_data_files(min_input_files=2)
+    assert stats["rewritten_files"] > 0
+    # counts unchanged by compaction; deleted rows still gone
+    out = t.to_df()
+    assert out.count() == n - n_lt50
+    assert out.filter(F.col("o_orderkey") < 50).count() == 0
+    # no all-null garbage rows from misread delete files
+    assert out.filter(F.col("o_orderkey").isNull()).count() == 0
+
+
+def test_cherry_pick_divergent_base_keeps_later_commits(catalog, orders_df):
+    a = orders_df.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders_df.filter(F.col("o_orderkey") % 3 == 1)
+    c = orders_df.filter(F.col("o_orderkey") % 3 == 2)
+    t = catalog.create_table("db.cp_div", orders_df)
+    t.append(a)
+    t.append(b, wap_id="wap-b")        # staged, current still = A
+    staged_id = t.metadata.staged_wap["wap-b"]
+    t.append(c)                        # current = A + C (divergent from stage)
+    t.cherry_pick(staged_id)
+    # all three batches must be present — fast-forwarding to the staged
+    # snapshot would have dropped C
+    assert t.to_df().count() == a.count() + b.count() + c.count()
+    # published WAP id is detected: picking it again must fail
+    with pytest.raises(ValueError, match="duplicate"):
+        t.cherry_pick(staged_id)

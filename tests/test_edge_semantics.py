@@ -1,0 +1,75 @@
+"""Edge-case semantics: decimal literal rescaling, decimal-0 hash bytes,
+string upper-bound truncation at the surrogate boundary, and the
+null-vs-empty-string partition-value ambiguity."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog import manifests as M
+from linkedin_iceberg_spark.catalog.stats import truncate_upper
+from linkedin_iceberg_spark.expressions import bind, eq
+from linkedin_iceberg_spark.schema import Schema
+from linkedin_iceberg_spark.transforms.bucket_hash import to_hash_bytes
+
+
+from pyspark.sql import types as T
+
+
+def _dec_schema():
+    return Schema.from_spark(T.StructType([
+        T.StructField("d", T.DecimalType(9, 2)),
+        T.StructField("s", T.StringType())]))
+
+
+def test_decimal_literal_rescaled_to_column_scale():
+    bound = bind(_dec_schema(), eq("d", Decimal("12.5")))
+    lit = bound.literal
+    assert lit == Decimal("12.50") and lit.as_tuple().exponent == -2
+    # the unscaled value seen by bucket/truncate is the STORED one
+    assert to_hash_bytes(lit, "decimal(9,2)") == \
+        to_hash_bytes(Decimal("12.50"), "decimal(9,2)")
+
+
+def test_decimal_literal_precision_loss_rejected():
+    with pytest.raises(TypeError, match="precision"):
+        bind(_dec_schema(), eq("d", Decimal("1.005")))
+
+
+def test_decimal_zero_hash_bytes_single_zero_byte():
+    # Java BigInteger.ZERO.toByteArray() == [0x00]
+    assert to_hash_bytes(Decimal("0"), "decimal(9,2)") == b"\x00"
+    assert to_hash_bytes(Decimal("0.00"), "decimal(9,2)") == b"\x00"
+
+
+def test_truncate_upper_skips_surrogate_block():
+    s = "a" * 16 + "zz"
+    prefix15_d7ff = "a" * 15 + "퟿" + "zz"
+    out = truncate_upper(prefix15_d7ff, 16)
+    # U+D7FF must jump to U+E000, never a lone surrogate
+    assert out == "a" * 15 + ""
+    out.encode("utf-8")  # must be valid UTF-8
+    assert out > prefix15_d7ff[:16]
+    assert truncate_upper(s, 16) == "a" * 15 + "b"
+
+
+def test_empty_string_partition_distinct_from_null(catalog, spark):
+    from linkedin_iceberg_spark import PartitionSpec
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x"), (4, "")], "id long, s string")
+    spec = PartitionSpec.builder_for(Schema.from_spark(df.schema)) \
+        .identity("s").build()
+    t = catalog.create_table("db.empty_part", df, spec=spec)
+    t.append(df)
+    parts = {e.data_file.partition["s"] for e in t._live_entries()
+             if e.data_file.content == M.CONTENT_DATA}
+    # "" and null are DISTINCT partitions (Spark's dir encoding collapses
+    # them; the injective write-column prefix keeps them apart)
+    assert "" in parts and None in parts and "x" in parts
+    # pruning on the empty string must keep (only) the matching file
+    tasks = t.new_scan().filter(eq("s", "")).plan_files()
+    assert len(tasks) == 1
+    got = t.scan(row_filter=eq("s", "")).select("id").orderBy("id")
+    assert [r.id for r in got.collect()] == [1, 4]
+    assert t.to_df().filter(F.col("s").isNull()).count() == 1
