@@ -38,7 +38,7 @@ HEADLINE = [
     "set_dedup_rows",
     "scalar_string_funcs",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_full",
     "similarity_topk",
     "text_quality_score",
     "events_tumbling_window",

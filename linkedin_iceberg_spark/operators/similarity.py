@@ -71,29 +71,77 @@ def _deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list:
     return planes
 
 
-def ann_lsh_candidates(df: DataFrame, n_planes: int = 8,
-                       id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int = None) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign bits of `n_planes` projections.
-    Returns candidate pairs (v1, v2, bucket) joined within buckets only —
-    the shuffle key is an int bucket id.  Recall is tuned by running
-    multiple plane sets (union of candidates) at scale."""
-    if dim is None:
-        first = df.select(F.size(vec_col)).head()
-        dim = first[0] if first else 0
-    planes = _deterministic_planes(dim, n_planes)
+def _table_seed(table_idx: int, seed: int = 42) -> int:
+    return seed + 7919 * table_idx
+
+
+def _bucket_column(vec_col: str, planes: list):
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         plit = F.array(*[F.lit(x) for x in plane])
         sign = F.when(_dot(F.col(vec_col), plit) >= 0, F.lit(1 << i)) \
             .otherwise(F.lit(0))
         bucket = bucket + sign
-    bucketed = df.select(F.col(id_col), bucket.alias("bucket"))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+    return bucket
+
+
+def ann_lsh_candidates(df: DataFrame, n_planes: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int = None, n_tables: int = 1) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign bits of `n_planes` projections.
+    Returns candidate pairs (v1, v2, table_id, bucket) joined within buckets
+    only — the shuffle key is a small int pair.  `n_tables` independent
+    plane sets (distinct seeds) are unioned to raise recall: a pair whose
+    angle gives per-table collision probability p is missed with
+    probability (1-p)^n_tables.  At 100 TB this is the standard
+    multi-table LSH trade: recall grows with n_tables at linear cost, and
+    each table's join stays bucket-local."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).head()
+        dim = first[0] if first else 0
+    parts = []
+    for t in range(n_tables):
+        planes = _deterministic_planes(dim, n_planes, seed=_table_seed(t))
+        bucketed = df.select(F.col(id_col),
+                             F.lit(t).alias("table_id"),
+                             _bucket_column(vec_col, planes).alias("bucket"))
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        parts.append(
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("v1"),
                     F.col(f"b.{id_col}").alias("v2"),
-                    F.col("a.bucket").alias("bucket"))
-            .orderBy("v1", "v2"))
+                    F.col("a.table_id").alias("table_id"),
+                    F.col("a.bucket").alias("bucket")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_id", "v1", "v2")
+
+
+def ann_lsh_oracle_sql(dim: int, n_planes: int = 8,
+                       table: str = "embeddings", id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       where: str = "") -> str:
+    """ANSI-SQL equivalent of the single-table ann_lsh_candidates bucketing,
+    with the deterministic plane constants INLINED — lets a second engine
+    (DuckDB) recompute the exact same buckets and candidate pairs, giving
+    the LSH path a real correctness oracle."""
+    planes = _deterministic_planes(dim, n_planes, seed=_table_seed(0))
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product({vec_col}::DOUBLE[], {lit})"
+                     f" >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    w = f"WHERE {where}" if where else ""
+    return f"""
+WITH bucketed AS (
+  SELECT {id_col}, {bucket} AS bucket FROM {table} {w}
+)
+SELECT a.{id_col} AS v1, b.{id_col} AS v2, 0 AS table_id,
+       a.bucket AS bucket
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+ORDER BY table_id, v1, v2"""

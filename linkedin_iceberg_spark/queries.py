@@ -869,13 +869,45 @@ def dedup_ngram_jaccard(spark, sf_dir):
             .orderBy("d1", "d2"))
 
 
-@q("dedup_minhash_lsh")  # hash-function-specific: rows-only check
+@q("dedup_minhash_lsh", r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents WHERE doc_id < 250)
+  WHERE length(w) > 0
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(i * 1.0 / (c1.n + c2.n - i), 4) AS jaccard
+FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.9
+ORDER BY d1, d2""")
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH banding near-dup candidates (SURVEY.md M7).
+    """MinHash + LSH banding with exact verification (SURVEY.md M7).
 
     shingle -> K minhashes (xxhash64 with K seeds) -> B bands of R rows ->
-    band-hash bucket join.  Scale: the ONLY join is on (band, bucket-hash) —
-    candidate pairs, not all pairs.  Deterministic (seeded hashes)."""
+    band-hash bucket join -> exact Jaccard on candidates only.  Scale: the
+    only joins are the band-bucket self-join and the candidate-restricted
+    verify — never all pairs.  At r=2/b=16 a pair at J >= 0.9 is missed
+    w.p. < 4e-12, so the output equals the exact all-pairs oracle (which
+    the driver checks in plain SQL).  The uncapped candidates-only variant
+    is dedup_minhash_lsh_full."""
+    from linkedin_iceberg_spark.operators.dedup import minhash_lsh_verified
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return minhash_lsh_verified(d, text_col="text", id_col="doc_id",
+                                threshold=0.9, num_hashes=32, bands=16,
+                                shingle_n=1)
+
+
+@q("dedup_minhash_lsh_full")  # hash-function-specific: rows-only check
+def dedup_minhash_lsh_full(spark, sf_dir):
+    """Uncapped MinHash-LSH candidate generation (3-gram shingles) — the
+    100 TB scale path benched as a headline query; candidates only, no
+    verify stage."""
     from linkedin_iceberg_spark.operators.dedup import minhash_lsh_candidates
     d = ld(spark, sf_dir, "documents")
     return minhash_lsh_candidates(d, text_col="text", id_col="doc_id",
@@ -924,14 +956,26 @@ def similarity_pairs(spark, sf_dir):
                         vec_col="embedding")
 
 
-@q("similarity_ann_lsh")  # random-hyperplane specific: rows-only check
+def _ann_oracle() -> str:
+    from linkedin_iceberg_spark.operators.similarity import ann_lsh_oracle_sql
+    return ann_lsh_oracle_sql(dim=64, n_planes=8)
+
+
+@q("similarity_ann_lsh", None)  # oracle attached below (generated SQL)
 def similarity_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate NN: deterministic random-hyperplane signs
-    bucket vectors; candidates only within buckets."""
+    bucket vectors; candidates only within buckets.  The oracle re-computes
+    the SAME planes/buckets in DuckDB (plane constants inlined in the SQL),
+    so the full LSH path — projection, sign bits, bucket join — is
+    value-checked, not just row-counted."""
     from linkedin_iceberg_spark.operators.similarity import ann_lsh_candidates
     e = ld(spark, sf_dir, "embeddings")
     return ann_lsh_candidates(e, n_planes=8, id_col="vec_id",
-                              vec_col="embedding")
+                              vec_col="embedding", dim=64)
+
+
+_REGISTRY["similarity_ann_lsh"] = (_REGISTRY["similarity_ann_lsh"][0],
+                                   _ann_oracle())
 
 
 @q("text_token_stats", """
