@@ -44,7 +44,7 @@ def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
     other formats are rejected at the writer, so fmt is always parquet when
     positions are required — other formats only reach here for equality
     deletes, where _pos is unused (kept for a uniform shape via a null)."""
-    from linkedin_iceberg_spark.schema import type_to_spark
+    from linkedin_iceberg_spark.catalog.scan import align_columns
     schema = md.schema
     written = md.schema_by_id(schema_id)
     base = spark.read.schema(written.to_spark()).format(fmt).load(paths) \
@@ -54,18 +54,7 @@ def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
         base = base.withColumn("_pos", F.col("_metadata.row_index"))
     else:
         base = base.withColumn("_pos", F.lit(None).cast("long"))
-    cols = []
-    for fld in schema.fields:
-        old = written.name_for_id(fld.field_id)
-        st = type_to_spark(fld.type)
-        if old is None:
-            cols.append(F.lit(None).cast(st).alias(fld.name))
-        else:
-            c = F.col(old)
-            if written.find_field(fld.field_id).type != fld.type:
-                c = c.cast(st)
-            cols.append(c.alias(fld.name))
-    return base.select(*cols, "_file", "_pos")
+    return base.select(*align_columns(written, schema), "_file", "_pos")
 
 
 def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:

@@ -282,12 +282,69 @@ def _partition_compatible(delete_file, data_file) -> bool:
     return delete_file.partition == data_file.partition
 
 
+def _align_expr(cexpr, written_t, current_t):
+    """Recursively build a Column producing `current_t` from a column of
+    `written_t`, matching nested struct fields BY FIELD ID (ref: the core
+    read path's projection visitor; SchemaUpdate semantics require
+    rename/add/drop/promote INSIDE structs to never corrupt old files).
+
+    cexpr=None means the field does not exist in the written file -> null."""
+    from linkedin_iceberg_spark.schema import (
+        ListTypeDef, MapTypeDef, StructTypeDef)
+
+    if cexpr is None:
+        return F.lit(None).cast(type_to_spark(current_t))
+    if written_t == current_t:
+        return cexpr  # identical subtree: pass through untouched
+    if isinstance(current_t, str):
+        return cexpr.cast(type_to_spark(current_t))  # safe promotions only
+    if isinstance(current_t, StructTypeDef):
+        by_id = {f.field_id: f for f in written_t.fields} \
+            if isinstance(written_t, StructTypeDef) else {}
+        parts = []
+        for f in current_t.fields:
+            wf = by_id.get(f.field_id)
+            sub = cexpr.getField(wf.name) if wf is not None else None
+            parts.append(_align_expr(sub, wf.type if wf else None,
+                                     f.type).alias(f.name))
+        built = F.struct(*parts)
+        # preserve null structs (struct(nulls) != null)
+        return F.when(cexpr.isNotNull(), built) \
+            .otherwise(F.lit(None).cast(type_to_spark(current_t)))
+    if isinstance(current_t, ListTypeDef):
+        we = written_t.element if isinstance(written_t, ListTypeDef) else None
+        return F.transform(cexpr, lambda x: _align_expr(x, we,
+                                                        current_t.element))
+    if isinstance(current_t, MapTypeDef):
+        wk = written_t.key if isinstance(written_t, MapTypeDef) else None
+        wv = written_t.value if isinstance(written_t, MapTypeDef) else None
+        return F.map_from_arrays(
+            F.transform(F.map_keys(cexpr),
+                        lambda k: _align_expr(k, wk, current_t.key)),
+            F.transform(F.map_values(cexpr),
+                        lambda v: _align_expr(v, wv, current_t.value)))
+    raise TypeError(f"cannot align type {current_t!r}")
+
+
+def align_columns(written, current) -> list:
+    """Per-top-level-field alignment expressions from `written` to `current`
+    schema (shared by the plain scan and the delete-applying read)."""
+    cols = []
+    for f in current.fields:
+        old_name = written.name_for_id(f.field_id)
+        old_f = written.find_field(f.field_id) if old_name else None
+        cexpr = F.col(old_name) if old_name is not None else None
+        cols.append(_align_expr(cexpr, old_f.type if old_f else None,
+                                f.type).alias(f.name))
+    return cols
+
+
 def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
                                  paths_by_schema: dict) -> DataFrame:
     """Read data files written under (possibly) older schemas/formats and
     project to the current schema BY FIELD ID (ref: core read path
     projection + SchemaUpdate semantics: rename/add/drop/promote never
-    corrupt old files).
+    corrupt old files — including nested struct fields).
 
     Files are grouped by (written schema, file format); each group is
     renamed/padded/cast to the current schema, then unioned.  All Spark-side,
@@ -302,19 +359,6 @@ def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
         written = md.schema_by_id(sid)
         df = spark.read.schema(written.to_spark()).format(fmt) \
             .load(group_paths)
-        # align: for each current field, find by id in written schema
-        cols = []
-        for f in current.fields:
-            old_name = written.name_for_id(f.field_id)
-            spark_t = type_to_spark(f.type)
-            if old_name is None:
-                cols.append(F.lit(None).cast(spark_t).alias(f.name))
-            else:
-                old_f = written.find_field(f.field_id)
-                c = F.col(old_name)
-                if old_f.type != f.type:
-                    c = c.cast(spark_t)  # safe promotions only (int->long etc.)
-                cols.append(c.alias(f.name))
-        df = df.select(*cols)
+        df = df.select(*align_columns(written, current))
         out = df if out is None else out.unionByName(df)
     return out if out is not None else spark.createDataFrame([], cur_spark)

@@ -310,6 +310,7 @@ class Table:
                                     types_by_id, ptypes)
             info.manifest_path = mname
             infos = [info, *self._base_manifest_infos(base)]
+            infos = self._merge_small_manifests(infos, base)
             summary = {
                 "added-data-files": str(len(files)),
                 "added-records": str(sum(f.record_count for f in files)),
@@ -318,6 +319,71 @@ class Table:
             return infos, summary, None
 
         return self._commit(build, OP_APPEND, wap_id=wap_id)
+
+    # manifest merge on commit (ref: core/.../ManifestMergeManager.java,
+    # TableProperties.java:38-45: target 8 MB, min-count 100, enabled)
+    MANIFEST_MIN_MERGE_COUNT_DEFAULT = 100
+    MANIFEST_TARGET_ENTRIES = 10_000  # ~8 MB of parquet manifest rows
+
+    def _merge_small_manifests(self, infos: list, base: TableMetadata) -> list:
+        """Merge small manifests at commit time once their count passes
+        commit.manifest.min-count-to-merge, so a long-lived table with
+        thousands of appends keeps planning O(merged manifests) without
+        waiting for a manual rewrite_manifests() (the reference's default
+        MergeAppend behavior).  Delete manifests are binned separately from
+        data manifests; large manifests pass through untouched."""
+        props = self.properties
+        if props.get("commit.manifest-merge.enabled", "true").lower() \
+                not in ("true", "1"):
+            return infos
+        min_count = int(props.get("commit.manifest.min-count-to-merge",
+                                  self.MANIFEST_MIN_MERGE_COUNT_DEFAULT))
+        if len(infos) < min_count:
+            return infos
+        target = self.MANIFEST_TARGET_ENTRIES
+        types_by_id = self._types_by_id()
+        ptypes = base.spec.partition_type()
+
+        out: list = []
+        for content in sorted({i.content for i in infos}):
+            group = [i for i in infos if i.content == content]
+            small = [i for i in group
+                     if (i.added_files_count + i.existing_files_count)
+                     < target]
+            out.extend(i for i in group if i not in small)
+            # bin-pack small manifests up to the target entry count
+            bins: list = []
+            cur: list = []
+            cur_n = 0
+            for i in small:
+                n = i.added_files_count + i.existing_files_count
+                if cur and cur_n + n > target:
+                    bins.append(cur)
+                    cur, cur_n = [], 0
+                cur.append(i)
+                cur_n += n
+            if cur:
+                bins.append(cur)
+            for b in bins:
+                if len(b) == 1:
+                    out.append(b[0])
+                    continue
+                merged: list = []
+                for i in b:
+                    for e in M.read_manifest(
+                            self.ops.new_metadata_path(i.manifest_path),
+                            types_by_id, ptypes):
+                        if e.status == M.STATUS_DELETED:
+                            continue
+                        merged.append(M.ManifestEntry(
+                            M.STATUS_EXISTING, e.snapshot_id,
+                            e.sequence_number, e.data_file))
+                name = M.new_manifest_name()
+                info = M.write_manifest(self.ops.new_metadata_path(name),
+                                        merged, types_by_id, ptypes)
+                info.manifest_path = name
+                out.append(info)
+        return out
 
     def _merge_schema(self, df: DataFrame) -> None:
         """Union-by-name schema evolution for merge_schema appends."""

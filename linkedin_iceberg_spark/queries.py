@@ -1153,6 +1153,37 @@ def table_schema_evolution(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_schema_evolution_nested", """
+SELECT o_orderkey, o_totalprice AS amount,
+       CASE WHEN o_orderkey < 100 THEN 'web' END AS note
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
+def table_schema_evolution_nested(spark, sf_dir):
+    """Nested-field schema evolution (W11, ref: core/.../SchemaUpdate.java:91-284):
+    rename + add + delete INSIDE a struct after data is written; old files
+    read under the new schema by field id, recursively."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    df = o.select("o_orderkey",
+                  F.struct(F.col("o_totalprice").alias("price"),
+                           F.col("o_orderstatus").alias("status"))
+                  .alias("info"))
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_nested", df)
+    t.append(df.filter(F.col("o_orderkey") >= 100))
+    (t.update_schema()
+     .rename_column("info.price", "amount")
+     .add_column("info.note", "string")
+     .delete_column("info.status")
+     .commit())
+    t.append(o.filter(F.col("o_orderkey") < 100)
+             .select("o_orderkey",
+                     F.struct(F.col("o_totalprice").alias("amount"),
+                              F.lit("web").alias("note")).alias("info")))
+    return (t.to_df()
+            .select("o_orderkey", F.col("info.amount").alias("amount"),
+                    F.col("info.note").alias("note"))
+            .orderBy("o_orderkey"))
+
+
 @q("table_overwrite_dynamic", """
 SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")

@@ -209,13 +209,25 @@ class Schema:
             self._name_by_id.setdefault(f.field_id, name)
 
     # -- traversal ----------------------------------------------------------
+    @staticmethod
+    def _nested_struct(t) -> Optional[StructTypeDef]:
+        """The struct reachable through a (possibly list/map-wrapped) type —
+        fields inside array<struct<...>> / map<_, struct<...>> are
+        addressable as "parent.child" like the reference's TypeUtil
+        indexByName short names."""
+        if isinstance(t, ListTypeDef):
+            t = t.element
+        if isinstance(t, MapTypeDef):
+            t = t.value
+        return t if isinstance(t, StructTypeDef) else None
+
     def _all_fields(self) -> Iterator[NestedField]:
         def walk(fields):
             for f in fields:
                 yield f
-                t = f.type
-                if isinstance(t, StructTypeDef):
-                    yield from walk(t.fields)
+                st = self._nested_struct(f.type)
+                if st is not None:
+                    yield from walk(st.fields)
         yield from walk(self.fields)
 
     def _leaf_and_top_names(self):
@@ -223,8 +235,9 @@ class Schema:
             for f in fields:
                 full = f"{prefix}{f.name}"
                 yield full, f
-                if isinstance(f.type, StructTypeDef):
-                    yield from walk(f.type.fields, full + ".")
+                st = self._nested_struct(f.type)
+                if st is not None:
+                    yield from walk(st.fields, full + ".")
         yield from walk(self.fields, "")
 
     # -- lookups ------------------------------------------------------------
