@@ -19,10 +19,37 @@ from pyspark.sql import types as T
 from linkedin_iceberg_spark.transforms.bucket_hash import murmur3_32, to_hash_bytes
 
 
+def _to_i64_micros(dt_vals) -> "object":
+    """datetime64[*] ndarray -> int64 epoch micros."""
+    import numpy as np
+    unit = np.datetime_data(dt_vals.dtype)[0]
+    i = dt_vals.view("i8")
+    if unit == "ns":
+        return i // 1000
+    if unit == "us":
+        return i
+    if unit == "ms":
+        return i * 1000
+    if unit == "s":
+        return i * 1_000_000
+    raise ValueError(f"unsupported datetime unit {unit}")
+
+
 @lru_cache(maxsize=64)
 def bucket_udf(src_type: str, n: int):
-    """Returns a pandas UDF computing Iceberg bucket ids for `src_type`."""
+    """Returns a pandas UDF computing Iceberg bucket ids for `src_type`.
+
+    Vectorized: the whole Arrow batch is hashed in numpy (int64 fast path
+    for int/long/date/time/timestamp; packed-block path for string/decimal/
+    binary/uuid).  The scalar murmur3_32 remains the parity reference and
+    the fallback for exotic inputs."""
+    import numpy as np
+
     from linkedin_iceberg_spark.shipping import ship_to_active_session
+    from linkedin_iceberg_spark.transforms.bucket_hash import (
+        murmur3_32_vec_bytes,
+        murmur3_32_vec_i64,
+    )
     ship_to_active_session()  # executors must import this module
 
     def _one(v):
@@ -32,8 +59,46 @@ def bucket_udf(src_type: str, n: int):
             v = v.to_pydatetime()
         return (murmur3_32(to_hash_bytes(v, src_type)) & 0x7FFFFFFF) % n
 
+    def _ids(h: "np.ndarray", mask: "np.ndarray") -> pd.Series:
+        out = (h.astype(np.int64) & 0x7FFFFFFF) % n
+        s = pd.Series(out, dtype="Int32")
+        s[mask] = pd.NA
+        return s
+
     @F.pandas_udf(T.IntegerType())
     def _bucket(s: pd.Series) -> pd.Series:
+        try:
+            if src_type in ("int", "long", "time"):
+                mask = s.isna().to_numpy()
+                v = pd.to_numeric(s).fillna(0).to_numpy(np.int64)
+                return _ids(murmur3_32_vec_i64(v), mask)
+            if src_type in ("timestamp", "timestamptz"):
+                dt = pd.to_datetime(s)
+                if getattr(dt.dt, "tz", None) is not None:
+                    dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+                mask = dt.isna().to_numpy()
+                micros = _to_i64_micros(dt.to_numpy())
+                micros = np.where(mask, 0, micros)
+                return _ids(murmur3_32_vec_i64(micros), mask)
+            if src_type == "date":
+                dt = pd.to_datetime(s)
+                mask = dt.isna().to_numpy()
+                days = _to_i64_micros(dt.to_numpy()) // 86_400_000_000
+                days = np.where(mask, 0, days)
+                return _ids(murmur3_32_vec_i64(days), mask)
+            if src_type == "string":
+                mask = s.isna().to_numpy()
+                items = [b"" if m else str(v).encode("utf-8")
+                         for v, m in zip(s.to_numpy(), mask)]
+                return _ids(murmur3_32_vec_bytes(items), mask)
+            if src_type.startswith(("decimal", "fixed")) or \
+                    src_type in ("binary", "uuid"):
+                mask = s.isna().to_numpy()
+                items = [b"" if m else to_hash_bytes(v, src_type)
+                         for v, m in zip(s.to_numpy(), mask)]
+                return _ids(murmur3_32_vec_bytes(items), mask)
+        except (TypeError, ValueError, OverflowError):
+            pass  # fall back to the scalar parity path
         return s.map(_one).astype("Int32")
 
     return _bucket
