@@ -47,13 +47,18 @@ def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
     from linkedin_iceberg_spark.catalog.scan import align_columns
     schema = md.schema
     written = md.schema_by_id(schema_id)
-    base = spark.read.schema(written.to_spark()).format(fmt).load(paths) \
-        .withColumn("_file", F.regexp_replace(
-            F.col("_metadata.file_path"), "^file:", ""))
-    if fmt == "parquet":
-        base = base.withColumn("_pos", F.col("_metadata.row_index"))
+    if fmt == "avro":
+        from linkedin_iceberg_spark.sources.avro_spark import read_avro_files
+        base = read_avro_files(spark, paths, written, with_file_col=True) \
+            .withColumn("_pos", F.lit(None).cast("long"))
     else:
-        base = base.withColumn("_pos", F.lit(None).cast("long"))
+        base = spark.read.schema(written.to_spark()).format(fmt).load(paths) \
+            .withColumn("_file", F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:", ""))
+        if fmt == "parquet":
+            base = base.withColumn("_pos", F.col("_metadata.row_index"))
+        else:
+            base = base.withColumn("_pos", F.lit(None).cast("long"))
     return base.select(*align_columns(written, schema), "_file", "_pos")
 
 

@@ -183,8 +183,14 @@ def remove_orphan_files(table, older_than_ms: Optional[int] = None,
                         dry_run: bool = False) -> dict:
     """Delete data files on disk not referenced by ANY snapshot (A4).
 
-    listing DF ⟕anti⟖ valid-files DF, age-gated so in-flight (uncommitted)
-    writes are never swept — same guard as the reference's 3-day default."""
+    Fully distributed, matching RemoveOrphanFilesAction.java:70-257: the
+    per-commit staging directories fan out to executors, each of which walks
+    its directories and emits (file_path, mtime); the orphan set is a
+    ``left_anti`` join against the manifest-referenced files; deletion runs
+    via ``foreachPartition`` on executors.  Age-gated so in-flight
+    (uncommitted) writes are never swept — same guard as the reference's
+    3-day default.  Driver work is one readdir of data/ — O(commits), never
+    O(files)."""
     spark = table.spark
     md = table.metadata
     cutoff = older_than_ms if older_than_ms is not None \
@@ -192,19 +198,39 @@ def remove_orphan_files(table, older_than_ms: Optional[int] = None,
     data_dir = os.path.join(md.location, "data")
     if not os.path.isdir(data_dir):
         return {"orphans_deleted": 0}
-    listed = []
-    for root, _d, files in os.walk(data_dir):
-        for fn in files:
-            # data files only; skip Spark job markers / checksums
-            if fn.startswith((".", "_")) or \
-                    not fn.endswith((".parquet", ".orc", ".avro")):
-                continue
-            p = os.path.join(root, fn)
-            if os.path.getmtime(p) * 1000 < cutoff:
-                listed.append((p,))
-    if not listed:
+    dirs = [(os.path.join(data_dir, d),) for d in os.listdir(data_dir)
+            if os.path.isdir(os.path.join(data_dir, d))]
+    if not dirs:
         return {"orphans_deleted": 0}
-    listed_df = spark.createDataFrame(listed, "file_path string")
+    n_slices = min(len(dirs), spark.sparkContext.defaultParallelism)
+    dirs_df = spark.createDataFrame(dirs, "dir string") \
+        .repartition(n_slices)
+
+    def list_files(batches):
+        import os as _os
+
+        import pandas as _pd
+        for pdf in batches:
+            out_p, out_m = [], []
+            for d in pdf["dir"]:
+                for root, _sub, files in _os.walk(d):
+                    for fn in files:
+                        # data files only; skip job markers / checksums
+                        if fn.startswith((".", "_")) or not fn.endswith(
+                                (".parquet", ".orc", ".avro")):
+                            continue
+                        p = _os.path.join(root, fn)
+                        try:
+                            mt = int(_os.path.getmtime(p) * 1000)
+                        except FileNotFoundError:
+                            continue
+                        out_p.append(p)
+                        out_m.append(mt)
+            yield _pd.DataFrame({"file_path": out_p, "mtime_ms": out_m})
+
+    listed_df = dirs_df.mapInPandas(list_files,
+                                    "file_path string, mtime_ms long") \
+        .filter(F.col("mtime_ms") < cutoff).select("file_path")
 
     lists = [table.ops.new_metadata_path(s.manifest_list)
              for s in md.snapshots]
@@ -213,13 +239,20 @@ def remove_orphan_files(table, older_than_ms: Optional[int] = None,
                      for r in spark.read.parquet(*lists)
                      .select("manifest_path").distinct().collect()]
         valid = spark.read.parquet(*man_paths).select("file_path").distinct()
-        orphans = listed_df.join(valid, "file_path", "left_anti").collect()
+        orphans_df = listed_df.join(valid, "file_path", "left_anti")
     else:
-        orphans = listed_df.collect()
-    if not dry_run:
-        for r in orphans:
-            _rm(r.file_path)
-    return {"orphans_deleted": len(orphans)}
+        orphans_df = listed_df
+    n = orphans_df.count()
+    if n and not dry_run:
+        def delete_part(rows):
+            import os as _os
+            for r in rows:
+                try:
+                    _os.unlink(r.file_path)
+                except FileNotFoundError:
+                    pass
+        orphans_df.foreachPartition(delete_part)
+    return {"orphans_deleted": n}
 
 
 def _rm(path: str) -> None:

@@ -258,13 +258,29 @@ def match_deletes(data_entries: list, delete_entries: list) -> list:
     apply only to STRICTLY older files (rows committed with or after the
     delete survive); position deletes apply to same-or-older files (they may
     be committed alongside the data they target).  Shared by scan planning
-    and the DML/compaction rewrite paths (both must see live rows)."""
+    and the DML/compaction rewrite paths (both must see live rows).
+
+    Deletes are indexed by partition tuple (global deletes separately), so
+    matching is O(data x deletes-in-partition), not O(data x all-deletes) —
+    the same partition-keyed index DeleteFileIndex builds."""
+    if not delete_entries:
+        return [FileScanTask(e.data_file, [], e.sequence_number)
+                for e in data_entries]
+    global_deletes: list = []
+    by_partition: dict = {}
+    for d in delete_entries:
+        p = d.data_file.partition
+        if not p:
+            global_deletes.append(d)
+        else:
+            by_partition.setdefault(
+                tuple(sorted(p.items(), key=lambda kv: kv[0])), []).append(d)
     tasks = []
     for e in data_entries:
+        key = tuple(sorted(e.data_file.partition.items(),
+                           key=lambda kv: kv[0]))
         deletes = []
-        for d in delete_entries:
-            if not _partition_compatible(d.data_file, e.data_file):
-                continue
+        for d in (*global_deletes, *by_partition.get(key, ())):
             if d.data_file.content == M.CONTENT_EQUALITY_DELETES:
                 if d.sequence_number > e.sequence_number:
                     deletes.append(d)
@@ -274,12 +290,6 @@ def match_deletes(data_entries: list, delete_entries: list) -> list:
     return tasks
 
 
-def _partition_compatible(delete_file, data_file) -> bool:
-    """Global (partition-less) deletes apply everywhere; partitioned deletes
-    only within their partition."""
-    if not delete_file.partition:
-        return True
-    return delete_file.partition == data_file.partition
 
 
 def _align_expr(cexpr, written_t, current_t):
@@ -357,8 +367,13 @@ def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
         sid, fmt = key if isinstance(key, tuple) else (key, "parquet")
         group_paths = paths_by_schema[key]
         written = md.schema_by_id(sid)
-        df = spark.read.schema(written.to_spark()).format(fmt) \
-            .load(group_paths)
+        if fmt == "avro":
+            from linkedin_iceberg_spark.sources.avro_spark import (
+                read_avro_files)
+            df = read_avro_files(spark, group_paths, written)
+        else:
+            df = spark.read.schema(written.to_spark()).format(fmt) \
+                .load(group_paths)
         df = df.select(*align_columns(written, current))
         out = df if out is None else out.unionByName(df)
     return out if out is not None else spark.createDataFrame([], cur_spark)

@@ -124,8 +124,9 @@ class Table:
     @property
     def file_format(self) -> str:
         """Data file format (ref: TableProperties DEFAULT_FILE_FORMAT,
-        S14-S16: parquet/avro/orc).  Avro requires the external spark-avro
-        module, absent in this environment — fails fast with a clear error."""
+        S14-S16: parquet/avro/orc).  Avro has no spark-avro jar in this
+        environment, so it runs through the pure-Python container codec
+        inside mapInPandas tasks (sources/avro_spark.py)."""
         fmt = self.properties.get("write.format-default", "parquet").lower()
         if fmt not in ("parquet", "orc", "avro"):
             raise ValueError(f"unsupported write.format-default: {fmt}")
@@ -143,6 +144,12 @@ class Table:
         if write_cols and not fanout:
             # cluster by key: one writer-open per partition (W15)
             df = df.repartition(*write_cols).sortWithinPartitions(*write_cols)
+        if fmt == "avro":
+            from linkedin_iceberg_spark.sources.avro_spark import (
+                write_avro_files)
+            write_avro_files(df, write_cols, staging, schema,
+                             self.spec.partition_type())
+            return self._collect_data_files(staging, write_cols, fmt)
         writer = df.write.mode("errorifexists")
         max_records = self.properties.get("write.target-max-records-per-file")
         if max_records:
@@ -196,6 +203,17 @@ class Table:
                 from linkedin_iceberg_spark.catalog.stats import (
                     collect_orc_file_stats)
                 stats = collect_orc_file_stats(fpath, schema)
+            elif fmt == "avro":
+                # counts mode: record count from block headers, no decode
+                from linkedin_iceberg_spark.sources.avro_codec import (
+                    count_avro_records)
+                stats = {
+                    "record_count": count_avro_records(fpath),
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "value_counts": {}, "null_value_counts": {},
+                    "nan_value_counts": {}, "lower_bounds": {},
+                    "upper_bounds": {},
+                }
             else:
                 stats = collect_file_stats(fpath, schema, metrics_mode)
             return M.DataFile(

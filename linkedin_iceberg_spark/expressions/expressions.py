@@ -426,6 +426,47 @@ def coerce_literal(value: Any, type_str: str) -> Any:
     return value
 
 
+_INT_MAX, _INT_MIN = 2**31 - 1, -(2**31)
+_LONG_MAX, _LONG_MIN = 2**63 - 1, -(2**63)
+_FLOAT_MAX = 3.4028234663852886e38
+
+
+def _range_sentinel(value, lit_type: str):
+    """ABOVE_MAX / BELOW_MIN detection for literals outside the column
+    type's domain (ref: api/.../expressions/Literals.java:179-206)."""
+    if isinstance(value, bool) or value is None:
+        return None
+    if lit_type == "int" and isinstance(value, (int, float)):
+        if value > _INT_MAX:
+            return "above"
+        if value < _INT_MIN:
+            return "below"
+    elif lit_type == "long" and isinstance(value, (int, float)):
+        if value > _LONG_MAX:
+            return "above"
+        if value < _LONG_MIN:
+            return "below"
+    elif lit_type == "float" and isinstance(value, (int, float)):
+        if value > _FLOAT_MAX:
+            return "above"
+        if value < -_FLOAT_MAX:
+            return "below"
+    return None
+
+
+def _fold_sentinel(op: Operation, sentinel: str) -> Expression:
+    """Fold a comparison against an out-of-range literal to a constant
+    (the reference folds these to alwaysTrue/alwaysFalse at bind time)."""
+    if sentinel == "above":
+        if op in (Operation.LT, Operation.LT_EQ, Operation.NOT_EQ):
+            return always_true()
+        return always_false()  # GT, GT_EQ, EQ
+    # below
+    if op in (Operation.GT, Operation.GT_EQ, Operation.NOT_EQ):
+        return always_true()
+    return always_false()  # LT, LT_EQ, EQ
+
+
 def bind(schema, expr: Expression, case_sensitive: bool = True) -> Expression:
     """Bind references to schema fields and coerce literals.
 
@@ -482,12 +523,21 @@ def bind(schema, expr: Expression, case_sensitive: bool = True) -> Expression:
                     raise ValueError(f"is_nan on non-floating column {base.name}")
                 return Predicate(e.op, term)
             if e.op in (Operation.IN, Operation.NOT_IN):
-                lits = frozenset(coerce_literal(v, lit_type) for v in e.literals)
+                in_range = [v for v in e.literals
+                            if _range_sentinel(v, lit_type) is None]
+                if not in_range:
+                    return always_false() if e.op == Operation.IN \
+                        else always_true()
+                lits = frozenset(coerce_literal(v, lit_type)
+                                 for v in in_range)
                 return Predicate(e.op, term, literals=lits)
             if e.op == Operation.STARTS_WITH:
                 if lit_type != "string":
                     raise ValueError("starts_with requires a string column")
                 return Predicate(e.op, term, str(e.literal))
+            sentinel = _range_sentinel(e.literal, lit_type)
+            if sentinel is not None:
+                return _fold_sentinel(e.op, sentinel)
             return Predicate(e.op, term, coerce_literal(e.literal, lit_type))
         raise TypeError(f"cannot bind {e!r}")
 

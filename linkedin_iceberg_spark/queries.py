@@ -1553,6 +1553,28 @@ def table_format_orc(spark, sf_dir):
             .orderBy("o_orderstatus"))
 
 
+@q("table_format_avro", """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey <= 3000
+GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+def table_format_avro(spark, sf_dir):
+    """Avro data files (S15): no spark-avro jar exists here, so the engine
+    writes/reads Avro containers with its own pure-Python codec inside
+    mapInPandas tasks (sources/avro_codec.py + avro_spark.py), keeping the
+    scan planner format-agnostic."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_avro", o,
+                         properties={"write.format-default": "avro"})
+    t.append(o)
+    fmts = {x.file.file_format for x in t.new_scan().plan_files()}
+    assert fmts == {"avro"}, fmts
+    return (t.to_df().groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
 @q("table_transaction", """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey >= 100 ORDER BY o_orderkey""")

@@ -54,6 +54,30 @@ def test_truncate_upper_skips_surrogate_block():
     assert truncate_upper(s, 16) == "a" * 15 + "b"
 
 
+def test_out_of_range_literals_fold_to_constants():
+    # ref: Literals.java:179-206 ABOVE_MAX / BELOW_MIN folding
+    from pyspark.sql import types as T
+
+    from linkedin_iceberg_spark.expressions import gt, in_, lt, not_in
+    from linkedin_iceberg_spark.expressions.expressions import (
+        AlwaysFalse,
+        AlwaysTrue,
+    )
+    sch = Schema.from_spark(T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("f", T.FloatType())]))
+    assert isinstance(bind(sch, gt("i", 2**40)), AlwaysFalse)
+    assert isinstance(bind(sch, lt("i", 2**40)), AlwaysTrue)
+    assert isinstance(bind(sch, lt("i", -(2**40))), AlwaysFalse)
+    assert isinstance(bind(sch, eq("i", 3_000_000_000)), AlwaysFalse)
+    assert isinstance(bind(sch, gt("f", 1e39)), AlwaysFalse)
+    assert isinstance(bind(sch, in_("i", [2**40, 2**41])), AlwaysFalse)
+    assert isinstance(bind(sch, not_in("i", [2**40])), AlwaysTrue)
+    # in-range members survive the IN-list filtering
+    b = bind(sch, in_("i", [1, 2**40]))
+    assert getattr(b, "literals", None) == frozenset({1})
+
+
 def test_empty_string_partition_distinct_from_null(catalog, spark):
     from linkedin_iceberg_spark import PartitionSpec
     df = spark.createDataFrame(

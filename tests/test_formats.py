@@ -74,8 +74,10 @@ def test_mixed_format_table(catalog, orders_df):
     assert t.to_df().count() == orders_df.count()
 
 
-def test_avro_rejected_without_module(catalog, orders_df):
+def test_avro_append_via_python_codec(catalog, orders_df):
+    # spark-avro is absent; the engine's own container codec handles avro
+    # (full lifecycle coverage in tests/test_avro.py)
     t = catalog.create_table("db.avro1", orders_df,
                              properties={"write.format-default": "avro"})
-    with pytest.raises(Exception):  # spark-avro module not deployed here
-        t.append(orders_df.limit(10))
+    t.append(orders_df.limit(10))
+    assert t.to_df().count() == 10
