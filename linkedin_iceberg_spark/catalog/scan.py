@@ -46,6 +46,7 @@ from linkedin_iceberg_spark.expressions.expressions import (
     TransformTerm,
     rewrite_not,
 )
+from linkedin_iceberg_spark.expressions.residuals import ResidualEvaluator
 from linkedin_iceberg_spark.schema import Schema, type_to_spark
 
 PLAN_PARALLELISM = 8  # manifest read pool (ref: ManifestGroup.java:182-186)
@@ -113,15 +114,22 @@ class _SummaryEvaluator:
 
 
 class FileScanTask:
-    """ref: api/.../FileScanTask.java — file + residual + deletes."""
+    """ref: api/.../FileScanTask.java — file + residual + deletes.
 
-    def __init__(self, data_file, deletes=None, sequence_number: int = 0):
+    ``residual`` is the per-file residual filter (ResidualEvaluator.java:
+    52-118): None means "apply the scan's full filter" (callers that plan
+    without residuals); AlwaysTrue means no row filter is needed at all."""
+
+    def __init__(self, data_file, deletes=None, sequence_number: int = 0,
+                 residual=None):
         self.file = data_file
         self.deletes = deletes or []
         self.sequence_number = sequence_number
+        self.residual = residual
 
     def __repr__(self):
-        return f"FileScanTask({self.file.file_path}, deletes={len(self.deletes)})"
+        return (f"FileScanTask({self.file.file_path}, "
+                f"deletes={len(self.deletes)}, residual={self.residual!r})")
 
 
 class TableScan:
@@ -219,10 +227,20 @@ class TableScan:
                 else:
                     delete_entries.append(e)
 
-        return match_deletes(data_entries, delete_entries)
+        residuals = ResidualEvaluator(default_spec, bound)
+        return match_deletes(data_entries, delete_entries, residuals)
 
     # ------------------------------------------------------------ execution
     def to_df(self) -> DataFrame:
+        """Execute the scan as one Spark DataFrame.
+
+        Files are grouped by their residual filter (ResidualEvaluator.java:
+        52-118): a group whose residual folded to ALWAYS_TRUE is read with
+        NO row filter at all (the partition tuple already guarantees every
+        row matches — the common case when the filter hits only identity
+        partition columns), and other groups apply only the surviving part
+        of the filter.  Catalyst still gets the residual as a plain Column,
+        so parquet row-group pruning and codegen apply on top."""
         table = self.table
         md = table.metadata
         schema = md.schema
@@ -231,17 +249,40 @@ class TableScan:
             empty = table.spark.createDataFrame([], schema.to_spark())
             return self._finish(empty)
 
-        if any(t.deletes for t in tasks):
-            from linkedin_iceberg_spark.catalog.deletes import apply_deletes
-            df = apply_deletes(table, tasks)
-        else:
-            by_schema: dict = {}
-            for t in tasks:
-                by_schema.setdefault(
-                    (t.file.schema_id, t.file.file_format), []) \
-                    .append(t.file.file_path)
-            df = read_files_as_current_schema(table.spark, md, by_schema)
-        return self._finish(df)
+        from linkedin_iceberg_spark.catalog.deletes import apply_deletes
+
+        by_residual: dict = {}
+        for t in tasks:
+            by_residual.setdefault(repr(t.residual), []).append(t)
+
+        parts = []
+        for _key in sorted(by_residual):
+            group = by_residual[_key]
+            residual = group[0].residual
+            if any(t.deletes for t in group):
+                df = apply_deletes(table, group)
+            else:
+                by_schema: dict = {}
+                for t in group:
+                    by_schema.setdefault(
+                        (t.file.schema_id, t.file.file_format), []) \
+                        .append(t.file.file_path)
+                df = read_files_as_current_schema(table.spark, md, by_schema)
+            if residual is None:
+                # planned without residuals: fall back to the full filter
+                if self.row_filter is not None:
+                    bound = bind(schema, self.row_filter)
+                    df = df.filter(to_spark_column(bound))
+            elif not isinstance(residual, AlwaysTrue):
+                df = df.filter(to_spark_column(residual))
+            parts.append(df)
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if self.selected:
+            out = out.select(*self.selected)
+        return out
 
     def _finish(self, df: DataFrame) -> DataFrame:
         if self.row_filter is not None:
@@ -252,7 +293,8 @@ class TableScan:
         return df
 
 
-def match_deletes(data_entries: list, delete_entries: list) -> list:
+def match_deletes(data_entries: list, delete_entries: list,
+                  residuals: Optional["ResidualEvaluator"] = None) -> list:
     """v2 row-level deletes: match delete files to data files by sequence
     number (ref: core/.../DeleteFileIndex.java:61-133).  Equality deletes
     apply only to STRICTLY older files (rows committed with or after the
@@ -263,8 +305,12 @@ def match_deletes(data_entries: list, delete_entries: list) -> list:
     Deletes are indexed by partition tuple (global deletes separately), so
     matching is O(data x deletes-in-partition), not O(data x all-deletes) —
     the same partition-keyed index DeleteFileIndex builds."""
+    def res(e):
+        return residuals.residual_for(e.data_file.partition) \
+            if residuals is not None else None
+
     if not delete_entries:
-        return [FileScanTask(e.data_file, [], e.sequence_number)
+        return [FileScanTask(e.data_file, [], e.sequence_number, res(e))
                 for e in data_entries]
     global_deletes: list = []
     by_partition: dict = {}
@@ -286,7 +332,8 @@ def match_deletes(data_entries: list, delete_entries: list) -> list:
                     deletes.append(d)
             elif d.sequence_number >= e.sequence_number:
                 deletes.append(d)
-        tasks.append(FileScanTask(e.data_file, deletes, e.sequence_number))
+        tasks.append(FileScanTask(e.data_file, deletes, e.sequence_number,
+                                  res(e)))
     return tasks
 
 

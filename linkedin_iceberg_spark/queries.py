@@ -343,7 +343,7 @@ def join_asof(spark, sf_dir):
 
 
 @q("join_multiway", """
-SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -369,8 +369,9 @@ def join_multiway(spark, sf_dir):
             .join(r, n.n_regionkey == r.r_regionkey)
             .filter(F.col("r_name") == "ASIA")
             .groupBy("n_name")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                  .alias("revenue"))
+            .agg(F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"))
             .orderBy(F.col("revenue").desc(), "n_name"))
 
 
@@ -797,8 +798,8 @@ def scalar_array_explode(spark, sf_dir):
 @q("scalar_array_funcs", """
 SELECT vec_id,
        len(embedding) AS dim,
-       round(list_aggregate(embedding, 'sum'), 4) AS vec_sum,
-       round(list_aggregate(embedding, 'max'), 4) AS vec_max
+       round(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS vec_sum,
+       round(list_aggregate(embedding::DOUBLE[], 'max'), 4) AS vec_max
 FROM embeddings WHERE vec_id <= 200 ORDER BY vec_id""")
 def scalar_array_funcs(spark, sf_dir):
     e = ld(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 200)
@@ -924,9 +925,10 @@ def dedup_simhash(spark, sf_dir):
 
 
 @q("similarity_topk", """
-WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT q FROM qv)), 5)
-       AS cos_sim
+WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT q FROM qv)),
+             5) AS cos_sim
 FROM embeddings WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id LIMIT 10""")
 def similarity_topk(spark, sf_dir):
@@ -941,10 +943,12 @@ def similarity_topk(spark, sf_dir):
 
 @q("similarity_pairs", """
 SELECT a.vec_id AS v1, b.vec_id AS v2,
-       round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cos_sim
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 5) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 100 AND b.vec_id < 100
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.3
 ORDER BY v1, v2""")
 def similarity_pairs(spark, sf_dir):
     """Embedding near-dup pairs (cosine >= t).  Quadratic candidate set kept
