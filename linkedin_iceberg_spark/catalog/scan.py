@@ -230,6 +230,22 @@ class TableScan:
         residuals = ResidualEvaluator(default_spec, bound)
         return match_deletes(data_entries, delete_entries, residuals)
 
+    def plan_tasks(self, split_size: Optional[int] = None,
+                   lookback: Optional[int] = None,
+                   open_file_cost: Optional[int] = None) -> list:
+        """Combined scan tasks: files split at split-size boundaries and
+        bin-packed with an open-file cost floor (ref: TableScanUtil.java:
+        33-49, BaseTableScan.planTasks).  Task-count parity with the
+        reference for consumers that schedule work themselves; the Spark
+        read path lets ``spark.sql.files.maxPartitionBytes`` do this."""
+        from linkedin_iceberg_spark.catalog import split_planning as SP
+        size, lb, cost = SP.props_for(self.table.properties)
+        return SP.plan_tasks(self.plan_files(),
+                             split_size if split_size is not None else size,
+                             lookback if lookback is not None else lb,
+                             open_file_cost if open_file_cost is not None
+                             else cost)
+
     # ------------------------------------------------------------ execution
     def to_df(self) -> DataFrame:
         """Execute the scan as one Spark DataFrame.
@@ -283,6 +299,17 @@ class TableScan:
         if self.selected:
             out = out.select(*self.selected)
         return out
+
+    def to_arrow(self):
+        """Local generic read (ref: data/.../IcebergGenerics.java): execute
+        this scan on the driver with pyarrow only — same planning, pruning,
+        residuals, and delete application as to_df(), no Spark needed.
+        Sandbox-scale by design; to_df() is the distributed path."""
+        from linkedin_iceberg_spark.catalog.local_read import scan_to_arrow
+        return scan_to_arrow(self)
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
 
     def _finish(self, df: DataFrame) -> DataFrame:
         if self.row_filter is not None:
