@@ -101,10 +101,54 @@ class Catalog:
 
     def migrate(self, name: str, path_or_df, spec: Optional[PartitionSpec] = None,
                 fmt: str = "parquet") -> Table:
-        """Import an existing parquet directory/table (ref:
-        spark/.../SparkTableUtil.java importSparkTable / the legacy Hive
-        adapter hive-metastore/.../legacy/LegacyHiveTable.java — our analog
-        reads any Spark-readable path and snapshots it as a table)."""
+        """Import by COPY (CTAS): read any Spark-readable path/DataFrame and
+        rewrite it as a new engine table.  Use import_table() for the
+        metadata-only in-place variant (ref: spark/.../SparkTableUtil.java
+        importSparkTable / the legacy Hive adapter
+        hive-metastore/.../legacy/LegacyHiveTable.java)."""
         df = path_or_df if isinstance(path_or_df, DataFrame) else \
             self.spark.read.format(fmt).load(path_or_df)
         return self.create_table_as_select(name, df, spec=spec)
+
+    def import_table(self, name: str, source_dir: str,
+                     fmt: str = "parquet") -> Table:
+        """In-place snapshot of an existing (possibly Hive-partitioned)
+        directory: infer the schema with Spark's partition discovery, derive
+        an identity spec from the partition directories, create the table,
+        and add_files() the existing data files WITHOUT rewriting them
+        (ref: spark/.../SparkTableUtil.java:122-280 importSparkTable — at
+        100 TB this is minutes of metadata work instead of a full copy)."""
+        import pyarrow.parquet as pq
+
+        source_dir = os.path.abspath(source_dir)
+        df = self.spark.read.format(fmt).load(source_dir)
+
+        # partition columns = discovered columns absent from the files
+        first = source_dir if os.path.isfile(source_dir) else None
+        ext = ".orc" if fmt == "orc" else f".{fmt}"
+        for root, _dirs, files in os.walk(source_dir):
+            for fn in sorted(files):
+                if not fn.startswith((".", "_")) and fn.endswith(ext):
+                    first = os.path.join(root, fn)
+                    break
+            if first:
+                break
+        if first is None:
+            raise ValueError(f"no *{ext} files under {source_dir!r}")
+        physical = set(pq.read_schema(first).names) if fmt == "parquet" \
+            else set(df.columns)
+        part_cols = [c for c in df.columns if c not in physical]
+
+        schema = Schema.from_spark(df.schema)
+        spec = None
+        if part_cols:
+            b = PartitionSpec.builder_for(schema)
+            for c in part_cols:
+                b.identity(c)
+            spec = b.build()
+        t = self.create_table(name, schema, spec=spec)
+        try:
+            return t.add_files(source_dir, fmt=fmt)
+        except Exception:
+            self.drop_table(name)
+            raise

@@ -36,7 +36,8 @@ POS_DELETE_SCHEMA = "file_path string, pos bigint"
 
 
 def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
-                               paths: list, fmt: str = "parquet") -> DataFrame:
+                               paths: list, fmt: str = "parquet",
+                               base_path: str = None) -> DataFrame:
     """Read one schema-group of data files projected to the CURRENT schema
     by field id, with _file/_pos metadata columns attached.
 
@@ -52,7 +53,11 @@ def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
         base = read_avro_files(spark, paths, written, with_file_col=True) \
             .withColumn("_pos", F.lit(None).cast("long"))
     else:
-        base = spark.read.schema(written.to_spark()).format(fmt).load(paths) \
+        reader = spark.read.schema(written.to_spark()).format(fmt)
+        if base_path is not None:
+            # in-place imported files: partition columns come from the paths
+            reader = reader.option("basePath", base_path)
+        base = reader.load(paths) \
             .withColumn("_file", F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:", ""))
         if fmt == "parquet":
@@ -69,11 +74,14 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
     md = table.metadata
     schema = md.schema
 
-    # group data files by (schema_id, format, applicable delete-file set)
+    from linkedin_iceberg_spark.catalog.scan import import_base_path
+
+    # group data files by (schema_id, format, base path, delete-file set)
     groups: dict = {}
     for t in tasks:
         dkey = tuple(sorted(d.data_file.file_path for d in t.deletes))
-        groups.setdefault((t.file.schema_id, t.file.file_format, dkey),
+        bp = import_base_path(md, t.file.file_path)
+        groups.setdefault((t.file.schema_id, t.file.file_format, bp, dkey),
                           []).append(t)
 
     # delete-file metadata by path (content kind, seq, equality ids)
@@ -83,7 +91,7 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
             delete_meta[d.data_file.file_path] = d.data_file
 
     parts = []
-    for (schema_id, fmt, dkey), gtasks in groups.items():
+    for (schema_id, fmt, bp, dkey), gtasks in groups.items():
         paths = [t.file.file_path for t in gtasks]
         has_deletes = bool(dkey)
         if not has_deletes:
@@ -91,10 +99,11 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
             from linkedin_iceberg_spark.catalog.scan import (
                 read_files_as_current_schema)
             parts.append(read_files_as_current_schema(
-                spark, md, {(schema_id, fmt): paths}))
+                spark, md, {(schema_id, fmt, bp): paths}))
             continue
 
-        data = _read_group_with_positions(spark, md, schema_id, paths, fmt)
+        data = _read_group_with_positions(spark, md, schema_id, paths, fmt,
+                                          base_path=bp)
 
         pos_paths = [p for p in dkey
                      if delete_meta[p].content == M.CONTENT_POSITION_DELETES]

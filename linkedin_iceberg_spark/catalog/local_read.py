@@ -184,6 +184,15 @@ def scan_to_arrow(scan):
         tbl = _read_file_arrow(task, written)
         tbl = _apply_position_deletes(tbl, task)
         tbl = _apply_equality_deletes(tbl, task, current, written)
+        # in-place imported Hive-layout files lack their identity partition
+        # columns; the value lives in the manifest partition tuple — inject
+        # it as a constant (the pyarrow analog of the Spark path's basePath
+        # partition reconstruction)
+        pconst = {}
+        for pf in md.spec.fields:
+            if pf.transform_str == "identity" and \
+                    pf.name in task.file.partition:
+                pconst[pf.source_id] = task.file.partition[pf.name]
         # align to current schema by field id
         arrays = []
         for f in current.fields:
@@ -191,6 +200,11 @@ def scan_to_arrow(scan):
             wf = written.find_field(f.field_id) if old else None
             arr = tbl[old] if old is not None and old in tbl.column_names \
                 else None
+            if arr is None and f.field_id in pconst:
+                arr = pa.array([pconst[f.field_id]] * len(tbl),
+                               type=type_to_arrow(f.type))
+                arrays.append(arr)
+                continue
             arrays.append(_align_array(arr, wf.type if wf else None,
                                        f.type, len(tbl)))
         tbl = pa.table(dict(zip([f.name for f in current.fields], arrays)),

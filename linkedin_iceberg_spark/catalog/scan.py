@@ -15,6 +15,7 @@ still does parquet row-group pruning, column pruning, and codegen on top.
 
 from __future__ import annotations
 
+import json
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
@@ -280,8 +281,7 @@ class TableScan:
             else:
                 by_schema: dict = {}
                 for t in group:
-                    by_schema.setdefault(
-                        (t.file.schema_id, t.file.file_format), []) \
+                    by_schema.setdefault(data_group_key(md, t.file), []) \
                         .append(t.file.file_path)
                 df = read_files_as_current_schema(table.spark, md, by_schema)
             if residual is None:
@@ -423,6 +423,31 @@ def align_columns(written, current) -> list:
     return cols
 
 
+def import_base_path(md: TableMetadata, path: str) -> Optional[str]:
+    """Base directory under which ``path`` was imported in place by
+    ``Table.add_files`` (None for files our writers produced).
+
+    Imported Hive-layout files don't physically contain their identity
+    partition columns — reads must pass ``basePath`` so Spark reconstructs
+    those columns from the ``k=v`` directory names (the read-side half of
+    the name-mapping convention, ref: core/.../mapping/NameMapping.java)."""
+    raw = md.properties.get("import.base-paths")
+    if not raw:
+        return None
+    for bp in json.loads(raw):
+        if path.startswith(bp.rstrip("/") + "/"):
+            return bp
+    return None
+
+
+def data_group_key(md: TableMetadata, data_file) -> tuple:
+    """Grouping key for batch-reading data files: files are read together
+    only when they share a written schema, a format, AND an import base
+    path (or the absence of one)."""
+    return (data_file.schema_id, data_file.file_format,
+            import_base_path(md, data_file.file_path))
+
+
 def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
                                  paths_by_schema: dict) -> DataFrame:
     """Read data files written under (possibly) older schemas/formats and
@@ -430,15 +455,19 @@ def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
     projection + SchemaUpdate semantics: rename/add/drop/promote never
     corrupt old files — including nested struct fields).
 
-    Files are grouped by (written schema, file format); each group is
-    renamed/padded/cast to the current schema, then unioned.  All Spark-side,
-    distributed, no data rewrite.  Keys are (schema_id, format) tuples (a
-    bare int means parquet, for backwards compatibility)."""
+    Files are grouped by (written schema, file format[, import base path]);
+    each group is renamed/padded/cast to the current schema, then unioned.
+    All Spark-side, distributed, no data rewrite.  Keys are
+    (schema_id, format) or (schema_id, format, base_path) tuples (a bare
+    int means parquet, for backwards compatibility)."""
     current = md.schema
     cur_spark = current.to_spark()
     out = None
     for key in sorted(paths_by_schema, key=str):
-        sid, fmt = key if isinstance(key, tuple) else (key, "parquet")
+        if isinstance(key, tuple):
+            sid, fmt, bp = key if len(key) == 3 else (*key, None)
+        else:
+            sid, fmt, bp = key, "parquet", None
         group_paths = paths_by_schema[key]
         written = md.schema_by_id(sid)
         if fmt == "avro":
@@ -446,8 +475,12 @@ def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
                 read_avro_files)
             df = read_avro_files(spark, group_paths, written)
         else:
-            df = spark.read.schema(written.to_spark()).format(fmt) \
-                .load(group_paths)
+            reader = spark.read.schema(written.to_spark()).format(fmt)
+            if bp is not None:
+                # imported in place: partition columns live in the directory
+                # names, not the files — Spark fills them from the paths
+                reader = reader.option("basePath", bp)
+            df = reader.load(group_paths)
         df = df.select(*align_columns(written, current))
         out = df if out is None else out.unionByName(df)
     return out if out is not None else spark.createDataFrame([], cur_spark)

@@ -317,6 +317,13 @@ class Table:
                                 .alias(f.name))
             df = df.select(*cols)
         files = self._write_data_files(df)
+        return self._commit_append_files(files, wap_id=wap_id)
+
+    def _commit_append_files(self, files: list,
+                             wap_id: Optional[str] = None,
+                             extra_summary: Optional[dict] = None) -> "Table":
+        """Commit pre-built DataFiles as a fast append (shared by append()
+        and the in-place import path)."""
         types_by_id = self._types_by_id()
 
         def build(base, snap_id, seq):
@@ -333,6 +340,7 @@ class Table:
                 "added-data-files": str(len(files)),
                 "added-records": str(sum(f.record_count for f in files)),
                 "added-files-size": str(sum(f.file_size_in_bytes for f in files)),
+                **(extra_summary or {}),
             }
             return infos, summary, None
 
@@ -416,6 +424,127 @@ class Table:
             up.add_column(f.name, f.type if isinstance(f.type, str)
                           else f.type)
         up.commit()
+
+    # ------------------------------------------------------ in-place import
+    def add_files(self, source_dir: str, fmt: str = "parquet") -> "Table":
+        """Metadata-only import of EXISTING files — no data rewrite.
+
+        The 100 TB counterpart of ``Catalog.migrate`` (which is CTAS and
+        copies every row): list the files under ``source_dir``, read
+        parquet footers for per-column metrics (distributed over executors
+        when the file count is large), recover Hive-style ``k=v`` partition
+        values from the directory names, and commit manifest entries that
+        point at the original files (ref: spark/.../SparkTableUtil.java:
+        122-280 importSparkTable/listPartition — same design: partition
+        listing + footer metrics + append, data left in place).
+
+        Name mapping (ref: core/.../mapping/NameMapping.java,
+        MappingUtil.java): imported files carry no engine field ids, so
+        physical columns are matched to the table schema BY NAME at import
+        time — the import-time schema is recorded as the files' written
+        schema, after which normal field-id alignment applies.  Later
+        renames/moves/adds therefore never corrupt imported files.
+
+        Hive-layout caveats: only identity partitioning can be recovered
+        from directory names, and ``__HIVE_DEFAULT_PARTITION__`` decodes to
+        null (Hive itself collapses null and empty string)."""
+        source_dir = os.path.abspath(source_dir)
+        spec = self.spec
+        schema = self.schema
+        by_source = {}
+        for pf in spec.fields:
+            if pf.transform_str != "identity":
+                raise ValueError(
+                    "add_files recovers partition values from Hive directory "
+                    f"names; non-identity transform {pf.transform_str!r} on "
+                    f"{pf.source_name!r} cannot be recovered — use migrate() "
+                    "(CTAS) for transformed partitioning")
+            by_source[pf.source_name] = pf
+
+        ext = ".orc" if fmt == "orc" else f".{fmt}"
+        found = []  # (fpath, partition dict keyed by pf.name)
+        if os.path.isfile(source_dir):
+            if spec.is_partitioned():
+                raise ValueError(
+                    "single-file import into a partitioned table: no "
+                    "directory names to recover partition values from")
+            found.append((source_dir, {}))
+        for root, _dirs, fnames in os.walk(source_dir):
+            for fn in fnames:
+                if fn.startswith((".", "_")) or not fn.endswith(ext):
+                    continue
+                fpath = os.path.join(root, fn)
+                rel = os.path.relpath(root, source_dir)
+                partition = {}
+                if rel != ".":
+                    for comp in rel.split(os.sep):
+                        if "=" not in comp:
+                            continue
+                        k, v = comp.split("=", 1)
+                        pf = by_source.get(k)
+                        if pf is None:
+                            raise ValueError(
+                                f"directory partition column {k!r} is not an "
+                                "identity partition field of the table spec")
+                        v = urllib.parse.unquote(v)
+                        partition[pf.name] = None \
+                            if v == "__HIVE_DEFAULT_PARTITION__" \
+                            else decode_value(v, pf.source_type or "string")
+                missing = {src for src, pf in by_source.items()
+                           if pf.name not in partition}
+                if spec.is_partitioned() and missing:
+                    raise ValueError(
+                        f"file {fpath!r} lacks directory values for partition "
+                        f"column(s) {sorted(missing)}")
+                found.append((fpath, partition))
+        if not found:
+            raise ValueError(f"no *{ext} files under {source_dir!r}")
+
+        # sanity: physical columns must overlap the table schema by name
+        import pyarrow.parquet as _pq
+        if fmt == "parquet":
+            phys = set(_pq.read_schema(found[0][0]).names)
+            if not phys & set(schema.column_names()):
+                raise ValueError(
+                    f"no column of {found[0][0]!r} matches the table schema "
+                    f"by name (file has {sorted(phys)[:8]})")
+
+        metrics_mode = self.properties.get(
+            "write.metadata.metrics.default", "truncate(16)")
+        stats_by_path = _collect_import_stats(
+            self.spark, [p for p, _ in found], schema, metrics_mode, fmt)
+
+        files = []
+        for fpath, partition in found:
+            st = stats_by_path[fpath]
+            files.append(M.DataFile(
+                file_path=fpath,
+                file_format=fmt,
+                partition=partition,
+                record_count=st["record_count"],
+                file_size_in_bytes=st["file_size_in_bytes"],
+                value_counts=st["value_counts"],
+                null_value_counts=st["null_value_counts"],
+                nan_value_counts=st["nan_value_counts"],
+                lower_bounds=st["lower_bounds"],
+                upper_bounds=st["upper_bounds"],
+                spec_id=spec.spec_id,
+                schema_id=self.metadata.current_schema_id,
+            ))
+
+        if spec.is_partitioned():
+            # register the base path so reads reconstruct the partition
+            # columns from the directory names (committed before the append:
+            # registration is monotonic and harmless on its own)
+            import json as _json
+            raw = self.properties.get("import.base-paths")
+            bps = _json.loads(raw) if raw else []
+            if source_dir not in bps:
+                self.update_properties(
+                    {"import.base-paths": _json.dumps([*bps, source_dir])})
+
+        return self._commit_append_files(
+            files, extra_summary={"import.source": source_dir})
 
     # ---------------------------------------------------------------- scans
     def new_scan(self):
@@ -634,12 +763,12 @@ class Table:
     def _read_files(self, entries: list) -> DataFrame:
         """Read data files, projecting to the CURRENT schema by field id
         (rename/add-null/cast handled per historical schema — W11 read side)."""
-        from linkedin_iceberg_spark.catalog.scan import read_files_as_current_schema
+        from linkedin_iceberg_spark.catalog.scan import (
+            data_group_key, read_files_as_current_schema)
         by_schema: dict = {}
         for e in entries:
-            by_schema.setdefault(
-                (e.data_file.schema_id, e.data_file.file_format), []) \
-                .append(e.data_file.file_path)
+            by_schema.setdefault(data_group_key(self.metadata, e.data_file),
+                                 []).append(e.data_file.file_path)
         return read_files_as_current_schema(self.spark, self.metadata, by_schema)
 
     # ----------------------------------------------- snapshot management
@@ -796,3 +925,36 @@ class Table:
     def remove_orphan_files(self, **kw) -> dict:
         from linkedin_iceberg_spark.catalog.maintenance import remove_orphan_files
         return remove_orphan_files(self, **kw)
+
+
+def _collect_import_stats(spark: SparkSession, paths: list, schema: Schema,
+                          mode: str, fmt: str = "parquet") -> dict:
+    """Footer metrics for in-place-imported files: path -> stats dict.
+
+    Small imports read footers on the driver with a thread pool; large ones
+    fan the paths out to executors (ref: SparkTableUtil.listPartition runs
+    its footer collection inside a Spark job for the same reason — a 100 TB
+    import has millions of footers, hours of driver-side I/O)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(p: str) -> tuple:
+        if fmt == "orc":
+            from linkedin_iceberg_spark.catalog.stats import (
+                collect_orc_file_stats)
+            return p, collect_orc_file_stats(p, schema)
+        from linkedin_iceberg_spark.catalog.stats import collect_file_stats
+        return p, collect_file_stats(p, schema, mode)
+
+    if len(paths) <= 32:
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return dict(pool.map(one, paths))
+
+    from linkedin_iceberg_spark.shipping import ship_package
+    ship_package(spark)
+    nparts = min(len(paths) // 16 + 1, 256)
+
+    def part(it):
+        return [one(p) for p in it]
+
+    return dict(spark.sparkContext.parallelize(paths, nparts)
+                .mapPartitions(part).collect())

@@ -1277,12 +1277,16 @@ def table_scan_truncate_pruned(spark, sf_dir):
 SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 def table_migrate_import(spark, sf_dir):
-    """Table import (S22 / the legacy-Hive-adapter analog): snapshot an
-    existing parquet dataset into an engine table, then query it."""
+    """Table import (S22, ref: SparkTableUtil.java:122-280): snapshot an
+    existing parquet dataset into an engine table IN PLACE — footer metrics
+    + manifest entries pointing at the original files, no data rewrite (the
+    only import that scales to 100 TB) — then query it.  The CTAS variant
+    (migrate) is covered by tests/test_import_inplace.py + catalog tests."""
     cat = _tmp_catalog(spark)
-    t = cat.migrate("q.li_migrated",
-                    os.path.join(sf_dir, "lineitem.parquet"))
+    t = cat.import_table("q.li_imported",
+                         os.path.join(sf_dir, "lineitem.parquet"))
     assert t.current_snapshot() is not None
+    assert t.current_snapshot().summary.get("import.source")
     return (t.to_df().groupBy("l_returnflag")
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("l_extendedprice"), 2).alias("total"))
