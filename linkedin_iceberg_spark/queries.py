@@ -1605,6 +1605,98 @@ def table_transaction(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("streaming_stateful_sessions", """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(TRUNC(value) AS BIGINT) AS v
+  FROM events WHERE user_id <= 40
+), s AS (
+  SELECT user_id, ts, v,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+), g AS (
+  SELECT user_id, ts, v,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+), sub AS (
+  SELECT user_id, ts, v, sess,
+         (row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, v) - 1)
+           // 3 AS chunk
+  FROM g
+), agg AS (
+  SELECT user_id AS key, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, sum(v) AS sum_value
+  FROM sub GROUP BY user_id, sess, chunk
+)
+SELECT key, session_start, session_end, n_events, sum_value,
+       CASE WHEN n_events = 3 THEN 'cap'
+            WHEN EXISTS (SELECT 1 FROM ev e2 WHERE e2.user_id = agg.key
+                         AND e2.ts > agg.session_end) THEN 'gap'
+            ELSE 'timeout' END AS closed_by
+FROM agg
+ORDER BY key, session_start""")
+def streaming_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState, the
+    SURVEY §2B stateful-UDF contract): gap sessionization with a per-session
+    event cap — semantics F.session_window cannot express.  Runs a real
+    Structured Streaming query twice (availableNow): run 1 emits gap/cap-
+    closed sessions; run 2 ingests a watermark-advancing sentinel so every
+    open session flushes via EventTimeTimeout.  The emitted set is therefore
+    deterministic and fully SQL-checkable, including the close reason."""
+    import datetime
+    import tempfile
+
+    from linkedin_iceberg_spark.streaming.stateful import sessionize_capped
+
+    e = (ld(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+         .select("user_id", "ts", F.col("value").cast("long").alias("v")))
+    base = tempfile.mkdtemp(prefix="q_sess_")
+    src = os.path.join(base, "src")
+    ck = os.path.join(base, "ck")
+    e.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    collected = []
+
+    def run_once():
+        ev = (spark.readStream
+              .schema("user_id long, ts timestamp, v long").parquet(
+                  os.path.join(src, "*")))
+        sess = sessionize_capped(ev, "user_id", "ts", gap="6 hours",
+                                 max_events=3, value_col="v",
+                                 watermark_delay="1 minute")
+        q_ = (sess.writeStream
+              .foreachBatch(lambda df, eid: collected.extend(df.collect()))
+              .outputMode("append").option("checkpointLocation", ck)
+              .trigger(availableNow=True).start())
+        q_.awaitTermination(300)
+
+    # a fresh checkpoint inherits the session's shuffle partitioning as its
+    # state-store partition count — pin it so an unconfigured session
+    # (default 200) doesn't pay 200 state dirs per micro-batch
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_once()
+        max_ts = e.agg(F.max("ts")).collect()[0][0]
+        sentinel = max_ts + datetime.timedelta(days=10)
+        spark.createDataFrame([(-1, sentinel, 0)],
+                              "user_id long, ts timestamp, v long") \
+            .coalesce(1).write.parquet(os.path.join(src, "b2"))
+        run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    out = spark.createDataFrame(
+        [r for r in collected if r["key"] != -1],
+        "key long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value long, closed_by string")
+    return out.orderBy("key", "session_start")
+
+
 @q("multimodal_decode_features")  # stub decode is engine-specific: rows-only
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched decode + feature extraction over multimodal payloads
@@ -1643,6 +1735,7 @@ _PRIORITY = [
     # metadata tables / streaming / multimodal
     "meta_partitions_months", "meta_snapshots_log", "meta_files_stats",
     "streaming_sink_counts", "streaming_source_total",
+    "streaming_stateful_sessions",
     "multimodal_meta", "multimodal_decode_features",
     # event windows + text analysis
     "events_tumbling_window", "events_sliding_window", "events_session_window",
@@ -1651,7 +1744,7 @@ _PRIORITY = [
     # relational representatives (one-per-operator-family coverage)
     "agg_pricing_summary", "agg_stats", "join_inner_equi", "join_asof",
     "join_multiway", "join_full_outer", "window_topk_per_group",
-    "window_analytic_suite", "sort_global_topk", "scalar_math_funcs",
+    "sort_global_topk", "scalar_math_funcs",
     "scalar_json_funcs", "subquery_above_segment_avg", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "similarity_topk",
     "similarity_ann_lsh",
