@@ -163,13 +163,26 @@ def agg_stats(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
-@q("agg_approx_distinct")  # approx sketches differ across engines: rows-only
+@q("agg_approx_distinct", """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_within_5pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++). Scale: constant memory per group."""
+    """approx_count_distinct (HLL++, constant memory per group).  Sketch
+    values differ by engine, so the checkable contract is the sketch's
+    accuracy guarantee: emit the exact distinct count plus a flag that the
+    HLL estimate landed within 5% of it (rsd default 0.05); the oracle
+    recomputes the exact count and expects the flag to hold."""
     return (ld(spark, sf_dir, "lineitem")
-            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
-                 F.expr("approx_percentile(l_extendedprice, 0.5)")
-                  .alias("median_price")))
+            .groupBy("l_returnflag")
+            .agg(F.count_distinct("l_partkey").alias("exact_parts"),
+                 F.approx_count_distinct("l_partkey").alias("_approx"))
+            .select("l_returnflag", "exact_parts",
+                    (F.abs(F.col("_approx") - F.col("exact_parts"))
+                     <= 0.05 * F.col("exact_parts"))
+                    .alias("approx_within_5pct"))
+            .orderBy("l_returnflag"))
 
 
 # =========================================================================
@@ -1023,19 +1036,70 @@ def text_quality_score(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@q("text_lang_id")  # heuristic n-gram profile: rows-only check
+@q("text_lang_id", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), scored AS (
+  SELECT doc_id, unnest([
+    struct_pack(score := len(list_intersect(list_distinct(t),
+      ['the','and','of','to','in','is','that','for','with','as']))::DOUBLE
+      / len(t), lang := 'en'),
+    struct_pack(score := len(list_intersect(list_distinct(t),
+      ['der','die','das','und','ist','nicht','ein','mit','für']))::DOUBLE
+      / len(t), lang := 'de'),
+    struct_pack(score := len(list_intersect(list_distinct(t),
+      ['le','la','les','et','est','pas','une','pour','dans']))::DOUBLE
+      / len(t), lang := 'fr'),
+    struct_pack(score := len(list_intersect(list_distinct(t),
+      ['el','la','los','y','es','no','una','por','con','para']))::DOUBLE
+      / len(t), lang := 'es')]) AS s
+  FROM toks
+), best AS (
+  SELECT doc_id, s.score AS score, s.lang AS lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s.score DESC, s.lang DESC) AS rn
+  FROM scored
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       round(score, 4) AS lang_score
+FROM best WHERE rn = 1 ORDER BY doc_id""")
 def text_lang_id(spark, sf_dir):
-    """Language ID via stopword-hit heuristic (deterministic)."""
+    """Language ID via stopword-hit heuristic — deterministic built-in
+    expressions, so the argmax (incl. the tie rule: max score, then max
+    lang string, matching array_max's struct ordering) is SQL-checkable."""
     from linkedin_iceberg_spark.operators.text import lang_id
     return lang_id(ld(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-@q("text_fingerprint")  # rolling-hash specific: rows-only check
+@q("text_fingerprint", r"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       count(*) OVER (PARTITION BY n) AS exact_group,
+       TRUE AS block_covers_exact
+FROM norm ORDER BY doc_id""")
 def text_fingerprint(spark, sf_dir):
-    """Document fingerprint: xxhash64 over normalized text + winnowed
-    shingle min-hash (deterministic)."""
+    """Document fingerprinting: xxhash64 of normalized text (exact-dup key)
+    + 4-way token minhash (near-dup blocking key).  Hash VALUES are
+    engine-specific, but two invariants are not: (1) docs share an exact_fp
+    iff they share normalized text (xxhash64 collisions aside), so the
+    exact-fp equivalence-class sizes equal the oracle's text-partition
+    sizes; (2) the minhash blocking key is a function of the token set, so
+    blocking can never split an exact-duplicate group — block_group >=
+    exact_group for every doc.  (Minhash classes themselves are a
+    similarity sketch, deliberately coarser than token-set equality, so
+    their sizes are not directly SQL-checkable.)"""
     from linkedin_iceberg_spark.operators.text import fingerprint
-    return fingerprint(ld(spark, sf_dir, "documents")).orderBy("doc_id")
+    fp = fingerprint(ld(spark, sf_dir, "documents"))
+    we = W.partitionBy("exact_fp")
+    wb = W.partitionBy("minhash0", "minhash1", "minhash2", "minhash3")
+    return (fp.select("doc_id",
+                      F.count("*").over(we).alias("exact_group"),
+                      (F.count("*").over(wb) >= F.count("*").over(we))
+                      .alias("block_covers_exact"))
+            .orderBy("doc_id"))
 
 
 # =========================================================================
