@@ -145,3 +145,62 @@ SELECT a.{id_col} AS v1, b.{id_col} AS v2, 0 AS table_id,
 FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
 ORDER BY table_id, v1, v2"""
+
+
+def _cos_to_lit(vec_col, vector: list, round_to: int = 5):
+    """round(cosine(col, literal vector), round_to) as a Column — rounding
+    keeps Spark/DuckDB double accumulation agreeing at comparison time."""
+    vlit = F.array(*[F.lit(float(x)) for x in vector])
+    vnorm = math.sqrt(sum(float(x) * float(x) for x in vector))
+    return F.round(_dot(F.col(vec_col), vlit)
+                   / (_norm(F.col(vec_col)) * F.lit(vnorm)), round_to)
+
+
+def ivf_assign(df: DataFrame, centroids: list, vec_col: str = "embedding",
+               cell_col: str = "cell", round_to: int = 5) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (ties -> larger cid,
+    matching array_max's struct ordering).  The centroid table is inlined
+    as literals — the broadcast-dim analog; one scan, no shuffle."""
+    scored = F.array(*[
+        F.struct(_cos_to_lit(vec_col, vec, round_to).alias("score"),
+                 F.lit(int(cid)).alias("cid"))
+        for cid, vec in centroids])
+    return df.withColumn(cell_col, F.array_max(scored)["cid"])
+
+
+def ivf_topk(df: DataFrame, query_vec, k: int, n_cells: int = 8,
+             n_probe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_to: int = 5) -> DataFrame:
+    """IVF-flat approximate nearest neighbor: partition vectors into cells
+    by nearest centroid, then search only the `n_probe` cells nearest the
+    query — the classic inverted-file ANN trade (recall vs cells probed).
+
+    Centroids are a deterministic sample (the lowest `n_cells` ids);
+    production IVF trains them with k-means, but the scale-critical
+    machinery is identical either way: a metadata-sized centroid table
+    (broadcast), a single assignment scan, and cell-local search.  At
+    100 TB: raise n_cells ~ sqrt(N) and persist `cell` as a partition
+    column so probing prunes files instead of filtering rows."""
+    cent_rows = (df.orderBy(id_col).limit(n_cells)
+                 .select(vec_col).collect())  # n_cells rows: metadata-sized
+    centroids = [(i, [float(x) for x in r[0]])
+                 for i, r in enumerate(cent_rows)]
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos_py(c):
+        dot = 0.0
+        for x, y in zip(c, q):
+            dot += x * y
+        return round(dot / (math.sqrt(sum(v * v for v in c)) * qn), round_to)
+
+    probe = sorted(centroids, key=lambda cv: (-cos_py(cv[1]), -cv[0]))
+    probe_cids = [cid for cid, _v in probe[:n_probe]]
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, round_to=round_to)
+    return (assigned.filter(F.col("cell").isin(probe_cids))
+            .select(F.col(id_col), F.col("cell"),
+                    _cos_to_lit(vec_col, q, round_to).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(k))

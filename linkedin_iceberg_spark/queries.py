@@ -995,6 +995,49 @@ _REGISTRY["similarity_ann_lsh"] = (_REGISTRY["similarity_ann_lsh"][0],
                                    _ann_oracle())
 
 
+@q("similarity_ivf_topk", """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id < 8
+), qv AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c),
+                          5) DESC, c.cid DESC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), cells AS (
+  SELECT vec_id, embedding, cid AS cell FROM assigned WHERE rn = 1
+), probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (
+      ORDER BY round(list_cosine_similarity(c.c, (SELECT q FROM qv)), 5)
+        DESC, c.cid DESC) AS rn
+    FROM cents c) WHERE rn <= 2
+)
+SELECT vec_id, cell,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+                                    (SELECT q FROM qv)), 5) AS cos_sim
+FROM cells
+WHERE cell IN (SELECT cid FROM probes)
+ORDER BY cos_sim DESC, vec_id LIMIT 10""")
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (the scale path next to brute-force similarity_topk):
+    assign every vector to its nearest of 8 deterministic centroids, probe
+    the 2 cells nearest the query, exact top-10 inside them.  The oracle
+    replays the identical algorithm in SQL — centroid choice, rounded-
+    cosine assignment with the same tie rule, probing, and final ranking —
+    so the whole IVF pipeline is value-checked."""
+    from linkedin_iceberg_spark.operators.similarity import ivf_topk
+    e = ld(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(e, qvec, k=10, n_cells=8, n_probe=2,
+                    id_col="vec_id", vec_col="embedding")
+
+
 @q("text_token_stats", """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
@@ -1807,11 +1850,11 @@ _PRIORITY = [
     "text_fingerprint",
     # relational representatives (one-per-operator-family coverage)
     "agg_pricing_summary", "agg_stats", "join_inner_equi", "join_asof",
-    "join_multiway", "join_full_outer", "window_topk_per_group",
+    "join_multiway", "window_topk_per_group",
     "sort_global_topk", "scalar_math_funcs",
     "scalar_json_funcs", "subquery_above_segment_avg", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "similarity_topk",
-    "similarity_ann_lsh",
+    "similarity_ann_lsh", "similarity_ivf_topk",
 ]
 
 
