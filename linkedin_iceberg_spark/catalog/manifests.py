@@ -35,9 +35,12 @@ CONTENT_POSITION_DELETES = 1
 CONTENT_EQUALITY_DELETES = 2
 
 
-@dataclass
+@dataclass(slots=True)
 class DataFile:
-    """ref: api/.../DataFile.java:67-96 + ContentFile.java:45-103."""
+    """ref: api/.../DataFile.java:67-96 + ContentFile.java:45-103.
+
+    slots: a 1M-entry plan materializes a million of these on the driver —
+    slots cut per-instance memory ~3x and speed construction."""
 
     file_path: str
     file_format: str = "parquet"
@@ -56,7 +59,7 @@ class DataFile:
     sort_order: Optional[str] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class ManifestEntry:
     status: int
     snapshot_id: int
@@ -154,29 +157,73 @@ def write_manifest(path: str, entries: list, types_by_id: dict,
     return summarize_manifest(path, entries, ptypes)
 
 
+def _decode_json_column(col: list, transform) -> list:
+    """Decode a column of JSON strings with ONE C-level parse for the whole
+    column plus a memoized per-distinct-string transform.
+
+    Planning is driver-side (the reference's own design); at ~1M manifest
+    entries the former 6-loads-per-entry decode was the planning hot spot.
+    Joining the strings into a single JSON array amortizes the parser, and
+    manifests repeat strings heavily (empty stats, partition-clustered
+    entries), so the transform cache usually fires.  Returned containers
+    are shallow-copied per row — callers may mutate them."""
+    blob = json.loads("[" + ",".join(s if s else "null" for s in col) + "]")
+    cache: dict = {}
+    out = []
+    for s, raw in zip(col, blob):
+        if raw is None:
+            out.append({} if not isinstance(raw, list) else [])
+            continue
+        got = cache.get(s)
+        if got is None:
+            got = transform(raw)
+            cache[s] = got
+        out.append(dict(got) if isinstance(got, dict) else list(got))
+    return out
+
+
 def read_manifest(path: str, types_by_id: dict, ptypes: dict) -> list:
     """Read entries back as list[ManifestEntry]."""
     table = pq.read_table(path)
     out = []
     d = table.to_pydict()
     n = table.num_rows
+
+    parts = _decode_json_column(
+        d["partition"],
+        lambda raw: {k: decode_value(v, ptypes.get(k, "string"))
+                     for k, v in raw.items()})
+    vcounts = _decode_json_column(
+        d["value_counts"], lambda raw: {int(k): v for k, v in raw.items()})
+    ncounts = _decode_json_column(
+        d["null_value_counts"],
+        lambda raw: {int(k): v for k, v in raw.items()})
+    nans = _decode_json_column(
+        d["nan_value_counts"],
+        lambda raw: {int(k): v for k, v in raw.items()})
+
+    def bounds_tr(raw):
+        return {int(k): decode_value(v, types_by_id.get(int(k), "string"))
+                for k, v in raw.items()}
+
+    lowers = _decode_json_column(d["lower_bounds"], bounds_tr)
+    uppers = _decode_json_column(d["upper_bounds"], bounds_tr)
+    eq_ids = _decode_json_column(d["equality_ids"], lambda raw: raw)
+
     for i in range(n):
         df = DataFile(
             file_path=d["file_path"][i],
             file_format=d["file_format"][i],
-            partition=_decode_partition(d["partition"][i], ptypes),
+            partition=parts[i],
             record_count=d["record_count"][i],
             file_size_in_bytes=d["file_size_in_bytes"][i],
-            value_counts={int(k): v for k, v in
-                          json.loads(d["value_counts"][i] or "{}").items()},
-            null_value_counts={int(k): v for k, v in
-                               json.loads(d["null_value_counts"][i] or "{}").items()},
-            nan_value_counts={int(k): v for k, v in
-                              json.loads(d["nan_value_counts"][i] or "{}").items()},
-            lower_bounds=_decode_bounds(d["lower_bounds"][i], types_by_id),
-            upper_bounds=_decode_bounds(d["upper_bounds"][i], types_by_id),
+            value_counts=vcounts[i],
+            null_value_counts=ncounts[i],
+            nan_value_counts=nans[i],
+            lower_bounds=lowers[i],
+            upper_bounds=uppers[i],
             content=d["content"][i],
-            equality_ids=json.loads(d["equality_ids"][i] or "[]"),
+            equality_ids=eq_ids[i] if isinstance(eq_ids[i], list) else [],
             spec_id=d["spec_id"][i],
             schema_id=d["schema_id"][i],
         )
