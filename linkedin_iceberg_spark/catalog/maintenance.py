@@ -174,8 +174,21 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
         _rm(mdp(s.manifest_list))
     for r in dead_manifests:
         _rm(mdp(r.manifest_path))
+    # files imported in place (add_files) live OUTSIDE the table location
+    # and belong to the source dataset: expiring a snapshot must never
+    # physically delete them (the gc.enabled=false discipline Iceberg
+    # applies to snapshot-imported tables).  Files under our own location
+    # are engine-owned and safe to remove.
+    loc = os.path.abspath(table.location).rstrip(os.sep) + os.sep
+    kept_external = 0
     for r in dead_files:
-        _rm(r.file_path)
+        if os.path.abspath(r.file_path).startswith(loc):
+            _rm(r.file_path)
+        else:
+            kept_external += 1
+    if kept_external:
+        stats["deleted_data_files"] -= kept_external
+        stats["external_files_kept"] = kept_external
     return stats
 
 

@@ -139,3 +139,21 @@ def test_add_files_rejects_non_identity(catalog, spark, tmp_path):
     t = catalog.create_table("db.bad", schema, spec=spec)
     with pytest.raises(ValueError, match="identity"):
         t.add_files(src)
+
+
+def test_expire_never_deletes_imported_files(catalog, spark, hive_dir):
+    """Source files of an in-place import survive snapshot expiry even
+    after being logically replaced (gc.enabled=false discipline)."""
+    import glob
+    t = catalog.import_table("db.expire_safe", hive_dir)
+    src_files = set(glob.glob(os.path.join(hive_dir, "**", "*.parquet"),
+                              recursive=True))
+    # rewrite everything: imported files become unreferenced by HEAD
+    from linkedin_iceberg_spark.expressions import gt_eq
+    t.delete_where(gt_eq("id", 0))
+    stats = t.refresh().expire_snapshots(retain_last=1)
+    assert stats["expired_snapshots"] >= 1
+    assert stats.get("external_files_kept", 0) > 0
+    still = set(glob.glob(os.path.join(hive_dir, "**", "*.parquet"),
+                          recursive=True))
+    assert still == src_files  # every source file intact
