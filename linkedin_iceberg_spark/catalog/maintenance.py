@@ -82,7 +82,7 @@ def rewrite_manifests(table,
     types_by_id = table._types_by_id()
 
     def build(base, snap_id, seq):
-        ptypes = base.spec.partition_type()
+        ptypes = base.all_partition_types()
         infos = []
         for chunk in chunks:
             name = M.new_manifest_name()

@@ -112,10 +112,28 @@ class TableMetadata:
                 return s.bind(self.schema)
         raise ValueError("default spec not found")
 
+    def bound_specs(self) -> list:
+        """Every spec BOUND to the current schema (by source field id, so
+        renames don't break old specs).  JSON-loaded specs are unbound —
+        projections and partition_type silently degrade on them, so any
+        per-spec iteration must go through here, not raw ``self.specs``."""
+        return [s.bind(self.schema) for s in self.specs]
+
+    def all_partition_types(self) -> dict:
+        """pf.name -> type across EVERY spec (ref: TableMetadata.specsById).
+        Manifest partition serde must use the union: after spec evolution a
+        snapshot's manifests mix entries written under different specs.
+        (Same-named fields across specs are same-source identity fields —
+        the builder suffixes transformed names — so the union is sound.)"""
+        out: dict = {}
+        for s in self.bound_specs():
+            out.update(s.partition_type())
+        return out
+
     def spec_by_id(self, spec_id: int) -> PartitionSpec:
         for s in self.specs:
             if s.spec_id == spec_id:
-                return s
+                return s.bind(self.schema)
         raise ValueError(f"no spec with id {spec_id}")
 
     def snapshot_by_id(self, snapshot_id: int) -> Optional[Snapshot]:

@@ -80,7 +80,7 @@ def row_delta(table, data_df: Optional[DataFrame] = None,
     types_by_id = table._types_by_id()
 
     def build(base, snap_id, seq):
-        ptypes = base.spec.partition_type()
+        ptypes = base.all_partition_types()
         infos = []
         entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id, seq, f)
                    for f in [*data_files, *delete_files]]

@@ -187,22 +187,31 @@ class TableScan:
         bound = bind(schema, self.row_filter) if self.row_filter is not None \
             else always_true()
 
-        # level 1: manifest-list pruning via partition summaries
-        default_spec = md.spec
-        part_expr = inclusive_projection(default_spec, bound)
-        summary_eval = _SummaryEvaluator(part_expr)
+        # per-spec inclusive projections (ref: TableMetadata.specsById —
+        # after partition evolution a snapshot's entries mix specs; each
+        # file's partition tuple must be judged under ITS OWN spec, never
+        # the default's, or old files get wrongly pruned)
+        part_exprs = {s.spec_id: inclusive_projection(s, bound)
+                      for s in md.bound_specs()}
+        part_evals = {sid: Evaluator(pe) for sid, pe in part_exprs.items()}
+        summary_evals = [_SummaryEvaluator(pe) for pe in part_exprs.values()]
+
+        # level 1: manifest-list pruning via partition summaries — a
+        # manifest survives if ANY spec's projection might match (each
+        # evaluator is already conservative for field names it can't see)
         infos = M.read_manifest_list(
             table.ops.new_metadata_path(snap.manifest_list),
-            default_spec.partition_type())
+            md.all_partition_types())
         live = [i for i in infos
                 if (i.added_files_count + i.existing_files_count) > 0]
-        pruned = [i for i in live if summary_eval.eval(i.partition_summaries)]
+        pruned = [i for i in live
+                  if any(ev.eval(i.partition_summaries)
+                         for ev in summary_evals)]
 
         # level 2: read surviving manifests (parallel), filter entries
         types_by_id = {f.field_id: f.type for f in schema.fields
                        if isinstance(f.type, str)}
-        ptypes = default_spec.partition_type()
-        part_eval = Evaluator(part_expr)
+        ptypes = md.all_partition_types()
         metrics_eval = InclusiveMetricsEvaluator(bound)
 
         def read_one(info):
@@ -217,19 +226,24 @@ class TableScan:
             chunks = [read_one(i) for i in pruned]
 
         data_entries, delete_entries = [], []
+        default_eval = part_evals[md.default_spec_id]
         for entries in chunks:
             for e in entries:
                 if e.status == M.STATUS_DELETED:
                     continue
                 if e.data_file.content == M.CONTENT_DATA:
-                    if part_eval.eval(e.data_file.partition) and \
+                    pe = part_evals.get(e.data_file.spec_id, default_eval)
+                    if pe.eval(e.data_file.partition) and \
                             metrics_eval.eval(e.stats_dict()):
                         data_entries.append(e)
                 else:
                     delete_entries.append(e)
 
-        residuals = ResidualEvaluator(default_spec, bound)
-        return match_deletes(data_entries, delete_entries, residuals)
+        residuals_by_spec = {s.spec_id: ResidualEvaluator(s, bound)
+                             for s in md.bound_specs()}
+        return match_deletes(data_entries, delete_entries,
+                             residuals_by_spec=residuals_by_spec,
+                             default_spec_id=md.default_spec_id)
 
     def plan_tasks(self, split_size: Optional[int] = None,
                    lookback: Optional[int] = None,
@@ -321,7 +335,9 @@ class TableScan:
 
 
 def match_deletes(data_entries: list, delete_entries: list,
-                  residuals: Optional["ResidualEvaluator"] = None) -> list:
+                  residuals: Optional["ResidualEvaluator"] = None,
+                  residuals_by_spec: Optional[dict] = None,
+                  default_spec_id: int = 0) -> list:
     """v2 row-level deletes: match delete files to data files by sequence
     number (ref: core/.../DeleteFileIndex.java:61-133).  Equality deletes
     apply only to STRICTLY older files (rows committed with or after the
@@ -333,6 +349,10 @@ def match_deletes(data_entries: list, delete_entries: list,
     matching is O(data x deletes-in-partition), not O(data x all-deletes) —
     the same partition-keyed index DeleteFileIndex builds."""
     def res(e):
+        if residuals_by_spec is not None:
+            ev = residuals_by_spec.get(e.data_file.spec_id) \
+                or residuals_by_spec.get(default_spec_id)
+            return ev.residual_for(e.data_file.partition)
         return residuals.residual_for(e.data_file.partition) \
             if residuals is not None else None
 

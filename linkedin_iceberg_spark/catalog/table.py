@@ -260,7 +260,7 @@ class Table:
             if wap_id is not None:
                 summary = {**summary, "wap.id": wap_id}
             ml_name = M.manifest_list_name(snap_id)
-            ptypes = base.spec.partition_type()
+            ptypes = base.all_partition_types()
             M.write_manifest_list(self.ops.new_metadata_path(ml_name), infos, ptypes)
             snap = Snapshot(
                 snapshot_id=snap_id,
@@ -292,7 +292,7 @@ class Table:
         snap = base.current_snapshot
         if snap is None:
             return []
-        ptypes = base.spec.partition_type()
+        ptypes = base.all_partition_types()
         return M.read_manifest_list(self.ops.new_metadata_path(snap.manifest_list),
                                     ptypes)
 
@@ -329,7 +329,7 @@ class Table:
         def build(base, snap_id, seq):
             entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id, seq, f)
                        for f in files]
-            ptypes = base.spec.partition_type()
+            ptypes = base.all_partition_types()
             mname = M.new_manifest_name()
             info = M.write_manifest(self.ops.new_metadata_path(mname), entries,
                                     types_by_id, ptypes)
@@ -368,7 +368,7 @@ class Table:
             return infos
         target = self.MANIFEST_TARGET_ENTRIES
         types_by_id = self._types_by_id()
-        ptypes = base.spec.partition_type()
+        ptypes = base.all_partition_types()
 
         out: list = []
         for content in sorted({i.content for i in infos}):
@@ -569,6 +569,52 @@ class Table:
     def to_df(self) -> DataFrame:
         return self.new_scan().to_df()
 
+    def _projection_evals(self, bound: Expression) -> tuple:
+        """Per-spec (strict, inclusive) partition-projection evaluators as
+        two lookup callables DataFile -> Evaluator.  After partition-spec
+        evolution a table's live entries mix specs (ref:
+        TableMetadata.specsById); judging an old file's partition tuple
+        under the default spec would wrongly skip (inclusive) or wrongly
+        whole-file-drop (strict) it."""
+        strict_by = {s.spec_id: Evaluator(strict_projection(s, bound))
+                     for s in self.metadata.bound_specs()}
+        incl_by = {s.spec_id: Evaluator(inclusive_projection(s, bound))
+                   for s in self.metadata.bound_specs()}
+        cur = self.metadata.default_spec_id
+
+        def strict_for(df_):
+            return strict_by.get(df_.spec_id, strict_by[cur])
+
+        def incl_for(df_):
+            return incl_by.get(df_.spec_id, incl_by[cur])
+
+        return strict_for, incl_for
+
+    def update_spec(self, build_fn: Callable) -> "Table":
+        """Partition-spec evolution (ref: TableMetadata.updatePartitionSpec
+        core/.../TableMetadata.java:416 + specsById): register a NEW default
+        spec; existing files keep their spec_id and stay scannable — scan
+        planning and DML judge every file under its own spec, and new writes
+        cluster by the new spec.  ``build_fn`` receives a SpecBuilder bound
+        to the current schema:
+
+            t.update_spec(lambda b: b.identity("region").day("ts"))
+
+        Note: dynamic partition overwrite replaces partitions under the
+        CURRENT spec only; mixed-spec tables should overwrite by filter."""
+        def do(base: TableMetadata):
+            import dataclasses
+            b = PartitionSpec.builder_for(base.schema)
+            build_fn(b)
+            new = b.with_spec_id(max(s.spec_id for s in base.specs) + 1) \
+                .build()
+            md = dataclasses.replace(base)
+            md.specs = [*base.specs, new]
+            md.default_spec_id = new.spec_id
+            return md
+
+        return self._commit_metadata_edit(do)
+
     # ------------------------------------------------- delete / overwrite
     def delete_where(self, expr: Expression) -> "Table":
         """DELETE FROM t WHERE expr (ref: core/.../StreamingDelete.java +
@@ -582,12 +628,9 @@ class Table:
         if snap is None:
             return self
         entries, delete_entries = self._live_data_and_deletes()
-        strict_part = strict_projection(self.spec, bound)
-        strict_eval = Evaluator(strict_part)
+        strict_evals, incl_evals = self._projection_evals(bound)
         metrics_strict = StrictMetricsEvaluator(bound)
         from linkedin_iceberg_spark.expressions import InclusiveMetricsEvaluator
-        incl_part = inclusive_projection(self.spec, bound)
-        incl_eval = Evaluator(incl_part)
         metrics_incl = InclusiveMetricsEvaluator(bound)
 
         drop_whole: list = []
@@ -595,14 +638,14 @@ class Table:
         keep: list = []
         for e in entries:
             df_ = e.data_file
-            might_match = incl_eval.eval(df_.partition) and \
+            might_match = incl_evals(df_).eval(df_.partition) and \
                 metrics_incl.eval(e.stats_dict())
             if not might_match:
                 keep.append(e)
                 continue
             # strict match proves every ORIGINAL row matches; live rows are
             # a subset, so whole-file drop stays safe under pending deletes
-            all_match = strict_eval.eval(df_.partition) or \
+            all_match = strict_evals(df_).eval(df_.partition) or \
                 metrics_strict.eval(e.stats_dict())
             if all_match:
                 drop_whole.append(e)
@@ -624,21 +667,18 @@ class Table:
         snapshot."""
         bound = bind(self.schema, expr)
         entries, delete_entries = self._live_data_and_deletes()
-        strict_part = strict_projection(self.spec, bound)
-        strict_eval = Evaluator(strict_part)
+        strict_evals, incl_evals = self._projection_evals(bound)
         metrics_strict = StrictMetricsEvaluator(bound)
         from linkedin_iceberg_spark.expressions import InclusiveMetricsEvaluator
-        incl_part = inclusive_projection(self.spec, bound)
-        incl_eval = Evaluator(incl_part)
         metrics_incl = InclusiveMetricsEvaluator(bound)
 
         removed, rewrite, keep = [], [], []
         for e in entries:
-            might = incl_eval.eval(e.data_file.partition) and \
+            might = incl_evals(e.data_file).eval(e.data_file.partition) and \
                 metrics_incl.eval(e.stats_dict())
             if not might:
                 keep.append(e)
-            elif strict_eval.eval(e.data_file.partition) or \
+            elif strict_evals(e.data_file).eval(e.data_file.partition) or \
                     metrics_strict.eval(e.stats_dict()):
                 removed.append(e)
             else:
@@ -683,7 +723,7 @@ class Table:
         types_by_id = self._types_by_id()
 
         def build(base, snap_id, seq):
-            ptypes = base.spec.partition_type()
+            ptypes = base.all_partition_types()
             base_entries = self._live_entries(base=base)
             keep = [e for e in base_entries
                     if e.data_file.file_path not in removed_paths]
@@ -747,7 +787,7 @@ class Table:
         snap = snapshot or md.current_snapshot
         if snap is None:
             return []
-        ptypes = md.spec.partition_type()
+        ptypes = md.all_partition_types()
         types_by_id = {f.field_id: f.type for f in md.schema.fields
                        if isinstance(f.type, str)}
         infos = M.read_manifest_list(
@@ -821,7 +861,7 @@ class Table:
             if snap.operation != OP_APPEND:
                 raise ValueError(
                     "cannot cherry-pick non-append with divergent base")
-            ptypes = base.spec.partition_type()
+            ptypes = base.all_partition_types()
             staged_infos = M.read_manifest_list(
                 self.ops.new_metadata_path(snap.manifest_list), ptypes)
             added = [i for i in staged_infos

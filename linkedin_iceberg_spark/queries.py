@@ -1251,6 +1251,37 @@ def table_scan_pruned(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_spec_evolution", """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+  AND o_orderdate < TIMESTAMP '1996-09-01'
+ORDER BY o_orderkey""")
+def table_spec_evolution(spark, sf_dir):
+    """Partition-spec evolution (ref: TableMetadata.updatePartitionSpec +
+    specsById): start unpartitioned, evolve to month partitioning, append
+    under both specs, then scan with a date filter.  Old files are judged
+    under their own spec (never wrongly pruned), new files month-prune."""
+    from linkedin_iceberg_spark.expressions import and_, gt_eq, lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_se", o)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0))          # spec 0
+    t.update_spec(lambda b: b.month("o_orderdate"))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))          # spec 1
+    flt = and_(gt_eq("o_orderdate", "1996-06-01"),
+               lt("o_orderdate", "1996-09-01"))
+    tasks = t.new_scan().filter(flt).plan_files()
+    sids = {tk.file.spec_id for tk in tasks}
+    assert sids == {0, 1}, sids  # both generations planned
+    s1_all = [e for e in t._live_entries()
+              if e.data_file.content == 0 and e.data_file.spec_id == 1]
+    s1_planned = [tk for tk in tasks if tk.file.spec_id == 1]
+    assert len(s1_planned) < len(s1_all)  # new-spec files month-pruned
+    return (t.scan(flt)
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .orderBy("o_orderkey"))
+
+
 @q("table_time_travel", """
 SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 5000
 ORDER BY o_orderkey""")
@@ -1868,6 +1899,7 @@ def multimodal_decode_features(spark, sf_dir):
 _PRIORITY = [
     # table-format plane: the queries that distinguish this engine
     "table_scan_pruned", "table_time_travel", "table_delete_where",
+    "table_spec_evolution",
     "table_schema_evolution", "table_schema_evolution_nested",
     "table_overwrite_dynamic", "table_incremental_scan",
     "table_scan_bucket_pruned", "table_scan_truncate_pruned",
@@ -1887,7 +1919,7 @@ _PRIORITY = [
     # relational representatives (one-per-operator-family coverage)
     "agg_pricing_summary", "agg_stats", "join_inner_equi", "join_asof",
     "join_multiway", "window_topk_per_group",
-    "sort_global_topk", "scalar_math_funcs",
+    "scalar_math_funcs",
     "scalar_json_funcs", "subquery_above_segment_avg", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "similarity_topk",
     "similarity_ann_lsh", "similarity_ivf_topk",

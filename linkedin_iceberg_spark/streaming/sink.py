@@ -45,7 +45,7 @@ def append_batch_idempotent(table, df: DataFrame, epoch_id: int,
     def build(base, snap_id, seq):
         entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id, seq, f)
                    for f in files]
-        ptypes = base.spec.partition_type()
+        ptypes = base.all_partition_types()
         name = M.new_manifest_name()
         info = M.write_manifest(table.ops.new_metadata_path(name), entries,
                                 types_by_id, ptypes)
