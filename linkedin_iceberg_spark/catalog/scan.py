@@ -187,6 +187,11 @@ class TableScan:
         bound = bind(schema, self.row_filter) if self.row_filter is not None \
             else always_true()
 
+        # ref: BaseTableScan.java:209-210 ScanEvent emission at plan time
+        from linkedin_iceberg_spark import events as EV
+        EV.notify_all(EV.ScanEvent(table.name, snap.snapshot_id, bound,
+                                   self.selected))
+
         # per-spec inclusive projections (ref: TableMetadata.specsById —
         # after partition evolution a snapshot's entries mix specs; each
         # file's partition tuple must be judged under ITS OWN spec, never

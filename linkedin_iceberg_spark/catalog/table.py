@@ -280,6 +280,10 @@ class Table:
                 new_version = self.ops.commit(version, md)
                 md._version = new_version  # type: ignore[attr-defined]
                 self.metadata, self.version = md, new_version
+                # ref: FastAppend.java:152 CreateSnapshotEvent on commit
+                from linkedin_iceberg_spark import events as EV
+                EV.notify_all(EV.CreateSnapshotEvent(
+                    self.name, operation, snap_id, seq, summary))
                 return self
             except CommitFailedException:
                 attempt += 1
