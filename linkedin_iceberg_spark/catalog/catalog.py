@@ -99,6 +99,44 @@ class Catalog:
             raise
         return t
 
+    def replace_table_as_select(self, name: str, df: DataFrame,
+                                spec: Optional[PartitionSpec] = None,
+                                properties: Optional[dict] = None) -> Table:
+        """RTAS / CREATE OR REPLACE TABLE AS SELECT (ref:
+        api/.../Transactions.replaceTableTransaction + BaseTransaction's
+        replace path): atomically swap an existing table's schema and
+        contents to match ``df`` in ONE metadata commit, preserving table
+        identity and snapshot history (time travel to the pre-replace state
+        still works).  Creates the table when absent.
+
+        Columns present in both keep their field ids (so old snapshots
+        still align); columns only in ``df`` are added; columns missing
+        from ``df`` are dropped.  Incompatible type changes surface as
+        evolution/append errors rather than silent coercion."""
+        from linkedin_iceberg_spark.expressions import always_true
+
+        if not self.table_exists(name):
+            return self.create_table_as_select(name, df, spec=spec,
+                                               properties=properties)
+        t = self.load_table(name)
+        txn = t.new_transaction()
+        incoming = Schema.from_spark(df.schema)
+        have = {f.name for f in t.schema.fields}
+        want = {f.name for f in incoming.fields}
+        if have != want:
+            up = txn.update_schema().allow_incompatible_changes()
+            for f in incoming.fields:
+                if f.name not in have:
+                    up.add_column(f.name, f.type)
+            for missing in sorted(have - want):
+                up.delete_column(missing)
+            up.commit()
+        txn.delete_where(always_true())
+        txn.append(df)
+        if properties:
+            txn.update_properties(properties)
+        return txn.commit()
+
     def migrate(self, name: str, path_or_df, spec: Optional[PartitionSpec] = None,
                 fmt: str = "parquet") -> Table:
         """Import by COPY (CTAS): read any Spark-readable path/DataFrame and
