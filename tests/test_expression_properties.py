@@ -133,3 +133,47 @@ def test_metrics_evaluator_never_skips_matches(expr, file_rows):
             stats["upper_bounds"][fid] = max(non_null)
     assert InclusiveMetricsEvaluator(bound).eval(stats), \
         f"metrics skipped a file with a match: {expr!r} rows={file_rows}"
+
+
+BUCKET_SPEC = PartitionSpec.builder_for(SCHEMA).bucket("a", 4).build()
+
+
+@settings(max_examples=300, deadline=None)
+@given(exprs, rows)
+def test_bucket_projection_never_prunes_matches(expr, row):
+    """Inclusive projection through a bucket transform (eq/in project;
+    ranges can't) must never prune a matching row's bucket."""
+    bound = bind(SCHEMA, expr)
+    if not Evaluator(bound).eval(row):
+        return
+    part = {pf.name: pf.bound_transform().apply(row[pf.source_name])
+            for pf in BUCKET_SPEC.fields}
+    proj = inclusive_projection(BUCKET_SPEC, bound)
+    assert Evaluator(proj).eval(part), \
+        f"bucket-pruned a matching row: {expr!r} row={row} part={part}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(exprs, st.lists(rows, min_size=1, max_size=5))
+def test_strict_metrics_only_accepts_all_match(expr, file_rows):
+    """StrictMetricsEvaluator says 'every row matches' -> it must be true.
+    This is the evaluator that authorizes metadata-only whole-file DELETEs;
+    a false positive would silently drop surviving rows."""
+    from linkedin_iceberg_spark.expressions import StrictMetricsEvaluator
+
+    bound = bind(SCHEMA, expr)
+    stats = {"record_count": len(file_rows), "value_counts": {},
+             "null_value_counts": {}, "nan_value_counts": {},
+             "lower_bounds": {}, "upper_bounds": {}}
+    for fid, col in ((1, "a"), (2, "s")):
+        vals = [r[col] for r in file_rows]
+        non_null = [v for v in vals if v is not None]
+        stats["value_counts"][fid] = len(vals)
+        stats["null_value_counts"][fid] = len(vals) - len(non_null)
+        if non_null:
+            stats["lower_bounds"][fid] = min(non_null)
+            stats["upper_bounds"][fid] = max(non_null)
+    if StrictMetricsEvaluator(bound).eval(stats):
+        for r in file_rows:
+            assert Evaluator(bound).eval(r), \
+                f"strict metrics claimed all-match falsely: {expr!r} row={r}"
