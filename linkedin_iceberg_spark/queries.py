@@ -342,16 +342,15 @@ def join_asof(spark, sf_dir):
     (SURVEY.md §2B) — each event matched to the user's most recent order as
     of the event time.  Scale: partition by the left key; consider
     bucketing both sides on the key at 100 TB."""
+    from linkedin_iceberg_spark.operators.joins import asof_join
     e = ld(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
     o = ld(spark, sf_dir, "orders")
-    joined = e.join(o, (o.o_custkey == e.user_id)
-                    & (o.o_orderdate <= e.ts))
-    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(),
-                                          F.col("o_orderkey").desc())
-    return (joined.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("event_id", F.col("o_orderkey").alias("last_order_key"),
-                    F.col("o_orderdate").alias("last_order_date"))
+    out = asof_join(e, o, "ts", "o_orderdate", "user_id", "o_custkey",
+                    left_id="event_id",
+                    tiebreak=[F.col("o_orderkey").desc()])
+    return (out.select("event_id",
+                       F.col("o_orderkey").alias("last_order_key"),
+                       F.col("o_orderdate").alias("last_order_date"))
             .orderBy("event_id"))
 
 
