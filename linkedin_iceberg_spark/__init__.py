@@ -26,7 +26,9 @@ Layout:
 from linkedin_iceberg_spark.catalog.catalog import Catalog
 from linkedin_iceberg_spark.schema import Schema, NestedField
 from linkedin_iceberg_spark.catalog.spec import PartitionSpec
+from linkedin_iceberg_spark import events
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["Catalog", "Schema", "NestedField", "PartitionSpec", "__version__"]
+__all__ = ["Catalog", "Schema", "NestedField", "PartitionSpec", "events",
+           "__version__"]

@@ -115,3 +115,50 @@ def test_sessionize_batch_parity(spark, tmp_path):
             last = ts
         exp.add((uid, n))
     assert got == exp
+
+
+def test_sessionize_into_idempotent_table_sink(spark, catalog, tmp_path):
+    """End-to-end composition: stateful sessionization streaming into the
+    engine's epoch-idempotent table sink — a replayed micro-batch never
+    double-appends sessions."""
+    from linkedin_iceberg_spark.streaming.sink import append_batch_idempotent
+
+    src = tmp_path / "sess2_src"
+    src.mkdir()
+    rows = [("2024-01-01 10:00:00", 1, 1), ("2024-01-01 10:01:00", 1, 2),
+            ("2024-01-01 10:20:00", 1, 3), ("2024-01-01 12:00:00", 9, 0)]
+    spark.createDataFrame(rows, "ts_s string, uid long, v long") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+
+    from linkedin_iceberg_spark import Schema, NestedField
+    t = catalog.create_table("db.sessions", Schema([
+        NestedField(1, "key", "long"),
+        NestedField(2, "session_start", "timestamp"),
+        NestedField(3, "session_end", "timestamp"),
+        NestedField(4, "n_events", "long"),
+        NestedField(5, "sum_value", "long"),
+        NestedField(6, "closed_by", "string")]))
+
+    def run():
+        ev = (spark.readStream.schema("ts_s string, uid long, v long")
+              .parquet(str(src / "*"))
+              .withColumn("ts", F.col("ts_s").cast("timestamp")))
+        sess = sessionize_capped(ev, "uid", "ts", gap="5 minutes",
+                                 value_col="v", watermark_delay="1 minute")
+        q = (sess.writeStream
+             .foreachBatch(lambda df, eid: append_batch_idempotent(
+                 t, df, eid, query_id="sess"))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck3"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+
+    run()
+    n1 = t.refresh().to_df().count()
+    assert n1 >= 1  # uid 1's first (gap-closed) session landed
+
+    # replay the SAME epochs by re-feeding an identical foreachBatch call:
+    # simulate a retried batch with the same epoch id
+    batch = t.to_df()
+    append_batch_idempotent(t, batch, 0, query_id="sess")
+    assert t.refresh().to_df().count() == n1  # no double-append
