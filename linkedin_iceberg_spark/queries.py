@@ -1870,18 +1870,43 @@ def streaming_stateful_sessions(spark, sf_dir):
     return out.orderBy("key", "session_start")
 
 
-@q("multimodal_decode_features")  # stub decode is engine-specific: rows-only
+@q("multimodal_decode_features", r"""
+WITH hx AS (
+  SELECT doc_id, sha256(text) AS h FROM documents
+), bytes AS (
+  SELECT doc_id,
+         list_transform(range(1, 9), i ->
+           CAST((strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)
+             AS INT)) AS bs
+  FROM hx
+)
+SELECT doc_id,
+       CAST(16 + bs[1] % 240 AS INT) AS width,
+       CAST(16 + bs[2] % 240 AS INT) AS height,
+       bs AS feat_bytes
+FROM bytes ORDER BY doc_id""")
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched decode + feature extraction over multimodal payloads
-    (mapInPandas plumbing; decode kernel is a deterministic stub)."""
+    (mapInPandas plumbing).  The decode kernel is an honest STUB (no media
+    libs in this container) but a DETERMINISTIC one — sha256 of the payload
+    bytes — so the whole Python-side pipeline (attach -> mapInPandas decode
+    -> mapInPandas features) is value-checked: the oracle recomputes the
+    dims and the feature bytes from sha256 in SQL.  Features are emitted as
+    recovered bytes (round(f*255)) to sidestep float32-vs-double hashing."""
     from linkedin_iceberg_spark.operators.multimodal import (
         attach_payload, decode_image, extract_features)
     d = ld(spark, sf_dir, "documents")
     df = extract_features(decode_image(attach_payload(d, "text", name="img"),
                                        name="img"), name="img", dim=8)
-    return (df.select("doc_id", F.col("img_meta.width").alias("width"),
-                      F.col("img_meta.height").alias("height"), "features")
-            .orderBy("doc_id"))
+    return (df.select(
+        "doc_id",
+        F.col("img_meta.width").alias("width"),
+        F.col("img_meta.height").alias("height"),
+        F.transform(F.col("features"),
+                    lambda x: F.round(x * 255).cast("int"))
+        .alias("feat_bytes"))
+        .orderBy("doc_id"))
 
 
 # =========================================================================
