@@ -291,6 +291,16 @@ class TableScan:
         for t in tasks:
             by_residual.setdefault(repr(t.residual), []).append(t)
 
+        # safety valve: each residual group is its own read+filter branch,
+        # and Spark's analyzer degrades non-linearly on deep unionByName
+        # chains (documented pathology).  Past a sane branch count, collapse
+        # to ONE read with the full filter — residuals are a per-file perf
+        # nicety, never required for correctness.
+        if len(by_residual) > 32:
+            for t in tasks:
+                t.residual = None
+            by_residual = {"collapsed": list(tasks)}
+
         parts = []
         for _key in sorted(by_residual):
             group = by_residual[_key]

@@ -136,3 +136,23 @@ def test_scan_residual_mixed_filter_still_correct(catalog, spark, sf_dir):
              AND o_orderdate < TIMESTAMP '1995-04-01'
              AND o_totalprice > 50000.0""",
         sf_dir)
+
+
+def test_many_residual_groups_collapse(catalog, spark, sf_dir):
+    """>32 distinct residuals must collapse to one full-filter read (the
+    unionByName analyzer-pathology safety valve) and stay correct."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.expressions import gt_eq
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .day("o_orderdate").build()
+    t = catalog.create_table("db.manyres", o, spec=spec)
+    t.append(o.limit(3000))
+    # day partitioning at sf0.001 -> hundreds of partitions; a timestamp
+    # range filter leaves boundary-day residuals per partition
+    flt = gt_eq("o_orderdate", "1995-06-15")
+    got = t.scan(flt).count()
+    exp = o.limit(3000).filter(F.col("o_orderdate") >= "1995-06-15").count()
+    assert got == exp
