@@ -87,3 +87,14 @@ def test_spec_evolution_with_identity_rename(catalog, spark, orders):
     assert df.filter(F.col("status").isNotNull()).count() == 300
     assert t.scan(eq("status", "O")).count() == \
         df.filter(F.col("status") == "O").count()
+
+
+def test_metadata_tables_after_spec_evolution(catalog, spark, orders):
+    t = _mk(catalog, spark, orders)
+    parts = t.metadata_table("partitions")
+    assert parts.count() > 1  # unpartitioned root + month partitions
+    files = t.metadata_table("files")
+    assert files.count() == len([e for e in t._live_entries()
+                                 if e.data_file.content == 0])
+    snaps = t.metadata_table("snapshots")
+    assert snaps.count() == len(t.snapshots())
