@@ -1,0 +1,85 @@
+"""Randomized DML state machine: a seeded sequence of table operations
+checked after every step against a pandas model.
+
+The single-operator tests prove each op alone; this catches cross-operator
+interactions (delete after upsert after compact after expire...) — the
+class of bug that survives unit suites.  Seeds are fixed: failures
+reproduce exactly.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.expressions import gt_eq, lt
+
+
+def _mk_rows(rng, n, start_id):
+    return [(start_id + i, rng.randint(0, 9), round(rng.uniform(0, 100), 2))
+            for i in range(n)]
+
+
+SCHEMA = "id long, grp long, val double"
+COLS = ["id", "grp", "val"]
+
+
+def _check(t, model: pd.DataFrame, step: str):
+    got = (t.to_df().toPandas()[COLS]
+           .sort_values("id").reset_index(drop=True))
+    exp = model[COLS].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  obj=f"after {step}")
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_dml_sequence(catalog, spark, seed):
+    rng = random.Random(seed)
+    rows = _mk_rows(rng, 50, 0)
+    df0 = spark.createDataFrame(rows, SCHEMA)
+    t = catalog.create_table(f"db.sm{seed}", df0)
+    t.append(df0)
+    model = pd.DataFrame(rows, columns=COLS)
+    next_id = 50
+
+    ops = ["append", "delete_lo", "delete_hi", "upsert", "compact",
+           "expire", "append", "delete_lo", "upsert", "compact"]
+    rng.shuffle(ops)
+    for step, op in enumerate(ops):
+        label = f"step{step}:{op}(seed{seed})"
+        if op == "append":
+            rows = _mk_rows(rng, rng.randint(5, 25), next_id)
+            next_id += len(rows)
+            t.append(spark.createDataFrame(rows, SCHEMA))
+            model = pd.concat([model, pd.DataFrame(rows, columns=COLS)],
+                              ignore_index=True)
+        elif op == "delete_lo":
+            cut = rng.randint(0, next_id)
+            t.delete_where(lt("id", cut))
+            model = model[~(model["id"] < cut)]
+        elif op == "delete_hi":
+            cut = rng.randint(0, next_id)
+            t.delete_where(gt_eq("id", cut))
+            model = model[~(model["id"] >= cut)]
+        elif op == "upsert":
+            # update half the surviving ids + insert some fresh ones
+            ids = sorted(model["id"].tolist())
+            upd = [i for i in ids if i % 2 == 0][:10]
+            fresh = _mk_rows(rng, 3, next_id)
+            next_id += 3
+            urows = [(i, 99, 1.0) for i in upd] + fresh
+            if not urows:
+                continue
+            t.upsert(spark.createDataFrame(urows, SCHEMA), ["id"])
+            model = model[~model["id"].isin([r[0] for r in urows])]
+            model = pd.concat(
+                [model, pd.DataFrame(urows, columns=COLS)],
+                ignore_index=True)
+        elif op == "compact":
+            t.rewrite_data_files(min_input_files=2)
+            t.refresh()
+        elif op == "expire":
+            t.expire_snapshots(retain_last=2)
+            t.refresh()
+        _check(t.refresh(), model, label)
