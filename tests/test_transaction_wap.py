@@ -112,3 +112,31 @@ def test_parse_expr_forms(catalog, orders_df):
         parse_expr("o_orderkey <")
     with pytest.raises(ValueError):
         parse_expr("name like '%suffix'")
+
+
+def test_concurrent_appends_all_land(catalog, spark, orders_df):
+    """Optimistic CAS commit loop (ref: SnapshotProducer.commit:249-285 +
+    Tasks retry): N writers with independent Table handles append disjoint
+    batches concurrently; every batch must land exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = catalog.create_table("db.conc", orders_df)
+    batches = [orders_df.filter(orders_df.o_orderkey % 4 == i).limit(20)
+               .cache() for i in range(4)]
+    counts = [b.count() for b in batches]
+
+    def do_append(i):
+        h = catalog.load_table("db.conc")
+        h.append(batches[i])
+        return i
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        assert sorted(pool.map(do_append, range(4))) == [0, 1, 2, 3]
+
+    t0.refresh()
+    assert t0.to_df().count() == sum(counts)
+    # one snapshot per append, all on one linear history
+    assert len(t0.snapshots()) == 4
+    md = t0.metadata
+    chain = md.ancestry()
+    assert len(chain) == 4
