@@ -157,3 +157,23 @@ def test_expire_never_deletes_imported_files(catalog, spark, hive_dir):
     still = set(glob.glob(os.path.join(hive_dir, "**", "*.parquet"),
                           recursive=True))
     assert still == src_files  # every source file intact
+
+
+def test_spec_evolution_after_import(catalog, spark, hive_dir):
+    """In-place import -> evolve the spec -> engine-written files under the
+    new spec coexist with imported Hive-layout files; scans and pruning
+    stay correct across both."""
+    from linkedin_iceberg_spark.expressions import eq
+
+    t = catalog.import_table("db.imp_ev", hive_dir)          # identity(region)
+    t.update_spec(lambda b: b.identity("region").bucket("id", 4))
+    extra = spark.createDataFrame([(9000 + i, 1, "emea") for i in range(8)],
+                                  ["id", "val", "region"])
+    t.append(extra)
+    df = t.to_df()
+    assert df.count() == 308
+    got = t.scan(eq("region", "emea")).count()
+    assert got == 108
+    # imported files keep spec 0, new files carry spec 1
+    sids = {e.data_file.spec_id for e in t._live_entries()}
+    assert sids == {0, 1}
