@@ -177,3 +177,16 @@ def test_spec_evolution_after_import(catalog, spark, hive_dir):
     # imported files keep spec 0, new files carry spec 1
     sids = {e.data_file.spec_id for e in t._live_entries()}
     assert sids == {0, 1}
+
+
+def test_add_files_orc(catalog, spark, tmp_path):
+    src = str(tmp_path / "orcflat")
+    spark.range(0, 60).select(F.col("id"), (F.col("id") * 3).alias("w")) \
+        .write.format("orc").save(src)
+    t = catalog.create_table("db.orcimp", spark.read.format("orc").load(src))
+    t.add_files(src, fmt="orc")
+    assert t.to_df().count() == 60
+    assert t.to_df().agg(F.sum("w")).collect()[0][0] == sum(3 * i for i in range(60))
+    entries = t._live_entries()
+    assert all(e.data_file.file_format == "orc" for e in entries)
+    assert entries[0].data_file.record_count > 0
