@@ -173,8 +173,22 @@ class Catalog:
                 break
         if first is None:
             raise ValueError(f"no *{ext} files under {source_dir!r}")
-        physical = set(pq.read_schema(first).names) if fmt == "parquet" \
-            else set(df.columns)
+        # physical columns must come from the file footer, not df.columns —
+        # the discovered DataFrame already includes Hive partition columns,
+        # which would make part_cols empty and break a partitioned import
+        if fmt == "parquet":
+            physical = set(pq.read_schema(first).names)
+        elif fmt == "orc":
+            try:
+                from pyarrow import orc as _orc
+                physical = set(_orc.ORCFile(first).schema.names)
+            except ImportError:
+                raise ValueError(
+                    "partitioned ORC import needs pyarrow.orc to read the "
+                    "file footer; it is unavailable in this environment"
+                ) from None
+        else:
+            physical = set(df.columns)
         part_cols = [c for c in df.columns if c not in physical]
 
         schema = Schema.from_spark(df.schema)

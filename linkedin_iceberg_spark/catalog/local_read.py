@@ -188,8 +188,12 @@ def scan_to_arrow(scan):
         # columns; the value lives in the manifest partition tuple — inject
         # it as a constant (the pyarrow analog of the Spark path's basePath
         # partition reconstruction)
+        # the file's OWN spec, not the default: after spec evolution a file
+        # planned under an older spec may carry identity fields the current
+        # default spec no longer has (would come back null otherwise)
+        file_spec = md.spec_by_id(task.file.spec_id)
         pconst = {}
-        for pf in md.spec.fields:
+        for pf in file_spec.fields:
             if pf.transform_str == "identity" and \
                     pf.name in task.file.partition:
                 pconst[pf.source_id] = task.file.partition[pf.name]

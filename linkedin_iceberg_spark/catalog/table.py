@@ -280,10 +280,19 @@ class Table:
                 new_version = self.ops.commit(version, md)
                 md._version = new_version  # type: ignore[attr-defined]
                 self.metadata, self.version = md, new_version
-                # ref: FastAppend.java:152 CreateSnapshotEvent on commit
+                # ref: FastAppend.java:152 CreateSnapshotEvent on commit.
+                # Inside a Transaction, ops is a _StagedOps: the snapshot is
+                # not durable yet, so the event is queued and emitted by
+                # Transaction.commit after the real atomic publish (the
+                # reference fires listeners only on durable commits).
                 from linkedin_iceberg_spark import events as EV
-                EV.notify_all(EV.CreateSnapshotEvent(
-                    self.name, operation, snap_id, seq, summary))
+                ev = EV.CreateSnapshotEvent(
+                    self.name, operation, snap_id, seq, summary)
+                pending = getattr(self.ops, "pending_events", None)
+                if pending is not None:
+                    pending.append(ev)
+                else:
+                    EV.notify_all(ev)
                 return self
             except CommitFailedException:
                 attempt += 1
@@ -504,6 +513,20 @@ class Table:
         if not found:
             raise ValueError(f"no *{ext} files under {source_dir!r}")
 
+        # reject re-imports: a second add_files over the same directory (or
+        # any file already referenced) would append duplicate manifest
+        # entries and double-count rows (ref: SparkTableUtil importSparkTable
+        # rejects duplicate files by default)
+        live_paths = {e.data_file.file_path
+                      for e in self._live_entries()}
+        dup = sorted(p for p, _ in found if p in live_paths)
+        if dup:
+            raise ValueError(
+                f"add_files: {len(dup)} file(s) already referenced by the "
+                f"table (first: {dup[0]!r}); re-importing would double-count "
+                "rows. Remove them first (delete_where/expire) or import a "
+                "disjoint directory.")
+
         # sanity: physical columns must overlap the table schema by name
         import pyarrow.parquet as _pq
         if fmt == "parquet":
@@ -604,8 +627,9 @@ class Table:
 
             t.update_spec(lambda b: b.identity("region").day("ts"))
 
-        Note: dynamic partition overwrite replaces partitions under the
-        CURRENT spec only; mixed-spec tables should overwrite by filter."""
+        Note: dynamic partition overwrite matches partitions under the
+        CURRENT spec only and raises on mixed-spec tables (enforced in
+        overwrite_partitions); use overwrite_where instead."""
         def do(base: TableMetadata):
             import dataclasses
             b = PartitionSpec.builder_for(base.schema)
@@ -698,12 +722,32 @@ class Table:
 
     def overwrite_partitions(self, df: DataFrame) -> "Table":
         """Dynamic partition overwrite: replace exactly the partitions present
-        in df (ref: api/.../ReplacePartitions.java, spark2/.../Writer.java:182-190)."""
+        in df (ref: api/.../ReplacePartitions.java, spark2/.../Writer.java:182-190).
+
+        Partition matching is by exact partition tuple under the CURRENT
+        default spec.  After partition-spec evolution, live old-spec entries
+        carry different tuples (e.g. {} for formerly-unpartitioned files) and
+        can never match — rows logically belonging to the overwritten
+        partitions would silently survive.  That case raises instead
+        (mirroring the per-spec awareness of delete_where/overwrite_where,
+        which judge every file under its own spec via _projection_evals)."""
+        entries, _deletes = self._live_data_and_deletes()
+        cur = self.metadata.default_spec_id
+        stale = sorted({e.data_file.spec_id for e in entries
+                        if e.data_file.spec_id != cur})
+        if stale:
+            raise ValueError(
+                "overwrite_partitions matches partition tuples under the "
+                f"current spec (id={cur}) but live files still carry spec "
+                f"ids {stale} from before partition-spec evolution; their "
+                "rows would silently survive the overwrite. Use "
+                "overwrite_where(df, <row filter>) (spec-aware via strict/"
+                "inclusive projections) or compact first so all live files "
+                "use the current spec.")
         new_files = self._write_data_files(df)
         touched = {tuple(sorted(f.partition.items(), key=lambda kv: kv[0]))
                    for f in new_files}
 
-        entries, _deletes = self._live_data_and_deletes()
         removed = [e for e in entries
                    if tuple(sorted(e.data_file.partition.items(),
                                    key=lambda kv: kv[0])) in touched]

@@ -23,6 +23,10 @@ class _StagedOps(TableOperations):
         super().__init__(real.location)
         self._md = metadata
         self._version = version
+        # CreateSnapshotEvents queued here by Table._commit instead of being
+        # fired for staged (possibly never-published) snapshots; emitted by
+        # Transaction.commit after the durable publish
+        self.pending_events: list = []
 
     def refresh(self):
         return self._md
@@ -93,4 +97,10 @@ class Transaction:
         self._table.metadata = md
         self._table.version = new_version
         self._committed = True
+        # the staged snapshots are durable now — fire their queued events
+        # (ref: the reference notifies listeners on real commits only)
+        from linkedin_iceberg_spark import events as EV
+        for ev in self._staged.pending_events:
+            EV.notify_all(ev)
+        self._staged.pending_events.clear()
         return self._table

@@ -144,17 +144,31 @@ def minhash_lsh_verified(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
-                  max_hamming: int = 6, n_segments: int = 4) -> DataFrame:
+                  max_hamming: int = 6, n_segments: int = 4,
+                  hash_mode: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs via the pigeonhole principle.
 
     64-bit simhash = sign(sum of ±1 per bit over token hashes).  Any pair
     within `max_hamming` (< n_segments) must agree on >= 1 of the
     `n_segments` 16-bit segments -> join only on segment equality.
-    Scale: the join key is (segment_idx, 16-bit value) — tiny shuffle."""
+    Scale: the join key is (segment_idx, 16-bit value) — tiny shuffle.
+
+    hash_mode: "xxhash64" (default — fastest JVM hash) or "md5" (60-bit
+    prefix of md5 hex; bit-identical recipe is expressible in ANSI SQL so
+    an independent engine can recompute the whole pipeline — see
+    simhash_oracle_sql).  Both stay in whole-stage codegen."""
+    if hash_mode == "md5":
+        # top 15 hex chars -> 60-bit non-negative long; bits 60-63 then
+        # always vote negative, so the fingerprint is effectively 60-bit on
+        # both engines
+        token_hash = F.conv(F.substring(F.md5(F.col("_w")), 1, 15),
+                            16, 10).cast("long")
+    else:
+        token_hash = F.xxhash64("_w")
     toks = (df.select(id_col, F.explode(
         F.array_distinct(F.split(text_col, r"\s+"))).alias("_w"))
         .filter(F.length("_w") > 0)
-        .withColumn("_h", F.xxhash64("_w")))
+        .withColumn("_h", token_hash))
 
     # per-bit vote: +1 if bit set else -1; simhash bit = vote > 0
     bit_cols = [
@@ -194,8 +208,55 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                     F.col("a.simhash").alias("h1"),
                     F.col("b.simhash").alias("h2"))
             .distinct())
-    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("d1", "d2", "hamming")
             .orderBy("d1", "d2"))
+
+
+def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 6,
+                       n_segments: int = 4) -> str:
+    """ANSI-SQL equivalent of simhash_pairs(hash_mode="md5") with the
+    per-bit vote recipe INLINED — an independent engine (DuckDB) recomputes
+    tokenization, the 60-bit md5 token hash, all bit votes, the fingerprint,
+    the pigeonhole segment join and the hamming filter, giving the simhash
+    path a real value-level oracle (same pattern as ann_lsh_oracle_sql)."""
+    n_bits = 60  # md5-prefix hash is 60-bit; bits 60-63 always vote negative
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(n_bits))
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits))
+    seg_width = 64 // n_segments
+    seg_ids = ", ".join(str(s) for s in range(n_segments))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT {id_col}, unnest(string_split_regex({text_col}, '\\s+'))
+           AS tok
+  FROM {table}
+), hashed AS (
+  SELECT {id_col}, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM toks WHERE length(tok) > 0
+), votes AS (
+  SELECT {id_col},
+    {votes}
+  FROM hashed GROUP BY {id_col}
+), fp AS (
+  SELECT {id_col}, {fp} AS simhash FROM votes
+), segs AS (
+  SELECT {id_col}, simhash, s.seg,
+         (simhash >> (s.seg * {seg_width})) & {(1 << seg_width) - 1}
+           AS segval
+  FROM fp, (SELECT unnest([{seg_ids}]) AS seg) s
+), cand AS (
+  SELECT DISTINCT a.{id_col} AS d1, b.{id_col} AS d2,
+         a.simhash AS h1, b.simhash AS h2
+  FROM segs a JOIN segs b
+    ON a.seg = b.seg AND a.segval = b.segval AND a.{id_col} < b.{id_col}
+)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= {max_hamming}
+ORDER BY d1, d2"""

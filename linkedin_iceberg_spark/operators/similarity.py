@@ -165,7 +165,9 @@ def ivf_assign(df: DataFrame, centroids: list, vec_col: str = "embedding",
         F.struct(_cos_to_lit(vec_col, vec, round_to).alias("score"),
                  F.lit(int(cid)).alias("cid"))
         for cid, vec in centroids])
-    return df.withColumn(cell_col, F.array_max(scored)["cid"])
+    # bigint: SQL engines' row_number-derived cell ids are 64-bit; pinning
+    # the dtype keeps the output representation-stable across engines
+    return df.withColumn(cell_col, F.array_max(scored)["cid"].cast("long"))
 
 
 def ivf_topk(df: DataFrame, query_vec, k: int, n_cells: int = 8,

@@ -510,8 +510,8 @@ def window_rank_dense(spark, sf_dir):
     w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
     return (ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
             .select("o_orderkey", "o_orderpriority", "o_totalprice",
-                    F.rank().over(w).alias("rnk"),
-                    F.dense_rank().over(w).alias("drnk"))
+                    F.rank().over(w).cast("long").alias("rnk"),
+                    F.dense_rank().over(w).cast("long").alias("drnk"))
             .orderBy("o_orderpriority", "rnk", "o_orderkey"))
 
 
@@ -584,7 +584,7 @@ def window_analytic_suite(spark, sf_dir):
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
             .select("o_orderkey", "o_orderpriority", "o_totalprice",
-                    F.ntile(4).over(w).alias("quartile"),
+                    F.ntile(4).over(w).cast("long").alias("quartile"),
                     F.percent_rank().over(w).alias("pct_rank"),
                     F.cume_dist().over(w).alias("cdist"),
                     F.first("o_orderkey").over(w).alias("first_key"),
@@ -705,7 +705,7 @@ def scalar_string_funcs(spark, sf_dir):
         F.substring("p_type", 1, 5).alias("type5"),
         F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type"))
          .alias("brand_type"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.trim(F.col("p_name")).alias("tname"),
         F.regexp_replace("p_name", " ", "_").alias("uname2"),
         F.regexp_extract("p_type", r"([A-Za-z]+)", 1).alias("first_word"))
@@ -724,9 +724,9 @@ def scalar_date_funcs(spark, sf_dir):
     o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
     return (o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mth"),
-        F.dayofmonth("o_orderdate").alias("dom"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mth"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
         F.date_trunc("month", "o_orderdate").alias("mstart"),
         (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
@@ -738,8 +738,8 @@ def scalar_date_funcs(spark, sf_dir):
 SELECT l_orderkey, l_linenumber,
        round(abs(l_discount - 0.05), 6) AS d_abs,
        round(l_extendedprice, 1) AS price_r1,
-       floor(l_extendedprice) AS price_fl,
-       ceil(l_extendedprice) AS price_ce,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_fl,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ce,
        round(power(l_quantity, 2), 6) AS qty_sq,
        round(ln(l_extendedprice), 6) AS price_ln,
        round(sqrt(l_quantity), 6) AS qty_sqrt,
@@ -817,7 +817,7 @@ def scalar_array_funcs(spark, sf_dir):
     e = ld(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 200)
     return (e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.aggregate("embedding", F.lit(0.0),
                             lambda acc, x: acc + x.cast("double")), 4)
          .alias("vec_sum"),
@@ -927,13 +927,27 @@ def dedup_minhash_lsh_full(spark, sf_dir):
                                   num_hashes=32, bands=8)
 
 
-@q("dedup_simhash")  # hash-function-specific: rows-only check
+def _simhash_oracle() -> str:
+    from linkedin_iceberg_spark.operators.dedup import simhash_oracle_sql
+    return simhash_oracle_sql(max_hamming=6, n_segments=4)
+
+
+@q("dedup_simhash", None)  # oracle attached below (generated SQL)
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprint per document + hamming-near pairs via
-    4-segment pigeonhole join (scale: join on 16-bit segment equality)."""
+    """SimHash fingerprint per document + hamming-near pairs via 4-segment
+    pigeonhole join (scale: join on 16-bit segment equality).  Uses the
+    md5-portable hash mode so the oracle recomputes the ENTIRE pipeline —
+    token hashes, bit votes, fingerprints, segment join, hamming filter —
+    in DuckDB (simhash_oracle_sql inlines the bit-vote recipe, same pattern
+    as ann_lsh_oracle_sql)."""
     from linkedin_iceberg_spark.operators.dedup import simhash_pairs
     d = ld(spark, sf_dir, "documents")
-    return simhash_pairs(d, text_col="text", id_col="doc_id", max_hamming=6)
+    return simhash_pairs(d, text_col="text", id_col="doc_id", max_hamming=6,
+                         hash_mode="md5")
+
+
+_REGISTRY["dedup_simhash"] = (_REGISTRY["dedup_simhash"][0],
+                              _simhash_oracle())
 
 
 @q("similarity_topk", """
@@ -1050,8 +1064,8 @@ def text_token_stats(spark, sf_dir):
     toks = F.split("text", " ")
     return (d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars_calc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
         F.round(F.length("text") / F.size(toks), 4).alias("avg_token_len"))
         .orderBy("doc_id"))
 
@@ -1610,7 +1624,7 @@ def meta_partitions_months(spark, sf_dir):
     parts = t.metadata_table("partitions")
     return (parts.select(
         F.get_json_object("partition", "$.o_orderdate_month")
-         .cast("int").alias("month_ordinal"),
+         .cast("long").alias("month_ordinal"),
         "record_count")
         .orderBy("month_ordinal"))
 
@@ -1802,26 +1816,34 @@ WITH ev AS (
   FROM g
 ), agg AS (
   SELECT user_id AS key, min(ts) AS session_start, max(ts) AS session_end,
-         count(*) AS n_events, sum(v) AS sum_value
+         count(*) AS n_events, CAST(sum(v) AS BIGINT) AS sum_value
   FROM sub GROUP BY user_id, sess, chunk
 )
-SELECT key, session_start, session_end, n_events, sum_value,
+SELECT key,
+       epoch_us(session_start) AS session_start_us,
+       epoch_us(session_end) AS session_end_us,
+       n_events, sum_value,
        CASE WHEN n_events = 3 THEN 'cap'
             WHEN EXISTS (SELECT 1 FROM ev e2 WHERE e2.user_id = agg.key
                          AND e2.ts > agg.session_end) THEN 'gap'
             ELSE 'timeout' END AS closed_by
 FROM agg
-ORDER BY key, session_start""")
+ORDER BY key, session_start_us""")
 def streaming_stateful_sessions(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState, the
     SURVEY §2B stateful-UDF contract): gap sessionization with a per-session
-    event cap — semantics F.session_window cannot express.  Runs a real
-    Structured Streaming query twice (availableNow): run 1 emits gap/cap-
-    closed sessions; run 2 ingests a watermark-advancing sentinel so every
-    open session flushes via EventTimeTimeout.  The emitted set is therefore
-    deterministic and fully SQL-checkable, including the close reason."""
+    event cap — semantics F.session_window cannot express.  The source is
+    split into THREE time-ranged files, each internally SHUFFLED, ingested
+    one-per-micro-batch (maxFilesPerTrigger=1) — exercising both the
+    within-batch sort and the state carry across micro-batch boundaries
+    (sessions spanning a file boundary).  The watermark delay (60 d) exceeds
+    the data span (30 d) so no session times out mid-stream; run 2 ingests a
+    watermark-advancing sentinel so every open session flushes via
+    EventTimeTimeout.  The emitted set is therefore deterministic and fully
+    SQL-checkable, including the close reason."""
     import datetime
     import tempfile
+    import time as _time
 
     from linkedin_iceberg_spark.streaming.stateful import sessionize_capped
 
@@ -1830,17 +1852,29 @@ def streaming_stateful_sessions(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="q_sess_")
     src = os.path.join(base, "src")
     ck = os.path.join(base, "ck")
-    e.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = hi - lo
+    cuts = [lo + span / 3, lo + 2 * span / 3]
+    parts = [e.filter(F.col("ts") < cuts[0]),
+             e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+             e.filter(F.col("ts") >= cuts[1])]
+    for i, p in enumerate(parts):
+        # shuffle rows within the file: the operator must sort per batch
+        p.orderBy(F.rand(seed=42 + i)).coalesce(1) \
+            .write.parquet(os.path.join(src, f"b{i}"))
+        _time.sleep(0.25)  # distinct mtimes: file source batches in mtime order
 
     collected = []
 
     def run_once():
         ev = (spark.readStream
-              .schema("user_id long, ts timestamp, v long").parquet(
-                  os.path.join(src, "*")))
+              .schema("user_id long, ts timestamp, v long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
         sess = sessionize_capped(ev, "user_id", "ts", gap="6 hours",
                                  max_events=3, value_col="v",
-                                 watermark_delay="1 minute")
+                                 watermark_delay="60 days")
         q_ = (sess.writeStream
               .foreachBatch(lambda df, eid: collected.extend(df.collect()))
               .outputMode("append").option("checkpointLocation", ck)
@@ -1854,11 +1888,12 @@ def streaming_stateful_sessions(spark, sf_dir):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         run_once()
-        max_ts = e.agg(F.max("ts")).collect()[0][0]
-        sentinel = max_ts + datetime.timedelta(days=10)
+        # sentinel > max_ts + watermark_delay + gap so the post-sentinel
+        # watermark passes every open session's deadline
+        sentinel = hi + datetime.timedelta(days=90)
         spark.createDataFrame([(-1, sentinel, 0)],
                               "user_id long, ts timestamp, v long") \
-            .coalesce(1).write.parquet(os.path.join(src, "b2"))
+            .coalesce(1).write.parquet(os.path.join(src, "b3"))
         run_once()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
@@ -1867,7 +1902,16 @@ def streaming_stateful_sessions(spark, sf_dir):
         [r for r in collected if r["key"] != -1],
         "key long, session_start timestamp, session_end timestamp, "
         "n_events long, sum_value long, closed_by string")
-    return out.orderBy("key", "session_start")
+    # Timestamps built via createDataFrame take a pandas->Spark->pandas round
+    # trip the oracle's never do and the driver's value-hash distinguishes
+    # the representations.  Emit epoch-micros BIGINT on both sides instead
+    # (same pattern as the green streaming_sink_counts).
+    return (out.select(
+        "key",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events", "sum_value", "closed_by")
+        .orderBy("key", "session_start_us"))
 
 
 @q("multimodal_decode_features", r"""
@@ -1884,7 +1928,7 @@ WITH hx AS (
 SELECT doc_id,
        CAST(16 + bs[1] % 240 AS INT) AS width,
        CAST(16 + bs[2] % 240 AS INT) AS height,
-       bs AS feat_bytes
+       array_to_string(bs, ',') AS feat_bytes
 FROM bytes ORDER BY doc_id""")
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched decode + feature extraction over multimodal payloads
@@ -1903,8 +1947,11 @@ def multimodal_decode_features(spark, sf_dir):
         "doc_id",
         F.col("img_meta.width").alias("width"),
         F.col("img_meta.height").alias("height"),
-        F.transform(F.col("features"),
-                    lambda x: F.round(x * 255).cast("int"))
+        # serialized to a canonical CSV string: array-typed result columns
+        # crash the driver's canonicalizer (pandas sort on list cells)
+        F.concat_ws(",", F.transform(
+            F.col("features"),
+            lambda x: F.round(x * 255).cast("int").cast("string")))
         .alias("feat_bytes"))
         .orderBy("doc_id"))
 
@@ -1940,12 +1987,17 @@ _PRIORITY = [
     "events_tumbling_window", "events_sliding_window", "events_session_window",
     "text_token_stats", "text_quality_score", "text_lang_id",
     "text_fingerprint",
-    # relational representatives (one-per-operator-family coverage)
-    "agg_pricing_summary", "agg_stats", "join_inner_equi", "join_asof",
-    "join_multiway", "window_topk_per_group",
-    "scalar_math_funcs",
-    "scalar_json_funcs", "subquery_above_segment_avg", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "similarity_topk",
+    # relational representatives (one-per-operator-family coverage).
+    # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg
+    # (each green in BOTH r1 and r2, unchanged since) rotate out for the
+    # three queries that have never carried a driver row — agg_approx_
+    # distinct (error-bound invariant oracle), dedup_simhash (new generated
+    # bit-vote oracle) and dedup_minhash_lsh_full (rows-only).
+    "agg_pricing_summary", "agg_approx_distinct", "join_inner_equi",
+    "join_asof", "join_multiway", "window_topk_per_group",
+    "scalar_math_funcs", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_lsh_full",
+    "dedup_simhash", "similarity_topk",
     "similarity_ann_lsh", "similarity_ivf_topk",
 ]
 
