@@ -182,9 +182,23 @@ def _decode_json_column(col: list, transform) -> list:
     return out
 
 
+def read_manifest_table(path: str) -> "pa.Table":
+    """Raw manifest as a pyarrow Table (columns still JSON-encoded) — the
+    input to both the materializing read below and the vectorized planner
+    (catalog/plan_vectorized.py), which filters column vectors BEFORE
+    paying per-entry object construction."""
+    return pq.read_table(path)
+
+
 def read_manifest(path: str, types_by_id: dict, ptypes: dict) -> list:
     """Read entries back as list[ManifestEntry]."""
-    table = pq.read_table(path)
+    return entries_from_table(read_manifest_table(path), types_by_id, ptypes)
+
+
+def entries_from_table(table: "pa.Table", types_by_id: dict,
+                       ptypes: dict) -> list:
+    """Materialize a (possibly pre-filtered) manifest table as
+    list[ManifestEntry]."""
     out = []
     d = table.to_pydict()
     n = table.num_rows

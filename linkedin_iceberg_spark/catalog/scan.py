@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from linkedin_iceberg_spark.catalog import manifests as M
+from linkedin_iceberg_spark.catalog import plan_vectorized as PV
 from linkedin_iceberg_spark.catalog.metadata import TableMetadata
 from linkedin_iceberg_spark.expressions import (
     Evaluator,
@@ -220,29 +221,37 @@ class TableScan:
         metrics_eval = InclusiveMetricsEvaluator(bound)
 
         def read_one(info):
-            return M.read_manifest(
-                table.ops.new_metadata_path(info.manifest_path),
-                types_by_id, ptypes)
+            return M.read_manifest_table(
+                table.ops.new_metadata_path(info.manifest_path))
 
         if len(pruned) > 1:
             with ThreadPoolExecutor(max_workers=PLAN_PARALLELISM) as pool:
-                chunks = list(pool.map(read_one, pruned))
+                tables = list(pool.map(read_one, pruned))
         else:
-            chunks = [read_one(i) for i in pruned]
+            tables = [read_one(i) for i in pruned]
 
-        data_entries, delete_entries = [], []
         default_eval = part_evals[md.default_spec_id]
-        for entries in chunks:
-            for e in entries:
-                if e.status == M.STATUS_DELETED:
-                    continue
-                if e.data_file.content == M.CONTENT_DATA:
-                    pe = part_evals.get(e.data_file.spec_id, default_eval)
-                    if pe.eval(e.data_file.partition) and \
-                            metrics_eval.eval(e.stats_dict()):
-                        data_entries.append(e)
-                else:
-                    delete_entries.append(e)
+        total_rows = sum(t.num_rows for t in tables)
+        if total_rows >= PV.VECTORIZED_THRESHOLD:
+            # columnar pass (SURVEY M3): partition + metrics predicates over
+            # manifest column vectors, entries materialized only for
+            # survivors — Python-per-entry cost at ~10^6 entries is the one
+            # driver-side scale weakness the per-entry loop has
+            data_entries, delete_entries = PV.filter_entries(
+                tables, bound, part_evals, default_eval, types_by_id, ptypes)
+        else:
+            data_entries, delete_entries = [], []
+            for t in tables:
+                for e in M.entries_from_table(t, types_by_id, ptypes):
+                    if e.status == M.STATUS_DELETED:
+                        continue
+                    if e.data_file.content == M.CONTENT_DATA:
+                        pe = part_evals.get(e.data_file.spec_id, default_eval)
+                        if pe.eval(e.data_file.partition) and \
+                                metrics_eval.eval(e.stats_dict()):
+                            data_entries.append(e)
+                    else:
+                        delete_entries.append(e)
 
         residuals_by_spec = {s.spec_id: ResidualEvaluator(s, bound)
                              for s in md.bound_specs()}
