@@ -22,6 +22,7 @@ import json
 import os
 import time
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field, replace
 from typing import Optional
 
@@ -253,6 +254,13 @@ class TableMetadata:
 # TableOperations: versioned-file I/O with CAS commit
 # ---------------------------------------------------------------------------
 
+# parsed-metadata cache keyed by (location, version) — version files are
+# immutable so entries never go stale; bounded LRU so long-lived sessions
+# touching many tables don't grow without bound
+_METADATA_CACHE: "OrderedDict[tuple, TableMetadata]" = OrderedDict()
+_METADATA_CACHE_MAX = 64
+
+
 class TableOperations:
     """ref: core/.../hadoop/HadoopTableOperations.java."""
 
@@ -281,12 +289,30 @@ class TableOperations:
         return v
 
     def refresh(self) -> Optional[TableMetadata]:
+        """Current metadata, served from the process-wide cache when the
+        version is unchanged (ref: core/.../CachingCatalog.java).
+
+        Safe because metadata version files are IMMUTABLE — commit creates
+        v{N+1} via an os.link CAS and never rewrites v{N} — and every
+        mutation helper in this module is pure (replace + whole-attribute
+        reassignment), so a cached instance is never modified in place.
+        The version probe (hint file + forward exists-scan) still touches
+        the filesystem, which is what makes a concurrent commit visible:
+        a new version is a cache miss and gets parsed fresh."""
         v = self.current_version()
         if v == 0:
             return None
+        key = (os.path.abspath(self.location), v)
+        md = _METADATA_CACHE.get(key)
+        if md is not None:
+            _METADATA_CACHE.move_to_end(key)
+            return md
         with open(self._version_path(v)) as fh:
             md = TableMetadata.from_json(json.load(fh))
         md._version = v  # type: ignore[attr-defined]
+        _METADATA_CACHE[key] = md
+        while len(_METADATA_CACHE) > _METADATA_CACHE_MAX:
+            _METADATA_CACHE.popitem(last=False)
         return md
 
     def commit(self, base_version: int, metadata: TableMetadata) -> int:

@@ -276,7 +276,170 @@ class TableScan:
                              else cost)
 
     # ------------------------------------------------------------ execution
-    def to_df(self) -> DataFrame:
+    def to_df(self, use_planned_tasks: bool = False,
+              split_size: Optional[int] = None,
+              lookback: Optional[int] = None,
+              open_file_cost: Optional[int] = None) -> DataFrame:
+        if use_planned_tasks:
+            return self._to_df_planned(split_size, lookback, open_file_cost)
+        return self._to_df_default()
+
+    def _to_df_planned(self, split_size=None, lookback=None,
+                       open_file_cost=None) -> DataFrame:
+        """Execute the scan with OUR CombinedScanTasks as the unit of
+        parallelism (ref: SparkBatchScan.planInputPartitions consuming
+        TableScanUtil.planTasks) instead of letting Spark re-split by
+        maxPartitionBytes: each bin-packed task becomes exactly one Spark
+        partition (a 1-element RDD slice), and workers read parquet
+        row-group ranges snapped by byte-range midpoint — the same
+        convention the reference's readers use.  Proves the split planner
+        is load-bearing: small files coalesce into one task (open-file
+        cost), giant files fan out across tasks.
+
+        Falls back to the default reader when a task carries v2 deletes or
+        a non-parquet/orc file (those need the join-based/codec readers),
+        or when the current schema has nested types (worker-side alignment
+        is by top-level cast).  Filters are re-applied in full after the
+        read — always correct, and Catalyst still prunes columns above."""
+        import json as _json
+
+        from linkedin_iceberg_spark.catalog import split_planning as SP
+        from linkedin_iceberg_spark.catalog.local_read import type_to_arrow
+
+        table = self.table
+        md = table.metadata
+        current = md.schema
+        tasks = self.plan_files()
+        nested = any(not isinstance(f.type, str) for f in current.fields)
+        if not tasks or nested or \
+                any(t.deletes for t in tasks) or \
+                any(t.file.file_format not in ("parquet", "orc")
+                    for t in tasks):
+            return self._to_df_default()
+
+        import pyarrow as pa
+        size, lb, cost = SP.props_for(table.properties)
+        ctasks = SP.plan_tasks(
+            tasks,
+            split_size if split_size is not None else size,
+            lookback if lookback is not None else lb,
+            open_file_cost if open_file_cost is not None else cost,
+            splittable=("parquet",))  # orc readers here consume whole files
+
+        # per written-schema rename maps: current name -> name in the file
+        # (field-id based, so renames never mis-align); plus identity
+        # partition constants for in-place-imported Hive-layout files
+        from linkedin_iceberg_spark.catalog.serde import encode_value
+        rev_by_sid: dict = {}
+        for t in tasks:
+            sid = t.file.schema_id
+            if sid not in rev_by_sid:
+                written = md.schema_by_id(sid)
+                rev_by_sid[sid] = {
+                    f.name: written.name_for_id(f.field_id)
+                    for f in current.fields
+                    if written.name_for_id(f.field_id) is not None}
+
+        def pconst_for(file) -> dict:
+            spec = md.spec_by_id(file.spec_id)
+            out = {}
+            for pf in spec.fields:
+                if pf.transform_str == "identity" and \
+                        pf.name in file.partition:
+                    out[pf.source_name] = encode_value(
+                        file.partition[pf.name], pf.source_type or "string")
+            return out
+
+        target = pa.schema([pa.field(f.name, type_to_arrow(f.type),
+                                     nullable=not f.required)
+                            for f in current.fields])
+        ser_schema = target.serialize().to_pybytes()
+
+        descs = []
+        for i, ct in enumerate(ctasks):
+            splits = []
+            for t in ct.tasks:
+                is_split = isinstance(t, SP.SplitTask)
+                splits.append({
+                    "path": t.file.file_path,
+                    "fmt": t.file.file_format,
+                    "start": t.start if is_split else None,
+                    "len": t.length if is_split else None,
+                    "sid": t.file.schema_id,
+                    "pconst": pconst_for(t.file),
+                })
+            descs.append((i, _json.dumps(
+                {"splits": splits,
+                 "rev": {str(sid): m for sid, m in rev_by_sid.items()}})))
+
+        def read_task(batches):
+            import json as _j
+
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            tgt = _pa.ipc.read_schema(_pa.py_buffer(ser_schema))
+
+            def emit(tbl, rev, pconst):
+                names = set(tbl.column_names)
+                data = {}
+                for f in tgt:
+                    src = rev.get(f.name)
+                    if src is not None and src in names:
+                        arr = tbl[src].combine_chunks()
+                        data[f.name] = arr if arr.type == f.type \
+                            else arr.cast(f.type)
+                    elif f.name in pconst:
+                        data[f.name] = _pc.cast(
+                            _pa.array([pconst[f.name]] * len(tbl)), f.type)
+                    else:
+                        data[f.name] = _pa.nulls(len(tbl), f.type)
+                return _pa.table(data).to_pandas()
+
+            for pdf in batches:
+                for desc_s in pdf["desc"]:
+                    d = _j.loads(desc_s)
+                    for sp in d["splits"]:
+                        rev = d["rev"].get(str(sp["sid"]), {})
+                        if sp["fmt"] == "orc":
+                            from pyarrow import orc as _orc
+                            tbl = _orc.ORCFile(sp["path"]).read()
+                            if len(tbl):
+                                yield emit(tbl, rev, sp["pconst"])
+                            continue
+                        import pyarrow.parquet as _pq
+                        pf = _pq.ParquetFile(sp["path"])
+                        nrg = pf.metadata.num_row_groups
+                        if sp["start"] is None:
+                            rgs = list(range(nrg))
+                        else:
+                            lo, hi = sp["start"], sp["start"] + sp["len"]
+                            rgs = []
+                            for g in range(nrg):
+                                rg = pf.metadata.row_group(g)
+                                c0 = rg.column(0)
+                                off = c0.dictionary_page_offset \
+                                    if c0.dictionary_page_offset is not None \
+                                    else c0.data_page_offset
+                                csize = sum(
+                                    rg.column(c).total_compressed_size
+                                    for c in range(rg.num_columns))
+                                mid = off + csize // 2
+                                if lo <= mid < hi:
+                                    rgs.append(g)
+                        if not rgs:
+                            continue
+                        tbl = pf.read_row_groups(rgs)
+                        if len(tbl):
+                            yield emit(tbl, rev, sp["pconst"])
+
+        spark = table.spark
+        rdd = spark.sparkContext.parallelize(descs, max(len(descs), 1))
+        seed = spark.createDataFrame(rdd, "task_id long, desc string")
+        out = seed.mapInPandas(read_task, schema=current.to_spark())
+        return self._finish(out)
+
+    def _to_df_default(self) -> DataFrame:
         """Execute the scan as one Spark DataFrame.
 
         Files are grouped by their residual filter (ResidualEvaluator.java:

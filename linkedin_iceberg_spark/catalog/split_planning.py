@@ -85,14 +85,15 @@ def _length(task) -> int:
     return task.file.file_size_in_bytes
 
 
-def split_file(task, split_size: int) -> list:
+def split_file(task, split_size: int,
+               splittable: Iterable = _SPLITTABLE_FORMATS) -> list:
     """Split one FileScanTask at split-size boundaries
     (ref: BaseFileScanTask.FixedSizeSplitScanTaskIterator; we carry no
     row-group split offsets in manifests, so fixed-size ranges are the
     planning granularity — readers snap ranges to row-group boundaries)."""
     if split_size <= 0:
         raise ValueError(f"invalid split size: {split_size}")
-    if task.file.file_format not in _SPLITTABLE_FORMATS:
+    if task.file.file_format not in splittable:
         return [task]
     total = task.file.file_size_in_bytes
     if total <= split_size:
@@ -105,11 +106,12 @@ def split_file(task, split_size: int) -> list:
     return out
 
 
-def split_files(tasks: Iterable, split_size: int) -> list:
+def split_files(tasks: Iterable, split_size: int,
+                splittable: Iterable = _SPLITTABLE_FORMATS) -> list:
     """ref: TableScanUtil.splitFiles."""
     out: list = []
     for t in tasks:
-        out.extend(split_file(t, split_size))
+        out.extend(split_file(t, split_size, splittable))
     return out
 
 
@@ -143,10 +145,11 @@ def bin_pack(items: Iterable, target_weight: int, lookback: int,
 
 def plan_tasks(tasks: Iterable, split_size: int = SPLIT_SIZE_DEFAULT,
                lookback: int = SPLIT_LOOKBACK_DEFAULT,
-               open_file_cost: int = SPLIT_OPEN_FILE_COST_DEFAULT) -> list:
+               open_file_cost: int = SPLIT_OPEN_FILE_COST_DEFAULT,
+               splittable: Iterable = _SPLITTABLE_FORMATS) -> list:
     """ref: TableScanUtil.planTasks — split at split-size boundaries, then
     pack with weight = max(length, open-file cost), largest bin first."""
-    splits = split_files(tasks, split_size)
+    splits = split_files(tasks, split_size, splittable)
 
     def weight(t) -> int:
         return max(_length(t), open_file_cost)

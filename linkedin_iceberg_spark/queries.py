@@ -1264,6 +1264,40 @@ def table_scan_pruned(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_scan_planned_tasks", """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+ORDER BY o_orderkey""")
+def table_scan_planned_tasks(spark, sf_dir):
+    """Same pruned scan as table_scan_pruned but executed through OUR
+    split planner (S6 made load-bearing): bin-packed CombinedScanTasks map
+    1:1 onto Spark partitions (ref: SparkBatchScan.planInputPartitions
+    consuming TableScanUtil.planTasks), workers read parquet row-group
+    ranges snapped by byte-range midpoint.  The low open-file cost packs
+    the small month files into few tasks — metadata-driven parallelism
+    instead of Spark's byte-count re-split."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.expressions import and_, gt_eq, lt
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .month("o_orderdate").build()
+        cat.create_table("q.orders", o, spec=spec).append(o)
+
+    t = _cached_table(spark, sf_dir, "scan_pruned", build) \
+        .load_table("q.orders")
+    return (t.new_scan()
+            .filter(and_(gt_eq("o_orderdate", "1996-01-01"),
+                         lt("o_orderdate", "1996-04-01")))
+            .select(["o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderdate"])
+            .to_df(use_planned_tasks=True, open_file_cost=256 * 1024)
+            .orderBy("o_orderkey"))
+
+
 @q("table_spec_evolution", """
 SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-06-01'
@@ -1993,9 +2027,13 @@ _PRIORITY = [
     # three queries that have never carried a driver row — agg_approx_
     # distinct (error-bound invariant oracle), dedup_simhash (new generated
     # bit-vote oracle) and dedup_minhash_lsh_full (rows-only).
+    # dedup_exact (green r1+r2, family has four other in-window entries)
+    # rotates out for table_scan_planned_tasks (new r3 feature: S6 split
+    # planning wired into the Spark read path).
+    "table_scan_planned_tasks",
     "agg_pricing_summary", "agg_approx_distinct", "join_inner_equi",
     "join_asof", "join_multiway", "window_topk_per_group",
-    "scalar_math_funcs", "dedup_exact",
+    "scalar_math_funcs",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_lsh_full",
     "dedup_simhash", "similarity_topk",
     "similarity_ann_lsh", "similarity_ivf_topk",
