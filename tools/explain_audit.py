@@ -69,6 +69,22 @@ CONTRACTS = {
         # still shows the parquet scan with a pruned ReadSchema
         ["Scan parquet", "codegen id"],
         ["CartesianProduct"]),
+    "table_scan_planned_tasks": (
+        # our CombinedScanTasks drive the read: one Arrow-batched
+        # MapInPandas over the task descriptors, never a per-row Python UDF
+        ["MapInPandas"],
+        ["CartesianProduct", "BatchEvalPython"]),
+    "dedup_simhash": (
+        # bit votes are JVM-side aggregates with map-side combine; the
+        # pigeonhole join is an EQUI-join on (segment, value) — any hash/
+        # merge strategy is fine, a nested-loop/cartesian product is not
+        ["HashAggregate", "partial_sum", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "ArrowEvalPython"]),
+    "agg_approx_distinct": (
+        # HLL++ sketch merges partially map-side — constant memory/group
+        ["HashAggregate", "partial_approx_count_distinct"],
+        ["CartesianProduct", "BatchEvalPython"]),
 }
 
 
