@@ -71,3 +71,27 @@ def fingerprint(df: DataFrame, text_col: str = "text",
             F.array_min(F.transform(toks, lambda w: F.xxhash64(w, F.lit(k))))
             .alias(f"minhash{k}"))
     return df.select(*cols)
+
+
+# GPT-2-style pre-tokenizer (public recipe), restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB/Go) support — no lookahead, explicit
+# ASCII classes.  Contractions, optionally-space-prefixed letter runs,
+# digit runs, punctuation runs.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_pretokenize(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """BPE pre-tokenization counts: the merge step of a real BPE runs on
+    these pre-tokens, so their count/uniqueness is the budget signal a
+    training pipeline filters on.  JVM-side regexp_extract_all — one pass,
+    no shuffle, no UDF; the identical RE2-compatible pattern runs in the
+    SQL oracle."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_pretok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_pretok"),
+        F.round(F.length(text_col) /
+                F.greatest(F.size(toks), F.lit(1)), 4)
+         .alias("chars_per_pretok"))

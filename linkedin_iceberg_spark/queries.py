@@ -1158,6 +1158,29 @@ def text_fingerprint(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@q("text_bpe_tokens", r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))
+         AS n_pretok,
+       len(list_distinct(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')))
+         AS n_unique_pretok,
+       round(length(text) * 1.0 / greatest(
+           len(regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')),
+           1), 4) AS chars_per_pretok
+FROM documents ORDER BY doc_id""")
+def text_bpe_tokens(spark, sf_dir):
+    """BPE pre-tokenization (GPT-2-style regex, restricted to the subset
+    both Java regex and RE2 accept) — the token-budget signal a training
+    pipeline filters on.  JVM-side regexp_extract_all; the oracle runs the
+    IDENTICAL pattern in DuckDB."""
+    from linkedin_iceberg_spark.operators.text import bpe_pretokenize
+    d = ld(spark, sf_dir, "documents")
+    return bpe_pretokenize(d).orderBy("doc_id")
+
+
 # =========================================================================
 # Streaming-equivalent batch windows (events)
 # =========================================================================
@@ -2017,10 +2040,11 @@ _PRIORITY = [
     "streaming_sink_counts", "streaming_source_total",
     "streaming_stateful_sessions",
     "multimodal_meta", "multimodal_decode_features",
-    # event windows + text analysis
+    # event windows + text analysis (text_bpe_tokens new in r3; takes the
+    # slot of double-green similarity_topk below)
     "events_tumbling_window", "events_sliding_window", "events_session_window",
     "text_token_stats", "text_quality_score", "text_lang_id",
-    "text_fingerprint",
+    "text_fingerprint", "text_bpe_tokens",
     # relational representatives (one-per-operator-family coverage).
     # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg
     # (each green in BOTH r1 and r2, unchanged since) rotate out for the
@@ -2035,7 +2059,7 @@ _PRIORITY = [
     "join_asof", "join_multiway", "window_topk_per_group",
     "scalar_math_funcs",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_lsh_full",
-    "dedup_simhash", "similarity_topk",
+    "dedup_simhash",
     "similarity_ann_lsh", "similarity_ivf_topk",
 ]
 

@@ -83,6 +83,12 @@ def _table_for(entries: list) -> pa.Table:
     return M.read_manifest_table(path)
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _loop_filter(tables, bound, part_eval):
     """The scan.py per-entry reference path, verbatim."""
     metrics = InclusiveMetricsEvaluator(bound)
@@ -152,14 +158,16 @@ def test_benchmark_100k_entries_10x():
     tables = [_table_for(_mk_entries(10_000, seed=s, with_deletes=False))
               for s in range(10)]
 
-    t0 = time.perf_counter()
+    # min of 3 per path: the ratio is stable, but a shared machine can
+    # stall either side mid-run and fake a regression
+    t_loop = min(_timed(lambda: _loop_filter(tables, bound, part_eval))
+                 for _ in range(3))
     ld, _ = _loop_filter(tables, bound, part_eval)
-    t_loop = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
+    t_vec = min(_timed(lambda: PV.filter_entries(
+        tables, bound, {0: part_eval}, part_eval, TYPES, PTYPES))
+        for _ in range(3))
     vd, _ = PV.filter_entries(tables, bound, {0: part_eval}, part_eval,
                               TYPES, PTYPES)
-    t_vec = time.perf_counter() - t0
 
     assert [e.data_file.file_path for e in vd] == \
         [e.data_file.file_path for e in ld]
@@ -168,6 +176,122 @@ def test_benchmark_100k_entries_10x():
     print(f"\nloop={t_loop:.3f}s vec={t_vec:.3f}s speedup={speedup:.1f}x "
           f"({len(vd)}/{sum(t.num_rows for t in tables)} entries kept)")
     assert speedup >= 10, f"only {speedup:.1f}x"
+
+
+def test_metrics_mask_matches_row_evaluator_hypothesis():
+    """Property: for ANY predicate shape and ANY stats content (missing
+    stats, all-null columns, NaN bounds, empty files), the vectorized
+    metrics mask equals the row evaluator bit for bit."""
+    import json
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from linkedin_iceberg_spark.expressions import (
+        bind, eq, gt, gt_eq, in_, is_null, lt, lt_eq, not_eq, not_null,
+        or_, starts_with)
+    from linkedin_iceberg_spark.expressions.expressions import not_
+
+    ints = st.integers(min_value=-50, max_value=50)
+    bigints = st.one_of(ints, st.integers(min_value=2**60, max_value=2**62))
+    floats = st.one_of(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        st.just(float("nan")), st.just(float("inf")))
+    strs = st.text(alphabet="abx", min_size=0, max_size=3)
+
+    def _preds():
+        # negatable predicates only — STARTS_WITH has no negation in the
+        # algebra (as in the reference at this version), so it joins below
+        # outside any not_()
+        return st.one_of(
+            st.builds(lambda op, v: op("id", v),
+                      st.sampled_from([lt, lt_eq, gt, gt_eq, eq, not_eq]),
+                      bigints),
+            st.builds(lambda op, v: op("val", v),
+                      st.sampled_from([lt, lt_eq, gt, gt_eq, eq, not_eq]),
+                      st.floats(min_value=-50, max_value=50,
+                                allow_nan=False)),
+            st.builds(lambda op, v: op("cat", v),
+                      st.sampled_from([lt, gt, eq, not_eq]), strs),
+            st.builds(lambda vs: in_("id", list(vs)),
+                      st.lists(ints, min_size=1, max_size=3)),
+            st.builds(lambda op, c: op(c),
+                      st.sampled_from([is_null, not_null]),
+                      st.sampled_from(["id", "cat", "val"])))
+
+    neg_exprs = st.recursive(
+        _preds(),
+        lambda kids: st.one_of(
+            st.builds(and_, kids, kids),
+            st.builds(or_, kids, kids),
+            st.builds(not_, kids)),
+        max_leaves=5)
+    sw = st.builds(lambda v: starts_with("cat", v),
+                   st.text(alphabet="abx", min_size=1, max_size=2))
+    exprs = st.one_of(neg_exprs, sw,
+                      st.builds(and_, sw, neg_exprs),
+                      st.builds(or_, sw, neg_exprs))
+
+    maybe_count = st.one_of(st.none(), st.integers(min_value=0, max_value=9))
+
+    def entry_stats(draw_vals):
+        rc, vc, nc, nanc, lo_i, hi_i, lo_f, hi_f, lo_s, hi_s = draw_vals
+        lo, hi = {}, {}
+        if lo_i is not None:
+            lo[1], hi[1] = min(lo_i, hi_i or lo_i), max(lo_i, hi_i or lo_i)
+        if lo_s is not None:
+            lo[2], hi[2] = min(lo_s, hi_s or lo_s), max(lo_s, hi_s or lo_s)
+        if lo_f is not None and not math.isnan(lo_f):
+            lo[3], hi[3] = lo_f, lo_f + 1
+        elif lo_f is not None:
+            lo[3] = hi[3] = lo_f  # NaN bound: must be skipped, not compared
+        vcs = {f: vc for f in (1, 2, 3)} if vc is not None else {}
+        ncs = {f: min(nc, vc) if vc is not None else nc
+               for f in (1, 2, 3)} if nc is not None else {}
+        return {
+            "record_count": rc,
+            "value_counts": vcs, "null_value_counts": ncs,
+            "nan_value_counts": {3: nanc} if nanc is not None else {},
+            "lower_bounds": lo, "upper_bounds": hi,
+        }
+
+    stat_tuple = st.tuples(
+        st.integers(min_value=0, max_value=100), maybe_count, maybe_count,
+        maybe_count,
+        st.one_of(st.none(), bigints), st.one_of(st.none(), bigints),
+        st.one_of(st.none(), floats), st.one_of(st.none(), floats),
+        st.one_of(st.none(), strs), st.one_of(st.none(), strs))
+
+    @settings(max_examples=150, deadline=None)
+    @given(exprs, st.lists(stat_tuple, min_size=1, max_size=8))
+    def run(expr, stat_rows):
+        bound = bind(SCHEMA, expr)
+        entries = [entry_stats(t) for t in stat_rows]
+        # loop reference
+        ev = InclusiveMetricsEvaluator(bound)
+        want = [bool(ev.eval(e)) and e["record_count"] > 0 for e in entries]
+        # vectorized over JSON-encoded columns (the manifest representation)
+        d = {
+            "record_count": [e["record_count"] for e in entries],
+            "value_counts": [json.dumps(
+                {str(k): v for k, v in e["value_counts"].items()})
+                for e in entries],
+            "null_value_counts": [json.dumps(
+                {str(k): v for k, v in e["null_value_counts"].items()})
+                for e in entries],
+            "nan_value_counts": [json.dumps(
+                {str(k): v for k, v in e["nan_value_counts"].items()})
+                for e in entries],
+            "lower_bounds": [M._encode_bounds(e["lower_bounds"], TYPES)
+                             for e in entries],
+            "upper_bounds": [M._encode_bounds(e["upper_bounds"], TYPES)
+                             for e in entries],
+        }
+        stats = PV._StatsColumns(d, TYPES)
+        got = PV.metrics_mask(stats, bound).tolist()
+        assert got == want, f"{expr!r}\nentries={entries}"
+
+    run()
 
 
 def test_plan_files_uses_vectorized_path(catalog, spark, sf_dir, monkeypatch):
@@ -194,4 +318,35 @@ def test_plan_files_uses_vectorized_path(catalog, spark, sf_dir, monkeypatch):
     monkeypatch.setattr(PV, "VECTORIZED_THRESHOLD", 0)
     got = t.scan(flt).count()
     exp = o.filter(F.col("o_orderkey") >= 1500).count()
+    assert got == exp
+
+
+def test_plan_files_vectorized_mixed_specs(catalog, spark, sf_dir,
+                                           monkeypatch):
+    """Partition-spec evolution exercises the multi-spec branch of
+    partition_mask (per-spec evaluator lookup, no dictionary fast path):
+    the vectorized plan must still match the loop byte for byte."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.expressions import and_, lt
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = catalog.create_table("db.vecplan2", o)
+    t.append(o.filter(F.col("o_orderkey") <= 1500))        # spec 0 ({})
+    t.update_spec(lambda b: b.month("o_orderdate"))
+    t.append(o.filter(F.col("o_orderkey") > 1500))         # spec 1
+
+    flt = and_(gt_eq("o_orderdate", "1996-01-01"),
+               lt("o_orderdate", "1996-06-01"))
+    monkeypatch.setattr(PV, "VECTORIZED_THRESHOLD", 10**9)
+    tasks_loop = t.new_scan().filter(flt).plan_files()
+    monkeypatch.setattr(PV, "VECTORIZED_THRESHOLD", 0)
+    tasks_vec = t.new_scan().filter(flt).plan_files()
+
+    assert [tk.file.file_path for tk in tasks_vec] == \
+        [tk.file.file_path for tk in tasks_loop]
+    assert {tk.file.spec_id for tk in tasks_vec} == {0, 1}
+    got = t.scan(flt).count()
+    exp = o.filter((F.col("o_orderdate") >= "1996-01-01")
+                   & (F.col("o_orderdate") < "1996-06-01")).count()
     assert got == exp
