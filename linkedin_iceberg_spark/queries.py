@@ -1368,6 +1368,84 @@ def table_time_travel(spark, sf_dir):
             .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
 
 
+@q("table_overwrite_where", """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE NOT o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, 'R' AS o_orderstatus, 0.0 AS o_totalprice FROM orders
+  WHERE o_orderstatus = 'F'
+) ORDER BY o_orderkey""")
+def table_overwrite_where(spark, sf_dir):
+    """INSERT OVERWRITE ... WHERE (W4, ref: core/.../BaseOverwriteFiles):
+    delete every 'F' row and append its replacement in ONE snapshot —
+    whole-file drops where strict metrics prove it, copy-on-write rewrites
+    elsewhere."""
+    from linkedin_iceberg_spark.expressions import eq
+    o = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_ow", o)
+    t.append(o)
+    v0 = t.version
+    repl = (o.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", F.lit("R").alias("o_orderstatus"),
+                    F.lit(0.0).alias("o_totalprice")))
+    t.overwrite_where(repl, eq("o_orderstatus", "F"))
+    assert t.version == v0 + 1  # one snapshot for delete+append
+    return (t.to_df().select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("table_rewrite_manifests", """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 8000
+ORDER BY o_orderkey""")
+def table_rewrite_manifests(spark, sf_dir):
+    """RewriteManifests (W9/A2): ten tiny appends leave ten manifests;
+    re-clustering them into one must change NO data and keep the table
+    scannable — the metadata-compaction op the reference ships as a Spark
+    action."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 8000) \
+        .select("o_orderkey", "o_totalprice")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_rm", o)
+    for i in range(10):
+        t.append(o.filter(F.col("o_orderkey") % 10 == i))
+    snap = t.current_snapshot()
+    n_manifests_before = len(t._base_manifest_infos(t.metadata))
+    assert n_manifests_before >= 10
+    stats = t.rewrite_manifests()
+    assert stats["manifests"] < n_manifests_before
+    # REPLACE commit: same data, new manifest clustering
+    return t.to_df().orderBy("o_orderkey")
+
+
+@q("table_rollback_wap", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey <= 3000 OR o_orderkey > 12000
+ORDER BY o_orderkey""")
+def table_rollback_wap(spark, sf_dir):
+    """Snapshot management (W13, ref: core/.../SnapshotManager + WapUtil):
+    append b1, append b2, roll back to b1, then write-audit-publish b3 —
+    staged under a wap.id (invisible), published via cherry-pick.  Final
+    state must be exactly b1 + b3; b2 is history only."""
+    o = ld(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_rb", o)
+    t.append(o.filter(F.col("o_orderkey") <= 3000))                  # b1
+    v1 = t.current_snapshot().snapshot_id
+    t.append(o.filter((F.col("o_orderkey") > 3000)
+                      & (F.col("o_orderkey") <= 12000)))             # b2
+    t.rollback_to(v1)
+    assert t.current_snapshot().snapshot_id == v1
+    t.append(o.filter(F.col("o_orderkey") > 12000), wap_id="audit1")  # b3
+    # staged: not yet visible
+    assert t.current_snapshot().snapshot_id == v1
+    staged = t.metadata.staged_wap["audit1"]
+    t.cherry_pick(staged)                                            # publish
+    return t.to_df().orderBy("o_orderkey")
+
+
 @q("table_delete_where", """
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
 WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
@@ -2035,14 +2113,21 @@ _PRIORITY = [
     "table_equality_deletes", "table_compaction", "table_expire_snapshots",
     "table_format_orc", "table_format_avro", "table_transaction",
     "table_merge_schema_append",
+    # r3: three commit operators that were pytest-only get driver rows —
+    # overwrite-by-filter (W4), rewrite-manifests (W9), rollback+WAP (W13).
+    # They take the slots of meta_snapshots_log / events_sliding_window /
+    # multimodal_meta (each green in r2; their families keep in-window
+    # representatives: meta_partitions+files, events tumbling+session,
+    # multimodal decode_features).
+    "table_overwrite_where", "table_rewrite_manifests", "table_rollback_wap",
     # metadata tables / streaming / multimodal
-    "meta_partitions_months", "meta_snapshots_log", "meta_files_stats",
+    "meta_partitions_months", "meta_files_stats",
     "streaming_sink_counts", "streaming_source_total",
     "streaming_stateful_sessions",
-    "multimodal_meta", "multimodal_decode_features",
+    "multimodal_decode_features",
     # event windows + text analysis (text_bpe_tokens new in r3; takes the
     # slot of double-green similarity_topk below)
-    "events_tumbling_window", "events_sliding_window", "events_session_window",
+    "events_tumbling_window", "events_session_window",
     "text_token_stats", "text_quality_score", "text_lang_id",
     "text_fingerprint", "text_bpe_tokens",
     # relational representatives (one-per-operator-family coverage).
