@@ -331,10 +331,11 @@ def test_plan_files_vectorized_mixed_specs(catalog, spark, sf_dir,
     from linkedin_iceberg_spark.expressions import and_, lt
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mid = o.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
     t = catalog.create_table("db.vecplan2", o)
-    t.append(o.filter(F.col("o_orderkey") <= 1500))        # spec 0 ({})
+    t.append(o.filter(F.col("o_orderkey") <= mid))         # spec 0 ({})
     t.update_spec(lambda b: b.month("o_orderdate"))
-    t.append(o.filter(F.col("o_orderkey") > 1500))         # spec 1
+    t.append(o.filter(F.col("o_orderkey") > mid))          # spec 1
 
     flt = and_(gt_eq("o_orderdate", "1996-01-01"),
                lt("o_orderdate", "1996-06-01"))
