@@ -68,11 +68,12 @@ def main() -> int:
         except Exception:
             pass
 
-    # two timed passes at the target SF, report the min — page cache, shuffle
-    # file reuse, and scheduler jitter make single-shot numbers noisy on a
-    # shared machine (JMH reports per-iteration stats for the same reason)
+    # three timed passes at the target SF, report the min — page cache,
+    # shuffle file reuse, and scheduler jitter make single-shot numbers
+    # noisy on a shared machine (JMH reports per-iteration stats for the
+    # same reason); observed pass-to-pass spread here is ~10%
     times: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in names:
             fn, _sql = registry[name]
             t0 = time.perf_counter()
