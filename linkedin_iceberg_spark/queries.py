@@ -1446,6 +1446,88 @@ def table_rollback_wap(spark, sf_dir):
     return t.to_df().orderBy("o_orderkey")
 
 
+@q("meta_scan_summary", """
+SELECT CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+            AS BIGINT) AS month_ordinal,
+       count(*) AS row_count,
+       CAST(1 AS BIGINT) AS file_count
+FROM orders GROUP BY 1 ORDER BY month_ordinal""")
+def meta_scan_summary(spark, sf_dir):
+    """ScanSummary (S12, ref: core/.../ScanSummary.java): per-partition
+    {row_count, file_count} from manifest metadata alone — no data read.
+    One clustered append writes exactly one file per month partition
+    (PartitionedWriter contract), so file_count is deterministic."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.catalog.find_files import scan_summary
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .month("o_orderdate").build()
+        cat.create_table("q.orders", o, spec=spec).append(o)
+
+    t = _cached_table(spark, sf_dir, "scan_pruned", build) \
+        .load_table("q.orders")
+    rows = [(int(dict(k)["o_orderdate_month"]), v["row_count"],
+             v["file_count"])
+            for k, v in scan_summary(t).items()]
+    return (spark.createDataFrame(
+        rows, "month_ordinal long, row_count long, file_count long")
+        .orderBy("month_ordinal"))
+
+
+@q("table_local_read", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey <= 2000 AND o_totalprice > 150000
+ORDER BY o_orderkey""")
+def table_local_read(spark, sf_dir):
+    """Local generic read (S10, ref: data/.../IcebergGenerics): the scan
+    executes on the driver with pyarrow only — same planning, pruning and
+    residual application, no Spark stage.  The arrow result is handed back
+    to Spark purely for the comparison harness; long/double columns only,
+    so the representation is stable."""
+    from linkedin_iceberg_spark.expressions import and_, gt, lt_eq
+    o = ld(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_lr", o)
+    t.append(o)
+    atbl = (t.new_scan()
+            .filter(and_(lt_eq("o_orderkey", 2000),
+                         gt("o_totalprice", 150000.0)))
+            .select(["o_orderkey", "o_totalprice"])
+            .to_arrow())
+    return (spark.createDataFrame(atbl.to_pandas())
+            .orderBy("o_orderkey"))
+
+
+@q("table_remove_orphans", """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 6000
+ORDER BY o_orderkey""")
+def table_remove_orphans(spark, sf_dir):
+    """RemoveOrphanFiles (A4, ref: spark/.../RemoveOrphanFilesAction):
+    plant two orphan parquet files inside the table's data directory, run
+    the distributed cleanup (age gate 0), and prove it deleted exactly the
+    orphans — every live row survives."""
+    import glob
+
+    from linkedin_iceberg_spark.catalog.maintenance import \
+        remove_orphan_files
+    o = ld(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_orph", o)
+    t.append(o.filter(F.col("o_orderkey") <= 6000))
+    data_dir = os.path.join(t.location, "data")
+    staging = [d for d in glob.glob(os.path.join(data_dir, "*"))
+               if os.path.isdir(d)][0]
+    o.limit(7).toPandas().to_parquet(
+        os.path.join(staging, "orphan-a.parquet"))
+    o.limit(3).toPandas().to_parquet(
+        os.path.join(staging, "orphan-b.parquet"))
+    stats = remove_orphan_files(t, older_than_ms=int(2**62))
+    assert stats["orphans_deleted"] == 2, stats
+    return t.to_df().orderBy("o_orderkey")
+
+
 @q("table_delete_where", """
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
 WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
