@@ -66,11 +66,25 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     return {"rewritten_files": len(to_rewrite), "added_files": len(new_files)}
 
 
+DISTRIBUTED_REWRITE_THRESHOLD = 100_000
+
+
 def rewrite_manifests(table,
-                      target_entries: int = MANIFEST_TARGET_ENTRIES) -> dict:
+                      target_entries: int = MANIFEST_TARGET_ENTRIES,
+                      distributed: Optional[bool] = None) -> dict:
     """Re-cluster manifest entries by partition into right-sized manifests
-    (A2).  The reference repartitions an entries DataFrame; our entry count
-    is O(files) so we sort driver-side below ~1M files and chunk."""
+    (A2).  Small tables sort driver-side and chunk; past
+    DISTRIBUTED_REWRITE_THRESHOLD entries (or with distributed=True) the
+    rewrite runs as the reference's Spark action does
+    (RewriteManifestsAction.java:226-247): entries as a DataFrame,
+    repartitionByRange on the partition tuple, each output partition
+    writing ONE manifest on an executor."""
+    infos0 = table._base_manifest_infos(table.metadata)
+    total = sum(i.added_files_count + i.existing_files_count for i in infos0)
+    if distributed is None:
+        distributed = total >= DISTRIBUTED_REWRITE_THRESHOLD
+    if distributed and infos0:
+        return _rewrite_manifests_distributed(table, target_entries)
     entries = table._live_entries()
     if not entries:
         return {"manifests": 0}
@@ -98,6 +112,103 @@ def rewrite_manifests(table,
     from linkedin_iceberg_spark.catalog.metadata import OP_REPLACE
     table._commit(build, OP_REPLACE)
     return {"manifests": len(chunks)}
+
+
+def _rewrite_manifests_distributed(table, target_entries: int) -> dict:
+    """A2 exactly as the reference's Spark action executes it
+    (RewriteManifestsAction.java:78-294): the live entries become ONE
+    DataFrame read straight from the manifest parquet files (no driver
+    materialization), get range-repartitioned on the partition tuple so
+    level-1 summaries prune well, and each output partition writes its
+    manifest ON AN EXECUTOR — summaries included — returning the
+    manifest-list row to the driver.  Driver work is O(manifests), never
+    O(entries)."""
+    import json as _json
+    import math
+
+    from linkedin_iceberg_spark.catalog.metadata import OP_REPLACE
+    from linkedin_iceberg_spark.shipping import ship_package
+
+    spark = table.spark
+    ship_package(spark)  # workers import the manifest writer from the zip
+    metadata_dir = table.ops.metadata_dir
+    types_by_id = table._types_by_id()
+    result = {}
+
+    _INFO_FIELDS = ("manifest_path", "added_snapshot_id",
+                    "added_files_count", "existing_files_count",
+                    "deleted_files_count", "added_rows_count",
+                    "min_sequence_number", "sequence_number", "content")
+
+    def build(base, snap_id, seq):
+        ptypes = base.all_partition_types()
+        paths = [table.ops.new_metadata_path(i.manifest_path)
+                 for i in table._base_manifest_infos(base)]
+        edf = (spark.read.parquet(*paths)
+               .filter(F.col("status") != M.STATUS_DELETED)
+               .withColumn("status",
+                           F.lit(M.STATUS_EXISTING).cast("tinyint")))
+        total = edf.count()
+        n_out = max(1, math.ceil(total / target_entries))
+        part = (edf.repartitionByRange(n_out, "partition")
+                .sortWithinPartitions("partition"))
+
+        def write_part(batches):
+            import json
+            import os as _os
+
+            import pandas as pd
+            import pyarrow as pa
+
+            from linkedin_iceberg_spark.catalog import manifests as MM
+
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            tbl = pa.Table.from_pandas(pdf, schema=MM._MANIFEST_SCHEMA,
+                                       preserve_index=False)
+            entries = MM.entries_from_table(tbl, types_by_id, ptypes)
+            name = MM.new_manifest_name()
+            info = MM.write_manifest(_os.path.join(metadata_dir, name),
+                                     entries, types_by_id, ptypes)
+            info.manifest_path = name
+            enc = {pn: {"contains_null": s["contains_null"],
+                        "lower": MM.encode_value(
+                            s["lower"], ptypes.get(pn, "string")),
+                        "upper": MM.encode_value(
+                            s["upper"], ptypes.get(pn, "string"))}
+                   for pn, s in info.partition_summaries.items()}
+            row = {f: getattr(info, f) for f in _INFO_FIELDS}
+            row["partition_summaries"] = json.dumps(enc)
+            yield pd.DataFrame([row])
+
+        rows = part.mapInPandas(
+            write_part,
+            schema=("manifest_path string, added_snapshot_id long, "
+                    "added_files_count int, existing_files_count int, "
+                    "deleted_files_count int, added_rows_count long, "
+                    "min_sequence_number long, sequence_number long, "
+                    "content int, partition_summaries string")).collect()
+
+        infos = []
+        for r in rows:
+            summaries = {
+                pn: {"contains_null": s["contains_null"],
+                     "lower": M.decode_value(s["lower"],
+                                             ptypes.get(pn, "string")),
+                     "upper": M.decode_value(s["upper"],
+                                             ptypes.get(pn, "string"))}
+                for pn, s in _json.loads(r["partition_summaries"]).items()}
+            infos.append(M.ManifestFileInfo(
+                partition_summaries=summaries,
+                **{f: r[f] for f in _INFO_FIELDS}))
+        result["n"] = len(infos)
+        return infos, {"manifests-replaced": str(len(paths)),
+                       "rewrite-distributed": "true"}, None
+
+    table._commit(build, OP_REPLACE)
+    return {"manifests": result["n"]}
 
 
 def expire_snapshots(table, older_than_ms: Optional[int] = None,
