@@ -1446,6 +1446,42 @@ def table_rollback_wap(spark, sf_dir):
     return t.to_df().orderBy("o_orderkey")
 
 
+@q("table_sql_over_view", """
+SELECT CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+            AS BIGINT) AS month_ordinal,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY 1 ORDER BY month_ordinal""")
+def table_sql_over_view(spark, sf_dir):
+    """Raw Spark SQL over an engine table: the pruned scan registers as a
+    temp view and the query runs through spark.sql — the
+    createOrReplaceTempView route SURVEY §7 declares in place of a custom
+    Catalyst extension.  Hidden-partition pruning still applies (the view
+    wraps the pruned DataFrame)."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.expressions import gt_eq
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .month("o_orderdate").build()
+        cat.create_table("q.orders", o, spec=spec).append(o)
+
+    t = _cached_table(spark, sf_dir, "scan_pruned", build) \
+        .load_table("q.orders")
+    t.scan(row_filter=gt_eq("o_orderdate", "1996-01-01")) \
+        .createOrReplaceTempView("engine_orders")
+    return spark.sql("""
+        SELECT CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+                    AS BIGINT) AS month_ordinal,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM engine_orders
+        GROUP BY 1 ORDER BY month_ordinal""")
+
+
 @q("meta_scan_summary", """
 SELECT CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
             AS BIGINT) AS month_ordinal,
