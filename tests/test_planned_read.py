@@ -66,6 +66,22 @@ def test_big_file_splits_into_more_tasks(catalog, spark, orders):
     assert _rows(df) == _rows(t.to_df())
 
 
+@pytest.mark.parametrize("denom", [2, 3, 5, 9])
+def test_row_group_snapping_covers_every_row_once(catalog, spark, orders,
+                                                  denom):
+    """Whatever the split size, byte-range midpoint snapping must assign
+    every row group to exactly one split — no loss, no double-read."""
+    t = catalog.create_table(f"db.snap{denom}", orders)
+    t.append(orders)
+    size = t.new_scan().plan_files()[0].file.file_size_in_bytes
+    split = max(size // denom, 512)
+    df = t.new_scan().to_df(use_planned_tasks=True, split_size=split,
+                            open_file_cost=1)
+    assert df.count() == orders.count()
+    assert df.select(F.sum("o_orderkey")).collect()[0][0] == \
+        orders.select(F.sum("o_orderkey")).collect()[0][0]
+
+
 def test_planned_read_with_filter_and_evolution(catalog, spark, orders):
     t = catalog.create_table("db.pr3", orders)
     t.append(orders.filter(F.col("o_orderkey") <= 2000))
