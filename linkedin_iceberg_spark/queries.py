@@ -1512,6 +1512,40 @@ def meta_scan_summary(spark, sf_dir):
         .orderBy("month_ordinal"))
 
 
+@q("meta_find_files", """
+SELECT CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+            AS BIGINT) AS month_ordinal,
+       count(*) AS record_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY month_ordinal""")
+def meta_find_files(spark, sf_dir):
+    """FindFiles (S11, ref: core/.../FindFiles.java:33-190): metadata-only
+    file discovery by row filter — inclusive partition projection plus
+    metrics pruning pick exactly the 1997+ month files; one clustered
+    append wrote one file per month, so each matched file IS its month's
+    row count.  No data is read."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.catalog.find_files import FindFiles
+    from linkedin_iceberg_spark.expressions import gt_eq
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .month("o_orderdate").build()
+        cat.create_table("q.orders", o, spec=spec).append(o)
+
+    t = _cached_table(spark, sf_dir, "scan_pruned", build) \
+        .load_table("q.orders")
+    files = (FindFiles.in_table(t)
+             .with_metadata_matching(gt_eq("o_orderdate", "1997-01-01"))
+             .collect())
+    rows = sorted((int(f.partition["o_orderdate_month"]), f.record_count)
+                  for f in files)
+    return spark.createDataFrame(
+        rows, "month_ordinal long, record_count long")
+
+
 @q("table_local_read", """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey <= 2000 AND o_totalprice > 150000

@@ -117,6 +117,21 @@ def test_planned_read_imported_hive_files(catalog, spark, tmp_path):
     assert got.filter(F.col("par").isNull()).count() == 0
 
 
+def test_planned_read_orc_whole_files(catalog, spark, orders):
+    """ORC tables run through the planned path too — whole files only
+    (our ORC reader has no stripe-range API), so ORC is excluded from
+    splitting but still bin-packs by open-file cost."""
+    t = catalog.create_table("db.pr_orc", orders,
+                             properties={"write.format-default": "orc"})
+    for i in range(4):
+        t.append(orders.filter(F.col("o_orderkey") % 4 == i))
+    assert all(tk.file.file_format == "orc"
+               for tk in t.new_scan().plan_files())
+    got = t.new_scan().to_df(use_planned_tasks=True, open_file_cost=1)
+    assert _rows(got) == _rows(t.to_df())
+    assert got.count() == orders.count()
+
+
 def test_planned_read_falls_back_on_deletes(catalog, spark, orders):
     """A table with pending v2 deletes must route to the join-based reader
     (and still be exactly right)."""
