@@ -350,9 +350,19 @@ class TableScan:
                         file.partition[pf.name], pf.source_type or "string")
             return out
 
+        # column pruning (the default path gets this from Catalyst): read
+        # only the projected columns plus whatever the row filter needs —
+        # a scan that reads every column for a 2-column projection wastes
+        # the dominant cost at scale
+        fields = current.fields
+        if self.selected:
+            needed = set(self.selected) | _referenced_names(
+                bind(current, self.row_filter)
+                if self.row_filter is not None else None)
+            fields = [f for f in current.fields if f.name in needed]
         target = pa.schema([pa.field(f.name, type_to_arrow(f.type),
                                      nullable=not f.required)
-                            for f in current.fields])
+                            for f in fields])
         ser_schema = target.serialize().to_pybytes()
 
         descs = []
@@ -401,14 +411,22 @@ class TableScan:
                     d = _j.loads(desc_s)
                     for sp in d["splits"]:
                         rev = d["rev"].get(str(sp["sid"]), {})
+                        # read only the source columns the projection
+                        # needs — column pruning at the file reader
+                        want = [rev[f.name] for f in tgt if f.name in rev]
                         if sp["fmt"] == "orc":
                             from pyarrow import orc as _orc
-                            tbl = _orc.ORCFile(sp["path"]).read()
+                            of = _orc.ORCFile(sp["path"])
+                            cols = [c for c in want
+                                    if c in of.schema.names] or None
+                            tbl = of.read(columns=cols)
                             if len(tbl):
                                 yield emit(tbl, rev, sp["pconst"])
                             continue
                         import pyarrow.parquet as _pq
                         pf = _pq.ParquetFile(sp["path"])
+                        file_cols = set(pf.schema_arrow.names)
+                        cols = [c for c in want if c in file_cols] or None
                         nrg = pf.metadata.num_row_groups
                         if sp["start"] is None:
                             rgs = list(range(nrg))
@@ -429,14 +447,18 @@ class TableScan:
                                     rgs.append(g)
                         if not rgs:
                             continue
-                        tbl = pf.read_row_groups(rgs)
+                        tbl = pf.read_row_groups(rgs, columns=cols)
                         if len(tbl):
                             yield emit(tbl, rev, sp["pconst"])
 
         spark = table.spark
         rdd = spark.sparkContext.parallelize(descs, max(len(descs), 1))
         seed = spark.createDataFrame(rdd, "task_id long, desc string")
-        out = seed.mapInPandas(read_task, schema=current.to_spark())
+        from pyspark.sql.types import StructType
+        keep = {f.name for f in fields}
+        out_schema = StructType(
+            [sf for sf in current.to_spark().fields if sf.name in keep])
+        out = seed.mapInPandas(read_task, schema=out_schema)
         return self._finish(out)
 
     def _to_df_default(self) -> DataFrame:
@@ -519,6 +541,32 @@ class TableScan:
         if self.selected:
             df = df.select(*self.selected)
         return df
+
+
+def _referenced_names(expr) -> set:
+    """Column names a (bound or unbound) expression touches — used for
+    projection pruning in the planned-task read path."""
+    from linkedin_iceberg_spark.expressions.expressions import (
+        BoundReference, Reference)
+    out: set = set()
+
+    def walk(e):
+        if e is None:
+            return
+        if isinstance(e, (And, Or)):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, Not):
+            walk(e.child)
+        elif isinstance(e, Predicate):
+            term = e.term
+            if isinstance(term, TransformTerm):
+                term = term.ref
+            if isinstance(term, (Reference, BoundReference)):
+                out.add(term.name)
+
+    walk(expr)
+    return out
 
 
 def match_deletes(data_entries: list, delete_entries: list,

@@ -117,6 +117,24 @@ def test_planned_read_imported_hive_files(catalog, spark, tmp_path):
     assert got.filter(F.col("par").isNull()).count() == 0
 
 
+def test_planned_read_prunes_projection(catalog, spark, sf_dir):
+    """select() reaches the worker's file reader: only the projected
+    columns (plus filter references) are read, and filtering on a column
+    outside the projection still works."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = catalog.create_table("db.pr_proj", o)
+    t.append(o)
+    from linkedin_iceberg_spark.expressions import gt
+    got = (t.new_scan()
+           .filter(gt("o_totalprice", 150000.0))
+           .select(["o_orderkey", "o_orderstatus"])
+           .to_df(use_planned_tasks=True, open_file_cost=1))
+    assert got.columns == ["o_orderkey", "o_orderstatus"]
+    exp = (o.filter(F.col("o_totalprice") > 150000.0)
+           .select("o_orderkey", "o_orderstatus"))
+    assert _rows(got) == _rows(exp)
+
+
 def test_planned_read_orc_whole_files(catalog, spark, orders):
     """ORC tables run through the planned path too — whole files only
     (our ORC reader has no stripe-range API), so ORC is excluded from
