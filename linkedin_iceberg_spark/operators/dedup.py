@@ -215,6 +215,117 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
             .orderBy("d1", "d2"))
 
 
+def dedup_embedding(df: DataFrame, threshold: float = 0.4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 6, n_tables: int = 8,
+                    dim: int = None) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: the full keep-one-per-cluster
+    pipeline over an array<float> embedding column.
+
+      1. candidates: multi-table random-hyperplane LSH — pairs are proposed
+         only within sign-buckets (ann_lsh_candidates), never all-pairs;
+      2. verify: exact cosine on candidate pairs only, keep >= threshold;
+      3. group: connected components (large-star/small-star) turns verified
+         PAIRS into near-dup CLUSTERS via transitivity;
+      4. decide: one representative per cluster — the minimum id.
+
+    Returns (id_col, group_id, is_kept) for EVERY input row: group_id is
+    the cluster's min id (own id for singletons), is_kept is 1 for the
+    representative else 0 — downstream keeps `is_kept = 1`.
+
+    Scale: stages 1-2 shuffle on small keys (bucket ints / id pairs);
+    stage 3 is the O(log^2 n) star algorithm; nothing is ever quadratic in
+    the corpus.  Recall is the standard multi-table LSH bound: a pair at
+    angle θ survives with 1-(1-p^P)^T, p = 1-θ/π (P planes, T tables).
+    Deterministic planes -> the whole pipeline is SQL-reproducible
+    (dedup_embedding_oracle_sql)."""
+    from linkedin_iceberg_spark.operators.graph import connected_components
+    from linkedin_iceberg_spark.operators.similarity import (
+        _dot, _norm, ann_lsh_candidates)
+
+    cand = (ann_lsh_candidates(df, n_planes=n_planes, id_col=id_col,
+                               vec_col=vec_col, dim=dim, n_tables=n_tables)
+            .select("v1", "v2").distinct())
+    a = df.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("_e1"))
+    b = df.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("_e2"))
+    cos = _dot(F.col("_e1"), F.col("_e2")) / (_norm(F.col("_e1"))
+                                              * _norm(F.col("_e2")))
+    verified = (cand.join(a, "v1").join(b, "v2")
+                .filter(cos >= threshold).select("v1", "v2"))
+
+    comp = connected_components(verified, "v1", "v2")
+    ids = df.select(F.col(id_col))
+    joined = ids.join(comp, ids[id_col] == comp["id"], "left")
+    group = F.coalesce(F.col("component"), F.col(id_col)).cast("long")
+    return (joined.select(
+        F.col(id_col),
+        group.alias("group_id"),
+        F.when(group == F.col(id_col), F.lit(1)).otherwise(F.lit(0))
+         .cast("long").alias("is_kept"))
+        .orderBy(id_col))
+
+
+def dedup_embedding_oracle_sql(dim: int, threshold: float = 0.4,
+                               n_planes: int = 6, n_tables: int = 8,
+                               table: str = "embeddings",
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> str:
+    """ANSI-SQL (DuckDB) equivalent of dedup_embedding with the plane
+    constants INLINED: an independent engine recomputes bucketing,
+    candidate generation, cosine verification, the transitive closure
+    (recursive CTE) and the keep-decision — the entire pipeline is
+    value-checked, not just row-counted."""
+    from linkedin_iceberg_spark.operators.similarity import (
+        _deterministic_planes, _table_seed)
+
+    buckets, unions = [], []
+    for t in range(n_tables):
+        planes = _deterministic_planes(dim, n_planes, seed=_table_seed(t))
+        terms = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec_col}::DOUBLE[], {lit})"
+                f" >= 0 THEN {1 << i} ELSE 0 END)")
+        buckets.append(f"b{t} AS (SELECT {id_col}, "
+                       f"{' + '.join(terms)} AS bucket FROM {table})")
+        unions.append(
+            f"SELECT a.{id_col} AS v1, b.{id_col} AS v2 FROM b{t} a "
+            f"JOIN b{t} b ON a.bucket = b.bucket "
+            f"AND a.{id_col} < b.{id_col}")
+    buckets_sql = ",\n".join(buckets)
+    unions_sql = " UNION ".join(unions)
+    return f"""
+WITH RECURSIVE
+{buckets_sql},
+cand AS ({unions_sql}),
+verified AS (
+  SELECT c.v1, c.v2
+  FROM cand c
+  JOIN {table} x ON x.{id_col} = c.v1
+  JOIN {table} y ON y.{id_col} = c.v2
+  WHERE list_cosine_similarity(x.{vec_col}::DOUBLE[],
+                               y.{vec_col}::DOUBLE[]) >= {threshold}
+),
+edges AS (
+  SELECT v1 AS src, v2 AS dst FROM verified
+  UNION
+  SELECT v2, v1 FROM verified
+),
+walk (id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.lab
+),
+comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id)
+SELECT e.{id_col},
+       CAST(coalesce(c.component, e.{id_col}) AS BIGINT) AS group_id,
+       CAST(CASE WHEN coalesce(c.component, e.{id_col}) = e.{id_col}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM {table} e LEFT JOIN comp c ON c.id = e.{id_col}
+ORDER BY e.{id_col}"""
+
+
 def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 6,
                        n_segments: int = 4) -> str:

@@ -950,6 +950,34 @@ _REGISTRY["dedup_simhash"] = (_REGISTRY["dedup_simhash"][0],
                               _simhash_oracle())
 
 
+def _dedup_embedding_oracle() -> str:
+    from linkedin_iceberg_spark.operators.dedup import \
+        dedup_embedding_oracle_sql
+    return dedup_embedding_oracle_sql(dim=64, threshold=0.4, n_planes=6,
+                                      n_tables=8)
+
+
+@q("dedup_embedding", None)  # oracle attached below (generated SQL)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup dedup, end to end: multi-table
+    hyperplane-LSH candidates -> exact-cosine verify -> connected
+    components (large-star/small-star) -> keep the min-id representative
+    per cluster.  The oracle replays the WHOLE pipeline in DuckDB —
+    inlined plane constants, cosine verify, recursive-CTE transitive
+    closure — so grouping and keep-decisions are value-checked.  Threshold
+    0.4 sits >= 1e-4 from every pair's cosine at the checked SFs, far
+    beyond cross-engine double-summation drift."""
+    from linkedin_iceberg_spark.operators.dedup import dedup_embedding
+    e = ld(spark, sf_dir, "embeddings")
+    return dedup_embedding(e, threshold=0.4, id_col="vec_id",
+                           vec_col="embedding", n_planes=6, n_tables=8,
+                           dim=64)
+
+
+_REGISTRY["dedup_embedding"] = (_REGISTRY["dedup_embedding"][0],
+                                _dedup_embedding_oracle())
+
+
 @q("similarity_topk", """
 WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -2295,8 +2323,11 @@ _PRIORITY = [
     "agg_pricing_summary", "agg_approx_distinct", "join_inner_equi",
     "join_asof", "join_multiway", "window_topk_per_group",
     "scalar_math_funcs",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_lsh_full",
-    "dedup_simhash",
+    # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
+    # dedup_embedding (new r3: cosine near-dup -> connected components ->
+    # keep-decision, full-pipeline generated oracle)
+    "dedup_minhash_lsh", "dedup_minhash_lsh_full",
+    "dedup_simhash", "dedup_embedding",
     "similarity_ann_lsh", "similarity_ivf_topk",
 ]
 
