@@ -2031,6 +2031,129 @@ def streaming_source_total(spark, sf_dir):
     return spark.table(sink).agg(F.count("*").alias("n"))
 
 
+@q("streaming_dedup", """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+FROM events WHERE user_id <= 50
+GROUP BY event_type ORDER BY event_type""")
+def streaming_dedup(spark, sf_dir):
+    """Streaming deduplication with bounded state:
+    dropDuplicatesWithinWatermark keys state on event_id and expires it
+    once the watermark passes — the scale answer to exactly-once ingestion
+    of an at-least-once feed (state is O(events inside the watermark), not
+    O(stream)).  The source REPLAYS rows across three micro-batches
+    (b0: ids ≡ 0,1 mod 3; b1: ids ≡ 1,2 mod 3; b2: everything again) so
+    every duplicate crosses a batch boundary; the deduped stream must equal
+    the plain DISTINCT of the underlying rows."""
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    e = (ld(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+         .select("event_id", "ts", "event_type", "value"))
+    base = tempfile.mkdtemp(prefix="q_sdedup_")
+    src = os.path.join(base, "src")
+    batches = [e.filter(F.col("event_id") % 3 < 2),
+               e.filter(F.col("event_id") % 3 > 0),
+               e]
+    for i, p in enumerate(batches):
+        p.orderBy(F.rand(seed=7 + i)).coalesce(1) \
+            .write.parquet(os.path.join(src, f"b{i}"))
+        _time.sleep(0.25)  # distinct mtimes: file source batches in mtime order
+
+    sink = f"sdedup_{_uuid.uuid4().hex[:8]}"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp, event_type string, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+        deduped = (ev.withWatermark("ts", "60 days")
+                   .dropDuplicatesWithinWatermark(["event_id"]))
+        q_ = (deduped.writeStream.format("memory").queryName(sink)
+              .outputMode("append")
+              .option("checkpointLocation", os.path.join(base, "ck"))
+              .trigger(availableNow=True).start())
+        q_.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return (spark.table(sink)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_v"))
+            .orderBy("event_type"))
+
+
+@q("streaming_stream_join", """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+       epoch_us(a.ts) - epoch_us(b.ts) AS lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
+ORDER BY a.user_id, click_id, view_id""")
+def streaming_stream_join(spark, sf_dir):
+    """Stream-stream interval join (clicks x views within 6 h per user):
+    both sides are real file streams, each split into two micro-batches so
+    matches span batch boundaries and live in the join state store until
+    the other side arrives.  Watermarks + the time-bound join condition are
+    what let Spark EVICT state at scale (a click older than the view-side
+    watermark minus 6 h can never match again); inner-join emission is
+    eager, so availableNow drains to the exact batch-join result."""
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    e = ld(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="q_ssjoin_")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    for side, etype in [("clicks", "click"), ("views", "view")]:
+        s = e.filter(F.col("event_type") == etype) \
+             .select("event_id", "ts", "user_id")
+        for i, p in enumerate([s.filter(F.col("ts") < mid),
+                               s.filter(F.col("ts") >= mid)]):
+            p.coalesce(1).write.parquet(os.path.join(base, side, f"b{i}"))
+            _time.sleep(0.25)
+
+    sink = f"ssjoin_{_uuid.uuid4().hex[:8]}"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        def side_stream(side, prefix):
+            return (spark.readStream
+                    .schema("event_id long, ts timestamp, user_id long")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(os.path.join(base, side, "*"))
+                    .withWatermark("ts", "60 days")
+                    .select(F.col("event_id").alias(f"{prefix}_id"),
+                            F.col("ts").alias(f"{prefix}_ts"),
+                            F.col("user_id").alias(f"{prefix}_user")))
+
+        clicks = side_stream("clicks", "click")
+        views = side_stream("views", "view")
+        joined = clicks.join(
+            views,
+            (F.col("click_user") == F.col("view_user"))
+            & (F.col("view_ts") >= F.col("click_ts")
+               - F.expr("INTERVAL 6 HOURS"))
+            & (F.col("view_ts") <= F.col("click_ts")))
+        q_ = (joined.writeStream.format("memory").queryName(sink)
+              .outputMode("append")
+              .option("checkpointLocation", os.path.join(base, "ck"))
+              .trigger(availableNow=True).start())
+        q_.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return (spark.table(sink)
+            .select(F.col("click_user").alias("user_id"),
+                    F.col("click_id"), F.col("view_id"),
+                    (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+                    .alias("lag_us"))
+            .orderBy("user_id", "click_id", "view_id"))
+
+
 @q("multimodal_meta", """
 SELECT doc_id, octet_length(encode(text)) AS size_bytes
 FROM documents ORDER BY doc_id""")
@@ -2302,7 +2425,10 @@ _PRIORITY = [
     "table_overwrite_where", "table_rewrite_manifests", "table_rollback_wap",
     # metadata tables / streaming / multimodal
     "meta_partitions_months", "meta_files_stats",
-    "streaming_sink_counts", "streaming_source_total",
+    # r3: streaming_sink_counts / streaming_source_total (green r1+r2,
+    # unchanged) rotate out for the two new streaming operators — bounded-
+    # state dedup and the watermarked stream-stream interval join
+    "streaming_dedup", "streaming_stream_join",
     "streaming_stateful_sessions",
     "multimodal_decode_features",
     # event windows + text analysis (text_bpe_tokens new in r3; takes the
