@@ -12,6 +12,19 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Widen narrow inputs before CPU-heavy per-row stages (shingling,
+    hashing).  Small-file scans can arrive as 1-2 partitions, serializing
+    the whole shingle pipeline on one core; repartitioning those to the
+    cluster's default parallelism is a cheap shuffle of raw rows.  At scale
+    this is a NO-OP: a 100 TB scan already has thousands of partitions, so
+    the guard never triggers and no text is ever shuffled."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(df: DataFrame, cols: list, id_col: str) -> DataFrame:
     """Keep the lowest-id row per duplicate group.
     Scale: group on xxhash64(cols) to shuffle 8-byte keys, then resolve the
@@ -55,7 +68,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     rows_per_band = num_hashes // bands
     # tokenize ONCE into an array column, then window over it — keeps the
     # split out of the per-element lambda
-    toked = df.select(id_col, F.split(F.col(text_col), r"\s+").alias("_toks"))
+    toked = _ensure_parallelism(df).select(
+        id_col, F.split(F.col(text_col), r"\s+").alias("_toks"))
     sh_arr = F.expr(
         f"transform(sequence(0, greatest(size(_toks) - {shingle_n}, 0)), "
         f"i -> concat_ws(' ', slice(_toks, i + 1, {shingle_n})))")
@@ -113,6 +127,7 @@ def minhash_lsh_verified(df: DataFrame, text_col: str, id_col: str,
     Returns (d1, d2, jaccard) with jaccard rounded to 4 places."""
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
                                   shingle_n).select("d1", "d2")
+    df = _ensure_parallelism(df)
     if shingle_n == 1:
         tok = (df.select(F.col(id_col),
                          F.explode(F.array_distinct(
@@ -165,7 +180,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                             16, 10).cast("long")
     else:
         token_hash = F.xxhash64("_w")
-    toks = (df.select(id_col, F.explode(
+    toks = (_ensure_parallelism(df).select(id_col, F.explode(
         F.array_distinct(F.split(text_col, r"\s+"))).alias("_w"))
         .filter(F.length("_w") > 0)
         .withColumn("_h", token_hash))
