@@ -185,6 +185,33 @@ def agg_approx_distinct(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@q("agg_approx_percentile", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+       TRUE AS approx_in_rank_band
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+def agg_approx_percentile(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna sketch, bounded memory per
+    group — the scale path for quantiles over 100 TB groups).  Sketch
+    outputs differ by engine, so the checkable contract is the rank-error
+    guarantee: with accuracy=1000 the estimate's rank error is <= 1/1000,
+    far inside the exact p45..p55 value band; emit the exact median plus
+    a flag that the sketch landed inside that band."""
+    li = ld(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile("l_extendedprice", 0.5).alias("_p50"),
+                 F.percentile("l_extendedprice", 0.45).alias("_lo"),
+                 F.percentile("l_extendedprice", 0.55).alias("_hi"),
+                 F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+                 .alias("_ap"))
+            .select("l_returnflag",
+                    F.round("_p50", 2).alias("exact_p50"),
+                    ((F.col("_ap") >= F.col("_lo"))
+                     & (F.col("_ap") <= F.col("_hi")))
+                    .alias("approx_in_rank_band"))
+            .orderBy("l_returnflag"))
+
+
 # =========================================================================
 # Joins
 # =========================================================================

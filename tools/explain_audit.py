@@ -85,6 +85,16 @@ CONTRACTS = {
         # HLL++ sketch merges partially map-side — constant memory/group
         ["HashAggregate", "partial_approx_count_distinct"],
         ["CartesianProduct", "BatchEvalPython"]),
+    "agg_approx_percentile": (
+        # GK sketch + exact percentile both merge partially map-side
+        ["HashAggregate", "partial_approx_percentile"],
+        ["CartesianProduct", "BatchEvalPython"]),
+    "dedup_embedding": (
+        # LSH candidates + cosine verify: equi-joins only, all arithmetic
+        # JVM-side; the CC stage is iterative and audited by its own tests
+        ["Join", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "ArrowEvalPython"]),
 }
 
 
