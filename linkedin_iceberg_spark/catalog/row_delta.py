@@ -35,6 +35,8 @@ def _write_delete_parquet(table, df: DataFrame, content: int,
                 continue
             fpath = os.path.join(root, fn)
             meta = pq.read_metadata(fpath)
+            if meta.num_rows == 0:
+                continue  # a clause that matched nothing adds no file
             out.append(M.DataFile(
                 file_path=fpath,
                 record_count=meta.num_rows,
@@ -98,6 +100,87 @@ def row_delta(table, data_df: Optional[DataFrame] = None,
         return infos, summary, None
 
     return table._commit(build, OP_OVERWRITE)
+
+
+def merge(table, source: DataFrame, key_cols: list,
+          matched_update: Optional[dict] = None,
+          matched_update_cond=None,
+          matched_delete_cond=None,
+          insert_unmatched: bool = True,
+          insert_cond=None,
+          validate_source_unique: bool = True):
+    """Full MERGE INTO semantics committed as ONE RowDelta snapshot
+    (ref: the SQL extension the reference delegates to engines,
+    spark3/.../SparkMergeBuilder-era row-level ops; our v2 analog).
+
+    Per source row joined to the target on `key_cols`:
+      * matched and `matched_delete_cond`            -> target row deleted
+      * matched and `matched_update` (+opt cond)     -> target row replaced
+        with the update expressions (dict target_col -> Column over the
+        `s`/`t` aliases)
+      * not matched and `insert_unmatched` (+opt cond) -> source row added
+
+    Everything is distributed DataFrame work: one inner join for matches,
+    one anti join for inserts, and a single equality-delete + append
+    commit — the eq-deletes are sequence-scoped so the rows appended in
+    this same snapshot survive them.  No copy-on-write of untouched
+    files: a merge touching 0.1% of keys rewrites nothing.
+
+    Conditions/updates reference columns as F.col("s.x") / F.col("t.x").
+    SQL MERGE requires each target row to match at most one source row;
+    `validate_source_unique` enforces the equivalent (unique source keys)
+    with one aggregate probe."""
+    from pyspark.sql import functions as F
+
+    if validate_source_unique:
+        dup = (source.groupBy(*key_cols).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"merge: source keys are not unique on {key_cols}: "
+                f"{tuple(dup[0])[:-1]} appears {dup[0]['count']} times")
+
+    s = source.alias("s")
+    t = table.to_df().alias("t")
+    on = None
+    for k in key_cols:
+        clause = F.col(f"s.{k}") == F.col(f"t.{k}")
+        on = clause if on is None else (on & clause)
+
+    false_ = F.lit(False)
+    del_cond = matched_delete_cond if matched_delete_cond is not None \
+        else false_
+    if matched_update:
+        upd_cond = matched_update_cond if matched_update_cond is not None \
+            else F.lit(True)
+    else:
+        upd_cond = false_
+
+    matched = s.join(t, on, "inner")
+    affected = (matched.filter(del_cond | upd_cond)
+                .select(*[F.col(f"s.{k}") for k in key_cols]))
+
+    target_cols = table.to_df().columns
+    updated = (matched.filter(upd_cond & ~del_cond)
+               .select(*[(matched_update[c] if c in (matched_update or {})
+                          else F.col(f"t.{c}")).alias(c)
+                         for c in target_cols]))
+
+    parts = [updated] if matched_update else []
+    if insert_unmatched:
+        inserts = s.join(t, on, "left_anti")
+        if insert_cond is not None:
+            inserts = inserts.filter(insert_cond)
+        parts.append(inserts.select(*[F.col(c) for c in target_cols]))
+
+    data_df = None
+    if parts:
+        data_df = parts[0]
+        for p in parts[1:]:
+            data_df = data_df.unionByName(p)
+
+    return row_delta(table, data_df=data_df,
+                     equality_delete_keys=affected, key_cols=key_cols)
 
 
 def upsert(table, df: DataFrame, key_cols: list):

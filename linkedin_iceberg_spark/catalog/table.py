@@ -997,6 +997,12 @@ class Table:
         from linkedin_iceberg_spark.catalog.row_delta import upsert
         return upsert(self, df, key_cols)
 
+    def merge(self, source: DataFrame, key_cols: list, **kw) -> "Table":
+        """Full MERGE INTO (matched update/delete + unmatched insert with
+        conditions) as one RowDelta snapshot — see row_delta.merge."""
+        from linkedin_iceberg_spark.catalog.row_delta import merge
+        return merge(self, source, key_cols, **kw)
+
     # ---------------------------------------------------------- maintenance
     def rewrite_data_files(self, **kw) -> dict:
         from linkedin_iceberg_spark.catalog.maintenance import rewrite_data_files

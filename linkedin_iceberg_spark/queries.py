@@ -1883,6 +1883,42 @@ def table_merge_upsert(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_merge_full", """
+WITH target AS (SELECT * FROM orders WHERE o_orderkey < 3000),
+src AS (SELECT * FROM orders WHERE o_orderkey >= 2900 AND o_orderkey < 3100)
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT t.o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderkey % 3 = 1
+              THEN 111.0 ELSE t.o_totalprice END AS o_totalprice
+  FROM target t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+  WHERE s.o_orderkey IS NULL OR s.o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT s.o_orderkey, s.o_totalprice
+  FROM src s LEFT JOIN target t ON t.o_orderkey = s.o_orderkey
+  WHERE t.o_orderkey IS NULL AND s.o_orderkey % 2 = 0
+) ORDER BY o_orderkey""")
+def table_merge_full(spark, sf_dir):
+    """Full MERGE INTO (W7 generalized): matched-delete, conditional
+    matched-update, and conditional not-matched-insert, all in ONE RowDelta
+    snapshot — equality deletes cover the touched keys, the appended file
+    carries updated + inserted rows, and untouched data files are never
+    rewritten.  The oracle reconstructs the same decisions with CASE +
+    anti-join SQL."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_mg", o.filter(F.col("o_orderkey") < 3000))
+    t.append(o.filter(F.col("o_orderkey") < 3000))
+    src = o.filter((F.col("o_orderkey") >= 2900) & (F.col("o_orderkey") < 3100))
+    t.merge(
+        src, key_cols=["o_orderkey"],
+        matched_delete_cond=F.col("s.o_orderkey") % 3 == 0,
+        matched_update={"o_totalprice": F.lit(111.0)},
+        matched_update_cond=F.col("s.o_orderkey") % 3 == 1,
+        insert_cond=F.col("o_orderkey") % 2 == 0)
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_position_deletes", """
 SELECT o_orderkey, o_totalprice FROM (
   SELECT o_orderkey, o_totalprice,
@@ -2452,7 +2488,9 @@ _PRIORITY = [
     "table_schema_evolution", "table_schema_evolution_nested",
     "table_overwrite_dynamic", "table_incremental_scan",
     "table_scan_bucket_pruned", "table_scan_truncate_pruned",
-    "table_migrate_import", "table_merge_upsert", "table_position_deletes",
+    # r3: table_merge_upsert (green r1+r2) rotates out for table_merge_full
+    # (new: conditional matched-update/delete + unmatched-insert MERGE)
+    "table_migrate_import", "table_merge_full", "table_position_deletes",
     "table_equality_deletes", "table_compaction", "table_expire_snapshots",
     "table_format_orc", "table_format_avro", "table_transaction",
     "table_merge_schema_append",
