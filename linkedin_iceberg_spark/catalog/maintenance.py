@@ -23,8 +23,18 @@ MANIFEST_TARGET_ENTRIES = 10_000       # ~8 MB of entries (TableProperties:38-42
 
 
 def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
-                       min_input_files: int = 2) -> dict:
+                       min_input_files: int = 2,
+                       sort_by: Optional[list] = None) -> dict:
     """Bin-pack small files per partition and rewrite them (A1).
+
+    With `sort_by`, the rewrite also CLUSTERS rows: unpartitioned tables
+    are range-repartitioned on the sort columns (each output file covers a
+    tight, non-overlapping min/max band), partitioned tables sort within
+    their partition clusters.  Clustering is what makes file-level stats
+    pruning bite at 100 TB — a point/range predicate on a sort column
+    skips every file whose bounds exclude it, turning O(files) scans into
+    O(matching files).  min_input_files=1 forces a resort of already
+    right-sized files.
 
     Algorithm (as the reference's action): group live files by partition;
     keep groups with > min_input_files whose members are under target size;
@@ -57,10 +67,17 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     if not table.spec.is_partitioned():
         # bin-pack: one output file per target_size of input
         total = sum(e.data_file.file_size_in_bytes for e in to_rewrite)
-        df = df.coalesce(max(1, (total + target_size_bytes - 1)
-                             // target_size_bytes))
-    # one commit: write clustered by partition key, swap atomically
-    new_files = table._write_data_files(df)
+        n_out = max(1, (total + target_size_bytes - 1) // target_size_bytes)
+        if sort_by:
+            df = (df.repartitionByRange(n_out, *sort_by)
+                  .sortWithinPartitions(*sort_by))
+        else:
+            df = df.coalesce(n_out)
+        new_files = table._write_data_files(df)
+    else:
+        # one commit: write clustered by partition key (plus the sort
+        # columns within each cluster when sorting), swap atomically
+        new_files = table._write_data_files(df, sort_by=sort_by)
     removed_paths = {e.data_file.file_path for e in to_rewrite}
     table.rewrite_files(removed_paths, new_files)
     return {"rewritten_files": len(to_rewrite), "added_files": len(new_files)}

@@ -132,9 +132,12 @@ class Table:
             raise ValueError(f"unsupported write.format-default: {fmt}")
         return fmt
 
-    def _write_data_files(self, df: DataFrame, fanout: bool = False) -> list:
+    def _write_data_files(self, df: DataFrame, fanout: bool = False,
+                          sort_by: Optional[list] = None) -> list:
         """Write df into a fresh staging dir (format per table property);
-        return DataFile list."""
+        return DataFile list.  `sort_by` additionally orders rows inside
+        each partition cluster so file stats bounds are tight (see
+        maintenance.rewrite_data_files)."""
         staging = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
         schema = self.schema
         fmt = self.file_format
@@ -143,7 +146,10 @@ class Table:
         df, write_cols = self._partition_columns(df)
         if write_cols and not fanout:
             # cluster by key: one writer-open per partition (W15)
-            df = df.repartition(*write_cols).sortWithinPartitions(*write_cols)
+            df = df.repartition(*write_cols) \
+                .sortWithinPartitions(*write_cols, *(sort_by or []))
+        elif not write_cols and sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         if fmt == "avro":
             from linkedin_iceberg_spark.sources.avro_spark import (
                 write_avro_files)
