@@ -1009,6 +1009,13 @@ class Table:
         from linkedin_iceberg_spark.catalog.row_delta import merge
         return merge(self, source, key_cols, **kw)
 
+    def changes(self, from_snapshot_id: Optional[int] = None,
+                to_snapshot_id: Optional[int] = None) -> DataFrame:
+        """Changelog (CDC) scan: row-level inserts/deletes committed in
+        (from, to] — see catalog/changelog.py."""
+        from linkedin_iceberg_spark.catalog.changelog import changes
+        return changes(self, from_snapshot_id, to_snapshot_id)
+
     # ---------------------------------------------------------- maintenance
     def rewrite_data_files(self, **kw) -> dict:
         from linkedin_iceberg_spark.catalog.maintenance import rewrite_data_files

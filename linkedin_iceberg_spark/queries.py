@@ -1919,6 +1919,49 @@ def table_merge_full(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_changelog", """
+WITH target AS (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey < 3000),
+src AS (SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey >= 2900 AND o_orderkey < 3100)
+SELECT o_orderkey, o_totalprice, ct AS change_type FROM (
+  SELECT t.o_orderkey, t.o_totalprice, 'delete' AS ct
+  FROM target t JOIN src s ON t.o_orderkey = s.o_orderkey
+  WHERE s.o_orderkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT t.o_orderkey, 111.0, 'insert'
+  FROM target t JOIN src s ON t.o_orderkey = s.o_orderkey
+  WHERE s.o_orderkey % 3 = 1
+  UNION ALL
+  SELECT s.o_orderkey, s.o_totalprice, 'insert'
+  FROM src s LEFT JOIN target t ON t.o_orderkey = s.o_orderkey
+  WHERE t.o_orderkey IS NULL AND s.o_orderkey % 2 = 0
+) ORDER BY o_orderkey, change_type""")
+def table_changelog(spark, sf_dir):
+    """Changelog (CDC) scan over a MERGE commit: the row-level deletes (old
+    versions of updated/deleted keys) and inserts (new versions + new keys)
+    the snapshot produced, tagged with _change_type.  Carryover rows from
+    copy-on-write rewrites are cancelled, so consumers see NET changes
+    only; `replace` (compaction) snapshots emit nothing.  The oracle
+    reconstructs the same change set relationally."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_cl", o.filter(F.col("o_orderkey") < 3000))
+    t.append(o.filter(F.col("o_orderkey") < 3000))
+    s1 = t.metadata.current_snapshot_id
+    src = o.filter((F.col("o_orderkey") >= 2900) & (F.col("o_orderkey") < 3100))
+    t.merge(
+        src, key_cols=["o_orderkey"],
+        matched_delete_cond=F.col("s.o_orderkey") % 3 == 0,
+        matched_update={"o_totalprice": F.lit(111.0)},
+        matched_update_cond=F.col("s.o_orderkey") % 3 == 1,
+        insert_cond=F.col("o_orderkey") % 2 == 0)
+    return (t.changes(from_snapshot_id=s1)
+            .select("o_orderkey", "o_totalprice",
+                    F.col("_change_type").alias("change_type"))
+            .orderBy("o_orderkey", "change_type"))
+
+
 @q("table_position_deletes", """
 SELECT o_orderkey, o_totalprice FROM (
   SELECT o_orderkey, o_totalprice,
@@ -2487,7 +2530,9 @@ _PRIORITY = [
     "table_spec_evolution",
     "table_schema_evolution", "table_schema_evolution_nested",
     "table_overwrite_dynamic", "table_incremental_scan",
-    "table_scan_bucket_pruned", "table_scan_truncate_pruned",
+    # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
+    # out for table_changelog (new: CDC scan over a MERGE commit)
+    "table_scan_bucket_pruned", "table_changelog",
     # r3: table_merge_upsert (green r1+r2) rotates out for table_merge_full
     # (new: conditional matched-update/delete + unmatched-insert MERGE)
     "table_migrate_import", "table_merge_full", "table_position_deletes",
