@@ -52,7 +52,8 @@ def _write_delete_parquet(table, df: DataFrame, content: int,
 def row_delta(table, data_df: Optional[DataFrame] = None,
               position_deletes: Optional[DataFrame] = None,
               equality_delete_keys: Optional[DataFrame] = None,
-              key_cols: Optional[list] = None):
+              key_cols: Optional[list] = None,
+              extra_summary: Optional[dict] = None):
     """One atomic snapshot with any mix of added rows / pos-deletes /
     eq-deletes.  Equality deletes are sequence-scoped: they only hit rows
     from files with a LOWER sequence number, so data added in this same
@@ -96,6 +97,7 @@ def row_delta(table, data_df: Optional[DataFrame] = None,
             "added-data-files": str(len(data_files)),
             "added-delete-files": str(len(delete_files)),
             "added-records": str(sum(f.record_count for f in data_files)),
+            **(extra_summary or {}),
         }
         return infos, summary, None
 
@@ -183,10 +185,11 @@ def merge(table, source: DataFrame, key_cols: list,
                      equality_delete_keys=affected, key_cols=key_cols)
 
 
-def upsert(table, df: DataFrame, key_cols: list):
+def upsert(table, df: DataFrame, key_cols: list,
+           extra_summary: Optional[dict] = None):
     """MERGE-style upsert: one snapshot that equality-deletes the incoming
     keys and appends the new rows (ref: the RowDelta pattern the reference's
     Flink CDC sink uses)."""
     return row_delta(table, data_df=df,
                      equality_delete_keys=df.select(*key_cols),
-                     key_cols=key_cols)
+                     key_cols=key_cols, extra_summary=extra_summary)

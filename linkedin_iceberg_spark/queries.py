@@ -2273,6 +2273,68 @@ def streaming_stream_join(spark, sf_dir):
             .orderBy("user_id", "click_id", "view_id"))
 
 
+@q("streaming_upsert_sink", """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id <= 100
+) WHERE rn = 1 ORDER BY user_id""")
+def streaming_upsert_sink(spark, sf_dir):
+    """Streaming CDC apply (S17 extended): a file stream of events is
+    upserted into an engine table keyed by user_id via epoch-idempotent
+    foreachBatch RowDelta commits — each micro-batch equality-deletes its
+    keys and appends its last-version rows (version = ts, event_id), so
+    the table converges to latest-event-per-user.  Three time-ranged
+    micro-batches exercise cross-batch overwrites; the epoch id in each
+    snapshot summary makes replays no-ops."""
+    import tempfile
+    import time as _time
+
+    from linkedin_iceberg_spark.streaming.sink import foreach_batch_upserter
+    e = (ld(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+         .select("user_id", "event_id", "ts", "event_type"))
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.user_latest", e)
+
+    base = tempfile.mkdtemp(prefix="q_upsink_")
+    src = os.path.join(base, "src")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = hi - lo
+    cuts = [lo + span / 3, lo + 2 * span / 3]
+    parts = [e.filter(F.col("ts") < cuts[0]),
+             e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+             e.filter(F.col("ts") >= cuts[1])]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        _time.sleep(0.25)  # distinct mtimes: file source batches in mtime order
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+        q_ = (ev.writeStream
+              .foreachBatch(foreach_batch_upserter(
+                  t, key_cols=["user_id"],
+                  version_cols=["ts", "event_id"]))
+              .option("checkpointLocation", os.path.join(base, "ck"))
+              .trigger(availableNow=True).start())
+        q_.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    t.refresh()
+    return (t.to_df()
+            .select("user_id", "event_id",
+                    # session TZ is UTC, so NTZ->TZ cast is exact
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("ts_us"), "event_type")
+            .orderBy("user_id"))
+
+
 @q("multimodal_meta", """
 SELECT doc_id, octet_length(encode(text)) AS size_bytes
 FROM documents ORDER BY doc_id""")
@@ -2556,7 +2618,9 @@ _PRIORITY = [
     "multimodal_decode_features",
     # event windows + text analysis (text_bpe_tokens new in r3; takes the
     # slot of double-green similarity_topk below)
-    "events_tumbling_window", "events_session_window",
+    # r3: events_session_window (green r1+r2; tumbling twin stays) rotates
+    # out for streaming_upsert_sink (new: epoch-idempotent CDC apply)
+    "events_tumbling_window", "streaming_upsert_sink",
     "text_token_stats", "text_quality_score", "text_lang_id",
     "text_fingerprint", "text_bpe_tokens",
     # relational representatives (one-per-operator-family coverage).

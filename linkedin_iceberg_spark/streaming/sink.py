@@ -68,3 +68,43 @@ def foreach_batch_writer(table, query_id: Optional[str] = None) -> Callable:
     def write(batch_df: DataFrame, epoch_id: int):
         append_batch_idempotent(table, batch_df, epoch_id, query_id)
     return write
+
+
+def upsert_batch_idempotent(table, df: DataFrame, epoch_id: int,
+                            key_cols: list,
+                            version_cols: Optional[list] = None,
+                            query_id: Optional[str] = None):
+    """CDC apply: upsert df by key unless this (query, epoch) already
+    committed.  A CDC micro-batch can carry several versions of a key;
+    `version_cols` picks the LAST one per key (max by the version tuple,
+    e.g. an event-time + a tiebreak id) before the RowDelta commit — the
+    standard changelog-to-table compaction.  One snapshot per batch:
+    equality-deletes on the incoming keys + an append of the surviving
+    rows, with the epoch id in the snapshot summary for replay dedupe
+    (same contract as append_batch_idempotent / StreamingWriter.java)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    table.refresh()
+    if epoch_id in _committed_epochs(table, query_id):
+        return table  # replayed batch: drop
+    if version_cols:
+        w = W.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in version_cols])
+        df = (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    extra = {EPOCH_KEY: str(epoch_id)}
+    if query_id is not None:
+        extra[QUERY_KEY] = query_id
+    from linkedin_iceberg_spark.catalog.row_delta import upsert
+    return upsert(table, df, key_cols, extra_summary=extra)
+
+
+def foreach_batch_upserter(table, key_cols: list,
+                           version_cols: Optional[list] = None,
+                           query_id: Optional[str] = None) -> Callable:
+    """Adapter for DataStreamWriter.foreachBatch: exactly-once CDC apply."""
+    def write(batch_df: DataFrame, epoch_id: int):
+        upsert_batch_idempotent(table, batch_df, epoch_id, key_cols,
+                                version_cols, query_id)
+    return write
