@@ -24,7 +24,8 @@ MANIFEST_TARGET_ENTRIES = 10_000       # ~8 MB of entries (TableProperties:38-42
 
 def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
                        min_input_files: int = 2,
-                       sort_by: Optional[list] = None) -> dict:
+                       sort_by: Optional[list] = None,
+                       zorder_by: Optional[list] = None) -> dict:
     """Bin-pack small files per partition and rewrite them (A1).
 
     With `sort_by`, the rewrite also CLUSTERS rows: unpartitioned tables
@@ -35,6 +36,10 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     skips every file whose bounds exclude it, turning O(files) scans into
     O(matching files).  min_input_files=1 forces a resort of already
     right-sized files.
+
+    `zorder_by` (unpartitioned tables) clusters on the Morton interleave
+    of SEVERAL columns instead — coarser per-column bounds than a single
+    sort, but predicates on EVERY z-column prune files (catalog/zorder.py).
 
     Algorithm (as the reference's action): group live files by partition;
     keep groups with > min_input_files whose members are under target size;
@@ -63,12 +68,21 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     if not to_rewrite:
         return {"rewritten_files": 0, "added_files": 0}
 
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
+    if zorder_by and table.spec.is_partitioned():
+        raise ValueError("zorder_by currently supports unpartitioned "
+                         "tables; use sort_by within partitions")
+
     df = table._read_live_rows(to_rewrite, delete_entries)
     if not table.spec.is_partitioned():
         # bin-pack: one output file per target_size of input
         total = sum(e.data_file.file_size_in_bytes for e in to_rewrite)
         n_out = max(1, (total + target_size_bytes - 1) // target_size_bytes)
-        if sort_by:
+        if zorder_by:
+            from linkedin_iceberg_spark.catalog.zorder import zorder_cluster
+            df = zorder_cluster(df, zorder_by, n_out)
+        elif sort_by:
             df = (df.repartitionByRange(n_out, *sort_by)
                   .sortWithinPartitions(*sort_by))
         else:
