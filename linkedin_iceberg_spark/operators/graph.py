@@ -77,18 +77,46 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, src: str = "u", dst: str = "v",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         local_threshold: int = 100_000) -> DataFrame:
     """Connected components of the undirected graph given by `edges`.
 
     Returns (id: long, component: long) for every node appearing in any
     edge, where `component` is the MINIMUM node id in that node's
     component (a canonical, deterministic label).
 
+    Edge sets at or under `local_threshold` (after dedup) finish with a
+    driver-side union-find — the standard hybrid: near-dup graphs are
+    sparse, and when the DEDUPED edge list is metadata-sized, one collect
+    beats multiple distributed rounds of job-scheduling overhead.  Larger
+    graphs run the large-star/small-star alternation, whose every shuffle
+    is an 8-byte node id.  Pass local_threshold=0 to force the
+    distributed path.
+
     Raises RuntimeError if `max_iter` alternations pass without
     convergence (cannot happen for finite graphs at the default 50 —
     the algorithm provably converges in O(log^2 n) rounds)."""
     e = _canonical(edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v")))
+    spark = edges.sparkSession
+    if local_threshold > 0:
+        head = e.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            parent: dict = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in head:
+                ra, rb = find(r.u), find(r.v)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = [(n, find(n)) for n in parent]
+            return spark.createDataFrame(rows, "id long, component long")
     nodes = (e.select(F.col("u").alias("id"))
              .unionByName(e.select(F.col("v").alias("id")))
              .distinct()

@@ -85,6 +85,22 @@ def _bucket_column(vec_col: str, planes: list):
     return bucket
 
 
+def _bucket_sql(vec_col: str, planes: list) -> str:
+    """The same bucket computation as _bucket_column, as ONE SQL string.
+    Building n_tables*n_planes dot products as nested Column objects costs
+    thousands of py4j round-trips (seconds of driver time before any data
+    moves); a single F.expr parse is one call.  Arithmetic is identical:
+    a sequential fold of x*y in element order."""
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+        dot = (f"aggregate(zip_with({vec_col}, {arr}, "
+               f"(x, y) -> CAST(x AS DOUBLE) * y), "
+               f"0.0D, (acc, v) -> acc + v)")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 def ann_lsh_candidates(df: DataFrame, n_planes: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        dim: int = None, n_tables: int = 1) -> DataFrame:
@@ -99,25 +115,35 @@ def ann_lsh_candidates(df: DataFrame, n_planes: int = 8,
     if dim is None:
         first = df.select(F.size(vec_col)).head()
         dim = first[0] if first else 0
-    parts = []
+    # the n_tables*n_planes projection dots are the CPU hot spot — widen
+    # narrow small-file scans so they parallelize (no-op on wide scans)
+    from linkedin_iceberg_spark.operators.dedup import _ensure_parallelism
+    df = _ensure_parallelism(df)
+    # all tables' buckets in ONE scan (the projections are independent
+    # expressions over the same row), then ONE self-join keyed on
+    # (table_id, bucket) — vs a scan + join per table, this is 1/n_tables
+    # the input reads and a single shuffle
+    structs = []
     for t in range(n_tables):
         planes = _deterministic_planes(dim, n_planes, seed=_table_seed(t))
-        bucketed = df.select(F.col(id_col),
-                             F.lit(t).alias("table_id"),
-                             _bucket_column(vec_col, planes).alias("bucket"))
-        a = bucketed.alias("a")
-        b = bucketed.alias("b")
-        parts.append(
-            a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+        structs.append(f"named_struct('table_id', {t}, "
+                       f"'bucket', {_bucket_sql(vec_col, planes)})")
+    bucketed = (df.select(F.col(id_col),
+                          F.explode(F.expr(
+                              "array(" + ", ".join(structs) + ")"))
+                          .alias("b"))
+                .select(F.col(id_col), F.col("b.table_id").alias("table_id"),
+                        F.col("b.bucket").alias("bucket")))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (a.join(b, (F.col("a.table_id") == F.col("b.table_id"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("v1"),
                     F.col(f"b.{id_col}").alias("v2"),
                     F.col("a.table_id").alias("table_id"),
-                    F.col("a.bucket").alias("bucket")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("table_id", "v1", "v2")
+                    F.col("a.bucket").alias("bucket"))
+            .orderBy("table_id", "v1", "v2"))
 
 
 def ann_lsh_oracle_sql(dim: int, n_planes: int = 8,

@@ -38,9 +38,9 @@ def _expected(edges):
     return sorted((n, uf.find(n)) for n in uf.p)
 
 
-def _run(spark, edges):
+def _run(spark, edges, local_threshold=100_000):
     df = spark.createDataFrame(edges, "u long, v long")
-    out = connected_components(df)
+    out = connected_components(df, local_threshold=local_threshold)
     return sorted((r.id, r.component) for r in out.collect())
 
 
@@ -53,10 +53,10 @@ def test_two_components_and_selfloop(spark):
 
 def test_chain_needs_multiple_rounds(spark):
     # a long path is the worst case for min-propagation; large-star/
-    # small-star contracts it in O(log^2 n) rounds
+    # small-star contracts it in O(log^2 n) rounds (distributed path)
     n = 64
     edges = [(i, i + 1) for i in range(n)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, local_threshold=0)
     assert got == [(i, 0) for i in range(n + 1)]
 
 
@@ -67,11 +67,14 @@ def test_duplicate_and_reversed_edges(spark):
 
 @pytest.mark.parametrize("seed,n,m", [(1, 40, 30), (2, 100, 60),
                                       (3, 100, 160), (4, 30, 80)])
-def test_random_graphs_match_union_find(spark, seed, n, m):
+@pytest.mark.parametrize("local_threshold", [0, 100_000])
+def test_random_graphs_match_union_find(spark, seed, n, m, local_threshold):
+    # local_threshold=0 forces the distributed large-star/small-star path;
+    # the default takes the driver-side union-find fast path
     rng = random.Random(seed)
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
     edges = [(u, v) for u, v in edges if u != v]
-    assert _run(spark, edges) == _expected(edges)
+    assert _run(spark, edges, local_threshold) == _expected(edges)
 
 
 def test_star_heavy_hub(spark):
