@@ -196,6 +196,70 @@ def ivf_assign(df: DataFrame, centroids: list, vec_col: str = "embedding",
     return df.withColumn(cell_col, F.array_max(scored)["cid"].cast("long"))
 
 
+def default_centroids(df: DataFrame, n_cells: int,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list:
+    """Deterministic centroid sample: the lowest `n_cells` ids.
+    Production IVF trains with k-means; the engine machinery (broadcast
+    centroid literals, one assignment scan, cell-local probe) is identical
+    either way."""
+    rows = df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    return [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
+
+
+def probe_cells(centroids: list, query_vec, n_probe: int,
+                round_to: int = 5) -> list:
+    """The `n_probe` cell ids nearest the query (ties -> larger cid,
+    matching ivf_assign's array_max ordering)."""
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos_py(c):
+        dot = sum(x * y for x, y in zip(c, q))
+        return round(dot / (math.sqrt(sum(v * v for v in c)) * qn), round_to)
+
+    ranked = sorted(centroids, key=lambda cv: (-cos_py(cv[1]), -cv[0]))
+    return [cid for cid, _v in ranked[:n_probe]]
+
+
+def ivf_index_table(catalog, name: str, df: DataFrame, centroids: list,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 5):
+    """Persist the IVF index as an engine table PARTITIONED BY the cell id
+    — the 100 TB shape: each cell's vectors are co-located files, so a
+    probe prunes at the FILE level through partition metadata (no rows of
+    unprobed cells are ever read).  This is the `persist the cell as a
+    partition column` step the in-memory ivf_topk documents."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, round_to=round_to)
+    spec = (PartitionSpec.builder_for(Schema.from_spark(assigned.schema))
+            .identity("cell").build())
+    t = catalog.create_table(name, assigned, spec=spec)
+    t.append(assigned)
+    return t
+
+
+def ivf_topk_from_table(table, centroids: list, query_vec, k: int,
+                        n_probe: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        round_to: int = 5) -> DataFrame:
+    """ANN top-k over a persisted IVF table: plan only the probed cells'
+    files (partition pruning via the engine's manifest stats), then score
+    the surviving rows.  Same result as ivf_topk; the difference is the
+    I/O — at scale this reads n_probe/n_cells of the index."""
+    from linkedin_iceberg_spark.expressions import in_
+
+    cids = probe_cells(centroids, query_vec, n_probe, round_to)
+    scan = table.new_scan().filter(in_("cell", [int(c) for c in cids]))
+    q = [float(x) for x in query_vec]
+    return (scan.to_df()
+            .select(F.col(id_col), F.col("cell"),
+                    _cos_to_lit(vec_col, q, round_to).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(k))
+
+
 def ivf_topk(df: DataFrame, query_vec, k: int, n_cells: int = 8,
              n_probe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding", round_to: int = 5) -> DataFrame:
@@ -208,23 +272,11 @@ def ivf_topk(df: DataFrame, query_vec, k: int, n_cells: int = 8,
     machinery is identical either way: a metadata-sized centroid table
     (broadcast), a single assignment scan, and cell-local search.  At
     100 TB: raise n_cells ~ sqrt(N) and persist `cell` as a partition
-    column so probing prunes files instead of filtering rows."""
-    cent_rows = (df.orderBy(id_col).limit(n_cells)
-                 .select(vec_col).collect())  # n_cells rows: metadata-sized
-    centroids = [(i, [float(x) for x in r[0]])
-                 for i, r in enumerate(cent_rows)]
-
+    column so probing prunes files instead of filtering rows (that
+    persisted form is ivf_index_table / ivf_topk_from_table)."""
+    centroids = default_centroids(df, n_cells, id_col, vec_col)
+    probe_cids = probe_cells(centroids, query_vec, n_probe, round_to)
     q = [float(x) for x in query_vec]
-    qn = math.sqrt(sum(x * x for x in q))
-
-    def cos_py(c):
-        dot = 0.0
-        for x, y in zip(c, q):
-            dot += x * y
-        return round(dot / (math.sqrt(sum(v * v for v in c)) * qn), round_to)
-
-    probe = sorted(centroids, key=lambda cv: (-cos_py(cv[1]), -cv[0]))
-    probe_cids = [cid for cid, _v in probe[:n_probe]]
 
     assigned = ivf_assign(df, centroids, vec_col=vec_col, round_to=round_to)
     return (assigned.filter(F.col("cell").isin(probe_cids))

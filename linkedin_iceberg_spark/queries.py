@@ -990,6 +990,51 @@ _REGISTRY["dedup_simhash"] = (_REGISTRY["dedup_simhash"][0],
                               _simhash_oracle())
 
 
+@q("similarity_ivf_pruned", """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id < 8
+), qv AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c),
+                          5) DESC, c.cid DESC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), cells AS (
+  SELECT vec_id, embedding, cid AS cell FROM assigned WHERE rn = 1
+), probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (
+      ORDER BY round(list_cosine_similarity(c.c, (SELECT q FROM qv)), 5)
+        DESC, c.cid DESC) AS rn
+    FROM cents c) WHERE rn <= 2
+)
+SELECT vec_id, cell,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+                                    (SELECT q FROM qv)), 5) AS cos_sim
+FROM cells WHERE cell IN (SELECT cid FROM probes)
+ORDER BY cos_sim DESC, vec_id LIMIT 10""")
+def similarity_ivf_pruned(spark, sf_dir):
+    """IVF ANN over a PERSISTED index: the cell assignment is an identity
+    partition column of an engine table, so the probe plans only the
+    probed cells' files via partition metadata — file-level pruning, not
+    row filtering (ivf_topk's documented 100 TB shape made load-bearing).
+    Result set is identical to the in-memory ivf_topk; the driver verifies
+    it against the same relational reconstruction."""
+    from linkedin_iceberg_spark.operators.similarity import (
+        default_centroids, ivf_index_table, ivf_topk_from_table)
+    e = ld(spark, sf_dir, "embeddings")
+    cents = default_centroids(e, n_cells=8)
+    cat = _tmp_catalog(spark)
+    t = ivf_index_table(cat, "q.ivf_idx", e, cents)
+    return ivf_topk_from_table(t, cents, query_vec=cents[0][1], k=10,
+                               n_probe=2)
+
+
 def _dedup_embedding_oracle() -> str:
     from linkedin_iceberg_spark.operators.dedup import \
         dedup_embedding_oracle_sql
@@ -2641,7 +2686,9 @@ _PRIORITY = [
     # keep-decision, full-pipeline generated oracle)
     "dedup_minhash_lsh", "dedup_minhash_lsh_full",
     "dedup_simhash", "dedup_embedding",
-    "similarity_ann_lsh", "similarity_ivf_topk",
+    # r3: similarity_ivf_topk (green r2, identical result set) rotates out
+    # for similarity_ivf_pruned (new: persisted IVF with partition pruning)
+    "similarity_ann_lsh", "similarity_ivf_pruned",
 ]
 
 
