@@ -695,6 +695,46 @@ class Table:
         return self._commit_file_swap(
             removed=drop_whole + rewrite, added=new_files, operation=OP_DELETE)
 
+    def update_where(self, expr: Expression, assignments: dict) -> "Table":
+        """UPDATE t SET col = <Column> WHERE expr — copy-on-write in ONE
+        snapshot, no key columns required (the keyed path is merge()).
+
+        Candidate files are selected by inclusive partition-projection +
+        metrics evaluation, so a selective predicate rewrites only the
+        files that MAY hold matching rows; each candidate is rewritten
+        with the assignments applied to its matching LIVE rows (pending
+        v2 deletes applied first, like compaction) and swapped atomically.
+        Assignment values are Column expressions and may reference other
+        columns (SET a = a * 2)."""
+        unknown = set(assignments) - set(self.schema.column_names())
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+        bound = bind(self.schema, expr)
+        if self.current_snapshot() is None:
+            return self
+        entries, delete_entries = self._live_data_and_deletes()
+        _strict_evals, incl_evals = self._projection_evals(bound)
+        from linkedin_iceberg_spark.expressions import InclusiveMetricsEvaluator
+        metrics_incl = InclusiveMetricsEvaluator(bound)
+        candidates = [
+            e for e in entries
+            if incl_evals(e.data_file).eval(e.data_file.partition)
+            and metrics_incl.eval(e.stats_dict())]
+        if not candidates:
+            return self
+        rows = self._read_live_rows(candidates, delete_entries)
+        pred = to_spark_column(bound)
+        cols = []
+        for c in self.schema.column_names():
+            if c in assignments:
+                cols.append(F.when(pred, assignments[c])
+                            .otherwise(F.col(c)).alias(c))
+            else:
+                cols.append(F.col(c))
+        new_files = self._write_data_files(rows.select(*cols))
+        return self._commit_file_swap(removed=candidates, added=new_files,
+                                      operation=OP_OVERWRITE)
+
     def overwrite_where(self, df: DataFrame, expr: Expression) -> "Table":
         """INSERT OVERWRITE ... WHERE expr (ref: core/.../BaseOverwriteFiles.java).
         Deletes matching rows (validated strict) then appends df in the same

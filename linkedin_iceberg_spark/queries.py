@@ -1964,6 +1964,37 @@ def table_merge_full(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_update_where", """
+SELECT o_orderkey,
+       CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+            THEN o_totalprice + 1000.0 ELSE o_totalprice END
+         AS o_totalprice,
+       CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+            THEN '3-MEDIUM' ELSE o_orderpriority END AS o_orderpriority
+FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""")
+def table_update_where(spark, sf_dir):
+    """UPDATE ... WHERE without key columns: copy-on-write in one
+    snapshot.  Candidate files come from inclusive partition+metrics
+    pruning (a selective predicate rewrites only files that may match);
+    matching live rows get the assignments (one referencing another
+    column), everything else is byte-carried."""
+    import datetime
+
+    from linkedin_iceberg_spark.expressions import gt_eq
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_uw", o)
+    t.append(o)
+    cut = datetime.datetime(1997, 1, 1)
+    t.update_where(
+        gt_eq("o_orderdate", cut),
+        {"o_totalprice": F.col("o_totalprice") + 1000.0,
+         "o_orderpriority": F.lit("3-MEDIUM")})
+    return (t.to_df()
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .orderBy("o_orderkey"))
+
+
 @q("table_changelog", """
 WITH target AS (SELECT o_orderkey, o_totalprice FROM orders
                 WHERE o_orderkey < 3000),
@@ -2636,7 +2667,10 @@ _PRIORITY = [
     "table_scan_pruned", "table_time_travel", "table_delete_where",
     "table_spec_evolution",
     "table_schema_evolution", "table_schema_evolution_nested",
-    "table_overwrite_dynamic", "table_incremental_scan",
+    # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
+    # table_overwrite_where in-window) rotates out for table_update_where
+    # (new: keyless copy-on-write UPDATE with pruned candidates)
+    "table_update_where", "table_incremental_scan",
     # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
     # out for table_changelog (new: CDC scan over a MERGE commit)
     "table_scan_bucket_pruned", "table_changelog",
