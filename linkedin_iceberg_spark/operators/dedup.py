@@ -54,7 +54,8 @@ def _c(col) -> str:
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_hashes: int = 32, bands: int = 8,
-                           shingle_n: int = 3) -> DataFrame:
+                           shingle_n: int = 3,
+                           hash_mode: str = "xxhash64") -> DataFrame:
     """MinHash + LSH banding: near-duplicate candidate pairs.
 
     Pipeline (all built-in functions):
@@ -64,7 +65,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
       4. self-join on (band_id, band_hash)           (the ONLY shuffle;
          keys are 16 bytes — at 100 TB this is the textbook LSH join)
     Returns (d1, d2, n_shared_bands) candidate pairs, d1 < d2.
-    """
+
+    hash_mode: "xxhash64" (default — fastest JVM hash) or "md5" (60-bit
+    md5-hex prefixes for the token hash, the K seeded streams, and the
+    band signature: every stage is expressible in ANSI SQL, so a second
+    engine can recompute the EXACT candidate set — see
+    minhash_oracle_sql; same pattern as simhash's portable mode)."""
     rows_per_band = num_hashes // bands
     # tokenize ONCE into an array column, then window over it — keeps the
     # split out of the per-element lambda
@@ -73,18 +79,31 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     sh_arr = F.expr(
         f"transform(sequence(0, greatest(size(_toks) - {shingle_n}, 0)), "
         f"i -> concat_ws(' ', slice(_toks, i + 1, {shingle_n})))")
+    if hash_mode == "md5":
+        token_hash = F.conv(F.substring(F.md5(F.col("_sh")), 1, 15),
+                            16, 10).cast("long")
+    else:
+        token_hash = F.xxhash64("_sh")
     sh = (toked.select(id_col,
                        F.explode(F.array_distinct(sh_arr)).alias("_sh"))
           .filter(F.length("_sh") > 0)
           # hash the (possibly long) shingle string exactly once; the K
           # minhash streams re-hash the 8-byte value with the seed — O(1)
           # per stream instead of a full string hash per stream
-          .select(id_col, F.xxhash64("_sh").alias("_h")))
+          .select(id_col, token_hash.alias("_h")))
 
-    minhash_cols = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(k))).alias(f"mh{k}")
-        for k in range(num_hashes)
-    ]
+    if hash_mode == "md5":
+        seeded = [F.conv(F.substring(
+            F.md5(F.concat_ws("-", F.col("_h").cast("string"),
+                              F.lit(str(k)))), 1, 15), 16, 10)
+            .cast("long") for k in range(num_hashes)]
+        minhash_cols = [F.min(seeded[k]).alias(f"mh{k}")
+                        for k in range(num_hashes)]
+    else:
+        minhash_cols = [
+            F.min(F.xxhash64(F.col("_h"), F.lit(k))).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ]
     sigs = sh.groupBy(id_col).agg(*minhash_cols)
 
     # band signatures
@@ -92,8 +111,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}")
                 for r in range(rows_per_band)]
+        if hash_mode == "md5":
+            sig = F.conv(F.substring(
+                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])),
+                1, 15), 16, 10).cast("long")
+        else:
+            sig = F.xxhash64(*cols)
         band_rows.append(F.struct(F.lit(b).alias("band"),
-                                  F.xxhash64(*cols).alias("sig")))
+                                  sig.alias("sig")))
     banded = (sigs.select(id_col, F.explode(F.array(*band_rows)).alias("b"))
               .select(id_col, F.col("b.band").alias("band"),
                       F.col("b.sig").alias("sig")))
@@ -228,6 +253,57 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("hamming") <= max_hamming)
             .select("d1", "d2", "hamming")
             .orderBy("d1", "d2"))
+
+
+def minhash_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       bands: int = 8, shingle_n: int = 3) -> str:
+    """ANSI-SQL equivalent of minhash_lsh_candidates(hash_mode="md5") with
+    every stage INLINED — an independent engine (DuckDB) recomputes the
+    shingling, the 60-bit md5 token hash, all K seeded minhash streams,
+    the band signatures, and the bucket self-join, value-checking the
+    EXACT candidate set (not just Jaccard-verified survivors)."""
+    mins = ",\n    ".join(
+        f"MIN(('0x' || substr(md5(h::VARCHAR || '-' || '{k}'), 1, 15))"
+        f"::BIGINT) AS mh{k}"
+        for k in range(num_hashes))
+    rows_per_band = num_hashes // bands
+    sig_cases = []
+    for b in range(bands):
+        cols = " || '-' || ".join(
+            f"mh{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band))
+        sig_cases.append(f"WHEN {b} THEN ('0x' || substr(md5({cols}), 1, 15))"
+                         f"::BIGINT")
+    sig_case = "CASE b.band\n    " + "\n    ".join(sig_cases) + "\n    END"
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split_regex({text_col}, '\\s+') AS tk
+  FROM {table}
+), pos AS (
+  SELECT {id_col}, tk,
+         unnest(range(1, greatest(len(tk) - {shingle_n} + 1, 1) + 1)) AS p
+  FROM toks
+), sh AS (
+  SELECT DISTINCT {id_col},
+         array_to_string(tk[p : p + {shingle_n} - 1], ' ') AS s
+  FROM pos
+), hashed AS (
+  SELECT {id_col}, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM sh WHERE length(s) > 0
+), sigs AS (
+  SELECT {id_col},
+    {mins}
+  FROM hashed GROUP BY {id_col}
+), banded AS (
+  SELECT {id_col}, b.band,
+         {sig_case} AS sig
+  FROM sigs, (SELECT unnest(range({bands})) AS band) b
+)
+SELECT a.{id_col} AS d1, b.{id_col} AS d2, count(*) AS n_shared_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.sig = b.sig AND a.{id_col} < b.{id_col}
+GROUP BY 1, 2 ORDER BY d1, d2"""
 
 
 def dedup_embedding(df: DataFrame, threshold: float = 0.4,

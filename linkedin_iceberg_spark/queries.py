@@ -967,6 +967,29 @@ def dedup_minhash_lsh_full(spark, sf_dir):
                                   num_hashes=32, bands=8)
 
 
+def _minhash_portable_oracle() -> str:
+    from linkedin_iceberg_spark.operators.dedup import minhash_oracle_sql
+    return minhash_oracle_sql(num_hashes=16, bands=8, shingle_n=3)
+
+
+@q("dedup_minhash_portable", None)  # oracle attached below (generated SQL)
+def dedup_minhash_portable(spark, sf_dir):
+    """Uncapped MinHash-LSH candidate generation in the md5-portable hash
+    mode: the oracle recomputes shingling, token hashes, all 16 seeded
+    minhash streams, band signatures and the bucket join in DuckDB — the
+    EXACT candidate set is value-checked (the xxhash64 twin,
+    dedup_minhash_lsh_full, stays rows-only by nature)."""
+    from linkedin_iceberg_spark.operators.dedup import minhash_lsh_candidates
+    d = ld(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, text_col="text", id_col="doc_id",
+                                  num_hashes=16, bands=8, shingle_n=3,
+                                  hash_mode="md5")
+
+
+_REGISTRY["dedup_minhash_portable"] = (_REGISTRY["dedup_minhash_portable"][0],
+                                       _minhash_portable_oracle())
+
+
 def _simhash_oracle() -> str:
     from linkedin_iceberg_spark.operators.dedup import simhash_oracle_sql
     return simhash_oracle_sql(max_hamming=6, n_segments=4)
@@ -2718,7 +2741,10 @@ _PRIORITY = [
     # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
     # dedup_embedding (new r3: cosine near-dup -> connected components ->
     # keep-decision, full-pipeline generated oracle)
-    "dedup_minhash_lsh", "dedup_minhash_lsh_full",
+    # r3 late: dedup_minhash_lsh (green r1+r2) rotates out for
+    # dedup_minhash_portable (new: exact candidate set value-checked via
+    # the md5-portable hash recipe)
+    "dedup_minhash_portable", "dedup_minhash_lsh_full",
     "dedup_simhash", "dedup_embedding",
     # r3: similarity_ivf_topk (green r2, identical result set) rotates out
     # for similarity_ivf_pruned (new: persisted IVF with partition pruning)
