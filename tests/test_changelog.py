@@ -110,6 +110,27 @@ def test_overwrite_changelog(catalog, orders):
         .filter(F.col("o_totalprice") != 1.0).count() == 0
 
 
+def test_changelog_across_schema_evolution(catalog, spark, orders):
+    """Rows added before a column existed surface in the changelog under
+    the CURRENT schema (new column null), same as the scan path."""
+    t = catalog.create_table("db.cl7",
+                             orders.select("o_orderkey", "o_totalprice"))
+    t.append(orders.select("o_orderkey", "o_totalprice")
+             .filter(F.col("o_orderkey") <= 100))
+    t.update_schema().add_column("flag", "string").commit()
+    t.append(orders.select("o_orderkey", "o_totalprice")
+             .filter((F.col("o_orderkey") > 100)
+                     & (F.col("o_orderkey") <= 150))
+             .withColumn("flag", F.lit("new")))
+    ch = _by_type(t.changes())
+    assert not ch["delete"]
+    by_key = {r.o_orderkey: r for r in ch["insert"]}
+    assert by_key[1].flag is None
+    assert by_key[150].flag == "new"
+    assert len(by_key) == \
+        orders.filter(F.col("o_orderkey") <= 150).count()
+
+
 def test_changelog_empty_and_bad_range(catalog, orders):
     t = catalog.create_table("db.cl6", orders)
     assert t.changes().count() == 0

@@ -85,6 +85,27 @@ def test_star_heavy_hub(spark):
     assert len(got) == 41
 
 
+def test_distributed_path_at_scale(spark):
+    """20k-edge random graph through the large-star/small-star path only
+    (local fast path disabled) — exercises multi-round convergence on a
+    graph with a giant component plus many small ones."""
+    rng = random.Random(99)
+    n = 30_000
+    edges = []
+    # sparse background (mostly small components)
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(12_000)]
+    # a long chain stitched through the id space (forces deep merging)
+    chain = rng.sample(range(n), 4_000)
+    edges += list(zip(chain, chain[1:]))
+    # a few dense hubs
+    for h in range(5):
+        hub = rng.randrange(n)
+        edges += [(hub, rng.randrange(n)) for _ in range(800)]
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _run(spark, edges, local_threshold=0)
+    assert got == _expected(edges)
+
+
 def test_oracle_sql_matches(spark):
     """The recursive-CTE oracle computes the same labels in DuckDB."""
     import duckdb
