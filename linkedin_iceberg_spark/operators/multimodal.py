@@ -114,6 +114,39 @@ def extract_features(df: DataFrame, name: str = "media", dim: int = 8,
     return df.mapInPandas(feats, out_schema)
 
 
+def resize_image(df: DataFrame, name: str = "media", width: int = 64,
+                 height: int = 64) -> DataFrame:
+    """STUB resize: replaces the payload with a deterministic
+    width*height-byte surrogate derived from the original (sha256-seeded
+    repetition — a fixed-size 1-byte-per-pixel stand-in for a real
+    PIL/libvips resample) and updates <name>_meta dims/size to the target.
+    The Spark-side plumbing is exactly what a real kernel needs: one
+    Arrow-batched mapInPandas, partition-preserving, binary in/out, and a
+    meta struct kept consistent with the payload."""
+    from linkedin_iceberg_spark.shipping import ship_to_active_session
+    ship_to_active_session()
+    out_schema = df.schema
+    n_bytes = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def shrink(b):
+                if b is None:
+                    return None
+                h = hashlib.sha256(bytes(b)).digest()
+                reps = n_bytes // len(h) + 1
+                return (h * reps)[:n_bytes]
+            pdf[name] = pdf[name].map(shrink)
+            meta = pd.DataFrame(list(pdf[f"{name}_meta"]))
+            meta["width"] = width
+            meta["height"] = height
+            meta["size_bytes"] = n_bytes
+            pdf[f"{name}_meta"] = meta.to_dict("records")
+            yield pdf
+
+    return df.mapInPandas(resize, out_schema)
+
+
 def frame_sample(df: DataFrame, name: str = "media", every_n_bytes: int = 64,
                  max_frames: int = 4, out_col: str = "frames") -> DataFrame:
     """STUB frame sampler: slices the payload every N bytes (stands in for

@@ -62,3 +62,19 @@ def test_frame_sample(docs):
     for frames, n in zip(pdf["frames"], pdf["n"]):
         assert 1 <= len(frames) <= 3
         assert len(frames[0]) == min(32, n)
+
+
+def test_resize_image_fixed_size_and_meta(docs):
+    from linkedin_iceberg_spark.operators.multimodal import resize_image
+    df = resize_image(attach_payload(docs, "text", name="img"), name="img",
+                      width=8, height=4)
+    pdf = df.select("img", "img_meta.width", "img_meta.height",
+                    "img_meta.size_bytes").limit(20).toPandas()
+    for _i, r in pdf.iterrows():
+        assert len(r["img"]) == 32
+        assert (r["width"], r["height"], r["size_bytes"]) == (8, 4, 32)
+    # deterministic: same input -> same surrogate payload
+    a = df.select("img").limit(5).collect()
+    b = resize_image(attach_payload(docs, "text", name="img"), name="img",
+                     width=8, height=4).select("img").limit(5).collect()
+    assert [r.img for r in a] == [r.img for r in b]
