@@ -427,6 +427,45 @@ def join_multiway(spark, sf_dir):
             .orderBy(F.col("revenue").desc(), "n_name"))
 
 
+@q("join_skew_salted", """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey < 2000
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def join_skew_salted(spark, sf_dir):
+    """Salted equi-join (hot-key mitigation): the fact side's shuffle key
+    gains a random salt, the other side is replicated salt-ways — a
+    single pathological key spreads over `salt` reducers instead of one.
+    Salting must be RESULT-TRANSPARENT; the oracle is the plain join."""
+    from linkedin_iceberg_spark.operators.skew import salted_join
+    li = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000) \
+        .select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                         o, on=["o_orderkey"], salt=8)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+@q("agg_grouping_sets", """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""")
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form cube/rollup specialize)."""
+    o = ld(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""")
+
+
 @q("agg_filtered_revenue", """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
