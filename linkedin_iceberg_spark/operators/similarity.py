@@ -196,6 +196,33 @@ def ivf_assign(df: DataFrame, centroids: list, vec_col: str = "embedding",
     return df.withColumn(cell_col, F.array_max(scored)["cid"].cast("long"))
 
 
+def ivf_assign_join(df: DataFrame, centroids: list,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    cell_col: str = "cell", round_to: int = 5) -> DataFrame:
+    """Cell assignment via a BROADCAST JOIN against a centroid DataFrame —
+    the large-n_cells path.  ivf_assign inlines centroids as literals,
+    which is ideal for tens of cells but builds an O(n_cells * dim)
+    expression; at n_cells ~ sqrt(N) (thousands), score via data instead:
+    rows x centroids pairs from a broadcast cross join, reduced with
+    max_by.  Same tie-break (larger cid) and rounding as ivf_assign, so
+    the two paths are value-identical."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        f"_cid long, _cvec array<double>")
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("_cvec"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("_cvec"))), round_to)
+    scored = (df.select(id_col, vec_col).join(F.broadcast(cent_df))
+              .withColumn("_score", cos))
+    best = (scored.groupBy(id_col)
+            .agg(F.max(F.struct(F.col("_score"), F.col("_cid")))
+                 .alias("_best"))
+            .select(id_col, F.col("_best._cid").cast("long")
+                    .alias(cell_col)))
+    return df.join(best, id_col)
+
+
 def default_centroids(df: DataFrame, n_cells: int,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> list:

@@ -28,3 +28,17 @@ def test_ivf_table_prunes_to_probed_cells(catalog, spark, sf_dir):
     got = ivf_topk_from_table(t, cents, q, k=10, n_probe=2).collect()
     want = ivf_topk(e, q, k=10, n_cells=8, n_probe=2).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivf_assign_join_parity(spark, sf_dir):
+    """The broadcast-join assignment (large-n_cells path) is value-
+    identical to the inlined-literal expression path."""
+    from linkedin_iceberg_spark.operators.similarity import (
+        ivf_assign, ivf_assign_join)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = default_centroids(e, n_cells=8)
+    a = {r.vec_id: r.cell for r in
+         ivf_assign(e, cents).select("vec_id", "cell").collect()}
+    b = {r.vec_id: r.cell for r in
+         ivf_assign_join(e, cents).select("vec_id", "cell").collect()}
+    assert a == b
