@@ -143,6 +143,13 @@ class Table:
         fmt = self.file_format
         cols = schema.column_names()
         df = df.select(*cols)  # enforce column order == table schema
+        if sort_by is None:
+            # table-level sort order: every write clusters rows so file
+            # stats stay tight from the first append (the reference's
+            # write-order table property; compaction sort_by overrides)
+            prop = self.properties.get("write.sort-by")
+            if prop:
+                sort_by = [c.strip() for c in prop.split(",") if c.strip()]
         df, write_cols = self._partition_columns(df)
         if write_cols and not fanout:
             # cluster by key: one writer-open per partition (W15)

@@ -76,3 +76,19 @@ def test_sorted_compaction_partitioned_sorts_within_partitions(
                 spark.read.parquet(task.file.file_path)
                 .select("o_totalprice").collect()]
         assert vals == sorted(vals)
+
+
+def test_write_sort_by_property_sorts_every_append(catalog, spark, sf_dir):
+    """write.sort-by table property: appends cluster rows without an
+    explicit compaction (within-task sort -> per-file sorted runs and
+    tight stats from the first write)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    t = catalog.create_table(
+        "db.wsort", o, properties={"write.sort-by": "o_orderkey"})
+    t.append(o.orderBy(F.rand(seed=3)).coalesce(2))
+    for task in t.new_scan().plan_files():
+        vals = [r.o_orderkey for r in
+                spark.read.parquet(task.file.file_path)
+                .select("o_orderkey").collect()]
+        assert vals == sorted(vals)
