@@ -80,6 +80,32 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
 
 
+def split_assign(df: DataFrame, id_col: str = "doc_id",
+                 weights: dict = None, out_col: str = "split",
+                 salt: str = "v1") -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket.
+
+    Each row lands in a split according to md5(salt || id) mod 100 against
+    cumulative weight bands — reproducible across runs, engines, and
+    repartitions (no RNG state), stable under appends (a row's split never
+    changes), and re-derivable in plain SQL for verification.  Changing
+    `salt` re-rolls the assignment — the standard dataset-versioning knob.
+    Scale: one hash + CASE per row, no shuffle."""
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError("weights must sum to 100")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("long") % 100)
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
 def bpe_pretokenize(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """BPE pre-tokenization counts: the merge step of a real BPE runs on

@@ -1360,6 +1360,29 @@ def text_bpe_tokens(spark, sf_dir):
 # Streaming-equivalent batch windows (events)
 # =========================================================================
 
+@q("text_split_assign", """
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('v1' || '-' || doc_id::VARCHAR), 1, 15))
+           ::BIGINT % 100 AS b
+  FROM documents)
+ORDER BY doc_id""")
+def text_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split by hash bucket: reproducible
+    across runs/engines/repartitions, stable under appends (a doc's split
+    never changes), re-rolled by changing the salt.  The oracle recomputes
+    the md5 bucketing in SQL, value-checking every assignment."""
+    from linkedin_iceberg_spark.operators.text import split_assign
+    d = ld(spark, sf_dir, "documents")
+    return (split_assign(d, id_col="doc_id",
+                         weights={"train": 90, "val": 5, "test": 5},
+                         salt="v1")
+            .select("doc_id", "split").orderBy("doc_id"))
+
+
 @q("events_tumbling_window", """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 4) AS total
@@ -2762,7 +2785,9 @@ _PRIORITY = [
     # r3: events_session_window (green r1+r2; tumbling twin stays) rotates
     # out for streaming_upsert_sink (new: epoch-idempotent CDC apply)
     "events_tumbling_window", "streaming_upsert_sink",
-    "text_token_stats", "text_quality_score", "text_lang_id",
+    # r3 late: text_token_stats (green r1+r2) rotates out for
+    # text_split_assign (new: deterministic hash-bucket train/val/test)
+    "text_split_assign", "text_quality_score", "text_lang_id",
     "text_fingerprint", "text_bpe_tokens",
     # relational representatives (one-per-operator-family coverage).
     # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg
