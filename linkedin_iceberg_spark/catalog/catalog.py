@@ -72,6 +72,11 @@ class Catalog:
             shutil.rmtree(location)
         else:
             shutil.rmtree(os.path.join(location, "metadata"))
+        # a recreate at this location restarts version numbers at 1 —
+        # cached parsed metadata would be served for the NEW table
+        from linkedin_iceberg_spark.catalog.metadata import (
+            invalidate_metadata_cache)
+        invalidate_metadata_cache(location)
         return True
 
     def list_tables(self, namespace: str = "") -> list:

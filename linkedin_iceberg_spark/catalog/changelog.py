@@ -68,6 +68,10 @@ def changes(table, from_snapshot_id: Optional[int] = None,
     if to_id is None:
         return _tag(table.spark.createDataFrame([], md.schema.to_spark()),
                     "insert", -1).limit(0)
+    if md.snapshot_by_id(to_id) is None:
+        # ancestry() would yield [] -> an empty changelog a CDC consumer
+        # could mistake for "up to date"; fail loudly instead
+        raise ValueError(f"unknown snapshot {to_id}")
     ancestry = md.ancestry(to_id)
     if from_snapshot_id is not None and from_snapshot_id not in ancestry:
         raise ValueError(
@@ -80,15 +84,23 @@ def changes(table, from_snapshot_id: Optional[int] = None,
     chain.reverse()  # oldest -> newest
 
     parts = []
+    prev = None  # (snapshot_id, data, dels) of the previous chain element
     for sid in chain:
         snap = md.snapshot_by_id(sid)
+        parent_id = snap.parent_snapshot_id
+        if prev is not None and prev[0] == parent_id:
+            # snapshot i is snapshot i+1's parent: reuse its live entries
+            # instead of re-reading every manifest (halves metadata I/O)
+            par_data, par_dels = prev[1], prev[2]
+        elif parent_id is not None:
+            parent = md.snapshot_by_id(parent_id)
+            par_data, par_dels = _split(table._live_entries(snapshot=parent))
+        else:
+            par_data, par_dels = [], []
+        cur_data, cur_dels = _split(table._live_entries(snapshot=snap))
+        prev = (sid, cur_data, cur_dels)
         if snap.operation == OP_REPLACE:
             continue  # compaction: files move, no row changes
-        parent = md.snapshot_by_id(snap.parent_snapshot_id) \
-            if snap.parent_snapshot_id is not None else None
-        cur_data, cur_dels = _split(table._live_entries(snapshot=snap))
-        par_data, par_dels = (_split(table._live_entries(snapshot=parent))
-                              if parent is not None else ([], []))
         cur_paths = {e.data_file.file_path for e in cur_data}
         par_paths = {e.data_file.file_path for e in par_data}
 

@@ -53,26 +53,31 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     equality deletes no longer re-hit the surviving rows; ref: the
     scan/DeleteFileIndex path the reference routes rewrites through).
     """
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
+    if zorder_by and table.spec.is_partitioned():
+        raise ValueError("zorder_by currently supports unpartitioned "
+                         "tables; use sort_by within partitions")
+
     entries, delete_entries = table._live_data_and_deletes()
     by_partition: dict = {}
     for e in entries:
         key = tuple(sorted(e.data_file.partition.items()))
         by_partition.setdefault(key, []).append(e)
 
+    clustering = bool(sort_by or zorder_by)
     to_rewrite = []
     for _key, group in by_partition.items():
-        small = [e for e in group
-                 if e.data_file.file_size_in_bytes < target_size_bytes]
-        if len(small) >= min_input_files:
-            to_rewrite.extend(small)
+        # a clustering rewrite re-sorts EVERY live file (right-sized files
+        # still have loose bounds until resorted); plain compaction only
+        # bin-packs the small ones
+        cand = group if clustering else \
+            [e for e in group
+             if e.data_file.file_size_in_bytes < target_size_bytes]
+        if len(cand) >= min_input_files:
+            to_rewrite.extend(cand)
     if not to_rewrite:
         return {"rewritten_files": 0, "added_files": 0}
-
-    if sort_by and zorder_by:
-        raise ValueError("sort_by and zorder_by are mutually exclusive")
-    if zorder_by and table.spec.is_partitioned():
-        raise ValueError("zorder_by currently supports unpartitioned "
-                         "tables; use sort_by within partitions")
 
     df = table._read_live_rows(to_rewrite, delete_entries)
     if not table.spec.is_partitioned():
@@ -82,12 +87,16 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
         if zorder_by:
             from linkedin_iceberg_spark.catalog.zorder import zorder_cluster
             df = zorder_cluster(df, zorder_by, n_out)
+            # sort_by=[] suppresses the write.sort-by table property —
+            # it would re-sort within partitions and undo the z-order
+            new_files = table._write_data_files(df, sort_by=[])
         elif sort_by:
             df = (df.repartitionByRange(n_out, *sort_by)
                   .sortWithinPartitions(*sort_by))
+            new_files = table._write_data_files(df, sort_by=[])
         else:
             df = df.coalesce(n_out)
-        new_files = table._write_data_files(df)
+            new_files = table._write_data_files(df)
     else:
         # one commit: write clustered by partition key (plus the sort
         # columns within each cluster when sorting), swap atomically

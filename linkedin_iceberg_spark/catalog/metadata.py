@@ -255,10 +255,21 @@ class TableMetadata:
 # ---------------------------------------------------------------------------
 
 # parsed-metadata cache keyed by (location, version) — version files are
-# immutable so entries never go stale; bounded LRU so long-lived sessions
-# touching many tables don't grow without bound
+# immutable so entries never go stale WHILE a table exists; a drop +
+# recreate at the same location restarts versions at 1, so drop_table
+# must call invalidate_metadata_cache(location) or the stale v1 would be
+# served for the new table.  Bounded LRU so long-lived sessions touching
+# many tables don't grow without bound.
 _METADATA_CACHE: "OrderedDict[tuple, TableMetadata]" = OrderedDict()
 _METADATA_CACHE_MAX = 64
+
+
+def invalidate_metadata_cache(location: str) -> None:
+    """Drop every cached version of the table at `location` (called on
+    drop_table; a recreated table restarts version numbering)."""
+    loc = os.path.abspath(location)
+    for key in [k for k in _METADATA_CACHE if k[0] == loc]:
+        del _METADATA_CACHE[key]
 
 
 class TableOperations:

@@ -315,7 +315,10 @@ class TableScan:
                 any(t.deletes for t in tasks) or \
                 any(t.file.file_format not in ("parquet", "orc")
                     for t in tasks):
-            return self._to_df_default()
+            # hand the already-planned tasks to the default path — a
+            # re-plan would re-read every pruned manifest and fire a
+            # second ScanEvent for one logical scan
+            return self._to_df_default(tasks=tasks)
 
         import pyarrow as pa
         size, lb, cost = SP.props_for(table.properties)
@@ -461,7 +464,7 @@ class TableScan:
         out = seed.mapInPandas(read_task, schema=out_schema)
         return self._finish(out)
 
-    def _to_df_default(self) -> DataFrame:
+    def _to_df_default(self, tasks: list = None) -> DataFrame:
         """Execute the scan as one Spark DataFrame.
 
         Files are grouped by their residual filter (ResidualEvaluator.java:
@@ -474,7 +477,8 @@ class TableScan:
         table = self.table
         md = table.metadata
         schema = md.schema
-        tasks = self.plan_files()
+        if tasks is None:
+            tasks = self.plan_files()
         if not tasks:
             empty = table.spark.createDataFrame([], schema.to_spark())
             return self._finish(empty)

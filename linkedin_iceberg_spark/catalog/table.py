@@ -132,7 +132,7 @@ class Table:
             raise ValueError(f"unsupported write.format-default: {fmt}")
         return fmt
 
-    def _write_data_files(self, df: DataFrame, fanout: bool = False,
+    def _write_data_files(self, df: DataFrame,
                           sort_by: Optional[list] = None) -> list:
         """Write df into a fresh staging dir (format per table property);
         return DataFile list.  `sort_by` additionally orders rows inside
@@ -151,11 +151,11 @@ class Table:
             if prop:
                 sort_by = [c.strip() for c in prop.split(",") if c.strip()]
         df, write_cols = self._partition_columns(df)
-        if write_cols and not fanout:
+        if write_cols:
             # cluster by key: one writer-open per partition (W15)
             df = df.repartition(*write_cols) \
                 .sortWithinPartitions(*write_cols, *(sort_by or []))
-        elif not write_cols and sort_by:
+        elif sort_by:
             df = df.sortWithinPartitions(*sort_by)
         if fmt == "avro":
             from linkedin_iceberg_spark.sources.avro_spark import (

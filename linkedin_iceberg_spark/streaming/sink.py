@@ -78,7 +78,12 @@ def upsert_batch_idempotent(table, df: DataFrame, epoch_id: int,
     committed.  A CDC micro-batch can carry several versions of a key;
     `version_cols` picks the LAST one per key (max by the version tuple,
     e.g. an event-time + a tiebreak id) before the RowDelta commit — the
-    standard changelog-to-table compaction.  One snapshot per batch:
+    standard changelog-to-table compaction — and ALSO guards against
+    cross-batch disorder: an incoming row whose version tuple is not
+    strictly newer than the key's current table row is dropped, so a
+    late-arriving older event can never overwrite a newer one (the
+    lookup semi-joins the table down to the batch's keys first, so its
+    cost scales with the batch, not the table).  One snapshot per batch:
     equality-deletes on the incoming keys + an append of the surviving
     rows, with the epoch id in the snapshot summary for replay dedupe
     (same contract as append_batch_idempotent / StreamingWriter.java)."""
@@ -93,6 +98,18 @@ def upsert_batch_idempotent(table, df: DataFrame, epoch_id: int,
             *[F.col(c).desc() for c in version_cols])
         df = (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
+        # cross-batch guard: never downgrade a key the table already holds
+        cur = (table.to_df()
+               .join(F.broadcast(df.select(*key_cols).distinct()),
+                     key_cols, "left_semi")
+               .groupBy(*key_cols)
+               .agg(F.max(F.struct(*[F.col(c) for c in version_cols]))
+                    .alias("_ev")))
+        df = (df.join(cur, key_cols, "left")
+              .filter(F.col("_ev").isNull()
+                      | (F.struct(*[F.col(c) for c in version_cols])
+                         > F.col("_ev")))
+              .drop("_ev"))
     extra = {EPOCH_KEY: str(epoch_id)}
     if query_id is not None:
         extra[QUERY_KEY] = query_id

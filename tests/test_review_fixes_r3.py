@@ -1,0 +1,83 @@
+"""Regression tests for the round-3 code-review findings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.streaming.sink import upsert_batch_idempotent
+
+
+def test_drop_recreate_does_not_serve_stale_metadata(catalog, spark):
+    """Process-wide metadata cache must be invalidated on drop: a
+    recreated table restarts at v1 and would otherwise read the dropped
+    table's schema."""
+    df1 = spark.range(0, 10).select(F.col("id").alias("first_col"))
+    t1 = catalog.create_table("db.recreate", df1)
+    t1.append(df1)
+    assert catalog.drop_table("db.recreate")
+    df2 = spark.range(0, 5).select(F.col("id").alias("second_col"))
+    t2 = catalog.create_table("db.recreate", df2)
+    t2.append(df2)
+    t2.refresh()
+    assert t2.schema.column_names() == ["second_col"]
+    assert catalog.load_table("db.recreate").schema.column_names() == \
+        ["second_col"]
+
+
+def test_upsert_version_guard_rejects_older_cross_batch(catalog, spark):
+    """A late-arriving OLDER version in a later epoch must not overwrite
+    the newer row the table already holds."""
+    rows = spark.createDataFrame(
+        [(1, 10, "new"), (2, 10, "n2")], "k long, v long, tag string")
+    t = catalog.create_table("db.vguard", rows)
+    upsert_batch_idempotent(t, rows, epoch_id=0, key_cols=["k"],
+                            version_cols=["v"])
+    late = spark.createDataFrame(
+        [(1, 5, "old"), (3, 1, "fresh")], "k long, v long, tag string")
+    upsert_batch_idempotent(t, late, epoch_id=1, key_cols=["k"],
+                            version_cols=["v"])
+    t.refresh()
+    got = {r.k: (r.v, r.tag) for r in t.to_df().collect()}
+    assert got[1] == (10, "new")    # older version dropped
+    assert got[2] == (10, "n2")
+    assert got[3] == (1, "fresh")   # new key inserted
+
+
+def test_clustering_rewrite_covers_right_sized_files(catalog, spark,
+                                                     sf_dir):
+    """sort_by/zorder_by rewrites must re-sort files regardless of size —
+    a right-sized file still has loose bounds until resorted."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    t = catalog.create_table("db.bigsort", o)
+    t.append(o.orderBy(F.rand(seed=5)).repartition(2))
+    # target of 1 byte: every live file is "right-sized" (>= target)
+    res = t.rewrite_data_files(target_size_bytes=1, min_input_files=1,
+                               sort_by=["o_orderkey"])
+    assert res["rewritten_files"] == 2
+    assert res["added_files"] >= 1
+    assert t.to_df().count() == o.count()
+
+
+def test_changelog_unknown_to_snapshot_raises(catalog, spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(50)
+    t = catalog.create_table("db.clerr", o)
+    t.append(o)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.changes(to_snapshot_id=42)
+
+
+def test_explicit_sort_rewrite_overrides_table_sort_property(
+        catalog, spark, sf_dir):
+    """A zorder/sort rewrite must not be re-sorted by write.sort-by."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    t = catalog.create_table(
+        "db.zprop", o, properties={"write.sort-by": "o_totalprice"})
+    t.append(o.coalesce(1))
+    t.rewrite_data_files(target_size_bytes=1, min_input_files=1,
+                         sort_by=["o_orderkey"])
+    for task in t.new_scan().plan_files():
+        vals = [r.o_orderkey for r in
+                spark.read.parquet(task.file.file_path)
+                .select("o_orderkey").collect()]
+        assert vals == sorted(vals)  # rewrite's order, not the property's

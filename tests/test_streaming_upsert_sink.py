@@ -25,17 +25,18 @@ def test_upsert_batch_replay_is_noop(catalog, spark, sf_dir):
     t.refresh()
     assert t.metadata.current_snapshot_id == snap0
 
-    # epoch 1 overwrites keys it carries
+    # epoch 1 carries the other half of the events, unordered relative to
+    # epoch 0: the version guard keeps the GLOBALLY newest row per key
+    # (a late batch can only overwrite with strictly newer versions)
     b1 = e.filter(F.col("event_id") % 2 == 1)
     upsert_batch_idempotent(t, b1, epoch_id=1, key_cols=["user_id"],
                             version_cols=["ts", "event_id"])
     t.refresh()
     got = {r.user_id: r.event_id for r in t.to_df().collect()}
+    from pyspark.sql import Window as W
     want = {r.user_id: r.event_id for r in
-            b1.withColumn("_rn", F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("user_id")
+            e.withColumn("_rn", F.row_number().over(
+                W.partitionBy("user_id")
                 .orderBy(F.col("ts").desc(), F.col("event_id").desc())))
             .filter(F.col("_rn") == 1).collect()}
-    for k, v in want.items():
-        assert got[k] == v  # batch-1 keys hold batch-1 last versions
+    assert got == want
