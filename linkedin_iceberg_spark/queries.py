@@ -1091,8 +1091,14 @@ def similarity_ivf_pruned(spark, sf_dir):
         default_centroids, ivf_index_table, ivf_topk_from_table)
     e = ld(spark, sf_dir, "embeddings")
     cents = default_centroids(e, n_cells=8)
-    cat = _tmp_catalog(spark)
-    t = ivf_index_table(cat, "q.ivf_idx", e, cents)
+
+    def build(cat):
+        ivf_index_table(cat, "q.ivf_idx", e, cents)
+
+    # build-once like table_scan_pruned: an IVF index is a standing
+    # artifact — repeated queries should time the pruned probe, not
+    # re-pay index construction
+    t = _cached_table(spark, sf_dir, "ivf_idx", build).load_table("q.ivf_idx")
     return ivf_topk_from_table(t, cents, query_vec=cents[0][1], k=10,
                                n_probe=2)
 
