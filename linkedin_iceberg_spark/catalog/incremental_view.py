@@ -1,0 +1,90 @@
+"""Incrementally-maintained aggregate views over engine tables.
+
+A materialized per-key aggregate (counts/sums) that refreshes from the
+CHANGELOG instead of recomputing: each refresh reads only the row-level
+inserts/deletes committed since the last sync (catalog/changelog.py),
+folds them into signed deltas, and applies ONE MERGE snapshot to the view
+(update touched groups, delete groups whose count reaches zero, insert
+new groups).  Work per refresh is O(changed rows), never O(base table) —
+the property that makes a derived table maintainable at 100 TB.
+
+Only algebraic aggregates participate (count, sum — avg is sum/count at
+read time): they admit signed folding (insert -> +x, delete -> -x).
+Float sums would drift from a full recompute at the ulp level under
+reordering; pass integer-typed columns (e.g. cents) when exact equality
+with a recompute matters.
+
+Sync state (base table location + last-synced snapshot id) lives in the
+view table's properties, so refresh is restartable and idempotent: a
+refresh that commits also advances the watermark in the SAME property
+update, and re-running after that is a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog.changelog import CHANGE_TYPE_COL
+
+PROP_BASE = "view.base-location"
+PROP_SNAPSHOT = "view.base-snapshot-id"
+COUNT_COL = "n_rows"
+
+
+def _agg_exprs(aggs: dict, signed: bool) -> list:
+    """aggs: out_name -> ("count" | "sum", col_name_or_Column)."""
+    sign = (F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit(1))
+            .otherwise(F.lit(-1))) if signed else F.lit(1)
+    out = [F.sum(sign).cast("long").alias(COUNT_COL)]
+    for name, (fn, col) in aggs.items():
+        if fn not in ("count", "sum"):
+            raise ValueError(f"{fn} is not algebraic; use count/sum")
+        c = F.col(col) if isinstance(col, str) else col
+        agg = F.sum(sign).cast("long") if fn == "count" else F.sum(sign * c)
+        out.append(agg.alias(name))
+    return out
+
+
+def create_agg_view(catalog, name: str, base, keys: list,
+                    aggs: dict):
+    """Materialize groupBy(keys).agg(aggs) of `base` as an engine table,
+    stamped with the base snapshot it reflects."""
+    df = (base.to_df().withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+          .groupBy(*keys).agg(*_agg_exprs(aggs, signed=False))
+          .drop(CHANGE_TYPE_COL))
+    view = catalog.create_table(name, df, properties={
+        PROP_BASE: base.location,
+        PROP_SNAPSHOT: str(base.metadata.current_snapshot_id)})
+    view.append(df)
+    return view
+
+
+def refresh_agg_view(view, base, keys: list, aggs: dict):
+    """Fold the base's changelog since the last sync into the view with
+    one MERGE snapshot; advance the sync watermark in the same commit's
+    metadata update.  No-op (and no new snapshot) when the base hasn't
+    moved."""
+    if view.properties.get(PROP_BASE) != base.location:
+        raise ValueError("view was not created over this base table")
+    last = int(view.properties[PROP_SNAPSHOT])
+    cur = base.metadata.current_snapshot_id
+    if cur == last:
+        return view
+
+    ch = base.changes(from_snapshot_id=last, to_snapshot_id=cur)
+    delta = ch.groupBy(*keys).agg(*_agg_exprs(aggs, signed=True))
+    # a fully-cancelling delta needs no filtering: a zero delta updates an
+    # existing group by +0, insert_cond blocks zero-count new groups, and
+    # matched_delete fires only when the combined count reaches zero
+
+    upd = {COUNT_COL: F.col(f"t.{COUNT_COL}") + F.col(f"s.{COUNT_COL}")}
+    for a in aggs:
+        upd[a] = F.col(f"t.{a}") + F.col(f"s.{a}")
+    view.merge(
+        delta, key_cols=keys,
+        matched_delete_cond=(F.col(f"t.{COUNT_COL}")
+                             + F.col(f"s.{COUNT_COL}")) == 0,
+        matched_update=upd,
+        insert_cond=F.col(COUNT_COL) > 0)
+    view.update_properties(set_props={PROP_SNAPSHOT: str(cur)})
+    return view.refresh()

@@ -2086,6 +2086,45 @@ def table_update_where(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_incremental_view", """
+WITH final_base AS (
+  SELECT * FROM orders
+  WHERE (o_orderkey >= 500 AND o_orderkey < 3000)
+     OR (o_orderkey >= 3000 AND o_orderkey < 3500)
+)
+SELECT o_orderpriority, count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM final_base GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def table_incremental_view(spark, sf_dir):
+    """Incrementally-maintained aggregate view: built once, then kept in
+    sync through a delete and an append by folding the base CHANGELOG
+    into signed deltas and applying ONE MERGE per refresh — work is
+    O(changed rows), never O(base).  The oracle recomputes the aggregate
+    from the final base state; matching it proves the incremental folds
+    (including group churn from the copy-on-write delete) are exact."""
+    from linkedin_iceberg_spark.catalog.incremental_view import (
+        create_agg_view, refresh_agg_view)
+    from linkedin_iceberg_spark.expressions import lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    base = cat.create_table("q.iv_base", o.filter(F.col("o_orderkey") < 3000))
+    base.append(o.filter(F.col("o_orderkey") < 3000))
+    keys = ["o_orderpriority"]
+    aggs = {"cents": ("sum",
+                      F.round(F.col("o_totalprice") * 100).cast("long"))}
+    view = create_agg_view(cat, "q.iv_view", base, keys, aggs)
+    base.delete_where(lt("o_orderkey", 500))
+    refresh_agg_view(view, base, keys, aggs)
+    base.append(o.filter((F.col("o_orderkey") >= 3000)
+                         & (F.col("o_orderkey") < 3500)))
+    refresh_agg_view(view, base, keys, aggs)
+    return (view.to_df()
+            .select("o_orderpriority", "n_rows",
+                    F.col("cents").cast("long").alias("cents"))
+            .orderBy("o_orderpriority"))
+
+
 @q("table_changelog", """
 WITH target AS (SELECT o_orderkey, o_totalprice FROM orders
                 WHERE o_orderkey < 3000),
@@ -2768,7 +2807,10 @@ _PRIORITY = [
     # r3: table_merge_upsert (green r1+r2) rotates out for table_merge_full
     # (new: conditional matched-update/delete + unmatched-insert MERGE)
     "table_migrate_import", "table_merge_full", "table_position_deletes",
-    "table_equality_deletes", "table_compaction", "table_expire_snapshots",
+    # r3 late: table_expire_snapshots (green r1+r2; maintenance family
+    # keeps compaction/rewrite-manifests/rollback in-window) rotates out
+    # for table_incremental_view (new: changelog-driven view maintenance)
+    "table_equality_deletes", "table_compaction", "table_incremental_view",
     "table_format_orc", "table_format_avro", "table_transaction",
     "table_merge_schema_append",
     # r3: three commit operators that were pytest-only get driver rows —
