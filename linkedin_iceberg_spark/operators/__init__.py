@@ -1,0 +1,42 @@
+"""LLM-data-pipeline operators: dedup, similarity, graph, text,
+multimodal, joins, skew mitigation.  Re-exported here so users reach the
+whole plane from one import."""
+
+from linkedin_iceberg_spark.operators.dedup import (
+    dedup_embedding,
+    dedup_exact,
+    minhash_lsh_candidates,
+    minhash_lsh_verified,
+    simhash_pairs,
+)
+from linkedin_iceberg_spark.operators.graph import connected_components
+from linkedin_iceberg_spark.operators.joins import asof_join
+from linkedin_iceberg_spark.operators.similarity import (
+    ann_lsh_candidates,
+    cosine_pairs,
+    cosine_topk,
+    ivf_assign,
+    ivf_assign_join,
+    ivf_index_table,
+    ivf_topk,
+    ivf_topk_from_table,
+)
+from linkedin_iceberg_spark.operators.skew import salted_agg, salted_join
+from linkedin_iceberg_spark.operators.text import (
+    bpe_pretokenize,
+    fingerprint,
+    lang_id,
+    quality_score,
+    split_assign,
+    token_count,
+)
+
+__all__ = [
+    "dedup_exact", "dedup_embedding", "minhash_lsh_candidates",
+    "minhash_lsh_verified", "simhash_pairs", "connected_components",
+    "asof_join", "ann_lsh_candidates", "cosine_pairs", "cosine_topk",
+    "ivf_assign", "ivf_assign_join", "ivf_index_table", "ivf_topk",
+    "ivf_topk_from_table", "salted_agg", "salted_join", "bpe_pretokenize",
+    "fingerprint", "lang_id", "quality_score", "split_assign",
+    "token_count",
+]
