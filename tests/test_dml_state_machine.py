@@ -44,7 +44,8 @@ def test_random_dml_sequence(catalog, spark, seed):
     next_id = 50
 
     ops = ["append", "delete_lo", "delete_hi", "upsert", "compact",
-           "expire", "append", "delete_lo", "upsert", "compact"]
+           "expire", "append", "delete_lo", "upsert", "compact",
+           "update_where", "merge", "update_where", "merge"]
     rng.shuffle(ops)
     for step, op in enumerate(ops):
         label = f"step{step}:{op}(seed{seed})"
@@ -76,6 +77,37 @@ def test_random_dml_sequence(catalog, spark, seed):
             model = pd.concat(
                 [model, pd.DataFrame(urows, columns=COLS)],
                 ignore_index=True)
+        elif op == "update_where":
+            g = rng.randint(0, 9)
+            t.update_where(gt_eq("grp", g), {"val": F.col("val") + 1000.0})
+            mask = model["grp"] >= g
+            model = model.copy()
+            model.loc[mask, "val"] = model.loc[mask, "val"] + 1000.0
+        elif op == "merge":
+            # touch a random id band: delete ids % 3 == 0, bump val on
+            # % 3 == 1, insert unseen ids from the band
+            lo = rng.randint(0, max(next_id - 1, 1))
+            hi = lo + rng.randint(5, 20)
+            src = [(i, 5, 7.0) for i in range(lo, hi)]
+            t.merge(spark.createDataFrame(src, SCHEMA), key_cols=["id"],
+                    matched_delete_cond=F.col("s.id") % 3 == 0,
+                    matched_update={"val": F.col("t.val") + 0.5},
+                    matched_update_cond=F.col("s.id") % 3 == 1,
+                    insert_cond=F.col("id") % 3 == 2)
+            next_id = max(next_id, hi)
+            existing = set(model["id"].tolist())
+            model = model[~(model["id"].isin(
+                {i for i in range(lo, hi) if i % 3 == 0}))]
+            model = model.copy()
+            upd = model["id"].isin(
+                {i for i in range(lo, hi) if i % 3 == 1})
+            model.loc[upd, "val"] = model.loc[upd, "val"] + 0.5
+            ins = [(i, 5, 7.0) for i in range(lo, hi)
+                   if i % 3 == 2 and i not in existing]
+            if ins:
+                model = pd.concat(
+                    [model, pd.DataFrame(ins, columns=COLS)],
+                    ignore_index=True)
         elif op == "compact":
             t.rewrite_data_files(min_input_files=2)
             t.refresh()
