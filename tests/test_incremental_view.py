@@ -86,3 +86,23 @@ def test_incremental_view_group_deletion(catalog, spark, sf_dir):
     assert some not in got
     assert len(got) == n_groups - 1
     assert got == _recompute(base.to_df())
+
+
+def test_refresh_after_base_expiry_fails_loudly(catalog, spark, sf_dir):
+    """If the base expires snapshots past the view's sync watermark, the
+    changelog range is gone — refresh must raise, never silently skip."""
+    import pytest
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderkey") < 300)
+    base = catalog.create_table("db.iv3_base", o)
+    base.append(o.filter(F.col("o_orderkey") < 100))
+    view = create_agg_view(catalog, "db.iv3_view", base,
+                           keys=["o_orderpriority"], aggs=AGGS())
+    base.append(o.filter((F.col("o_orderkey") >= 100)
+                         & (F.col("o_orderkey") < 200)))
+    base.append(o.filter(F.col("o_orderkey") >= 200))
+    base.expire_snapshots(retain_last=1)
+    base.refresh()
+    with pytest.raises(ValueError):
+        refresh_agg_view(view, base, ["o_orderpriority"], AGGS())
