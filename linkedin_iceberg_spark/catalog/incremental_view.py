@@ -32,17 +32,30 @@ COUNT_COL = "n_rows"
 
 
 def _agg_exprs(aggs: dict, signed: bool) -> list:
-    """aggs: out_name -> ("count" | "sum", col_name_or_Column)."""
+    """aggs: out_name -> ("count" | "sum" | "min" | "max",
+    col_name_or_Column).  Signed folding only applies to count/sum;
+    min/max views refresh via the recompute-touched-groups path."""
     sign = (F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit(1))
             .otherwise(F.lit(-1))) if signed else F.lit(1)
     out = [F.sum(sign).cast("long").alias(COUNT_COL)]
     for name, (fn, col) in aggs.items():
-        if fn not in ("count", "sum"):
-            raise ValueError(f"{fn} is not algebraic; use count/sum")
         c = F.col(col) if isinstance(col, str) else col
-        agg = F.sum(sign).cast("long") if fn == "count" else F.sum(sign * c)
+        if fn == "count":
+            agg = F.sum(sign).cast("long")
+        elif fn == "sum":
+            agg = F.sum(sign * c)
+        elif fn in ("min", "max") and not signed:
+            agg = F.min(c) if fn == "min" else F.max(c)
+        else:
+            raise ValueError(
+                f"{fn} does not fold under deletes; it refreshes via the "
+                f"recompute-touched-groups path")
         out.append(agg.alias(name))
     return out
+
+
+def _foldable(aggs: dict) -> bool:
+    return all(fn in ("count", "sum") for fn, _c in aggs.values())
 
 
 def create_agg_view(catalog, name: str, base, keys: list,
@@ -72,19 +85,35 @@ def refresh_agg_view(view, base, keys: list, aggs: dict):
         return view
 
     ch = base.changes(from_snapshot_id=last, to_snapshot_id=cur)
-    delta = ch.groupBy(*keys).agg(*_agg_exprs(aggs, signed=True))
-    # a fully-cancelling delta needs no filtering: a zero delta updates an
-    # existing group by +0, insert_cond blocks zero-count new groups, and
-    # matched_delete fires only when the combined count reaches zero
-
-    upd = {COUNT_COL: F.col(f"t.{COUNT_COL}") + F.col(f"s.{COUNT_COL}")}
-    for a in aggs:
-        upd[a] = F.col(f"t.{a}") + F.col(f"s.{a}")
-    view.merge(
-        delta, key_cols=keys,
-        matched_delete_cond=(F.col(f"t.{COUNT_COL}")
-                             + F.col(f"s.{COUNT_COL}")) == 0,
-        matched_update=upd,
-        insert_cond=F.col(COUNT_COL) > 0)
+    if _foldable(aggs):
+        delta = ch.groupBy(*keys).agg(*_agg_exprs(aggs, signed=True))
+        # a fully-cancelling delta needs no filtering: a zero delta updates
+        # an existing group by +0, insert_cond blocks zero-count new
+        # groups, and matched_delete fires only when count reaches zero
+        upd = {COUNT_COL: F.col(f"t.{COUNT_COL}") + F.col(f"s.{COUNT_COL}")}
+        for a in aggs:
+            upd[a] = F.col(f"t.{a}") + F.col(f"s.{a}")
+        view.merge(
+            delta, key_cols=keys,
+            matched_delete_cond=(F.col(f"t.{COUNT_COL}")
+                                 + F.col(f"s.{COUNT_COL}")) == 0,
+            matched_update=upd,
+            insert_cond=F.col(COUNT_COL) > 0)
+    else:
+        # min/max don't fold under deletes (removing a group's minimum
+        # needs the group's surviving rows): recompute ONLY the groups the
+        # changelog touched — work is O(touched groups' rows), the
+        # standard non-foldable-aggregate trade
+        touched = ch.select(*keys).distinct()
+        fresh = (base.to_df()
+                 .join(F.broadcast(touched), keys, "left_semi")
+                 .groupBy(*keys).agg(*_agg_exprs(aggs, signed=False)))
+        src = touched.join(fresh, keys, "left")
+        view.merge(
+            src, key_cols=keys,
+            matched_delete_cond=F.col(f"s.{COUNT_COL}").isNull(),
+            matched_update={c: F.col(f"s.{c}")
+                            for c in [COUNT_COL, *aggs]},
+            insert_cond=F.col(COUNT_COL).isNotNull())
     view.update_properties(set_props={PROP_SNAPSHOT: str(cur)})
     return view.refresh()

@@ -106,3 +106,45 @@ def test_refresh_after_base_expiry_fails_loudly(catalog, spark, sf_dir):
     base.refresh()
     with pytest.raises(ValueError):
         refresh_agg_view(view, base, ["o_orderpriority"], AGGS())
+
+
+def test_minmax_view_recompute_touched_groups(catalog, spark, sf_dir):
+    """min/max views refresh via touched-group recompute — including the
+    hard case: deleting a group's current minimum."""
+    from linkedin_iceberg_spark.expressions import lt
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderkey") < 600)
+    base = catalog.create_table("db.iv4_base", o)
+    base.append(o)
+    aggs = {"min_key": ("min", F.col("o_orderkey")),
+            "max_key": ("max", F.col("o_orderkey")),
+            "cents": ("sum",
+                      F.round(F.col("o_totalprice") * 100).cast("long"))}
+    view = create_agg_view(catalog, "db.iv4_view", base,
+                           keys=["o_orderpriority"], aggs=aggs)
+
+    def recompute():
+        return {r.o_orderpriority: (r.n_rows, r.min_key, r.max_key, r.cents)
+                for r in (base.to_df().groupBy("o_orderpriority").agg(
+                    F.count("*").cast("long").alias("n_rows"),
+                    F.min("o_orderkey").alias("min_key"),
+                    F.max("o_orderkey").alias("max_key"),
+                    F.sum(F.round(F.col("o_totalprice") * 100)
+                          .cast("long")).alias("cents"))).collect()}
+
+    def state():
+        return {r.o_orderpriority: (r.n_rows, r.min_key, r.max_key, r.cents)
+                for r in view.to_df().collect()}
+
+    assert state() == recompute()
+    # delete the low keys: every group's CURRENT MINIMUM disappears
+    base.delete_where(lt("o_orderkey", 200))
+    refresh_agg_view(view, base, ["o_orderpriority"], aggs)
+    assert state() == recompute()
+    # append new extremes
+    more = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter((F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 700))
+    base.append(more)
+    refresh_agg_view(view, base, ["o_orderpriority"], aggs)
+    assert state() == recompute()
