@@ -92,10 +92,15 @@ def changes(table, from_snapshot_id: Optional[int] = None,
             # snapshot i is snapshot i+1's parent: reuse its live entries
             # instead of re-reading every manifest (halves metadata I/O)
             par_data, par_dels = prev[1], prev[2]
-        elif parent_id is not None:
+        elif parent_id is not None and \
+                md.snapshot_by_id(parent_id) is not None:
             parent = md.snapshot_by_id(parent_id)
             par_data, par_dels = _split(table._live_entries(snapshot=parent))
         else:
+            # no parent, or parent EXPIRED (dangling parent_snapshot_id):
+            # expired history collapses into this snapshot, which therefore
+            # diffs against empty — never against _live_entries(None),
+            # which would silently default to the CURRENT snapshot
             par_data, par_dels = [], []
         cur_data, cur_dels = _split(table._live_entries(snapshot=snap))
         prev = (sid, cur_data, cur_dels)

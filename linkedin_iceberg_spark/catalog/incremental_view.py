@@ -14,10 +14,13 @@ Float sums would drift from a full recompute at the ulp level under
 reordering; pass integer-typed columns (e.g. cents) when exact equality
 with a recompute matters.
 
-Sync state (base table location + last-synced snapshot id) lives in the
-view table's properties, so refresh is restartable and idempotent: a
-refresh that commits also advances the watermark in the SAME property
-update, and re-running after that is a no-op.
+Sync state: the base location and the INITIAL base snapshot live in the
+view's properties; each refresh that commits carries the new watermark
+in its MERGE snapshot's summary — the SAME atomic commit as the data, so
+a crash between "apply delta" and "advance watermark" cannot
+double-apply.  A refresh whose changelog range holds no row changes
+(e.g. compaction only) advances the watermark with a metadata-only
+property update, which is equally safe.
 """
 
 from __future__ import annotations
@@ -31,6 +34,17 @@ PROP_SNAPSHOT = "view.base-snapshot-id"
 COUNT_COL = "n_rows"
 
 
+def _last_sync(view) -> int:
+    """Latest synced base snapshot: the newest view snapshot whose summary
+    carries the watermark (written atomically with each refresh's merge),
+    falling back to the creation-time property."""
+    for s in reversed(view.metadata.snapshots):
+        v = s.summary.get(PROP_SNAPSHOT)
+        if v is not None:
+            return int(v)
+    return int(view.properties[PROP_SNAPSHOT])
+
+
 def _agg_exprs(aggs: dict, signed: bool) -> list:
     """aggs: out_name -> ("count" | "sum" | "min" | "max",
     col_name_or_Column).  Signed folding only applies to count/sum;
@@ -41,7 +55,9 @@ def _agg_exprs(aggs: dict, signed: bool) -> list:
     for name, (fn, col) in aggs.items():
         c = F.col(col) if isinstance(col, str) else col
         if fn == "count":
-            agg = F.sum(sign).cast("long")
+            # SQL COUNT(col): only non-NULL values participate
+            agg = F.sum(F.when(c.isNotNull(), sign).otherwise(F.lit(0))) \
+                .cast("long")
         elif fn == "sum":
             agg = F.sum(sign * c)
         elif fn in ("min", "max") and not signed:
@@ -62,9 +78,7 @@ def create_agg_view(catalog, name: str, base, keys: list,
                     aggs: dict):
     """Materialize groupBy(keys).agg(aggs) of `base` as an engine table,
     stamped with the base snapshot it reflects."""
-    df = (base.to_df().withColumn(CHANGE_TYPE_COL, F.lit("insert"))
-          .groupBy(*keys).agg(*_agg_exprs(aggs, signed=False))
-          .drop(CHANGE_TYPE_COL))
+    df = base.to_df().groupBy(*keys).agg(*_agg_exprs(aggs, signed=False))
     view = catalog.create_table(name, df, properties={
         PROP_BASE: base.location,
         PROP_SNAPSHOT: str(base.metadata.current_snapshot_id)})
@@ -79,7 +93,7 @@ def refresh_agg_view(view, base, keys: list, aggs: dict):
     moved."""
     if view.properties.get(PROP_BASE) != base.location:
         raise ValueError("view was not created over this base table")
-    last = int(view.properties[PROP_SNAPSHOT])
+    last = _last_sync(view)
     cur = base.metadata.current_snapshot_id
     if cur == last:
         return view
@@ -90,15 +104,19 @@ def refresh_agg_view(view, base, keys: list, aggs: dict):
         # a fully-cancelling delta needs no filtering: a zero delta updates
         # an existing group by +0, insert_cond blocks zero-count new
         # groups, and matched_delete fires only when count reaches zero
+        # coalesce the delta side: sum() over an all-NULL changed set is
+        # NULL, and t.a + NULL would poison the stored aggregate
         upd = {COUNT_COL: F.col(f"t.{COUNT_COL}") + F.col(f"s.{COUNT_COL}")}
         for a in aggs:
-            upd[a] = F.col(f"t.{a}") + F.col(f"s.{a}")
+            upd[a] = (F.coalesce(F.col(f"t.{a}"), F.lit(0))
+                      + F.coalesce(F.col(f"s.{a}"), F.lit(0)))
         view.merge(
             delta, key_cols=keys,
             matched_delete_cond=(F.col(f"t.{COUNT_COL}")
                                  + F.col(f"s.{COUNT_COL}")) == 0,
             matched_update=upd,
-            insert_cond=F.col(COUNT_COL) > 0)
+            insert_cond=F.col(COUNT_COL) > 0,
+            extra_summary={PROP_SNAPSHOT: str(cur)})
     else:
         # min/max don't fold under deletes (removing a group's minimum
         # needs the group's surviving rows): recompute ONLY the groups the
@@ -114,6 +132,13 @@ def refresh_agg_view(view, base, keys: list, aggs: dict):
             matched_delete_cond=F.col(f"s.{COUNT_COL}").isNull(),
             matched_update={c: F.col(f"s.{c}")
                             for c in [COUNT_COL, *aggs]},
-            insert_cond=F.col(COUNT_COL).isNotNull())
-    view.update_properties(set_props={PROP_SNAPSHOT: str(cur)})
+            insert_cond=F.col(COUNT_COL).isNotNull(),
+            extra_summary={PROP_SNAPSHOT: str(cur)})
+    view.refresh()
+    if _last_sync(view) != cur:
+        # the changelog range held no row changes (compaction-only or
+        # fully-cancelling): no merge snapshot was committed, so advance
+        # the watermark with a metadata-only property update (safe: the
+        # skipped range is change-free by construction)
+        view.update_properties(set_props={PROP_SNAPSHOT: str(cur)})
     return view.refresh()

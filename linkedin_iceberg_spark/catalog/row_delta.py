@@ -110,7 +110,8 @@ def merge(table, source: DataFrame, key_cols: list,
           matched_delete_cond=None,
           insert_unmatched: bool = True,
           insert_cond=None,
-          validate_source_unique: bool = True):
+          validate_source_unique: bool = True,
+          extra_summary: Optional[dict] = None):
     """Full MERGE INTO semantics committed as ONE RowDelta snapshot
     (ref: the SQL extension the reference delegates to engines,
     spark3/.../SparkMergeBuilder-era row-level ops; our v2 analog).
@@ -182,7 +183,8 @@ def merge(table, source: DataFrame, key_cols: list,
             data_df = data_df.unionByName(p)
 
     return row_delta(table, data_df=data_df,
-                     equality_delete_keys=affected, key_cols=key_cols)
+                     equality_delete_keys=affected, key_cols=key_cols,
+                     extra_summary=extra_summary)
 
 
 def upsert(table, df: DataFrame, key_cols: list,

@@ -136,11 +136,15 @@ def resize_image(df: DataFrame, name: str = "media", width: int = 64,
                 h = hashlib.sha256(bytes(b)).digest()
                 reps = n_bytes // len(h) + 1
                 return (h * reps)[:n_bytes]
+            nulls = pdf[name].isna().tolist()
             pdf[name] = pdf[name].map(shrink)
             meta = pd.DataFrame(list(pdf[f"{name}_meta"]))
-            meta["width"] = width
-            meta["height"] = height
-            meta["size_bytes"] = n_bytes
+            # meta stays consistent with the payload: NULL payloads keep
+            # their original meta (same convention as decode_image)
+            keep = ~pd.Series(nulls, index=meta.index)
+            meta.loc[keep, "width"] = width
+            meta.loc[keep, "height"] = height
+            meta.loc[keep, "size_bytes"] = n_bytes
             pdf[f"{name}_meta"] = meta.to_dict("records")
             yield pdf
 

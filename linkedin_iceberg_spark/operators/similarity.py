@@ -205,7 +205,9 @@ def ivf_assign_join(df: DataFrame, centroids: list,
     expression; at n_cells ~ sqrt(N) (thousands), score via data instead:
     rows x centroids pairs from a broadcast cross join, reduced with
     max_by.  Same tie-break (larger cid) and rounding as ivf_assign, so
-    the two paths are value-identical."""
+    the two paths are value-identical over the index-key contract this
+    builder assumes: `id_col` unique and non-null (a NULL id would drop
+    in the final join; duplicate ids would share one cell)."""
     spark = df.sparkSession
     cent_df = spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],

@@ -94,6 +94,8 @@ def split_assign(df: DataFrame, id_col: str = "doc_id",
     weights = weights or {"train": 90, "val": 5, "test": 5}
     if sum(weights.values()) != 100:
         raise ValueError("weights must sum to 100")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("every split weight must be positive")
     bucket = (F.conv(F.substring(
         F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string"))),
         1, 15), 16, 10).cast("long") % 100)

@@ -105,10 +105,14 @@ def upsert_batch_idempotent(table, df: DataFrame, epoch_id: int,
                .groupBy(*key_cols)
                .agg(F.max(F.struct(*[F.col(c) for c in version_cols]))
                     .alias("_ev")))
+        # coalesce(>, False): a NULL version field makes the comparison
+        # NULL — such rows may still INSERT new keys but never overwrite
+        # an existing row (documented: null versions sort as oldest)
         df = (df.join(cur, key_cols, "left")
               .filter(F.col("_ev").isNull()
-                      | (F.struct(*[F.col(c) for c in version_cols])
-                         > F.col("_ev")))
+                      | F.coalesce(
+                          F.struct(*[F.col(c) for c in version_cols])
+                          > F.col("_ev"), F.lit(False)))
               .drop("_ev"))
     extra = {EPOCH_KEY: str(epoch_id)}
     if query_id is not None:

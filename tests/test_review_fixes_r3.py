@@ -81,3 +81,84 @@ def test_explicit_sort_rewrite_overrides_table_sort_property(
                 spark.read.parquet(task.file.file_path)
                 .select("o_orderkey").collect()]
         assert vals == sorted(vals)  # rewrite's order, not the property's
+
+
+def test_changelog_after_parent_expiry_diffs_against_empty(catalog, spark,
+                                                           sf_dir):
+    """The oldest surviving snapshot's parent may be expired: its diff
+    base is EMPTY (expired history collapses into it) — never the
+    table's CURRENT state."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderkey") < 300)
+    t = catalog.create_table("db.clexp", o)
+    t.append(o.filter(F.col("o_orderkey") < 100))
+    t.append(o.filter((F.col("o_orderkey") >= 100)
+                      & (F.col("o_orderkey") < 200)))
+    t.append(o.filter(F.col("o_orderkey") >= 200))
+    t.expire_snapshots(retain_last=2)
+    t.refresh()
+    ch = t.changes()
+    rows = ch.collect()
+    # every surviving row appears exactly once, as an insert
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert sorted(r.o_orderkey for r in rows) == \
+        sorted(r.o_orderkey for r in o.collect())
+
+
+def test_upsert_null_version_never_overwrites(catalog, spark):
+    from linkedin_iceberg_spark.streaming.sink import upsert_batch_idempotent
+    rows = spark.createDataFrame([(1, 10, "keep")],
+                                 "k long, v long, tag string")
+    t = catalog.create_table("db.vnull", rows)
+    upsert_batch_idempotent(t, rows, epoch_id=0, key_cols=["k"],
+                            version_cols=["v"])
+    nulls = spark.createDataFrame([(1, None, "null-upd"), (2, None, "new")],
+                                  "k long, v long, tag string")
+    upsert_batch_idempotent(t, nulls, epoch_id=1, key_cols=["k"],
+                            version_cols=["v"])
+    t.refresh()
+    got = {r.k: r.tag for r in t.to_df().collect()}
+    assert got[1] == "keep"   # null version cannot overwrite
+    assert got[2] == "new"    # but may insert a new key
+
+
+def test_incremental_view_null_sums_do_not_poison(catalog, spark):
+    from linkedin_iceberg_spark.catalog.incremental_view import (
+        create_agg_view, refresh_agg_view)
+    rows = spark.createDataFrame(
+        [(1, "g", 100), (2, "g", None), (3, "h", 5)],
+        "id long, grp string, v long")
+    base = catalog.create_table("db.ivnull", rows)
+    base.append(rows)
+    aggs = {"sv": ("sum", "v"), "nv": ("count", "v")}
+    view = create_agg_view(catalog, "db.ivnull_v", base, ["grp"], aggs)
+    st = {r.grp: (r.n_rows, r.sv, r.nv) for r in view.to_df().collect()}
+    assert st["g"] == (2, 100, 1)  # COUNT(v) skips the NULL
+    # delete the NULL-valued row: sum must stay 100, not become NULL
+    from linkedin_iceberg_spark.expressions import eq
+    base.delete_where(eq("id", 2))
+    refresh_agg_view(view, base, ["grp"], aggs)
+    st = {r.grp: (r.n_rows, r.sv, r.nv) for r in view.to_df().collect()}
+    assert st["g"] == (1, 100, 1)
+    # insert a NULL-valued row into an existing group
+    base.append(spark.createDataFrame([(9, "h", None)],
+                                      "id long, grp string, v long"))
+    refresh_agg_view(view, base, ["grp"], aggs)
+    st = {r.grp: (r.n_rows, r.sv, r.nv) for r in view.to_df().collect()}
+    assert st["h"] == (2, 5, 1)
+
+
+def test_resize_null_payload_keeps_meta(spark, sf_dir):
+    from linkedin_iceberg_spark.operators.multimodal import (
+        attach_payload, resize_image)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    d = d.withColumn("text", F.when(F.col("doc_id") % 2 == 0,
+                                    F.col("text")))
+    out = resize_image(attach_payload(d, "text", name="img"), name="img",
+                       width=8, height=4)
+    for r in out.select("doc_id", "img", "img_meta").collect():
+        if r.doc_id % 2 == 0:
+            assert len(r.img) == 32 and r.img_meta.width == 8
+        else:
+            assert r.img is None
+            assert r.img_meta.width is None  # meta untouched for NULLs
