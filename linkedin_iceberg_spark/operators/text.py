@@ -108,6 +108,101 @@ def split_assign(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn(out_col, expr)
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (Gopher-rule family): the
+    fraction of duplicated lines and the token share of the most frequent
+    word bigram.  Boilerplate-heavy and looping documents score high on
+    both and are filtered before training.
+
+    Scale: line stats are pure array functions (no shuffle); the bigram
+    pass is posexplode -> lead -> two groupBys, every shuffle keyed by
+    (doc_id[, bigram]) — never wider than the tokenized corpus, no
+    all-pairs anywhere."""
+    from pyspark.sql import Window
+
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    ).otherwise(0.0)
+    base = df.select(F.col(id_col),
+                     F.round(dup_line_frac, 4).alias("dup_line_frac"),
+                     n_lines.cast("long").alias("n_lines"),
+                     F.split(F.col(text_col), " ").alias("_toks"))
+
+    tok = base.select(id_col, F.posexplode("_toks").alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (tok.withColumn("_nxt", F.lead("tok").over(w))
+           .filter(F.col("_nxt").isNotNull())
+           .select(id_col, F.concat_ws(" ", "tok", "_nxt").alias("bg")))
+    counts = big.groupBy(id_col, "bg").count()
+    top = (counts.groupBy(id_col)
+           .agg(F.max("count").alias("_top"), F.sum("count").alias("_n"))
+           .select(F.col(id_col),
+                   F.round(F.col("_top") / F.col("_n"), 4)
+                    .alias("top_bigram_frac")))
+    return (base.drop("_toks")
+            .join(top, on=id_col, how="left")
+            .fillna({"top_bigram_frac": 0.0}))
+
+
+# both patterns restricted to the Java-regex/RE2 common subset (no
+# lookahead, explicit classes) so Spark and the SQL oracle agree exactly
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{9,}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails and long digit runs (phone/account-shaped) before
+    training, keeping per-doc redaction counts for audit.  One JVM-side
+    regex pass per pattern — no UDF, no shuffle."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+        PII_LONGNUM_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), 0))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(PII_LONGNUM_RE), 0))
+         .cast("long").alias("n_longnums"),
+        scrubbed.alias("scrubbed_text"))
+
+
+def decontaminate(df: DataFrame, bench: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", ngram: int = 8) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing at
+    least one word ``ngram``-gram with a benchmark/eval document — the
+    standard exact-substring overlap rule for eval-set leakage.
+
+    Scale: each side explodes to DISTINCT (doc, shingle-hash) pairs and the
+    overlap is a broadcast-or-shuffle anti-join on the 8-byte hashed
+    shingle — never all-pairs, and the benchmark side (small by nature)
+    broadcasts.  Documents shorter than ``ngram`` tokens carry no shingles
+    and are always kept, matching the SQL-oracle semantics."""
+    from linkedin_iceberg_spark.operators.dedup import shingles
+
+    def sh(d):
+        # docs shorter than ngram tokens produce no shingles (shingles()
+        # would emit one truncated window for them — drop it so the rule
+        # matches the oracle's empty range() exactly)
+        return (d.filter(F.size(F.split(F.col(text_col), r"\s+")) >= ngram)
+                .select(F.col(id_col),
+                        F.explode(shingles(text_col, ngram)).alias("_s"))
+                .filter(F.col("_s") != "")
+                .select(id_col, F.xxhash64("_s").alias("_h"))
+                .distinct())
+
+    bench_h = sh(bench).select("_h").distinct()
+    hit = (sh(df).join(F.broadcast(bench_h), "_h")
+           .select(id_col).distinct())
+    return df.join(hit, on=id_col, how="left_anti")
+
+
 def bpe_pretokenize(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """BPE pre-tokenization counts: the merge step of a real BPE runs on

@@ -1390,6 +1390,140 @@ def text_split_assign(spark, sf_dir):
             .select("doc_id", "split").orderBy("doc_id"))
 
 
+@q("text_repetition", """
+WITH lined AS (
+  -- model web-boilerplate: a site header/footer line repeated around the
+  -- body (every even doc), lines split on a frequent token; the corpus
+  -- itself is newline-free word salad so the boilerplate carries the
+  -- dup-line signal and the body carries the bigram signal
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'site footer ' || (doc_id % 7)::VARCHAR || chr(10)
+                   || replace(text, ' table ', chr(10)) || chr(10)
+                   || 'site footer ' || (doc_id % 7)::VARCHAR
+              ELSE replace(text, ' table ', chr(10)) END AS t2
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         list_filter(string_split(t2, chr(10)), x -> trim(x) <> '') AS ls
+  FROM lined
+), linestats AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) > 0
+              THEN round((len(ls) - len(list_distinct(ls)) * 1.0)
+                         / len(ls), 4)
+              ELSE 0.0 END AS dup_line_frac,
+         len(ls)::BIGINT AS n_lines
+  FROM lines
+), toks AS (
+  SELECT doc_id, unnest(string_split(t2, ' ')) AS tok,
+         generate_subscripts(string_split(t2, ' '), 1) AS pos
+  FROM lined
+), big AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS bg
+  FROM toks
+), counts AS (
+  SELECT doc_id, bg, count(*) AS c FROM big WHERE bg IS NOT NULL
+  GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+  FROM counts GROUP BY 1
+)
+SELECT l.doc_id, l.dup_line_frac, l.n_lines,
+       COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM linestats l LEFT JOIN top t ON l.doc_id = t.doc_id
+ORDER BY l.doc_id""")
+def text_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher-rule family): duplicated-
+    line fraction + token share of the most frequent word bigram — the
+    boilerplate/looping filters a training pipeline applies before anything
+    else.  The corpus is newline-free word salad with no repeated lines, so
+    the query models the phenomenon the operator exists for: a site
+    header/footer line wrapped around every even doc (and a frequent token
+    rewritten to a newline) — the boilerplate drives dup_line_frac, the
+    body drives top_bigram_frac.  Identical construction in the oracle."""
+    from linkedin_iceberg_spark.operators.text import repetition_signals
+    body = F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
+    boiler = F.concat(F.lit("site footer "),
+                      (F.col("doc_id") % 7).cast("string"))
+    d = (ld(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.when(F.col("doc_id") % 2 == 0,
+                        F.concat(boiler, F.lit("\n"), body,
+                                 F.lit("\n"), boiler))
+                  .otherwise(body).alias("text")))
+    return repetition_signals(d).orderBy("doc_id") \
+        .select("doc_id", "dup_line_frac", "n_lines", "top_bigram_frac")
+
+
+@q("text_pii_scrub", """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR
+                   || '@example.com ref ' || (doc_id * 1234567890)::VARCHAR
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+         AS n_emails,
+       len(regexp_extract_all(t, '[0-9]{9,}'))::BIGINT AS n_longnums,
+       regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+           'g'), '[0-9]{9,}', '<NUM>', 'g') AS scrubbed_text
+FROM seeded ORDER BY doc_id""")
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction before training: emails and long digit runs replaced
+    by typed placeholders, with per-doc redaction counts for audit.  The
+    corpus has no PII, so a deterministic email + account number is seeded
+    into every third doc (same seeding in the oracle); patterns stay in
+    the Java-regex/RE2 common subset so both engines match identically."""
+    from linkedin_iceberg_spark.operators.text import pii_scrub
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com ref "),
+                        (F.col("doc_id") * 1234567890).cast("string")))
+         .otherwise(F.col("text")).alias("text"))
+    return pii_scrub(d).orderBy("doc_id")
+
+
+@q("text_decontaminate", """
+WITH corpus AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l) - 6),
+                               i -> array_to_string(l[i:i+7], ' '))) AS s
+  FROM corpus
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0
+), hit AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+)
+SELECT c.doc_id, c.n_chars
+FROM corpus c LEFT JOIN hit ON c.doc_id = hit.doc_id
+WHERE hit.doc_id IS NULL
+ORDER BY c.doc_id""")
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop every training doc sharing an
+    8-token gram with the benchmark set (here: every 37th doc, which also
+    removes the benchmark docs themselves and their near-copies).  Scale:
+    distinct (doc, shingle-hash) pairs anti-joined on an 8-byte key with
+    the benchmark side broadcast — never all-pairs."""
+    from linkedin_iceberg_spark.operators.text import decontaminate
+    d = ld(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return (decontaminate(d, bench, ngram=8)
+            .select("doc_id", "n_chars").orderBy("doc_id"))
+
+
 @q("events_tumbling_window", """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 4) AS total
@@ -2881,10 +3015,17 @@ _PRIORITY = [
     # slot of double-green similarity_topk below)
     # r3: events_session_window (green r1+r2; tumbling twin stays) rotates
     # out for streaming_upsert_sink (new: epoch-idempotent CDC apply)
-    "events_tumbling_window", "streaming_upsert_sink",
+    # r3 late: events_tumbling_window (green r1+r2, unchanged; family all
+    # lifetime-green) rotates out for text_repetition (new: Gopher-style
+    # duplicate-line + top-bigram repetition signals)
+    "text_repetition", "streaming_upsert_sink",
     # r3 late: text_token_stats (green r1+r2) rotates out for
-    # text_split_assign (new: deterministic hash-bucket train/val/test)
-    "text_split_assign", "text_quality_score", "text_lang_id",
+    # text_split_assign (new: deterministic hash-bucket train/val/test);
+    # text_quality_score (green r1+r2) rotates out for text_pii_scrub
+    # (new: email/long-number redaction with audit counts); text_lang_id
+    # (green r2) rotates out for text_decontaminate (new: 8-gram benchmark
+    # overlap anti-join)
+    "text_split_assign", "text_pii_scrub", "text_decontaminate",
     "text_fingerprint", "text_bpe_tokens",
     # relational representatives (one-per-operator-family coverage).
     # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg

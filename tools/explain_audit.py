@@ -95,6 +95,30 @@ CONTRACTS = {
         ["Join", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
          "ArrowEvalPython"]),
+    "legacy_hive_scan": (
+        # partition dirs pruned BEFORE Spark sees the paths; only the
+        # residual (non-partition) predicate remains as a row filter,
+        # pushed to the parquet scan
+        ["PushedFilters: [IsNotNull(o_totalprice)", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "text_repetition": (
+        # bigram pass: posexplode+lead+groupBy — generate/window/agg all
+        # JVM-side with map-side partial counts; line stats pure array fns
+        ["posexplode", "Window", "HashAggregate", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "text_pii_scrub": (
+        # single projection of regex built-ins — the only Exchange is the
+        # final orderBy's rangepartitioning (oracle determinism), never a
+        # hash shuffle of the data
+        ["Project", "codegen id"],
+        ["hashpartitioning", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"]),
+    "text_decontaminate": (
+        # shingle-hash anti-join: benchmark side broadcast, corpus side
+        # never re-shuffled into an all-pairs shape
+        ["BroadcastHashJoin", "LeftAnti", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "ArrowEvalPython"]),
 }
 
 
