@@ -142,6 +142,18 @@ class Catalog:
             txn.update_properties(properties)
         return txn.commit()
 
+    def legacy_table(self, location: str, fmt: str = "parquet"):
+        """Open a plain (non-engine) Hive-layout directory read-only through
+        the Table/TableScan API — no conversion, no metadata written.
+
+        The three on-ramps for existing data, in increasing commitment:
+        ``legacy_table`` (read in place, zero setup, read-only; ref:
+        hive-metastore/.../legacy/LegacyHiveCatalog.java loadTable) ->
+        ``import_table`` (metadata-only snapshot, files adopted in place) ->
+        ``migrate`` (full CTAS copy)."""
+        from linkedin_iceberg_spark.catalog.legacy_hive import LegacyHiveTable
+        return LegacyHiveTable(self.spark, location, fmt=fmt)
+
     def migrate(self, name: str, path_or_df, spec: Optional[PartitionSpec] = None,
                 fmt: str = "parquet") -> Table:
         """Import by COPY (CTAS): read any Spark-readable path/DataFrame and

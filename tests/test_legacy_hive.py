@@ -148,6 +148,26 @@ def test_read_only_surface(spark, hive_dir):
         t.append(None)
 
 
+def test_orc_hive_layout(spark, tmp_path):
+    """ORC legacy tables work identically (the reference's legacy adapter
+    reads whatever the Hive storage handler wrote — parquet/ORC/Avro)."""
+    path = str(tmp_path / "orc_tbl")
+    rows = [Row(id=i, grp=["x", "y"][i % 2]) for i in range(40)]
+    spark.createDataFrame(rows).write.partitionBy("grp").orc(path)
+    t = LegacyHiveTable(spark, path, fmt="orc")
+    assert t._part_cols == ["grp"]
+    tasks = t.scan(row_filter=eq("grp", "x")).plan_files()
+    assert tasks and all(task.file.partition["grp"] == "x"
+                         for task in tasks)
+    assert t.scan(row_filter=eq("grp", "x")).to_df().count() == 20
+
+
+def test_catalog_entry_point(spark, catalog, hive_dir):
+    t = catalog.legacy_table(hive_dir)
+    assert isinstance(t, LegacyHiveTable)
+    assert t.scan(row_filter=eq("region", "na")).to_df().count() > 0
+
+
 def test_filter_binds_and_rejects_unknown_column(spark, hive_dir):
     t = LegacyHiveTable(spark, hive_dir)
     with pytest.raises(ValueError):
