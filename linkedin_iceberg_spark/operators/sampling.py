@@ -1,0 +1,66 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Every sample here is a pure function of (salt, row key) — reproducible
+across runs, engines, repartitions, and appends (a row's fate never
+changes), and re-derivable in plain SQL for verification.  No RNG state,
+no shuffle: one hash + compare per row.  The md5-bucket recipe is shared
+with text.split_assign.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000  # fraction resolution: 1e-6
+
+
+def _bucket(id_col: str, salt: str):
+    """Deterministic bucket in [0, 1e6): 60-bit md5 prefix mod 1e6 —
+    portable (the identical expression exists in ANSI SQL / DuckDB)."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("long") % _BUCKETS)
+
+
+def sample_fraction(df: DataFrame, fraction: float, id_col: str,
+                    salt: str = "v1") -> DataFrame:
+    """Keep ~`fraction` of rows, decided per row by hash bucket."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(id_col, salt) < int(fraction * _BUCKETS))
+
+
+def sample_stratified(df: DataFrame, strata_col: str, fractions: dict,
+                      id_col: str, salt: str = "v1",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum sampling rates (df.sampleBy's deterministic twin):
+    keep a row iff its hash bucket falls under its stratum's fraction.
+    Strata missing from `fractions` get `default_fraction`.
+
+    The standard rebalancing step for over-represented sources/languages
+    in a training mix.  Scale: one hash + one CASE per row, no shuffle,
+    no RNG — and unlike sampleBy (Bernoulli per partition-attempt), the
+    kept set is stable under retries, repartitions, and appends."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} must be in "
+                             "[0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    thresh = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(name)
+        lim = F.lit(int(frac * _BUCKETS))
+        thresh = F.when(cond, lim) if thresh is None \
+            else thresh.when(cond, lim)
+    thresh = thresh.otherwise(F.lit(int(default_fraction * _BUCKETS))) \
+        if thresh is not None \
+        else F.lit(int(default_fraction * _BUCKETS))
+    return df.filter(_bucket(id_col, salt) < thresh)
+
+
+def sample_bucket_sql(id_col: str, salt: str = "v1") -> str:
+    """The _bucket expression as DuckDB/ANSI SQL (oracle building block)."""
+    return (f"(('0x' || substr(md5('{salt}' || '-' || "
+            f"{id_col}::VARCHAR), 1, 15))::BIGINT % {_BUCKETS})")

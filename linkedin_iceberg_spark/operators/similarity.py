@@ -313,3 +313,64 @@ def ivf_topk(df: DataFrame, query_vec, k: int, n_cells: int = 8,
                     _cos_to_lit(vec_col, q, round_to).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col(id_col))
             .limit(k))
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int,
+             n_cells: int = 0, n_probe: int = 2,
+             query_id: str = "q_id", id_col: str = "vec_id",
+             vec_col: str = "embedding", round_to: int = 5) -> DataFrame:
+    """k-NN JOIN: for EVERY query row, the top-k corpus neighbors by
+    cosine — the batch workload shape (cosine_topk is the single-query
+    special case).  Returns (query_id, neighbor_id, cos_sim, rank) with a
+    deterministic tie-break (rounded cosine desc, neighbor id asc).
+
+    Exact mode (``n_cells=0``): broadcast the query side, score every
+    (query, corpus) pair in one corpus scan, keep top-k per query with a
+    window.  The shuffle carries only (q_id, id, cos) triples — never
+    vectors.  Right when Q * N candidate triples are shuffle-able
+    (Q small: dedup probes, eval sets).
+
+    IVF mode (``n_cells>0``): corpus rows are assigned to their nearest
+    centroid cell; each query expands to its ``n_probe`` nearest cells;
+    candidates = an EQUI-join on the cell id.  At 100 TB with
+    n_cells ~ sqrt(N) this scores ~ Q * N * n_probe / n_cells pairs —
+    the inverted-file trade, approximate by design (a true neighbor in
+    an unprobed cell is missed; n_probe = n_cells recovers exact)."""
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    cos = F.round(_dot(F.col("_qv"), F.col("_cv"))
+                  / (_norm(F.col("_qv")) * _norm(F.col("_cv"))), round_to)
+
+    if n_cells:
+        centroids = default_centroids(corpus, n_cells, id_col, vec_col)
+        c = ivf_assign(c, centroids, vec_col="_cv").withColumnRenamed(
+            "cell", "_cell")
+        # each query explodes to its n_probe nearest cells: score the
+        # centroid literals, sort (score desc, cid desc — probe_cells'
+        # tie-break), slice, explode.  Centroids are literals, so this is
+        # one projection, no join, no shuffle.
+        scored = F.array(*[
+            F.struct(_cos_to_lit("_qv", vec, round_to).alias("score"),
+                     F.lit(int(cid)).alias("cid"))
+            for cid, vec in centroids])
+        probes = F.slice(F.reverse(F.array_sort(scored)), 1,
+                         min(n_probe, len(centroids)))
+        q = q.select(query_id, "_qv",
+                     F.explode(F.transform(probes, lambda s: s["cid"]))
+                     .alias("_cell"))
+        # corpus is the big side — broadcast the exploded query side and
+        # equi-join on the cell id
+        pairs = c.join(F.broadcast(q), "_cell")
+    else:
+        pairs = c.join(F.broadcast(q))
+
+    from pyspark.sql import Window
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(),
+                                             F.col(id_col).asc())
+    return (pairs.withColumn("_cos", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col(id_col).alias("neighbor_id"),
+                    F.col("_cos").alias("cos_sim"),
+                    F.col("rank").cast("long").alias("rank"))
+            .orderBy(query_id, "rank"))

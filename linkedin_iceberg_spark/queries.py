@@ -1233,6 +1233,65 @@ def similarity_ivf_topk(spark, sf_dir):
                     id_col="vec_id", vec_col="embedding")
 
 
+@q("similarity_knn_join", """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 5) AS cos_sim
+  FROM q CROSS JOIN embeddings c
+), ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")
+def similarity_knn_join(spark, sf_dir):
+    """k-NN JOIN (batch ANN workload shape): top-5 corpus neighbors for
+    EVERY query row in one pass — broadcast query side, cosine scored
+    JVM-side, per-query window top-k; the shuffle carries (q_id, id, cos)
+    triples, never vectors.  The oracle replays the exact scoring and the
+    tie-break (rounded cosine desc, neighbor id asc)."""
+    from linkedin_iceberg_spark.operators.similarity import knn_join
+    e = ld(spark, sf_dir, "embeddings")
+    q_side = (e.filter(F.col("vec_id") % 50 == 0)
+              .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return knn_join(q_side, e, k=5, query_id="q_id",
+                    id_col="vec_id", vec_col="embedding")
+
+
+@q("sample_stratified", """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE (('0x' || substr(md5('mix1' || '-' || o_orderkey::VARCHAR), 1, 15))
+        ::BIGINT % 1000000)
+      < CASE o_orderpriority
+          WHEN '1-URGENT' THEN 500000
+          WHEN '2-HIGH' THEN 100000
+          WHEN '3-MEDIUM' THEN 250000
+          ELSE 50000 END
+ORDER BY o_orderkey""")
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (sampleBy's reproducible twin):
+    per-stratum keep rates decided by a salted md5 hash bucket per row —
+    stable under retries/repartitions/appends, re-rolled by changing the
+    salt, and exactly recomputable in SQL (the oracle value-checks the
+    kept set row-for-row, not just its size).  The standard source/
+    language rebalancing step in a training mix."""
+    from linkedin_iceberg_spark.operators.sampling import sample_stratified
+    o = ld(spark, sf_dir, "orders")
+    return (sample_stratified(o, "o_orderpriority",
+                              {"1-URGENT": 0.5, "2-HIGH": 0.1,
+                               "3-MEDIUM": 0.25},
+                              id_col="o_orderkey", salt="mix1",
+                              default_fraction=0.05)
+            .select("o_orderkey", "o_orderpriority")
+            .orderBy("o_orderkey"))
+
+
 @q("text_token_stats", """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
@@ -3037,8 +3096,13 @@ _PRIORITY = [
     # rotates out for table_scan_planned_tasks (new r3 feature: S6 split
     # planning wired into the Spark read path).
     "table_scan_planned_tasks",
-    "agg_pricing_summary", "agg_approx_distinct", "join_inner_equi",
-    "join_asof", "join_multiway", "window_topk_per_group",
+    # r3 late: join_inner_equi and window_topk_per_group (both green r1+r2,
+    # unchanged; their families keep asof/multiway and five lifetime-green
+    # window variants) rotate out for sample_stratified (new: deterministic
+    # per-stratum hash sampling) and similarity_knn_join (new: batch k-NN
+    # join, exact-mode SQL oracle)
+    "agg_pricing_summary", "agg_approx_distinct", "sample_stratified",
+    "join_asof", "join_multiway", "similarity_knn_join",
     "scalar_math_funcs",
     # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
     # dedup_embedding (new r3: cosine near-dup -> connected components ->

@@ -1,0 +1,103 @@
+"""knn_join (exact + IVF modes) and deterministic sampling operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.operators.sampling import (
+    sample_fraction,
+    sample_stratified,
+)
+from linkedin_iceberg_spark.operators.similarity import knn_join
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q(emb):
+    return (emb.filter(F.col("vec_id") % 100 == 0)
+            .select(F.col("vec_id").alias("q_id"), "embedding"))
+
+
+def test_knn_exact_self_is_top1(spark, emb):
+    out = knn_join(_q(emb), emb, k=3, query_id="q_id").collect()
+    top1 = {r["q_id"]: r for r in out if r["rank"] == 1}
+    for qid, r in top1.items():
+        assert r["neighbor_id"] == qid and r["cos_sim"] == 1.0
+    n_q = emb.filter(F.col("vec_id") % 100 == 0).count()
+    assert len(out) == 3 * n_q
+
+
+def test_knn_ivf_full_probe_equals_exact(spark, emb):
+    exact = knn_join(_q(emb), emb, k=5, query_id="q_id").collect()
+    ivf = knn_join(_q(emb), emb, k=5, n_cells=4, n_probe=4,
+                   query_id="q_id").collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_knn_ivf_partial_probe_subset(spark, emb):
+    """Partial probing returns each query's true ranking RESTRICTED to the
+    probed cells: every returned neighbor appears in the exact full
+    ranking with cos_sim unchanged."""
+    exact = {(r["q_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in knn_join(_q(emb), emb, k=500, query_id="q_id")
+             .collect()}
+    ivf = knn_join(_q(emb), emb, k=5, n_cells=4, n_probe=1,
+                   query_id="q_id").collect()
+    assert ivf
+    for r in ivf:
+        assert exact[(r["q_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_sample_fraction_determinism_and_rate(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s1 = sample_fraction(o, 0.2, "o_orderkey", salt="s")
+    s2 = sample_fraction(o, 0.2, "o_orderkey", salt="s")
+    assert s1.count() == s2.count()
+    n, total = s1.count(), o.count()
+    assert abs(n / total - 0.2) < 0.05
+    # nested property: a 10% sample is a subset of the 20% sample
+    s_small = sample_fraction(o, 0.1, "o_orderkey", salt="s")
+    assert s_small.join(s1, "o_orderkey", "left_anti").count() == 0
+    # different salt re-rolls
+    s3 = sample_fraction(o, 0.2, "o_orderkey", salt="other")
+    assert s3.join(s1, "o_orderkey", "left_anti").count() > 0
+
+
+def test_sample_stratified_rates_and_stability(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    kept = sample_stratified(o, "o_orderpriority",
+                             {"1-URGENT": 1.0, "2-HIGH": 0.0},
+                             id_col="o_orderkey", default_fraction=0.5)
+    by = {r["o_orderpriority"]: r["n"]
+          for r in kept.groupBy("o_orderpriority")
+          .agg(F.count("*").alias("n")).collect()}
+    tot = {r["o_orderpriority"]: r["n"]
+           for r in o.groupBy("o_orderpriority")
+           .agg(F.count("*").alias("n")).collect()}
+    assert by["1-URGENT"] == tot["1-URGENT"]   # fraction 1.0 keeps all
+    assert "2-HIGH" not in by                  # fraction 0.0 drops all
+    for p in tot:
+        if p not in ("1-URGENT", "2-HIGH"):
+            assert abs(by[p] / tot[p] - 0.5) < 0.1
+    # append-stability: the kept set over a subset equals the subset of
+    # the kept set (a row's fate never depends on other rows)
+    half = o.filter(F.col("o_orderkey") % 2 == 0)
+    kept_half = sample_stratified(half, "o_orderpriority",
+                                  {"1-URGENT": 1.0, "2-HIGH": 0.0},
+                                  id_col="o_orderkey",
+                                  default_fraction=0.5)
+    diff = (kept_half.select("o_orderkey")
+            .exceptAll(kept.filter(F.col("o_orderkey") % 2 == 0)
+                       .select("o_orderkey")))
+    assert diff.count() == 0
+
+
+def test_sample_validation(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError):
+        sample_fraction(o, 1.5, "o_orderkey")
+    with pytest.raises(ValueError):
+        sample_stratified(o, "o_orderpriority", {"x": -0.1},
+                          id_col="o_orderkey")

@@ -95,6 +95,17 @@ CONTRACTS = {
         ["Join", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
          "ArrowEvalPython"]),
+    "similarity_knn_join": (
+        # query side broadcast (vectors travel once), per-query window
+        # top-k; the window shuffle carries scored triples, not vectors
+        ["BroadcastNestedLoopJoin", "Window", "codegen id"],
+        ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"]),
+    "sample_stratified": (
+        # one hash + CASE per row, filter pushed into the scan stage; the
+        # only Exchange is the final orderBy's rangepartitioning
+        ["Filter", "codegen id"],
+        ["hashpartitioning", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"]),
     "legacy_hive_scan": (
         # partition dirs pruned BEFORE Spark sees the paths; only the
         # residual (non-partition) predicate remains as a row filter,
