@@ -11,8 +11,13 @@ from linkedin_iceberg_spark.operators.dedup import (
 )
 from linkedin_iceberg_spark.operators.graph import connected_components
 from linkedin_iceberg_spark.operators.joins import asof_join
+from linkedin_iceberg_spark.operators.sampling import (
+    sample_fraction,
+    sample_stratified,
+)
 from linkedin_iceberg_spark.operators.similarity import (
     ann_lsh_candidates,
+    knn_join,
     cosine_pairs,
     cosine_topk,
     ivf_assign,
@@ -24,9 +29,12 @@ from linkedin_iceberg_spark.operators.similarity import (
 from linkedin_iceberg_spark.operators.skew import salted_agg, salted_join
 from linkedin_iceberg_spark.operators.text import (
     bpe_pretokenize,
+    decontaminate,
     fingerprint,
     lang_id,
+    pii_scrub,
     quality_score,
+    repetition_signals,
     split_assign,
     token_count,
 )
@@ -36,7 +44,8 @@ __all__ = [
     "minhash_lsh_verified", "simhash_pairs", "connected_components",
     "asof_join", "ann_lsh_candidates", "cosine_pairs", "cosine_topk",
     "ivf_assign", "ivf_assign_join", "ivf_index_table", "ivf_topk",
-    "ivf_topk_from_table", "salted_agg", "salted_join", "bpe_pretokenize",
-    "fingerprint", "lang_id", "quality_score", "split_assign",
-    "token_count",
+    "ivf_topk_from_table", "knn_join", "salted_agg", "salted_join",
+    "sample_fraction", "sample_stratified", "bpe_pretokenize",
+    "decontaminate", "fingerprint", "lang_id", "pii_scrub",
+    "quality_score", "repetition_signals", "split_assign", "token_count",
 ]
