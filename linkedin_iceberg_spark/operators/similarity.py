@@ -374,3 +374,100 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int,
                     F.col("_cos").alias("cos_sim"),
                     F.col("rank").cast("long").alias("rank"))
             .orderBy(query_id, "rank"))
+
+
+def kmeans_fit(df: DataFrame, n_cells: int, n_iters: int,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_to: int = 5, mean_round: int = 6) -> list:
+    """Train IVF centroids with Lloyd's k-means (spherical flavor: cosine
+    assignment, per-position mean update) — the `production IVF trains
+    with k-means` step the ivf_* operators document.
+
+    Returns [(cid, centroid)] after `n_iters` iterations, directly
+    consumable by ivf_assign / ivf_index_table / knn_join.
+
+    Deterministic BY CONSTRUCTION, so a second engine can replay training
+    bit-for-bit: init = the lowest `n_cells` ids; assignment = rounded
+    cosine with ties to the larger cid (ivf_assign's rule); the mean is
+    computed by summing elements as DECIMAL(20,10) — integer arithmetic,
+    order-independent, so the usual nondeterminism of parallel double
+    summation never enters — then rounded to `mean_round` places.  An
+    empty cell keeps its previous centroid.
+
+    Scale: per iteration — one assignment scan (centroid literals inlined,
+    no join), one posexplode + (cell, pos)-keyed aggregation (map-side
+    partial sums), and an n_cells x dim collect (metadata-sized).  The
+    classic broadcast-iterate loop; iterations are O(scan), state on the
+    driver is centroids only."""
+    cents = default_centroids(df, n_cells, id_col, vec_col)
+    for _ in range(n_iters):
+        assigned = ivf_assign(df.select(id_col, vec_col), cents,
+                              vec_col=vec_col, round_to=round_to)
+        pos = assigned.select(
+            "cell", F.posexplode(vec_col).alias("pos", "_x"))
+        dec = F.col("_x").cast("double").cast("decimal(20,10)")
+        agg = (pos.groupBy("cell", "pos")
+               .agg(F.sum(dec).alias("_s"), F.count("*").alias("_n")))
+        rows = (agg.groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct(
+                    F.col("pos"),
+                    F.round(F.col("_s").cast("double") / F.col("_n"),
+                            mean_round).alias("m")))).alias("_pm"))
+                .collect())
+        new = {r["cell"]: [p["m"] for p in r["_pm"]] for r in rows}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def kmeans_oracle_sql(n_cells: int, n_iters: int, table: str = "embeddings",
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_to: int = 5, mean_round: int = 6,
+                      where: str = "") -> str:
+    """ANSI-SQL (DuckDB) replay of kmeans_fit + a final assignment pass:
+    every iteration's rounded-cosine argmax assignment and decimal-exact
+    mean update is regenerated as a CTE chain, value-checking the ENTIRE
+    training loop (same pattern as ann_lsh_oracle_sql / the IVF oracle).
+    Returns SQL yielding ({id_col}, cell) ordered by id."""
+    w = f"WHERE {where}" if where else ""
+    and_w = f"AND {where}" if where else ""
+    parts = [f"""WITH cents0 AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid,
+         {vec_col}::DOUBLE[] AS c
+  FROM (SELECT * FROM {table} {w} ORDER BY {id_col} LIMIT {n_cells})
+)"""]
+    for i in range(n_iters):
+        parts.append(f""", assign{i} AS (
+  SELECT e.{id_col}, e.{vec_col}, c.cid,
+         row_number() OVER (
+           PARTITION BY e.{id_col}
+           ORDER BY round(list_cosine_similarity(e.{vec_col}::DOUBLE[],
+                                                 c.c), {round_to}) DESC,
+                    c.cid DESC) AS rn
+  FROM {table} e CROSS JOIN cents{i} c {w}
+), means{i} AS (
+  SELECT cell AS cid, array_agg(m ORDER BY pos) AS c FROM (
+    SELECT a.cid AS cell, u.pos,
+           round(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(20,10)))
+                      AS DOUBLE) / count(*), {mean_round}) AS m
+    FROM (SELECT * FROM assign{i} WHERE rn = 1) a,
+         (SELECT a2.{id_col} AS vid, unnest(a2.{vec_col}) AS x,
+                 generate_subscripts(a2.{vec_col}, 1) AS pos
+          FROM (SELECT * FROM assign{i} WHERE rn = 1) a2) u
+    WHERE u.vid = a.{id_col}
+    GROUP BY 1, 2) GROUP BY 1
+), cents{i + 1} AS (
+  SELECT c0.cid, COALESCE(m.c, c0.c) AS c
+  FROM cents{i} c0 LEFT JOIN means{i} m ON c0.cid = m.cid
+)""")
+    parts.append(f""", final AS (
+  SELECT e.{id_col}, c.cid,
+         row_number() OVER (
+           PARTITION BY e.{id_col}
+           ORDER BY round(list_cosine_similarity(e.{vec_col}::DOUBLE[],
+                                                 c.c), {round_to}) DESC,
+                    c.cid DESC) AS rn
+  FROM {table} e CROSS JOIN cents{n_iters} c {w}
+)
+SELECT {id_col}, CAST(cid AS BIGINT) AS cell
+FROM final WHERE rn = 1 ORDER BY {id_col}""")
+    return "".join(parts)

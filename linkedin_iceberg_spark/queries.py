@@ -1263,6 +1263,32 @@ def similarity_knn_join(spark, sf_dir):
                     id_col="vec_id", vec_col="embedding")
 
 
+@q("similarity_ivf_train", None)  # oracle attached below (generated SQL)
+def similarity_ivf_train(spark, sf_dir):
+    """k-means IVF centroid training (Lloyd's, 2 iterations, 4 cells) +
+    final cell assignment — closes the `production IVF trains with
+    k-means` step next to the deterministic-sample centroids the other
+    IVF queries use.  The generated oracle replays the ENTIRE training
+    loop in SQL: every iteration's rounded-cosine argmax assignment and
+    decimal-exact mean update (order-independent summation, so parallel
+    double-sum nondeterminism can't fork the trajectories)."""
+    from linkedin_iceberg_spark.operators.similarity import (
+        ivf_assign, kmeans_fit)
+    e = ld(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, n_cells=4, n_iters=2)
+    return (ivf_assign(e.select("vec_id", "embedding"), cents)
+            .select("vec_id", "cell").orderBy("vec_id"))
+
+
+def _kmeans_oracle() -> str:
+    from linkedin_iceberg_spark.operators.similarity import kmeans_oracle_sql
+    return kmeans_oracle_sql(n_cells=4, n_iters=2)
+
+
+_REGISTRY["similarity_ivf_train"] = (_REGISTRY["similarity_ivf_train"][0],
+                                     _kmeans_oracle())
+
+
 @q("sample_stratified", """
 SELECT o_orderkey, o_orderpriority
 FROM orders
@@ -3101,8 +3127,11 @@ _PRIORITY = [
     # window variants) rotate out for sample_stratified (new: deterministic
     # per-stratum hash sampling) and similarity_knn_join (new: batch k-NN
     # join, exact-mode SQL oracle)
+    # r3 late: join_multiway (green r1+r2, unchanged; joins keep join_asof
+    # in-window) rotates out for similarity_ivf_train (new: k-means IVF
+    # training with a full-loop generated SQL oracle)
     "agg_pricing_summary", "agg_approx_distinct", "sample_stratified",
-    "join_asof", "join_multiway", "similarity_knn_join",
+    "join_asof", "similarity_ivf_train", "similarity_knn_join",
     "scalar_math_funcs",
     # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
     # dedup_embedding (new r3: cosine near-dup -> connected components ->

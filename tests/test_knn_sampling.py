@@ -101,3 +101,42 @@ def test_sample_validation(spark, sf_dir):
     with pytest.raises(ValueError):
         sample_stratified(o, "o_orderpriority", {"x": -0.1},
                           id_col="o_orderkey")
+
+
+def test_kmeans_fit_properties(spark, emb):
+    from linkedin_iceberg_spark.operators.similarity import (
+        ivf_assign, kmeans_fit)
+    c0 = kmeans_fit(emb, n_cells=4, n_iters=0)   # init = lowest-id sample
+    c2 = kmeans_fit(emb, n_cells=4, n_iters=2)
+    assert [cid for cid, _ in c2] == [0, 1, 2, 3]
+    assert c2 != c0                              # training moved centroids
+    # deterministic: a second run reproduces the exact centroids
+    assert kmeans_fit(emb, n_cells=4, n_iters=2) == c2
+    # trained centroids produce a full, valid assignment
+    a = ivf_assign(emb.select("vec_id", "embedding"), c2)
+    assert a.count() == emb.count()
+    assert a.select("cell").distinct().count() == 4
+    # training reduces mean cosine distance to the assigned centroid
+    def mean_cos(cents):
+        from linkedin_iceberg_spark.operators.similarity import _cos_to_lit
+        assigned = ivf_assign(emb.select("vec_id", "embedding"), cents)
+        expr = None
+        for cid, vec in cents:
+            c = _cos_to_lit("embedding", vec)
+            expr = F.when(F.col("cell") == cid, c) if expr is None \
+                else expr.when(F.col("cell") == cid, c)
+        return assigned.select(F.avg(expr).alias("m")).head()["m"]
+    assert mean_cos(c2) > mean_cos(c0)
+
+
+def test_kmeans_empty_cell_keeps_previous(spark):
+    from linkedin_iceberg_spark.operators.similarity import kmeans_fit
+    # 3 identical vectors + init with 2 centroids: one cell goes empty
+    # (all rows assign to the same centroid) and must keep its previous
+    # centroid instead of crashing or going NaN
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, n_cells=2, n_iters=2)
+    assert len(cents) == 2
+    assert all(all(x == x for x in vec) for _cid, vec in cents)  # no NaN
