@@ -471,3 +471,42 @@ def kmeans_oracle_sql(n_cells: int, n_iters: int, table: str = "embeddings",
 SELECT {id_col}, CAST(cid AS BIGINT) AS cell
 FROM final WHERE rn = 1 ORDER BY {id_col}""")
     return "".join(parts)
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  q_col: str = "qvec", scale_col: str = "scale",
+                  scale_round: int = 9) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4x
+    storage/bandwidth cut for embedding retrieval (values in
+    [-127, 127], one float scale per vector).
+
+    q_i = floor(x_i / scale + 0.5) with scale = max|x| / 127 — explicit
+    floor(+0.5) rounding, not round(): round-half-even vs half-up varies
+    by engine, floor(+0.5) is bit-identical everywhere, which keeps the
+    whole quantization SQL-verifiable.  A zero vector quantizes to zeros
+    with scale 0.  Reconstruction x~ = q * scale; the error per element
+    is bounded by scale/2 = max|x|/254.
+
+    Scale: two projections (scale, then quantize), no shuffle, no UDF."""
+    mx = F.aggregate(F.col(vec_col), F.lit(0.0),
+                     lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    with_scale = df.withColumn(
+        scale_col, F.round(mx / F.lit(127.0), scale_round))
+    q = F.when(F.col(scale_col) == 0.0,
+               F.transform(F.col(vec_col), lambda v: F.lit(0))) \
+         .otherwise(F.transform(
+             F.col(vec_col),
+             lambda v: F.floor(v.cast("double") / F.col(scale_col)
+                               + F.lit(0.5)).cast("int")))
+    return with_scale.withColumn(q_col, q)
+
+
+def dequantize_int8(df: DataFrame, q_col: str = "qvec",
+                    scale_col: str = "scale",
+                    out_col: str = "embedding") -> DataFrame:
+    """Reconstruct float vectors from int8 quantization (x~ = q * scale)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col),
+                    lambda v: (v.cast("double")
+                               * F.col(scale_col)).cast("float")))

@@ -1318,6 +1318,53 @@ def sample_stratified(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("similarity_quantize", """
+WITH q AS (
+  SELECT vec_id,
+         round(list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))))
+               / 127.0, 9) AS scale,
+         embedding
+  FROM embeddings
+), qv AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                               AS INT)) END AS qvec
+  FROM q
+), flat AS (
+  SELECT vec_id, scale, unnest(qvec) AS qx,
+         generate_subscripts(qvec, 1) AS pos
+  FROM qv
+)
+SELECT vec_id, scale,
+       CAST(sum(qx) AS BIGINT) AS q_sum,
+       CAST(sum(qx * pos) AS BIGINT) AS q_weighted,
+       CAST(max(abs(qx)) AS BIGINT) AS q_absmax
+FROM flat GROUP BY vec_id, scale ORDER BY vec_id""")
+def similarity_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the 4x storage/bandwidth cut
+    for retrieval at scale): per-vector scale = max|x|/127, elements
+    rounded by floor(x/scale + 0.5) — bit-identical across engines, unlike
+    round()'s half-even/half-up split.  The output pins every quantized
+    vector with integer-exact checksums (element sum, position-weighted
+    sum, max magnitude <= 127) so the oracle value-checks the full
+    quantization without a single float comparison beyond the scale."""
+    from linkedin_iceberg_spark.operators.similarity import quantize_int8
+    e = ld(spark, sf_dir, "embeddings")
+    qd = quantize_int8(e.select("vec_id", "embedding"))
+    flat = qd.select("vec_id", "scale",
+                     F.posexplode("qvec").alias("pos0", "qx"))
+    return (flat.groupBy("vec_id", "scale")
+            .agg(F.sum("qx").cast("bigint").alias("q_sum"),
+                 F.sum(F.col("qx") * (F.col("pos0") + 1)).cast("bigint")
+                  .alias("q_weighted"),
+                 F.max(F.abs("qx")).cast("bigint").alias("q_absmax"))
+            .orderBy("vec_id"))
+
+
 @q("text_token_stats", """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
@@ -3129,8 +3176,11 @@ _PRIORITY = [
     # join, exact-mode SQL oracle)
     # r3 late: join_multiway (green r1+r2, unchanged; joins keep join_asof
     # in-window) rotates out for similarity_ivf_train (new: k-means IVF
-    # training with a full-loop generated SQL oracle)
-    "agg_pricing_summary", "agg_approx_distinct", "sample_stratified",
+    # training with a full-loop generated SQL oracle); agg_pricing_summary
+    # (green r1+r2; agg family keeps approx_distinct in-window and eight
+    # lifetime-green variants) rotates out for similarity_quantize (new:
+    # int8 quantization with integer-exact checksums)
+    "similarity_quantize", "agg_approx_distinct", "sample_stratified",
     "join_asof", "similarity_ivf_train", "similarity_knn_join",
     "scalar_math_funcs",
     # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for

@@ -140,3 +140,38 @@ def test_kmeans_empty_cell_keeps_previous(spark):
     cents = kmeans_fit(df, n_cells=2, n_iters=2)
     assert len(cents) == 2
     assert all(all(x == x for x in vec) for _cid, vec in cents)  # no NaN
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark, emb):
+    from linkedin_iceberg_spark.operators.similarity import (
+        dequantize_int8, quantize_int8)
+    qd = quantize_int8(emb.select("vec_id", "embedding"))
+    # every element within int8 range, error within scale/2
+    stats = qd.select(
+        F.array_max(F.transform("qvec", lambda v: F.abs(v))).alias("amax"),
+        F.array_max(F.zip_with(
+            "embedding", "qvec",
+            lambda x, q: F.abs(x.cast("double")
+                               - q.cast("double") * F.col("scale"))))
+         .alias("err"),
+        F.col("scale")).collect()
+    for r in stats:
+        assert r["amax"] <= 127
+        assert r["err"] <= r["scale"] / 2 + 1e-9
+    # round-trip cosine vs original stays high (64-dim, int8)
+    rec = dequantize_int8(qd.select("vec_id", "scale", "qvec"),
+                          out_col="rec")
+    both = (emb.select("vec_id", "embedding")
+            .join(rec.select("vec_id", "rec"), "vec_id"))
+    from linkedin_iceberg_spark.operators.similarity import _dot, _norm
+    cos = (_dot(F.col("embedding"), F.col("rec"))
+           / (_norm(F.col("embedding")) * _norm(F.col("rec"))))
+    assert both.select(F.min(cos)).head()[0] > 0.999
+
+
+def test_quantize_zero_vector(spark):
+    from linkedin_iceberg_spark.operators.similarity import quantize_int8
+    df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    r = quantize_int8(df).head()
+    assert r["scale"] == 0.0 and r["qvec"] == [0, 0, 0]
