@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import time
+import urllib.parse
 from typing import Optional
 
 from pyspark.sql import functions as F
@@ -60,6 +61,14 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
                          "tables; use sort_by within partitions")
 
     entries, delete_entries = table._live_data_and_deletes()
+    # files with pending v2 deletes are candidates REGARDLESS of size or
+    # group count: rewriting them materializes the deletes (the reference's
+    # delete-threshold behavior in RewriteDataFiles) — until then every
+    # read pays the anti-join and external file lists stay unexportable
+    from linkedin_iceberg_spark.catalog.scan import match_deletes
+    delete_laden = {t_.file.file_path
+                    for t_ in match_deletes(entries, delete_entries)
+                    if t_.deletes}
     by_partition: dict = {}
     for e in entries:
         key = tuple(sorted(e.data_file.partition.items()))
@@ -70,11 +79,13 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     for _key, group in by_partition.items():
         # a clustering rewrite re-sorts EVERY live file (right-sized files
         # still have loose bounds until resorted); plain compaction only
-        # bin-packs the small ones
+        # bin-packs the small ones — plus every delete-laden file
         cand = group if clustering else \
             [e for e in group
-             if e.data_file.file_size_in_bytes < target_size_bytes]
-        if len(cand) >= min_input_files:
+             if e.data_file.file_size_in_bytes < target_size_bytes
+             or e.data_file.file_path in delete_laden]
+        if len(cand) >= min_input_files or \
+                any(e.data_file.file_path in delete_laden for e in cand):
             to_rewrite.extend(cand)
     if not to_rewrite:
         return {"rewritten_files": 0, "added_files": 0}
@@ -424,3 +435,69 @@ def _rm(path: str) -> None:
         os.unlink(path)
     except FileNotFoundError:
         pass
+
+
+def export_symlink_manifest(table, dest_dir: str,
+                            snapshot_id: int = None) -> dict:
+    """Export the CURRENT (or a given) snapshot's live data-file list as
+    Hive-layout manifest text files — one ``manifest.txt`` per partition
+    directory, one absolute data-file path per line (the public
+    SymlinkTextInputFormat convention external engines read).
+
+    This is the engine's analog of the reference's Hive-metadata sync
+    (hive-metastore/.../HiveMetadataPreservingTableOperations.java:54 —
+    keep a non-engine-reader-visible view of the table consistent with
+    the engine's snapshot): after deletes/overwrites/compactions the data
+    directory contains dead files, so a naive directory read is WRONG;
+    the exported manifest pins exactly the live set.
+
+    Tables carrying unapplied v2 delete files are refused — an external
+    reader cannot apply position/equality deletes to a plain file list;
+    compact first (rewrite_data_files applies pending deletes).
+
+    Scale: metadata-only — O(live files) driver work, no data read."""
+    from linkedin_iceberg_spark.catalog.serde import encode_value
+
+    md = table.metadata
+    snap = md.snapshot_by_id(snapshot_id) if snapshot_id \
+        else md.current_snapshot
+    if snapshot_id and snap is None:
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+    tasks = table.new_scan().use_snapshot(snap.snapshot_id).plan_files() \
+        if snap else []
+    if any(t.deletes for t in tasks):
+        raise ValueError(
+            "table has unapplied v2 delete files; external readers cannot "
+            "apply them to a plain file list — run rewrite_data_files() "
+            "(compaction applies pending deletes) and re-export")
+
+    by_dir: dict = {}
+    for t_ in tasks:
+        f = t_.file
+        spec = md.spec_by_id(getattr(f, "spec_id", md.default_spec_id)) \
+            or md.spec
+        comps = []
+        for pf in spec.fields:
+            v = f.partition.get(pf.name)
+            enc = "__HIVE_DEFAULT_PARTITION__" if v is None else \
+                urllib.parse.quote(str(encode_value(v, pf.bound_transform()
+                                                    .result_type(
+                                                        pf.source_type
+                                                        or "string"))),
+                                   safe="")
+            comps.append(f"{pf.name}={enc}")
+        by_dir.setdefault(os.path.join(*comps) if comps else "",
+                          []).append(os.path.abspath(f.file_path))
+
+    written = []
+    for rel, paths in sorted(by_dir.items()):
+        d = os.path.join(dest_dir, rel) if rel else dest_dir
+        os.makedirs(d, exist_ok=True)
+        mpath = os.path.join(d, "manifest.txt")
+        with open(mpath + ".tmp", "w") as fh:
+            fh.write("\n".join(sorted(paths)) + "\n")
+        os.replace(mpath + ".tmp", mpath)  # atomic per-partition swap
+        written.append(mpath)
+    return {"manifests": written,
+            "files": sum(len(p) for p in by_dir.values()),
+            "snapshot_id": snap.snapshot_id if snap else None}
