@@ -218,3 +218,79 @@ def bpe_pretokenize(df: DataFrame, text_col: str = "text",
         F.round(F.length(text_col) /
                 F.greatest(F.size(toks), F.lit(1)), 4)
          .alias("chars_per_pretok"))
+
+
+def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split long documents into token-window chunks with optional overlap
+    — the pre-tokenization chunking step every training/RAG pipeline runs
+    before budgeted sequence assembly.
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; the last chunk may be short; documents
+    shorter than max_tokens yield exactly one chunk.  Output:
+    (id, chunk_id, chunk_text, n_chunk_tokens), deterministic.
+
+    Scale: tokens stay inside the row as an array; chunk windows are an
+    index-range transform + explode — one projection chain, no shuffle,
+    no UDF."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+    toked = df.select(F.col(id_col),
+                      F.split(F.col(text_col), " ").alias("_toks"))
+    # chunk starts: 0, stride, 2*stride, ... while start < n (at least one)
+    starts = F.expr(
+        f"sequence(0, greatest(cast(ceil((size(_toks) - {max_tokens}) "
+        f"/ {stride}.0) AS INT), 0) * {stride}, {stride})")
+    chunks = (toked
+              .select(id_col, "_toks",
+                      F.posexplode(starts).alias("chunk_id", "_start"))
+              .select(
+                  F.col(id_col),
+                  F.col("chunk_id").cast("long").alias("chunk_id"),
+                  F.expr(f"slice(_toks, _start + 1, {max_tokens})")
+                   .alias("_w")))
+    return chunks.select(
+        id_col, "chunk_id",
+        F.concat_ws(" ", F.col("_w")).alias("chunk_text"),
+        F.size("_w").cast("long").alias("n_chunk_tokens"))
+
+
+def pack_sequences(df: DataFrame, budget: int, order_col: str,
+                   count_col: str, id_col: str = "doc_id",
+                   bin_col: str = "bin") -> DataFrame:
+    """Concat-and-cut sequence packing (the standard GPT-pretraining
+    recipe): conceptually concatenate the rows' token streams in
+    `order_col` order and cut every `budget` tokens.  Each row is
+    assigned the bin where its FIRST token falls; `bin_tokens_before` is
+    its offset inside that bin, and `spills_next_bin` marks rows whose
+    tail crosses the cut (they are split across training sequences —
+    exactly what concat-cut packing does to documents).  Rows larger
+    than the budget are clamped to `budget` for stream accounting
+    (truncate-to-context semantics).
+
+    Deterministic and closed-form: everything derives from one running
+    cumulative sum, so plain SQL replays it exactly.  Scale: one global
+    sort (which the output order requires anyway) + one window pass; at
+    100 TB pack per shard key instead (add the key to the window) so
+    streams pack independently in parallel."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql import Window
+    w = Window.orderBy(order_col, id_col)
+    clamped = F.least(F.col(count_col), F.lit(budget))
+    start = (F.sum(clamped).over(w) - clamped).cast("long")
+    bin_id = F.floor(start / budget).cast("long")
+    return (df.withColumn("_start", start)
+            .withColumn(bin_col, bin_id)
+            .withColumn("bin_tokens_before",
+                        (F.col("_start") - F.col(bin_col) * budget)
+                        .cast("long"))
+            .withColumn("spills_next_bin",
+                        (F.col("bin_tokens_before") + clamped)
+                        > F.lit(budget))
+            .drop("_start"))

@@ -1365,6 +1365,68 @@ def similarity_quantize(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+@q("text_chunk", """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), starts AS (
+  SELECT doc_id, l,
+         unnest(range(0, greatest(CAST(ceil((len(l) - 20) / 15.0) AS INT),
+                                  0) * 15 + 1, 15)) AS start,
+         generate_subscripts(range(0, greatest(CAST(ceil((len(l) - 20)
+                                                    / 15.0) AS INT),
+                                               0) * 15 + 1, 15), 1) AS cn
+  FROM toked
+)
+SELECT doc_id, CAST(cn - 1 AS BIGINT) AS chunk_id,
+       array_to_string(l[start + 1 : start + 20], ' ') AS chunk_text,
+       CAST(len(l[start + 1 : start + 20]) AS BIGINT) AS n_chunk_tokens
+FROM starts ORDER BY doc_id, chunk_id""")
+def text_chunk(spark, sf_dir):
+    """Token-window document chunking with overlap (max 20 tokens,
+    stride 15) — the pre-tokenization chunking step before budgeted
+    sequence assembly; windows are an index-range transform + explode,
+    no shuffle.  The oracle recomputes every window boundary and chunk
+    text."""
+    from linkedin_iceberg_spark.operators.text import chunk_documents
+    d = ld(spark, sf_dir, "documents")
+    return (chunk_documents(d, max_tokens=20, overlap=5)
+            .orderBy("doc_id", "chunk_id"))
+
+
+@q("text_pack", """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(least(n_tokens, 256))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - least(n_tokens, 256) AS start
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(start / 256) AS BIGINT) AS bin,
+       CAST(start - floor(start / 256) * 256 AS BIGINT)
+         AS bin_tokens_before,
+       (start - floor(start / 256) * 256 + least(n_tokens, 256)) > 256
+         AS spills_next_bin
+FROM c ORDER BY doc_id""")
+def text_pack(spark, sf_dir):
+    """Concat-and-cut sequence packing (the GPT-pretraining recipe):
+    concatenate documents in id order and cut every 256 tokens; each doc
+    is assigned the bin holding its first token, with its in-bin offset
+    and a flag when its tail crosses the cut.  Derived from one
+    cumulative-sum window — deterministic and SQL-replayable."""
+    from linkedin_iceberg_spark.operators.text import pack_sequences
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long")
+        .alias("n_tokens"))
+    return (pack_sequences(d, budget=256, order_col="doc_id",
+                           count_col="n_tokens", id_col="doc_id")
+            .select("doc_id", "n_tokens", "bin", "bin_tokens_before",
+                    "spills_next_bin")
+            .orderBy("doc_id"))
+
+
 @q("text_token_stats", """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
@@ -3111,13 +3173,18 @@ _PRIORITY = [
     # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
     # table_overwrite_where in-window) rotates out for table_update_where
     # (new: keyless copy-on-write UPDATE with pruned candidates)
-    "table_update_where", "table_incremental_scan",
+    # r3 late: table_incremental_scan (green r1+r2, code unchanged) rotates
+    # out for text_chunk (new: token-window chunking with overlap)
+    "table_update_where", "text_chunk",
     # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
     # out for table_changelog (new: CDC scan over a MERGE commit)
     "table_scan_bucket_pruned", "table_changelog",
     # r3: table_merge_upsert (green r1+r2) rotates out for table_merge_full
     # (new: conditional matched-update/delete + unmatched-insert MERGE)
-    "table_migrate_import", "table_merge_full", "table_position_deletes",
+    # r3 late: table_migrate_import (green r1+r2; the import plane keeps
+    # legacy_hive_scan in-window and add_files pytest coverage) rotates out
+    # for text_pack (new: concat-cut sequence packing)
+    "text_pack", "table_merge_full", "table_position_deletes",
     # r3 late: table_expire_snapshots (green r1+r2; maintenance family
     # keeps compaction/rewrite-manifests/rollback in-window) rotates out
     # for table_incremental_view (new: changelog-driven view maintenance)

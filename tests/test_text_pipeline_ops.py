@@ -71,3 +71,54 @@ def test_decontaminate_short_docs_never_match(spark):
                   decontaminate(corpus, bench, ngram=6).collect())
     # bench has no 6-grams, so nothing can be contaminated
     assert kept == [0, 1]
+
+
+def test_chunk_boundaries_and_overlap(spark):
+    from linkedin_iceberg_spark.operators.text import chunk_documents
+    df = _docs(spark, ["a b c d e f g h i j"])         # 10 tokens
+    out = sorted(chunk_documents(df, max_tokens=4, overlap=0).collect(),
+                 key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in out] == \
+        ["a b c d", "e f g h", "i j"]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 2]
+    # zero-overlap chunks reconstruct the document exactly
+    assert " ".join(r["chunk_text"] for r in out) == "a b c d e f g h i j"
+    # overlap: stride 2, each inner boundary repeats 2 tokens
+    ov = sorted(chunk_documents(df, max_tokens=4, overlap=2).collect(),
+                key=lambda r: r["chunk_id"])
+    assert ov[0]["chunk_text"] == "a b c d"
+    assert ov[1]["chunk_text"] == "c d e f"
+    assert ov[-1]["chunk_text"].endswith("j")
+    # short doc -> exactly one chunk
+    one = chunk_documents(_docs(spark, ["x y"]), max_tokens=10).collect()
+    assert len(one) == 1 and one[0]["chunk_text"] == "x y"
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_pack_sequences_concat_cut_rules(spark):
+    from linkedin_iceberg_spark.operators.text import pack_sequences
+    rows = [(i, n) for i, n in enumerate([100, 100, 60, 300, 10, 250])]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, budget=256, order_col="doc_id",
+                          count_col="n").collect()}
+    # clamped stream: 100,100,60,256,10,250 -> starts 0,100,200,260,516,526
+    assert out[0]["bin"] == 0 and out[0]["bin_tokens_before"] == 0
+    assert not out[0]["spills_next_bin"]
+    assert out[1]["bin"] == 0 and out[1]["bin_tokens_before"] == 100
+    assert not out[1]["spills_next_bin"]
+    # doc2 starts at offset 200 of bin 0 and its tail crosses the cut
+    assert out[2]["bin"] == 0 and out[2]["bin_tokens_before"] == 200
+    assert out[2]["spills_next_bin"]
+    # oversize doc (300 clamped to 256) starts 4 into bin 1 and spills
+    assert out[3]["bin"] == 1 and out[3]["bin_tokens_before"] == 4
+    assert out[3]["spills_next_bin"]
+    # starts 516, 526 -> bin 2
+    assert out[4]["bin"] == 2 and out[4]["bin_tokens_before"] == 4
+    assert out[5]["bin"] == 2 and out[5]["bin_tokens_before"] == 14
+    assert out[5]["spills_next_bin"]
+    # stream conservation: every first token lands in exactly one bin and
+    # offsets stay inside the budget
+    for r in out.values():
+        assert 0 <= r["bin_tokens_before"] < 256
