@@ -17,7 +17,10 @@ from linkedin_iceberg_spark.operators.sampling import (
 )
 from linkedin_iceberg_spark.operators.similarity import (
     ann_lsh_candidates,
+    dequantize_int8,
+    kmeans_fit,
     knn_join,
+    quantize_int8,
     cosine_pairs,
     cosine_topk,
     ivf_assign,
@@ -29,7 +32,9 @@ from linkedin_iceberg_spark.operators.similarity import (
 from linkedin_iceberg_spark.operators.skew import salted_agg, salted_join
 from linkedin_iceberg_spark.operators.text import (
     bpe_pretokenize,
+    chunk_documents,
     decontaminate,
+    pack_sequences,
     fingerprint,
     lang_id,
     pii_scrub,
@@ -44,7 +49,9 @@ __all__ = [
     "minhash_lsh_verified", "simhash_pairs", "connected_components",
     "asof_join", "ann_lsh_candidates", "cosine_pairs", "cosine_topk",
     "ivf_assign", "ivf_assign_join", "ivf_index_table", "ivf_topk",
-    "ivf_topk_from_table", "knn_join", "salted_agg", "salted_join",
+    "ivf_topk_from_table", "kmeans_fit", "knn_join", "quantize_int8",
+    "dequantize_int8", "chunk_documents", "pack_sequences",
+    "salted_agg", "salted_join",
     "sample_fraction", "sample_stratified", "bpe_pretokenize",
     "decontaminate", "fingerprint", "lang_id", "pii_scrub",
     "quality_score", "repetition_signals", "split_assign", "token_count",
