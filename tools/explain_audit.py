@@ -95,6 +95,16 @@ CONTRACTS = {
         ["Join", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
          "ArrowEvalPython"]),
+    "text_chunk": (
+        # window starts explode JVM-side; tokens never leave the row until
+        # the final explode — no shuffle before the orderBy
+        ["Generate", "codegen id"],
+        ["hashpartitioning", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"]),
+    "text_pack": (
+        # one global-sort window pass (the packing order), nothing else
+        ["Window", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "similarity_knn_join": (
         # query side broadcast (vectors travel once), per-query window
         # top-k; the window shuffle carries scored triples, not vectors
