@@ -175,3 +175,23 @@ def test_filter_binds_and_rejects_unknown_column(spark, hive_dir):
     # binding coerces: int literal against long column works
     bound = bind(t.schema, eq("id", 5))
     assert bound is not None
+
+
+def test_special_char_partition_values(spark, tmp_path):
+    """Spark percent-escapes special characters in partition directory
+    names; the adapter must decode them back to the original values
+    (urllib.parse.unquote mirrors Hive's FileUtils.escapePathName)."""
+    vals = ["a b", "x=y", "p/q", "naïve", "100%", "c:d"]
+    rows = [Row(id=i, grp=vals[i % len(vals)]) for i in range(30)]
+    path = str(tmp_path / "esc")
+    spark.createDataFrame(rows).write.partitionBy("grp").parquet(path)
+    t = LegacyHiveTable(spark, path)
+    seen = {task.file.partition["grp"] for task in t.scan().plan_files()}
+    assert seen == set(vals)
+    for v in vals:
+        tasks = t.scan(row_filter=eq("grp", v)).plan_files()
+        assert tasks and all(task.file.partition["grp"] == v
+                             for task in tasks)
+        got = t.scan(row_filter=eq("grp", v)).to_df().count()
+        want = spark.read.parquet(path).filter(F.col("grp") == v).count()
+        assert got == want == 5
