@@ -71,6 +71,29 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     band signature: every stage is expressible in ANSI SQL, so a second
     engine can recompute the EXACT candidate set — see
     minhash_oracle_sql; same pattern as simhash's portable mode)."""
+    banded = minhash_band_signatures(df, text_col, id_col, num_hashes,
+                                     bands, shingle_n, hash_mode)
+    a = banded.alias("a")
+    bb = banded.alias("bb")
+    pairs = (a.join(bb, (F.col("a.band") == F.col("bb.band"))
+                    & (F.col("a.sig") == F.col("bb.sig"))
+                    & (F.col(f"a.{id_col}") < F.col(f"bb.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("d1"),
+                      F.col(f"bb.{id_col}").alias("d2"))
+             .agg(F.count("*").alias("n_shared_bands")))
+    return pairs.orderBy("d1", "d2")
+
+
+def minhash_band_signatures(df: DataFrame, text_col: str, id_col: str,
+                            num_hashes: int = 32, bands: int = 8,
+                            shingle_n: int = 3,
+                            hash_mode: str = "xxhash64") -> DataFrame:
+    """Stages 1-3 of the MinHash-LSH pipeline as a reusable unit: per-doc
+    banded signatures (id, band, sig).  minhash_lsh_candidates self-joins
+    them; the incremental-dedup path PERSISTS them as the corpus index and
+    joins each new batch against it (see streaming/incremental_dedup.py).
+    No shuffle beyond the signature groupBy; output is B rows per doc of
+    ~20 bytes — the index is corpus-sized in docs, not tokens."""
     rows_per_band = num_hashes // bands
     # tokenize ONCE into an array column, then window over it — keeps the
     # split out of the per-element lambda
@@ -119,19 +142,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
             sig = F.xxhash64(*cols)
         band_rows.append(F.struct(F.lit(b).alias("band"),
                                   sig.alias("sig")))
-    banded = (sigs.select(id_col, F.explode(F.array(*band_rows)).alias("b"))
-              .select(id_col, F.col("b.band").alias("band"),
-                      F.col("b.sig").alias("sig")))
-
-    a = banded.alias("a")
-    bb = banded.alias("bb")
-    pairs = (a.join(bb, (F.col("a.band") == F.col("bb.band"))
-                    & (F.col("a.sig") == F.col("bb.sig"))
-                    & (F.col(f"a.{id_col}") < F.col(f"bb.{id_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("d1"),
-                      F.col(f"bb.{id_col}").alias("d2"))
-             .agg(F.count("*").alias("n_shared_bands")))
-    return pairs.orderBy("d1", "d2")
+    return (sigs.select(id_col, F.explode(F.array(*band_rows)).alias("b"))
+            .select(id_col, F.col("b.band").alias("band"),
+                    F.col("b.sig").alias("sig")))
 
 
 def minhash_lsh_verified(df: DataFrame, text_col: str, id_col: str,

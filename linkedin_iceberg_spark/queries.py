@@ -2729,6 +2729,83 @@ def streaming_source_total(spark, sf_dir):
     return spark.table(sink).agg(F.count("*").alias("n"))
 
 
+@q("streaming_incremental_dedup", None)  # generated oracle attached below
+def streaming_incremental_dedup(spark, sf_dir):
+    """Incremental corpus dedup: documents stream in THREE mtime-ordered
+    files (ascending doc_id), each micro-batch is deduped against a
+    PERSISTED MinHash band-signature index (an engine table) before its
+    own signatures — accepted or not, first-seen wins — are appended.
+    The generated md5-portable oracle replays the entire multi-batch run
+    in SQL as one lower-id band-collision self-join."""
+    import tempfile
+    import time as _time
+
+    from linkedin_iceberg_spark import Catalog
+    from linkedin_iceberg_spark.streaming.incremental_dedup import (
+        dedup_decide)
+
+    d = ld(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 300)
+    base = tempfile.mkdtemp(prefix="q_incdedup_")
+    src = os.path.join(base, "src")
+    n = d.agg(F.max("doc_id")).head()[0] + 1
+    cuts = [n // 3, 2 * n // 3]
+    parts = [d.filter(F.col("doc_id") < cuts[0]),
+             d.filter((F.col("doc_id") >= cuts[0])
+                      & (F.col("doc_id") < cuts[1])),
+             d.filter(F.col("doc_id") >= cuts[1])]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        _time.sleep(0.25)  # distinct mtimes: batches arrive in id order
+
+    cat = Catalog(spark, os.path.join(base, "wh"))
+    idx = cat.create_table(
+        "dedup.index",
+        spark.createDataFrame([], "doc_id long, band int, sig long"))
+
+    collected = []
+
+    def on_batch(batch_df, _eid):
+        t = cat.load_table("dedup.index")
+        decisions, sigs = dedup_decide(
+            batch_df, t.to_df(), num_hashes=16, bands=8, shingle_n=3,
+            hash_mode="md5")
+        collected.extend(decisions.collect())
+        # one index file per batch: the index is B rows/doc of ~20 bytes,
+        # a single file keeps the next batch's lookup a one-file read
+        t.append(sigs.select(F.col("doc_id").cast("long"),
+                             F.col("band").cast("int"),
+                             F.col("sig").cast("long")).coalesce(1))
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+        q_ = (ev.writeStream.foreachBatch(on_batch).outputMode("append")
+              .option("checkpointLocation", os.path.join(base, "ck"))
+              .trigger(availableNow=True).start())
+        q_.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    return (spark.createDataFrame(collected, "doc_id long, accepted boolean")
+            .orderBy("doc_id"))
+
+
+def _incremental_dedup_oracle() -> str:
+    from linkedin_iceberg_spark.streaming.incremental_dedup import (
+        incremental_dedup_oracle_sql)
+    return incremental_dedup_oracle_sql(
+        table="(SELECT * FROM documents WHERE doc_id < 300)",
+        num_hashes=16, bands=8, shingle_n=3)
+
+
+_REGISTRY["streaming_incremental_dedup"] = (
+    _REGISTRY["streaming_incremental_dedup"][0], _incremental_dedup_oracle())
+
+
 @q("streaming_dedup", """
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
 FROM events WHERE user_id <= 50
@@ -3225,7 +3302,10 @@ _PRIORITY = [
     # (green r2) rotates out for text_decontaminate (new: 8-gram benchmark
     # overlap anti-join)
     "text_split_assign", "text_pii_scrub", "text_decontaminate",
-    "text_fingerprint", "text_bpe_tokens",
+    # r3 late: text_fingerprint (green r2; text family keeps six in-window
+    # entries) rotates out for streaming_incremental_dedup (new: persisted
+    # signature-index dedup across micro-batches, full-run SQL oracle)
+    "streaming_incremental_dedup", "text_bpe_tokens",
     # relational representatives (one-per-operator-family coverage).
     # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg
     # (each green in BOTH r1 and r2, unchanged since) rotate out for the

@@ -1,0 +1,89 @@
+"""Incremental corpus deduplication: stream new documents against a
+persisted MinHash-LSH signature index.
+
+The batch dedup operators (operators/dedup.py) answer "which documents in
+THIS corpus are near-duplicates of each other"; an ingestion pipeline
+needs the incremental question — "is this NEW document a near-duplicate
+of anything we already accepted" — without rescanning the corpus.  The
+banded signatures make that a lookup: persist (doc_id, band, sig) as the
+corpus index (B ~20-byte rows per doc) and join each incoming batch
+against it on (band, sig).
+
+Decision rule: first-seen wins.  A document is a duplicate iff it shares
+at least one band signature with ANY earlier document — earlier batches
+via the index, earlier rows of the same batch via a lower-id self-join.
+Because rejected documents' signatures also enter the index, the rule is
+closed-form (no recursive accept-chain), so the whole multi-batch run is
+replayable in plain SQL for verification.
+
+Scale: the per-batch cost is one signature pass over the batch plus one
+equi-join on 12-byte (band, sig) keys against the index — at 100 TB the
+index lives as an engine table partitioned/bucketed by band so the join
+is cell-local and index growth is an append, never a rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.operators.dedup import minhash_band_signatures
+
+
+def dedup_decide(batch_df: DataFrame, index_sigs: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
+                 hash_mode: str = "xxhash64"):
+    """Decide accept/duplicate for one batch against the current index.
+
+    Returns (decisions, batch_sigs): decisions = (id, accepted) for every
+    batch row; batch_sigs = the batch's banded signatures — append them
+    ALL to the index afterwards (first-seen wins needs rejected docs'
+    signatures too).
+    """
+    sigs = minhash_band_signatures(batch_df, text_col, id_col, num_hashes,
+                                   bands, shingle_n, hash_mode)
+    hit_index = (sigs.join(index_sigs.select("band", "sig").distinct(),
+                           ["band", "sig"])
+                 .select(id_col).distinct())
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hit_batch = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.sig") == F.col("b.sig"))
+                        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                 .select(F.col(f"b.{id_col}").alias(id_col)).distinct())
+    dups = hit_index.union(hit_batch).distinct()
+    decisions = (batch_df.select(id_col)
+                 .join(dups.withColumn("_dup", F.lit(True)),
+                       on=id_col, how="left")
+                 .select(id_col,
+                         F.coalesce(~F.col("_dup"), F.lit(True))
+                          .alias("accepted")))
+    return decisions, sigs
+
+
+def incremental_dedup_oracle_sql(table: str = "documents",
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 num_hashes: int = 16, bands: int = 8,
+                                 shingle_n: int = 3) -> str:
+    """SQL replay of the ENTIRE multi-batch run (md5-portable hash mode).
+
+    Valid whenever batches arrive in ascending-id order (the demo/driver
+    setup): first-seen-wins then reduces to `duplicate iff some lower-id
+    doc shares a band signature`, which one self-join expresses — the
+    banded-signature CTEs are the same ones minhash_oracle_sql inlines."""
+    from linkedin_iceberg_spark.operators.dedup import minhash_oracle_sql
+
+    base = minhash_oracle_sql(table, text_col, id_col, num_hashes, bands,
+                              shingle_n)
+    # reuse everything up to the banded CTE; swap the candidate-pair
+    # select for the accept decision
+    prefix = base[:base.index("\nSELECT a.")]
+    return f"""{prefix}
+, dup AS (
+  SELECT DISTINCT b.{id_col} FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.{id_col} < b.{id_col}
+)
+SELECT t.{id_col}, dup.{id_col} IS NULL AS accepted
+FROM {table} t LEFT JOIN dup ON t.{id_col} = dup.{id_col}
+ORDER BY t.{id_col}"""
