@@ -84,3 +84,23 @@ def test_export_past_snapshot(catalog, spark, sf_dir, tmp_path):
     assert _duck_read_count(_manifest_paths(res_new)) == 1000
     with pytest.raises(ValueError, match="unknown snapshot"):
         export_symlink_manifest(t, str(tmp_path / "x"), snapshot_id=12345)
+
+
+def test_export_across_spec_evolution(catalog, spark, sf_dir, tmp_path):
+    """Mixed-spec tables export correctly: files written under the OLD
+    spec land in directories derived from THEIR spec's partition tuple
+    (unpartitioned -> the root manifest), new-spec files under key=value
+    dirs — and the union still equals the engine view."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderkey") <= 8000)  # deterministic subset
+    n = o.count()
+    t = catalog.create_table("db.sym4", o)          # unpartitioned
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    t = t.update_spec(lambda b: b.identity("o_orderpriority"))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    res = export_symlink_manifest(t, str(tmp_path / "mix"))
+    roots = [m for m in res["manifests"]
+             if os.path.dirname(m) == str(tmp_path / "mix")]
+    parts = [m for m in res["manifests"] if "o_orderpriority=" in m]
+    assert roots and parts
+    assert _duck_read_count(_manifest_paths(res)) == t.to_df().count() == n
