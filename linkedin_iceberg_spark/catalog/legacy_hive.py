@@ -243,8 +243,7 @@ class LegacyHiveTableScan:
                 continue
             if len(partition) != len(t._part_cols):
                 continue  # data files above the leaf level: not Hive layout
-            if t._part_cols and not pf_eval.eval(partition):
-                continue
+            # (the complete-tuple eval already pruned failing leaves above)
             residual = residual_of(t.spec, bound, partition) \
                 if t._part_cols else bound
             if isinstance(residual, AlwaysFalse):

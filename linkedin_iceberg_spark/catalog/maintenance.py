@@ -472,10 +472,13 @@ def export_symlink_manifest(table, dest_dir: str,
             "(compaction applies pending deletes) and re-export")
 
     by_dir: dict = {}
+    bound_specs: dict = {}  # spec_id -> bound spec (spec_by_id re-binds)
     for t_ in tasks:
         f = t_.file
-        spec = md.spec_by_id(getattr(f, "spec_id", md.default_spec_id)) \
-            or md.spec
+        sid = getattr(f, "spec_id", md.default_spec_id)
+        spec = bound_specs.get(sid)
+        if spec is None:
+            spec = bound_specs[sid] = md.spec_by_id(sid) or md.spec
         comps = []
         for pf in spec.fields:
             v = f.partition.get(pf.name)
@@ -498,6 +501,18 @@ def export_symlink_manifest(table, dest_dir: str,
             fh.write("\n".join(sorted(paths)) + "\n")
         os.replace(mpath + ".tmp", mpath)  # atomic per-partition swap
         written.append(mpath)
+    # partitions that dropped out of the snapshot must lose their manifest
+    # too, or a re-export leaves stale file lists pointing at dead data —
+    # the exact inconsistency this function exists to prevent
+    removed = []
+    current = set(written)
+    for root, _dirs, files in os.walk(dest_dir):
+        for fn in files:
+            p = os.path.join(root, fn)
+            if fn == "manifest.txt" and p not in current:
+                os.unlink(p)
+                removed.append(p)
     return {"manifests": written,
             "files": sum(len(p) for p in by_dir.values()),
+            "stale_removed": len(removed),
             "snapshot_id": snap.snapshot_id if snap else None}

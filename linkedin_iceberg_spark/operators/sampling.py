@@ -15,12 +15,26 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000  # fraction resolution: 1e-6
 
 
-def _bucket(id_col: str, salt: str):
-    """Deterministic bucket in [0, 1e6): 60-bit md5 prefix mod 1e6 —
-    portable (the identical expression exists in ANSI SQL / DuckDB)."""
+def hash_bucket(id_col: str, salt: str, buckets: int = _BUCKETS):
+    """Deterministic bucket in [0, buckets): 60-bit md5 prefix of
+    ``salt-id`` mod buckets — portable (the identical expression exists in
+    ANSI SQL / DuckDB).  The ONE copy of the recipe: split_assign (mod
+    100) and the samplers (mod 1e6) both call this, so the cross-engine
+    determinism contract cannot silently fork."""
     return (F.conv(F.substring(
         F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string"))),
-        1, 15), 16, 10).cast("long") % _BUCKETS)
+        1, 15), 16, 10).cast("long") % buckets)
+
+
+def _bucket(id_col: str, salt: str):
+    return hash_bucket(id_col, salt, _BUCKETS)
+
+
+def _threshold(fraction: float) -> int:
+    # round, not truncate: int(0.000249 * 1e6) is 248 by float truncation
+    # while the SQL replay compares against 249 — round() restores the
+    # exact-replay contract for every 6-decimal fraction
+    return int(round(fraction * _BUCKETS))
 
 
 def sample_fraction(df: DataFrame, fraction: float, id_col: str,
@@ -28,7 +42,7 @@ def sample_fraction(df: DataFrame, fraction: float, id_col: str,
     """Keep ~`fraction` of rows, decided per row by hash bucket."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.filter(_bucket(id_col, salt) < int(fraction * _BUCKETS))
+    return df.filter(_bucket(id_col, salt) < _threshold(fraction))
 
 
 def sample_stratified(df: DataFrame, strata_col: str, fractions: dict,
@@ -51,12 +65,12 @@ def sample_stratified(df: DataFrame, strata_col: str, fractions: dict,
     thresh = None
     for name, frac in fractions.items():
         cond = F.col(strata_col) == F.lit(name)
-        lim = F.lit(int(frac * _BUCKETS))
+        lim = F.lit(_threshold(frac))
         thresh = F.when(cond, lim) if thresh is None \
             else thresh.when(cond, lim)
-    thresh = thresh.otherwise(F.lit(int(default_fraction * _BUCKETS))) \
+    thresh = thresh.otherwise(F.lit(_threshold(default_fraction))) \
         if thresh is not None \
-        else F.lit(int(default_fraction * _BUCKETS))
+        else F.lit(_threshold(default_fraction))
     return df.filter(_bucket(id_col, salt) < thresh)
 
 

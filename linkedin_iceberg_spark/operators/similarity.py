@@ -343,8 +343,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int,
 
     if n_cells:
         centroids = default_centroids(corpus, n_cells, id_col, vec_col)
-        c = ivf_assign(c, centroids, vec_col="_cv").withColumnRenamed(
-            "cell", "_cell")
+        c = ivf_assign(c, centroids, vec_col="_cv",
+                       round_to=round_to).withColumnRenamed("cell", "_cell")
         # each query explodes to its n_probe nearest cells: score the
         # centroid literals, sort (score desc, cid desc — probe_cells'
         # tie-break), slice, explode.  Centroids are literals, so this is

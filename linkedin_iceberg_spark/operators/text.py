@@ -96,9 +96,8 @@ def split_assign(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("weights must sum to 100")
     if any(w <= 0 for w in weights.values()):
         raise ValueError("every split weight must be positive")
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string"))),
-        1, 15), 16, 10).cast("long") % 100)
+    from linkedin_iceberg_spark.operators.sampling import hash_bucket
+    bucket = hash_bucket(id_col, salt, buckets=100)
     expr = None
     acc = 0
     for name, w in weights.items():
@@ -160,14 +159,16 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     """Redact emails and long digit runs (phone/account-shaped) before
     training, keeping per-doc redaction counts for audit.  One JVM-side
     regex pass per pattern — no UDF, no shuffle."""
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
-        PII_LONGNUM_RE, "<NUM>")
+    after_email = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(after_email, PII_LONGNUM_RE, "<NUM>")
     return df.select(
         F.col(id_col),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), 0))
          .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(F.col(text_col),
+        # count long-number redactions on the email-scrubbed text so the
+        # audit counts match the <NUM> placeholders actually emitted (a
+        # digit run INSIDE an email is consumed by the email pass)
+        F.size(F.regexp_extract_all(after_email,
                                     F.lit(PII_LONGNUM_RE), 0))
          .cast("long").alias("n_longnums"),
         scrubbed.alias("scrubbed_text"))
@@ -240,8 +241,12 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
     if not 0 <= overlap < max_tokens:
         raise ValueError("overlap must be in [0, max_tokens)")
     stride = max_tokens - overlap
+    # NULL text must not silently drop the row (posexplode over a NULL
+    # starts array emits nothing): treat it as the empty document, which
+    # yields one empty chunk like any other short doc
     toked = df.select(F.col(id_col),
-                      F.split(F.col(text_col), " ").alias("_toks"))
+                      F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                      .alias("_toks"))
     # chunk starts: 0, stride, 2*stride, ... while start < n (at least one)
     starts = F.expr(
         f"sequence(0, greatest(cast(ceil((size(_toks) - {max_tokens}) "

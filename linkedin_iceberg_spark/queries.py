@@ -1665,7 +1665,9 @@ SELECT doc_id,
        len(regexp_extract_all(t,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
          AS n_emails,
-       len(regexp_extract_all(t, '[0-9]{9,}'))::BIGINT AS n_longnums,
+       len(regexp_extract_all(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+           'g'), '[0-9]{9,}'))::BIGINT AS n_longnums,
        regexp_replace(regexp_replace(t,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
            'g'), '[0-9]{9,}', '<NUM>', 'g') AS scrubbed_text
@@ -2776,6 +2778,7 @@ def streaming_incremental_dedup(spark, sf_dir):
         t.append(sigs.select(F.col("doc_id").cast("long"),
                              F.col("band").cast("int"),
                              F.col("sig").cast("long")).coalesce(1))
+        sigs.unpersist()
 
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

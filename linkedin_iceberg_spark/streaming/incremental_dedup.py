@@ -41,8 +41,12 @@ def dedup_decide(batch_df: DataFrame, index_sigs: DataFrame,
     ALL to the index afterwards (first-seen wins needs rejected docs'
     signatures too).
     """
+    # the signature pipeline is referenced three times (index join + both
+    # sides of the self-join) and the caller appends it to the index —
+    # persist so it computes once per batch; the caller may unpersist
+    # after the append
     sigs = minhash_band_signatures(batch_df, text_col, id_col, num_hashes,
-                                   bands, shingle_n, hash_mode)
+                                   bands, shingle_n, hash_mode).persist()
     hit_index = (sigs.join(index_sigs.select("band", "sig").distinct(),
                            ["band", "sig"])
                  .select(id_col).distinct())

@@ -175,3 +175,24 @@ def test_quantize_zero_vector(spark):
                                "vec_id long, embedding array<float>")
     r = quantize_int8(df).head()
     assert r["scale"] == 0.0 and r["qvec"] == [0, 0, 0]
+
+
+def test_sample_threshold_rounds_not_truncates(spark, sf_dir):
+    from linkedin_iceberg_spark.operators.sampling import _threshold
+    # 0.000249 * 1e6 = 248.99999999999997 under float; the SQL replay
+    # compares against 249 — truncation would drop bucket 248
+    assert _threshold(0.000249) == 249
+    assert _threshold(0.5) == 500000
+    assert _threshold(0.0) == 0 and _threshold(1.0) == 1_000_000
+
+
+def test_split_assign_shares_bucket_recipe(spark, sf_dir):
+    """split_assign and the samplers use the SAME md5 recipe (one helper):
+    a doc's split bucket (mod 100) equals its sample bucket (mod 1e6)
+    mod 100 for the same salt."""
+    from linkedin_iceberg_spark.operators.sampling import hash_bucket
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    both = d.select(
+        hash_bucket("doc_id", "v1", 100).alias("b100"),
+        (hash_bucket("doc_id", "v1", 1_000_000) % 100).alias("b1m"))
+    assert both.filter(F.col("b100") != F.col("b1m")).count() == 0

@@ -104,3 +104,26 @@ def test_export_across_spec_evolution(catalog, spark, sf_dir, tmp_path):
     parts = [m for m in res["manifests"] if "o_orderpriority=" in m]
     assert roots and parts
     assert _duck_read_count(_manifest_paths(res)) == t.to_df().count() == n
+
+
+def test_reexport_removes_stale_partition_manifests(
+        catalog, spark, sf_dir, tmp_path):
+    """Re-exporting after a partition empties out must DELETE its old
+    manifest — otherwise external readers resurrect dead files."""
+    from linkedin_iceberg_spark.expressions import eq
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .identity("o_orderpriority").build()
+    t = catalog.create_table("db.sym5", o, spec=spec)
+    t.append(o)
+    dest = str(tmp_path / "re")
+    export_symlink_manifest(t, dest)
+    assert os.path.exists(os.path.join(dest, "o_orderpriority=1-URGENT",
+                                       "manifest.txt"))
+    t = t.delete_where(eq("o_orderpriority", "1-URGENT"))
+    res = export_symlink_manifest(t, dest)
+    assert res["stale_removed"] == 1
+    assert not os.path.exists(os.path.join(dest,
+                                           "o_orderpriority=1-URGENT",
+                                           "manifest.txt"))
+    assert _duck_read_count(_manifest_paths(res)) == t.to_df().count()

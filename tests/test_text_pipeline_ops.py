@@ -122,3 +122,27 @@ def test_pack_sequences_concat_cut_rules(spark):
     # offsets stay inside the budget
     for r in out.values():
         assert 0 <= r["bin_tokens_before"] < 256
+
+
+def test_pii_digit_run_inside_email_not_double_counted(spark):
+    from linkedin_iceberg_spark.operators.text import pii_scrub
+    df = _docs(spark, ["ref a@b1234567890.net end",
+                       "plain 1234567890 run"])
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    # the digit run is consumed by the email pass: no <NUM> is emitted,
+    # so the audit count must be 0
+    assert out[0]["n_emails"] == 1 and out[0]["n_longnums"] == 0
+    assert "<NUM>" not in out[0]["scrubbed_text"]
+    assert out[1]["n_longnums"] == 1
+    assert out[1]["scrubbed_text"] == "plain <NUM> run"
+
+
+def test_chunk_null_text_yields_one_empty_chunk(spark):
+    from pyspark.sql import Row
+    from linkedin_iceberg_spark.operators.text import chunk_documents
+    df = spark.createDataFrame([Row(doc_id=0, text=None),
+                                Row(doc_id=1, text="a b")])
+    out = {r["doc_id"]: r for r in
+           chunk_documents(df, max_tokens=5).collect()}
+    assert set(out) == {0, 1}          # the NULL row is NOT dropped
+    assert out[0]["chunk_text"] == ""
