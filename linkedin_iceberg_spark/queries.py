@@ -3247,9 +3247,27 @@ def multimodal_decode_features(spark, sf_dir):
 
 _PRIORITY = [
     # table-format plane: the queries that distinguish this engine
-    "table_scan_pruned", "table_time_travel", "table_delete_where",
-    "table_spec_evolution",
-    "table_schema_evolution", "table_schema_evolution_nested",
+    # r4: the verdict's #1 ask — rotate the 8 registered-but-never-
+    # windowed queries in so S10/S11/S12/A4 (+ the four relational ones)
+    # get CORRECTNESS rows.  Out go 8 lifetime-green (r1+r2+r3) unchanged
+    # entries whose families keep in-window representatives:
+    #   table_time_travel        -> table_local_read   (S10; scan family
+    #       keeps table_scan_pruned/bucket_pruned/planned_tasks)
+    #   table_spec_evolution     -> meta_find_files    (S11; DML family
+    #       keeps update/merge/overwrite/changelog/compaction)
+    #   table_schema_evolution_nested -> meta_scan_summary (S12; family
+    #       keeps table_schema_evolution + table_merge_schema_append)
+    #   table_position_deletes   -> table_remove_orphans (A4; deletes
+    #       family keeps table_equality_deletes + table_delete_where)
+    #   table_format_avro        -> table_sql_over_view (format family
+    #       keeps table_format_orc)
+    #   table_transaction        -> agg_grouping_sets
+    #   meta_files_stats         -> agg_approx_percentile (meta family
+    #       gains find_files + scan_summary this round)
+    #   join_asof                -> join_skew_salted (joins family rep)
+    "table_scan_pruned", "table_local_read", "table_delete_where",
+    "meta_find_files",
+    "table_schema_evolution", "meta_scan_summary",
     # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
     # table_overwrite_where in-window) rotates out for table_update_where
     # (new: keyless copy-on-write UPDATE with pruned candidates)
@@ -3264,12 +3282,12 @@ _PRIORITY = [
     # r3 late: table_migrate_import (green r1+r2; the import plane keeps
     # legacy_hive_scan in-window and add_files pytest coverage) rotates out
     # for text_pack (new: concat-cut sequence packing)
-    "text_pack", "table_merge_full", "table_position_deletes",
+    "text_pack", "table_merge_full",
     # r3 late: table_expire_snapshots (green r1+r2; maintenance family
     # keeps compaction/rewrite-manifests/rollback in-window) rotates out
     # for table_incremental_view (new: changelog-driven view maintenance)
     "table_equality_deletes", "table_compaction", "table_incremental_view",
-    "table_format_orc", "table_format_avro", "table_transaction",
+    "table_format_orc", "table_remove_orphans", "table_sql_over_view",
     "table_merge_schema_append",
     # r3: three commit operators that were pytest-only get driver rows —
     # overwrite-by-filter (W4), rewrite-manifests (W9), rollback+WAP (W13).
@@ -3283,7 +3301,7 @@ _PRIORITY = [
     # meta_files_stats in-window) rotates out for legacy_hive_scan (new:
     # the legacy Hive table adapter — plain Hive directory through the
     # Table/TableScan API with partition pruning + residuals)
-    "legacy_hive_scan", "meta_files_stats",
+    "legacy_hive_scan", "agg_grouping_sets",
     # r3: streaming_sink_counts / streaming_source_total (green r1+r2,
     # unchanged) rotate out for the two new streaming operators — bounded-
     # state dedup and the watermarked stream-stream interval join
@@ -3331,8 +3349,8 @@ _PRIORITY = [
     # lifetime-green variants) rotates out for similarity_quantize (new:
     # int8 quantization with integer-exact checksums)
     "similarity_quantize", "agg_approx_distinct", "sample_stratified",
-    "join_asof", "similarity_ivf_train", "similarity_knn_join",
-    "scalar_math_funcs",
+    "join_skew_salted", "similarity_ivf_train", "similarity_knn_join",
+    "scalar_math_funcs", "agg_approx_percentile",
     # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
     # dedup_embedding (new r3: cosine near-dup -> connected components ->
     # keep-decision, full-pipeline generated oracle)
