@@ -242,7 +242,22 @@ class LegacyHiveTableScan:
             if not files:
                 continue
             if len(partition) != len(t._part_cols):
-                continue  # data files above the leaf level: not Hive layout
+                # Data files above the leaf partition level are not valid
+                # Hive layout.  Silently skipping them would return partial
+                # results on a malformed/mixed-layout directory — silent
+                # row loss is worse than a layout error, so raise.
+                stray = [fn for fn in sorted(files)
+                         if fn.endswith(ext)
+                         and not fn.startswith((".", "_"))]
+                if stray:
+                    raise ValueError(
+                        f"malformed Hive layout under {t.location}: found "
+                        f"{len(stray)} {t.fmt} data file(s) at non-leaf "
+                        f"partition level {rel!r} (e.g. {stray[0]!r}); "
+                        f"expected data only under all "
+                        f"{len(t._part_cols)} partition directories "
+                        f"{t._part_cols}")
+                continue
             # (the complete-tuple eval already pruned failing leaves above)
             residual = residual_of(t.spec, bound, partition) \
                 if t._part_cols else bound

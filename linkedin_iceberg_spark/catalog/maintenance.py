@@ -459,9 +459,9 @@ def export_symlink_manifest(table, dest_dir: str,
     from linkedin_iceberg_spark.catalog.serde import encode_value
 
     md = table.metadata
-    snap = md.snapshot_by_id(snapshot_id) if snapshot_id \
+    snap = md.snapshot_by_id(snapshot_id) if snapshot_id is not None \
         else md.current_snapshot
-    if snapshot_id and snap is None:
+    if snapshot_id is not None and snap is None:
         raise ValueError(f"unknown snapshot {snapshot_id}")
     tasks = table.new_scan().use_snapshot(snap.snapshot_id).plan_files() \
         if snap else []

@@ -276,6 +276,23 @@ def minhash_oracle_sql(table: str = "documents", text_col: str = "text",
     shingling, the 60-bit md5 token hash, all K seeded minhash streams,
     the band signatures, and the bucket self-join, value-checking the
     EXACT candidate set (not just Jaccard-verified survivors)."""
+    prefix = minhash_banded_cte_sql(table, text_col, id_col, num_hashes,
+                                    bands, shingle_n)
+    return f"""{prefix}
+SELECT a.{id_col} AS d1, b.{id_col} AS d2, count(*) AS n_shared_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.sig = b.sig AND a.{id_col} < b.{id_col}
+GROUP BY 1, 2 ORDER BY d1, d2"""
+
+
+def minhash_banded_cte_sql(table: str = "documents", text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 8, shingle_n: int = 3) -> str:
+    """The shared ``WITH ... banded`` CTE chain (shingle -> 60-bit md5 hash
+    -> K seeded minhash streams -> band signatures) WITHOUT a final SELECT,
+    so every oracle that needs band signatures (the candidate-pair oracle
+    above, streaming/incremental_dedup's accept-decision replay) composes
+    from one copy instead of splicing each other's SQL text."""
     mins = ",\n    ".join(
         f"MIN(('0x' || substr(md5(h::VARCHAR || '-' || '{k}'), 1, 15))"
         f"::BIGINT) AS mh{k}"
@@ -312,11 +329,7 @@ WITH toks AS (
   SELECT {id_col}, b.band,
          {sig_case} AS sig
   FROM sigs, (SELECT unnest(range({bands})) AS band) b
-)
-SELECT a.{id_col} AS d1, b.{id_col} AS d2, count(*) AS n_shared_bands
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.sig = b.sig AND a.{id_col} < b.{id_col}
-GROUP BY 1, 2 ORDER BY d1, d2"""
+)"""
 
 
 def dedup_embedding(df: DataFrame, threshold: float = 0.4,

@@ -20,9 +20,16 @@ def hash_bucket(id_col: str, salt: str, buckets: int = _BUCKETS):
     ``salt-id`` mod buckets — portable (the identical expression exists in
     ANSI SQL / DuckDB).  The ONE copy of the recipe: split_assign (mod
     100) and the samplers (mod 1e6) both call this, so the cross-engine
-    determinism contract cannot silently fork."""
+    determinism contract cannot silently fork.
+
+    NULL ids hash to NULL (concat propagates NULL exactly like the SQL
+    replay's ``salt || '-' || id``), so samplers DROP NULL-id rows and
+    split_assign leaves their split NULL — identical on both engines.
+    (concat_ws would instead silently collapse every NULL id into the
+    single md5(salt) bucket, kept/dropped as a block.)"""
     return (F.conv(F.substring(
-        F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string"))),
+        F.md5(F.concat(F.lit(salt), F.lit("-"),
+                       F.col(id_col).cast("string"))),
         1, 15), 16, 10).cast("long") % buckets)
 
 

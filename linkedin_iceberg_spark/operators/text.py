@@ -4,6 +4,8 @@ deterministic, UDF-free, safe at 100 TB."""
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -267,7 +269,8 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
 
 def pack_sequences(df: DataFrame, budget: int, order_col: str,
                    count_col: str, id_col: str = "doc_id",
-                   bin_col: str = "bin") -> DataFrame:
+                   bin_col: str = "bin",
+                   shard_col: Optional[str] = None) -> DataFrame:
     """Concat-and-cut sequence packing (the standard GPT-pretraining
     recipe): conceptually concatenate the rows' token streams in
     `order_col` order and cut every `budget` tokens.  Each row is
@@ -279,14 +282,28 @@ def pack_sequences(df: DataFrame, budget: int, order_col: str,
     (truncate-to-context semantics).
 
     Deterministic and closed-form: everything derives from one running
-    cumulative sum, so plain SQL replays it exactly.  Scale: one global
-    sort (which the output order requires anyway) + one window pass; at
-    100 TB pack per shard key instead (add the key to the window) so
-    streams pack independently in parallel."""
+    cumulative sum, so plain SQL replays it exactly.
+
+    Scale: with `shard_col` (the 100 TB mode) each shard's stream packs
+    INDEPENDENTLY — the window partitions on the shard key, so the
+    cumulative sum runs as one parallel task per shard and bins are
+    per-shard (identify a bin by (shard, bin)).  Without it the window
+    is a single global stream: exact replay of one concatenated corpus
+    order, but the cumulative sum funnels through ONE task — keep that
+    mode for tests/small corpora.
+
+    The frame is explicitly ROWS UNBOUNDED PRECEDING..CURRENT ROW:
+    Spark's default for an ordered window is RANGE, under which rows
+    with duplicate (order_col, id_col) keys become frame PEERS and each
+    would receive the full peer-group sum — silently diverging from
+    concat-cut semantics and the SQL oracle's ROWS frame."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     from pyspark.sql import Window
-    w = Window.orderBy(order_col, id_col)
+    base = Window.partitionBy(shard_col) if shard_col is not None \
+        else Window
+    w = (base.orderBy(order_col, id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     clamped = F.least(F.col(count_col), F.lit(budget))
     start = (F.sum(clamped).over(w) - clamped).cast("long")
     bin_id = F.floor(start / budget).cast("long")

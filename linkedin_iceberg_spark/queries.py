@@ -1427,6 +1427,43 @@ def text_pack(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@q("text_pack_sharded", """
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(least(n_tokens, 256))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)
+           - least(n_tokens, 256) AS start
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(start / 256) AS BIGINT) AS bin,
+       CAST(start - floor(start / 256) * 256 AS BIGINT)
+         AS bin_tokens_before,
+       (start - floor(start / 256) * 256 + least(n_tokens, 256)) > 256
+         AS spills_next_bin
+FROM c ORDER BY doc_id""")
+def text_pack_sharded(spark, sf_dir):
+    """Sharded concat-and-cut packing — the 100 TB mode: each source's
+    stream packs independently (window partitioned on the shard key), so
+    the cumulative sum runs as one parallel task per shard instead of
+    funneling the whole corpus through a single global-order task.  Bins
+    are per-(source, bin)."""
+    from linkedin_iceberg_spark.operators.text import pack_sequences
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long")
+        .alias("n_tokens"))
+    return (pack_sequences(d, budget=256, order_col="doc_id",
+                           count_col="n_tokens", id_col="doc_id",
+                           shard_col="source")
+            .select("doc_id", "source", "n_tokens", "bin",
+                    "bin_tokens_before", "spills_next_bin")
+            .orderBy("doc_id"))
+
+
 @q("text_token_stats", """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
@@ -3288,7 +3325,13 @@ _PRIORITY = [
     # for table_incremental_view (new: changelog-driven view maintenance)
     "table_equality_deletes", "table_compaction", "table_incremental_view",
     "table_format_orc", "table_remove_orphans", "table_sql_over_view",
-    "table_merge_schema_append",
+    # r4: table_merge_schema_append (lifetime-green, unchanged; schema
+    # family keeps table_schema_evolution in-window) rotates out for
+    # text_pack_sharded (new: per-shard packing — pack_sequences'
+    # shard_col mode, the verdict's "kill the last single-task plan" ask;
+    # its global twin text_pack stays in-window since the operator code
+    # changed this round)
+    "text_pack_sharded",
     # r3: three commit operators that were pytest-only get driver rows —
     # overwrite-by-filter (W4), rewrite-manifests (W9), rollback+WAP (W13).
     # They take the slots of meta_snapshots_log / events_sliding_window /

@@ -76,13 +76,12 @@ def incremental_dedup_oracle_sql(table: str = "documents",
     setup): first-seen-wins then reduces to `duplicate iff some lower-id
     doc shares a band signature`, which one self-join expresses — the
     banded-signature CTEs are the same ones minhash_oracle_sql inlines."""
-    from linkedin_iceberg_spark.operators.dedup import minhash_oracle_sql
+    from linkedin_iceberg_spark.operators.dedup import minhash_banded_cte_sql
 
-    base = minhash_oracle_sql(table, text_col, id_col, num_hashes, bands,
-                              shingle_n)
-    # reuse everything up to the banded CTE; swap the candidate-pair
-    # select for the accept decision
-    prefix = base[:base.index("\nSELECT a.")]
+    # the banded-signature CTE chain, shared with minhash_oracle_sql
+    # through one composable function (no textual splicing)
+    prefix = minhash_banded_cte_sql(table, text_col, id_col, num_hashes,
+                                    bands, shingle_n)
     return f"""{prefix}
 , dup AS (
   SELECT DISTINCT b.{id_col} FROM banded a JOIN banded b

@@ -105,6 +105,13 @@ CONTRACTS = {
         # one global-sort window pass (the packing order), nothing else
         ["Window", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "text_pack_sharded": (
+        # the 100 TB mode: the cumulative-sum window partitions on the
+        # shard key (hashpartitioning), NEVER a single-partition Exchange
+        # — each shard's stream packs in its own task
+        ["Window", "hashpartitioning", "codegen id"],
+        ["SinglePartition", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"]),
     "similarity_knn_join": (
         # query side broadcast (vectors travel once), per-query window
         # top-k; the window shuffle carries scored triples, not vectors
