@@ -38,9 +38,10 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     O(matching files).  min_input_files=1 forces a resort of already
     right-sized files.
 
-    `zorder_by` (unpartitioned tables) clusters on the Morton interleave
-    of SEVERAL columns instead — coarser per-column bounds than a single
-    sort, but predicates on EVERY z-column prune files (catalog/zorder.py).
+    `zorder_by` clusters on the Morton interleave of SEVERAL columns
+    instead — coarser per-column bounds than a single sort, but predicates
+    on EVERY z-column prune files (catalog/zorder.py).  On partitioned
+    tables the interleave applies within each partition's rewrite group.
 
     Algorithm (as the reference's action): group live files by partition;
     keep groups with > min_input_files whose members are under target size;
@@ -56,9 +57,6 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     """
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
-    if zorder_by and table.spec.is_partitioned():
-        raise ValueError("zorder_by currently supports unpartitioned "
-                         "tables; use sort_by within partitions")
 
     entries, delete_entries = table._live_data_and_deletes()
     # files with pending v2 deletes are candidates REGARDLESS of size or
@@ -110,8 +108,18 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
             new_files = table._write_data_files(df)
     else:
         # one commit: write clustered by partition key (plus the sort
-        # columns within each cluster when sorting), swap atomically
-        new_files = table._write_data_files(df, sort_by=sort_by)
+        # columns within each cluster when sorting), swap atomically.
+        # zorder_by: the Morton interleave is partition-agnostic — pass
+        # it as a sort EXPRESSION so each partition's rewrite group comes
+        # out z-clustered (scaling stats are table-global: the mapping
+        # stays monotone inside every partition, and predicates on each
+        # z-column prune that partition's files)
+        if zorder_by:
+            from linkedin_iceberg_spark.catalog.zorder import zorder_value
+            new_files = table._write_data_files(
+                df, sort_by=[zorder_value(df, zorder_by)])
+        else:
+            new_files = table._write_data_files(df, sort_by=sort_by)
     removed_paths = {e.data_file.file_path for e in to_rewrite}
     table.rewrite_files(removed_paths, new_files)
     return {"rewritten_files": len(to_rewrite), "added_files": len(new_files)}

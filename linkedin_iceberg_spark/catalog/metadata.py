@@ -42,6 +42,14 @@ class CommitFailedException(Exception):
     """Concurrent commit won the CAS; caller should refresh and retry."""
 
 
+class ValidationException(Exception):
+    """A concurrent commit changed state this operation depends on, so
+    retrying against the refreshed base would NOT be serializable — the
+    operation must be re-planned by the caller.  (ref: org.apache.iceberg
+    exceptions.ValidationException as raised by BaseOverwriteFiles.java:
+    76-129 validateNoConflictingAppends / deleted-file checks.)"""
+
+
 @dataclass(frozen=True)
 class Snapshot:
     snapshot_id: int

@@ -35,6 +35,7 @@ from linkedin_iceberg_spark.catalog.metadata import (
     OP_OVERWRITE,
     OP_REPLACE,
     CommitFailedException,
+    ValidationException,
     Snapshot,
     TableMetadata,
     TableOperations,
@@ -700,7 +701,10 @@ class Table:
             new_files = self._write_data_files(survivors)
 
         return self._commit_file_swap(
-            removed=drop_whole + rewrite, added=new_files, operation=OP_DELETE)
+            removed=drop_whole + rewrite, added=new_files, operation=OP_DELETE,
+            seen_paths={e.data_file.file_path
+                        for e in entries + delete_entries},
+            conflict_fn=self._filter_conflict_fn(bound))
 
     def update_where(self, expr: Expression, assignments: dict) -> "Table":
         """UPDATE t SET col = <Column> WHERE expr — copy-on-write in ONE
@@ -740,7 +744,12 @@ class Table:
                 cols.append(F.col(c))
         new_files = self._write_data_files(rows.select(*cols))
         return self._commit_file_swap(removed=candidates, added=new_files,
-                                      operation=OP_OVERWRITE)
+                                      operation=OP_OVERWRITE,
+                                      seen_paths={e.data_file.file_path
+                                                  for e in entries
+                                                  + delete_entries},
+                                      conflict_fn=self._filter_conflict_fn(
+                                          bound))
 
     def overwrite_where(self, df: DataFrame, expr: Expression) -> "Table":
         """INSERT OVERWRITE ... WHERE expr (ref: core/.../BaseOverwriteFiles.java).
@@ -771,7 +780,12 @@ class Table:
             extra_files = self._write_data_files(survivors)
         new_files = self._write_data_files(df) + extra_files
         return self._commit_file_swap(removed=removed + rewrite,
-                                      added=new_files, operation=OP_OVERWRITE)
+                                      added=new_files, operation=OP_OVERWRITE,
+                                      seen_paths={e.data_file.file_path
+                                                  for e in entries
+                                                  + delete_entries},
+                                      conflict_fn=self._filter_conflict_fn(
+                                          bound))
 
     def overwrite_partitions(self, df: DataFrame) -> "Table":
         """Dynamic partition overwrite: replace exactly the partitions present
@@ -780,52 +794,183 @@ class Table:
         Partition matching is by exact partition tuple under the CURRENT
         default spec.  After partition-spec evolution, live old-spec entries
         carry different tuples (e.g. {} for formerly-unpartitioned files) and
-        can never match — rows logically belonging to the overwritten
-        partitions would silently survive.  That case raises instead
-        (mirroring the per-spec awareness of delete_where/overwrite_where,
-        which judge every file under its own spec via _projection_evals)."""
-        entries, _deletes = self._live_data_and_deletes()
+        can never match by tuple — their rows logically belonging to the
+        overwritten partitions would silently survive.  Those files are
+        handled copy-on-write instead: candidates are pruned per-spec
+        (inclusive projection of the touched partitions' identity components
+        + file metrics), then each candidate's live rows are re-evaluated
+        under the CURRENT spec's transforms in Spark and rows landing in a
+        touched partition are dropped; survivors are rewritten in the same
+        overwrite snapshot (the same degrade path delete_where/
+        overwrite_where take via _projection_evals)."""
+        entries, delete_entries = self._live_data_and_deletes()
         cur = self.metadata.default_spec_id
-        stale = sorted({e.data_file.spec_id for e in entries
-                        if e.data_file.spec_id != cur})
-        if stale:
-            raise ValueError(
-                "overwrite_partitions matches partition tuples under the "
-                f"current spec (id={cur}) but live files still carry spec "
-                f"ids {stale} from before partition-spec evolution; their "
-                "rows would silently survive the overwrite. Use "
-                "overwrite_where(df, <row filter>) (spec-aware via strict/"
-                "inclusive projections) or compact first so all live files "
-                "use the current spec.")
         new_files = self._write_data_files(df)
         touched = {tuple(sorted(f.partition.items(), key=lambda kv: kv[0]))
                    for f in new_files}
 
         removed = [e for e in entries
-                   if tuple(sorted(e.data_file.partition.items(),
-                                   key=lambda kv: kv[0])) in touched]
-        return self._commit_file_swap(removed=removed, added=new_files,
-                                      operation=OP_OVERWRITE)
+                   if e.data_file.spec_id == cur
+                   and tuple(sorted(e.data_file.partition.items(),
+                                    key=lambda kv: kv[0])) in touched]
+        stale_entries = [e for e in entries if e.data_file.spec_id != cur]
+        rewrite: list = []
+        extra_files: list = []
+        if stale_entries and touched:
+            rewrite, extra_files = self._rewrite_stale_spec_partitions(
+                stale_entries, delete_entries, touched)
+
+        def dyn_conflict(e) -> bool:
+            # concurrent delete-file, old-spec file (tuple semantics
+            # unknowable), or a current-spec file in a touched partition
+            if e.data_file.content != M.CONTENT_DATA:
+                return True
+            if e.data_file.spec_id != cur:
+                return True
+            return tuple(sorted(e.data_file.partition.items(),
+                                key=lambda kv: kv[0])) in touched
+
+        return self._commit_file_swap(removed=removed + rewrite,
+                                      added=new_files + extra_files,
+                                      operation=OP_OVERWRITE,
+                                      seen_paths={e.data_file.file_path
+                                                  for e in entries
+                                                  + delete_entries},
+                                      conflict_fn=dyn_conflict)
+
+    def _rewrite_stale_spec_partitions(self, stale_entries: list,
+                                       delete_entries: list,
+                                       touched: set) -> tuple:
+        """Copy-on-write half of a dynamic overwrite over files written
+        under OLDER partition specs: remove their rows that land in a
+        `touched` partition (a tuple under the CURRENT spec), keep the
+        rest.  Returns (entries_to_remove, survivor_files_to_add).
+
+        Pruning is metadata-only and spec-aware: a row predicate built
+        from the touched tuples' IDENTITY components (non-identity
+        transform components are dropped — a widening, so inclusive-safe)
+        is projected onto each file's own spec and checked against file
+        metrics; only files that might hold a touched-partition row are
+        read.  The row-level test applies the current spec's transforms
+        as Spark columns (null-safe equality per component), so bucket/
+        truncate/date transforms are honored exactly even though they
+        have no row-predicate inverse."""
+        from functools import reduce
+
+        from linkedin_iceberg_spark.expressions import (
+            InclusiveMetricsEvaluator, and_, eq, or_)
+
+        spec = self.metadata.spec  # bound current spec
+        tuples = [dict(t) for t in touched]
+
+        per_tuple = []
+        for tv in tuples:
+            conj = [eq(pf.source_name, tv[pf.name])
+                    for pf in spec.fields
+                    if pf.bound_transform().name == "identity"
+                    and tv.get(pf.name) is not None]
+            per_tuple.append(reduce(lambda a, b: and_(a, b), conj)
+                             if conj else always_true())
+        pred = reduce(lambda a, b: or_(a, b), per_tuple)
+        bound = bind(self.schema, pred)
+        _strict, incl_evals = self._projection_evals(bound)
+        metrics_incl = InclusiveMetricsEvaluator(bound)
+        rewrite = [e for e in stale_entries
+                   if incl_evals(e.data_file).eval(e.data_file.partition)
+                   and metrics_incl.eval(e.stats_dict())]
+        if not rewrite:
+            return [], []
+
+        rows = self._read_live_rows(rewrite, delete_entries)
+        in_touched = None
+        for tv in tuples:
+            conds = None
+            for pf in spec.fields:
+                tcol = pf.bound_transform() \
+                    .to_spark_column(F.col(pf.source_name))
+                c = tcol.eqNullSafe(F.lit(tv.get(pf.name)))
+                conds = c if conds is None else (conds & c)
+            if conds is None:  # current spec unpartitioned: one () tuple
+                conds = F.lit(True)
+            in_touched = conds if in_touched is None else (in_touched | conds)
+        survivors = rows.filter(~in_touched)
+        return rewrite, self._write_data_files(survivors)
 
     def rewrite_files(self, removed_paths: set, added_files: list) -> "Table":
         """Compaction commit: swap files, data unchanged
-        (ref: core/.../BaseRewriteFiles.java)."""
-        entries, _deletes = self._live_data_and_deletes()
+        (ref: core/.../BaseRewriteFiles.java).  Validated: every input
+        file must still be live at commit time (a concurrent DML that
+        rewrote one means the compacted output resurrects its rows), and
+        a concurrently added v2 delete file conflicts (the compacted file
+        takes a higher sequence number, so the new delete would silently
+        stop applying to the rows it targets)."""
+        entries, delete_entries = self._live_data_and_deletes()
         removed = [e for e in entries if e.data_file.file_path in removed_paths]
-        return self._commit_file_swap(removed=removed, added=added_files,
-                                      operation=OP_REPLACE)
+        return self._commit_file_swap(
+            removed=removed, added=added_files, operation=OP_REPLACE,
+            seen_paths={e.data_file.file_path
+                        for e in entries + delete_entries},
+            conflict_fn=lambda e: e.data_file.content != M.CONTENT_DATA)
+
+    def _filter_conflict_fn(self, bound: Expression) -> Callable:
+        """Conflict test for filter-shaped DML (delete/update/overwrite
+        WHERE): a concurrently committed entry conflicts when it is a v2
+        delete file (its deletes were not applied by this op's row reads)
+        or a data file that MIGHT hold rows matching the op's predicate
+        (inclusive projection under the file's own spec + file metrics —
+        ref: BaseOverwriteFiles.java:76-129 validateNoConflictingAppends)."""
+        _strict, incl_evals = self._projection_evals(bound)
+        from linkedin_iceberg_spark.expressions import InclusiveMetricsEvaluator
+        metrics_incl = InclusiveMetricsEvaluator(bound)
+
+        def conflicts(e) -> bool:
+            if e.data_file.content != M.CONTENT_DATA:
+                return True
+            return incl_evals(e.data_file).eval(e.data_file.partition) \
+                and metrics_incl.eval(e.stats_dict())
+        return conflicts
 
     def _commit_file_swap(self, removed: list, added: list,
-                          operation: str) -> "Table":
+                          operation: str,
+                          seen_paths: Optional[set] = None,
+                          conflict_fn: Optional[Callable] = None) -> "Table":
         """Shared commit: drop `removed` entries, add `added` files.
         Rewrites the survivor set into fresh manifests (ref:
-        ManifestFilterManager rewriting manifests that contain deletes)."""
+        ManifestFilterManager rewriting manifests that contain deletes).
+
+        With `seen_paths`/`conflict_fn` the commit enforces SERIALIZABLE
+        semantics under the optimistic-retry loop: on every attempt, files
+        this op removes/rewrites must still be live (a concurrent DML that
+        removed one invalidates the rows this op re-wrote), and any live
+        entry not in `seen_paths` (i.e. committed concurrently since the
+        op planned) is passed to `conflict_fn` — a True verdict raises
+        ValidationException instead of silently merging histories (ref:
+        SnapshotProducer.java:249-285 retry + BaseOverwriteFiles.java:
+        76-129 conflict validation)."""
         removed_paths = {e.data_file.file_path for e in removed}
         types_by_id = self._types_by_id()
 
         def build(base, snap_id, seq):
             ptypes = base.all_partition_types()
             base_entries = self._live_entries(base=base)
+            if conflict_fn is not None:
+                live_paths = {e.data_file.file_path for e in base_entries}
+                gone = sorted(removed_paths - live_paths)
+                if gone:
+                    raise ValidationException(
+                        f"{operation}: {len(gone)} file(s) this operation "
+                        f"removes/rewrites were removed by a concurrent "
+                        f"commit (e.g. {gone[0]}); re-plan on the "
+                        "refreshed table")
+                for e in base_entries:
+                    if e.data_file.file_path in (seen_paths or set()):
+                        continue
+                    if conflict_fn(e):
+                        raise ValidationException(
+                            f"{operation}: a concurrent commit added "
+                            f"{e.data_file.file_path}, which may hold rows "
+                            "matching this operation's filter; re-plan on "
+                            "the refreshed table")
             keep = [e for e in base_entries
                     if e.data_file.file_path not in removed_paths]
             infos = []

@@ -1,7 +1,9 @@
 """Round-3 ADVICE fixes, each with the failure scenario the advisor named.
 
-1. overwrite_partitions must refuse mixed-spec tables (stale old-spec rows
-   would silently survive a dynamic overwrite).
+1. overwrite_partitions must not let stale old-spec rows silently survive
+   a dynamic overwrite.  (r3 fenced this by refusing mixed-spec tables;
+   r4 upgraded the fence to a copy-on-write fallback that serves the
+   request — see test_advice_r4.py for the surgical per-partition case.)
 2. add_files must reject re-imports of already-referenced files
    (double-counted rows otherwise; ref: SparkTableUtil importSparkTable
    rejects duplicates by default).
@@ -27,17 +29,29 @@ def orders(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/orders.parquet")
 
 
-def test_overwrite_partitions_refuses_mixed_specs(catalog, spark, orders):
+def test_overwrite_partitions_handles_mixed_specs(catalog, spark, orders):
+    # r4: instead of refusing, old-spec files go copy-on-write — no row
+    # written before the spec evolution may survive in an overwritten
+    # logical partition
     t = catalog.create_table("db.owp", orders)
     t.append(orders.filter(F.col("o_orderkey") <= 500))       # spec 0 ({})
     t.update_spec(lambda b: b.month("o_orderdate"))
     t.append(orders.filter(F.col("o_orderkey") > 500))        # spec 1
     repl = orders.filter(F.col("o_orderkey") > 500) \
         .withColumn("o_totalprice", F.lit(0.0))
-    with pytest.raises(ValueError, match="spec"):
-        t.overwrite_partitions(repl)
-    # nothing was committed by the refused overwrite
-    assert t.to_df().count() == orders.count()
+    t = t.overwrite_partitions(repl)
+    got = t.to_df()
+    months = {r[0] for r in repl.select(
+        F.date_trunc("month", "o_orderdate")).distinct().collect()}
+    in_touched = F.date_trunc("month", "o_orderdate").isin(list(months))
+    # every row in an overwritten month is a replacement row
+    assert got.filter(in_touched & (F.col("o_totalprice") != 0.0)) \
+        .count() == 0
+    assert got.filter(in_touched).count() == repl.count()
+    # rows of untouched months (only spec-0 batch has any) are intact
+    want_rest = orders.filter(F.col("o_orderkey") <= 500) \
+        .filter(~in_touched).count()
+    assert got.filter(~in_touched).count() == want_rest
 
 
 def test_overwrite_partitions_ok_when_all_current_spec(catalog, spark,

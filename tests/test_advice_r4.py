@@ -135,3 +135,50 @@ def test_incremental_oracle_composes_from_shared_cte():
     assert minhash_oracle_sql().startswith(prefix)
     assert incremental_dedup_oracle_sql().startswith(prefix)
     assert ", dup AS (" in incremental_dedup_oracle_sql()
+
+
+# -- verdict #5: overwrite_partitions degrades to CoW after spec evolution
+
+def test_dynamic_overwrite_single_month_after_spec_evolution(catalog, spark,
+                                                             sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = catalog.create_table("db.owp_r4", orders)
+    old = orders.filter(F.col("o_orderkey") <= 500)            # spec 0 ({})
+    t.append(old)
+    t.update_spec(lambda b: b.month("o_orderdate"))
+    new = orders.filter(F.col("o_orderkey") > 500)             # spec 1
+    t.append(new)
+    # overwrite exactly one month with marker rows
+    month = old.select(F.date_trunc("month", "o_orderdate").alias("m")) \
+        .groupBy("m").count().orderBy(F.desc("count")).first()["m"]
+    repl = orders.filter(F.date_trunc("month", "o_orderdate") == month) \
+        .withColumn("o_orderpriority", F.lit("REPLACED"))
+    t = t.overwrite_partitions(repl)
+    got = t.to_df()
+    in_m = F.date_trunc("month", "o_orderdate") == month
+    # the month holds exactly the replacement rows — including rows that
+    # lived in old-spec (pre-evolution) files
+    assert got.filter(in_m & (F.col("o_orderpriority") != "REPLACED")).count() == 0
+    assert got.filter(in_m).count() == repl.count()
+    # every other month from BOTH batches is intact
+    want = old.filter(~in_m).count() + new.filter(~in_m).count()
+    assert got.filter(~in_m).count() == want
+
+
+def test_dynamic_overwrite_identity_spec_prunes_stale_files(catalog, spark,
+                                                            sf_dir):
+    # identity spec evolution: the pruning predicate has identity
+    # components, so untouched old-spec files are NOT rewritten
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    t = catalog.create_table("db.owp_ident", nation)
+    t.append(nation)                                           # spec 0 ({})
+    t.update_spec(lambda b: b.identity("n_regionkey"))
+    repl = nation.filter(F.col("n_regionkey") == 0) \
+        .withColumn("n_name", F.lit("R0"))
+    t = t.overwrite_partitions(repl)
+    got = t.to_df()
+    assert got.filter((F.col("n_regionkey") == 0)
+                      & (F.col("n_name") != "R0")).count() == 0
+    assert got.filter(F.col("n_regionkey") == 0).count() == repl.count()
+    assert got.filter(F.col("n_regionkey") != 0).count() == \
+        nation.filter(F.col("n_regionkey") != 0).count()
