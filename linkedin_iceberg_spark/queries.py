@@ -2798,11 +2798,18 @@ def streaming_incremental_dedup(spark, sf_dir):
         _time.sleep(0.25)  # distinct mtimes: batches arrive in id order
 
     cat = Catalog(spark, os.path.join(base, "wh"))
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    idx_schema = Schema.from_spark(
+        spark.createDataFrame([], "doc_id long, band int, sig long").schema)
+    # identity(band) partitioning: band-targeted reads prune at file level
+    # and compaction runs per band partition
     idx = cat.create_table(
         "dedup.index",
-        spark.createDataFrame([], "doc_id long, band int, sig long"))
+        spark.createDataFrame([], "doc_id long, band int, sig long"),
+        spec=PartitionSpec.builder_for(idx_schema).identity("band").build())
 
     collected = []
+    batch_no = [0]
 
     def on_batch(batch_df, _eid):
         t = cat.load_table("dedup.index")
@@ -2810,12 +2817,20 @@ def streaming_incremental_dedup(spark, sf_dir):
             batch_df, t.to_df(), num_hashes=16, bands=8, shingle_n=3,
             hash_mode="md5")
         collected.extend(decisions.collect())
-        # one index file per batch: the index is B rows/doc of ~20 bytes,
-        # a single file keeps the next batch's lookup a one-file read
+        # per-batch append: one small file per band partition; the index
+        # is B rows/doc of ~20 bytes
         t.append(sigs.select(F.col("doc_id").cast("long"),
                              F.col("band").cast("int"),
-                             F.col("sig").cast("long")).coalesce(1))
+                             F.col("sig").cast("long")))
         sigs.unpersist()
+        batch_no[0] += 1
+        if batch_no[0] == 2:
+            # periodic index maintenance mid-run: bin-pack the per-batch
+            # files and expire superseded snapshots — the next batch's
+            # decisions must be (and are, per the oracle) unaffected
+            from linkedin_iceberg_spark.streaming.incremental_dedup import (
+                maintain_signature_index)
+            maintain_signature_index(cat.load_table("dedup.index"))
 
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -65,6 +65,37 @@ def dedup_decide(batch_df: DataFrame, index_sigs: DataFrame,
     return decisions, sigs
 
 
+def maintain_signature_index(index_table, retain_last: int = 1,
+                             target_size_bytes: int = 8 * 1024 * 1024
+                             ) -> dict:
+    """Periodic maintenance for the persisted (doc_id, band, sig) index.
+
+    The index is append-only — every batch adds one small file (per band
+    partition when the table is partitioned by ``identity(band)``, the
+    recommended layout) — so without maintenance both file count and
+    snapshot metadata grow forever.  This applies the reference's
+    discipline for every growing metadata surface (core/.../
+    ManifestMergeManager.java merge-on-append; RemoveSnapshots.java:55-148
+    reachability-diff expiry): bin-pack the per-batch files with
+    rewrite_data_files (per band partition), then expire superseded
+    snapshots so storage stays O(live index).
+
+    Compaction preserves rows exactly, so dedup decisions are
+    byte-identical before/after — asserted by
+    tests/test_incremental_index_maintenance.py.  Run it every N batches
+    from the ingestion loop; it commits through the same validated
+    optimistic loop as any other writer, so it is safe to race with an
+    in-flight append (one of the two retries)."""
+    from linkedin_iceberg_spark.catalog.maintenance import (
+        expire_snapshots, rewrite_data_files)
+
+    compacted = rewrite_data_files(index_table,
+                                   target_size_bytes=target_size_bytes,
+                                   min_input_files=2)
+    expired = expire_snapshots(index_table, retain_last=retain_last)
+    return {**compacted, **expired}
+
+
 def incremental_dedup_oracle_sql(table: str = "documents",
                                  text_col: str = "text",
                                  id_col: str = "doc_id",
