@@ -74,6 +74,10 @@ class Transaction:
         self._work.upsert(df, key_cols)
         return self
 
+    def rewrite_files(self, removed_paths, added_files) -> "Transaction":
+        self._work.rewrite_files(removed_paths, added_files)
+        return self
+
     def update_properties(self, set_props=None, remove=None) -> "Transaction":
         self._work.update_properties(set_props, remove)
         return self

@@ -251,6 +251,25 @@ def probe_cells(centroids: list, query_vec, n_probe: int,
     return [cid for cid, _v in ranked[:n_probe]]
 
 
+def _centroids_to_json(centroids: list) -> str:
+    import json
+    return json.dumps([[int(cid), [float(x) for x in vec]]
+                       for cid, vec in centroids])
+
+
+def ivf_centroids(table) -> list:
+    """The centroids a persisted IVF index was built with — stored on the
+    table itself (`ivf.centroids` property) by ivf_index_table /
+    ivf_refresh, so the index is self-describing: any reader can probe it
+    without out-of-band centroid state."""
+    import json
+    raw = table.properties.get("ivf.centroids")
+    if raw is None:
+        raise ValueError("not an IVF index table: no ivf.centroids "
+                         "property (build it with ivf_index_table)")
+    return [(int(cid), vec) for cid, vec in json.loads(raw)]
+
+
 def ivf_index_table(catalog, name: str, df: DataFrame, centroids: list,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     round_to: int = 5):
@@ -258,7 +277,11 @@ def ivf_index_table(catalog, name: str, df: DataFrame, centroids: list,
     — the 100 TB shape: each cell's vectors are co-located files, so a
     probe prunes at the FILE level through partition metadata (no rows of
     unprobed cells are ever read).  This is the `persist the cell as a
-    partition column` step the in-memory ivf_topk documents."""
+    partition column` step the in-memory ivf_topk documents.
+
+    The centroids and the indexed row count are stamped as table
+    properties, making the index self-describing (ivf_centroids) and
+    giving ivf_refresh its staleness baseline."""
     from linkedin_iceberg_spark import PartitionSpec, Schema
 
     assigned = ivf_assign(df, centroids, vec_col=vec_col, round_to=round_to)
@@ -266,7 +289,54 @@ def ivf_index_table(catalog, name: str, df: DataFrame, centroids: list,
             .identity("cell").build())
     t = catalog.create_table(name, assigned, spec=spec)
     t.append(assigned)
+    t.update_properties({"ivf.centroids": _centroids_to_json(centroids),
+                         "ivf.indexed-count": str(df.count())})
     return t
+
+
+def ivf_refresh(table, growth_factor: float = 0.5, n_cells: int = None,
+                n_iters: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding", round_to: int = 5) -> tuple:
+    """Retrain + re-cluster a persisted IVF index once the corpus
+    outgrows its centroids — the ANN plane's maintenance story, same
+    discipline as compaction for data files (a growing corpus assigned to
+    stale centroids skews cell sizes until probe recall and pruning both
+    degrade).
+
+    When the live row count has grown less than ``growth_factor`` since
+    the last training, nothing happens and the current centroids come
+    back: ``(False, centroids)``.  Otherwise k-means retrains on the full
+    live corpus (kmeans_fit: broadcast-iterate, driver state = centroids
+    only), every row is re-assigned, and the entire file set is swapped
+    in ONE atomic transaction (RewriteFiles + the refreshed
+    ``ivf.centroids`` / ``ivf.indexed-count`` properties), so readers see
+    either the old index or the new — never a mix of cells and centroids.
+    Returns ``(True, new_centroids)``.
+
+    Scale: training is iterations x one scan; the re-assignment rewrite
+    is one scan + one partitioned write — the same cost class as a full
+    compaction, which is why it is growth-gated rather than per-append."""
+    cents = ivf_centroids(table)
+    # every table column rides along; only the derived cell is recomputed
+    rows = table.to_df().drop("cell")
+    n_now = rows.count()
+    trained_at = int(table.properties.get("ivf.indexed-count", "0"))
+    if trained_at and n_now < trained_at * (1.0 + growth_factor):
+        return False, cents
+    if n_cells is None:
+        n_cells = len(cents)
+    new_cents = kmeans_fit(rows, n_cells, n_iters, id_col=id_col,
+                           vec_col=vec_col, round_to=round_to)
+    assigned = ivf_assign(rows, new_cents, vec_col=vec_col,
+                          round_to=round_to)
+    entries, _deletes = table._live_data_and_deletes()
+    new_files = table._write_data_files(assigned)
+    txn = table.new_transaction()
+    txn.rewrite_files({e.data_file.file_path for e in entries}, new_files)
+    txn.update_properties({"ivf.centroids": _centroids_to_json(new_cents),
+                           "ivf.indexed-count": str(n_now)})
+    txn.commit()
+    return True, new_cents
 
 
 def ivf_topk_from_table(table, centroids: list, query_vec, k: int,

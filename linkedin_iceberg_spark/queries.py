@@ -1289,6 +1289,44 @@ _REGISTRY["similarity_ivf_train"] = (_REGISTRY["similarity_ivf_train"][0],
                                      _kmeans_oracle())
 
 
+@q("similarity_ivf_refresh", None)  # oracle attached below (generated SQL)
+def similarity_ivf_refresh(spark, sf_dir):
+    """IVF index REFRESH (r4): build the persisted index on half the
+    corpus, append the other half assigned under the STALE centroids,
+    then ivf_refresh — growth-gated k-means retraining on the full live
+    corpus and an atomic files+centroids swap (one transaction).  The
+    result is the refreshed on-disk assignment, and the oracle replays
+    the retraining from scratch in SQL: because refresh trains on the
+    ENTIRE live corpus, its trajectory equals kmeans over the full
+    embeddings table — the stale interim state cancels out, which is
+    exactly the invariant worth checking."""
+    import tempfile
+
+    from linkedin_iceberg_spark import Catalog
+    from linkedin_iceberg_spark.operators.similarity import (
+        default_centroids, ivf_assign, ivf_index_table, ivf_refresh)
+    e = ld(spark, sf_dir, "embeddings")
+    half = e.filter(F.col("vec_id") < 250)
+    cents0 = default_centroids(half, n_cells=8)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="q_ivfref_"))
+    t = ivf_index_table(cat, "q.ivfref", half, cents0)
+    t.append(ivf_assign(e.filter(F.col("vec_id") >= 250), cents0))
+    refreshed, _cents = ivf_refresh(cat.load_table("q.ivfref"),
+                                    growth_factor=0.5, n_iters=1)
+    assert refreshed
+    return (cat.load_table("q.ivfref").to_df()
+            .select("vec_id", "cell").orderBy("vec_id"))
+
+
+def _kmeans_refresh_oracle() -> str:
+    from linkedin_iceberg_spark.operators.similarity import kmeans_oracle_sql
+    return kmeans_oracle_sql(n_cells=8, n_iters=1)
+
+
+_REGISTRY["similarity_ivf_refresh"] = (_REGISTRY["similarity_ivf_refresh"][0],
+                                       _kmeans_refresh_oracle())
+
+
 @q("sample_stratified", """
 SELECT o_orderkey, o_orderpriority
 FROM orders
@@ -3328,7 +3366,7 @@ _PRIORITY = [
     "table_update_where", "text_chunk",
     # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
     # out for table_changelog (new: CDC scan over a MERGE commit)
-    "table_scan_bucket_pruned", "table_changelog",
+    "table_changelog",
     # r3: table_merge_upsert (green r1+r2) rotates out for table_merge_full
     # (new: conditional matched-update/delete + unmatched-insert MERGE)
     # r3 late: table_migrate_import (green r1+r2; the import plane keeps
@@ -3420,6 +3458,11 @@ _PRIORITY = [
     # r3: similarity_ivf_topk (green r2, identical result set) rotates out
     # for similarity_ivf_pruned (new: persisted IVF with partition pruning)
     "similarity_ann_lsh", "similarity_ivf_pruned",
+    # r4: table_scan_bucket_pruned (green r1+r2+r3, unchanged; scan family
+    # keeps table_scan_pruned + table_scan_planned_tasks in-window) rotates
+    # out for similarity_ivf_refresh (new: growth-gated k-means retrain +
+    # atomic index swap, full-retrain SQL oracle)
+    "similarity_ivf_refresh",
 ]
 
 
