@@ -18,9 +18,21 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     the whole shingle pipeline on one core; repartitioning those to the
     cluster's default parallelism is a cheap shuffle of raw rows.  At scale
     this is a NO-OP: a 100 TB scan already has thousands of partitions, so
-    the guard never triggers and no text is ever shuffled."""
+    the guard never triggers and no text is ever shuffled.
+
+    The probe is `inputFiles()` (a driver-side file-list of the analyzed
+    plan), NOT `df.rdd.getNumPartitions()` — the RDD conversion builds
+    the full physical plan plus a Python RDD bridge on every call, pure
+    driver overhead on hot paths.  Files under-count partitions when a
+    file splits (maxPartitionBytes), so the guard can repartition a
+    few-big-files input unnecessarily — one cheap raw-row shuffle, and
+    impossible in the at-scale regime (files >> cores)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs < target:
         return df.repartition(target)
     return df
 

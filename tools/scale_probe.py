@@ -1,0 +1,140 @@
+"""sf1 scale probe (r4 verdict #8): catch accidental super-linear plans.
+
+The sf0.1 bench cannot see an O(n^2) that only bites at 10x the data, so
+this probe derives a ~sf1 dataset (10x sf0.1) and times the most
+expensive headline queries at both scales.  The derived data preserves
+each query's semantic shape:
+
+- fact tables are 10 shifted copies (every key domain offset per copy, so
+  referential joins stay 1:1 and never cross copies);
+- dimension tables (nation, region) are shared, as in TPC-H;
+- documents get a per-copy alphabet rotation: token counts, within-copy
+  duplicate structure, and shingle statistics are preserved, but shingle
+  SETS are disjoint across copies — without this, replicated text makes
+  every duplicate group 10x larger and the candidate-pair OUTPUT grows
+  ~50x quadratically, which would measure output explosion instead of
+  scan scaling.
+
+Usage: python tools/scale_probe.py [--out BENCH_sf1.json]
+Writes one JSON with per-query seconds at sf0.1 and sf1 plus the ratio;
+a ratio well under 10 on filtered/pruned queries is the sub-linearity
+evidence, a ratio well over ~12-13 on any query flags a super-linear
+plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark import queries as Q
+from linkedin_iceberg_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DERIVED = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/liceberg_sf1")
+COPIES = 10
+
+# per-copy key shifts: strictly above each domain's sf0.1 maximum
+SHIFTS = {
+    "orders": {"o_orderkey": 150_000, "o_custkey": 15_000},
+    "lineitem": {"l_orderkey": 150_000, "l_partkey": 20_000,
+                 "l_suppkey": 1_000},
+    "customer": {"c_custkey": 15_000},
+    "supplier": {"s_suppkey": 1_000},
+    "part": {"p_partkey": 20_000},
+    "events": {"event_id": 100_000, "user_id": 1_500},
+    "documents": {"doc_id": 5_000},
+    "embeddings": {"vec_id": 500},
+}
+SHARED = ["nation", "region"]
+
+PROBE_QUERIES = [
+    "dedup_minhash_lsh_full",
+    "join_multiway",
+    "join_inner_equi",
+    "join_asof",
+    "window_topk_per_group",
+]
+
+
+def _rotated_alphabet(i: int) -> str:
+    a = string.ascii_lowercase
+    return a[i:] + a[:i]
+
+
+def build_sf1(spark) -> None:
+    if os.path.exists(os.path.join(DERIVED, "_SUCCESS_ALL")):
+        return
+    os.makedirs(DERIVED, exist_ok=True)
+    for t in SHARED:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite") \
+            .parquet(f"{DERIVED}/{t}.parquet")
+    for t, shifts in SHIFTS.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(COPIES):
+            c = base
+            for col, step in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            if t == "documents" and i > 0:
+                rot = _rotated_alphabet(i)
+                c = c.withColumn(
+                    "text", F.translate("text", string.ascii_lowercase, rot))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DERIVED}/{t}.parquet")
+    open(os.path.join(DERIVED, "_SUCCESS_ALL"), "w").write("ok")
+
+
+def _run(spark, name: str, sf_dir: str) -> tuple:
+    fn = Q._REGISTRY[name][0]
+    t0 = time.time()
+    n = fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def main() -> int:
+    out_path = "BENCH_sf1.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    spark = get_spark("scale_probe")
+    t0 = time.time()
+    build_sf1(spark)
+    gen_s = round(time.time() - t0, 1)
+
+    result = {"sf0.1": {}, "sf1": {}, "ratio": {}, "rows_sf1": {},
+              "data_ratio": float(COPIES), "gen_sec": gen_s}
+    for name in PROBE_QUERIES:
+        _run(spark, name, "/root/testdata/sf0.01")      # warm (JIT/codegen)
+        s01, _ = _run(spark, name, SRC)
+        s1, n1 = _run(spark, name, DERIVED)
+        result["sf0.1"][name] = round(s01, 3)
+        result["sf1"][name] = round(s1, 3)
+        result["rows_sf1"][name] = n1
+        result["ratio"][name] = round(s1 / s01, 2) if s01 > 0 else None
+        print(f"# {name}: sf0.1 {s01:.2f}s -> sf1 {s1:.2f}s "
+              f"(x{s1 / s01:.1f}, {n1} rows)", flush=True)
+
+    worst = max(result["ratio"].values())
+    result["worst_ratio"] = worst
+    result["verdict"] = ("ok: every query scales at or below data growth"
+                        if worst <= 13.0 else
+                        "SUPER-LINEAR suspect: see worst_ratio")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({"metric": "sf1_worst_ratio", "value": worst,
+                      "unit": "x", "queries": result["ratio"], "sf": 1.0}))
+    return 0 if worst <= 13.0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
