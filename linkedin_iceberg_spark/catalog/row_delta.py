@@ -53,11 +53,22 @@ def row_delta(table, data_df: Optional[DataFrame] = None,
               position_deletes: Optional[DataFrame] = None,
               equality_delete_keys: Optional[DataFrame] = None,
               key_cols: Optional[list] = None,
-              extra_summary: Optional[dict] = None):
+              extra_summary: Optional[dict] = None,
+              seen_paths: Optional[set] = None,
+              conflict_fn=None):
     """One atomic snapshot with any mix of added rows / pos-deletes /
     eq-deletes.  Equality deletes are sequence-scoped: they only hit rows
     from files with a LOWER sequence number, so data added in this same
-    commit survives — this is exactly what makes upsert one snapshot."""
+    commit survives — this is exactly what makes upsert one snapshot.
+
+    `seen_paths`/`conflict_fn` opt into serializable validation on the
+    retry loop (same contract as Table._commit_file_swap): a file in
+    `seen_paths` that disappeared, or a concurrently added entry that
+    `conflict_fn` flags, raises ValidationException — because this
+    commit's eq-deletes land at a HIGHER sequence number on retry, they
+    would silently hit concurrently appended rows the caller never read
+    (lost update) if histories were merged blindly.  merge()/upsert()
+    scope the conflict to the source keys' bounds."""
     data_files = table._write_data_files(data_df) if data_df is not None else []
     delete_files: list = []
     if position_deletes is not None:
@@ -83,6 +94,28 @@ def row_delta(table, data_df: Optional[DataFrame] = None,
     types_by_id = table._types_by_id()
 
     def build(base, snap_id, seq):
+        if conflict_fn is not None:
+            from linkedin_iceberg_spark.catalog.metadata import (
+                ValidationException)
+            live = table._live_entries(base=base)
+            live_paths = {e.data_file.file_path for e in live}
+            gone = sorted((seen_paths or set()) - live_paths)
+            if gone:
+                raise ValidationException(
+                    f"row_delta: {len(gone)} file(s) read by this "
+                    f"operation were removed by a concurrent commit "
+                    f"(e.g. {gone[0]}); re-plan on the refreshed table")
+            for e in live:
+                if e.data_file.file_path in (seen_paths or set()):
+                    continue
+                if conflict_fn(e):
+                    raise ValidationException(
+                        "row_delta: a concurrent commit added "
+                        f"{e.data_file.file_path}, which may hold rows in "
+                        "this operation's key range; its rows would be "
+                        "hit by the higher-sequence equality deletes "
+                        "without appearing in the computed output — "
+                        "re-plan on the refreshed table")
         ptypes = base.all_partition_types()
         infos = []
         entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id, seq, f)
@@ -182,9 +215,40 @@ def merge(table, source: DataFrame, key_cols: list,
         for p in parts[1:]:
             data_df = data_df.unionByName(p)
 
+    seen, conflict = _key_bounds_guard(table, source, key_cols)
     return row_delta(table, data_df=data_df,
                      equality_delete_keys=affected, key_cols=key_cols,
-                     extra_summary=extra_summary)
+                     extra_summary=extra_summary,
+                     seen_paths=seen, conflict_fn=conflict)
+
+
+def _key_bounds_guard(table, source: DataFrame, key_cols: list) -> tuple:
+    """(seen_paths, conflict_fn) for merge/upsert: a concurrent commit
+    conflicts only if it might touch the SOURCE KEY RANGE — a new data
+    file whose metrics overlap [min, max] of every key column (a new key
+    outside the range can change neither the matched set nor the
+    anti-join inserts), any new delete file, or removal of any file the
+    operation read.  One metadata-sized agg over the source computes the
+    bounds (ref: the scoped conflict detection of
+    BaseOverwriteFiles.java:76-129, applied to the RowDelta path)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.expressions import (
+        always_true, and_, bind, gt_eq, lt_eq)
+
+    row = source.agg(*[f for k in key_cols
+                       for f in (F.min(k).alias(f"_lo_{k}"),
+                                 F.max(k).alias(f"_hi_{k}"))]).collect()[0]
+    conj = []
+    for k in key_cols:
+        lo, hi = row[f"_lo_{k}"], row[f"_hi_{k}"]
+        if lo is not None:
+            conj += [gt_eq(k, lo), lt_eq(k, hi)]
+    pred = reduce(lambda a, b: and_(a, b), conj) if conj else always_true()
+    seen = {e.data_file.file_path for e in table._live_entries()}
+    return seen, table._filter_conflict_fn(bind(table.schema, pred))
 
 
 def upsert(table, df: DataFrame, key_cols: list,
@@ -192,6 +256,8 @@ def upsert(table, df: DataFrame, key_cols: list,
     """MERGE-style upsert: one snapshot that equality-deletes the incoming
     keys and appends the new rows (ref: the RowDelta pattern the reference's
     Flink CDC sink uses)."""
+    seen, conflict = _key_bounds_guard(table, df, key_cols)
     return row_delta(table, data_df=df,
                      equality_delete_keys=df.select(*key_cols),
-                     key_cols=key_cols, extra_summary=extra_summary)
+                     key_cols=key_cols, extra_summary=extra_summary,
+                     seen_paths=seen, conflict_fn=conflict)

@@ -172,3 +172,37 @@ def test_compaction_rejects_concurrent_delete_file(catalog, spark):
         t1.rewrite_data_files(min_input_files=1)
     t = catalog.load_table("db.cp")
     assert t.to_df().count() == 190
+
+
+def test_merge_rejects_concurrent_append_in_key_range(catalog, spark):
+    catalog.create_table("db.mg", _df(spark, 0, 1))
+    t1 = catalog.load_table("db.mg")
+    t1.append(_df(spark, 0, 300).orderBy("k"))
+    t1 = catalog.load_table("db.mg")
+    t2 = catalog.load_table("db.mg")
+
+    src = _df(spark, 100, 200).withColumn("v", F.lit(-1).cast("long"))
+    # rival appends a key INSIDE the merge's source-key range: the merge's
+    # higher-sequence eq-deletes would hit the rival's rows without the
+    # merge output containing them (lost update) — must raise
+    _hook_refresh(t1, lambda: t2.append(_df(spark, 150, 151).orderBy("k")))
+    with pytest.raises(ValidationException, match="key range"):
+        t1.merge(src, ["k"], matched_update={"v": F.col("s.v")})
+    t = catalog.load_table("db.mg")
+    assert t.to_df().count() == 301  # rival landed, merge did not
+
+
+def test_merge_accepts_concurrent_append_outside_key_range(catalog, spark):
+    catalog.create_table("db.mg2", _df(spark, 0, 1))
+    t1 = catalog.load_table("db.mg2")
+    t1.append(_df(spark, 0, 300).orderBy("k"))
+    t1 = catalog.load_table("db.mg2")
+    t2 = catalog.load_table("db.mg2")
+
+    src = _df(spark, 100, 200).withColumn("v", F.lit(-1).cast("long"))
+    _hook_refresh(t1, lambda: t2.append(_df(spark, 900, 920).orderBy("k")))
+    t1.merge(src, ["k"], matched_update={"v": F.col("s.v")})
+    t = catalog.load_table("db.mg2")
+    assert t.to_df().count() == 320
+    assert t.to_df().filter("k >= 100 and k < 200 and v != -1").count() == 0
+    assert t.to_df().filter("k >= 900").count() == 20  # rival intact
