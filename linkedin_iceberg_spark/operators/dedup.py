@@ -500,3 +500,101 @@ WITH toks AS (
 SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(h1, h2)) <= {max_hamming}
 ORDER BY d1, d2"""
+
+
+def dedup_spans(df: DataFrame, span_tokens: int = 10,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide EXACT span deduplication (the C4/RefinedWeb recipe,
+    adapted to fixed windows): split every document into consecutive
+    `span_tokens`-token spans, drop every span whose exact text already
+    occurred earlier in the corpus (first-seen wins — earlier doc, or
+    earlier span of the same doc), and reassemble the surviving text.
+    Catches boilerplate the near-dup operators ignore: repeated headers,
+    license blocks, navigation chrome shared across otherwise-distinct
+    documents.
+
+    Returns (id, clean_text, n_spans, n_dropped) — one row per input
+    document (a fully-duplicated document keeps an empty clean_text).
+
+    Scale: tokens never leave their row until one posexplode; spans
+    shuffle ONCE on the 16-byte md5 of the span text (group sizes are
+    duplicate multiplicities); first-seen-wins is a plain min over an
+    order-encoded long, not a window over the corpus.  Order encoding
+    caps span_id at 1e6 per document (a 1e7-token document at span 10 —
+    far beyond any real document; raise the factor for synthetic ones).
+
+    ref: the reference has no text plane; the keep-lowest-id discipline
+    matches dedup_exact above."""
+    _ORD = 1_000_000
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"))
+    spans = (toks
+             .withColumn("span_id", F.floor(F.col("pos") / span_tokens)
+                         .cast("long"))
+             .groupBy(id_col, "span_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                     lambda s: s.tok), " ").alias("span_text")))
+    keyed = spans.withColumn("h", F.md5("span_text")) \
+        .withColumn("ord", F.col(id_col) * _ORD + F.col("span_id"))
+    first = keyed.groupBy("h").agg(F.min("ord").alias("first_ord"))
+    kept = (keyed.join(first, "h")
+            .filter(F.col("ord") == F.col("first_ord")))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("span_id", "span_text"))),
+                           lambda s: s.span_text), " ").alias("clean_text"),
+                    F.count("*").alias("n_kept")))
+    totals = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_spans").cast("long").alias("n_spans"),
+                    (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_dropped")))
+
+
+def dedup_spans_oracle_sql(span_tokens: int = 10, table: str = "documents",
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """ANSI-SQL replay of dedup_spans for DuckDB — every stage inlined
+    (tokenize, fixed windows, md5 span hash, order-encoded first-seen
+    min, ordered reassembly)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split_regex({text_col}, '\\s+') AS tk
+  FROM {table}
+), pos AS (
+  SELECT {id_col}, tk, unnest(range(1, len(tk) + 1)) AS p
+  FROM t
+), sp AS (
+  SELECT {id_col}, (p - 1) // {span_tokens} AS span_id,
+         string_agg(tk[p], ' ' ORDER BY p) AS span_text
+  FROM pos GROUP BY 1, 2
+), keyed AS (
+  SELECT {id_col}, span_id, span_text, md5(span_text) AS h,
+         {id_col} * 1000000 + span_id AS ord
+  FROM sp
+), first AS (
+  SELECT h, min(ord) AS first_ord FROM keyed GROUP BY h
+), kept AS (
+  SELECT k.* FROM keyed k JOIN first f ON k.h = f.h
+  WHERE k.ord = f.first_ord
+), rebuilt AS (
+  SELECT {id_col}, string_agg(span_text, ' ' ORDER BY span_id)
+           AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY {id_col}
+), totals AS (
+  SELECT {id_col}, count(*) AS n_spans FROM sp GROUP BY {id_col}
+)
+SELECT t.{id_col}, coalesce(r.clean_text, '') AS clean_text,
+       CAST(t.n_spans AS BIGINT) AS n_spans,
+       CAST(t.n_spans - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
+ORDER BY t.{id_col}"""

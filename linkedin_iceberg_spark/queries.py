@@ -1007,6 +1007,28 @@ def dedup_minhash_lsh_full(spark, sf_dir):
                                   num_hashes=32, bands=8)
 
 
+@q("dedup_spans", None)  # oracle attached below (generated SQL)
+def dedup_spans(spark, sf_dir):
+    """Corpus-wide exact span dedup (C4-style boilerplate removal): every
+    10-token window that already occurred earlier in the corpus is
+    dropped (first-seen wins) and surviving text is reassembled.  One
+    16-byte-hash shuffle; the generated oracle replays tokenize -> window
+    -> md5 -> order-encoded min -> ordered reassembly in SQL, value-
+    checking the exact cleaned text of every document."""
+    from linkedin_iceberg_spark.operators.dedup import dedup_spans
+    d = ld(spark, sf_dir, "documents")
+    return dedup_spans(d, span_tokens=10).orderBy("doc_id")
+
+
+def _dedup_spans_oracle() -> str:
+    from linkedin_iceberg_spark.operators.dedup import dedup_spans_oracle_sql
+    return dedup_spans_oracle_sql(span_tokens=10)
+
+
+_REGISTRY["dedup_spans"] = (_REGISTRY["dedup_spans"][0],
+                            _dedup_spans_oracle())
+
+
 def _minhash_portable_oracle() -> str:
     from linkedin_iceberg_spark.operators.dedup import minhash_oracle_sql
     return minhash_oracle_sql(num_hashes=16, bands=8, shingle_n=3)
@@ -3453,8 +3475,11 @@ _PRIORITY = [
     # r3 late: dedup_minhash_lsh (green r1+r2) rotates out for
     # dedup_minhash_portable (new: exact candidate set value-checked via
     # the md5-portable hash recipe)
+    # r4: dedup_simhash (green r3, unchanged; the generated bit-vote
+    # oracle stands) rotates out for dedup_spans (new: corpus-wide exact
+    # span dedup with full cleaned-text oracle)
     "dedup_minhash_portable", "dedup_minhash_lsh_full",
-    "dedup_simhash", "dedup_embedding",
+    "dedup_spans", "dedup_embedding",
     # r3: similarity_ivf_topk (green r2, identical result set) rotates out
     # for similarity_ivf_pruned (new: persisted IVF with partition pruning)
     "similarity_ann_lsh", "similarity_ivf_pruned",

@@ -146,3 +146,27 @@ def test_chunk_null_text_yields_one_empty_chunk(spark):
            chunk_documents(df, max_tokens=5).collect()}
     assert set(out) == {0, 1}          # the NULL row is NOT dropped
     assert out[0]["chunk_text"] == ""
+
+
+def test_dedup_spans_first_seen_wins(spark):
+    from pyspark.sql import Row
+
+    from linkedin_iceberg_spark.operators.dedup import dedup_spans
+    boiler = " ".join(f"b{i}" for i in range(10))     # one exact span
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    docs = [
+        Row(doc_id=1, text=boiler + " " + uniq("x")),  # first: keeps both
+        Row(doc_id=2, text=boiler + " " + uniq("y")),  # boiler dropped
+        Row(doc_id=3, text=boiler),                    # fully duplicated
+        Row(doc_id=4, text=uniq("z") + " tail"),       # short last span kept
+    ]
+    out = {r["doc_id"]: r for r in
+           dedup_spans(spark.createDataFrame(docs), span_tokens=10)
+           .collect()}
+    assert out[1]["clean_text"] == docs[0].text
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == uniq("y")
+    assert out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 1
+    assert out[4]["clean_text"] == docs[3].text  # 'tail' span is unique
+    assert sum(r["n_spans"] for r in out.values()) == 2 + 2 + 1 + 2

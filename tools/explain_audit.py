@@ -74,6 +74,13 @@ CONTRACTS = {
         # MapInPandas over the task descriptors, never a per-row Python UDF
         ["MapInPandas"],
         ["CartesianProduct", "BatchEvalPython"]),
+    "dedup_spans": (
+        # spans shuffle once on the md5 hash (HashAggregate with map-side
+        # partial min over the order-encoded long); reassembly is a
+        # per-doc aggregate — no window over the corpus, no Python
+        ["HashAggregate", "partial_min", "Join"],
+        ["CartesianProduct", "Window", "BatchEvalPython",
+         "ArrowEvalPython"]),
     "dedup_simhash": (
         # bit votes are JVM-side aggregates with map-side combine; the
         # pigeonhole join is an EQUI-join on (segment, value) — any hash/
