@@ -85,3 +85,56 @@ def sample_bucket_sql(id_col: str, salt: str = "v1") -> str:
     """The _bucket expression as DuckDB/ANSI SQL (oracle building block)."""
     return (f"(('0x' || substr(md5('{salt}' || '-' || "
             f"{id_col}::VARCHAR), 1, 15))::BIGINT % {_BUCKETS})")
+
+
+def cap_per_group(df: DataFrame, group_col: str, n: int, id_col: str,
+                  salt: str = "v1") -> DataFrame:
+    """Keep at most `n` rows per group — the C4-style per-domain cap that
+    stops a handful of giant sources from dominating a training mix.
+
+    Rows are chosen by DETERMINISTIC HASH ORDER (md5 bucket, ties by id),
+    not by id or arrival order: an unbiased sample of each group that is
+    reproducible across runs/engines and stable under repartitioning.
+    Scale: one per-group window (hashpartitioning on the group key), no
+    global sort."""
+    from pyspark.sql import Window
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = Window.partitionBy(group_col).orderBy(_bucket(id_col, salt),
+                                              F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))
+
+
+def mix_by_token_budget(df: DataFrame, group_col: str, count_col: str,
+                        budgets: dict, id_col: str, salt: str = "v1",
+                        default_budget: int = 0) -> DataFrame:
+    """Data-mixture selection by per-group TOKEN budget: walk each
+    group's rows in deterministic hash order and keep a row iff the
+    group's running token total (including the row) stays within its
+    budget.  This is how a training mix pins "X tokens of source A,
+    Y of source B" exactly, rather than approximating it with rates —
+    and unlike rate sampling it self-corrects for per-doc length skew.
+
+    Deterministic and append-stable in order (appended rows sort into
+    the hash order; re-materialize the mix per release).  Scale: one
+    per-group cumulative-sum window (ROWS frame), no global sort, no
+    driver state.  SQL-replayable via the shared md5 bucket recipe."""
+    from pyspark.sql import Window
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for group {g!r} must be >= 0")
+    budget = None
+    for g, b in budgets.items():
+        cond = F.col(group_col) == F.lit(g)
+        budget = F.when(cond, F.lit(int(b))) if budget is None \
+            else budget.when(cond, F.lit(int(b)))
+    budget = budget.otherwise(F.lit(int(default_budget))) \
+        if budget is not None else F.lit(int(default_budget))
+    w = (Window.partitionBy(group_col)
+         .orderBy(_bucket(id_col, salt), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(count_col)).over(w)
+    return (df.withColumn("_cum", cum)
+            .filter(F.col("_cum") <= budget)
+            .drop("_cum"))

@@ -1378,6 +1378,77 @@ def sample_stratified(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("sample_cap_per_source", None)  # oracle attached below (generated SQL)
+def sample_cap_per_source(spark, sf_dir):
+    """Per-source document cap (the C4-style per-domain cap): keep at most
+    8 docs per source, chosen by deterministic salted-hash order — an
+    unbiased, append-stable, engine-replayable sample per group, NOT
+    first-N by id.  One per-group window; the oracle recomputes the hash
+    order and the row_number cut in SQL."""
+    from linkedin_iceberg_spark.operators.sampling import cap_per_group
+    d = ld(spark, sf_dir, "documents")
+    return (cap_per_group(d, "source", n=8, id_col="doc_id", salt="cap1")
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+def _cap_per_source_oracle() -> str:
+    from linkedin_iceberg_spark.operators.sampling import sample_bucket_sql
+    b = sample_bucket_sql("doc_id", "cap1")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {b}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 8 ORDER BY doc_id"""
+
+
+_REGISTRY["sample_cap_per_source"] = (_REGISTRY["sample_cap_per_source"][0],
+                                      _cap_per_source_oracle())
+
+
+@q("sample_token_budget_mix", None)  # oracle attached below (generated SQL)
+def sample_token_budget_mix(spark, sf_dir):
+    """Data-mixture selection by per-source TOKEN budget: walk each
+    source's docs in deterministic hash order, keep a doc while the
+    source's running token total stays within its budget (src0 gets 400
+    tokens, src1 800, every other source 250).  Pins exact token counts
+    per source instead of approximating with rates; the oracle replays
+    the hash order and the ROWS-frame cumulative cut in SQL."""
+    from linkedin_iceberg_spark.operators.sampling import mix_by_token_budget
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    return (mix_by_token_budget(d, "source", "n_tokens",
+                                {"src0": 400, "src1": 800},
+                                id_col="doc_id", salt="mix2",
+                                default_budget=250)
+            .select("doc_id", "source", "n_tokens").orderBy("doc_id"))
+
+
+def _token_budget_oracle() -> str:
+    from linkedin_iceberg_spark.operators.sampling import sample_bucket_sql
+    b = sample_bucket_sql("doc_id", "mix2")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY {b}, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c
+WHERE cum <= CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 800
+             ELSE 250 END
+ORDER BY doc_id"""
+
+
+_REGISTRY["sample_token_budget_mix"] = (
+    _REGISTRY["sample_token_budget_mix"][0], _token_budget_oracle())
+
+
 @q("similarity_quantize", """
 WITH q AS (
   SELECT vec_id,
@@ -3433,7 +3504,7 @@ _PRIORITY = [
     # r3 late: events_tumbling_window (green r1+r2, unchanged; family all
     # lifetime-green) rotates out for text_repetition (new: Gopher-style
     # duplicate-line + top-bigram repetition signals)
-    "text_repetition", "streaming_upsert_sink",
+    "streaming_upsert_sink",
     # r3 late: text_token_stats (green r1+r2) rotates out for
     # text_split_assign (new: deterministic hash-bucket train/val/test);
     # text_quality_score (green r1+r2) rotates out for text_pii_scrub
@@ -3444,7 +3515,12 @@ _PRIORITY = [
     # r3 late: text_fingerprint (green r2; text family keeps six in-window
     # entries) rotates out for streaming_incremental_dedup (new: persisted
     # signature-index dedup across micro-batches, full-run SQL oracle)
-    "streaming_incremental_dedup", "text_bpe_tokens",
+    # r4: text_bpe_tokens and text_repetition (both green r3, unchanged;
+    # text family keeps chunk/pack/pack_sharded/split_assign/pii_scrub/
+    # decontaminate in-window) rotate out for the two new mixture
+    # operators — per-source caps and token-budget selection
+    "streaming_incremental_dedup", "sample_cap_per_source",
+    "sample_token_budget_mix",
     # relational representatives (one-per-operator-family coverage).
     # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg
     # (each green in BOTH r1 and r2, unchanged since) rotate out for the

@@ -196,3 +196,55 @@ def test_split_assign_shares_bucket_recipe(spark, sf_dir):
         hash_bucket("doc_id", "v1", 100).alias("b100"),
         (hash_bucket("doc_id", "v1", 1_000_000) % 100).alias("b1m"))
     assert both.filter(F.col("b100") != F.col("b1m")).count() == 0
+
+
+def test_cap_per_group_bounds_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.operators.sampling import cap_per_group
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = cap_per_group(d, "source", n=5, id_col="doc_id", salt="t")
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts and all(v <= 5 for v in counts.values())
+    # deterministic: a second evaluation keeps the identical set
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               cap_per_group(d, "source", n=5, id_col="doc_id", salt="t")
+               .select("doc_id").collect())
+    assert a == b
+    # a different salt draws a different (still capped) sample
+    c = sorted(r["doc_id"] for r in
+               cap_per_group(d, "source", n=5, id_col="doc_id", salt="u")
+               .select("doc_id").collect())
+    assert c != a
+
+
+def test_mix_by_token_budget_is_greedy_maximal(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.operators.sampling import (
+        hash_bucket, mix_by_token_budget)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    budgets = {"src0": 300, "src1": 700}
+    kept = mix_by_token_budget(d, "source", "n_tokens", budgets,
+                               id_col="doc_id", salt="g", default_budget=200)
+    sums = {r["source"]: r["s"] for r in
+            kept.groupBy("source").agg(F.sum("n_tokens").alias("s"))
+            .collect()}
+    for src, s in sums.items():
+        assert s <= budgets.get(src, 200)
+    # prefix-cut semantics: walking each source in hash order, a row is
+    # kept iff the running total INCLUDING every prior row (kept or not)
+    # stays within budget — the first overflow ends the prefix
+    ordered = d.withColumn("_b", hash_bucket("doc_id", "g")) \
+        .orderBy("source", "_b", "doc_id").collect()
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    running = {}
+    for r in ordered:
+        src = r["source"]
+        b = budgets.get(src, 200)
+        running[src] = running.get(src, 0) + r["n_tokens"]
+        assert (r["doc_id"] in kept_ids) == (running[src] <= b)
