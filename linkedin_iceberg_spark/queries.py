@@ -186,6 +186,49 @@ def agg_approx_distinct(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@q("agg_hll_mergeable", """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), per_src AS (
+  SELECT source, count(DISTINCT tok) AS exact_tokens,
+         TRUE AS approx_within_5pct
+  FROM toks GROUP BY source
+), all_src AS (
+  SELECT '__ALL__' AS source, count(DISTINCT tok) AS exact_tokens,
+         TRUE AS approx_within_5pct
+  FROM toks
+)
+SELECT * FROM per_src UNION ALL SELECT * FROM all_src ORDER BY source""")
+def agg_hll_mergeable(spark, sf_dir):
+    """MERGEABLE distinct-count sketches — the 100 TB rollup pattern:
+    build one HLL sketch per source (partial, map-side-combinable),
+    then UNION the per-source sketches into the global estimate without
+    rescanning rows (hll_union_agg).  That merge step is what makes
+    incremental/partitioned distinct counting possible at scale —
+    persist per-partition sketches, union on demand.  Sketch bytes
+    differ by engine, so the checkable contract is the accuracy band:
+    per-source AND merged-global estimates must land within 5% of the
+    exact distinct counts the oracle recomputes."""
+    toks = ld(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok"))
+    per_src = toks.groupBy("source").agg(
+        F.hll_sketch_agg("tok").alias("_sk"),
+        F.count_distinct("tok").alias("exact_tokens"))
+    src_rows = per_src.select(
+        "source", "exact_tokens",
+        (F.abs(F.hll_sketch_estimate("_sk") - F.col("exact_tokens"))
+         <= 0.05 * F.col("exact_tokens")).alias("approx_within_5pct"))
+    exact_glob = toks.agg(
+        F.count_distinct("tok").alias("exact_tokens"))
+    merged = per_src.agg(F.hll_union_agg("_sk").alias("_g")) \
+        .crossJoin(exact_glob).select(
+            F.lit("__ALL__").alias("source"),
+            F.col("exact_tokens"),
+            (F.abs(F.hll_sketch_estimate("_g") - F.col("exact_tokens"))
+             <= 0.05 * F.col("exact_tokens")).alias("approx_within_5pct"))
+    return src_rows.unionByName(merged).orderBy("source")
+
+
 @q("agg_approx_percentile", """
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
@@ -3494,7 +3537,10 @@ _PRIORITY = [
     # r3: streaming_sink_counts / streaming_source_total (green r1+r2,
     # unchanged) rotate out for the two new streaming operators — bounded-
     # state dedup and the watermarked stream-stream interval join
-    "streaming_dedup", "streaming_stream_join",
+    # r4: streaming_stream_join (green r3, unchanged; streaming family
+    # keeps dedup/sessions/upsert/incremental-dedup in-window) rotates
+    # out for agg_hll_mergeable (new: mergeable HLL sketch rollup)
+    "streaming_dedup", "agg_hll_mergeable",
     "streaming_stateful_sessions",
     "multimodal_decode_features",
     # event windows + text analysis (text_bpe_tokens new in r3; takes the
