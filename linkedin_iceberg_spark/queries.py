@@ -3035,6 +3035,64 @@ _REGISTRY["streaming_incremental_dedup"] = (
     _REGISTRY["streaming_incremental_dedup"][0], _incremental_dedup_oracle())
 
 
+@q("streaming_enrichment", """
+SELECT n.n_name AS nation, e.event_type,
+       count(*) AS n, round(sum(e.value), 2) AS sum_v
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE e.user_id <= 200
+GROUP BY 1, 2 ORDER BY 1, 2""")
+def streaming_enrichment(spark, sf_dir):
+    """Stream-static enrichment join — the standard ingestion shape: a
+    micro-batched event stream joined against SLOWLY-CHANGING dimension
+    tables (customer -> nation) that stay batch DataFrames.  The static
+    side re-resolves per micro-batch (dimension updates apply without
+    restarting the stream) and is broadcast, so the stream side never
+    shuffles for the join; events arrive across three unordered files
+    and the enriched totals must equal the batch join the oracle runs."""
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    e = (ld(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+         .select("event_id", "user_id", "ts", "event_type", "value"))
+    c = ld(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = ld(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = tempfile.mkdtemp(prefix="q_senrich_")
+    src = os.path.join(base, "src")
+    for i in range(3):
+        (e.filter(F.col("event_id") % 3 == i).orderBy(F.rand(seed=11 + i))
+         .coalesce(1).write.parquet(os.path.join(src, f"b{i}")))
+        _time.sleep(0.25)  # distinct mtimes: batches arrive in order
+
+    sink = f"senrich_{_uuid.uuid4().hex[:8]}"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp, "
+                      "event_type string, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+        enriched = (ev.join(F.broadcast(c),
+                            ev.user_id == F.col("c_custkey"))
+                    .join(F.broadcast(n),
+                          F.col("c_nationkey") == F.col("n_nationkey")))
+        q_ = (enriched.writeStream.format("memory").queryName(sink)
+              .outputMode("append")
+              .option("checkpointLocation", os.path.join(base, "ck"))
+              .trigger(availableNow=True).start())
+        q_.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return (spark.table(sink)
+            .groupBy(F.col("n_name").alias("nation"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_v"))
+            .orderBy("nation", "event_type"))
+
+
 @q("streaming_dedup", """
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
 FROM events WHERE user_id <= 50
@@ -3557,7 +3615,10 @@ _PRIORITY = [
     # (new: email/long-number redaction with audit counts); text_lang_id
     # (green r2) rotates out for text_decontaminate (new: 8-gram benchmark
     # overlap anti-join)
-    "text_split_assign", "text_pii_scrub", "text_decontaminate",
+    # r4: text_decontaminate (green r3, unchanged; text family keeps
+    # five in-window entries) rotates out for streaming_enrichment
+    # (new: stream-static broadcast dimension join)
+    "text_split_assign", "text_pii_scrub", "streaming_enrichment",
     # r3 late: text_fingerprint (green r2; text family keeps six in-window
     # entries) rotates out for streaming_incremental_dedup (new: persisted
     # signature-index dedup across micro-batches, full-run SQL oracle)
