@@ -130,6 +130,17 @@ CONTRACTS = {
         ["Filter", "codegen id"],
         ["hashpartitioning", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"]),
+    "sample_cap_per_source": (
+        # per-group cap: ONE window partitioned on the group key
+        # (hashpartitioning), never a single-partition funnel
+        ["Window", "hashpartitioning", "codegen id"],
+        ["SinglePartition", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"]),
+    "sample_token_budget_mix": (
+        # per-group ROWS-frame cumulative sum: same shape as the cap
+        ["Window", "hashpartitioning", "codegen id"],
+        ["SinglePartition", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"]),
     "legacy_hive_scan": (
         # partition dirs pruned BEFORE Spark sees the paths; only the
         # residual (non-partition) predicate remains as a row filter,
