@@ -68,3 +68,45 @@ def test_pack_matches_model(spark):
         got = [(r["bin"], r["bin_tokens_before"], r["spills_next_bin"])
                for r in rows]
         assert got == want, budget
+
+
+def _model_spans(docs, span_tokens):
+    """Pure-Python dedup_spans: first-seen-wins over fixed token windows."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        toks = text.split()
+        spans = [" ".join(toks[i:i + span_tokens])
+                 for i in range(0, len(toks), span_tokens)]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        out[doc_id] = (" ".join(kept), len(spans), len(spans) - len(kept))
+    return out
+
+
+def test_dedup_spans_matches_model(spark):
+    from linkedin_iceberg_spark.operators.dedup import dedup_spans
+    rng = random.Random(77)
+    # small vocab + shared boilerplate blocks force cross-doc collisions
+    vocab = [f"w{i}" for i in range(12)]
+    boiler = [" ".join(rng.choice(vocab) for _ in range(6))
+              for _ in range(3)]
+    docs = []
+    for doc_id in range(40):
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(boiler))
+            else:
+                parts.append(" ".join(rng.choice(vocab)
+                                      for _ in range(rng.randint(1, 9))))
+        docs.append((doc_id, " ".join(parts)))
+    for span_tokens in (3, 6, 10):
+        want = _model_spans(docs, span_tokens)
+        df = spark.createDataFrame([Row(doc_id=d, text=t) for d, t in docs])
+        got = {r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_dropped"])
+               for r in dedup_spans(df, span_tokens=span_tokens).collect()}
+        assert got == want, f"span_tokens={span_tokens}"

@@ -61,6 +61,10 @@ PROBE_QUERIES = [
     "join_inner_equi",
     "join_asof",
     "window_topk_per_group",
+    # r4 additions worth a 10x lens: span dedup (one hash shuffle over
+    # every token window) and sharded packing (per-shard windows)
+    "dedup_spans",
+    "text_pack_sharded",
 ]
 
 
