@@ -580,3 +580,34 @@ def dequantize_int8(df: DataFrame, q_col: str = "qvec",
         F.transform(F.col(q_col),
                     lambda v: (v.cast("double")
                                * F.col(scale_col)).cast("float")))
+
+
+def truncate_embeddings(df: DataFrame, dim: int,
+                        vec_col: str = "embedding",
+                        out_col: str = "vec_trunc",
+                        renormalize: bool = True) -> DataFrame:
+    """Matryoshka-style dimensionality reduction: keep the first `dim`
+    components of each embedding, optionally L2-renormalized.  MRL-family
+    models pack coarse-to-fine information into prefixes, so prefix
+    truncation is the standard storage/speed knob: a 4x shorter vector
+    quarters index size and scan cost (compose with quantize_int8 for
+    ~16x) at a small recall cost.
+
+    Renormalization never changes COSINE rankings (cosine is scale-
+    invariant), but it keeps dot-product consumers and int8 quantization
+    ranges honest.  The norm is computed in a SEPARATE projection from
+    the division (two withColumns) — sibling lambda-bearing expressions
+    in one select are a known Spark 4.1 hazard."""
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    out = df.withColumn(out_col, F.slice(F.col(vec_col), 1, dim))
+    if not renormalize:
+        return out
+    out = out.withColumn(
+        "_nrm", F.sqrt(F.aggregate(
+            out_col, F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"))))
+    return (out.withColumn(
+        out_col,
+        F.transform(out_col, lambda x: x.cast("double") / F.col("_nrm")))
+        .drop("_nrm"))

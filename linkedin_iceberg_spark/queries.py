@@ -1421,6 +1421,64 @@ def sample_stratified(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("text_token_entropy", """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       round(-sum((c.c / t.n) * ln(c.c / t.n)), 4) AS token_entropy
+FROM cnt c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n ORDER BY c.doc_id""")
+def text_token_entropy(spark, sf_dir):
+    """Token-distribution entropy per document — the information-density
+    quality signal (low entropy = keyword stuffing / repeated boilerplate;
+    complements the repetition and stopword-ratio signals).  Two hash
+    aggregations keyed on (doc, token) then doc — map-side combinable,
+    no window, no UDF."""
+    d = ld(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (cnt.join(tot, "doc_id")
+            .groupBy("doc_id", "n")
+            .agg(F.round(-F.sum(p * F.log(p)), 4).alias("token_entropy"))
+            .select("doc_id", F.col("n").cast("long").alias("n_tokens"),
+                    "token_entropy")
+            .orderBy("doc_id"))
+
+
+@q("similarity_matryoshka", """
+WITH q AS (
+  SELECT embedding[1:16]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding[1:16]::DOUBLE[],
+                                    (SELECT qv FROM q)), 5) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id LIMIT 10""")
+def similarity_matryoshka(spark, sf_dir):
+    """Matryoshka prefix search: truncate every embedding to its first 16
+    components and run exact cosine top-k in the reduced space — the MRL
+    storage/speed knob (4x smaller vectors; compose with quantize_int8
+    for ~16x).  Cosine is scale-invariant so the un-renormalized slices
+    give identical rankings; the renormalizing path is covered by
+    pytest."""
+    from linkedin_iceberg_spark.operators.similarity import (
+        cosine_topk, truncate_embeddings)
+    e = ld(spark, sf_dir, "embeddings")
+    t = truncate_embeddings(e, 16, renormalize=False)
+    qv = t.filter(F.col("vec_id") == 0).select("vec_trunc").head()[0]
+    return cosine_topk(
+        t.select("vec_id", F.col("vec_trunc").alias("embedding")),
+        qv, k=10)
+
+
 @q("sample_cap_per_source", None)  # oracle attached below (generated SQL)
 def sample_cap_per_source(spark, sf_dir):
     """Per-source document cap (the C4-style per-domain cap): keep at most
@@ -3570,7 +3628,11 @@ _PRIORITY = [
     # r3 late: table_expire_snapshots (green r1+r2; maintenance family
     # keeps compaction/rewrite-manifests/rollback in-window) rotates out
     # for table_incremental_view (new: changelog-driven view maintenance)
-    "table_equality_deletes", "table_compaction", "table_incremental_view",
+    # r4: table_incremental_view and table_rewrite_manifests (both green
+    # r3, unchanged; maintenance family keeps compaction + rollback_wap,
+    # CDC family keeps table_changelog) rotate out for text_token_entropy
+    # and similarity_matryoshka (new operators)
+    "table_equality_deletes", "table_compaction", "text_token_entropy",
     "table_format_orc", "table_remove_orphans", "table_sql_over_view",
     # r4: table_merge_schema_append (lifetime-green, unchanged; schema
     # family keeps table_schema_evolution in-window) rotates out for
@@ -3585,7 +3647,7 @@ _PRIORITY = [
     # multimodal_meta (each green in r2; their families keep in-window
     # representatives: meta_partitions+files, events tumbling+session,
     # multimodal decode_features).
-    "table_overwrite_where", "table_rewrite_manifests", "table_rollback_wap",
+    "table_overwrite_where", "similarity_matryoshka", "table_rollback_wap",
     # metadata tables / streaming / multimodal
     # r3 late: meta_partitions_months (green r1+r2, unchanged; family keeps
     # meta_files_stats in-window) rotates out for legacy_hive_scan (new:

@@ -97,3 +97,25 @@ def test_ivf_refresh_growth_gated_and_recall(catalog, spark, sf_dir):
                                       n_probe=3).collect()}
         hits += len(exact & approx)
     assert hits >= int(0.6 * 3 * k)  # >= 60% average recall at n_probe=3
+
+
+def test_truncate_embeddings_renormalize(spark, sf_dir):
+    """Renormalized prefixes are unit-norm and preserve cosine ranking."""
+    from linkedin_iceberg_spark.operators.similarity import (
+        cosine_topk, truncate_embeddings)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = truncate_embeddings(e, 16, renormalize=True)
+    norms = t.select(
+        F.sqrt(F.aggregate("vec_trunc", F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("n")).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-9 for r in norms)
+    # same ranking as un-renormalized slices (cosine is scale-invariant)
+    raw = truncate_embeddings(e, 16, renormalize=False)
+    q = raw.filter(F.col("vec_id") == 0).select("vec_trunc").head()[0]
+    a = [r["vec_id"] for r in cosine_topk(
+        t.select("vec_id", F.col("vec_trunc").alias("embedding")),
+        q, k=10).collect()]
+    b = [r["vec_id"] for r in cosine_topk(
+        raw.select("vec_id", F.col("vec_trunc").alias("embedding")),
+        q, k=10).collect()]
+    assert a == b
