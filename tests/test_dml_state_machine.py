@@ -115,3 +115,69 @@ def test_random_dml_sequence(catalog, spark, seed):
             t.expire_snapshots(retain_last=2)
             t.refresh()
         _check(t.refresh(), model, label)
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_random_dml_across_spec_evolution(catalog, spark, seed):
+    """r4: the same model-checked sequence, but with partition-spec
+    evolution in the middle and dynamic partition overwrites AFTER it —
+    the copy-on-write fallback must keep old-spec files honest."""
+    rng = random.Random(seed)
+    rows = _mk_rows(rng, 60, 0)
+    df0 = spark.createDataFrame(rows, SCHEMA)
+    t = catalog.create_table(f"db.sme{seed}", df0)     # spec 0: ({})
+    t.append(df0)
+    model = pd.DataFrame(rows, columns=COLS)
+    next_id = 60
+
+    t.update_spec(lambda b: b.identity("grp"))          # spec 1
+    ops = ["append", "dyn_overwrite", "delete_lo", "dyn_overwrite",
+           "compact", "merge", "dyn_overwrite", "expire"]
+    for step, op in enumerate(ops):
+        label = f"step{step}:{op}(seed{seed})"
+        if op == "append":
+            rows = _mk_rows(rng, rng.randint(10, 20), next_id)
+            next_id += len(rows)
+            t.append(spark.createDataFrame(rows, SCHEMA))
+            model = pd.concat([model, pd.DataFrame(rows, columns=COLS)],
+                              ignore_index=True)
+        elif op == "dyn_overwrite":
+            # replace 1-2 whole grp partitions with fresh rows
+            grps = sorted(set(model["grp"].tolist()))
+            if not grps:
+                continue
+            touched = rng.sample(grps, min(len(grps), rng.randint(1, 2)))
+            fresh = [(next_id + i, rng.choice(touched), -1.0)
+                     for i in range(8)]
+            next_id += 8
+            t.overwrite_partitions(spark.createDataFrame(fresh, SCHEMA))
+            model = model[~model["grp"].isin(touched)]
+            model = pd.concat([model, pd.DataFrame(fresh, columns=COLS)],
+                              ignore_index=True)
+        elif op == "delete_lo":
+            cut = rng.randint(0, next_id)
+            t.delete_where(lt("id", cut))
+            model = model[~(model["id"] < cut)]
+        elif op == "merge":
+            lo = rng.randint(0, max(next_id - 1, 1))
+            hi = lo + 12
+            src = [(i, 5, 7.0) for i in range(lo, hi)]
+            t.merge(spark.createDataFrame(src, SCHEMA), key_cols=["id"],
+                    matched_update={"val": F.col("t.val") + 0.5})
+            next_id = max(next_id, hi)
+            model = model.copy()
+            upd = model["id"].isin(set(range(lo, hi)))
+            model.loc[upd, "val"] = model.loc[upd, "val"] + 0.5
+            existing = set(model["id"].tolist())
+            ins = [(i, 5, 7.0) for i in range(lo, hi) if i not in existing]
+            if ins:
+                model = pd.concat(
+                    [model, pd.DataFrame(ins, columns=COLS)],
+                    ignore_index=True)
+        elif op == "compact":
+            t.rewrite_data_files(min_input_files=2)
+            t.refresh()
+        elif op == "expire":
+            t.expire_snapshots(retain_last=2)
+            t.refresh()
+        _check(t.refresh(), model, label)
