@@ -26,7 +26,9 @@ MANIFEST_TARGET_ENTRIES = 10_000       # ~8 MB of entries (TableProperties:38-42
 def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
                        min_input_files: int = 2,
                        sort_by: Optional[list] = None,
-                       zorder_by: Optional[list] = None) -> dict:
+                       zorder_by: Optional[list] = None,
+                       partial_progress: bool = False,
+                       max_groups_per_commit: int = 1) -> dict:
     """Bin-pack small files per partition and rewrite them (A1).
 
     With `sort_by`, the rewrite also CLUSTERS rows: unpartitioned tables
@@ -54,9 +56,19 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
     rewriting (the compacted file gets a higher sequence number, so stale
     equality deletes no longer re-hit the surviving rows; ref: the
     scan/DeleteFileIndex path the reference routes rewrites through).
+
+    `partial_progress` (ref: RewriteDataFiles PARTIAL_PROGRESS_ENABLED):
+    instead of one table-wide swap, commit every `max_groups_per_commit`
+    partition groups separately.  At 100 TB a full compaction can run for
+    hours — per-group commits make completed work DURABLE (a failure or
+    a lost conflict only forfeits the in-flight group), shrink each
+    commit's conflict window, and let concurrent writers interleave.
+    Each commit goes through the same validated optimistic loop.
     """
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
+    if max_groups_per_commit < 1:
+        raise ValueError("max_groups_per_commit must be >= 1")
 
     entries, delete_entries = table._live_data_and_deletes()
     # files with pending v2 deletes are candidates REGARDLESS of size or
@@ -73,7 +85,7 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
         by_partition.setdefault(key, []).append(e)
 
     clustering = bool(sort_by or zorder_by)
-    to_rewrite = []
+    rewrite_groups = []
     for _key, group in by_partition.items():
         # a clustering rewrite re-sorts EVERY live file (right-sized files
         # still have loose bounds until resorted); plain compaction only
@@ -84,10 +96,42 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
              or e.data_file.file_path in delete_laden]
         if len(cand) >= min_input_files or \
                 any(e.data_file.file_path in delete_laden for e in cand):
-            to_rewrite.extend(cand)
-    if not to_rewrite:
-        return {"rewritten_files": 0, "added_files": 0}
+            rewrite_groups.append(cand)
+    if not rewrite_groups:
+        return {"rewritten_files": 0, "added_files": 0, "commits": 0}
 
+    if not partial_progress or len(rewrite_groups) <= max_groups_per_commit:
+        to_rewrite = [e for g in rewrite_groups for e in g]
+        new_files = _compact_write(table, to_rewrite, delete_entries,
+                                   target_size_bytes, sort_by, zorder_by)
+        table.rewrite_files({e.data_file.file_path for e in to_rewrite},
+                            new_files)
+        return {"rewritten_files": len(to_rewrite),
+                "added_files": len(new_files), "commits": 1}
+
+    rewritten = added = commits = 0
+    for i in range(0, len(rewrite_groups), max_groups_per_commit):
+        ents = [e for g in rewrite_groups[i:i + max_groups_per_commit]
+                for e in g]
+        new_files = _compact_write(table, ents, delete_entries,
+                                   target_size_bytes, sort_by, zorder_by)
+        # a failure here leaves every PRIOR batch durable — that is the
+        # point of partial progress
+        table.rewrite_files({e.data_file.file_path for e in ents},
+                            new_files)
+        rewritten += len(ents)
+        added += len(new_files)
+        commits += 1
+    return {"rewritten_files": rewritten, "added_files": added,
+            "commits": commits}
+
+
+def _compact_write(table, to_rewrite: list, delete_entries: list,
+                   target_size_bytes: int, sort_by: Optional[list],
+                   zorder_by: Optional[list]) -> list:
+    """Read the live rows of `to_rewrite` (pending deletes applied) and
+    write them back clustered — plain bin-packing, sort-clustered, or
+    z-ordered (see rewrite_data_files)."""
     df = table._read_live_rows(to_rewrite, delete_entries)
     if not table.spec.is_partitioned():
         # bin-pack: one output file per target_size of input
@@ -98,31 +142,24 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
             df = zorder_cluster(df, zorder_by, n_out)
             # sort_by=[] suppresses the write.sort-by table property —
             # it would re-sort within partitions and undo the z-order
-            new_files = table._write_data_files(df, sort_by=[])
-        elif sort_by:
+            return table._write_data_files(df, sort_by=[])
+        if sort_by:
             df = (df.repartitionByRange(n_out, *sort_by)
                   .sortWithinPartitions(*sort_by))
-            new_files = table._write_data_files(df, sort_by=[])
-        else:
-            df = df.coalesce(n_out)
-            new_files = table._write_data_files(df)
-    else:
-        # one commit: write clustered by partition key (plus the sort
-        # columns within each cluster when sorting), swap atomically.
-        # zorder_by: the Morton interleave is partition-agnostic — pass
-        # it as a sort EXPRESSION so each partition's rewrite group comes
-        # out z-clustered (scaling stats are table-global: the mapping
-        # stays monotone inside every partition, and predicates on each
-        # z-column prune that partition's files)
-        if zorder_by:
-            from linkedin_iceberg_spark.catalog.zorder import zorder_value
-            new_files = table._write_data_files(
-                df, sort_by=[zorder_value(df, zorder_by)])
-        else:
-            new_files = table._write_data_files(df, sort_by=sort_by)
-    removed_paths = {e.data_file.file_path for e in to_rewrite}
-    table.rewrite_files(removed_paths, new_files)
-    return {"rewritten_files": len(to_rewrite), "added_files": len(new_files)}
+            return table._write_data_files(df, sort_by=[])
+        return table._write_data_files(df.coalesce(n_out))
+    # partitioned: write clustered by partition key (plus the sort
+    # columns within each cluster when sorting).  zorder_by: the Morton
+    # interleave is partition-agnostic — pass it as a sort EXPRESSION so
+    # each partition's rewrite group comes out z-clustered (scaling
+    # stats are table-global: the mapping stays monotone inside every
+    # partition, and predicates on each z-column prune that partition's
+    # files)
+    if zorder_by:
+        from linkedin_iceberg_spark.catalog.zorder import zorder_value
+        return table._write_data_files(
+            df, sort_by=[zorder_value(df, zorder_by)])
+    return table._write_data_files(df, sort_by=sort_by)
 
 
 DISTRIBUTED_REWRITE_THRESHOLD = 100_000

@@ -137,3 +137,68 @@ def test_find_files_and_scan_summary(catalog, orders_df):
 
     summ = scan_summary(t)
     assert sum(s["row_count"] for s in summ.values()) == orders_df.count()
+
+
+def test_partial_progress_compaction(catalog, spark, sf_dir):
+    """r4: per-group commits — completed groups stay durable even when a
+    later group's commit fails (ref: RewriteDataFiles partial progress)."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.year("o_orderdate") == 1995)
+    spec = (PartitionSpec.builder_for(Schema.from_spark(o.schema))
+            .month("o_orderdate").build())
+    t = catalog.create_table("db.ppc", o, spec=spec)
+    for i in range(3):
+        t.append(o.filter(F.col("o_orderkey") % 3 == i))
+    n = t.to_df().count()
+    files0 = len(t.new_scan().plan_files())
+
+    res = t.rewrite_data_files(target_size_bytes=8 * 1024,
+                               min_input_files=2, partial_progress=True,
+                               max_groups_per_commit=2)
+    assert res["commits"] > 1                      # really incremental
+    assert t.to_df().count() == n
+    assert len(t.new_scan().plan_files()) < files0
+    # one REPLACE snapshot per batch
+    replaces = [s for s in t.metadata.snapshots if s.operation == "replace"]
+    assert len(replaces) == res["commits"]
+
+
+def test_partial_progress_keeps_completed_batches_on_failure(catalog, spark,
+                                                             sf_dir):
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.year("o_orderdate") == 1995)
+    spec = (PartitionSpec.builder_for(Schema.from_spark(o.schema))
+            .month("o_orderdate").build())
+    t = catalog.create_table("db.ppf", o, spec=spec)
+    for i in range(2):
+        t.append(o.filter(F.col("o_orderkey") % 2 == i))
+    n = t.to_df().count()
+
+    orig = t.rewrite_files
+    calls = {"n": 0}
+
+    def failing(removed_paths, added_files):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated commit failure")
+        return orig(removed_paths, added_files)
+
+    t.rewrite_files = failing
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated"):
+        t.rewrite_data_files(target_size_bytes=8 * 1024, min_input_files=2,
+                             partial_progress=True, max_groups_per_commit=1)
+    t.rewrite_files = orig
+    t.refresh()
+    # the two committed batches are durable, data intact throughout
+    replaces = [s for s in t.metadata.snapshots if s.operation == "replace"]
+    assert len(replaces) == 2
+    assert t.to_df().count() == n
