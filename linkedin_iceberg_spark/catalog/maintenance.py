@@ -322,11 +322,15 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     ancestry = md.ancestry()
     keep_ids = set(ancestry[:max(1, retain_last)])
     staged = set(md.staged_wap.values())
+    # named refs (tags) pin their snapshots unconditionally — a tagged
+    # release stays readable until the tag is dropped (ref:
+    # RemoveSnapshots retaining SnapshotRef targets)
+    pinned = set(md.refs.values())
     for s in md.snapshots:
         sid = s.snapshot_id
         if sid in keep_ids or sid == md.current_snapshot_id:
             keep_ids.add(sid)
-        elif sid in staged or s.timestamp_ms >= cutoff:
+        elif sid in staged or sid in pinned or s.timestamp_ms >= cutoff:
             keep_ids.add(sid)
     expired = [s for s in md.snapshots if s.snapshot_id not in keep_ids]
     if not expired:

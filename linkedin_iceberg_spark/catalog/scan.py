@@ -164,6 +164,20 @@ class TableScan:
             raise ValueError(f"unknown snapshot {snapshot_id}")
         return self._copy(snapshot_id=snapshot_id)
 
+    def use_ref(self, name: str) -> "TableScan":
+        """Pin the scan to a NAMED reference (tag) — time travel by name
+        instead of raw snapshot id (ref: the SnapshotRef plane;
+        `main` resolves to the current lineage head)."""
+        md = self.table.metadata
+        if name == "main":
+            if md.current_snapshot_id is None:
+                raise ValueError("table has no current snapshot")
+            return self._copy(snapshot_id=md.current_snapshot_id)
+        if name not in md.refs:
+            raise ValueError(f"unknown ref {name!r}; known: "
+                             f"{sorted(md.refs) + ['main']}")
+        return self.use_snapshot(md.refs[name])
+
     def as_of_time(self, timestamp_ms: int) -> "TableScan":
         snap = self.table.metadata.snapshot_as_of(timestamp_ms)
         if snap is None:

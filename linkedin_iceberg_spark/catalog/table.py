@@ -1075,6 +1075,40 @@ class Table:
     def set_current_snapshot(self, snapshot_id: int) -> "Table":
         return self.rollback_to(snapshot_id)
 
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None,
+                   replace: bool = False) -> "Table":
+        """Pin a snapshot under a NAME (ref: the SnapshotRef/ManageSnapshots
+        tag plane): readable forever via `new_scan().use_ref(name)` and
+        PROTECTED from expire_snapshots until dropped — the release/audit
+        primitive ("the exact data model v3 trained on") that raw
+        snapshot-id time travel cannot give, because ids expire."""
+        def do(base: TableMetadata):
+            sid = snapshot_id if snapshot_id is not None \
+                else base.current_snapshot_id
+            if sid is None or base.snapshot_by_id(sid) is None:
+                raise ValueError(f"unknown snapshot {sid}")
+            if name == "main":
+                raise ValueError("'main' names the current lineage head "
+                                 "and cannot be tagged over")
+            if name in base.refs and not replace:
+                raise ValueError(f"tag {name!r} already exists "
+                                 "(replace=True to move it)")
+            import dataclasses
+            md = dataclasses.replace(base)
+            md.refs = {**base.refs, name: sid}
+            return md
+        return self._commit_metadata_edit(do)
+
+    def drop_tag(self, name: str) -> "Table":
+        def do(base: TableMetadata):
+            if name not in base.refs:
+                raise ValueError(f"unknown tag {name!r}")
+            import dataclasses
+            md = dataclasses.replace(base)
+            md.refs = {k: v for k, v in base.refs.items() if k != name}
+            return md
+        return self._commit_metadata_edit(do)
+
     def cherry_pick(self, snapshot_id: int) -> "Table":
         """Publish a staged (WAP) snapshot: fast-forward if it's a direct
         child of current, else RE-APPLY its added files on top of the

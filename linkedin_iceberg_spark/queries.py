@@ -2172,6 +2172,30 @@ def table_time_travel(spark, sf_dir):
             .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
 
 
+@q("table_tag_travel", """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 5000
+ORDER BY o_orderkey""")
+def table_tag_travel(spark, sf_dir):
+    """Named snapshot references (r4): tag the first snapshot
+    ('release-v1'), append more data, DELETE some of the tagged rows,
+    and expire aggressively — the tag pins its snapshot through all of
+    it, so reading `use_ref('release-v1')` must still equal batch1
+    exactly.  Raw snapshot-id travel can't survive the expire; the tag
+    is what makes a training-data release reproducible."""
+    from linkedin_iceberg_spark.expressions import lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_tag", o)
+    t.append(o.filter(F.col("o_orderkey") <= 5000))
+    t.create_tag("release-v1")
+    t.append(o.filter(F.col("o_orderkey") > 5000))
+    t.delete_where(lt("o_orderkey", 1000))
+    t.expire_snapshots(retain_last=1)
+    t.refresh()
+    return (t.new_scan().use_ref("release-v1").to_df()
+            .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
+
+
 @q("table_overwrite_where", """
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -3660,7 +3684,10 @@ _PRIORITY = [
     # r4: streaming_stream_join (green r3, unchanged; streaming family
     # keeps dedup/sessions/upsert/incremental-dedup in-window) rotates
     # out for agg_hll_mergeable (new: mergeable HLL sketch rollup)
-    "streaming_dedup", "agg_hll_mergeable",
+    # r4: streaming_dedup (green r3, unchanged; family keeps sessions/
+    # upsert/incremental-dedup/enrichment) rotates out for
+    # table_tag_travel (new: named refs pinned through deletes + expiry)
+    "table_tag_travel", "agg_hll_mergeable",
     "streaming_stateful_sessions",
     "multimodal_decode_features",
     # event windows + text analysis (text_bpe_tokens new in r3; takes the
