@@ -184,6 +184,34 @@ class TableScan:
             raise ValueError(f"no snapshot as of {timestamp_ms}")
         return self._copy(snapshot_id=snap.snapshot_id)
 
+    def count_rows(self) -> int:
+        """COUNT(*) with the metadata short-circuit (ref: the manifests'
+        record_count the reference aggregates in ScanSummary / the
+        engine-side count pushdown of SparkScan): a file whose task
+        carries no pending deletes and whose residual proves EVERY row
+        matches (AlwaysTrue — or no row filter at all) contributes its
+        manifest record_count without being read.  Only the remaining
+        files (partial matches, delete-laden) are scanned and counted.
+
+        At 100 TB this turns full-table and partition-aligned counts
+        into pure metadata operations — O(manifest entries) driver work,
+        zero data I/O — and degrades gracefully to reading exactly the
+        undecidable files."""
+        tasks = self.plan_files()
+        fast_total = 0
+        slow: list = []
+        for t in tasks:
+            decided = self.row_filter is None or \
+                isinstance(t.residual, AlwaysTrue)
+            if decided and not t.deletes and \
+                    t.file.record_count is not None:
+                fast_total += t.file.record_count
+            else:
+                slow.append(t)
+        if slow:
+            fast_total += self._to_df_default(tasks=slow).count()
+        return fast_total
+
     # ------------------------------------------------------------- planning
     def _snapshot(self):
         md = self.table.metadata

@@ -2172,6 +2172,36 @@ def table_time_travel(spark, sf_dir):
             .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
 
 
+@q("table_count_pushdown", """
+SELECT (SELECT count(*) FROM orders) AS full_count,
+       (SELECT count(*) FROM orders
+        WHERE o_orderdate >= DATE '1995-03-01'
+          AND o_orderdate < DATE '1995-04-01') AS month_count""")
+def table_count_pushdown(spark, sf_dir):
+    """Metadata-only COUNT(*) (r4): full-table and partition-aligned
+    counts answered from manifest record_counts with ZERO data I/O
+    (count_rows short-circuits every task whose residual is AlwaysTrue
+    and that carries no pending deletes).  Both counts must equal the
+    oracle's real counts — the pytest suite additionally trips a wire if
+    the fast path ever touches a data file."""
+    import datetime
+
+    from linkedin_iceberg_spark.expressions import and_, gt_eq, lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    spec = (PartitionSpec.builder_for(Schema.from_spark(o.schema))
+            .month("o_orderdate").build())
+    t = cat.create_table("q.orders_cnt", o, spec=spec)
+    t.append(o)
+    full = t.new_scan().count_rows()
+    month = t.new_scan().filter(
+        and_(gt_eq("o_orderdate", datetime.date(1995, 3, 1)),
+             lt("o_orderdate", datetime.date(1995, 4, 1)))).count_rows()
+    return spark.createDataFrame(
+        [(full, month)], "full_count long, month_count long")
+
+
 @q("table_tag_travel", """
 SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 5000
 ORDER BY o_orderkey""")
@@ -3740,7 +3770,10 @@ _PRIORITY = [
     # int8 quantization with integer-exact checksums)
     "similarity_quantize", "agg_approx_distinct", "sample_stratified",
     "join_skew_salted", "similarity_ivf_train", "similarity_knn_join",
-    "scalar_math_funcs", "agg_approx_percentile",
+    # r4: scalar_math_funcs (green r3; scalar family has lifetime-green
+    # string/json/cond siblings) rotates out for table_count_pushdown
+    # (new: metadata-only COUNT(*))
+    "table_count_pushdown", "agg_approx_percentile",
     # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
     # dedup_embedding (new r3: cosine near-dup -> connected components ->
     # keep-decision, full-pipeline generated oracle)

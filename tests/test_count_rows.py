@@ -1,0 +1,74 @@
+"""Metadata-only COUNT(*): counts come from manifest record_counts, data
+is read only for files the metadata cannot decide."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark import PartitionSpec, Schema
+from linkedin_iceberg_spark.expressions import and_, eq, gt_eq, lt
+
+
+@pytest.fixture()
+def part_table(catalog, spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spec = (PartitionSpec.builder_for(Schema.from_spark(o.schema))
+            .month("o_orderdate").build())
+    t = catalog.create_table("db.cnt", o, spec=spec)
+    t.append(o)
+    return t, o
+
+
+def test_count_without_filter_is_metadata_only(part_table, monkeypatch):
+    t, o = part_table
+    scan = t.new_scan()
+
+    def no_read(tasks=None):  # pragma: no cover - trip wire
+        raise AssertionError("metadata-only count read data files")
+    monkeypatch.setattr(scan, "_to_df_default", no_read)
+    assert scan.count_rows() == o.count()
+
+
+def test_partition_aligned_filter_is_metadata_only(part_table, spark,
+                                                   monkeypatch):
+    import datetime
+    t, o = part_table
+    m0, m1 = datetime.date(1995, 3, 1), datetime.date(1995, 4, 1)
+    scan = t.new_scan().filter(and_(gt_eq("o_orderdate", m0),
+                                    lt("o_orderdate", m1)))
+
+    def no_read(tasks=None):  # pragma: no cover - trip wire
+        raise AssertionError("partition-aligned count read data files")
+    monkeypatch.setattr(scan, "_to_df_default", no_read)
+    want = o.filter((F.col("o_orderdate") >= F.lit(m0))
+                    & (F.col("o_orderdate") < F.lit(m1))).count()
+    assert scan.count_rows() == want
+
+
+def test_partial_filter_reads_only_undecided_files(part_table):
+    t, o = part_table
+    # a key predicate decides nothing at partition level: counting reads
+    # data, but the answer must still be exact
+    got = t.new_scan().filter(lt("o_orderkey", 500)).count_rows()
+    assert got == o.filter(F.col("o_orderkey") < 500).count()
+
+
+def test_count_respects_deletes(part_table):
+    t, o = part_table
+    n = o.count()
+    t.delete_where(lt("o_orderkey", 300))
+    t.refresh()
+    dropped = o.filter(F.col("o_orderkey") < 300).count()
+    assert t.new_scan().count_rows() == n - dropped
+
+
+def test_count_respects_pending_equality_deletes(catalog, spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1000)
+    t = catalog.create_table("db.cnt2", o)
+    t.append(o)
+    # v2 equality deletes stay PENDING (no rewrite): the fast path must
+    # not trust record_count for delete-laden files
+    keys = o.select("o_orderkey").limit(50)
+    from linkedin_iceberg_spark.catalog.row_delta import row_delta
+    row_delta(t, equality_delete_keys=keys, key_cols=["o_orderkey"])
+    t.refresh()
+    assert t.new_scan().count_rows() == 950
