@@ -212,6 +212,39 @@ class TableScan:
             fast_total += self._to_df_default(tasks=slow).count()
         return fast_total
 
+    def agg_minmax(self, col: str) -> tuple:
+        """(min, max) of a column with the file-stats short-circuit (the
+        same discipline as count_rows, ref: Iceberg's SparkScan aggregate
+        pushdown): when every task is delete-free, the filter decides
+        every file (residual AlwaysTrue or no filter), and every file
+        carries EXACT bounds for the column, the answer is the fold of
+        manifest lower/upper bounds — zero data I/O.  Any undecidable
+        task falls the whole aggregate back to a real scan (bounds of a
+        partially-matching file may belong to filtered-out rows).
+
+        String bounds are truncated by the stats collector, so only
+        non-truncated types (numerics, dates, timestamps) take the fast
+        path."""
+        fid = self.table.schema.id_for_name(col)
+        ftype = next((f.type for f in self.table.schema.fields
+                      if f.field_id == fid), None)
+        exact = isinstance(ftype, str) and not ftype.startswith("string")
+        tasks = self.plan_files()
+        lo = hi = None
+        for t in tasks:
+            decided = self.row_filter is None or \
+                isinstance(t.residual, AlwaysTrue)
+            lb = (t.file.lower_bounds or {}).get(fid)
+            ub = (t.file.upper_bounds or {}).get(fid)
+            if not (decided and exact and not t.deletes
+                    and lb is not None and ub is not None):
+                df = self._to_df_default(tasks=tasks)
+                row = df.agg(F.min(col), F.max(col)).head()
+                return row[0], row[1]
+            lo = lb if lo is None or lb < lo else lo
+            hi = ub if hi is None or ub > hi else hi
+        return lo, hi
+
     # ------------------------------------------------------------- planning
     def _snapshot(self):
         md = self.table.metadata

@@ -72,3 +72,41 @@ def test_count_respects_pending_equality_deletes(catalog, spark, sf_dir):
     row_delta(t, equality_delete_keys=keys, key_cols=["o_orderkey"])
     t.refresh()
     assert t.new_scan().count_rows() == 950
+
+
+def test_agg_minmax_metadata_only(part_table, monkeypatch):
+    t, o = part_table
+    scan = t.new_scan()
+
+    def no_read(tasks=None):  # pragma: no cover - trip wire
+        raise AssertionError("metadata-only min/max read data files")
+    monkeypatch.setattr(scan, "_to_df_default", no_read)
+    lo, hi = scan.agg_minmax("o_totalprice")
+    row = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).head()
+    assert (lo, hi) == (row[0], row[1])
+
+
+def test_agg_minmax_falls_back_on_partial_filter(part_table):
+    t, o = part_table
+    lo, hi = t.new_scan().filter(lt("o_orderkey", 500)) \
+        .agg_minmax("o_totalprice")
+    row = o.filter(F.col("o_orderkey") < 500) \
+        .agg(F.min("o_totalprice"), F.max("o_totalprice")).head()
+    assert (lo, hi) == (row[0], row[1])
+
+
+def test_agg_minmax_string_falls_back(part_table):
+    t, o = part_table
+    lo, hi = t.new_scan().agg_minmax("o_orderstatus")
+    row = o.agg(F.min("o_orderstatus"), F.max("o_orderstatus")).head()
+    assert (lo, hi) == (row[0], row[1])
+
+
+def test_agg_minmax_respects_deletes(part_table):
+    t, o = part_table
+    t.delete_where(gt_eq("o_orderkey", 14000))
+    t.refresh()
+    lo, hi = t.new_scan().agg_minmax("o_orderkey")
+    row = o.filter(F.col("o_orderkey") < 14000) \
+        .agg(F.min("o_orderkey"), F.max("o_orderkey")).head()
+    assert (lo, hi) == (row[0], row[1])
