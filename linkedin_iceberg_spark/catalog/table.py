@@ -152,10 +152,28 @@ class Table:
             if prop:
                 sort_by = [c.strip() for c in prop.split(",") if c.strip()]
         df, write_cols = self._partition_columns(df)
+        # ref: TableProperties WRITE_DISTRIBUTION_MODE (none/hash/range).
+        #   hash (default): cluster by partition key — one writer-open per
+        #     partition (W15), one task per partition.
+        #   range: range-partition on (partition key, sort columns) — a
+        #     GIANT partition splits across tasks in contiguous sort
+        #     ranges instead of funneling through one writer (the skewed-
+        #     partition write fix), each file still covers a tight bound.
+        #   none: no exchange — trust the incoming distribution (the
+        #     low-shuffle path when the plan already clustered, e.g. a
+        #     z-order rewrite or a repartitionByRange upstream).
+        dist = self.properties.get("write.distribution-mode", "hash")
+        if dist not in ("hash", "range", "none"):
+            raise ValueError(f"unsupported write.distribution-mode: {dist}")
         if write_cols:
-            # cluster by key: one writer-open per partition (W15)
-            df = df.repartition(*write_cols) \
-                .sortWithinPartitions(*write_cols, *(sort_by or []))
+            if dist == "hash":
+                df = df.repartition(*write_cols) \
+                    .sortWithinPartitions(*write_cols, *(sort_by or []))
+            elif dist == "range":
+                df = df.repartitionByRange(*write_cols, *(sort_by or [])) \
+                    .sortWithinPartitions(*write_cols, *(sort_by or []))
+            else:
+                df = df.sortWithinPartitions(*write_cols, *(sort_by or []))
         elif sort_by:
             df = df.sortWithinPartitions(*sort_by)
         if fmt == "avro":
