@@ -74,6 +74,21 @@ CONTRACTS = {
         # MapInPandas over the task descriptors, never a per-row Python UDF
         ["MapInPandas"],
         ["CartesianProduct", "BatchEvalPython"]),
+    "agg_hll_mergeable": (
+        # per-source sketches build with map-side partials; the global
+        # estimate comes from MERGING sketches, not rescanning rows
+        ["HashAggregate", "partial_hll_sketch_agg"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "text_token_entropy": (
+        # two hash aggregations, both map-side combinable; the totals
+        # join is an equi-join on doc_id
+        ["HashAggregate", "partial_count", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "similarity_matryoshka": (
+        # prefix slice + cosine stay JVM-side; top-k is per-partition
+        # heaps, never a global sort
+        ["TakeOrderedAndProject", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "dedup_spans": (
         # spans shuffle once on the md5 hash (HashAggregate with map-side
         # partial min over the order-encoded long); reassembly is a
