@@ -1479,6 +1479,110 @@ def similarity_matryoshka(spark, sf_dir):
         qv, k=10)
 
 
+@q("pipeline_training_release", None)  # oracle attached below (generated)
+def pipeline_training_release(spark, sf_dir):
+    """END-TO-END training-data release (the engine's reason to exist),
+    one oracle-checked pipeline over `documents`:
+
+      1. near-dup removal — MinHash band signatures (md5-portable mode),
+         drop any doc sharing a band with a lower id (first-seen wins);
+      2. quality gate — token-count bounds;
+      3. mixture — per-source token budget, prefix-cut in salted hash
+         order (exact token accounting, not rates);
+      4. split — deterministic 90/5/5 train/val/test by an independent
+         salt;
+      5. packing — per-source concat-cut sequence packing of the TRAIN
+         split (bin + in-bin offset per doc).
+
+    Every stage is deterministic and composes in SQL: the oracle chains
+    the shared banded-signature CTEs with the mixture/split/pack windows
+    and value-checks the ENTIRE release — survivors, splits, bins, and
+    offsets — in one statement."""
+    from linkedin_iceberg_spark.operators.dedup import (
+        minhash_band_signatures)
+    from linkedin_iceberg_spark.operators.sampling import mix_by_token_budget
+    from linkedin_iceberg_spark.operators.text import (
+        pack_sequences, split_assign)
+
+    d = ld(spark, sf_dir, "documents")
+    sigs = minhash_band_signatures(d, "text", "doc_id", num_hashes=16,
+                                   bands=8, shingle_n=3, hash_mode="md5")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dup = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.sig") == F.col("b.sig"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+           .select(F.col("b.doc_id").alias("doc_id")).distinct())
+    clean = (d.join(dup, "doc_id", "left_anti")
+             .select("doc_id", "source",
+                     F.size(F.split("text", " ")).cast("long")
+                     .alias("n_tokens")))
+    gated = clean.filter(F.col("n_tokens").between(10, 1000))
+    mixed = mix_by_token_budget(gated, "source", "n_tokens", {},
+                                id_col="doc_id", salt="mix-rel1",
+                                default_budget=500)
+    sp = split_assign(mixed, id_col="doc_id", salt="split-rel1")
+    train = sp.filter(F.col("split") == "train")
+    packed = pack_sequences(train, budget=256, order_col="doc_id",
+                            count_col="n_tokens", id_col="doc_id",
+                            shard_col="source") \
+        .select("doc_id", "bin", "bin_tokens_before")
+    return (sp.join(packed, "doc_id", "left")
+            .select("doc_id", "source", "n_tokens", "split",
+                    F.col("bin").cast("long").alias("bin"),
+                    F.col("bin_tokens_before").cast("long")
+                    .alias("bin_tokens_before"))
+            .orderBy("doc_id"))
+
+
+def _training_release_oracle() -> str:
+    from linkedin_iceberg_spark.operators.dedup import minhash_banded_cte_sql
+    from linkedin_iceberg_spark.operators.sampling import sample_bucket_sql
+    prefix = minhash_banded_cte_sql("documents", "text", "doc_id", 16, 8, 3)
+    mixb = sample_bucket_sql("doc_id", "mix-rel1")
+    splitb = ("(('0x' || substr(md5('split-rel1' || '-' || "
+              "doc_id::VARCHAR), 1, 15))::BIGINT % 100)")
+    return f"""{prefix}
+, dup AS (
+  SELECT DISTINCT b.doc_id FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), clean AS (
+  SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tokens
+  FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+  WHERE dup.doc_id IS NULL
+), gated AS (
+  SELECT * FROM clean WHERE n_tokens BETWEEN 10 AND 1000
+), mixed AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY {mixb}, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM gated
+), sel AS (
+  SELECT doc_id, source, n_tokens FROM mixed WHERE cum <= 500
+), sp AS (
+  SELECT *, CASE WHEN {splitb} < 90 THEN 'train'
+                 WHEN {splitb} < 95 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM sel
+), train AS (
+  SELECT doc_id, source, n_tokens,
+         sum(least(n_tokens, 256))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)
+           - least(n_tokens, 256) AS start
+  FROM sp WHERE split = 'train'
+)
+SELECT s.doc_id, s.source, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.split,
+       CAST(floor(t.start / 256) AS BIGINT) AS bin,
+       CAST(t.start - floor(t.start / 256) * 256 AS BIGINT)
+         AS bin_tokens_before
+FROM sp s LEFT JOIN train t ON s.doc_id = t.doc_id
+ORDER BY s.doc_id"""
+
+
+_REGISTRY["pipeline_training_release"] = (
+    _REGISTRY["pipeline_training_release"][0], _training_release_oracle())
+
+
 @q("sample_cap_per_source", None)  # oracle attached below (generated SQL)
 def sample_cap_per_source(spark, sf_dir):
     """Per-source document cap (the C4-style per-domain cap): keep at most
@@ -3737,7 +3841,12 @@ _PRIORITY = [
     # r4: text_decontaminate (green r3, unchanged; text family keeps
     # five in-window entries) rotates out for streaming_enrichment
     # (new: stream-static broadcast dimension join)
-    "text_split_assign", "text_pii_scrub", "streaming_enrichment",
+    # r4 late: text_pii_scrub (green r3, unchanged; text family keeps
+    # chunk/pack/pack_sharded/split_assign) rotates out for
+    # pipeline_training_release (new: the end-to-end dedup->mix->split->
+    # pack release, one composed full-pipeline oracle)
+    "text_split_assign", "pipeline_training_release",
+    "streaming_enrichment",
     # r3 late: text_fingerprint (green r2; text family keeps six in-window
     # entries) rotates out for streaming_incremental_dedup (new: persisted
     # signature-index dedup across micro-batches, full-run SQL oracle)
