@@ -425,6 +425,46 @@ def join_asof(spark, sf_dir):
             .orderBy("event_id"))
 
 
+@q("join_asof_forward", """
+SELECT event_id, p_event_id AS next_purchase_id, p_ts AS next_purchase_ts
+FROM (
+  SELECT c.event_id, p.event_id AS p_event_id, p.ts AS p_ts,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY p.ts ASC, p.event_id ASC) AS rn
+  FROM (SELECT * FROM events
+        WHERE event_type = 'click' AND event_id <= 2000) c
+  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = c.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL 7 DAY
+) WHERE rn = 1 ORDER BY event_id""")
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join with a tolerance bound — conversion
+    attribution: each click matched to the SAME user's earliest purchase
+    at or after the click, no further than 7 days out.  Exercises
+    asof_join's direction and fan-out-bound arguments together (the
+    tolerance is what keeps an unbounded future-history range join from
+    blowing up at scale)."""
+    from linkedin_iceberg_spark.operators.joins import asof_join
+    ev = ld(spark, sf_dir, "events")
+    clicks = ev.filter((F.col("event_type") == "click")
+                       & (F.col("event_id") <= 2000))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"))
+    out = asof_join(clicks, purchases, "ts", "p_ts",
+                    "user_id", "p_user_id",
+                    direction="forward",
+                    tolerance=F.expr("INTERVAL 7 DAYS"),
+                    left_id="event_id",
+                    tiebreak=[F.col("p_event_id").asc()])
+    return (out.select("event_id",
+                       F.col("p_event_id").alias("next_purchase_id"),
+                       F.col("p_ts").alias("next_purchase_ts"))
+            .orderBy("event_id"))
+
+
 @q("join_multiway", """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM customer
@@ -3878,7 +3918,11 @@ _PRIORITY = [
     # lifetime-green variants) rotates out for similarity_quantize (new:
     # int8 quantization with integer-exact checksums)
     "similarity_quantize", "agg_approx_distinct", "sample_stratified",
-    "join_skew_salted", "similarity_ivf_train", "similarity_knn_join",
+    # r4 late: similarity_knn_join (green r3, unchanged; similarity
+    # family keeps quantize/ivf_train/ivf_pruned/ann_lsh/matryoshka/
+    # refresh) rotates out for join_asof_forward (new: forward direction
+    # + tolerance bound of the as-of join)
+    "join_skew_salted", "similarity_ivf_train", "join_asof_forward",
     # r4: scalar_math_funcs (green r3; scalar family has lifetime-green
     # string/json/cond siblings) rotates out for table_count_pushdown
     # (new: metadata-only COUNT(*))
