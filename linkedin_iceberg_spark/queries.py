@@ -3349,6 +3349,77 @@ def streaming_enrichment(spark, sf_dir):
             .orderBy("nation", "event_type"))
 
 
+@q("streaming_partition_reprocess", """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_v
+FROM events WHERE user_id <= 100
+GROUP BY 1, 2 ORDER BY 1, 2""")
+def streaming_partition_reprocess(spark, sf_dir):
+    """Kappa-style idempotent partition reprocessing: each micro-batch
+    carries complete days and OVERWRITES exactly those days' aggregate
+    partitions in an engine table (dynamic partition overwrite inside
+    foreachBatch).  Day 3 arrives TWICE — a corrected replay — and the
+    second overwrite replaces the first instead of double-counting, so
+    the final table equals the one-shot batch aggregate.  This is the
+    reprocessing discipline epoch-guards can't give: the replay is
+    IDENTIFIED by what it touches (its partitions), not by its epoch
+    id, so corrected history can arrive any time."""
+    import tempfile
+    import time as _time
+
+    from linkedin_iceberg_spark import Catalog, PartitionSpec, Schema
+
+    e = (ld(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+         .select("event_id", F.col("ts"), "event_type", "value",
+                 F.to_date(F.date_trunc("day", "ts")).alias("day")))
+    base = tempfile.mkdtemp(prefix="q_reproc_")
+    src = os.path.join(base, "src")
+    days = sorted(r["day"] for r in e.select("day").distinct().collect())
+    slices = [days[:10], days[10:20], days[20:]]
+    batches = [e.filter(F.col("day").isin([str(d) for d in sl]))
+               for sl in slices if sl]
+    # a CORRECTED replay of the first slice arrives last: without
+    # partition overwrite its days would double-count
+    batches.append(e.filter(F.col("day").isin([str(d)
+                                               for d in slices[0]])))
+    for i, p in enumerate(batches):
+        p.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        _time.sleep(0.25)  # distinct mtimes: file source batches in order
+
+    agg_schema = spark.createDataFrame(
+        [], "day date, event_type string, n long, sum_v double")
+    cat = Catalog(spark, os.path.join(base, "wh"))
+    t = cat.create_table(
+        "q.day_aggs", agg_schema,
+        spec=PartitionSpec.builder_for(
+            Schema.from_spark(agg_schema.schema)).identity("day").build())
+
+    def on_batch(batch_df, _eid):
+        aggs = (batch_df.groupBy("day", "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 2).alias("sum_v")))
+        cat.load_table("q.day_aggs").overwrite_partitions(aggs)
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp, event_type string, "
+                      "value double, day date")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+        q_ = (ev.writeStream.foreachBatch(on_batch).outputMode("update")
+              .option("checkpointLocation", os.path.join(base, "ck"))
+              .trigger(availableNow=True).start())
+        q_.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return (cat.load_table("q.day_aggs").to_df()
+            .select(F.col("day").cast("string").alias("day"),
+                    "event_type", "n", "sum_v")
+            .orderBy("day", "event_type"))
+
+
 @q("streaming_dedup", """
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
 FROM events WHERE user_id <= 50
@@ -3861,8 +3932,12 @@ _PRIORITY = [
     # r4: streaming_dedup (green r3, unchanged; family keeps sessions/
     # upsert/incremental-dedup/enrichment) rotates out for
     # table_tag_travel (new: named refs pinned through deletes + expiry)
+    # r4 late: streaming_stateful_sessions (green r3; the family keeps
+    # upsert/incremental-dedup/enrichment in-window and the sessions op
+    # is pytest-covered) rotates out for streaming_partition_reprocess
+    # (new: Kappa-style idempotent partition reprocessing)
     "table_tag_travel", "agg_hll_mergeable",
-    "streaming_stateful_sessions",
+    "streaming_partition_reprocess",
     "multimodal_decode_features",
     # event windows + text analysis (text_bpe_tokens new in r3; takes the
     # slot of double-green similarity_topk below)
