@@ -565,3 +565,43 @@ def export_symlink_manifest(table, dest_dir: str,
             "files": sum(len(p) for p in by_dir.values()),
             "stale_removed": len(removed),
             "snapshot_id": snap.snapshot_id if snap else None}
+
+
+def remove_dangling_deletes(table) -> dict:
+    """Drop v2 delete files that no longer apply to ANY live data file
+    (ref: RewriteDataFiles' remove-dangling-deletes option layered on
+    DeleteFileIndex applicability).
+
+    A delete entry dangles once every data file it could hit is gone:
+    equality deletes when no live data file has a strictly lower
+    sequence number (compaction rewrote them higher), position deletes
+    when their target files were removed.  Reads already ignore dangling
+    entries — but they bloat manifests and pay the per-scan matching
+    forever, and growing metadata is exactly what the maintenance plane
+    exists to bound.
+
+    Applicability is recomputed METADATA-ONLY with the same
+    match_deletes index the scan path uses, so "dangling" here is by
+    construction "ignored by every read".  The removal commit uses the
+    strictest conflict fence (any concurrent commit invalidates the
+    computation and raises for a re-plan)."""
+    from linkedin_iceberg_spark.catalog.metadata import OP_REPLACE
+    from linkedin_iceberg_spark.catalog.scan import match_deletes
+
+    entries, delete_entries = table._live_data_and_deletes()
+    if not delete_entries:
+        return {"removed_delete_files": 0}
+    attached = set()
+    for t_ in match_deletes(entries, delete_entries):
+        for d in t_.deletes:
+            attached.add(d.data_file.file_path)
+    dangling = [d for d in delete_entries
+                if d.data_file.file_path not in attached]
+    if not dangling:
+        return {"removed_delete_files": 0}
+    table._commit_file_swap(
+        removed=dangling, added=[], operation=OP_REPLACE,
+        seen_paths={e.data_file.file_path
+                    for e in entries + delete_entries},
+        conflict_fn=lambda e: True)
+    return {"removed_delete_files": len(dangling)}

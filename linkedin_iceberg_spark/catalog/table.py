@@ -1269,6 +1269,11 @@ class Table:
         from linkedin_iceberg_spark.catalog.maintenance import rewrite_manifests
         return rewrite_manifests(self, **kw)
 
+    def remove_dangling_deletes(self, **kw) -> dict:
+        from linkedin_iceberg_spark.catalog.maintenance import (
+            remove_dangling_deletes)
+        return remove_dangling_deletes(self, **kw)
+
     def expire_snapshots(self, **kw) -> dict:
         from linkedin_iceberg_spark.catalog.maintenance import expire_snapshots
         return expire_snapshots(self, **kw)

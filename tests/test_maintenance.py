@@ -202,3 +202,40 @@ def test_partial_progress_keeps_completed_batches_on_failure(catalog, spark,
     replaces = [s for s in t.metadata.snapshots if s.operation == "replace"]
     assert len(replaces) == 2
     assert t.to_df().count() == n
+
+
+def test_remove_dangling_deletes(catalog, spark, sf_dir):
+    """r4: eq-delete files whose targets were all compacted away are
+    dropped from metadata; reads unchanged, external export unblocked."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.catalog.maintenance import (
+        export_symlink_manifest)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(800)
+    t = catalog.create_table("db.dangling", o)
+    t.append(o)
+    t.upsert(o.limit(100).withColumn("o_totalprice", F.lit(1.0)),
+             ["o_orderkey"])
+    t.refresh()
+    n = t.to_df().count()
+    _data, dels = t._live_data_and_deletes()
+    assert len(dels) == 1  # the upsert's eq-delete file is live
+
+    # nothing dangles yet: the delete still guards the original file
+    assert t.remove_dangling_deletes()["removed_delete_files"] == 0
+
+    # compaction applies the delete and rewrites data at a higher seq
+    t.rewrite_data_files(min_input_files=1)
+    t.refresh()
+    res = t.remove_dangling_deletes()
+    assert res["removed_delete_files"] == 1
+    t.refresh()
+    _data, dels = t._live_data_and_deletes()
+    assert dels == []
+    assert t.to_df().count() == n
+    assert all(not task.deletes for task in t.new_scan().plan_files())
+    # the external-reader export (which refuses unapplied deletes) works
+    import tempfile
+    out = export_symlink_manifest(t, tempfile.mkdtemp())
+    assert out["files"] > 0
