@@ -74,6 +74,14 @@ CONTRACTS = {
         # MapInPandas over the task descriptors, never a per-row Python UDF
         ["MapInPandas"],
         ["CartesianProduct", "BatchEvalPython"]),
+    "pipeline_training_release": (
+        # the end-to-end release: banded-signature aggregation with
+        # map-side partials, anti-join survivors, per-source mixture/
+        # split/pack windows on hashpartitioning — no single-partition
+        # funnel anywhere, no Python
+        ["HashAggregate", "Window", "hashpartitioning"],
+        ["SinglePartition", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"]),
     "agg_hll_mergeable": (
         # per-source sketches build with map-side partials; the global
         # estimate comes from MERGING sketches, not rescanning rows

@@ -62,9 +62,11 @@ PROBE_QUERIES = [
     "join_asof",
     "window_topk_per_group",
     # r4 additions worth a 10x lens: span dedup (one hash shuffle over
-    # every token window) and sharded packing (per-shard windows)
+    # every token window), sharded packing (per-shard windows), and the
+    # full release pipeline (minhash + mixture + split + pack)
     "dedup_spans",
     "text_pack_sharded",
+    "pipeline_training_release",
 ]
 
 
