@@ -37,12 +37,30 @@ def _write_delete_parquet(table, df: DataFrame, content: int,
             meta = pq.read_metadata(fpath)
             if meta.num_rows == 0:
                 continue  # a clause that matched nothing adds no file
+            bounds_lo: dict = {}
+            bounds_hi: dict = {}
+            if content == M.CONTENT_EQUALITY_DELETES:
+                # key-column bounds make the delete SKIPPABLE: a data
+                # file whose bounds don't overlap the deleted keys never
+                # pays the anti-join (ref: DeleteFileIndex consulting
+                # delete-file metrics)
+                from linkedin_iceberg_spark.catalog.stats import (
+                    collect_file_stats)
+                st = collect_file_stats(fpath, table.schema)
+                bounds_lo = {i: st["lower_bounds"][i]
+                             for i in equality_ids
+                             if i in st["lower_bounds"]}
+                bounds_hi = {i: st["upper_bounds"][i]
+                             for i in equality_ids
+                             if i in st["upper_bounds"]}
             out.append(M.DataFile(
                 file_path=fpath,
                 record_count=meta.num_rows,
                 file_size_in_bytes=os.path.getsize(fpath),
                 content=content,
                 equality_ids=list(equality_ids),
+                lower_bounds=bounds_lo,
+                upper_bounds=bounds_hi,
                 spec_id=table.spec.spec_id,
                 schema_id=table.metadata.current_schema_id,
             ))

@@ -231,6 +231,7 @@ class TableScan:
         exact = isinstance(ftype, str) and not ftype.startswith("string")
         tasks = self.plan_files()
         lo = hi = None
+        slow: list = []
         for t in tasks:
             decided = self.row_filter is None or \
                 isinstance(t.residual, AlwaysTrue)
@@ -238,11 +239,18 @@ class TableScan:
             ub = (t.file.upper_bounds or {}).get(fid)
             if not (decided and exact and not t.deletes
                     and lb is not None and ub is not None):
-                df = self._to_df_default(tasks=tasks)
-                row = df.agg(F.min(col), F.max(col)).head()
-                return row[0], row[1]
+                slow.append(t)
+                continue
             lo = lb if lo is None or lb < lo else lo
             hi = ub if hi is None or ub > hi else hi
+        if slow:
+            # hybrid: metadata bounds for the decided files, a real scan
+            # ONLY over the undecidable ones, folded together
+            row = self._to_df_default(tasks=slow) \
+                .agg(F.min(col), F.max(col)).head()
+            slo, shi = row[0], row[1]
+            lo = slo if lo is None or (slo is not None and slo < lo) else lo
+            hi = shi if hi is None or (shi is not None and shi > hi) else hi
         return lo, hi
 
     # ------------------------------------------------------------- planning
@@ -689,13 +697,38 @@ def match_deletes(data_entries: list, delete_entries: list,
         deletes = []
         for d in (*global_deletes, *by_partition.get(key, ())):
             if d.data_file.content == M.CONTENT_EQUALITY_DELETES:
-                if d.sequence_number > e.sequence_number:
+                if d.sequence_number > e.sequence_number and \
+                        _eq_delete_may_hit(d.data_file, e.data_file):
                     deletes.append(d)
             elif d.sequence_number >= e.sequence_number:
                 deletes.append(d)
         tasks.append(FileScanTask(e.data_file, deletes, e.sequence_number,
                                   res(e)))
     return tasks
+
+
+def _eq_delete_may_hit(del_file, data_file) -> bool:
+    """Value-range pruning of equality-delete applicability (ref:
+    DeleteFileIndex consulting delete-file metrics): when BOTH sides
+    carry bounds for an equality column and the ranges are disjoint, no
+    deleted key can exist in the data file — skip the anti-join for this
+    pair entirely.  Missing bounds on either side keep the delete
+    (conservative)."""
+    dlo = del_file.lower_bounds or {}
+    dhi = del_file.upper_bounds or {}
+    flo = data_file.lower_bounds or {}
+    fhi = data_file.upper_bounds or {}
+    for fid in (del_file.equality_ids or ()):
+        a_lo, a_hi = dlo.get(fid), dhi.get(fid)
+        b_lo, b_hi = flo.get(fid), fhi.get(fid)
+        if a_lo is None or a_hi is None or b_lo is None or b_hi is None:
+            continue
+        try:
+            if a_hi < b_lo or b_hi < a_lo:
+                return False  # disjoint on this key column: cannot hit
+        except TypeError:  # cross-type bounds: stay conservative
+            continue
+    return True
 
 
 

@@ -110,3 +110,34 @@ def test_agg_minmax_respects_deletes(part_table):
     row = o.filter(F.col("o_orderkey") < 14000) \
         .agg(F.min("o_orderkey"), F.max("o_orderkey")).head()
     assert (lo, hi) == (row[0], row[1])
+
+
+def test_agg_minmax_hybrid_scans_only_undecided(catalog, spark, sf_dir):
+    """Pending eq-deletes poison one file's bounds: the aggregate folds
+    metadata for the clean files and scans ONLY the delete-laden one."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_orderkey")
+    t = catalog.create_table("db.cnt3", o)
+    t.append(o.filter(F.col("o_orderkey") <= 500))
+    # eq-delete lands BEFORE the second append: it targets only the
+    # strictly older first file (sequence scoping), the later file is
+    # clean and its bounds can be folded from metadata
+    from linkedin_iceberg_spark.catalog.row_delta import row_delta
+    row_delta(t, equality_delete_keys=o.filter(F.col("o_orderkey") <= 5)
+              .select("o_orderkey"), key_cols=["o_orderkey"])
+    t.refresh()
+    t.append(o.filter(F.col("o_orderkey") > 500))
+    t.refresh()
+    scan = t.new_scan()
+    orig = scan._to_df_default
+    seen = {}
+
+    def spy(tasks=None):
+        seen["n"] = len(tasks)
+        return orig(tasks=tasks)
+    scan._to_df_default = spy
+    lo, hi = scan.agg_minmax("o_orderkey")
+    want = o.filter(F.col("o_orderkey") > 5) \
+        .agg(F.min("o_orderkey"), F.max("o_orderkey")).head()
+    assert (lo, hi) == (want[0], want[1])
+    total_files = len(t.new_scan().plan_files())
+    assert 0 < seen["n"] < total_files  # scanned a strict subset

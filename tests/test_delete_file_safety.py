@@ -101,3 +101,43 @@ def test_cherry_pick_divergent_base_keeps_later_commits(catalog, orders_df):
     # published WAP id is detected: picking it again must fail
     with pytest.raises(ValueError, match="duplicate"):
         t.cherry_pick(staged_id)
+
+
+def test_eq_delete_skips_disjoint_data_files(catalog, spark, sf_dir):
+    """r4: equality-delete files carry key bounds; a data file whose key
+    range is disjoint never pays the anti-join (DeleteFileIndex metrics
+    parity) — and with no overlapping file at all, the scan plans zero
+    delete-laden tasks and metadata-only counting still works."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.catalog.row_delta import row_delta
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_orderkey")
+    t = catalog.create_table("db.eqskip", o)
+    t.append(o.filter(F.col("o_orderkey") <= 500))
+    t.append(o.filter((F.col("o_orderkey") > 500)
+                      & (F.col("o_orderkey") <= 1000)))
+    n = t.to_df().count()
+    # delete keys far outside every file's range
+    row_delta(t, equality_delete_keys=o.filter(F.col("o_orderkey") > 5000)
+              .limit(50).select("o_orderkey"), key_cols=["o_orderkey"])
+    t.refresh()
+    tasks = t.new_scan().plan_files()
+    assert all(not task.deletes for task in tasks)
+    assert t.to_df().count() == n
+    # count stays metadata-only despite the live delete file
+    scan = t.new_scan()
+
+    def no_read(tasks=None):  # pragma: no cover
+        raise AssertionError("disjoint eq-delete forced a data read")
+    scan._to_df_default = no_read
+    assert scan.count_rows() == n
+
+    # overlapping keys DO attach (and delete)
+    row_delta(t, equality_delete_keys=o.filter(F.col("o_orderkey") <= 5)
+              .select("o_orderkey"), key_cols=["o_orderkey"])
+    t.refresh()
+    laden = [task for task in t.new_scan().plan_files() if task.deletes]
+    assert len(laden) == 1  # only the low-key file overlaps
+    dropped = o.filter(F.col("o_orderkey") <= 5).count()
+    assert t.to_df().count() == n - dropped
