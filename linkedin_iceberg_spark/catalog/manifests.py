@@ -34,6 +34,12 @@ CONTENT_DATA = 0
 CONTENT_POSITION_DELETES = 1
 CONTENT_EQUALITY_DELETES = 2
 
+# the reserved field id position-delete files use for their file_path
+# column (ref: core MetadataColumns.DELETE_FILE_PATH); a pos-delete
+# entry stores its referenced-path range under it so matching can skip
+# data files outside the range
+DELETE_FILE_PATH_FID = 2147483546
+
 
 @dataclass(slots=True)
 class DataFile:

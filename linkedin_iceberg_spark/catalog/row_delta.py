@@ -39,6 +39,22 @@ def _write_delete_parquet(table, df: DataFrame, content: int,
                 continue  # a clause that matched nothing adds no file
             bounds_lo: dict = {}
             bounds_hi: dict = {}
+            if content == M.CONTENT_POSITION_DELETES:
+                # referenced-path range: the min/max of the file_path
+                # column is the exact span of files this delete touches —
+                # matching skips every data file outside it.  Read the
+                # column (delete files are metadata-sized) instead of
+                # trusting footer stats, whose string values parquet
+                # writers may silently truncate (an under-shot max would
+                # wrongly prune the top of the range).
+                import pyarrow.compute as _pc
+                paths = pq.read_table(
+                    fpath, columns=["file_path"])["file_path"]
+                if len(paths):
+                    bounds_lo = {M.DELETE_FILE_PATH_FID:
+                                 _pc.min(paths).as_py()}
+                    bounds_hi = {M.DELETE_FILE_PATH_FID:
+                                 _pc.max(paths).as_py()}
             if content == M.CONTENT_EQUALITY_DELETES:
                 # key-column bounds make the delete SKIPPABLE: a data
                 # file whose bounds don't overlap the deleted keys never

@@ -700,11 +700,24 @@ def match_deletes(data_entries: list, delete_entries: list,
                 if d.sequence_number > e.sequence_number and \
                         _eq_delete_may_hit(d.data_file, e.data_file):
                     deletes.append(d)
-            elif d.sequence_number >= e.sequence_number:
+            elif d.sequence_number >= e.sequence_number and \
+                    _pos_delete_may_hit(d.data_file, e.data_file):
                 deletes.append(d)
         tasks.append(FileScanTask(e.data_file, deletes, e.sequence_number,
                                   res(e)))
     return tasks
+
+
+def _pos_delete_may_hit(del_file, data_file) -> bool:
+    """Referenced-path pruning of position-delete applicability: a
+    pos-delete entry records the min/max of its file_path column; data
+    files outside that range are untouched by construction.  Missing
+    bounds keep the delete (conservative)."""
+    lo = (del_file.lower_bounds or {}).get(M.DELETE_FILE_PATH_FID)
+    hi = (del_file.upper_bounds or {}).get(M.DELETE_FILE_PATH_FID)
+    if lo is None or hi is None:
+        return True
+    return lo <= data_file.file_path <= hi
 
 
 def _eq_delete_may_hit(del_file, data_file) -> bool:

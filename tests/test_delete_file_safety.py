@@ -141,3 +141,31 @@ def test_eq_delete_skips_disjoint_data_files(catalog, spark, sf_dir):
     assert len(laden) == 1  # only the low-key file overlaps
     dropped = o.filter(F.col("o_orderkey") <= 5).count()
     assert t.to_df().count() == n - dropped
+
+
+def test_pos_delete_skips_unreferenced_files(catalog, spark, sf_dir):
+    """r4: position-delete entries carry their referenced-path range;
+    data files outside it never pay the anti-join."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.catalog.row_delta import row_delta
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_orderkey")
+    t = catalog.create_table("db.posskip", o)
+    t.append(o.filter(F.col("o_orderkey") <= 500))
+    t.append(o.filter((F.col("o_orderkey") > 500)
+                      & (F.col("o_orderkey") <= 1000)))
+    t.refresh()
+    entries, _ = t._live_data_and_deletes()
+    assert len(entries) == 2
+    target = sorted(e.data_file.file_path for e in entries)[0]
+    # delete rows 0..4 of ONE specific file by position
+    pos = spark.createDataFrame([(target, i) for i in range(5)],
+                                "file_path string, pos long")
+    row_delta(t, position_deletes=pos)
+    t.refresh()
+    laden = [task for task in t.new_scan().plan_files() if task.deletes]
+    assert len(laden) == 1
+    assert laden[0].file.file_path == target
+    n_all = o.filter(F.col("o_orderkey") <= 1000).count()
+    assert t.to_df().count() == n_all - 5
