@@ -118,10 +118,12 @@ def test_eq_delete_skips_disjoint_data_files(catalog, spark, sf_dir):
     t.append(o.filter((F.col("o_orderkey") > 500)
                       & (F.col("o_orderkey") <= 1000)))
     n = t.to_df().count()
-    # delete keys far outside every file's range
-    row_delta(t, equality_delete_keys=o.filter(F.col("o_orderkey") > 5000)
-              .limit(50).select("o_orderkey"), key_cols=["o_orderkey"])
+    # delete keys that EXIST but sit outside every file's range
+    row_delta(t, equality_delete_keys=o.filter(F.col("o_orderkey") > 1200)
+              .select("o_orderkey"), key_cols=["o_orderkey"])
     t.refresh()
+    _data2, dels2 = t._live_data_and_deletes()
+    assert len(dels2) == 1  # the delete file is real and live
     tasks = t.new_scan().plan_files()
     assert all(not task.deletes for task in tasks)
     assert t.to_df().count() == n
@@ -169,3 +171,28 @@ def test_pos_delete_skips_unreferenced_files(catalog, spark, sf_dir):
     assert laden[0].file.file_path == target
     n_all = o.filter(F.col("o_orderkey") <= 1000).count()
     assert t.to_df().count() == n_all - 5
+
+
+def test_delete_bounds_survive_manifest_rewrite(catalog, spark, sf_dir):
+    """The pruning bounds (eq-delete key ranges, pos-delete path ranges)
+    must round-trip through manifest rewrite serde."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.catalog import manifests as M
+    from linkedin_iceberg_spark.catalog.row_delta import row_delta
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_orderkey")
+    t = catalog.create_table("db.serde_b", o)
+    t.append(o.filter(F.col("o_orderkey") <= 500))
+    row_delta(t, equality_delete_keys=o.filter(F.col("o_orderkey") > 1200)
+              .select("o_orderkey"), key_cols=["o_orderkey"])
+    t.refresh()
+    _d0, dels0 = t._live_data_and_deletes()
+    assert len(dels0) == 1  # premise: the delete file exists
+    t.rewrite_manifests()
+    t.refresh()
+    _data, dels = t._live_data_and_deletes()
+    fid = t.schema.id_for_name("o_orderkey")
+    assert dels and dels[0].data_file.lower_bounds.get(fid) is not None
+    # pruning still disjoint after the rewrite
+    assert all(not task.deletes for task in t.new_scan().plan_files())
