@@ -301,7 +301,19 @@ class TableOperations:
             with open(self._hint_path()) as fh:
                 v = int(fh.read().strip())
         except (FileNotFoundError, ValueError):
+            # no hint: recover from the directory listing — with
+            # metadata-file pruning enabled, early versions may be gone,
+            # so a forward scan from v0 would wrongly see an empty table
             v = 0
+            try:
+                for fn in os.listdir(self.metadata_dir):
+                    if fn.startswith("v") and fn.endswith(".metadata.json"):
+                        try:
+                            v = max(v, int(fn[1:-len(".metadata.json")]))
+                        except ValueError:
+                            pass
+            except FileNotFoundError:
+                return 0
         # the hint write is non-atomic wrt the CAS — scan forward to be safe
         while os.path.exists(self._version_path(v + 1)):
             v += 1
@@ -335,16 +347,30 @@ class TableOperations:
         return md
 
     def commit(self, base_version: int, metadata: TableMetadata) -> int:
-        """CAS: succeeds only if nobody committed base_version+1 first."""
+        """CAS: succeeds only if nobody committed base_version+1 first.
+
+        The metadata-log is RETAINED, not accumulated: only the last
+        `write.metadata.previous-versions-max` entries survive each
+        commit (ref: TableProperties METADATA_PREVIOUS_VERSIONS_MAX,
+        default 100) — at 100k commits an unbounded log is megabytes of
+        parse work on EVERY metadata read.  With
+        `write.metadata.delete-after-commit.enabled=true` the dropped
+        versions' files are unlinked too (METADATA_DELETE_AFTER_COMMIT);
+        old metadata files serve no reader — time travel uses snapshots
+        inside the CURRENT metadata."""
         os.makedirs(self.metadata_dir, exist_ok=True)
         new_version = base_version + 1
         final = self._version_path(new_version)
         tmp = os.path.join(self.metadata_dir, f".tmp-{uuid.uuid4().hex}.json")
         j = metadata.to_json()
-        j["metadata-log"] = [*metadata.metadata_log,
-                             {"timestamp-ms": metadata.last_updated_ms,
-                              "metadata-file": f"v{base_version}.metadata.json"}] \
+        keep = int(metadata.properties.get(
+            "write.metadata.previous-versions-max", "100"))
+        full_log = [*metadata.metadata_log,
+                    {"timestamp-ms": metadata.last_updated_ms,
+                     "metadata-file": f"v{base_version}.metadata.json"}] \
             if base_version > 0 else []
+        j["metadata-log"] = full_log[-max(keep, 1):]
+        dropped = full_log[:-max(keep, 1)] if len(full_log) > keep else []
         with open(tmp, "w") as fh:
             json.dump(j, fh, indent=1)
         try:
@@ -362,6 +388,15 @@ class TableOperations:
         with open(hint_tmp, "w") as fh:
             fh.write(str(new_version))
         os.replace(hint_tmp, self._hint_path())
+        if dropped and metadata.properties.get(
+                "write.metadata.delete-after-commit.enabled",
+                "false").lower() == "true":
+            for entry in dropped:
+                try:
+                    os.unlink(os.path.join(self.metadata_dir,
+                                           entry["metadata-file"]))
+                except FileNotFoundError:
+                    pass
         return new_version
 
     def new_metadata_path(self, name: str) -> str:

@@ -81,3 +81,58 @@ def test_cache_is_bounded(tmp_path, spark, counted_parse):
     for i in range(n):
         cat.load_table(f"db.b{i}")
     assert len(MD._METADATA_CACHE) <= MD._METADATA_CACHE_MAX
+
+
+def test_metadata_log_retention_and_cleanup(catalog, spark, sf_dir):
+    """r4: the metadata-log keeps only the configured number of previous
+    versions, and delete-after-commit unlinks the dropped files — the
+    current metadata stays fully readable and version numbering intact."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(40)
+    t = catalog.create_table(
+        "db.mdlog", o,
+        properties={
+            "write.metadata.previous-versions-max": "3",
+            "write.metadata.delete-after-commit.enabled": "true"})
+    for i in range(7):
+        t.append(o.filter(F.col("o_orderkey") % 7 == i))
+    t.refresh()
+    assert len(t.metadata.metadata_log) <= 3
+    assert t.to_df().count() == o.count()
+    files = sorted(glob.glob(os.path.join(t.ops.metadata_dir,
+                                          "v*.metadata.json")))
+    # current + hinted recent versions only; early versions unlinked
+    assert len(files) <= 3 + 2
+    assert not os.path.exists(os.path.join(t.ops.metadata_dir,
+                                           "v1.metadata.json"))
+    # history (snapshot lineage) is untouched by metadata-file pruning
+    assert len(t.metadata.snapshots) == 7
+
+
+def test_version_recovery_without_hint_after_pruning(catalog, spark,
+                                                     sf_dir):
+    """Lost hint + pruned early versions: the directory listing recovers
+    the current version (a forward scan from v0 would see no table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(30)
+    t = catalog.create_table(
+        "db.mdhint", o,
+        properties={
+            "write.metadata.previous-versions-max": "2",
+            "write.metadata.delete-after-commit.enabled": "true"})
+    for i in range(5):
+        t.append(o.filter(F.col("o_orderkey") % 5 == i))
+    os.unlink(t.ops._hint_path())
+    from linkedin_iceberg_spark.catalog.metadata import (
+        invalidate_metadata_cache)
+    invalidate_metadata_cache(t.location)
+    t2 = catalog.load_table("db.mdhint")
+    assert t2.version == t.version
+    assert t2.to_df().count() == o.count()
