@@ -301,9 +301,12 @@ class TableOperations:
             with open(self._hint_path()) as fh:
                 v = int(fh.read().strip())
         except (FileNotFoundError, ValueError):
-            # no hint: recover from the directory listing — with
-            # metadata-file pruning enabled, early versions may be gone,
-            # so a forward scan from v0 would wrongly see an empty table
+            v = 0
+        if v == 0 or not os.path.exists(self._version_path(v)):
+            # no hint, or the hinted version's file was pruned
+            # (delete-after-commit) — recover from the directory listing;
+            # a forward scan from a stale point would stop at the pruned
+            # gap and either crash or silently serve ancient history
             v = 0
             try:
                 for fn in os.listdir(self.metadata_dir):

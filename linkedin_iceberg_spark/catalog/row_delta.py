@@ -39,6 +39,7 @@ def _write_delete_parquet(table, df: DataFrame, content: int,
                 continue  # a clause that matched nothing adds no file
             bounds_lo: dict = {}
             bounds_hi: dict = {}
+            null_counts: dict = {}
             if content == M.CONTENT_POSITION_DELETES:
                 # referenced-path range: the min/max of the file_path
                 # column is the exact span of files this delete touches —
@@ -69,6 +70,9 @@ def _write_delete_parquet(table, df: DataFrame, content: int,
                 bounds_hi = {i: st["upper_bounds"][i]
                              for i in equality_ids
                              if i in st["upper_bounds"]}
+                null_counts = {i: st["null_value_counts"][i]
+                               for i in equality_ids
+                               if i in st["null_value_counts"]}
             out.append(M.DataFile(
                 file_path=fpath,
                 record_count=meta.num_rows,
@@ -77,6 +81,7 @@ def _write_delete_parquet(table, df: DataFrame, content: int,
                 equality_ids=list(equality_ids),
                 lower_bounds=bounds_lo,
                 upper_bounds=bounds_hi,
+                null_value_counts=null_counts,
                 spec_id=table.spec.spec_id,
                 schema_id=table.metadata.current_schema_id,
             ))

@@ -222,13 +222,15 @@ class TableScan:
         task falls the whole aggregate back to a real scan (bounds of a
         partially-matching file may belong to filtered-out rows).
 
-        String bounds are truncated by the stats collector, so only
-        non-truncated types (numerics, dates, timestamps) take the fast
-        path."""
+        String bounds are truncated by the stats collector, and
+        float/double bounds exclude NaN (which Spark's max treats as the
+        LARGEST value) — so only integrals, decimals, dates, and
+        timestamps take the fast path."""
         fid = self.table.schema.id_for_name(col)
         ftype = next((f.type for f in self.table.schema.fields
                       if f.field_id == fid), None)
-        exact = isinstance(ftype, str) and not ftype.startswith("string")
+        exact = isinstance(ftype, str) and not ftype.startswith(
+            ("string", "float", "double"))
         tasks = self.plan_files()
         lo = hi = None
         slow: list = []
@@ -726,16 +728,30 @@ def _eq_delete_may_hit(del_file, data_file) -> bool:
     carry bounds for an equality column and the ranges are disjoint, no
     deleted key can exist in the data file — skip the anti-join for this
     pair entirely.  Missing bounds on either side keep the delete
-    (conservative)."""
+    (conservative).
+
+    NULL guard: bounds EXCLUDE nulls, but equality deletes apply
+    null-safely (deletes.py uses eqNullSafe, so a NULL delete key
+    deletes NULL data keys) — a column may only prune when BOTH sides
+    are provably null-free (null_value_counts == 0; unknown counts keep
+    the delete).  Float/double bounds never prune either: NaN keys are
+    absent from bounds but match under Spark's NaN-equals-NaN join
+    semantics."""
     dlo = del_file.lower_bounds or {}
     dhi = del_file.upper_bounds or {}
     flo = data_file.lower_bounds or {}
     fhi = data_file.upper_bounds or {}
+    dnull = del_file.null_value_counts or {}
+    fnull = data_file.null_value_counts or {}
     for fid in (del_file.equality_ids or ()):
         a_lo, a_hi = dlo.get(fid), dhi.get(fid)
         b_lo, b_hi = flo.get(fid), fhi.get(fid)
         if a_lo is None or a_hi is None or b_lo is None or b_hi is None:
             continue
+        if dnull.get(fid) != 0 or fnull.get(fid) != 0:
+            continue  # nulls possible on a side: this column can't prune
+        if isinstance(a_lo, float) or isinstance(b_lo, float):
+            continue  # NaN keys are invisible to bounds
         try:
             if a_hi < b_lo or b_hi < a_lo:
                 return False  # disjoint on this key column: cannot hit

@@ -32,6 +32,12 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         n_inputs = len(df.inputFiles())
     except Exception:
         n_inputs = 0
+    if n_inputs == 0:
+        # not file-backed (in-memory, post-shuffle/join lineage): the
+        # cheap probe is blind here — pay the RDD-conversion probe once
+        # rather than force a full raw-row shuffle on an input that may
+        # already be wide
+        n_inputs = df.rdd.getNumPartitions()
     if n_inputs < target:
         return df.repartition(target)
     return df
@@ -132,7 +138,11 @@ def minhash_band_signatures(df: DataFrame, text_col: str, id_col: str,
         # and distinct/explode move 8-byte longs instead of strings.
         # ~20% faster end-to-end on the headline LSH query, same
         # candidate structure (any fixed hash of the window works).
-        els = ", ".join(f"element_at(_toks, i + {j + 1})"
+        # try_element_at: documents SHORTER than shingle_n still produce
+        # their one (padded) window — element_at would throw
+        # INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default); xxhash64
+        # skips the NULLs, hashing the tokens that exist
+        els = ", ".join(f"try_element_at(_toks, i + {j + 1})"
                         for j in range(shingle_n))
         sh_arr = F.expr(
             f"transform(sequence(0, greatest(size(_toks) - {shingle_n}, 0)),"
@@ -534,14 +544,12 @@ def dedup_spans(df: DataFrame, span_tokens: int = 10,
 
     Scale: tokens never leave their row until one posexplode; spans
     shuffle ONCE on the 16-byte md5 of the span text (group sizes are
-    duplicate multiplicities); first-seen-wins is a plain min over an
-    order-encoded long, not a window over the corpus.  Order encoding
-    caps span_id at 1e6 per document (a 1e7-token document at span 10 —
-    far beyond any real document; raise the factor for synthetic ones).
+    duplicate multiplicities); first-seen-wins is a plain min over a
+    (doc, span) STRUCT (lexicographic — correct for string, negative,
+    or arbitrary orderable ids), not a window over the corpus.
 
     ref: the reference has no text plane; the keep-lowest-id discipline
     matches dedup_exact above."""
-    _ORD = 1_000_000
     toks = _ensure_parallelism(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"))
@@ -554,7 +562,7 @@ def dedup_spans(df: DataFrame, span_tokens: int = 10,
                      F.array_sort(F.collect_list(F.struct("pos", "tok"))),
                      lambda s: s.tok), " ").alias("span_text")))
     keyed = spans.withColumn("h", F.md5("span_text")) \
-        .withColumn("ord", F.col(id_col) * _ORD + F.col("span_id"))
+        .withColumn("ord", F.struct(F.col(id_col), F.col("span_id")))
     first = keyed.groupBy("h").agg(F.min("ord").alias("first_ord"))
     kept = (keyed.join(first, "h")
             .filter(F.col("ord") == F.col("first_ord")))
@@ -580,7 +588,10 @@ def dedup_spans_oracle_sql(span_tokens: int = 10, table: str = "documents",
                            id_col: str = "doc_id") -> str:
     """ANSI-SQL replay of dedup_spans for DuckDB — every stage inlined
     (tokenize, fixed windows, md5 span hash, order-encoded first-seen
-    min, ordered reassembly)."""
+    min, ordered reassembly).  The SQL's arithmetic order encoding
+    (id * 1e6 + span) assumes NON-NEGATIVE INTEGER ids with < 1e6 spans
+    per document (true for the registered driver query); the operator
+    itself uses a struct min and has no such restriction."""
     return f"""
 WITH t AS (
   SELECT {id_col}, string_split_regex({text_col}, '\\s+') AS tk

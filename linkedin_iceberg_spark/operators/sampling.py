@@ -100,8 +100,13 @@ def cap_per_group(df: DataFrame, group_col: str, n: int, id_col: str,
     from pyspark.sql import Window
     if n <= 0:
         raise ValueError("n must be positive")
-    w = Window.partitionBy(group_col).orderBy(_bucket(id_col, salt),
-                                              F.col(id_col))
+    # NULLS LAST explicitly: NULL ids hash to NULL buckets, and Spark's
+    # ASC default is nulls-first while DuckDB's (the oracle engine) is
+    # nulls-last — without this, NULL-id rows would consume cap slots in
+    # Spark but not in the SQL replay
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(id_col, salt).asc_nulls_last(),
+        F.col(id_col).asc_nulls_last())
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n).drop("_rn"))
 
@@ -131,8 +136,11 @@ def mix_by_token_budget(df: DataFrame, group_col: str, count_col: str,
             else budget.when(cond, F.lit(int(b)))
     budget = budget.otherwise(F.lit(int(default_budget))) \
         if budget is not None else F.lit(int(default_budget))
+    # NULLS LAST: match the DuckDB replay's default null ordering (see
+    # cap_per_group) so NULL-id rows never shift which real docs fit
     w = (Window.partitionBy(group_col)
-         .orderBy(_bucket(id_col, salt), F.col(id_col))
+         .orderBy(_bucket(id_col, salt).asc_nulls_last(),
+                  F.col(id_col).asc_nulls_last())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(F.col(count_col)).over(w)
     return (df.withColumn("_cum", cum)

@@ -81,17 +81,18 @@ def test_agg_minmax_metadata_only(part_table, monkeypatch):
     def no_read(tasks=None):  # pragma: no cover - trip wire
         raise AssertionError("metadata-only min/max read data files")
     monkeypatch.setattr(scan, "_to_df_default", no_read)
-    lo, hi = scan.agg_minmax("o_totalprice")
-    row = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).head()
+    # long column: doubles are excluded from the fast path (NaN hazard)
+    lo, hi = scan.agg_minmax("o_orderkey")
+    row = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).head()
     assert (lo, hi) == (row[0], row[1])
 
 
 def test_agg_minmax_falls_back_on_partial_filter(part_table):
     t, o = part_table
     lo, hi = t.new_scan().filter(lt("o_orderkey", 500)) \
-        .agg_minmax("o_totalprice")
+        .agg_minmax("o_custkey")
     row = o.filter(F.col("o_orderkey") < 500) \
-        .agg(F.min("o_totalprice"), F.max("o_totalprice")).head()
+        .agg(F.min("o_custkey"), F.max("o_custkey")).head()
     assert (lo, hi) == (row[0], row[1])
 
 

@@ -126,9 +126,10 @@ def main() -> int:
         result["sf0.1"][name] = round(s01, 3)
         result["sf1"][name] = round(s1, 3)
         result["rows_sf1"][name] = n1
-        result["ratio"][name] = round(s1 / s01, 2) if s01 > 0 else None
+        ratio = round(s1 / max(s01, 1e-3), 2)  # epsilon: never div-by-zero
+        result["ratio"][name] = ratio
         print(f"# {name}: sf0.1 {s01:.2f}s -> sf1 {s1:.2f}s "
-              f"(x{s1 / s01:.1f}, {n1} rows)", flush=True)
+              f"(x{ratio:.1f}, {n1} rows)", flush=True)
 
     worst = max(result["ratio"].values())
     result["worst_ratio"] = worst
