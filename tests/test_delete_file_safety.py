@@ -196,3 +196,54 @@ def test_delete_bounds_survive_manifest_rewrite(catalog, spark, sf_dir):
     assert dels and dels[0].data_file.lower_bounds.get(fid) is not None
     # pruning still disjoint after the rewrite
     assert all(not task.deletes for task in t.new_scan().plan_files())
+
+
+def test_delete_pruning_randomized_model(catalog, spark):
+    """r4: randomized eq/pos-delete workloads (NULL keys included) vs a
+    pure-Python model — pruning may only SKIP work, never change rows."""
+    import random
+
+    from pyspark.sql import Row
+
+    from linkedin_iceberg_spark.catalog.row_delta import row_delta
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        t = catalog.create_table(
+            f"db.prune{seed}",
+            spark.createDataFrame([], "k long, v long"))
+        live = {}  # rowid -> (k, v); model of surviving rows
+        rowid = 0
+        batches = []
+        for b in range(4):
+            rows = []
+            base = rng.randint(0, 500)
+            for i in range(rng.randint(5, 15)):
+                k = None if rng.random() < 0.15 else base + i
+                rows.append((rowid, k, rng.randint(0, 9)))
+                rowid += 1
+            batches.append(rows)
+            t.append(spark.createDataFrame(
+                [Row(k=k, v=v) for (_rid, k, v) in rows], "k long, v long"))
+            for rid, k, v in rows:
+                live[rid] = (k, v)
+            # random eq-delete set: nulls, present keys, absent keys
+            if rng.random() < 0.8:
+                keys = set()
+                if rng.random() < 0.5:
+                    keys.add(None)
+                for _ in range(rng.randint(1, 5)):
+                    keys.add(rng.choice([base + rng.randint(0, 14),
+                                         rng.randint(2000, 3000)]))
+                row_delta(t, equality_delete_keys=spark.createDataFrame(
+                    [Row(k=k) for k in keys], "k long"), key_cols=["k"])
+                t.refresh()
+                # model: eq-deletes hit STRICTLY older rows, null-safe
+                live = {rid: (k, v) for rid, (k, v) in live.items()
+                        if k not in keys}
+        key = lambda kv: (kv[0] is None, kv[0] if kv[0] is not None else 0,
+                          kv[1])
+        got = sorted(((r["k"], r["v"]) for r in t.to_df().collect()),
+                     key=key)
+        want = sorted(((k, v) for (k, v) in live.values()), key=key)
+        assert got == want, f"seed {seed} diverged"
