@@ -325,7 +325,8 @@ GROUP BY 1, 2 ORDER BY d1, d2"""
 
 def minhash_banded_cte_sql(table: str = "documents", text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
-                           bands: int = 8, shingle_n: int = 3) -> str:
+                           bands: int = 8, shingle_n: int = 3,
+                           recursive: bool = False) -> str:
     """The shared ``WITH ... banded`` CTE chain (shingle -> 60-bit md5 hash
     -> K seeded minhash streams -> band signatures) WITHOUT a final SELECT,
     so every oracle that needs band signatures (the candidate-pair oracle
@@ -344,8 +345,9 @@ def minhash_banded_cte_sql(table: str = "documents", text_col: str = "text",
         sig_cases.append(f"WHEN {b} THEN ('0x' || substr(md5({cols}), 1, 15))"
                          f"::BIGINT")
     sig_case = "CASE b.band\n    " + "\n    ".join(sig_cases) + "\n    END"
+    with_kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-WITH toks AS (
+{with_kw} toks AS (
   SELECT {id_col}, string_split_regex({text_col}, '\\s+') AS tk
   FROM {table}
 ), pos AS (
@@ -624,4 +626,70 @@ SELECT t.{id_col}, coalesce(r.clean_text, '') AS clean_text,
        CAST(t.n_spans AS BIGINT) AS n_spans,
        CAST(t.n_spans - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
 FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
+ORDER BY t.{id_col}"""
+
+
+def dedup_text_clustered(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", num_hashes: int = 16,
+                         bands: int = 8, shingle_n: int = 3,
+                         hash_mode: str = "xxhash64") -> DataFrame:
+    """Near-duplicate TEXT dedup with CLUSTER keep-decisions — the
+    document analog of dedup_embedding's pipeline: banded MinHash
+    candidate pairs become edges, connected components group transitive
+    near-dup chains (A~B, B~C => one cluster even when A!~C directly),
+    and the min-id member represents each cluster.
+
+    Returns (id, group_id, is_kept) for EVERY input document —
+    downstream keeps `is_kept = 1`.  First-seen-wins (the incremental
+    path) approximates this; the clustered form is the batch-exact
+    answer a full-corpus release wants.
+
+    Scale: candidates are the banded self-join (16-byte keys), the CC
+    stage is the O(log^2 n) star algorithm over doc-id pairs, and the
+    final join touches ids only."""
+    from linkedin_iceberg_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes,
+                                   bands, shingle_n, hash_mode) \
+        .select("d1", "d2")
+    comp = connected_components(pairs, "d1", "d2")
+    ids = df.select(F.col(id_col))
+    joined = ids.join(comp, ids[id_col] == comp["id"], "left")
+    group = F.coalesce(F.col("component"), F.col(id_col)).cast("long")
+    return (joined.select(
+        F.col(id_col), group.alias("group_id"),
+        F.when(group == F.col(id_col), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_kept"))
+        .orderBy(id_col))
+
+
+def dedup_text_clustered_oracle_sql(table: str = "documents",
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    num_hashes: int = 16, bands: int = 8,
+                                    shingle_n: int = 3) -> str:
+    """Full-pipeline SQL replay of dedup_text_clustered (md5 mode):
+    the shared banded CTEs, the candidate-pair self-join, and a
+    recursive-CTE transitive closure labeling every doc with the min
+    reachable id."""
+    prefix = minhash_banded_cte_sql(table, text_col, id_col, num_hashes,
+                                    bands, shingle_n, recursive=True)
+    return f"""{prefix}
+, pairs AS (
+  SELECT a.{id_col} AS d1, b.{id_col} AS d2 FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+), edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+), walk (id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.lab
+), comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id)
+SELECT t.{id_col},
+       CAST(coalesce(c.component, t.{id_col}) AS BIGINT) AS group_id,
+       CAST(CASE WHEN coalesce(c.component, t.{id_col}) = t.{id_col}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM {table} t LEFT JOIN comp c ON c.id = t.{id_col}
 ORDER BY t.{id_col}"""

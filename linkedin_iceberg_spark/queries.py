@@ -1112,6 +1112,28 @@ _REGISTRY["dedup_spans"] = (_REGISTRY["dedup_spans"][0],
                             _dedup_spans_oracle())
 
 
+@q("dedup_text_clustered", None)  # oracle attached below (generated SQL)
+def dedup_text_clustered(spark, sf_dir):
+    """Near-dup text dedup with CLUSTER keep-decisions (r4): banded
+    MinHash pairs -> connected components -> keep the min-id member of
+    each transitive near-dup cluster.  The generated oracle replays the
+    whole pipeline — banded CTEs, candidate self-join, recursive-CTE
+    closure — value-checking every document's group and keep flag."""
+    from linkedin_iceberg_spark.operators.dedup import dedup_text_clustered
+    d = ld(spark, sf_dir, "documents")
+    return dedup_text_clustered(d, hash_mode="md5")
+
+
+def _dedup_clustered_oracle() -> str:
+    from linkedin_iceberg_spark.operators.dedup import (
+        dedup_text_clustered_oracle_sql)
+    return dedup_text_clustered_oracle_sql()
+
+
+_REGISTRY["dedup_text_clustered"] = (_REGISTRY["dedup_text_clustered"][0],
+                                     _dedup_clustered_oracle())
+
+
 def _minhash_portable_oracle() -> str:
     from linkedin_iceberg_spark.operators.dedup import minhash_oracle_sql
     return minhash_oracle_sql(num_hashes=16, bands=8, shingle_n=3)
@@ -3887,7 +3909,11 @@ _PRIORITY = [
     "table_update_where", "text_chunk",
     # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
     # out for table_changelog (new: CDC scan over a MERGE commit)
-    "table_changelog",
+    # r4 late: table_changelog (green r3, unchanged; CDC evidence stands
+    # on its r3 row and the in-window upsert sink) rotates out for
+    # dedup_text_clustered (new: transitive near-dup clusters with a
+    # recursive-CTE full-pipeline oracle)
+    "dedup_text_clustered",
     # r3: table_merge_upsert (green r1+r2) rotates out for table_merge_full
     # (new: conditional matched-update/delete + unmatched-insert MERGE)
     # r3 late: table_migrate_import (green r1+r2; the import plane keeps
