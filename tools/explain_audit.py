@@ -97,6 +97,12 @@ CONTRACTS = {
         # heaps, never a global sort
         ["TakeOrderedAndProject", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "dedup_text_clustered": (
+        # final labeling join is an equi-join on ids; the CC stage is
+        # iterative and audited by its own tests
+        ["Join", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "ArrowEvalPython"]),
     "dedup_spans": (
         # spans shuffle once on the md5 hash (HashAggregate with map-side
         # partial min over the order-encoded long); reassembly is a
