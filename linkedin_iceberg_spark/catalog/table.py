@@ -922,13 +922,32 @@ class Table:
         a concurrently added v2 delete file conflicts (the compacted file
         takes a higher sequence number, so the new delete would silently
         stop applying to the rows it targets)."""
+        from linkedin_iceberg_spark.catalog.scan import (
+            _eq_delete_may_hit, _pos_delete_may_hit)
+
         entries, delete_entries = self._live_data_and_deletes()
         removed = [e for e in entries if e.data_file.file_path in removed_paths]
+
+        def compaction_conflict(e) -> bool:
+            # concurrent data appends never conflict with a pure rewrite;
+            # a concurrent DELETE FILE conflicts only if it may hit one
+            # of the files being compacted away (the compacted output
+            # takes a higher sequence number, so such a delete would
+            # silently stop applying to the rows it targets)
+            d = e.data_file
+            if d.content == M.CONTENT_DATA:
+                return False
+            if d.content == M.CONTENT_EQUALITY_DELETES:
+                return any(_eq_delete_may_hit(d, r.data_file)
+                           for r in removed)
+            return any(_pos_delete_may_hit(d, r.data_file)
+                       for r in removed)
+
         return self._commit_file_swap(
             removed=removed, added=added_files, operation=OP_REPLACE,
             seen_paths={e.data_file.file_path
                         for e in entries + delete_entries},
-            conflict_fn=lambda e: e.data_file.content != M.CONTENT_DATA)
+            conflict_fn=compaction_conflict)
 
     def _filter_conflict_fn(self, bound: Expression) -> Callable:
         """Conflict test for filter-shaped DML (delete/update/overwrite

@@ -206,3 +206,40 @@ def test_merge_accepts_concurrent_append_outside_key_range(catalog, spark):
     assert t.to_df().count() == 320
     assert t.to_df().filter("k >= 100 and k < 200 and v != -1").count() == 0
     assert t.to_df().filter("k >= 900").count() == 20  # rival intact
+
+
+def test_compaction_merges_with_disjoint_concurrent_delete_file(catalog,
+                                                                spark):
+    """A concurrent eq-delete whose key bounds cannot touch the
+    compaction inputs merges cleanly instead of aborting the rewrite."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.catalog.row_delta import row_delta
+
+    base = _df(spark, 0, 1).withColumn("p", (F.col("k") / 1000)
+                                       .cast("long"))
+    spec = (PartitionSpec.builder_for(Schema.from_spark(base.schema))
+            .identity("p").build())
+    catalog.create_table("db.cpd", base, spec=spec)
+    t1 = catalog.load_table("db.cpd")
+
+    def mk(lo, hi):
+        return _df(spark, lo, hi).withColumn(
+            "p", (F.col("k") / 1000).cast("long")).orderBy("k")
+    t1.append(mk(0, 100))      # partition 0, file A
+    t1.append(mk(100, 200))    # partition 0, file B
+    t1.append(mk(5000, 5050))  # partition 5, single file: NOT compacted
+    t1 = catalog.load_table("db.cpd")
+    t2 = catalog.load_table("db.cpd")
+
+    def rival():
+        row_delta(t2, equality_delete_keys=_df(spark, 5000, 5010)
+                  .select("k"), key_cols=["k"])
+    _hook_refresh(t1, rival)
+    # only partition 0's pair is a rewrite group; the rival's delete
+    # bounds [5000,5009] cannot hit those inputs -> histories merge
+    from linkedin_iceberg_spark.catalog.maintenance import rewrite_data_files
+    res = rewrite_data_files(t1, target_size_bytes=1 << 30,
+                             min_input_files=2)
+    assert res["rewritten_files"] == 2
+    t = catalog.load_table("db.cpd")
+    assert t.to_df().count() == 250 - 10  # rival's delete applied, no loss
