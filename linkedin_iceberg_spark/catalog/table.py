@@ -1112,6 +1112,14 @@ class Table:
     def set_current_snapshot(self, snapshot_id: int) -> "Table":
         return self.rollback_to(snapshot_id)
 
+    def rollback_to_time(self, timestamp_ms: int) -> "Table":
+        """Roll back to the last snapshot committed at or before the
+        given time (ref: ManageSnapshots.rollbackToTime)."""
+        snap = self.metadata.snapshot_as_of(timestamp_ms)
+        if snap is None:
+            raise ValueError(f"no snapshot as of {timestamp_ms}")
+        return self.rollback_to(snap.snapshot_id)
+
     def create_tag(self, name: str, snapshot_id: Optional[int] = None,
                    replace: bool = False) -> "Table":
         """Pin a snapshot under a NAME (ref: the SnapshotRef/ManageSnapshots

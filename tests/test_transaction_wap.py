@@ -140,3 +140,22 @@ def test_concurrent_appends_all_land(catalog, spark, orders_df):
     md = t0.metadata
     chain = md.ancestry()
     assert len(chain) == 4
+
+
+def test_rollback_to_time(catalog, spark, sf_dir):
+    import time
+
+    from pyspark.sql import functions as F
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = catalog.create_table("db.rbt", o)
+    t.append(o.filter(F.col("o_orderkey") <= 200))
+    n1 = t.to_df().count()
+    cut_ms = int(time.time() * 1000)
+    time.sleep(0.05)
+    t.append(o.filter(F.col("o_orderkey") > 200))
+    assert t.to_df().count() > n1
+    t.rollback_to_time(cut_ms)
+    assert t.to_df().count() == n1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.rollback_to_time(1)
