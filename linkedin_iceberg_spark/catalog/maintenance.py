@@ -28,7 +28,8 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
                        sort_by: Optional[list] = None,
                        zorder_by: Optional[list] = None,
                        partial_progress: bool = False,
-                       max_groups_per_commit: int = 1) -> dict:
+                       max_groups_per_commit: int = 1,
+                       remove_dangling: bool = False) -> dict:
     """Bin-pack small files per partition and rewrite them (A1).
 
     With `sort_by`, the rewrite also CLUSTERS rows: unpartitioned tables
@@ -106,8 +107,14 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
                                    target_size_bytes, sort_by, zorder_by)
         table.rewrite_files({e.data_file.file_path for e in to_rewrite},
                             new_files)
-        return {"rewritten_files": len(to_rewrite),
-                "added_files": len(new_files), "commits": 1}
+        out = {"rewritten_files": len(to_rewrite),
+               "added_files": len(new_files), "commits": 1}
+        if remove_dangling:
+            # ref: RewriteDataFiles REMOVE_DANGLING_DELETES — compaction
+            # just raised the inputs' sequence numbers, so deletes that
+            # only guarded them are dead metadata now
+            out.update(remove_dangling_deletes(table))
+        return out
 
     rewritten = added = commits = 0
     for i in range(0, len(rewrite_groups), max_groups_per_commit):
@@ -122,8 +129,11 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
         rewritten += len(ents)
         added += len(new_files)
         commits += 1
-    return {"rewritten_files": rewritten, "added_files": added,
-            "commits": commits}
+    out = {"rewritten_files": rewritten, "added_files": added,
+           "commits": commits}
+    if remove_dangling:
+        out.update(remove_dangling_deletes(table))
+    return out
 
 
 def _compact_write(table, to_rewrite: list, delete_entries: list,

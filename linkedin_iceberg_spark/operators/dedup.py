@@ -20,12 +20,13 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     this is a NO-OP: a 100 TB scan already has thousands of partitions, so
     the guard never triggers and no text is ever shuffled.
 
-    The probe is `inputFiles()` (a driver-side file-list of the analyzed
-    plan), NOT `df.rdd.getNumPartitions()` — the RDD conversion builds
-    the full physical plan plus a Python RDD bridge on every call, pure
-    driver overhead on hot paths.  Files under-count partitions when a
-    file splits (maxPartitionBytes), so the guard can repartition a
-    few-big-files input unnecessarily — one cheap raw-row shuffle, and
+    The probe is `inputFiles()` (a driver-side file-list of the
+    analyzed plan) first — `df.rdd.getNumPartitions()` builds the full
+    physical plan plus a Python RDD bridge, pure driver overhead on hot
+    paths — and falls back to the RDD probe only for non-file-backed
+    inputs, where the file list is blind.  Files under-count partitions
+    when a file splits (maxPartitionBytes), so the guard can repartition
+    a few-big-files input unnecessarily — one cheap raw-row shuffle, and
     impossible in the at-scale regime (files >> cores)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:

@@ -239,3 +239,20 @@ def test_remove_dangling_deletes(catalog, spark, sf_dir):
     import tempfile
     out = export_symlink_manifest(t, tempfile.mkdtemp())
     assert out["files"] > 0
+
+
+def test_compaction_with_remove_dangling_option(catalog, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(600)
+    t = catalog.create_table("db.rdopt", o)
+    t.append(o)
+    t.upsert(o.limit(50).withColumn("o_totalprice", F.lit(2.0)),
+             ["o_orderkey"])
+    t.refresh()
+    n = t.to_df().count()
+    res = t.rewrite_data_files(min_input_files=1, remove_dangling=True)
+    assert res["removed_delete_files"] == 1
+    t.refresh()
+    _d, dels = t._live_data_and_deletes()
+    assert dels == [] and t.to_df().count() == n
