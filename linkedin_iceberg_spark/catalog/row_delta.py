@@ -169,6 +169,10 @@ def row_delta(table, data_df: Optional[DataFrame] = None,
             "added-data-files": str(len(data_files)),
             "added-delete-files": str(len(delete_files)),
             "added-records": str(sum(f.record_count for f in data_files)),
+            **table._rolling_totals(
+                base, d_files=len(data_files),
+                d_records=sum(f.record_count for f in data_files),
+                d_delete_files=len(delete_files)),
             **(extra_summary or {}),
         }
         return infos, summary, None

@@ -364,6 +364,35 @@ class Table:
         files = self._write_data_files(df)
         return self._commit_append_files(files, wap_id=wap_id)
 
+    @staticmethod
+    def _rolling_totals(base: TableMetadata, d_files: int = 0,
+                        d_records: int = 0,
+                        d_delete_files: int = 0) -> dict:
+        """SnapshotSummary rolling totals (ref: core/.../SnapshotSummary
+        total-records / total-data-files / total-delete-files): the
+        parent snapshot's totals plus this commit's deltas — O(1) per
+        commit, an O(1) answer to "how big is this table" per snapshot.
+        A parent WITHOUT totals (created before this field existed)
+        yields no totals rather than wrong ones; fresh tables carry them
+        from their first snapshot.  Informational only — reads never
+        depend on them."""
+        snap = base.current_snapshot
+        if snap is None:
+            prev = {"total-data-files": "0", "total-records": "0",
+                    "total-delete-files": "0"}
+        else:
+            prev = snap.summary or {}
+            if "total-records" not in prev:
+                return {}
+        return {
+            "total-data-files": str(max(
+                int(prev["total-data-files"]) + d_files, 0)),
+            "total-records": str(max(
+                int(prev["total-records"]) + d_records, 0)),
+            "total-delete-files": str(max(
+                int(prev["total-delete-files"]) + d_delete_files, 0)),
+        }
+
     def _commit_append_files(self, files: list,
                              wap_id: Optional[str] = None,
                              extra_summary: Optional[dict] = None) -> "Table":
@@ -385,6 +414,9 @@ class Table:
                 "added-data-files": str(len(files)),
                 "added-records": str(sum(f.record_count for f in files)),
                 "added-files-size": str(sum(f.file_size_in_bytes for f in files)),
+                **self._rolling_totals(
+                    base, d_files=len(files),
+                    d_records=sum(f.record_count for f in files)),
                 **(extra_summary or {}),
             }
             return infos, summary, None
@@ -1028,12 +1060,21 @@ class Table:
                                         add_entries, types_by_id, ptypes)
                 info.manifest_path = aname
                 infos.append(info)
+            removed_data = [e for e in removed
+                            if e.data_file.content == M.CONTENT_DATA]
+            removed_dels = len(removed) - len(removed_data)
             summary = {
                 "deleted-data-files": str(len(removed)),
                 "added-data-files": str(len(added)),
                 "deleted-records": str(sum(e.data_file.record_count
                                            for e in removed)),
                 "added-records": str(sum(f.record_count for f in added)),
+                **self._rolling_totals(
+                    base,
+                    d_files=len(added) - len(removed_data),
+                    d_records=sum(f.record_count for f in added)
+                    - sum(e.data_file.record_count for e in removed_data),
+                    d_delete_files=-removed_dels),
             }
             return infos, summary, None
 

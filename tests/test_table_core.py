@@ -225,3 +225,38 @@ def test_write_distribution_mode_validation(catalog, spark, sf_dir):
                              properties={"write.distribution-mode": "bogus"})
     with _pytest.raises(ValueError, match="distribution-mode"):
         t.append(o)
+
+
+def test_snapshot_summary_rolling_totals(catalog, spark, sf_dir):
+    """r4: every snapshot carries O(1) rolling totals (SnapshotSummary
+    parity) — append, CoW delete, upsert, and compaction all keep them
+    consistent with the actual live state."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.expressions import lt
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(400)
+    t = catalog.create_table("db.totals", o)
+
+    def totals():
+        s = t.metadata.current_snapshot.summary
+        return (int(s["total-records"]), int(s["total-data-files"]),
+                int(s["total-delete-files"]))
+
+    t.append(o)
+    assert totals()[0] == 400 and totals()[2] == 0
+    t.delete_where(lt("o_orderkey", 50))
+    t.refresh()
+    n = t.to_df().count()
+    assert totals()[0] == n                      # CoW delete adjusted
+    t.upsert(o.limit(20).withColumn("o_totalprice", F.lit(9.0)),
+             ["o_orderkey"])
+    t.refresh()
+    rec, files, dels = totals()
+    assert dels == 1                              # the eq-delete file
+    assert rec >= n                               # upsert rows appended
+    t.rewrite_data_files(min_input_files=1, remove_dangling=True)
+    t.refresh()
+    rec, files, dels = totals()
+    assert rec == t.to_df().count()               # compaction nets out
+    assert dels == 0                              # dangling removal
