@@ -81,10 +81,13 @@ def sample_stratified(df: DataFrame, strata_col: str, fractions: dict,
     return df.filter(_bucket(id_col, salt) < thresh)
 
 
-def sample_bucket_sql(id_col: str, salt: str = "v1") -> str:
-    """The _bucket expression as DuckDB/ANSI SQL (oracle building block)."""
+def sample_bucket_sql(id_col: str, salt: str = "v1",
+                      buckets: int = _BUCKETS) -> str:
+    """The hash_bucket expression as DuckDB/ANSI SQL (oracle building
+    block).  `buckets` mirrors hash_bucket's parameter so shard-sized
+    moduli (shuffle_shards) replay with the same recipe."""
     return (f"(('0x' || substr(md5('{salt}' || '-' || "
-            f"{id_col}::VARCHAR), 1, 15))::BIGINT % {_BUCKETS})")
+            f"{id_col}::VARCHAR), 1, 15))::BIGINT % {buckets})")
 
 
 def cap_per_group(df: DataFrame, group_col: str, n: int, id_col: str,
@@ -146,3 +149,72 @@ def mix_by_token_budget(df: DataFrame, group_col: str, count_col: str,
     return (df.withColumn("_cum", cum)
             .filter(F.col("_cum") <= budget)
             .drop("_cum"))
+
+
+def sample_temperature_mix(df: DataFrame, group_col: str, id_col: str,
+                           total: int, salt: str = "v1") -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-training
+    mixing rule, alpha = 0.5): each group's share of a `total`-document
+    release is proportional to sqrt(group size), which up-weights small
+    sources and caps the head — quota_g = floor(total * w_g / sum(w)),
+    w_g = floor(sqrt(n_g)) — then each group's quota is filled in
+    deterministic salted-hash order.
+
+    Every step is INTEGER arithmetic (isqrt is exact in a double for
+    n < 2^52; the quota split is bigint multiply + integer division), so
+    the selection replays bit-identically in ANSI SQL — no float sampling
+    rates to diverge at a bucket boundary.  Quotas shift when the corpus
+    grows, so unlike sample_fraction this is per-release, not
+    append-stable: re-materialize the mix per release (same contract as
+    mix_by_token_budget).
+
+    Scale: one count-per-group aggregate (tiny result), a one-row total
+    broadcast back over it, a broadcast join of the quota map onto the
+    corpus, and one per-group window — no global sort, no driver state."""
+    from pyspark.sql import Window
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    weights = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n"))).cast("long"))
+    tot = weights.agg(F.sum("_w").alias("_tw"))
+    quota = (weights.crossJoin(F.broadcast(tot))
+             .withColumn("_quota",
+                         F.expr(f"(CAST({int(total)} AS BIGINT) * _w) "
+                                "DIV _tw"))
+             .select(group_col, "_quota"))
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(id_col, salt).asc_nulls_last(),
+        F.col(id_col).asc_nulls_last())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(quota), group_col)
+            .filter(F.col("_rn") <= F.col("_quota"))
+            .drop("_rn", "_quota"))
+
+
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
+                   salt: str = "v1") -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets
+    a `shard` in [0, n_shards) and a 1-based `pos` within its shard, both
+    pure functions of (salt, id) — the reproducible replacement for
+    `ORDER BY rand()` when materializing a training corpus.  Two
+    independent salted hashes decorrelate shard assignment from
+    within-shard order, so reading shards round-robin approximates a
+    uniform global shuffle.
+
+    Scale: ONE hash-partition exchange on the shard key plus a per-shard
+    window — never a global sort.  To materialize, follow with
+    ``.repartition(n_shards, "shard").sortWithinPartitions("pos")`` and
+    one file per shard; appends re-shard (positions shift), so shard per
+    release.  NULL ids hash to NULL shards and are dropped, matching the
+    SQL replay's `salt || '-' || id` (see hash_bucket)."""
+    from pyspark.sql import Window
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    shard = hash_bucket(id_col, salt, n_shards)
+    order = hash_bucket(id_col, salt + "-ord", _BUCKETS)
+    w = Window.partitionBy(shard).orderBy(
+        order.asc_nulls_last(), F.col(id_col).asc_nulls_last())
+    return (df.withColumn("shard", shard)
+            .filter(F.col("shard").isNotNull())
+            .withColumn("pos", F.row_number().over(w)))

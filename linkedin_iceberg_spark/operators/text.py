@@ -316,3 +316,43 @@ def pack_sequences(df: DataFrame, budget: int, order_col: str,
                         (F.col("bin_tokens_before") + clamped)
                         > F.lit(budget))
             .drop("_start"))
+
+
+def trigram_novelty(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    rare_max: int = 2) -> DataFrame:
+    """Corpus-relative novelty signal: the fraction of a document's
+    character trigrams that are RARE across the whole corpus (total
+    corpus occurrences <= `rare_max`).  A high ratio flags gibberish,
+    boilerplate-free noise, or genuinely novel text; a near-zero ratio
+    flags template spam — the integer-exact stand-in for a KenLM-style
+    perplexity filter (per-trigram log-probs don't replay across engines;
+    rare-trigram counting does, bit for bit).
+
+    Docs shorter than 3 chars have no trigrams and are dropped (contract
+    shared with the SQL oracle).  Output: (id, n_tri, n_rare, rare_ratio)
+    with the ratio rounded to 6 decimals of two exact integers.
+
+    Scale: the trigram explode is ~len(text) rows per doc, but the
+    corpus frequency table is bounded by |charset|^3 distinct keys —
+    BROADCAST-joined back, so exploded rows are never shuffled for the
+    lookup; the only full shuffle is the per-doc re-aggregate on the id.
+    Two corpus scans total (one to count, one to score)."""
+    if rare_max < 1:
+        raise ValueError("rare_max must be >= 1")
+    tri_arr = F.expr(
+        f"transform(sequence(1, length({text_col}) - 2),"
+        f" i -> substring({text_col}, i, 3))")
+    tri = (df.filter(F.length(text_col) >= 3)
+           .select(F.col(id_col), F.explode(tri_arr).alias("_tri")))
+    freq = tri.groupBy("_tri").agg(F.count(F.lit(1)).alias("_c"))
+    scored = (tri.join(F.broadcast(freq), "_tri")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tri"),
+                   F.sum(F.when(F.col("_c") <= rare_max, 1).otherwise(0))
+                   .alias("n_rare")))
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tri").cast("long").alias("n_tri"),
+        F.col("n_rare").cast("long").alias("n_rare"),
+        F.round(F.col("n_rare") / F.col("n_tri"), 6).alias("rare_ratio"))

@@ -1716,6 +1716,104 @@ _REGISTRY["sample_token_budget_mix"] = (
     _REGISTRY["sample_token_budget_mix"][0], _token_budget_oracle())
 
 
+@q("sample_temperature_mix", None)  # oracle attached below (generated SQL)
+def sample_temperature_mix_q(spark, sf_dir):
+    """sqrt-temperature source rebalancing (alpha=0.5 mixing rule): a
+    300-doc release where each language's quota is proportional to
+    sqrt(corpus size) — en (218 docs) is flattened to a 91-doc quota
+    while the four ~70-doc languages get 52 each — and quotas are filled
+    in deterministic salted-hash order.  Integer-exact end to end (isqrt
+    weights, bigint quota split), so the oracle replays the full quota
+    computation AND the per-group hash-order cut in SQL."""
+    from linkedin_iceberg_spark.operators.sampling import (
+        sample_temperature_mix)
+    d = ld(spark, sf_dir, "documents")
+    return (sample_temperature_mix(d, "lang", "doc_id", total=300,
+                                   salt="temp1")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _temperature_mix_oracle() -> str:
+    from linkedin_iceberg_spark.operators.sampling import sample_bucket_sql
+    b = sample_bucket_sql("doc_id", "temp1")
+    return f"""
+WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM n),
+qq AS (SELECT lang, (300 * w) // (SELECT sum(w) FROM w) AS quota FROM w),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {b}, doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id, r.lang FROM r JOIN qq USING (lang)
+WHERE r.rn <= qq.quota ORDER BY r.doc_id"""
+
+
+_REGISTRY["sample_temperature_mix"] = (
+    _REGISTRY["sample_temperature_mix"][0], _temperature_mix_oracle())
+
+
+@q("sample_shuffle_shards", None)  # oracle attached below (generated SQL)
+def sample_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into 16 training shards: shard and
+    within-shard position are independent salted hashes of the doc id —
+    the reproducible replacement for ORDER BY rand() when materializing
+    a corpus.  One hash-partition exchange + per-shard window, never a
+    global sort; the oracle replays both hashes and the row_number in
+    SQL."""
+    from linkedin_iceberg_spark.operators.sampling import shuffle_shards
+    d = ld(spark, sf_dir, "documents")
+    return (shuffle_shards(d, "doc_id", n_shards=16, salt="sh1")
+            .select("doc_id", "shard",
+                    F.col("pos").cast("long").alias("pos"))
+            .orderBy("doc_id"))
+
+
+def _shuffle_shards_oracle() -> str:
+    from linkedin_iceberg_spark.operators.sampling import sample_bucket_sql
+    shard = sample_bucket_sql("doc_id", "sh1", buckets=16)
+    order = sample_bucket_sql("doc_id", "sh1-ord")
+    return f"""
+SELECT doc_id, {shard} AS shard,
+       CAST(row_number() OVER (PARTITION BY {shard}
+                               ORDER BY {order}, doc_id) AS BIGINT) AS pos
+FROM documents ORDER BY doc_id"""
+
+
+_REGISTRY["sample_shuffle_shards"] = (
+    _REGISTRY["sample_shuffle_shards"][0], _shuffle_shards_oracle())
+
+
+@q("text_trigram_novelty", """
+WITH tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) - 1),
+                               i -> substr(text, CAST(i AS INT), 3))) AS tri
+  FROM documents WHERE length(text) >= 3
+), freq AS (
+  SELECT tri, count(*) AS c FROM tri GROUP BY tri
+), d AS (
+  SELECT t.doc_id, count(*) AS n_tri,
+         sum(CASE WHEN f.c <= 2 THEN 1 ELSE 0 END) AS n_rare
+  FROM tri t JOIN freq f USING (tri) GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+       CAST(n_rare AS BIGINT) AS n_rare,
+       round(n_rare * 1.0 / n_tri, 6) AS rare_ratio
+FROM d ORDER BY doc_id""")
+def text_trigram_novelty(spark, sf_dir):
+    """Corpus-relative novelty: the share of each doc's char trigrams
+    that are rare corpus-wide (<=2 total occurrences) — the
+    integer-exact stand-in for a KenLM perplexity filter (per-trigram
+    log-probs don't replay across engines; rare-trigram counts do).
+    Scale: the corpus trigram-frequency table is bounded by |charset|^3
+    keys and BROADCASTs, so the exploded rows are never shuffled for the
+    lookup — the plan's only wide exchange is the per-doc re-aggregate."""
+    from linkedin_iceberg_spark.operators.text import trigram_novelty
+    d = ld(spark, sf_dir, "documents")
+    return trigram_novelty(d, "text", "doc_id", rare_max=2) \
+        .orderBy("doc_id")
+
+
 @q("similarity_quantize", """
 WITH q AS (
   SELECT vec_id,
@@ -3898,7 +3996,11 @@ _PRIORITY = [
     #   meta_files_stats         -> agg_approx_percentile (meta family
     #       gains find_files + scan_summary this round)
     #   join_asof                -> join_skew_salted (joins family rep)
-    "table_scan_pruned", "table_local_read", "table_delete_where",
+    # r4 late: table_scan_pruned (green r1+r2+r3, unchanged; the scan
+    # family keeps table_scan_planned_tasks + table_local_read in-window)
+    # rotates out for sample_temperature_mix (new: sqrt-temperature
+    # source rebalancing with an integer-exact quota oracle)
+    "sample_temperature_mix", "table_local_read", "table_delete_where",
     "meta_find_files",
     "table_schema_evolution", "meta_scan_summary",
     # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
@@ -4018,7 +4120,11 @@ _PRIORITY = [
     # (green r1+r2; agg family keeps approx_distinct in-window and eight
     # lifetime-green variants) rotates out for similarity_quantize (new:
     # int8 quantization with integer-exact checksums)
-    "similarity_quantize", "agg_approx_distinct", "sample_stratified",
+    # r4 late: similarity_quantize (green r3, unchanged; similarity family
+    # keeps ivf_train/ivf_pruned/ivf_refresh/ann_lsh/matryoshka in-window)
+    # rotates out for sample_shuffle_shards (new: deterministic global
+    # shuffle into training shards)
+    "sample_shuffle_shards", "agg_approx_distinct", "sample_stratified",
     # r4 late: similarity_knn_join (green r3, unchanged; similarity
     # family keeps quantize/ivf_train/ivf_pruned/ann_lsh/matryoshka/
     # refresh) rotates out for join_asof_forward (new: forward direction
@@ -4037,8 +4143,12 @@ _PRIORITY = [
     # r4: dedup_simhash (green r3, unchanged; the generated bit-vote
     # oracle stands) rotates out for dedup_spans (new: corpus-wide exact
     # span dedup with full cleaned-text oracle)
+    # r4 late: dedup_embedding (green r3, unchanged; dedup family keeps
+    # text_clustered/spans/minhash_portable/lsh_full in-window) rotates
+    # out for text_trigram_novelty (new: corpus-rare-trigram quality
+    # signal with a broadcast frequency join)
     "dedup_minhash_portable", "dedup_minhash_lsh_full",
-    "dedup_spans", "dedup_embedding",
+    "dedup_spans", "text_trigram_novelty",
     # r3: similarity_ivf_topk (green r2, identical result set) rotates out
     # for similarity_ivf_pruned (new: persisted IVF with partition pruning)
     "similarity_ann_lsh", "similarity_ivf_pruned",

@@ -188,6 +188,27 @@ CONTRACTS = {
         ["Project", "codegen id"],
         ["hashpartitioning", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"]),
+    "sample_temperature_mix": (
+        # quota map (one row per group) joins back by BROADCAST; the rank
+        # window partitions on the group key.  The only SinglePartition
+        # exchange is the metadata-sized total-weight aggregate (20 rows),
+        # so it is not forbidden here — the corpus itself never funnels.
+        ["Window", "hashpartitioning", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"]),
+    "sample_shuffle_shards": (
+        # one hash-partition exchange on the shard key + per-shard
+        # row_number — the global shuffle without a global sort
+        ["Window", "hashpartitioning", "codegen id"],
+        ["SinglePartition", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"]),
+    "text_trigram_novelty": (
+        # the corpus trigram-frequency table (bounded by |charset|^3) is
+        # BROADCAST back onto the exploded rows — the explode output is
+        # never shuffled for the lookup; per-doc re-agg combines map-side
+        ["Generate", "BroadcastHashJoin", "HashAggregate", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"]),
     "text_decontaminate": (
         # shingle-hash anti-join: benchmark side broadcast, corpus side
         # never re-shuffled into an all-pairs shape
