@@ -221,3 +221,93 @@ class Catalog:
         except Exception:
             self.drop_table(name)
             raise
+
+    def snapshot_table(self, source: Table, name: str) -> Table:
+        """Zero-copy snapshot clone (the snapshot-table action:
+        an independent new table over the SAME data files, no rows
+        copied; ref: spark/.../SparkTableUtil.java importSparkTable is
+        the metadata-import half, core/.../TableMetadata carrying
+        per-entry sequence numbers is what makes the delete semantics
+        portable).
+
+        The clone inherits every schema and partition spec (entries from
+        pre-evolution specs keep resolving by spec_id), and its first
+        snapshot adds every live data AND delete entry at its ORIGINAL
+        sequence number, so equality-delete scoping ("strictly older
+        rows") and position-delete matching replay exactly.  The clone's
+        sequence space continues above the source's, so new commits (on
+        either side, independently) never interleave with history.
+
+        Writes to the clone never touch the source: new files land under
+        the clone's location, removals only drop manifest entries.  The
+        flip side of sharing files: the clone is born with
+        ``gc.enabled=false`` — expire_snapshots / remove_orphan_files
+        refuse to DELETE physical files it references, because the
+        source (or another clone) may still need them.  Compact or
+        rewrite the clone to break the dependency, then re-enable gc."""
+        import time as _time
+        import uuid as _uuid
+        from dataclasses import replace as _replace
+
+        from linkedin_iceberg_spark.catalog import manifests as M
+        from linkedin_iceberg_spark.catalog.metadata import OP_APPEND
+
+        location = self._table_location(name)
+        ops = TableOperations(location)
+        if ops.refresh() is not None:
+            raise AlreadyExistsError(f"table {name} already exists")
+        src_md = source.metadata
+        md = _replace(
+            src_md,
+            table_uuid=str(_uuid.uuid4()),
+            location=location,
+            last_updated_ms=int(_time.time() * 1000),
+            properties={**src_md.properties, "gc.enabled": "false",
+                        "snapshot.source-location": source.location},
+            current_snapshot_id=None,
+            snapshots=[],
+            snapshot_log=[],
+            metadata_log=[],
+            refs={},
+            staged_wap={},
+        )
+        version = ops.commit(0, md)
+        md._version = version  # type: ignore[attr-defined]
+        clone = Table(self.spark, ops, md, version, name)
+
+        data, deletes = source._live_data_and_deletes()
+        if not data and not deletes:
+            return clone
+        types_by_id = clone._types_by_id()
+
+        def build(base, snap_id, seq):
+            ptypes = base.all_partition_types()
+            infos = []
+            # data and delete entries go in SEPARATE manifests (the
+            # format's invariant — a manifest is either data or deletes)
+            for group in (data, deletes):
+                if not group:
+                    continue
+                entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id,
+                                           e.sequence_number, e.data_file)
+                           for e in group]
+                mname = M.new_manifest_name()
+                info = M.write_manifest(
+                    clone.ops.new_metadata_path(mname), entries,
+                    types_by_id, ptypes)
+                info.manifest_path = mname
+                infos.append(info)
+            summary = {
+                "added-data-files": str(len(data)),
+                "added-delete-files": str(len(deletes)),
+                "added-records": str(sum(e.data_file.record_count
+                                         for e in data)),
+                "snapshot-source": source.location,
+                **clone._rolling_totals(
+                    base, d_files=len(data),
+                    d_records=sum(e.data_file.record_count for e in data),
+                    d_delete_files=len(deletes)),
+            }
+            return infos, summary, None
+
+        return clone._commit(build, OP_APPEND)

@@ -317,6 +317,20 @@ def _rewrite_manifests_distributed(table, target_entries: int) -> dict:
     return {"manifests": result["n"]}
 
 
+def _check_gc_enabled(table, action: str) -> None:
+    """Physical-file deletion guard (ref: the snapshot-table action
+    setting gc.enabled=false and RemoveSnapshots/DeleteOrphanFiles
+    validating it): a zero-copy clone shares data files with its source,
+    so file-deleting maintenance on it could destroy rows another table
+    still references.  Metadata-only maintenance stays allowed."""
+    if table.properties.get("gc.enabled", "true").lower() in ("false", "0"):
+        raise ValueError(
+            f"{action}: gc.enabled=false on this table (it shares files "
+            "with another table, e.g. a snapshot_table clone) — deleting "
+            "physical files could corrupt the other table; rewrite the "
+            "clone's files first, then set gc.enabled=true")
+
+
 def expire_snapshots(table, older_than_ms: Optional[int] = None,
                      retain_last: int = 1, dry_run: bool = False) -> dict:
     """Expire old snapshots and delete files only they reference (W14 + A3).
@@ -326,6 +340,7 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     manifest lists/manifests are parquet, so both sets are DataFrames and the
     diff is a distributed ``left_anti`` join — O(metadata) at any scale.
     """
+    _check_gc_enabled(table, "expire_snapshots")
     md = table.metadata
     now_ms = int(time.time() * 1000)
     cutoff = older_than_ms if older_than_ms is not None else now_ms
@@ -425,6 +440,7 @@ def remove_orphan_files(table, older_than_ms: Optional[int] = None,
     (uncommitted) writes are never swept — same guard as the reference's
     3-day default.  Driver work is one readdir of data/ — O(commits), never
     O(files)."""
+    _check_gc_enabled(table, "remove_orphan_files")
     spark = table.spark
     md = table.metadata
     cutoff = older_than_ms if older_than_ms is not None \
@@ -615,3 +631,86 @@ def remove_dangling_deletes(table) -> dict:
                     for e in entries + delete_entries},
         conflict_fn=lambda e: True)
     return {"removed_delete_files": len(dangling)}
+
+
+def rewrite_position_deletes(table,
+                             target_size_bytes: int = TARGET_FILE_SIZE,
+                             min_input_files: int = 2) -> dict:
+    """Compact v2 position-delete files (the modern
+    RewritePositionDeleteFiles action; this fork's analog discipline is
+    merge/expire on every growing metadata surface, ref:
+    core/.../ManifestMergeManager.java:39-96).  Every row-level DML adds
+    another small pos-delete file; reads pay per-file matching forever
+    until the maintenance plane folds them.
+
+    One pass does three things:
+      * MERGES many small delete files into right-sized ones,
+      * DEDUPES repeated (file_path, pos) rows across inputs (two DMLs
+        may have deleted the same row),
+      * PURGES rows referencing data files no longer live — the per-ROW
+        danglers remove_dangling_deletes cannot drop because their file
+        also covers live paths.
+
+    Output files are range-clustered and sorted by (file_path, pos), so
+    each output's referenced-path bounds are TIGHT and non-overlapping —
+    _pos_delete_may_hit then attaches each delete file to the narrowest
+    possible band of data files (the pruning that matters at 100 TB).
+
+    Sequence-number note: rewritten deletes land at the NEW commit's
+    sequence number.  That is safe because position deletes match by
+    explicit file_path (paths are unique and never reused), so a higher
+    sequence number cannot make a delete row hit data it didn't already
+    hit; file-level over-attachment to newer files inside the path range
+    costs a skipped anti-join at worst, never a wrong row.
+
+    Scale: reading/writing delete files is a distributed Spark job; the
+    live-path list is metadata-sized (one row per data file) and joins
+    by BROADCAST.  The commit uses the strict conflict fence — any
+    concurrent commit invalidates the purge computation and raises for
+    a re-plan."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.catalog import manifests as M
+    from linkedin_iceberg_spark.catalog.metadata import OP_REPLACE
+    from linkedin_iceberg_spark.catalog.row_delta import (
+        _write_delete_parquet)
+
+    entries, delete_entries = table._live_data_and_deletes()
+    pos = [d for d in delete_entries
+           if d.data_file.content == M.CONTENT_POSITION_DELETES]
+    if not pos:
+        return {"rewritten_delete_files": 0, "added_delete_files": 0,
+                "purged_rows": 0}
+
+    spark = table.spark
+    src = spark.read.parquet(
+        *[d.data_file.file_path for d in pos]).select("file_path", "pos")
+    live = sorted({e.data_file.file_path for e in entries})
+    live_df = spark.createDataFrame([(p,) for p in live],
+                                    "file_path: string")
+    kept = (src.join(F.broadcast(live_df), "file_path")
+            .dropDuplicates(["file_path", "pos"]))
+    n_src = src.count()
+    n_kept = kept.count()
+    purged = n_src - n_kept
+    if purged == 0 and len(pos) < min_input_files:
+        return {"rewritten_delete_files": 0, "added_delete_files": 0,
+                "purged_rows": 0}
+
+    new_files: list = []
+    if n_kept:
+        total = sum(d.data_file.file_size_in_bytes for d in pos)
+        n_out = max(1, (total + target_size_bytes - 1) // target_size_bytes)
+        clustered = (kept.repartitionByRange(n_out, "file_path", "pos")
+                     .sortWithinPartitions("file_path", "pos"))
+        new_files = _write_delete_parquet(
+            table, clustered, M.CONTENT_POSITION_DELETES, [])
+
+    table._commit_file_swap(
+        removed=pos, added=new_files, operation=OP_REPLACE,
+        seen_paths={e.data_file.file_path
+                    for e in entries + delete_entries},
+        conflict_fn=lambda e: True)
+    return {"rewritten_delete_files": len(pos),
+            "added_delete_files": len(new_files),
+            "purged_rows": int(purged)}

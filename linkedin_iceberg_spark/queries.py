@@ -3190,6 +3190,85 @@ def table_compaction(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_rewrite_pos_deletes", """
+WITH a AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+  FROM orders WHERE o_orderkey < 3000
+)
+SELECT o_orderkey, o_totalprice FROM a WHERE pos >= 10
+ORDER BY o_orderkey""")
+def table_rewrite_pos_deletes(spark, sf_dir):
+    """RewritePositionDeleteFiles maintenance: two overlapping pos-delete
+    commits (positions 0-5 and 4-9 of file A, 0-4 of file B) compact into
+    ONE right-sized delete file — duplicates deduped, rows referencing
+    the dead file B (dropped whole-file by delete_where) purged — with
+    visible rows provably identical.  The oracle replays the final state:
+    orders below the split minus its first 10 positions (o_orderkey is
+    unique, so position == rank by key)."""
+    from linkedin_iceberg_spark.catalog.maintenance import (
+        rewrite_position_deletes)
+    from linkedin_iceberg_spark.expressions import gt_eq
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_rpd", o)
+    t.append(o.filter(F.col("o_orderkey") < 3000)
+             .orderBy("o_orderkey").coalesce(1))
+    t.append(o.filter(F.col("o_orderkey") >= 3000)
+             .orderBy("o_orderkey").coalesce(1))
+    n_a = o.filter(F.col("o_orderkey") < 3000).count()
+    fa = next(task.file.file_path for task in t.new_scan().plan_files()
+              if task.file.record_count == n_a)
+    fb = next(task.file.file_path for task in t.new_scan().plan_files()
+              if task.file.file_path != fa)
+    t.row_delta(position_deletes=spark.createDataFrame(
+        [(fa, p) for p in range(0, 6)] + [(fb, p) for p in range(0, 5)],
+        "file_path string, pos bigint").coalesce(1))
+    t.row_delta(position_deletes=spark.createDataFrame(
+        [(fa, p) for p in range(4, 10)],
+        "file_path string, pos bigint").coalesce(1))
+    t.delete_where(gt_eq("o_orderkey", 3000))  # B dies whole-file
+    out = rewrite_position_deletes(t)
+    # 2 inputs -> 1 output; purged = 2 duplicate A-positions + 5 dead B rows
+    assert out["rewritten_delete_files"] == 2, out
+    assert out["added_delete_files"] == 1, out
+    assert out["purged_rows"] == 7, out
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("table_snapshot_clone", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey >= 50 AND o_orderkey < 4000 ORDER BY o_orderkey""")
+def table_snapshot_clone(spark, sf_dir):
+    """Zero-copy snapshot clone: the clone sees the source's rows (minus
+    its live equality deletes, carried at their ORIGINAL sequence
+    numbers), then both sides diverge independently — a delete on the
+    clone never touches the source, an append to the source never leaks
+    into the clone.  The oracle replays the clone's final state: keys
+    [50, 4000) — eq-deleted keys <50 stay gone in the clone even though
+    the SOURCE resurrected them after the clone was taken."""
+    from linkedin_iceberg_spark.expressions import gt_eq
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_snap", o)
+    t.append(o)
+    t.row_delta(
+        equality_delete_keys=spark.range(0, 50)
+        .select(F.col("id").alias("o_orderkey")),
+        key_cols=["o_orderkey"])
+    clone = cat.snapshot_table(t, "q.orders_clone")
+    # zero-copy: before any write diverges it, the clone owns no data files
+    assert not os.path.isdir(os.path.join(clone.location, "data"))
+    src_before = t.to_df().count()
+    clone.delete_where(gt_eq("o_orderkey", 4000))   # clone-only delete (CoW)
+    t.append(o.filter(F.col("o_orderkey") < 50))    # source-only append
+    assert t.to_df().count() == src_before + \
+        o.filter(F.col("o_orderkey") < 50).count()
+    return (clone.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_expire_snapshots", """
 SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""")
 def table_expire_snapshots(spark, sf_dir):
@@ -4000,8 +4079,12 @@ _PRIORITY = [
     # family keeps table_scan_planned_tasks + table_local_read in-window)
     # rotates out for sample_temperature_mix (new: sqrt-temperature
     # source rebalancing with an integer-exact quota oracle)
-    "sample_temperature_mix", "table_local_read", "table_delete_where",
-    "meta_find_files",
+    # r4 late: table_delete_where (green r1+r2+r3, unchanged; the DML
+    # family keeps update_where/merge_full/overwrite_where/equality_
+    # deletes in-window) rotates out for table_rewrite_pos_deletes (new:
+    # position-delete compaction — merge + dedupe + dead-row purge)
+    "sample_temperature_mix", "table_local_read",
+    "table_rewrite_pos_deletes", "meta_find_files",
     "table_schema_evolution", "meta_scan_summary",
     # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
     # table_overwrite_where in-window) rotates out for table_update_where
@@ -4074,7 +4157,11 @@ _PRIORITY = [
     # r3 late: events_tumbling_window (green r1+r2, unchanged; family all
     # lifetime-green) rotates out for text_repetition (new: Gopher-style
     # duplicate-line + top-bigram repetition signals)
-    "streaming_upsert_sink",
+    # r4 late: streaming_upsert_sink (green r3, unchanged; streaming
+    # family keeps incremental_dedup/enrichment/partition_reprocess
+    # in-window) rotates out for table_snapshot_clone (new: zero-copy
+    # snapshot-table clone with preserved delete sequence numbers)
+    "table_snapshot_clone",
     # r3 late: text_token_stats (green r1+r2) rotates out for
     # text_split_assign (new: deterministic hash-bucket train/val/test);
     # text_quality_score (green r1+r2) rotates out for text_pii_scrub
