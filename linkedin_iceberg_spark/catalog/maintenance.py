@@ -347,10 +347,16 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     ancestry = md.ancestry()
     keep_ids = set(ancestry[:max(1, retain_last)])
     staged = set(md.staged_wap.values())
-    # named refs (tags) pin their snapshots unconditionally — a tagged
-    # release stays readable until the tag is dropped (ref:
-    # RemoveSnapshots retaining SnapshotRef targets)
-    pinned = set(md.refs.values())
+    # named refs pin snapshots unconditionally — a tagged release stays
+    # readable until the tag is dropped (ref: RemoveSnapshots retaining
+    # SnapshotRef targets).  A BRANCH pins its whole ancestry: its head
+    # must stay rollback-able/diffable until the branch is dropped.
+    pinned = set()
+    for rname, sid in md.refs.items():
+        if md.ref_types.get(rname, "tag") == "branch":
+            pinned.update(md.ancestry(sid))
+        else:
+            pinned.add(sid)
     for s in md.snapshots:
         sid = s.snapshot_id
         if sid in keep_ids or sid == md.current_snapshot_id:

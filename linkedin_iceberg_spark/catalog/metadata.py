@@ -99,6 +99,9 @@ class TableMetadata:
     metadata_log: list     # [{timestamp-ms, metadata-file}]
     refs: dict = field(default_factory=dict)   # branch/tag name -> snapshot-id
     staged_wap: dict = field(default_factory=dict)  # wap.id -> snapshot-id
+    # name -> "tag" | "branch" (missing = tag, for metadata written before
+    # branches existed); ref: the SnapshotRef type field
+    ref_types: dict = field(default_factory=dict)
 
     # -- accessors ----------------------------------------------------------
     @property
@@ -214,6 +217,7 @@ class TableMetadata:
             "metadata-log": self.metadata_log,
             "refs": self.refs,
             "staged-wap": self.staged_wap,
+            "ref-types": self.ref_types,
         }
 
     @classmethod
@@ -235,6 +239,7 @@ class TableMetadata:
             metadata_log=j.get("metadata-log", []),
             refs=j.get("refs", {}),
             staged_wap=j.get("staged-wap", {}),
+            ref_types=j.get("ref-types", {}),
         )
 
     @classmethod

@@ -260,7 +260,8 @@ class TableScan:
         md = self.table.metadata
         if self.snapshot_id is not None:
             return md.snapshot_by_id(self.snapshot_id)
-        return md.current_snapshot
+        # branch handles resolve their head here (Table.current_snapshot)
+        return self.table.current_snapshot()
 
     def plan_files(self) -> list:
         """Two-level pruned list of FileScanTasks."""

@@ -63,6 +63,11 @@ def _new_snapshot_id() -> int:
 
 
 class Table:
+    # None = the main lineage; a branch handle (Table.branch) sets the
+    # branch name here — reads resolve through the branch head and
+    # commits advance the branch ref instead of main
+    _branch: Optional[str] = None
+
     def __init__(self, spark: SparkSession, ops: TableOperations,
                  metadata: TableMetadata, version: int, name: str = ""):
         self.spark = spark
@@ -99,6 +104,11 @@ class Table:
         return list(self.metadata.snapshots)
 
     def current_snapshot(self):
+        if self._branch is not None:
+            sid = self.metadata.refs.get(self._branch)
+            if sid is None:
+                raise ValueError(f"branch {self._branch!r} no longer exists")
+            return self.metadata.snapshot_by_id(sid)
         return self.metadata.current_snapshot
 
     def history(self) -> list:
@@ -191,6 +201,46 @@ class Table:
         writer.format(fmt).save(staging)
         return self._collect_data_files(staging, write_cols, fmt)
 
+    def _relocate_object_store(self, found: list, staging: str) -> list:
+        """Hashed data-file layout (ref: core/.../LocationProviders.java:
+        67-106 ObjectStoreLocationProvider): object stores throttle per
+        key PREFIX, so a 100 TB table whose every file lands under one
+        .../data/ prefix turns that prefix into the write/read
+        bottleneck.  With ``write.object-storage.enabled=true`` each
+        fresh file moves to ``data/<%08x bucket-hash>/<context>/
+        <partition path>/<filename>`` — the LEADING hash (murmur3 bucket
+        of the partition-relative path, Integer.MAX_VALUE buckets, the
+        reference's exact recipe) spreads keys across prefixes, the
+        trailing context (last two components of the table location)
+        keeps files attributable to their table.  Readers never notice:
+        manifests record absolute paths.  Driver cost is one rename per
+        file — the same O(files) class as the footer-stats pass."""
+        import shutil
+
+        from linkedin_iceberg_spark.transforms.transforms import (
+            BucketTransform)
+        hash_fn = BucketTransform(0x7FFFFFFF, "string")
+        loc = self.location.rstrip("/")
+        parent = os.path.dirname(loc)
+        context = os.path.join(os.path.basename(parent),
+                               os.path.basename(loc)) \
+            if parent else os.path.basename(loc)
+        out = []
+        for fpath, partition in found:
+            rel = os.path.relpath(fpath, staging)
+            h = hash_fn.apply(rel.replace(os.sep, "/"))
+            dest_dir = os.path.join(self.location, "data", f"{h:08x}",
+                                    context, os.path.dirname(rel)) \
+                if os.path.dirname(rel) else \
+                os.path.join(self.location, "data", f"{h:08x}", context)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, os.path.basename(fpath))
+            os.replace(fpath, dest)
+            out.append((dest, partition))
+        # the emptied staging tree goes away so orphan scans stay clean
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
     def _collect_data_files(self, staging: str, write_cols: list,
                             fmt: str = "parquet") -> list:
         from concurrent.futures import ThreadPoolExecutor
@@ -222,6 +272,10 @@ class Table:
                                 v = v[1:]  # strip the injective-encoding prefix
                             partition[name] = decode_value(v, t)
                 found.append((fpath, partition))
+
+        if self.properties.get("write.object-storage.enabled",
+                               "false").lower() in ("true", "1"):
+            found = self._relocate_object_store(found, staging)
 
         schema = self.schema
 
@@ -282,13 +336,32 @@ class Table:
         build_fn(base_metadata, snapshot_id, sequence_number)
           -> (manifest_list_infos, summary, set_current)
         """
+        if self._branch is not None and wap_id is not None:
+            raise ValueError("WAP staging and branch commits are separate "
+                             "isolation mechanisms; pick one")
         attempt = 0
         while True:
             base = self.ops.refresh() or self.metadata
             version = getattr(base, "_version", 0)
             snap_id = _new_snapshot_id()
             seq = base.next_sequence_number()
-            infos, summary, extra = build_fn(base, snap_id, seq)
+            if self._branch is not None:
+                # commit ON a branch: build against the BRANCH head (so
+                # appends chain and DML plans see branch state), publish by
+                # advancing the branch ref — main's head and snapshot log
+                # never move.  Sequence numbers stay table-global, exactly
+                # like the v2 format across refs.
+                head = base.refs.get(self._branch)
+                if head is None or \
+                        base.ref_types.get(self._branch) != "branch":
+                    raise ValueError(
+                        f"branch {self._branch!r} was dropped concurrently")
+                import dataclasses
+                build_base = dataclasses.replace(base)
+                build_base.current_snapshot_id = head
+            else:
+                build_base = base
+            infos, summary, extra = build_fn(build_base, snap_id, seq)
             if wap_id is not None:
                 summary = {**summary, "wap.id": wap_id}
             ml_name = M.manifest_list_name(snap_id)
@@ -296,7 +369,7 @@ class Table:
             M.write_manifest_list(self.ops.new_metadata_path(ml_name), infos, ptypes)
             snap = Snapshot(
                 snapshot_id=snap_id,
-                parent_snapshot_id=base.current_snapshot_id,
+                parent_snapshot_id=build_base.current_snapshot_id,
                 sequence_number=seq,
                 timestamp_ms=int(time.time() * 1000),
                 operation=operation,
@@ -304,10 +377,15 @@ class Table:
                 summary=summary,
                 schema_id=base.current_schema_id,
             )
-            staged = wap_id is not None
-            md = base.with_snapshot(snap, set_current=not staged)
-            if staged:
-                md.staged_wap = {**md.staged_wap, wap_id: snap_id}
+            if self._branch is not None:
+                md = base.with_snapshot(snap, set_current=False)
+                md.refs = {**md.refs, self._branch: snap_id}
+                staged = False
+            else:
+                staged = wap_id is not None
+                md = base.with_snapshot(snap, set_current=not staged)
+                if staged:
+                    md.staged_wap = {**md.staged_wap, wap_id: snap_id}
             try:
                 new_version = self.ops.commit(version, md)
                 md._version = new_version  # type: ignore[attr-defined]
@@ -1106,9 +1184,16 @@ class Table:
         return self._read_files(data_entries)
 
     def _live_entries(self, snapshot=None, base: Optional[TableMetadata] = None) -> list:
-        """All live (ADDED/EXISTING) entries for a snapshot (default current)."""
+        """All live (ADDED/EXISTING) entries for a snapshot (default current;
+        on a branch handle, the branch head — commit builds pass ``base``
+        with the head already swapped in)."""
         md = base or self.metadata
-        snap = snapshot or md.current_snapshot
+        if snapshot is not None:
+            snap = snapshot
+        elif base is not None:
+            snap = md.current_snapshot
+        else:
+            snap = self.current_snapshot()
         if snap is None:
             return []
         ptypes = md.all_partition_types()
@@ -1138,6 +1223,8 @@ class Table:
     # ----------------------------------------------- snapshot management
     def rollback_to(self, snapshot_id: int) -> "Table":
         """ref: core/.../SnapshotManager.java rollback / RollbackToSnapshot."""
+        self._require_main("rollback_to")
+
         def do(base: TableMetadata):
             if base.snapshot_by_id(snapshot_id) is None:
                 raise ValueError(f"unknown snapshot {snapshot_id}")
@@ -1168,6 +1255,8 @@ class Table:
         PROTECTED from expire_snapshots until dropped — the release/audit
         primitive ("the exact data model v3 trained on") that raw
         snapshot-id time travel cannot give, because ids expire."""
+        self._require_main("create_tag")
+
         def do(base: TableMetadata):
             sid = snapshot_id if snapshot_id is not None \
                 else base.current_snapshot_id
@@ -1189,9 +1278,102 @@ class Table:
         def do(base: TableMetadata):
             if name not in base.refs:
                 raise ValueError(f"unknown tag {name!r}")
+            if base.ref_types.get(name) == "branch":
+                raise ValueError(f"{name!r} is a branch — use drop_branch")
             import dataclasses
             md = dataclasses.replace(base)
             md.refs = {k: v for k, v in base.refs.items() if k != name}
+            md.ref_types = {k: v for k, v in base.ref_types.items()
+                            if k != name}
+            return md
+        return self._commit_metadata_edit(do)
+
+    # --------------------------------------------------------- branches
+    def _require_main(self, op: str) -> None:
+        if self._branch is not None:
+            raise ValueError(f"{op} manages the snapshot lineage and must "
+                             "run on the main table handle, not a branch")
+
+    def create_branch(self, name: str,
+                      snapshot_id: Optional[int] = None) -> "Table":
+        """Create a WRITABLE named ref at a snapshot (default current) —
+        the audit/staging primitive one level up from WAP: stage a whole
+        SERIES of commits in isolation (`t.branch(name).append(...)`),
+        validate the branch head, then ``fast_forward`` main onto it.
+        Tags pin history; branches grow it (ref: the SnapshotRef plane's
+        branch type; this fork stages single snapshots via wap.id —
+        SnapshotManager.java:65-171 — a branch is the n-commit
+        generalization).  Branch commits share the table-global sequence
+        space, so delete scoping stays correct across refs."""
+        self._require_main("create_branch")
+
+        def do(base: TableMetadata):
+            sid = snapshot_id if snapshot_id is not None \
+                else base.current_snapshot_id
+            if sid is None or base.snapshot_by_id(sid) is None:
+                raise ValueError(f"unknown snapshot {sid}")
+            if name == "main":
+                raise ValueError("'main' names the current lineage head")
+            if name in base.refs:
+                raise ValueError(f"ref {name!r} already exists")
+            import dataclasses
+            md = dataclasses.replace(base)
+            md.refs = {**base.refs, name: sid}
+            md.ref_types = {**base.ref_types, name: "branch"}
+            return md
+        return self._commit_metadata_edit(do)
+
+    def branch(self, name: str) -> "Table":
+        """A handle whose reads resolve through the branch head and whose
+        commits advance the branch ref.  Appends and row-level DML work;
+        snapshot management (rollback/cherry-pick/tags) stays on main."""
+        md = self.metadata
+        if md.ref_types.get(name) != "branch":
+            raise ValueError(f"unknown branch {name!r}; branches: "
+                             f"{sorted(k for k, v in md.ref_types.items() if v == 'branch')}")
+        t = Table(self.spark, self.ops, md, self.version, self.name)
+        t._branch = name
+        return t
+
+    def drop_branch(self, name: str) -> "Table":
+        self._require_main("drop_branch")
+
+        def do(base: TableMetadata):
+            if base.ref_types.get(name) != "branch":
+                raise ValueError(f"unknown branch {name!r}")
+            import dataclasses
+            md = dataclasses.replace(base)
+            md.refs = {k: v for k, v in base.refs.items() if k != name}
+            md.ref_types = {k: v for k, v in base.ref_types.items()
+                            if k != name}
+            return md
+        return self._commit_metadata_edit(do)
+
+    def fast_forward(self, name: str) -> "Table":
+        """Move main's head to a branch's head — allowed only when main
+        is an ancestor of the branch (true fast-forward; anything else
+        would silently drop commits).  If main diverged, cherry-pick or
+        merge by hand.  The branch ref survives and can keep growing or
+        be dropped."""
+        self._require_main("fast_forward")
+
+        def do(base: TableMetadata):
+            if base.ref_types.get(name) != "branch":
+                raise ValueError(f"unknown branch {name!r}")
+            head = base.refs[name]
+            if base.current_snapshot_id is not None and \
+                    base.current_snapshot_id not in set(base.ancestry(head)):
+                raise ValueError(
+                    f"cannot fast-forward: main ({base.current_snapshot_id})"
+                    f" is not an ancestor of branch {name!r} head ({head})")
+            if base.current_snapshot_id == head:
+                return base  # already there
+            import dataclasses
+            md = dataclasses.replace(base)
+            md.current_snapshot_id = head
+            md.snapshot_log = [*base.snapshot_log,
+                               {"timestamp-ms": int(time.time() * 1000),
+                                "snapshot-id": head}]
             return md
         return self._commit_metadata_edit(do)
 
@@ -1202,6 +1384,7 @@ class Table:
         util/WapUtil.java).  Fast-forwarding a divergent staged snapshot
         would resurrect its stale manifest list and silently drop every
         commit made after staging."""
+        self._require_main("cherry_pick")
         def do(base: TableMetadata):
             snap = base.snapshot_by_id(snapshot_id)
             if snap is None:

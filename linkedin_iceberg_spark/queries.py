@@ -3269,6 +3269,32 @@ def table_snapshot_clone(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_branch_workflow", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey >= 2000 OR o_orderkey < 100 ORDER BY o_orderkey""")
+def table_branch_workflow(spark, sf_dir):
+    """Snapshot branches end-to-end: stage a delete AND an append as two
+    commits on an isolated branch (main provably unchanged in between),
+    then fast-forward main onto the validated branch head.  The oracle
+    replays the branch's net effect: keys < 2000 deleted except the
+    freshly re-appended < 100 slice."""
+    from linkedin_iceberg_spark.expressions import lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_br", o)
+    t.append(o)
+    main_count = t.to_df().count()
+    t.create_branch("staging")
+    b = t.branch("staging")
+    b.delete_where(lt("o_orderkey", 2000))
+    b.append(o.filter(F.col("o_orderkey") < 100))
+    t.refresh()
+    assert t.to_df().count() == main_count, "branch leaked into main"
+    t.fast_forward("staging")
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_expire_snapshots", """
 SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""")
 def table_expire_snapshots(spark, sf_dir):
@@ -4211,7 +4237,11 @@ _PRIORITY = [
     # keeps ivf_train/ivf_pruned/ivf_refresh/ann_lsh/matryoshka in-window)
     # rotates out for sample_shuffle_shards (new: deterministic global
     # shuffle into training shards)
-    "sample_shuffle_shards", "agg_approx_distinct", "sample_stratified",
+    # r4 late: agg_approx_distinct (green r3, unchanged; agg family keeps
+    # hll_mergeable/grouping_sets/approx_percentile in-window) rotates
+    # out for table_branch_workflow (new: writable branch refs — isolated
+    # branch commits + fast-forward)
+    "sample_shuffle_shards", "table_branch_workflow", "sample_stratified",
     # r4 late: similarity_knn_join (green r3, unchanged; similarity
     # family keeps quantize/ivf_train/ivf_pruned/ann_lsh/matryoshka/
     # refresh) rotates out for join_asof_forward (new: forward direction

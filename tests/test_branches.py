@@ -1,0 +1,123 @@
+"""Snapshot branches: writable refs, branch DML isolation, fast-forward."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.expressions import lt
+from linkedin_iceberg_spark.catalog.maintenance import expire_snapshots
+
+
+@pytest.fixture()
+def table(catalog, spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.branchy", orders)
+    t.append(orders)
+    return t, orders
+
+
+def _keys(h):
+    return sorted(r["o_orderkey"]
+                  for r in h.to_df().select("o_orderkey").collect())
+
+
+def test_branch_commits_stay_off_main(table, spark):
+    t, orders = table
+    main_before = _keys(t)
+    t.create_branch("dev")
+    dev = t.branch("dev")
+    extra = orders.filter(F.col("o_orderkey") < 100)
+    dev.append(extra)
+    dev.append(extra)
+    # branch sees both appends, main sees neither
+    assert len(_keys(dev)) == len(main_before) + 2 * extra.count()
+    t.refresh()
+    assert _keys(t) == main_before
+    assert len(t.history()) == len(t.metadata.snapshot_log)
+
+
+def test_branch_dml_and_fast_forward(table, spark):
+    t, orders = table
+    t.create_branch("work")
+    w = t.branch("work")
+    w.delete_where(lt("o_orderkey", 2000))
+    assert all(k >= 2000 for k in _keys(w))
+    t.refresh()
+    assert min(_keys(t)) < 2000  # main untouched
+
+    # main is an ancestor of work -> fast-forward allowed
+    t.fast_forward("work")
+    assert all(k >= 2000 for k in _keys(t))
+    assert _keys(t) == _keys(t.branch("work"))
+
+
+def test_fast_forward_refuses_divergence(table, spark):
+    t, orders = table
+    t.create_branch("dev")
+    t.branch("dev").append(orders.limit(10))
+    # main moves too -> diverged
+    t.append(orders.limit(5))
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("dev")
+
+
+def test_branch_guards_and_lifecycle(table, spark):
+    t, orders = table
+    t.create_branch("dev")
+    dev = t.branch("dev")
+    with pytest.raises(ValueError, match="main table handle"):
+        dev.rollback_to(t.current_snapshot().snapshot_id)
+    with pytest.raises(ValueError, match="main table handle"):
+        dev.create_tag("x")
+    with pytest.raises(ValueError, match="drop_branch"):
+        t.drop_tag("dev")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("dev")
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.branch("nope")
+    t.drop_branch("dev")
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.branch("dev")
+
+
+def test_expire_pins_branch_ancestry(table, spark):
+    t, orders = table
+    t.create_branch("keep")
+    k = t.branch("keep")
+    k.append(orders.limit(10))
+    k.append(orders.limit(10))
+    branch_lineage = set(t.metadata.ancestry(t.metadata.refs["keep"]))
+    # advance main so old snapshots become expirable
+    t.append(orders.limit(1))
+    t.append(orders.limit(1))
+    expire_snapshots(t, retain_last=1)
+    t.refresh()
+    live = {s.snapshot_id for s in t.snapshots()}
+    assert branch_lineage <= live
+    # branch still fully readable after expiry
+    assert t.branch("keep").to_df().count() == orders.count() + 20
+    # dropping the branch releases its lineage on the next expiry
+    t.drop_branch("keep")
+    expire_snapshots(t, retain_last=1)
+    t.refresh()
+    live2 = {s.snapshot_id for s in t.snapshots()}
+    assert not ({sid for sid in branch_lineage
+                 if sid not in t.metadata.ancestry()} & live2)
+    assert t.to_df().count() == orders.count() + 2
+
+
+def test_branch_sequence_scoped_deletes(table, spark):
+    """Equality deletes on MAIN before the branch must keep applying on
+    the branch, and branch-side appends after them must survive."""
+    t, orders = table
+    keys = spark.createDataFrame([(k,) for k in range(0, 30)],
+                                 "o_orderkey bigint")
+    t.row_delta(equality_delete_keys=keys, key_cols=["o_orderkey"])
+    n_deleted = orders.filter(F.col("o_orderkey") < 30).count()
+    t.create_branch("b")
+    b = t.branch("b")
+    assert b.to_df().count() == orders.count() - n_deleted
+    resurrect = orders.filter(F.col("o_orderkey") < 30)
+    b.append(resurrect)  # higher sequence number -> survives the delete
+    assert b.to_df().count() == orders.count()
