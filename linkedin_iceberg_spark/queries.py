@@ -2269,6 +2269,41 @@ def events_tumbling_window(spark, sf_dir):
             .orderBy("window_start", "event_type"))
 
 
+@q("events_funnel", """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND e.ts <= t2.t2 + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM t1) AS n_view,
+       (SELECT count(*) FROM t2) AS n_click,
+       (SELECT count(*) FROM t3) AS n_purchase""")
+def events_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase, each step within 6 hours
+    of the previous step's earliest completion (greedy-earliest
+    anchoring — the standard O(n) funnel semantics).  The operator is k
+    filtered per-user min-aggregates + k equi-joins on the user key: no
+    global ordering, no window over the stream, no state.  The oracle
+    replays the full min-chain in SQL; strictly decreasing step counts
+    are structural."""
+    from linkedin_iceberg_spark.operators.events import funnel
+    e = ld(spark, sf_dir, "events")
+    f = funnel(e, ["view", "click", "purchase"], within_seconds=6 * 3600)
+    out = f.agg(F.count("t_1").cast("bigint").alias("n_view"),
+                F.count("t_2").cast("bigint").alias("n_click"),
+                F.count("t_3").cast("bigint").alias("n_purchase"))
+    return out
+
+
 @q("events_sliding_window", """
 SELECT TIMESTAMP '1970-01-01'
          + INTERVAL (CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - s.x)
@@ -4117,7 +4152,11 @@ _PRIORITY = [
     # (new: keyless copy-on-write UPDATE with pruned candidates)
     # r3 late: table_incremental_scan (green r1+r2, code unchanged) rotates
     # out for text_chunk (new: token-window chunking with overlap)
-    "table_update_where", "text_chunk",
+    # r4 late: text_chunk (green r3, unchanged; text family keeps pack/
+    # pack_sharded/split_assign/trigram_novelty + the release pipeline
+    # in-window) rotates out for events_funnel (new: ordered-funnel
+    # conversion — the events family's first in-window rep since r3)
+    "table_update_where", "events_funnel",
     # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
     # out for table_changelog (new: CDC scan over a MERGE commit)
     # r4 late: table_changelog (green r3, unchanged; CDC evidence stands

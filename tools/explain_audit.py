@@ -209,6 +209,13 @@ CONTRACTS = {
         ["Generate", "BroadcastHashJoin", "HashAggregate", "partial_count"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"]),
+    "events_funnel": (
+        # each step: filter to one event type -> per-user min with map-side
+        # partials -> equi-join the previous step's anchor; never a global
+        # sort/window over the stream, never a cross product
+        ["HashAggregate", "partial_min", "Join"],
+        ["CartesianProduct", "Window", "BatchEvalPython",
+         "ArrowEvalPython"]),
     "text_decontaminate": (
         # shingle-hash anti-join: benchmark side broadcast, corpus side
         # never re-shuffled into an all-pairs shape
