@@ -2304,6 +2304,41 @@ def events_funnel(spark, sf_dir):
     return out
 
 
+@q("events_retention", """
+WITH first_day AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events
+  GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_n
+  FROM events e JOIN first_day f USING (user_id)
+)
+SELECT CAST(cohort AS VARCHAR) AS cohort, CAST(day_n AS BIGINT) AS day_n,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity WHERE day_n <= 7
+GROUP BY cohort, day_n ORDER BY cohort, day_n""")
+def events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted on each
+    subsequent activity day (classic DAU-retention triangle, first week).
+    Shape: one per-user min-aggregate, a broadcastable (user, cohort) map
+    joined back, one distinct + one count aggregate — all equi-keyed, no
+    window over the stream."""
+    e = ld(spark, sf_dir, "events")
+    first = (e.groupBy("user_id")
+             .agg(F.min("ts").cast("date").alias("cohort")))
+    act = (e.join(F.broadcast(first), "user_id")
+           .select("user_id", "cohort",
+                   F.datediff(F.col("ts").cast("date"), "cohort")
+                   .alias("day_n"))
+           .distinct())
+    return (act.filter(F.col("day_n") <= 7)
+            .groupBy("cohort", "day_n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .select(F.col("cohort").cast("string").alias("cohort"),
+                    F.col("day_n").cast("bigint").alias("day_n"), "n_users")
+            .orderBy("cohort", "day_n"))
+
+
 @q("events_sliding_window", """
 SELECT TIMESTAMP '1970-01-01'
          + INTERVAL (CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - s.x)
@@ -4280,7 +4315,11 @@ _PRIORITY = [
     # hll_mergeable/grouping_sets/approx_percentile in-window) rotates
     # out for table_branch_workflow (new: writable branch refs — isolated
     # branch commits + fast-forward)
-    "sample_shuffle_shards", "table_branch_workflow", "sample_stratified",
+    # r4 late: sample_stratified (green r3, unchanged; sampling family
+    # keeps temperature_mix/shuffle_shards/cap_per_source/token_budget/
+    # split_assign in-window) rotates out for events_retention (new:
+    # cohort retention triangle)
+    "sample_shuffle_shards", "table_branch_workflow", "events_retention",
     # r4 late: similarity_knn_join (green r3, unchanged; similarity
     # family keeps quantize/ivf_train/ivf_pruned/ann_lsh/matryoshka/
     # refresh) rotates out for join_asof_forward (new: forward direction
