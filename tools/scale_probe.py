@@ -67,6 +67,13 @@ PROBE_QUERIES = [
     "dedup_spans",
     "text_pack_sharded",
     "pipeline_training_release",
+    # r4 late additions: the trigram explode (~len(text) rows/doc with a
+    # broadcast frequency join), the shard-shuffle window, the
+    # temperature-mix quota join, and the funnel's join-agg chain
+    "text_trigram_novelty",
+    "sample_shuffle_shards",
+    "sample_temperature_mix",
+    "events_funnel",
 ]
 
 
