@@ -68,16 +68,61 @@ class Catalog:
         location = self._table_location(name)
         if not os.path.isdir(os.path.join(location, "metadata")):
             return False
+        md = TableOperations(location).refresh()
+        props = md.properties if md is not None else {}
+        import json as _json
+        if purge and _json.loads(
+                props.get("snapshot.clone-locations", "[]")):
+            raise ValueError(
+                f"table {name} has zero-copy clones sharing its files "
+                f"({props['snapshot.clone-locations']}); drop the clones "
+                "first, or drop with purge=False to keep the data files")
+        src_loc = props.get("snapshot.source-location")
         if purge:
             shutil.rmtree(location)
         else:
             shutil.rmtree(os.path.join(location, "metadata"))
+        if src_loc:
+            self._release_clone(src_loc, location)
         # a recreate at this location restarts version numbers at 1 —
         # cached parsed metadata would be served for the NEW table
         from linkedin_iceberg_spark.catalog.metadata import (
             invalidate_metadata_cache)
         invalidate_metadata_cache(location)
         return True
+
+    def _release_clone(self, source_location: str,
+                       clone_location: str) -> None:
+        """Best-effort removal of a dropped clone from its source's
+        ``snapshot.clone-locations`` registry, unblocking the source's
+        file-deleting maintenance.  A vanished source never blocks the
+        drop."""
+        try:
+            sops = TableOperations(source_location)
+            smd = sops.refresh()
+            if smd is None:
+                return
+            src = Table(self.spark, sops, smd, getattr(smd, "_version", 1))
+
+            def rel(base):
+                import dataclasses
+                import json as _json
+                clones = _json.loads(
+                    base.properties.get("snapshot.clone-locations", "[]"))
+                if clone_location not in clones:
+                    return base
+                clones = [c for c in clones if c != clone_location]
+                md2 = dataclasses.replace(base)
+                props = dict(base.properties)
+                if clones:
+                    props["snapshot.clone-locations"] = _json.dumps(clones)
+                else:
+                    props.pop("snapshot.clone-locations", None)
+                md2.properties = props
+                return md2
+            src._commit_metadata_edit(rel)
+        except Exception:
+            pass
 
     def list_tables(self, namespace: str = "") -> list:
         base = os.path.join(self.warehouse, *namespace.split(".")) \
@@ -240,11 +285,15 @@ class Catalog:
 
         Writes to the clone never touch the source: new files land under
         the clone's location, removals only drop manifest entries.  The
-        flip side of sharing files: the clone is born with
-        ``gc.enabled=false`` — expire_snapshots / remove_orphan_files
-        refuse to DELETE physical files it references, because the
-        source (or another clone) may still need them.  Compact or
-        rewrite the clone to break the dependency, then re-enable gc."""
+        flip side of sharing files is fenced in BOTH directions: the
+        clone is born with ``gc.enabled=false`` (its own expire/orphan
+        actions refuse to delete files the source still needs), and the
+        SOURCE records the clone under ``snapshot.clone-locations`` so
+        ITS file-deleting maintenance refuses too — otherwise a source
+        delete+expire would physically remove files the clone still
+        reads.  ``drop_table`` on the clone auto-releases the source;
+        alternatively rewrite the clone's files and clear the
+        properties."""
         import time as _time
         import uuid as _uuid
         from dataclasses import replace as _replace
@@ -310,4 +359,20 @@ class Catalog:
             }
             return infos, summary, None
 
-        return clone._commit(build, OP_APPEND)
+        clone = clone._commit(build, OP_APPEND)
+
+        def add_clone(base):
+            import dataclasses
+            import json as _json
+            clones = _json.loads(
+                base.properties.get("snapshot.clone-locations", "[]"))
+            if location in clones:
+                return base
+            md2 = dataclasses.replace(base)
+            md2.properties = {
+                **base.properties,
+                "snapshot.clone-locations": _json.dumps(
+                    [*clones, location])}
+            return md2
+        source._commit_metadata_edit(add_clone)
+        return clone

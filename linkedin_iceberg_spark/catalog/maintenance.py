@@ -329,6 +329,15 @@ def _check_gc_enabled(table, action: str) -> None:
             "with another table, e.g. a snapshot_table clone) — deleting "
             "physical files could corrupt the other table; rewrite the "
             "clone's files first, then set gc.enabled=true")
+    import json as _json
+    clones = _json.loads(
+        table.properties.get("snapshot.clone-locations", "[]"))
+    if clones:
+        raise ValueError(
+            f"{action}: zero-copy clones still reference this table's "
+            f"files ({clones}); drop the clones (Catalog.drop_table "
+            "auto-releases) or clear snapshot.clone-locations after "
+            "rewriting their files")
 
 
 def expire_snapshots(table, older_than_ms: Optional[int] = None,
@@ -340,7 +349,12 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     manifest lists/manifests are parquet, so both sets are DataFrames and the
     diff is a distributed ``left_anti`` join — O(metadata) at any scale.
     """
-    _check_gc_enabled(table, "expire_snapshots")
+    # maintenance acts on the LATEST table state: a stale handle must not
+    # miss a concurrently registered clone (fence would fail open) or
+    # expire against an outdated snapshot list
+    table.refresh()
+    if not dry_run:  # a dry run deletes nothing — always allowed
+        _check_gc_enabled(table, "expire_snapshots")
     md = table.metadata
     now_ms = int(time.time() * 1000)
     cutoff = older_than_ms if older_than_ms is not None else now_ms
@@ -446,7 +460,9 @@ def remove_orphan_files(table, older_than_ms: Optional[int] = None,
     (uncommitted) writes are never swept — same guard as the reference's
     3-day default.  Driver work is one readdir of data/ — O(commits), never
     O(files)."""
-    _check_gc_enabled(table, "remove_orphan_files")
+    table.refresh()  # same rationale as expire_snapshots: act on latest
+    if not dry_run:  # a dry run deletes nothing — always allowed
+        _check_gc_enabled(table, "remove_orphan_files")
     spark = table.spark
     md = table.metadata
     cutoff = older_than_ms if older_than_ms is not None \
@@ -696,21 +712,29 @@ def rewrite_position_deletes(table,
                                     "file_path: string")
     kept = (src.join(F.broadcast(live_df), "file_path")
             .dropDuplicates(["file_path", "pos"]))
-    n_src = src.count()
-    n_kept = kept.count()
-    purged = n_src - n_kept
-    if purged == 0 and len(pos) < min_input_files:
-        return {"rewritten_delete_files": 0, "added_delete_files": 0,
-                "purged_rows": 0}
+    # one materialization total: the input row count comes from manifest
+    # record_counts (exact for delete files, zero I/O) and `kept` is
+    # persisted across its count and the clustered write
+    n_src = sum(d.data_file.record_count for d in pos)
+    kept = kept.persist()
+    try:
+        n_kept = kept.count()
+        purged = n_src - n_kept
+        if purged == 0 and len(pos) < min_input_files:
+            return {"rewritten_delete_files": 0, "added_delete_files": 0,
+                    "purged_rows": 0}
 
-    new_files: list = []
-    if n_kept:
-        total = sum(d.data_file.file_size_in_bytes for d in pos)
-        n_out = max(1, (total + target_size_bytes - 1) // target_size_bytes)
-        clustered = (kept.repartitionByRange(n_out, "file_path", "pos")
-                     .sortWithinPartitions("file_path", "pos"))
-        new_files = _write_delete_parquet(
-            table, clustered, M.CONTENT_POSITION_DELETES, [])
+        new_files: list = []
+        if n_kept:
+            total = sum(d.data_file.file_size_in_bytes for d in pos)
+            n_out = max(1, (total + target_size_bytes - 1)
+                        // target_size_bytes)
+            clustered = (kept.repartitionByRange(n_out, "file_path", "pos")
+                         .sortWithinPartitions("file_path", "pos"))
+            new_files = _write_delete_parquet(
+                table, clustered, M.CONTENT_POSITION_DELETES, [])
+    finally:
+        kept.unpersist()
 
     table._commit_file_swap(
         removed=pos, added=new_files, operation=OP_REPLACE,

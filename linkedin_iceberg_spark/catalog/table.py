@@ -1138,21 +1138,31 @@ class Table:
                                         add_entries, types_by_id, ptypes)
                 info.manifest_path = aname
                 infos.append(info)
+            # classify BOTH sides by content: a swap may add or remove
+            # v2 delete files (rewrite_position_deletes), whose counts
+            # and rows must move the delete-file total, never the data
+            # totals — rolling totals are parent+delta, so one
+            # misclassified commit would skew every later snapshot
             removed_data = [e for e in removed
                             if e.data_file.content == M.CONTENT_DATA]
             removed_dels = len(removed) - len(removed_data)
+            added_data = [f for f in added if f.content == M.CONTENT_DATA]
+            added_dels = len(added) - len(added_data)
             summary = {
-                "deleted-data-files": str(len(removed)),
-                "added-data-files": str(len(added)),
+                "deleted-data-files": str(len(removed_data)),
+                "added-data-files": str(len(added_data)),
+                "deleted-delete-files": str(removed_dels),
+                "added-delete-files": str(added_dels),
                 "deleted-records": str(sum(e.data_file.record_count
-                                           for e in removed)),
-                "added-records": str(sum(f.record_count for f in added)),
+                                           for e in removed_data)),
+                "added-records": str(sum(f.record_count
+                                         for f in added_data)),
                 **self._rolling_totals(
                     base,
-                    d_files=len(added) - len(removed_data),
-                    d_records=sum(f.record_count for f in added)
+                    d_files=len(added_data) - len(removed_data),
+                    d_records=sum(f.record_count for f in added_data)
                     - sum(e.data_file.record_count for e in removed_data),
-                    d_delete_files=-removed_dels),
+                    d_delete_files=added_dels - removed_dels),
             }
             return infos, summary, None
 
@@ -1265,6 +1275,11 @@ class Table:
             if name == "main":
                 raise ValueError("'main' names the current lineage head "
                                  "and cannot be tagged over")
+            if base.ref_types.get(name) == "branch":
+                # replace=True must not clobber a branch head: the staged
+                # commits would silently become unreachable
+                raise ValueError(f"{name!r} is a branch — drop_branch it "
+                                 "or pick another tag name")
             if name in base.refs and not replace:
                 raise ValueError(f"tag {name!r} already exists "
                                  "(replace=True to move it)")
@@ -1356,6 +1371,10 @@ class Table:
         merge by hand.  The branch ref survives and can keep growing or
         be dropped."""
         self._require_main("fast_forward")
+        latest = self.ops.refresh() or self.metadata
+        if latest.ref_types.get(name) == "branch" and \
+                latest.current_snapshot_id == latest.refs.get(name):
+            return self  # already at the branch head: no metadata churn
 
         def do(base: TableMetadata):
             if base.ref_types.get(name) != "branch":

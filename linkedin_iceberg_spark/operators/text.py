@@ -320,7 +320,8 @@ def pack_sequences(df: DataFrame, budget: int, order_col: str,
 
 def trigram_novelty(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
-                    rare_max: int = 2) -> DataFrame:
+                    rare_max: int = 2,
+                    broadcast_freq: bool = True) -> DataFrame:
     """Corpus-relative novelty signal: the fraction of a document's
     character trigrams that are RARE across the whole corpus (total
     corpus occurrences <= `rare_max`).  A high ratio flags gibberish,
@@ -333,11 +334,15 @@ def trigram_novelty(df: DataFrame, text_col: str = "text",
     shared with the SQL oracle).  Output: (id, n_tri, n_rare, rare_ratio)
     with the ratio rounded to 6 decimals of two exact integers.
 
-    Scale: the trigram explode is ~len(text) rows per doc, but the
-    corpus frequency table is bounded by |charset|^3 distinct keys —
-    BROADCAST-joined back, so exploded rows are never shuffled for the
-    lookup; the only full shuffle is the per-doc re-aggregate on the id.
-    Two corpus scans total (one to count, one to score)."""
+    Scale: the trigram explode is ~len(text) rows per doc.  For ASCII-ish
+    corpora the frequency table is bounded by |charset|^3 distinct keys
+    and BROADCASTs (default), so exploded rows are never shuffled for
+    the lookup; the only full shuffle is the per-doc re-aggregate on the
+    id.  That bound does NOT hold for large-alphabet text — CJK corpora
+    have effectively unbounded distinct trigrams — so pass
+    ``broadcast_freq=False`` there to take a plain shuffled equi-join on
+    the trigram key instead of an over-limit broadcast.  Two corpus
+    scans total (one to count, one to score) either way."""
     if rare_max < 1:
         raise ValueError("rare_max must be >= 1")
     tri_arr = F.expr(
@@ -346,7 +351,9 @@ def trigram_novelty(df: DataFrame, text_col: str = "text",
     tri = (df.filter(F.length(text_col) >= 3)
            .select(F.col(id_col), F.explode(tri_arr).alias("_tri")))
     freq = tri.groupBy("_tri").agg(F.count(F.lit(1)).alias("_c"))
-    scored = (tri.join(F.broadcast(freq), "_tri")
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    scored = (tri.join(freq, "_tri")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_tri"),
                    F.sum(F.when(F.col("_c") <= rare_max, 1).otherwise(0))
