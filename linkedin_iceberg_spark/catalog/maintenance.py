@@ -744,3 +744,41 @@ def rewrite_position_deletes(table,
     return {"rewritten_delete_files": len(pos),
             "added_delete_files": len(new_files),
             "purged_rows": int(purged)}
+
+
+def purge_where(table, expr, older_than_ms: Optional[int] = None) -> dict:
+    """Right-to-be-forgotten: remove matching rows AND every physical
+    trace of them — a composite of this module's primitives in the one
+    order that actually erases bytes (each step alone leaves copies):
+
+      1. ``delete_where(expr)``   — rows leave the CURRENT snapshot, but
+         metadata-only whole-file drops leave the bytes on disk, and CoW
+         leaves the ORIGINAL files reachable from history;
+      2. ``rewrite_data_files``   — materializes any pre-existing v2
+         deletes still masking matching rows inside kept files
+         (delete-laden files are compaction candidates regardless of
+         size), so no live data file carries masked copies;
+      3. ``remove_dangling_deletes`` — drops equality-delete files whose
+         guarded files are gone; relevant here because eq-delete files
+         CONTAIN the deleted key values (a purge that leaves them
+         reachable still leaks the keys);
+      4. ``expire_snapshots(retain_last=1)`` — severs history so no
+         reachable snapshot references the pre-purge files, physically
+         deleting them via the reachability diff.
+
+    Remaining copies after this: only files held by a failed writer's
+    staging dir (remove_orphan_files after its age gate) or external
+    backups.  The gc fence applies: purging a table with zero-copy
+    clones raises instead of corrupting them.  `older_than_ms` bounds
+    step 4 (default: everything but the purge commit)."""
+    table.refresh()
+    # fence FIRST: a purge that deletes rows and then fails on the
+    # expire step would leave a half-applied erasure
+    _check_gc_enabled(table, "purge_where")
+    out = {}
+    table.delete_where(expr)
+    out["compaction"] = rewrite_data_files(table, min_input_files=2)
+    out["dangling"] = remove_dangling_deletes(table)
+    out["expire"] = expire_snapshots(
+        table, older_than_ms=older_than_ms, retain_last=1)
+    return out

@@ -85,7 +85,8 @@ def _refs(table) -> DataFrame:
     md = table.metadata
     rows = [("main", "branch", md.current_snapshot_id)] \
         if md.current_snapshot_id is not None else []
-    rows += [(k, "tag", v) for k, v in md.refs.items()]
+    rows += [(k, md.ref_types.get(k, "tag"), v)
+             for k, v in md.refs.items()]
     return table.spark.createDataFrame(rows, _REFS_SCHEMA)
 
 

@@ -3365,6 +3365,42 @@ def table_branch_workflow(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_purge_forgotten", """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 500
+ORDER BY o_orderkey""")
+def table_purge_forgotten(spark, sf_dir):
+    """Right-to-be-forgotten purge: delete + materialize masked copies +
+    drop dangling eq-deletes + sever history, in one composite.  The
+    query asserts the strongest property — NO parquet anywhere under the
+    table (data, delete files, expired snapshots) still contains a
+    purged key — then returns the surviving rows for the oracle."""
+    from linkedin_iceberg_spark.catalog.maintenance import purge_where
+    from linkedin_iceberg_spark.expressions import lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_pg", o)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    t.upsert(o.filter(F.col("o_orderkey") < 500)
+             .withColumn("o_comment", F.lit("updated")),
+             key_cols=["o_orderkey"])
+    purge_where(t, lt("o_orderkey", 500))
+    assert len(t.snapshots()) == 1
+    import pyarrow.parquet as _pq
+    for root, _d, files in os.walk(t.location):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                try:
+                    tb = _pq.read_table(os.path.join(root, fn))
+                except Exception:
+                    continue
+                if "o_orderkey" in tb.column_names:
+                    assert min(tb["o_orderkey"].to_pylist(),
+                               default=500) >= 500, "purged key leaked"
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_expire_snapshots", """
 SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey""")
 def table_expire_snapshots(spark, sf_dir):
@@ -4275,7 +4311,11 @@ _PRIORITY = [
     # chunk/pack/pack_sharded/split_assign) rotates out for
     # pipeline_training_release (new: the end-to-end dedup->mix->split->
     # pack release, one composed full-pipeline oracle)
-    "text_split_assign", "pipeline_training_release",
+    # r4 late: text_split_assign (green r3, unchanged; the shared
+    # hash_bucket recipe keeps five in-window exercisers) rotates out
+    # for table_purge_forgotten (new: right-to-be-forgotten composite
+    # with a bytes-on-disk assertion)
+    "table_purge_forgotten", "pipeline_training_release",
     "streaming_enrichment",
     # r3 late: text_fingerprint (green r2; text family keeps six in-window
     # entries) rotates out for streaming_incremental_dedup (new: persisted

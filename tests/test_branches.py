@@ -107,6 +107,17 @@ def test_expire_pins_branch_ancestry(table, spark):
     assert t.to_df().count() == orders.count() + 2
 
 
+def test_refs_metadata_table_shows_branch_type(table, spark):
+    t, _ = table
+    t.create_branch("dev")
+    t.create_tag("rel1")
+    rows = {r["name"]: r["type"]
+            for r in t.metadata_table("refs").collect()}
+    assert rows["main"] == "branch"
+    assert rows["dev"] == "branch"
+    assert rows["rel1"] == "tag"
+
+
 def test_branch_sequence_scoped_deletes(table, spark):
     """Equality deletes on MAIN before the branch must keep applying on
     the branch, and branch-side appends after them must survive."""
