@@ -293,7 +293,12 @@ class Catalog:
         delete+expire would physically remove files the clone still
         reads.  ``drop_table`` on the clone auto-releases the source;
         alternatively rewrite the clone's files and clear the
-        properties."""
+        properties.
+
+        Passing a BRANCH handle (``cat.snapshot_table(t.branch("dev"),
+        ...)``) clones the branch's state — the staged-release
+        materializer: an independent table of exactly what the branch
+        head sees, without fast-forwarding main."""
         import time as _time
         import uuid as _uuid
         from dataclasses import replace as _replace
@@ -301,6 +306,7 @@ class Catalog:
         from linkedin_iceberg_spark.catalog import manifests as M
         from linkedin_iceberg_spark.catalog.metadata import OP_APPEND
 
+        source.refresh()  # clone the LATEST state, not a stale handle's
         location = self._table_location(name)
         ops = TableOperations(location)
         if ops.refresh() is not None:

@@ -71,6 +71,17 @@ def test_clone_preserves_equality_delete_scoping(catalog, source, spark):
     assert clone.to_df().count() == base + n
 
 
+def test_clone_of_branch_captures_branch_state(catalog, source, spark):
+    t, orders = source
+    t.create_branch("dev")
+    t.branch("dev").append(orders.limit(7))
+    main_n = t.to_df().count()
+    c = catalog.snapshot_table(t.branch("dev"), "db.clone_br")
+    assert c.to_df().count() == main_n + 7
+    c2 = catalog.snapshot_table(t, "db.clone_main")
+    assert c2.to_df().count() == main_n
+
+
 def test_clone_refuses_physical_gc(catalog, source):
     t, _ = source
     clone = catalog.snapshot_table(t, "db.clone_d")
