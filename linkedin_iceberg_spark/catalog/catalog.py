@@ -18,6 +18,27 @@ from linkedin_iceberg_spark.catalog.table import Table
 from linkedin_iceberg_spark.schema import Schema
 
 
+def clone_registry(properties: dict) -> list:
+    """Parse ``snapshot.clone-locations`` (the source-side registry of
+    zero-copy clones sharing this table's files).  The ONE copy of the
+    property's format — snapshot_table, drop_table, release, and the
+    maintenance gc fence all go through here."""
+    import json
+    return json.loads(properties.get("snapshot.clone-locations", "[]"))
+
+
+def with_clone_registry(properties: dict, clones: list) -> dict:
+    """A copy of `properties` with the clone registry set (or removed
+    when empty)."""
+    import json
+    props = dict(properties)
+    if clones:
+        props["snapshot.clone-locations"] = json.dumps(clones)
+    else:
+        props.pop("snapshot.clone-locations", None)
+    return props
+
+
 class NoSuchTableError(Exception):
     pass
 
@@ -70,13 +91,15 @@ class Catalog:
             return False
         md = TableOperations(location).refresh()
         props = md.properties if md is not None else {}
-        import json as _json
-        if purge and _json.loads(
-                props.get("snapshot.clone-locations", "[]")):
+        if clone_registry(props):
+            # refuse in EITHER mode: purge would delete shared files, and
+            # a metadata-only drop would release this table's OWN source
+            # registration while grandchild clones still transitively
+            # depend on that source's files (clone chains)
             raise ValueError(
                 f"table {name} has zero-copy clones sharing its files "
                 f"({props['snapshot.clone-locations']}); drop the clones "
-                "first, or drop with purge=False to keep the data files")
+                "first")
         src_loc = props.get("snapshot.source-location")
         if purge:
             shutil.rmtree(location)
@@ -93,10 +116,12 @@ class Catalog:
 
     def _release_clone(self, source_location: str,
                        clone_location: str) -> None:
-        """Best-effort removal of a dropped clone from its source's
+        """Remove a dropped clone from its source's
         ``snapshot.clone-locations`` registry, unblocking the source's
-        file-deleting maintenance.  A vanished source never blocks the
-        drop."""
+        file-deleting maintenance.  A VANISHED source never blocks the
+        drop (silent no-op); any other failure — notably commit
+        contention after retries — warns loudly, because a dangling
+        entry blocks the source's maintenance until cleared by hand."""
         try:
             sops = TableOperations(source_location)
             smd = sops.refresh()
@@ -106,23 +131,22 @@ class Catalog:
 
             def rel(base):
                 import dataclasses
-                import json as _json
-                clones = _json.loads(
-                    base.properties.get("snapshot.clone-locations", "[]"))
+                clones = clone_registry(base.properties)
                 if clone_location not in clones:
                     return base
-                clones = [c for c in clones if c != clone_location]
                 md2 = dataclasses.replace(base)
-                props = dict(base.properties)
-                if clones:
-                    props["snapshot.clone-locations"] = _json.dumps(clones)
-                else:
-                    props.pop("snapshot.clone-locations", None)
-                md2.properties = props
+                md2.properties = with_clone_registry(
+                    base.properties,
+                    [c for c in clones if c != clone_location])
                 return md2
             src._commit_metadata_edit(rel)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — warn, don't fail the drop
+            import warnings
+            warnings.warn(
+                f"could not release clone {clone_location} from source "
+                f"{source_location} ({e}); the source's file-deleting "
+                "maintenance stays blocked until snapshot.clone-locations "
+                "is cleared by hand", stacklevel=2)
 
     def list_tables(self, namespace: str = "") -> list:
         base = os.path.join(self.warehouse, *namespace.split(".")) \
@@ -330,55 +354,68 @@ class Catalog:
         md._version = version  # type: ignore[attr-defined]
         clone = Table(self.spark, ops, md, version, name)
 
-        data, deletes = source._live_data_and_deletes()
-        if not data and not deletes:
-            return clone
-        types_by_id = clone._types_by_id()
-
-        def build(base, snap_id, seq):
-            ptypes = base.all_partition_types()
-            infos = []
-            # data and delete entries go in SEPARATE manifests (the
-            # format's invariant — a manifest is either data or deletes)
-            for group in (data, deletes):
-                if not group:
-                    continue
-                entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id,
-                                           e.sequence_number, e.data_file)
-                           for e in group]
-                mname = M.new_manifest_name()
-                info = M.write_manifest(
-                    clone.ops.new_metadata_path(mname), entries,
-                    types_by_id, ptypes)
-                info.manifest_path = mname
-                infos.append(info)
-            summary = {
-                "added-data-files": str(len(data)),
-                "added-delete-files": str(len(deletes)),
-                "added-records": str(sum(e.data_file.record_count
-                                         for e in data)),
-                "snapshot-source": source.location,
-                **clone._rolling_totals(
-                    base, d_files=len(data),
-                    d_records=sum(e.data_file.record_count for e in data),
-                    d_delete_files=len(deletes)),
-            }
-            return infos, summary, None
-
-        clone = clone._commit(build, OP_APPEND)
-
+        # register the clone on the source BEFORE reading its entries:
+        # from this commit on, the source's gc fence protects every file
+        # the clone is about to reference — reading first would leave a
+        # window where a concurrent source delete+expire physically
+        # removes files the clone just adopted
         def add_clone(base):
             import dataclasses
-            import json as _json
-            clones = _json.loads(
-                base.properties.get("snapshot.clone-locations", "[]"))
+            clones = clone_registry(base.properties)
             if location in clones:
                 return base
             md2 = dataclasses.replace(base)
-            md2.properties = {
-                **base.properties,
-                "snapshot.clone-locations": _json.dumps(
-                    [*clones, location])}
+            md2.properties = with_clone_registry(base.properties,
+                                                 [*clones, location])
             return md2
-        source._commit_metadata_edit(add_clone)
-        return clone
+        try:
+            source._commit_metadata_edit(add_clone)
+        except Exception:
+            shutil.rmtree(location, ignore_errors=True)
+            raise
+
+        try:
+            data, deletes = source._live_data_and_deletes()
+            if not data and not deletes:
+                return clone
+            types_by_id = clone._types_by_id()
+
+            def build(base, snap_id, seq):
+                ptypes = base.all_partition_types()
+                infos = []
+                # data and delete entries go in SEPARATE manifests (the
+                # format's invariant — a manifest is either data or
+                # deletes)
+                for group in (data, deletes):
+                    if not group:
+                        continue
+                    entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id,
+                                               e.sequence_number,
+                                               e.data_file)
+                               for e in group]
+                    mname = M.new_manifest_name()
+                    info = M.write_manifest(
+                        clone.ops.new_metadata_path(mname), entries,
+                        types_by_id, ptypes)
+                    info.manifest_path = mname
+                    infos.append(info)
+                summary = {
+                    "added-data-files": str(len(data)),
+                    "added-delete-files": str(len(deletes)),
+                    "added-records": str(sum(e.data_file.record_count
+                                             for e in data)),
+                    "snapshot-source": source.location,
+                    **clone._rolling_totals(
+                        base, d_files=len(data),
+                        d_records=sum(e.data_file.record_count
+                                      for e in data),
+                        d_delete_files=len(deletes)),
+                }
+                return infos, summary, None
+
+            return clone._commit(build, OP_APPEND)
+        except Exception:
+            # a half-built clone must not keep the source fenced forever
+            self._release_clone(source.location, location)
+            shutil.rmtree(location, ignore_errors=True)
+            raise

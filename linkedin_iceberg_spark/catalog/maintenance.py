@@ -329,9 +329,8 @@ def _check_gc_enabled(table, action: str) -> None:
             "with another table, e.g. a snapshot_table clone) — deleting "
             "physical files could corrupt the other table; rewrite the "
             "clone's files first, then set gc.enabled=true")
-    import json as _json
-    clones = _json.loads(
-        table.properties.get("snapshot.clone-locations", "[]"))
+    from linkedin_iceberg_spark.catalog.catalog import clone_registry
+    clones = clone_registry(table.properties)
     if clones:
         raise ValueError(
             f"{action}: zero-copy clones still reference this table's "
@@ -746,7 +745,8 @@ def rewrite_position_deletes(table,
             "purged_rows": int(purged)}
 
 
-def purge_where(table, expr, older_than_ms: Optional[int] = None) -> dict:
+def purge_where(table, expr, older_than_ms: Optional[int] = None,
+                drop_refs: bool = False) -> dict:
     """Right-to-be-forgotten: remove matching rows AND every physical
     trace of them — a composite of this module's primitives in the one
     order that actually erases bytes (each step alone leaves copies):
@@ -770,11 +770,39 @@ def purge_where(table, expr, older_than_ms: Optional[int] = None) -> dict:
     staging dir (remove_orphan_files after its age gate) or external
     backups.  The gc fence applies: purging a table with zero-copy
     clones raises instead of corrupting them.  `older_than_ms` bounds
-    step 4 (default: everything but the purge commit)."""
+    step 4 (default: everything but the purge commit).
+
+    Named refs and staged WAP snapshots PIN history past step 4 —
+    an erasure that silently left a tagged pre-purge snapshot readable
+    would not be an erasure.  purge_where therefore refuses while any
+    tag, branch, or staged snapshot exists; with ``drop_refs=True`` it
+    drops them all first (the explicit opt-in that makes the erasure
+    total)."""
     table.refresh()
     # fence FIRST: a purge that deletes rows and then fails on the
     # expire step would leave a half-applied erasure
     _check_gc_enabled(table, "purge_where")
+    md = table.metadata
+    if md.refs or md.staged_wap:
+        if not drop_refs:
+            raise ValueError(
+                "purge_where: named refs/staged snapshots pin history — "
+                f"tags/branches {sorted(md.refs)} staged "
+                f"{sorted(md.staged_wap)} would keep pre-purge files "
+                "readable.  Pass drop_refs=True to drop them all, or "
+                "drop them by hand first")
+        for name in sorted(md.refs):
+            if table.metadata.ref_types.get(name) == "branch":
+                table.drop_branch(name)
+            else:
+                table.drop_tag(name)
+
+        def _clear_wap(base):
+            import dataclasses
+            m = dataclasses.replace(base)
+            m.staged_wap = {}
+            return m
+        table._commit_metadata_edit(_clear_wap)
     out = {}
     table.delete_where(expr)
     out["compaction"] = rewrite_data_files(table, min_input_files=2)

@@ -1374,7 +1374,12 @@ class Table:
         latest = self.ops.refresh() or self.metadata
         if latest.ref_types.get(name) == "branch" and \
                 latest.current_snapshot_id == latest.refs.get(name):
-            return self  # already at the branch head: no metadata churn
+            # already at the branch head: no metadata churn — but ADOPT
+            # the refreshed state, so a stale handle that 'succeeds'
+            # here serves the post-fast-forward data it just confirmed
+            self.metadata = latest
+            self.version = getattr(latest, "_version", self.version)
+            return self
 
         def do(base: TableMetadata):
             if base.ref_types.get(name) != "branch":

@@ -68,3 +68,24 @@ def test_purge_respects_clone_fence(catalog, spark, sf_dir):
     t.refresh()
     with pytest.raises(ValueError, match="clones"):
         purge_where(t, lt("o_orderkey", 100))
+
+
+def test_purge_refuses_pinned_refs_then_drops_them(catalog, spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.purge_refs", orders)
+    t.append(orders)
+    t.create_tag("keepme")          # pins the pre-purge snapshot
+    t.create_branch("dev")
+    doomed = {r["o_orderkey"] for r in
+              orders.filter(F.col("o_orderkey") < 200)
+              .select("o_orderkey").collect()}
+    with pytest.raises(ValueError, match="pin history"):
+        purge_where(t, lt("o_orderkey", 200))
+    # nothing was mutated by the refusal
+    assert t.to_df().count() == orders.count()
+    # explicit opt-in drops every ref, then the erasure is total
+    purge_where(t, lt("o_orderkey", 200), drop_refs=True)
+    t.refresh()
+    assert not t.metadata.refs
+    assert len(t.snapshots()) == 1
+    assert _key_traces(t.location, "o_orderkey", doomed) == []

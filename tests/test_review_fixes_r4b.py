@@ -90,11 +90,14 @@ def test_fast_forward_noop_no_version_bump(catalog, orders):
     t.create_branch("dev")
     t.branch("dev").append(orders.limit(3))
     t.fast_forward("dev")
+    t.refresh()  # compare on-disk state (in-memory log lags by one)
     v = t.version
     n = len(t.metadata.metadata_log)
+    head = t.metadata.current_snapshot_id
     t.fast_forward("dev")  # already at head
     assert t.version == v
     assert len(t.metadata.metadata_log) == n
+    assert t.metadata.current_snapshot_id == head
 
 
 def test_trigram_shuffle_join_matches_broadcast(spark, sf_dir):

@@ -91,3 +91,21 @@ def test_clone_refuses_physical_gc(catalog, source):
         remove_orphan_files(clone)
     # the source itself is unrestricted
     assert "orphans_deleted" in remove_orphan_files(t, dry_run=True)
+
+
+def test_clone_chain_drop_order_enforced(catalog, source):
+    t, _ = source
+    c1 = catalog.snapshot_table(t, "db.chain1")
+    catalog.snapshot_table(c1, "db.chain2")  # grandchild shares t's files
+    # c1 cannot be dropped in EITHER mode while chain2 depends on it
+    with pytest.raises(ValueError, match="clones"):
+        catalog.drop_table("db.chain1")
+    with pytest.raises(ValueError, match="clones"):
+        catalog.drop_table("db.chain1", purge=False)
+    # leaf-first drop order releases cleanly and unfences the root
+    catalog.drop_table("db.chain2")
+    catalog.drop_table("db.chain1")
+    t.refresh()
+    assert "snapshot.clone-locations" not in t.properties
+    assert "orphans_deleted" in remove_orphan_files(
+        t, older_than_ms=int(1e18), dry_run=True)
