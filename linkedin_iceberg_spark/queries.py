@@ -2339,6 +2339,32 @@ def events_retention(spark, sf_dir):
             .orderBy("cohort", "day_n"))
 
 
+@q("events_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type ORDER BY event_type, next_type""")
+def events_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event stream, count (event, next-event) pairs — the
+    Markov-chain input for session modeling.  One per-user window
+    (hashpartitioning on user_id, ties broken by event_id for a
+    deterministic order) + one count aggregate; no global sort."""
+    e = ld(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id"))
+    return (e.select("event_type", nxt.alias("next_type"))
+            .filter(F.col("next_type").isNotNull())
+            .groupBy("event_type", "next_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("event_type", "next_type"))
+
+
 @q("events_sliding_window", """
 SELECT TIMESTAMP '1970-01-01'
          + INTERVAL (CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - s.x)

@@ -132,3 +132,62 @@ def test_branch_sequence_scoped_deletes(table, spark):
     resurrect = orders.filter(F.col("o_orderkey") < 30)
     b.append(resurrect)  # higher sequence number -> survives the delete
     assert b.to_df().count() == orders.count()
+
+
+def test_contended_branch_commits_chain(catalog, spark, table):
+    """Two handles committing to the SAME branch: the loser's CAS retry
+    re-reads the moved branch head and chains onto it — both appends
+    land, exactly once, and main never moves.  Deterministic via the
+    refresh hook (the rival lands between plan and CAS)."""
+    t, orders = table
+    t.create_branch("dev")
+    a = t.branch("dev")
+    b = t.branch("dev")
+    main_head = t.metadata.current_snapshot_id
+    base_n = a.to_df().count()
+
+    orig = a.ops.refresh
+    state = {"done": False}
+
+    def racy():
+        if not state["done"]:
+            state["done"] = True
+            b.append(orders.limit(5))  # rival lands first
+        return orig()
+    a.ops.refresh = racy
+    a.append(orders.limit(3))
+
+    t.refresh()
+    assert t.metadata.current_snapshot_id == main_head  # main untouched
+    dev = t.branch("dev")
+    assert dev.to_df().count() == base_n + 5 + 3
+    # the branch lineage chains: head's parent is the rival's commit
+    head = t.metadata.snapshot_by_id(t.metadata.refs["dev"])
+    parent = t.metadata.snapshot_by_id(head.parent_snapshot_id)
+    assert parent is not None and \
+        parent.parent_snapshot_id == main_head
+
+
+def test_branch_commit_races_main_commit(catalog, spark, table):
+    """A branch commit racing a MAIN commit: both land independently —
+    the branch ref advances, main's head advances, neither clobbers the
+    other's pointer."""
+    t, orders = table
+    t.create_branch("dev")
+    dev = t.branch("dev")
+    main_before = t.to_df().count()
+
+    orig = dev.ops.refresh
+    state = {"done": False}
+
+    def racy():
+        if not state["done"]:
+            state["done"] = True
+            t.append(orders.limit(4))  # main commit lands mid-branch-commit
+        return orig()
+    dev.ops.refresh = racy
+    dev.append(orders.limit(2))
+
+    fresh = catalog.load_table("db.branchy")
+    assert fresh.to_df().count() == main_before + 4
+    assert fresh.branch("dev").to_df().count() == main_before + 2
