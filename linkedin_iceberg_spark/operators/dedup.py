@@ -694,3 +694,59 @@ SELECT t.{id_col},
                  THEN 1 ELSE 0 END AS BIGINT) AS is_kept
 FROM {table} t LEFT JOIN comp c ON c.id = t.{id_col}
 ORDER BY t.{id_col}"""
+
+
+def dedup_edit_distance(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", max_edits: int = 40,
+                        num_hashes: int = 16, bands: int = 8,
+                        shingle_n: int = 3,
+                        hash_mode: str = "md5") -> DataFrame:
+    """Block-then-verify near-dup pairs with an EDIT-DISTANCE verdict:
+    banded MinHash proposes candidates (the only wide shuffle), each
+    candidate pair's true Levenshtein distance filters survivors at
+    ``<= max_edits``.  Jaccard verification (minhash_lsh_verified) treats
+    texts as shingle SETS — reorderings look identical; the edit-distance
+    verdict is ORDER-SENSITIVE, the right check when "duplicate" means
+    "same text up to k typo/boilerplate edits".
+
+    Scale: levenshtein is O(len^2) per pair, but it runs on CANDIDATES
+    only — the classic blocked-verify shape; texts reach the verify step
+    by two equi-joins on the 8-byte id.  Returns (d1, d2, edits),
+    d1 < d2."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes,
+                                   bands, shingle_n, hash_mode)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    t1 = texts.withColumnRenamed(id_col, "d1") \
+        .withColumnRenamed(text_col, "_t1")
+    t2 = texts.withColumnRenamed(id_col, "d2") \
+        .withColumnRenamed(text_col, "_t2")
+    return (pairs.join(t1, "d1").join(t2, "d2")
+            .withColumn("edits", F.levenshtein("_t1", "_t2"))
+            .filter(F.col("edits") <= max_edits)
+            .select("d1", "d2", "edits")
+            .orderBy("d1", "d2"))
+
+
+def edit_distance_oracle_sql(max_edits: int = 40, table: str = "documents",
+                             text_col: str = "text", id_col: str = "doc_id",
+                             num_hashes: int = 16, bands: int = 8,
+                             shingle_n: int = 3) -> str:
+    """Full-pipeline SQL replay of dedup_edit_distance: the shared banded
+    CTE proposes the same candidate set, DuckDB's levenshtein() (the
+    identical unit-cost DP) re-verifies every pair."""
+    prefix = minhash_banded_cte_sql(table, text_col, id_col, num_hashes,
+                                    bands, shingle_n)
+    return f"""{prefix}
+, cand AS (
+  SELECT a.{id_col} AS d1, b.{id_col} AS d2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT c.d1, c.d2,
+       CAST(levenshtein(t1.{text_col}, t2.{text_col}) AS INT) AS edits
+FROM cand c
+JOIN {table} t1 ON t1.{id_col} = c.d1
+JOIN {table} t2 ON t2.{id_col} = c.d2
+WHERE levenshtein(t1.{text_col}, t2.{text_col}) <= {max_edits}
+ORDER BY c.d1, c.d2"""

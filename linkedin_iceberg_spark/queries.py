@@ -1157,6 +1157,29 @@ _REGISTRY["dedup_minhash_portable"] = (_REGISTRY["dedup_minhash_portable"][0],
                                        _minhash_portable_oracle())
 
 
+@q("dedup_edit_distance", None)  # oracle attached below (generated SQL)
+def dedup_edit_distance_q(spark, sf_dir):
+    """Order-sensitive near-dup verification: banded-MinHash candidates
+    verified by true Levenshtein distance (<= 40 edits) — the check for
+    "same text up to k edits", where Jaccard's set view is blind to
+    reorderings.  The oracle replays the whole pipeline: shared banded
+    CTE for the identical candidate set, DuckDB's levenshtein for the
+    identical unit-cost DP verdict."""
+    from linkedin_iceberg_spark.operators.dedup import dedup_edit_distance
+    d = ld(spark, sf_dir, "documents")
+    return dedup_edit_distance(d, max_edits=40)
+
+
+def _edit_distance_oracle() -> str:
+    from linkedin_iceberg_spark.operators.dedup import (
+        edit_distance_oracle_sql)
+    return edit_distance_oracle_sql(max_edits=40)
+
+
+_REGISTRY["dedup_edit_distance"] = (_REGISTRY["dedup_edit_distance"][0],
+                                    _edit_distance_oracle())
+
+
 def _simhash_oracle() -> str:
     from linkedin_iceberg_spark.operators.dedup import simhash_oracle_sql
     return simhash_oracle_sql(max_hamming=6, n_segments=4)

@@ -112,3 +112,22 @@ def test_trigram_novelty_counts_occurrences_not_distinct(spark):
     assert r2["n_rare"] == 3
     with pytest.raises(ValueError):
         trigram_novelty(df, rare_max=0)
+
+
+# --------------------------------------------------------- edit distance
+
+def test_edit_distance_dedup_order_sensitive(spark):
+    """Same shingle SET, different order: Jaccard sees duplicates, the
+    edit-distance verdict correctly separates near-identical text from
+    heavy reordering."""
+    from linkedin_iceberg_spark.operators.dedup import dedup_edit_distance
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    reordered = " ".join(reversed(base.split()))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "tail"), (3, reordered)],
+        "doc_id: long, text: string")
+    out = {(r["d1"], r["d2"]): r["edits"]
+           for r in dedup_edit_distance(df, max_edits=10,
+                                        shingle_n=1).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 4  # 'tail' appended
+    assert (1, 3) not in out and (2, 3) not in out  # reordering != dup
