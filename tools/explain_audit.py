@@ -216,6 +216,22 @@ CONTRACTS = {
         ["HashAggregate", "partial_min", "Join"],
         ["CartesianProduct", "Window", "BatchEvalPython",
          "ArrowEvalPython"]),
+    "events_retention": (
+        # per-user min + broadcast cohort map + distinct + count — all
+        # equi-keyed, map-side combinable
+        ["HashAggregate", "partial_min", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "Window", "BatchEvalPython",
+         "ArrowEvalPython"]),
+    "events_transitions": (
+        # ONE per-user window (hashpartitioning) + count aggregate
+        ["Window", "hashpartitioning", "HashAggregate", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "dedup_edit_distance": (
+        # banded candidates -> two equi-joins carry texts to the verify
+        # step -> levenshtein filter; never an all-pairs shape
+        ["HashAggregate", "Join", "levenshtein"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "ArrowEvalPython"]),
     "text_decontaminate": (
         # shingle-hash anti-join: benchmark side broadcast, corpus side
         # never re-shuffled into an all-pairs shape
