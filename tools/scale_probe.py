@@ -74,6 +74,10 @@ PROBE_QUERIES = [
     "sample_shuffle_shards",
     "sample_temperature_mix",
     "events_funnel",
+    # maintenance plane under the 10x lens: full table build + DML +
+    # pos-delete compaction, and the build + upsert + purge composite
+    "table_rewrite_pos_deletes",
+    "table_purge_forgotten",
 ]
 
 
