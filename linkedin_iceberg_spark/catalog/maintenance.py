@@ -364,8 +364,21 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     # readable until the tag is dropped (ref: RemoveSnapshots retaining
     # SnapshotRef targets).  A BRANCH pins its whole ancestry: its head
     # must stay rollback-able/diffable until the branch is dropped.
+    # per-ref retention (ref: SnapshotRef maxRefAgeMs): a ref whose
+    # TARGET snapshot is older than its declared limit stops pinning and
+    # is dropped in the same expiry commit — tags/branches without a
+    # limit are retained forever
+    stale_refs = set()
+    for rname, sid in md.refs.items():
+        limit = md.ref_ages.get(rname)
+        snap_r = md.snapshot_by_id(sid)
+        if limit is not None and snap_r is not None and \
+                now_ms - snap_r.timestamp_ms > int(limit):
+            stale_refs.add(rname)
     pinned = set()
     for rname, sid in md.refs.items():
+        if rname in stale_refs:
+            continue
         if md.ref_types.get(rname, "tag") == "branch":
             pinned.update(md.ancestry(sid))
         else:
@@ -376,10 +389,26 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
             keep_ids.add(sid)
         elif sid in staged or sid in pinned or s.timestamp_ms >= cutoff:
             keep_ids.add(sid)
+    def drop_stale_refs(base):
+        import dataclasses
+        m2 = dataclasses.replace(base)
+        m2.refs = {k: v for k, v in base.refs.items()
+                   if k not in stale_refs}
+        m2.ref_types = {k: v for k, v in base.ref_types.items()
+                        if k not in stale_refs}
+        m2.ref_ages = {k: v for k, v in base.ref_ages.items()
+                       if k not in stale_refs}
+        return m2
+
     expired = [s for s in md.snapshots if s.snapshot_id not in keep_ids]
     if not expired:
-        return {"expired_snapshots": 0, "deleted_data_files": 0,
+        out0 = {"expired_snapshots": 0, "deleted_data_files": 0,
                 "deleted_manifests": 0}
+        if stale_refs:
+            out0["dropped_refs"] = sorted(stale_refs)
+            if not dry_run:
+                table._commit_metadata_edit(drop_stale_refs)
+        return out0
 
     spark = table.spark
     mdp = table.ops.new_metadata_path
@@ -417,13 +446,15 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
 
     def edit(base):
         import dataclasses
-        m2 = dataclasses.replace(base)
-        m2.snapshots = [s for s in base.snapshots
+        m2 = dataclasses.replace(drop_stale_refs(base))
+        m2.snapshots = [s for s in m2.snapshots
                         if s.snapshot_id not in expired_ids]
-        m2.snapshot_log = [e for e in base.snapshot_log
+        m2.snapshot_log = [e for e in m2.snapshot_log
                            if e["snapshot-id"] not in expired_ids]
         return m2
 
+    if stale_refs:
+        stats["dropped_refs"] = sorted(stale_refs)
     table._commit_metadata_edit(edit)
     for s in expired:
         _rm(mdp(s.manifest_list))

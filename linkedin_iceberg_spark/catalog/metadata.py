@@ -102,6 +102,10 @@ class TableMetadata:
     # name -> "tag" | "branch" (missing = tag, for metadata written before
     # branches existed); ref: the SnapshotRef type field
     ref_types: dict = field(default_factory=dict)
+    # name -> max ref age in ms (missing = retained forever); a ref whose
+    # target snapshot is older than its limit is dropped by
+    # expire_snapshots — the SnapshotRef maxRefAgeMs retention knob
+    ref_ages: dict = field(default_factory=dict)
 
     # -- accessors ----------------------------------------------------------
     @property
@@ -218,6 +222,7 @@ class TableMetadata:
             "refs": self.refs,
             "staged-wap": self.staged_wap,
             "ref-types": self.ref_types,
+            "ref-ages": self.ref_ages,
         }
 
     @classmethod
@@ -240,6 +245,7 @@ class TableMetadata:
             refs=j.get("refs", {}),
             staged_wap=j.get("staged-wap", {}),
             ref_types=j.get("ref-types", {}),
+            ref_ages=j.get("ref-ages", {}),
         )
 
     @classmethod

@@ -1259,7 +1259,8 @@ class Table:
         return self.rollback_to(snap.snapshot_id)
 
     def create_tag(self, name: str, snapshot_id: Optional[int] = None,
-                   replace: bool = False) -> "Table":
+                   replace: bool = False,
+                   max_ref_age_ms: Optional[int] = None) -> "Table":
         """Pin a snapshot under a NAME (ref: the SnapshotRef/ManageSnapshots
         tag plane): readable forever via `new_scan().use_ref(name)` and
         PROTECTED from expire_snapshots until dropped — the release/audit
@@ -1286,6 +1287,10 @@ class Table:
             import dataclasses
             md = dataclasses.replace(base)
             md.refs = {**base.refs, name: sid}
+            if max_ref_age_ms is not None:
+                # SnapshotRef maxRefAgeMs: expire_snapshots drops the
+                # tag once its target snapshot is older than this
+                md.ref_ages = {**base.ref_ages, name: int(max_ref_age_ms)}
             return md
         return self._commit_metadata_edit(do)
 
@@ -1300,6 +1305,8 @@ class Table:
             md.refs = {k: v for k, v in base.refs.items() if k != name}
             md.ref_types = {k: v for k, v in base.ref_types.items()
                             if k != name}
+            md.ref_ages = {k: v for k, v in base.ref_ages.items()
+                           if k != name}
             return md
         return self._commit_metadata_edit(do)
 
@@ -1310,7 +1317,8 @@ class Table:
                              "run on the main table handle, not a branch")
 
     def create_branch(self, name: str,
-                      snapshot_id: Optional[int] = None) -> "Table":
+                      snapshot_id: Optional[int] = None,
+                      max_ref_age_ms: Optional[int] = None) -> "Table":
         """Create a WRITABLE named ref at a snapshot (default current) —
         the audit/staging primitive one level up from WAP: stage a whole
         SERIES of commits in isolation (`t.branch(name).append(...)`),
@@ -1335,6 +1343,11 @@ class Table:
             md = dataclasses.replace(base)
             md.refs = {**base.refs, name: sid}
             md.ref_types = {**base.ref_types, name: "branch"}
+            if max_ref_age_ms is not None:
+                # age is measured against the branch HEAD's timestamp, so
+                # an actively-committed branch never expires — only an
+                # abandoned one
+                md.ref_ages = {**base.ref_ages, name: int(max_ref_age_ms)}
             return md
         return self._commit_metadata_edit(do)
 
@@ -1361,6 +1374,8 @@ class Table:
             md.refs = {k: v for k, v in base.refs.items() if k != name}
             md.ref_types = {k: v for k, v in base.ref_types.items()
                             if k != name}
+            md.ref_ages = {k: v for k, v in base.ref_ages.items()
+                           if k != name}
             return md
         return self._commit_metadata_edit(do)
 

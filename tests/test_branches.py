@@ -191,3 +191,26 @@ def test_branch_commit_races_main_commit(catalog, spark, table):
     fresh = catalog.load_table("db.branchy")
     assert fresh.to_df().count() == main_before + 4
     assert fresh.branch("dev").to_df().count() == main_before + 2
+
+
+def test_ref_age_retention(table, spark):
+    """maxRefAgeMs retention: an age-limited tag/branch stops pinning and
+    is dropped by expire once its target snapshot outlives the limit;
+    unlimited refs stay forever."""
+    import time as _time
+    t, orders = table
+    t.append(orders.limit(5))
+    old_head = t.current_snapshot().snapshot_id
+    t.create_tag("ephemeral", max_ref_age_ms=1)       # expires instantly
+    t.create_tag("forever")                            # no limit
+    t.create_branch("stale_branch", max_ref_age_ms=1)
+    t.append(orders.limit(1))                          # advance main
+    _time.sleep(0.05)
+    stats = expire_snapshots(t, retain_last=1)
+    t.refresh()
+    assert sorted(stats.get("dropped_refs", [])) == \
+        ["ephemeral", "stale_branch"]
+    assert set(t.metadata.refs) == {"forever"}
+    # the unlimited tag still pins its snapshot
+    assert t.metadata.snapshot_by_id(t.metadata.refs["forever"]) is not None
+    assert t.metadata.refs["forever"] == old_head
