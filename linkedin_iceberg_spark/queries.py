@@ -4431,7 +4431,11 @@ _PRIORITY = [
     # text_clustered/spans/minhash_portable/lsh_full in-window) rotates
     # out for text_trigram_novelty (new: corpus-rare-trigram quality
     # signal with a broadcast frequency join)
-    "dedup_minhash_portable", "dedup_minhash_lsh_full",
+    # r4 late: dedup_minhash_portable (green r3, unchanged) rotates out
+    # for dedup_edit_distance (new) — whose oracle replays the SAME
+    # banded CTE for the identical candidate set AND adds the
+    # Levenshtein verify stage, strictly superset evidence
+    "dedup_edit_distance", "dedup_minhash_lsh_full",
     "dedup_spans", "text_trigram_novelty",
     # r3: similarity_ivf_topk (green r2, identical result set) rotates out
     # for similarity_ivf_pruned (new: persisted IVF with partition pruning)
