@@ -36,10 +36,13 @@ SOURCE_NAME = "linkedin_iceberg_stream"
 DEFAULT_MAX_FILES_PER_BATCH = 64
 
 
-def _current_files_self_contained(location: str) -> list:
+def _current_files_self_contained(location: str,
+                                  ref: str = None) -> list:
     """(sequence_number, file_path) of all live data files of the current
-    snapshot, in deterministic order.  Stdlib+pyarrow only — safe to run in
-    any Spark-spawned Python process."""
+    snapshot — or of a NAMED REF's head when `ref` is given (stream a
+    branch or tag: staged-data consumers read the branch head as it
+    grows, release consumers pin a tag).  Stdlib+pyarrow only — safe to
+    run in any Spark-spawned Python process."""
     import pyarrow.parquet as pq
 
     mdir = os.path.join(location, "metadata")
@@ -55,7 +58,12 @@ def _current_files_self_contained(location: str) -> list:
         return []
     with open(os.path.join(mdir, f"v{v}.metadata.json")) as fh:
         md = json.load(fh)
-    cur = md.get("current-snapshot-id")
+    if ref and ref != "main":
+        cur = md.get("refs", {}).get(ref)
+        if cur is None:
+            raise ValueError(f"unknown ref {ref!r} on table at {location}")
+    else:
+        cur = md.get("current-snapshot-id")
     snap = next((s for s in md.get("snapshots", [])
                  if s["snapshot-id"] == cur), None)
     if snap is None:
@@ -99,20 +107,22 @@ class _FilesPartition(InputPartition):
 
 class _TableStreamReader(DataSourceStreamReader):
     def __init__(self, table_location: str, schema_cols: list,
-                 max_files: int):
+                 max_files: int, ref: str = None):
         self.location = table_location
         self.columns = schema_cols
         self.max_files = max_files
+        self.ref = ref
 
     def initialOffset(self) -> dict:
         return {"file_index": 0}
 
     def latestOffset(self) -> dict:
         return {"file_index":
-                len(_current_files_self_contained(self.location))}
+                len(_current_files_self_contained(self.location,
+                                                  self.ref))}
 
     def partitions(self, start: dict, end: dict):
-        files = _current_files_self_contained(self.location)
+        files = _current_files_self_contained(self.location, self.ref)
         lo, hi = start.get("file_index", 0), end.get("file_index", 0)
         window = [p for _seq, p in files[lo:hi]]
         if not window:
@@ -159,7 +169,8 @@ class TableStreamDataSource(DataSource):
             self.options["location"],
             [f.name for f in schema.fields],
             int(self.options.get("maxfilesperbatch",
-                                 DEFAULT_MAX_FILES_PER_BATCH)))
+                                 DEFAULT_MAX_FILES_PER_BATCH)),
+            self.options.get("ref") or None)
 
 
 def register_stream_source(spark) -> str:
@@ -181,12 +192,21 @@ def register_stream_source(spark) -> str:
     return SOURCE_NAME
 
 
-def read_stream(spark, table, max_files_per_batch: Optional[int] = None):
-    """Convenience: streaming DataFrame over the table's appends."""
+def read_stream(spark, table, max_files_per_batch: Optional[int] = None,
+                ref: Optional[str] = None):
+    """Convenience: streaming DataFrame over the table's appends.
+
+    `ref` streams a named branch/tag head instead of main; passing a
+    BRANCH HANDLE (table.branch(name)) selects its branch
+    automatically."""
     register_stream_source(spark)
+    if ref is None:
+        ref = getattr(table, "_branch", None)
     reader = (spark.readStream.format(SOURCE_NAME)
               .option("location", table.location)
               .option("schemaJson", table.schema.to_spark().json()))
+    if ref:
+        reader = reader.option("ref", ref)
     if max_files_per_batch:
         reader = reader.option("maxFilesPerBatch", str(max_files_per_batch))
     return reader.load()

@@ -79,3 +79,27 @@ def test_table_stream_source(catalog, spark, orders_df, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n FROM src_sink").first().n
     assert got == 500
+
+
+def test_table_stream_source_from_branch(catalog, spark, orders_df,
+                                         tmp_path):
+    """Streaming a BRANCH head: a branch handle streams its own commits
+    (staged-data consumption) while a main stream never sees them."""
+    t = catalog.create_table("db.stream_br", orders_df)
+    t.append(orders_df.limit(300))
+    t.create_branch("dev")
+    t.branch("dev").append(orders_df.limit(120))
+
+    q = (read_stream(spark, t.branch("dev"))
+         .writeStream.format("memory").queryName("br_sink")
+         .option("checkpointLocation", str(tmp_path / "ckb"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) AS n FROM br_sink").first().n == 420
+
+    q2 = (read_stream(spark, t)
+          .writeStream.format("memory").queryName("main_sink")
+          .option("checkpointLocation", str(tmp_path / "ckm"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert spark.sql("SELECT count(*) AS n FROM main_sink").first().n == 300
