@@ -3414,6 +3414,39 @@ def table_branch_workflow(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_object_store_layout", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey >= 2000 ORDER BY o_orderkey""")
+def table_object_store_layout(spark, sf_dir):
+    """Object-store hashed file layout end-to-end: every data file of a
+    write.object-storage.enabled table lands under a leading 8-hex
+    murmur3 prefix (asserted for the initial write AND the delete's CoW
+    rewrite), and reads over the hashed layout are byte-identical to the
+    plain layout (the oracle replays the logical state on raw
+    parquet)."""
+    import re
+
+    from linkedin_iceberg_spark.expressions import lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table(
+        "q.orders_osl", o,
+        properties={"write.object-storage.enabled": "true"})
+    t.append(o)
+    t.delete_where(lt("o_orderkey", 2000))  # CoW rewrite lands hashed too
+
+    def rels():
+        return [os.path.relpath(task.file.file_path,
+                                os.path.join(t.location, "data"))
+                for task in t.new_scan().plan_files()]
+    paths = rels()
+    assert paths and all(
+        re.fullmatch(r"[0-9a-f]{8}", r.split(os.sep)[0]) for r in paths), \
+        paths[:2]
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_purge_forgotten", """
 SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 500
 ORDER BY o_orderkey""")
