@@ -72,3 +72,16 @@ def test_no_orphans_and_maintenance_compatible(catalog, orders):
     n = t.to_df().count()
     t.rewrite_data_files(min_input_files=2)
     assert t.to_df().count() == n
+
+
+def test_hashed_layout_orc_format(catalog, orders):
+    t = catalog.create_table(
+        "db.objstore_orc", orders,
+        properties={"write.object-storage.enabled": "true",
+                    "write.format-default": "orc"})
+    t.append(orders.limit(500))
+    rels = _data_rel_paths(t)
+    assert rels and all(r.endswith(".orc") for r in rels)
+    assert all(re.fullmatch(r"[0-9a-f]{8}", r.split(os.sep)[0])
+               for r in rels), rels[:2]
+    assert t.to_df().count() == 500
