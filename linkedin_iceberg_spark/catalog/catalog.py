@@ -336,18 +336,27 @@ class Catalog:
         if ops.refresh() is not None:
             raise AlreadyExistsError(f"table {name} already exists")
         src_md = source.metadata
+        # the clone is a FRESH table: it must not inherit the source's
+        # clone registry (a clone of an already-cloned source would be
+        # born "having clones" and drop_table would refuse forever), nor
+        # the source's ref bookkeeping — refs are reset to {}, so a
+        # carried-over ref_types/ref_ages would leave phantom branches
+        # that pass the type check but fail at read time
         md = _replace(
             src_md,
             table_uuid=str(_uuid.uuid4()),
             location=location,
             last_updated_ms=int(_time.time() * 1000),
-            properties={**src_md.properties, "gc.enabled": "false",
+            properties={**with_clone_registry(src_md.properties, []),
+                        "gc.enabled": "false",
                         "snapshot.source-location": source.location},
             current_snapshot_id=None,
             snapshots=[],
             snapshot_log=[],
             metadata_log=[],
             refs={},
+            ref_types={},
+            ref_ages={},
             staged_wap={},
         )
         version = ops.commit(0, md)

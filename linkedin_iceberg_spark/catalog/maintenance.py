@@ -118,9 +118,22 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
 
     rewritten = added = commits = 0
     for i in range(0, len(rewrite_groups), max_groups_per_commit):
-        ents = [e for g in rewrite_groups[i:i + max_groups_per_commit]
-                for e in g]
-        new_files = _compact_write(table, ents, delete_entries,
+        planned = {e.data_file.file_path
+                   for g in rewrite_groups[i:i + max_groups_per_commit]
+                   for e in g}
+        # re-plan this batch against the state it will actually commit
+        # on: an earlier batch's commit (or its CAS retry) may have
+        # adopted CONCURRENT commits into table.metadata — a delete file
+        # that landed mid-run must be APPLIED while rewriting (the
+        # output takes a higher sequence number, so carrying the
+        # plan-time delete list would silently resurrect its rows), and
+        # an input a concurrent DML already rewrote must be dropped
+        table.refresh()
+        cur_entries, cur_deletes = table._live_data_and_deletes()
+        ents = [e for e in cur_entries if e.data_file.file_path in planned]
+        if not ents:
+            continue
+        new_files = _compact_write(table, ents, cur_deletes,
                                    target_size_bytes, sort_by, zorder_by)
         # a failure here leaves every PRIOR batch durable — that is the
         # point of partial progress

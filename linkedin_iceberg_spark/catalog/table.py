@@ -770,8 +770,11 @@ class Table:
             t.update_spec(lambda b: b.identity("region").day("ts"))
 
         Note: dynamic partition overwrite matches partitions under the
-        CURRENT spec only and raises on mixed-spec tables (enforced in
-        overwrite_partitions); use overwrite_where instead."""
+        CURRENT spec; files written under OLDER specs that may hold rows
+        of a replaced partition are degraded to copy-on-write
+        (overwrite_partitions → _rewrite_stale_spec_partitions), so
+        mixed-spec tables work — stale-spec files are rewritten, not
+        raised on."""
         def do(base: TableMetadata):
             import dataclasses
             b = PartitionSpec.builder_for(base.schema)
