@@ -1,4 +1,5 @@
-"""Event-sequence analytics: ordered funnels over an event stream."""
+"""Event-sequence analytics: ordered funnels and cohort retention over
+an event stream."""
 
 from __future__ import annotations
 
@@ -49,3 +50,37 @@ def funnel(df: DataFrame, steps: list, user_col: str = "user_id",
         out = out.join(cur, user_col, "left")
         prev = cur
     return out
+
+
+def retention(df: DataFrame, user_col: str = "user_id",
+              ts_col: str = "ts", max_day: int = 7,
+              broadcast_cohorts: bool = False) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day
+    (cohort), counted once per subsequent activity day out to
+    ``max_day`` — the classic DAU-retention input.
+
+    Shape: one per-user min-aggregate builds the (user, cohort) map,
+    an equi-join on the user key stamps each event with its cohort,
+    then one distinct + one count aggregate.  No window over the global
+    stream, no state.
+
+    Scale: the cohort map has ONE ROW PER USER — at 100 TB that is
+    billions of rows, so the join is left to AQE by default (it picks a
+    broadcast only when the built side actually fits).  Pass
+    ``broadcast_cohorts=True`` only when the user population is known
+    small (a cohort study, a single tenant); forcing it on the open
+    population OOMs the driver and every executor."""
+    if max_day < 0:
+        raise ValueError("max_day must be >= 0")
+    first = (df.groupBy(user_col)
+             .agg(F.min(ts_col).cast("date").alias("cohort")))
+    if broadcast_cohorts:
+        first = F.broadcast(first)
+    act = (df.join(first, user_col)
+           .select(user_col, "cohort",
+                   F.datediff(F.col(ts_col).cast("date"), "cohort")
+                   .alias("day_n"))
+           .distinct())
+    return (act.filter(F.col("day_n") <= max_day)
+            .groupBy("cohort", "day_n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))

@@ -2343,20 +2343,12 @@ GROUP BY cohort, day_n ORDER BY cohort, day_n""")
 def events_retention(spark, sf_dir):
     """Cohort retention: users grouped by first-seen day, counted on each
     subsequent activity day (classic DAU-retention triangle, first week).
-    Shape: one per-user min-aggregate, a broadcastable (user, cohort) map
-    joined back, one distinct + one count aggregate — all equi-keyed, no
-    window over the stream."""
+    The (user, cohort) map join is AQE-decided — NOT force-broadcast: at
+    100 TB that map is one row per user (billions), and a forced hint
+    OOMs the driver.  See operators/events.py retention()."""
+    from linkedin_iceberg_spark.operators.events import retention
     e = ld(spark, sf_dir, "events")
-    first = (e.groupBy("user_id")
-             .agg(F.min("ts").cast("date").alias("cohort")))
-    act = (e.join(F.broadcast(first), "user_id")
-           .select("user_id", "cohort",
-                   F.datediff(F.col("ts").cast("date"), "cohort")
-                   .alias("day_n"))
-           .distinct())
-    return (act.filter(F.col("day_n") <= 7)
-            .groupBy("cohort", "day_n")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    return (retention(e, max_day=7)
             .select(F.col("cohort").cast("string").alias("cohort"),
                     F.col("day_n").cast("bigint").alias("day_n"), "n_users")
             .orderBy("cohort", "day_n"))
@@ -4322,7 +4314,6 @@ _PRIORITY = [
     # r3 late: table_migrate_import (green r1+r2; the import plane keeps
     # legacy_hive_scan in-window and add_files pytest coverage) rotates out
     # for text_pack (new: concat-cut sequence packing)
-    "text_pack", "table_merge_full",
     # r3 late: table_expire_snapshots (green r1+r2; maintenance family
     # keeps compaction/rewrite-manifests/rollback in-window) rotates out
     # for table_incremental_view (new: changelog-driven view maintenance)
@@ -4330,6 +4321,15 @@ _PRIORITY = [
     # r3, unchanged; maintenance family keeps compaction + rollback_wap,
     # CDC family keeps table_changelog) rotate out for text_token_entropy
     # and similarity_matryoshka (new operators)
+    # r5: table_merge_full (green r3+r4, unchanged; DML family keeps
+    # update_where/overwrite_where/equality_deletes/rewrite_pos_deletes
+    # in-window) rotates out for events_transitions (registered r4,
+    # never windowed — the last events-family query without a driver
+    # row); text_pack (green r3+r4, operator unchanged this round; text
+    # family keeps pack_sharded/token_entropy/trigram_novelty in-window)
+    # rotates out for table_object_store_layout (registered r4 late,
+    # never windowed — hashed object-store file layout)
+    "events_transitions", "table_object_store_layout",
     "table_equality_deletes", "table_compaction", "text_token_entropy",
     "table_format_orc", "table_remove_orphans", "table_sql_over_view",
     # r4: table_merge_schema_append (lifetime-green, unchanged; schema

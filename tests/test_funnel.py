@@ -63,3 +63,63 @@ def test_funnel_counts_monotone(ev):
         funnel(ev, [])
     with pytest.raises(ValueError):
         funnel(ev, ["view"], within_seconds=0)
+
+
+# -- retention() ----------------------------------------------------------
+
+def test_retention_triangle(spark):
+    import datetime
+
+    def d(day, hour=0):
+        return datetime.datetime(2024, 1, 1 + day, hour)
+
+    rows = [
+        # user 1: cohort day 0, active days 0, 1, 3 (two events on day 1
+        # count once)
+        (1, d(0), "view"), (1, d(1), "view"), (1, d(1, 5), "click"),
+        (1, d(3), "view"),
+        # user 2: cohort day 1, active days 1 (rel 0) and 2 (rel 1)
+        (2, d(1), "view"), (2, d(2), "view"),
+        # user 3: cohort day 0, active day 9 -> beyond max_day, dropped
+        (3, d(0), "view"), (3, d(9), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, event_type: string")
+
+    from linkedin_iceberg_spark.operators.events import retention
+    got = {(str(r["cohort"]), r["day_n"]): r["n_users"]
+           for r in retention(ev, max_day=7).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 1): 1,
+    }
+
+    # the forced-broadcast variant is opt-in and must agree
+    forced = {(str(r["cohort"]), r["day_n"]): r["n_users"]
+              for r in retention(ev, max_day=7,
+                                 broadcast_cohorts=True).collect()}
+    assert forced == got
+
+
+def test_retention_join_is_not_force_broadcast(spark):
+    import datetime
+    import io
+    from contextlib import redirect_stdout
+    ev = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1 + i % 3), "view")
+         for i in range(100)],
+        "user_id: long, ts: timestamp, event_type: string")
+    from linkedin_iceberg_spark.operators.events import retention
+    # with broadcast disabled at the session level, the default path must
+    # plan WITHOUT a broadcast hash join (the 100 TB cohort map never
+    # fits); a forced F.broadcast hint would override the threshold and
+    # keep the OOM cliff
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            retention(ev).explain("formatted")
+        assert "BroadcastHashJoin" not in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

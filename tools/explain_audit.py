@@ -217,11 +217,15 @@ CONTRACTS = {
         ["CartesianProduct", "Window", "BatchEvalPython",
          "ArrowEvalPython"]),
     "events_retention": (
-        # per-user min + broadcast cohort map + distinct + count — all
-        # equi-keyed, map-side combinable
-        ["HashAggregate", "partial_min", "BroadcastHashJoin"],
-        ["CartesianProduct", "SortMergeJoin", "Window", "BatchEvalPython",
-         "ArrowEvalPython"]),
+        # per-user min cohort map joined back EQUI-KEYED, then distinct +
+        # count — all map-side combinable.  The join strategy is
+        # AQE-decided: the cohort map is ONE ROW PER USER, so the
+        # contract must NOT require a BroadcastHashJoin (at 100 TB the
+        # shuffled equi-join is the correct plan) and must not forbid
+        # SortMergeJoin either
+        ["HashAggregate", "partial_min"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "BatchEvalPython", "ArrowEvalPython"]),
     "events_transitions": (
         # ONE per-user window (hashpartitioning) + count aggregate
         ["Window", "hashpartitioning", "HashAggregate", "partial_count"],
