@@ -23,6 +23,11 @@ Catalyst's plan deduplication into pathological re-analysis).
             no window.
   equality: left_anti join on the key columns (null-safe), delete side
             broadcast.
+
+Both anti-joins broadcast the delete side only while its summed manifest
+record_count stays under BROADCAST_DELETE_ROW_LIMIT; past that the join
+degrades to a shuffled anti-join (identical rows, no broadcast cliff on
+long-unmaintained tables).
 """
 
 from __future__ import annotations
@@ -33,6 +38,34 @@ from pyspark.sql import functions as F
 from linkedin_iceberg_spark.catalog import manifests as M
 
 POS_DELETE_SCHEMA = "file_path string, pos bigint"
+
+# Attached delete rows are broadcast for the anti-join only below this
+# many rows (record counts come free from the manifest entries).  Above
+# it — a long-unmaintained table accumulating deletes — the join falls
+# back to a shuffled anti-join instead of driving every executor off the
+# broadcast cliff.  rewrite_position_deletes / compaction keep real
+# tables far below this.
+BROADCAST_DELETE_ROW_LIMIT = 1_000_000
+
+
+def _maybe_broadcast(df: DataFrame, rows) -> DataFrame:
+    """Broadcast hint only when the delete set is provably small: `rows`
+    is the summed manifest record_count of the delete files, None when
+    any count is missing (conservative: no hint — AQE may still pick a
+    broadcast from observed sizes, but we never force one)."""
+    if rows is not None and rows <= BROADCAST_DELETE_ROW_LIMIT:
+        return F.broadcast(df)
+    return df
+
+
+def _total_records(files) -> int:
+    """Summed record_count over delete files, None if any is unknown."""
+    total = 0
+    for f in files:
+        if f.record_count is None:
+            return None
+        total += f.record_count
+    return total
 
 
 def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
@@ -112,8 +145,9 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
                       .parquet(*pos_paths)
                       .withColumnRenamed("file_path", "_file")
                       .withColumnRenamed("pos", "_pos").distinct())
-            data = data.join(F.broadcast(pos_df), on=["_file", "_pos"],
-                             how="left_anti")
+            n_pos = _total_records([delete_meta[p] for p in pos_paths])
+            data = data.join(_maybe_broadcast(pos_df, n_pos),
+                             on=["_file", "_pos"], how="left_anti")
 
         for p in dkey:
             f = delete_meta[p]
@@ -125,7 +159,8 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
                 *[F.col(k).alias(f"_k_{k}") for k in key_names]).distinct()
             cond = [F.col(k).eqNullSafe(F.col(f"_k_{k}"))
                     for k in key_names]
-            data = data.join(F.broadcast(keys), on=cond, how="left_anti")
+            data = data.join(_maybe_broadcast(keys, _total_records([f])),
+                             on=cond, how="left_anti")
 
         parts.append(data.select(*schema.column_names()))
 
