@@ -148,6 +148,81 @@ class Catalog:
                 "maintenance stays blocked until snapshot.clone-locations "
                 "is cleared by hand", stacklevel=2)
 
+    def sql(self, query: str) -> DataFrame:
+        """Run Spark SQL directly against engine tables — the day-one-user
+        entrypoint the reference's Spark integration gives via catalog
+        resolution (ref: spark3/.../SparkCatalog.java:122 loadTable /
+        loadIcebergTable flow).  Dotted identifiers in FROM/JOIN clauses
+        that resolve in THIS catalog are auto-registered as temp views and
+        the query is delegated to ``spark.sql``:
+
+            cat.sql("SELECT count(*) FROM db.orders WHERE ...")
+            cat.sql("SELECT snapshot_id, operation FROM db.orders.snapshots")
+
+        ``db.t.<name>`` resolves the metadata relation ``<name>``
+        (snapshots/files/partitions/history/refs/…) of table ``db.t``,
+        exactly as the reference exposes metadata tables in SQL.
+
+        Resolution is conservative by design (a regex over FROM/JOIN
+        clauses, not a SQL parser — Spark's parser lives JVM-side): only
+        dotted identifiers are considered, already-registered temp views
+        and unresolvable names are left untouched, and each resolved
+        identifier is swapped for a deterministic view name.  Scans read
+        the current snapshot through the table read path (v2 deletes
+        applied); engine-side FILE pruning needs a scan filter, so for
+        selective predicates over big tables prefer
+        ``t.scan(row_filter=...).createOrReplaceTempView`` — here Spark
+        still gets parquet footer min/max row-group skipping, just not
+        manifest-level file elimination."""
+        import re
+
+        from linkedin_iceberg_spark.catalog.metadata_tables import (
+            METADATA_TABLES)
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        dotted_pat = rf"{ident}(?:\.{ident})+"
+        # each list element may carry an alias (FROM db.t o, db.u u);
+        # the alias token is stripped again when splitting below
+        clause = re.compile(
+            rf"\b(?:from|join)\s+({dotted_pat}(?:\s+{ident})?"
+            rf"(?:\s*,\s*{dotted_pat}(?:\s+{ident})?)*)",
+            re.IGNORECASE)
+        resolved: dict = {}
+        for m in clause.finditer(query):
+            for elem in re.split(r"\s*,\s*", m.group(1)):
+                dotted = elem.split()[0]  # drop any alias token
+                if dotted in resolved:
+                    continue
+                parts = dotted.split(".")
+                # longest prefix that names a table wins; one trailing
+                # part may name a metadata relation
+                df = None
+                for k in range(len(parts), 0, -1):
+                    tname = ".".join(parts[:k])
+                    rest = parts[k:]
+                    if len(rest) > 1 or not self.table_exists(tname):
+                        continue
+                    t = self.load_table(tname)
+                    if not rest:
+                        df = t.to_df()
+                    elif rest[0] in METADATA_TABLES:
+                        df = t.metadata_table(rest[0])
+                    break
+                if df is None:
+                    continue
+                view = "liceberg_sql_" + "_".join(parts)
+                df.createOrReplaceTempView(view)
+                resolved[dotted] = view
+        # substitute longest-first so db.t.snapshots never half-matches a
+        # db.t rewrite; a trailing dot is ALLOWED so qualified column
+        # references (db.t.some_col) rewrite to view.some_col
+        rewritten = query
+        for dotted in sorted(resolved, key=len, reverse=True):
+            rewritten = re.sub(
+                rf"(?<![A-Za-z0-9_.]){re.escape(dotted)}(?![A-Za-z0-9_])",
+                resolved[dotted], rewritten)
+        return self.spark.sql(rewritten)
+
     def list_tables(self, namespace: str = "") -> list:
         base = os.path.join(self.warehouse, *namespace.split(".")) \
             if namespace else self.warehouse

@@ -2715,6 +2715,37 @@ def table_sql_over_view(spark, sf_dir):
         GROUP BY 1 ORDER BY month_ordinal""")
 
 
+@q("table_sql_direct", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def table_sql_direct(spark, sf_dir):
+    """SURVEY M1's exit query through Catalog.sql with ZERO manual view
+    registration: `FROM q.orders` resolves in the catalog, auto-registers,
+    and runs through spark.sql — the day-one-user path the reference's
+    Spark integration gives via catalog resolution
+    (ref: spark3/.../SparkCatalog.java:122).  The scan reads the current
+    snapshot through the table read path; the o_orderdate predicate is
+    applied by Spark (footer min/max row-group skipping — manifest-level
+    file pruning stays on the scan(row_filter=...) route, which
+    table_sql_over_view exercises)."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .month("o_orderdate").build()
+        cat.create_table("q.orders", o, spec=spec).append(o)
+
+    cat = _cached_table(spark, sf_dir, "scan_pruned", build)
+    return cat.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM q.orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+
 @q("legacy_hive_scan", """
 SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
 FROM orders
@@ -4301,7 +4332,11 @@ _PRIORITY = [
     # pack_sharded/split_assign/trigram_novelty + the release pipeline
     # in-window) rotates out for events_funnel (new: ordered-funnel
     # conversion — the events family's first in-window rep since r3)
-    "table_update_where", "events_funnel",
+    # r5: table_update_where (green r3+r4, unchanged; DML family keeps
+    # overwrite_where/equality_deletes/rewrite_pos_deletes in-window)
+    # rotates out for table_sql_direct (new: Catalog.sql — SQL over
+    # engine tables with zero manual view registration)
+    "table_sql_direct", "events_funnel",
     # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
     # out for table_changelog (new: CDC scan over a MERGE commit)
     # r4 late: table_changelog (green r3, unchanged; CDC evidence stands

@@ -1,0 +1,72 @@
+"""Catalog.sql: raw SQL over engine tables with auto-registration —
+dotted identifiers in FROM/JOIN resolve in the catalog, including
+db.t.<metadata> relations (ref: the reference Spark integration's
+catalog resolution, spark3/.../SparkCatalog.java:122)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def cat(catalog, spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    catalog.create_table("db.orders", orders).append(orders)
+    catalog.create_table("db.nation", nation).append(nation)
+    return catalog
+
+
+def test_sql_from_engine_table(cat, spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    got = cat.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM db.orders "
+        "GROUP BY o_orderpriority").collect()
+    want = orders.groupBy("o_orderpriority").count().collect()
+    assert {(r["o_orderpriority"], r["n"]) for r in got} == \
+        {(r["o_orderpriority"], r["count"]) for r in want}
+
+
+def test_sql_join_two_engine_tables(cat):
+    n = cat.sql(
+        "SELECT count(*) AS n FROM db.orders o JOIN db.nation "
+        "ON o.o_custkey % 25 = db.nation.n_nationkey").collect()[0]["n"]
+    assert n == cat.load_table("db.orders").to_df().count()
+
+
+def test_sql_metadata_relation(cat):
+    rows = cat.sql(
+        "SELECT snapshot_id, operation FROM db.orders.snapshots").collect()
+    assert len(rows) == 1 and rows[0]["operation"] == "append"
+    # files relation joins like any other table
+    nf = cat.sql("SELECT count(*) AS n FROM db.orders.files").collect()
+    assert nf[0]["n"] >= 1
+
+
+def test_sql_sees_deletes_and_current_snapshot(cat, spark):
+    t = cat.load_table("db.orders")
+    before = cat.sql("SELECT count(*) AS n FROM db.orders").collect()[0]["n"]
+    keys = spark.createDataFrame([(k,) for k in range(0, 30)],
+                                 "o_orderkey bigint")
+    t.row_delta(equality_delete_keys=keys, key_cols=["o_orderkey"])
+    gone = t.to_df().filter(F.col("o_orderkey") < 30).count()
+    assert gone == 0
+    after = cat.sql("SELECT count(*) AS n FROM db.orders").collect()[0]["n"]
+    assert after < before
+
+
+def test_sql_leaves_unknown_identifiers_alone(cat, spark):
+    spark.range(5).selectExpr("id AS x").createOrReplaceTempView("plainv")
+    # a plain view name and a non-catalog dotted function call survive
+    got = cat.sql("SELECT sum(x) AS s FROM plainv").collect()[0]["s"]
+    assert got == 10
+    with pytest.raises(Exception):
+        cat.sql("SELECT * FROM no.such.table")
+
+
+def test_sql_comma_join_and_alias(cat):
+    n = cat.sql(
+        "SELECT count(*) AS n FROM db.orders o, db.nation nn "
+        "WHERE o.o_custkey % 25 = nn.n_nationkey").collect()[0]["n"]
+    assert n == cat.load_table("db.orders").to_df().count()
