@@ -1419,6 +1419,128 @@ class Table:
             return md
         return self._commit_metadata_edit(do)
 
+    def merge_branch(self, name: str) -> "Table":
+        """Merge a DIVERGED branch into main: the branch's exclusive
+        commits are re-applied onto main's head in their original order,
+        one conflict-validated cherry-pick each (ref:
+        core/.../SnapshotManager.java:65-171 cherrypick machinery — this
+        is its n-commit generalization for branch refs).  Falls back to
+        ``fast_forward`` when main never diverged.
+
+        A TRUE conflict raises ValidationException BEFORE any commit
+        lands (the whole series is validated upfront):
+          - a branch commit removes/rewrites a file that is not live on
+            main (main removed/rewrote it too — overlapping DML),
+          - a branch-added delete file may hit a main-exclusive data
+            file (re-applied at a higher sequence number it would start
+            deleting rows the branch never saw),
+          - a main-exclusive delete file may hit a branch-added data
+            file (the re-applied data would outrank the delete and rows
+            main deleted would escape it).
+        Disjoint-partition/key work merges clean; overlapping-filter
+        DML raises — the reference's validation lens
+        (BaseOverwriteFiles.java:76-129).
+
+        Ordered re-application preserves WITHIN-branch delete scoping:
+        each cherry-pick takes a fresh, monotonically higher sequence
+        number, so a branch delete still outranks the branch data it
+        targeted, and a RowDelta's co-committed data and deletes land at
+        ONE sequence number (deletes scope strictly-older rows only).
+        The branch ref survives the merge; drop_branch when done."""
+        from linkedin_iceberg_spark.catalog.scan import (
+            _eq_delete_may_hit, _pos_delete_may_hit)
+
+        self._require_main("merge_branch")
+        self.refresh()
+        md = self.metadata
+        if md.ref_types.get(name) != "branch":
+            raise ValueError(f"unknown branch {name!r}")
+        head = md.refs[name]
+        main_head = md.current_snapshot_id
+        if main_head is None or main_head in set(md.ancestry(head)):
+            return self.fast_forward(name)
+        branch_anc = md.ancestry(head)  # newest -> oldest
+        main_anc = md.ancestry(main_head)
+        exclusive = [sid for sid in reversed(branch_anc)
+                     if sid not in set(main_anc)]
+        if not exclusive:
+            return self  # branch is strictly behind main
+
+        def live_map(sid):
+            if sid is None:
+                return {}
+            snap = md.snapshot_by_id(sid)
+            return {e.data_file.file_path: e
+                    for e in self._live_entries(snapshot=snap)}
+
+        # per-commit entry delta relative to its parent, oldest first
+        deltas = []
+        for sid in exclusive:
+            snap = md.snapshot_by_id(sid)
+            cur = live_map(sid)
+            par = live_map(snap.parent_snapshot_id)
+            added = [e for p, e in cur.items() if p not in par]
+            removed = [par[p] for p in sorted(par) if p not in cur]
+            deltas.append((snap, added, removed))
+
+        # upfront validation of the WHOLE series against main's state
+        main_live = live_map(main_head)
+        main_excl = set(main_anc) - set(branch_anc)
+        main_excl_entries = [e for e in main_live.values()
+                             if e.snapshot_id in main_excl]
+
+        def delete_hits(dfile, datafile) -> bool:
+            if dfile.content == M.CONTENT_EQUALITY_DELETES:
+                return _eq_delete_may_hit(dfile, datafile)
+            return _pos_delete_may_hit(dfile, datafile)
+
+        sim = set(main_live)
+        for snap, added, removed in deltas:
+            gone = [e.data_file.file_path for e in removed
+                    if e.data_file.file_path not in sim]
+            if gone:
+                raise ValidationException(
+                    f"merge_branch: branch commit {snap.snapshot_id} "
+                    f"removes/rewrites {len(gone)} file(s) not live on "
+                    f"main (e.g. {gone[0]}) — overlapping DML; resolve "
+                    "by hand (cherry_pick / re-run the op on main)")
+            sim -= {e.data_file.file_path for e in removed}
+            sim |= {e.data_file.file_path for e in added}
+            for e in added:
+                d = e.data_file
+                for me in main_excl_entries:
+                    f = me.data_file
+                    if d.content == M.CONTENT_DATA and \
+                            f.content != M.CONTENT_DATA and \
+                            delete_hits(f, d):
+                        raise ValidationException(
+                            f"merge_branch: main's delete file "
+                            f"{f.file_path} may hit branch-added data "
+                            f"{d.file_path}; resolve by hand")
+                    if d.content != M.CONTENT_DATA and \
+                            f.content == M.CONTENT_DATA and \
+                            delete_hits(d, f):
+                        raise ValidationException(
+                            f"merge_branch: branch delete file "
+                            f"{d.file_path} may hit main-exclusive data "
+                            f"{f.file_path}; resolve by hand")
+
+        # ordered re-application, each through the validated swap loop;
+        # every path the series touches counts as seen, so earlier
+        # cherry-picks (and the branch's own files) never self-conflict —
+        # anything else committed concurrently DOES
+        seen = set(main_live)
+        for _, added, _ in deltas:
+            seen |= {e.data_file.file_path for e in added}
+        for snap, added, removed in deltas:
+            self._commit_file_swap(
+                removed=removed,
+                added=[e.data_file for e in added],
+                operation=snap.operation,
+                seen_paths=seen,
+                conflict_fn=lambda e: True)
+        return self
+
     def cherry_pick(self, snapshot_id: int) -> "Table":
         """Publish a staged (WAP) snapshot: fast-forward if it's a direct
         child of current, else RE-APPLY its added files on top of the

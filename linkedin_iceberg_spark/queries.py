@@ -3437,6 +3437,42 @@ def table_branch_workflow(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_branch_merge", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey >= 1000 AND o_orderkey < 1400
+UNION ALL
+SELECT o_orderkey + 1000000 AS o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey""")
+def table_branch_merge(spark, sf_dir):
+    """Merge a DIVERGED branch (beyond fast-forward): the branch stages a
+    delete + an append while main independently deletes a DISJOINT key
+    range; merge_branch re-applies the branch's two exclusive commits
+    onto main as ordered conflict-validated cherry-picks (ref:
+    core/.../SnapshotManager.java:65-171 generalized to branch refs).
+    The oracle replays the union of both sides' net effects."""
+    from linkedin_iceberg_spark.expressions import gt_eq, lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_mrg", o)
+    # single-file halves so the two sides' DML provably touch disjoint files
+    t.append(o.filter(F.col("o_orderkey") < 1200).coalesce(1))
+    t.append(o.filter(F.col("o_orderkey") >= 1200).coalesce(1))
+    t.create_branch("feature")
+    b = t.branch("feature")
+    b.delete_where(lt("o_orderkey", 1000))
+    b.append(o.filter(F.col("o_orderkey") < 200)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+             .coalesce(1))
+    t.delete_where(gt_eq("o_orderkey", 1400))  # main diverges
+    n_before = len(t.metadata.ancestry())
+    t.merge_branch("feature")
+    assert len(t.metadata.ancestry()) == n_before + 2, \
+        "expected one cherry-pick per exclusive branch commit"
+    return (t.to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_object_store_layout", """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey >= 2000 ORDER BY o_orderkey""")
@@ -4380,7 +4416,11 @@ _PRIORITY = [
     # multimodal_meta (each green in r2; their families keep in-window
     # representatives: meta_partitions+files, events tumbling+session,
     # multimodal decode_features).
-    "table_overwrite_where", "similarity_matryoshka", "table_rollback_wap",
+    # r5: table_rollback_wap (green r3+r4, unchanged; snapshot-mgmt
+    # family keeps tag_travel/branch_workflow/snapshot_clone in-window)
+    # rotates out for table_branch_merge (new: diverged-branch merge as
+    # ordered conflict-validated cherry-picks)
+    "table_overwrite_where", "similarity_matryoshka", "table_branch_merge",
     # metadata tables / streaming / multimodal
     # r3 late: meta_partitions_months (green r1+r2, unchanged; family keeps
     # meta_files_stats in-window) rotates out for legacy_hive_scan (new:
