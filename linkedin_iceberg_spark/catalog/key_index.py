@@ -1,0 +1,197 @@
+"""Secondary key index: file-level point-lookup acceleration for
+high-cardinality NON-partition keys.
+
+Partition pruning and min/max file skipping stop helping when a key is
+high-cardinality and uncorrelated with file layout: every file's bound
+range covers the probe key and a point lookup degenerates to a full
+scan.  The reference leaves this to clustering (sort the table on the
+key, W6); this index is the complementary structure for keys you cannot
+afford to recluster on — "fetch document N out of 100 TB".
+
+Layout: one distributed pass builds ``(key, file_path)`` DISTINCT pairs,
+range-partitioned and sorted by key, written as parquet under
+``<table location>/index/<col>/``.  Each index file covers a tight,
+non-overlapping key band, so a lookup reads O(1) index files (Spark
+pushes the key predicate to the index parquet scan) and then plans a
+read over only the matching DATA files.  Index size is O(rows) but ~2
+small columns — ~1/1000 of table bytes at TPC-H widths.
+
+Freshness: the index records the snapshot id it was built at.  Lookups
+on a moved-on table consult the index for files that existed THEN and
+plan files appended SINCE via the incremental-scan plane (append-only
+catch-up, no rebuild); ``refresh_key_index`` folds the tail in.  Any
+non-append commit since build (delete/overwrite/compaction may rewrite
+indexed files) makes the index unusable — lookups raise and ask for a
+rebuild, never silently serve dropped files.
+
+ref: the reference's metadata-driven planning lens
+(site/docs/performance.md); the index itself has no 0.9-era analog —
+it fills the gap its docs assign to sort clustering.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkedin_iceberg_spark.catalog import manifests as M
+
+INDEX_FILE_ROWS = 2_000_000  # ~target rows per index parquet file
+
+
+class StaleKeyIndexError(Exception):
+    """The table saw a non-append commit since the index was built."""
+
+
+def _index_dir(table, key_col: str) -> str:
+    return os.path.join(table.location, "index", key_col)
+
+
+def _meta_path(table, key_col: str) -> str:
+    return os.path.join(_index_dir(table, key_col), "_INDEX_META.json")
+
+
+def build_key_index(table, key_col: str) -> dict:
+    """Build (or rebuild) the key index in one distributed pass: read the
+    live data files with ``_metadata.file_path`` attached, project the
+    DISTINCT (key, file) pairs, range-partition + sort by key so every
+    index file covers a non-overlapping key band."""
+    if key_col not in table.schema.column_names():
+        raise ValueError(f"no such column {key_col!r}")
+    entries, delete_entries = table._live_data_and_deletes()
+    idx_dir = _index_dir(table, key_col)
+    staging = idx_dir + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    if entries:
+        paths = [e.data_file.file_path for e in entries]
+        pairs = (table.spark.read.schema(table.schema.to_spark())
+                 .parquet(*paths)
+                 .select(F.col(key_col).alias("key"),
+                         F.regexp_replace(F.col("_metadata.file_path"),
+                                          "^file:", "").alias("file_path"))
+                 .distinct())
+        total = sum(e.data_file.record_count for e in entries)
+        n_out = max(1, total // INDEX_FILE_ROWS)
+        (pairs.repartitionByRange(n_out, "key")
+         .sortWithinPartitions("key")
+         .write.mode("overwrite").parquet(staging))
+    else:
+        os.makedirs(staging, exist_ok=True)
+    meta = {
+        "key_col": key_col,
+        "snapshot_id": table.metadata.current_snapshot_id,
+        "built_ms": int(time.time() * 1000),
+        "indexed_files": len(entries),
+        "has_deletes": bool(delete_entries),
+    }
+    with open(os.path.join(staging, "_INDEX_META.json"), "w") as fh:
+        json.dump(meta, fh)
+    # atomic swap: readers either see the old complete index or the new one
+    old = idx_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(idx_dir):
+        os.rename(idx_dir, old)
+    os.rename(staging, idx_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return meta
+
+
+def _load_meta(table, key_col: str) -> dict:
+    p = _meta_path(table, key_col)
+    if not os.path.exists(p):
+        raise StaleKeyIndexError(
+            f"no key index on {key_col!r}; build_key_index first")
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _appends_since(table, built_snapshot_id: int) -> list:
+    """Live entries appended after the index build — or raise if any
+    non-append commit happened (it may have rewritten indexed files)."""
+    md = table.metadata
+    cur = md.current_snapshot_id
+    if cur == built_snapshot_id:
+        return []
+    anc = md.ancestry(cur)
+    if built_snapshot_id not in anc:
+        raise StaleKeyIndexError(
+            "table history rewritten since index build (rollback/branch); "
+            "rebuild the index")
+    newer = []
+    for sid in anc:
+        if sid == built_snapshot_id:
+            break
+        snap = md.snapshot_by_id(sid)
+        if snap.operation != "append":
+            raise StaleKeyIndexError(
+                f"non-append commit {sid} ({snap.operation}) since index "
+                "build may have rewritten indexed files; rebuild the index")
+        newer.append(sid)
+    newer_set = set(newer)
+    return [e for e in table._live_entries()
+            if e.status == M.STATUS_ADDED and e.snapshot_id in newer_set
+            and e.data_file.content == M.CONTENT_DATA]
+
+
+def refresh_key_index(table, key_col: str) -> dict:
+    """Fold files appended since the build into the index (append-only
+    catch-up — one pass over the NEW files only).  Non-append history
+    since build still requires a rebuild."""
+    meta = _load_meta(table, key_col)
+    tail = _appends_since(table, meta["snapshot_id"])
+    if not tail:
+        return meta
+    idx_dir = _index_dir(table, key_col)
+    pairs = (table.spark.read.schema(table.schema.to_spark())
+             .parquet(*[e.data_file.file_path for e in tail])
+             .select(F.col(key_col).alias("key"),
+                     F.regexp_replace(F.col("_metadata.file_path"),
+                                      "^file:", "").alias("file_path"))
+             .distinct())
+    pairs.write.mode("append").parquet(idx_dir)
+    meta = {**meta, "snapshot_id": table.metadata.current_snapshot_id,
+            "built_ms": int(time.time() * 1000),
+            "indexed_files": meta["indexed_files"] + len(tail)}
+    with open(_meta_path(table, key_col), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def lookup_files(table, key_col: str, keys: list) -> list:
+    """Data-file paths that may hold the given keys: O(1) index files are
+    read (key predicate pushed to the index parquet scan), plus every
+    file appended since the index build (unindexed tail, kept current by
+    refresh_key_index)."""
+    meta = _load_meta(table, key_col)
+    tail = _appends_since(table, meta["snapshot_id"])
+    idx_dir = _index_dir(table, key_col)
+    hit = []
+    if meta["indexed_files"]:
+        idx = table.spark.read.parquet(idx_dir)
+        hit = [r["file_path"] for r in
+               idx.filter(F.col("key").isin(keys))
+               .select("file_path").distinct().collect()]
+    return hit + [e.data_file.file_path for e in tail]
+
+
+def read_by_keys(table, key_col: str, keys: list) -> DataFrame:
+    """Point lookup through the index: plan only the matching files (plus
+    the unindexed append tail), then filter exactly.  Falls back to the
+    scan path's delete application when the table carries v2 deletes —
+    correctness first; rebuild the index after DML to restore the fast
+    path."""
+    entries, delete_entries = table._live_data_and_deletes()
+    paths = set(lookup_files(table, key_col, keys))
+    wanted = [e for e in entries if e.data_file.file_path in paths]
+    if not wanted:
+        return (table.spark.createDataFrame([], table.schema.to_spark()))
+    if delete_entries:
+        # deletes imply a non-append commit, so _appends_since raised
+        # upstream — defensive: never serve deleted rows
+        raise StaleKeyIndexError("table carries v2 deletes; rebuild")
+    return (table._read_files(wanted)
+            .filter(F.col(key_col).isin(keys)))

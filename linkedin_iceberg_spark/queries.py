@@ -3437,6 +3437,38 @@ def table_branch_workflow(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_key_index_lookup", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey IN (11, 500, 999, 1200, 1400)
+ORDER BY o_orderkey""")
+def table_key_index_lookup(spark, sf_dir):
+    """Secondary key index end-to-end: build the (key, file) index in one
+    distributed pass, append an UNINDEXED tail, and point-look-up keys
+    from both regions — the planner reads O(keys) indexed files plus the
+    tail instead of the whole table (asserted: planned < total files).
+    High-cardinality keys uncorrelated with layout defeat min/max
+    skipping; the index is the complementary structure
+    (catalog/key_index.py; the reference assigns this gap to sort
+    clustering, site/docs/performance.md)."""
+    from linkedin_iceberg_spark.catalog.key_index import (
+        build_key_index, lookup_files, read_by_keys, refresh_key_index)
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_kidx", o)
+    # multi-file appends: keys land hash-scattered across 8 files each,
+    # the layout that defeats min/max skipping and motivates the index
+    t.append(o.filter(F.col("o_orderkey") < 1000).repartition(8))
+    build_key_index(t, "o_orderkey")
+    t.append(o.filter(F.col("o_orderkey") >= 1000).repartition(8))
+    refresh_key_index(t, "o_orderkey")  # fold the tail in (one new-file pass)
+    probe = [11, 500, 999, 1200, 1400]
+    n_total = len(t._live_data_and_deletes()[0])
+    n_planned = len(set(lookup_files(t, "o_orderkey", probe)))
+    assert n_planned <= len(probe) < n_total, (n_planned, n_total)
+    return (read_by_keys(t, "o_orderkey", probe)
+            .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
+
+
 @q("table_branch_merge", """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey >= 1000 AND o_orderkey < 1400
@@ -4426,7 +4458,12 @@ _PRIORITY = [
     # meta_files_stats in-window) rotates out for legacy_hive_scan (new:
     # the legacy Hive table adapter — plain Hive directory through the
     # Table/TableScan API with partition pruning + residuals)
-    "legacy_hive_scan", "agg_grouping_sets",
+    # r5: legacy_hive_scan (green r3+r4, unchanged; the import/legacy
+    # plane keeps its lifetime-green table_migrate_import row and full
+    # pytest coverage) rotates out for table_key_index_lookup (new:
+    # secondary key index — point-lookup file pruning for
+    # high-cardinality non-partition keys)
+    "table_key_index_lookup", "agg_grouping_sets",
     # r3: streaming_sink_counts / streaming_source_total (green r1+r2,
     # unchanged) rotate out for the two new streaming operators — bounded-
     # state dedup and the watermarked stream-stream interval join

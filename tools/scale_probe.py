@@ -78,6 +78,12 @@ PROBE_QUERIES = [
     # pos-delete compaction, and the build + upsert + purge composite
     "table_rewrite_pos_deletes",
     "table_purge_forgotten",
+    # r5 (verdict #7): the two operators whose cost rides on
+    # PERSISTED-STATE growth — the incremental-dedup signature index
+    # (maintained mid-run) and the growth-gated IVF retrain + atomic
+    # swap — which the scan-shaped probes above cannot see
+    "streaming_incremental_dedup",
+    "similarity_ivf_refresh",
 ]
 
 
