@@ -1675,6 +1675,15 @@ class Table:
         from linkedin_iceberg_spark.catalog.changelog import changes
         return changes(self, from_snapshot_id, to_snapshot_id)
 
+    def diff(self, from_ref, to_ref=None) -> DataFrame:
+        """Net row delta between two states (snapshot ids, tag/branch
+        names, or None=current), tagged `_diff_type` — works across
+        non-ancestor pairs (two branches) where no changelog path
+        exists; unchanged files skip metadata-only.  See
+        catalog/diff.py."""
+        from linkedin_iceberg_spark.catalog.diff import snapshot_diff
+        return snapshot_diff(self, from_ref, to_ref)
+
     # ---------------------------------------------------------- maintenance
     def rewrite_data_files(self, **kw) -> dict:
         from linkedin_iceberg_spark.catalog.maintenance import rewrite_data_files

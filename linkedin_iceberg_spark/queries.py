@@ -3437,6 +3437,37 @@ def table_branch_workflow(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_snapshot_diff", """
+SELECT o_orderkey, diff AS _diff_type FROM (
+  SELECT o_orderkey + 1000000 AS o_orderkey, 'added' AS diff FROM orders
+  WHERE o_orderkey < 50
+  UNION ALL
+  SELECT o_orderkey, 'removed' AS diff FROM orders WHERE o_orderkey < 100
+)
+ORDER BY o_orderkey, _diff_type""")
+def table_snapshot_diff(spark, sf_dir):
+    """Release-audit diff: tag v1, run DML (delete + append), then ask
+    for the NET row delta between the tag and the current state —
+    unchanged files are skipped metadata-only, so the diff reads only
+    the files the DML touched (catalog/diff.py; the changelog replays
+    commits, the diff compares arbitrary state pairs including
+    branches)."""
+    from linkedin_iceberg_spark.expressions import lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_diff", o)
+    t.append(o.filter(F.col("o_orderkey") < 750).coalesce(1))
+    t.append(o.filter(F.col("o_orderkey") >= 750).coalesce(1))
+    t.create_tag("v1")
+    t.delete_where(lt("o_orderkey", 100))
+    t.append(o.filter(F.col("o_orderkey") < 50)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+             .coalesce(1))
+    return (t.diff("v1")
+            .select("o_orderkey", "_diff_type")
+            .orderBy("o_orderkey", "_diff_type"))
+
+
 @q("table_key_index_lookup", """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey IN (11, 500, 999, 1200, 1400)
@@ -4509,8 +4540,12 @@ _PRIORITY = [
     # hash_bucket recipe keeps five in-window exercisers) rotates out
     # for table_purge_forgotten (new: right-to-be-forgotten composite
     # with a bytes-on-disk assertion)
+    # r5: streaming_enrichment (green r4, unchanged; streaming family
+    # keeps partition_reprocess + incremental_dedup in-window) rotates
+    # out for table_snapshot_diff (new: net row delta between arbitrary
+    # refs with metadata-only skip of unchanged files)
     "table_purge_forgotten", "pipeline_training_release",
-    "streaming_enrichment",
+    "table_snapshot_diff",
     # r3 late: text_fingerprint (green r2; text family keeps six in-window
     # entries) rotates out for streaming_incremental_dedup (new: persisted
     # signature-index dedup across micro-batches, full-run SQL oracle)
