@@ -186,6 +186,69 @@ def agg_approx_distinct(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@q("agg_kmv_overlap", """
+WITH ta AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+), tb AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE CAST(substr(source, 4) AS INT) % 2 = 1
+), i AS (SELECT count(*) AS n FROM ta JOIN tb USING (tok)),
+   u AS (SELECT count(*) AS n FROM (
+     SELECT tok FROM ta UNION SELECT tok FROM tb))
+SELECT CAST(u.n AS BIGINT) AS exact_union,
+       CAST(i.n AS BIGINT) AS exact_intersection,
+       TRUE AS union_within_band,
+       TRUE AS jaccard_within_band,
+       TRUE AS intersection_within_band
+FROM i, u""")
+def agg_kmv_overlap(spark, sf_dir):
+    """KMV bottom-k set-overlap sketches — the question HLL cannot
+    answer: how much do two corpora's token sets OVERLAP (contamination
+    audits, source-mix diagnostics).  One distinct pass per corpus,
+    then O(k) sketch algebra: union, Jaccard, and intersection
+    estimates, each within published 1/sqrt(k) bands (6-sigma checked
+    here; exact when the true union fits in k).  Sketches persist and
+    MERGE without rescans (operators/sketch.py; Beyer et al.
+    SIGMOD'07)."""
+    from linkedin_iceberg_spark.operators.sketch import kmv_overlap
+    k = 4096
+    d = ld(spark, sf_dir, "documents").select(
+        "text",
+        (F.substring("source", 4, 10).cast("int") % 2).alias("par"))
+    toks = d.select("par", F.explode(F.split("text", " ")).alias("tok"))
+    a, b = toks.filter(F.col("par") == 0), toks.filter(F.col("par") == 1)
+    est = kmv_overlap(a, b, "tok", k=k)
+
+    exact = spark.sql("""
+        WITH ta AS (SELECT DISTINCT tok FROM {a}),
+             tb AS (SELECT DISTINCT tok FROM {b}),
+             i AS (SELECT count(*) AS n FROM ta JOIN tb USING (tok)),
+             u AS (SELECT count(*) AS n FROM
+               (SELECT tok FROM ta UNION SELECT tok FROM tb))
+        SELECT u.n AS exact_union, i.n AS exact_intersection FROM i, u
+    """, a=a.select("tok"), b=b.select("tok"))
+    band_u = 6.0 / (k ** 0.5)
+    return est.crossJoin(exact).select(
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersection").cast("long")
+        .alias("exact_intersection"),
+        (F.abs(F.col("union_est") - F.col("exact_union"))
+         <= F.greatest(F.lit(1.0), band_u * F.col("exact_union")))
+        .alias("union_within_band"),
+        (F.abs(F.col("jaccard_est")
+               - F.col("exact_intersection") / F.col("exact_union"))
+         <= F.lit(6.0) * F.sqrt(
+             (F.col("exact_intersection") / F.col("exact_union"))
+             * (1 - F.col("exact_intersection") / F.col("exact_union"))
+             / F.lit(float(k)) + F.lit(1e-12)) + F.lit(1e-9))
+        .alias("jaccard_within_band"),
+        (F.abs(F.col("intersection_est") - F.col("exact_intersection"))
+         <= F.greatest(F.lit(1.0),
+                       0.15 * F.col("exact_intersection")))
+        .alias("intersection_within_band"))
+
+
 @q("agg_hll_mergeable", """
 WITH toks AS (
   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -4597,7 +4660,11 @@ _PRIORITY = [
     # r4: scalar_math_funcs (green r3; scalar family has lifetime-green
     # string/json/cond siblings) rotates out for table_count_pushdown
     # (new: metadata-only COUNT(*))
-    "table_count_pushdown", "agg_approx_percentile",
+    # r5: agg_approx_percentile (green r4, unchanged; the agg/sketch
+    # family keeps grouping_sets + hll_mergeable in-window) rotates out
+    # for agg_kmv_overlap (new: KMV bottom-k set-overlap sketches —
+    # union/Jaccard/intersection estimation HLL cannot express)
+    "table_count_pushdown", "agg_kmv_overlap",
     # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
     # dedup_embedding (new r3: cosine near-dup -> connected components ->
     # keep-decision, full-pipeline generated oracle)
