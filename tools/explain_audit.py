@@ -242,6 +242,23 @@ CONTRACTS = {
         ["BroadcastHashJoin", "LeftAnti", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
          "ArrowEvalPython"]),
+    "agg_kmv_overlap": (
+        # one distinct per corpus then bottom-k via TakeOrdered; all
+        # sketch algebra runs on <= k rows, JVM-side end to end
+        ["TakeOrderedAndProject", "HashAggregate", "xxhash64"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "table_snapshot_diff": (
+        # exceptAll multiset diff over the CHANGED-file candidates only;
+        # equi-shaped aggregates, never an all-pairs comparison
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "ArrowEvalPython"]),
+    "table_key_index_lookup": (
+        # the planned read carries the key predicate INTO the parquet
+        # scan of the few matching files (row-group skipping on top of
+        # index-level file pruning)
+        ["PushedFilters", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
