@@ -114,6 +114,49 @@ def cap_per_group(df: DataFrame, group_col: str, n: int, id_col: str,
             .filter(F.col("_rn") <= n).drop("_rn"))
 
 
+def sample_weighted(df: DataFrame, weight_col: str, n_expected: int,
+                    id_col: str, salt: str = "v1") -> DataFrame:
+    """Weighted (probability-proportional-to-size) Poisson sampling:
+    each row is kept with probability min(1, n_expected * w / W), so
+    longer/higher-quality documents are proportionally more likely to
+    survive and the expected sample size is ~n_expected (exactly, when
+    no row's probability clips at 1).  Weights must be non-negative
+    INTEGERS (token counts, byte sizes, scaled quality tiers) — that is
+    what keeps the decision integer-exact.
+
+    Determinism contract (the module invariant): a row's fate is a pure
+    function of (salt, id, w, W).  The per-row threshold is computed in
+    pure INTEGER arithmetic — (n * w * 1e6) div W against the shared
+    md5 bucket — so the kept set replays bit-identically in ANSI
+    SQL/DuckDB with no float in sight (float thresholds would let a
+    libm ulp flip a boundary row between engines).  W (the exact
+    integer weight total) is the one scan-derived input; it is computed
+    in the same pass style as the rest of the module and inlined.
+
+    Scale: one metadata-sized aggregate (sum/max of the weight column),
+    then one hash + two integer ops per row — no shuffle, no RNG, no
+    sort.  NULL ids and NULL/zero/negative weights drop (threshold and
+    bucket both propagate NULL/false), matching the SQL replay."""
+    if n_expected <= 0:
+        raise ValueError("n_expected must be positive")
+    stats = df.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("W"),
+        F.max(F.col(weight_col).cast("long")).alias("mw")).collect()[0]
+    total_w, max_w = stats["W"], stats["mw"]
+    if not total_w or total_w <= 0:
+        raise ValueError("weights must sum to a positive integer")
+    if n_expected * max_w * _BUCKETS >= 2 ** 63:
+        raise ValueError(
+            "n_expected * max(weight) * 1e6 overflows 64-bit integer "
+            "arithmetic; rescale the weight column")
+    thresh = F.least(
+        F.lit(_BUCKETS).cast("long"),
+        F.expr(f"({int(n_expected)}L * CAST({weight_col} AS BIGINT) "
+               f"* {_BUCKETS}L) div {int(total_w)}L"))
+    return df.filter((F.col(weight_col) > 0) &
+                     (_bucket(id_col, salt) < thresh))
+
+
 def mix_by_token_budget(df: DataFrame, group_col: str, count_col: str,
                         budgets: dict, id_col: str, salt: str = "v1",
                         default_budget: int = 0) -> DataFrame:

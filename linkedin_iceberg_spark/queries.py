@@ -1731,6 +1731,38 @@ _REGISTRY["pipeline_training_release"] = (
     _REGISTRY["pipeline_training_release"][0], _training_release_oracle())
 
 
+@q("sample_weighted_pps", None)  # oracle attached below (generated SQL)
+def sample_weighted_pps(spark, sf_dir):
+    """Weighted (probability-proportional-to-size) Poisson sampling:
+    keep each document with probability min(1, n * n_chars / W) — the
+    length-weighted corpus downsample that preserves token mass better
+    than uniform row sampling.  The decision is pure INTEGER arithmetic
+    over the shared md5 bucket (no float anywhere), so the kept set
+    replays bit-identically in the SQL oracle, which recomputes W
+    itself (operators/sampling.py sample_weighted)."""
+    from linkedin_iceberg_spark.operators.sampling import sample_weighted
+    d = ld(spark, sf_dir, "documents")
+    return (sample_weighted(d, "n_chars", n_expected=120, id_col="doc_id",
+                            salt="pps1")
+            .select("doc_id", "source", "n_chars").orderBy("doc_id"))
+
+
+def _weighted_pps_oracle() -> str:
+    from linkedin_iceberg_spark.operators.sampling import sample_bucket_sql
+    b = sample_bucket_sql("doc_id", "pps1")
+    return f"""
+WITH tot AS (SELECT SUM(CAST(n_chars AS BIGINT)) AS w FROM documents)
+SELECT doc_id, source, n_chars FROM documents, tot
+WHERE n_chars > 0
+  AND {b} < least(1000000,
+                  (120 * CAST(n_chars AS BIGINT) * 1000000) // tot.w)
+ORDER BY doc_id"""
+
+
+_REGISTRY["sample_weighted_pps"] = (_REGISTRY["sample_weighted_pps"][0],
+                                    _weighted_pps_oracle())
+
+
 @q("sample_cap_per_source", None)  # oracle attached below (generated SQL)
 def sample_cap_per_source(spark, sf_dir):
     """Per-source document cap (the C4-style per-domain cap): keep at most
@@ -4616,7 +4648,11 @@ _PRIORITY = [
     # text family keeps chunk/pack/pack_sharded/split_assign/pii_scrub/
     # decontaminate in-window) rotate out for the two new mixture
     # operators — per-source caps and token-budget selection
-    "streaming_incremental_dedup", "sample_cap_per_source",
+    # r5: sample_cap_per_source (green r4, unchanged; sampling family
+    # keeps temperature_mix/token_budget/shuffle_shards in-window)
+    # rotates out for sample_weighted_pps (new: integer-exact
+    # probability-proportional-to-size Poisson sampling)
+    "streaming_incremental_dedup", "sample_weighted_pps",
     "sample_token_budget_mix",
     # relational representatives (one-per-operator-family coverage).
     # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg

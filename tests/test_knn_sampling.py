@@ -248,3 +248,51 @@ def test_mix_by_token_budget_is_greedy_maximal(spark, sf_dir):
         b = budgets.get(src, 200)
         running[src] = running.get(src, 0) + r["n_tokens"]
         assert (r["doc_id"] in kept_ids) == (running[src] <= b)
+
+
+def test_sample_weighted_pps_properties(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.operators.sampling import sample_weighted
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = d.count()
+    target = max(10, n // 4)
+    kept = sample_weighted(d, "n_chars", n_expected=target,
+                           id_col="doc_id", salt="t1")
+    k = kept.count()
+    # Poisson sampling: size concentrates around the target
+    assert 0.5 * target <= k <= 1.5 * target, (k, target)
+
+    # deterministic: same inputs -> identical kept set, any partitioning
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  sample_weighted(d.repartition(7), "n_chars",
+                                  n_expected=target, id_col="doc_id",
+                                  salt="t1").select("doc_id").collect())
+    assert ids1 == ids2
+
+    # weighting bites: kept docs are longer on average than the corpus
+    avg_all = d.agg(F.avg("n_chars")).collect()[0][0]
+    avg_kept = kept.agg(F.avg("n_chars")).collect()[0][0]
+    assert avg_kept > avg_all
+
+
+def test_sample_weighted_guards(spark):
+    from pyspark.sql import Row
+
+    from linkedin_iceberg_spark.operators.sampling import sample_weighted
+
+    df = spark.createDataFrame([Row(id=1, w=0), Row(id=2, w=-5),
+                                Row(id=3, w=None), Row(id=4, w=10)])
+    kept = sample_weighted(df, "w", n_expected=100, id_col="id")
+    # zero/negative/NULL weights always drop; w=10 rows clip at p=1
+    assert [r["id"] for r in kept.collect()] == [4]
+
+    with pytest.raises(ValueError, match="positive"):
+        sample_weighted(df, "w", n_expected=0, id_col="id")
+    big = spark.createDataFrame([Row(id=1, w=2 ** 40)])
+    with pytest.raises(ValueError, match="overflow"):
+        sample_weighted(big, "w", n_expected=2 ** 20, id_col="id")
