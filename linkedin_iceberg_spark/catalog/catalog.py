@@ -158,6 +158,9 @@ class Catalog:
 
             cat.sql("SELECT count(*) FROM db.orders WHERE ...")
             cat.sql("SELECT snapshot_id, operation FROM db.orders.snapshots")
+            cat.sql("SELECT * FROM db.orders VERSION AS OF 'v1'")
+            cat.sql("SELECT * FROM db.orders TIMESTAMP AS OF "
+                    "'2026-01-01 00:00:00'")
 
         ``db.t.<name>`` resolves the metadata relation ``<name>``
         (snapshots/files/partitions/history/refs/…) of table ``db.t``,
@@ -181,6 +184,45 @@ class Catalog:
 
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
         dotted_pat = rf"{ident}(?:\.{ident})+"
+
+        # time travel first: FROM db.t VERSION AS OF <snapshot-id|'ref'>
+        # and FROM db.t TIMESTAMP AS OF '<ts>' (Spark's SQL time-travel
+        # grammar incl. the FOR SYSTEM_* spellings) resolve through the
+        # scan builder's snapshot/ref/as-of planes, so expired snapshots
+        # and named refs behave exactly like the API route
+        travel = re.compile(
+            rf"\b(from|join)\s+({dotted_pat})\s+"
+            rf"(for\s+system_version\s+as\s+of|version\s+as\s+of|"
+            rf"for\s+system_time\s+as\s+of|timestamp\s+as\s+of)\s+"
+            rf"(\d+|'[^']*')",
+            re.IGNORECASE)
+
+        def _travel_view(m: "re.Match") -> str:
+            kw, dotted, how, lit = (m.group(1), m.group(2),
+                                    m.group(3), m.group(4))
+            if not self.table_exists(dotted):
+                return m.group(0)
+            t = self.load_table(dotted)
+            is_time = "time" in how.lower()
+            if lit.isdigit():
+                scan = (t.new_scan().as_of_time(int(lit)) if is_time
+                        else t.new_scan().use_snapshot(int(lit)))
+            elif is_time:
+                import datetime as _dt
+                s = lit.strip("'")
+                fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+                ts = _dt.datetime.strptime(s, fmt) \
+                    .replace(tzinfo=_dt.timezone.utc)
+                scan = t.new_scan().as_of_time(int(ts.timestamp() * 1000))
+            else:
+                scan = t.new_scan().use_ref(lit.strip("'"))
+            import hashlib as _h
+            view = "liceberg_sql_tt_" + _h.md5(
+                f"{dotted}|{lit}".encode()).hexdigest()[:10]
+            scan.to_df().createOrReplaceTempView(view)
+            return f"{kw} {view}"
+
+        query = travel.sub(_travel_view, query)
         # each list element may carry an alias (FROM db.t o, db.u u);
         # the alias token is stripped again when splitting below
         clause = re.compile(

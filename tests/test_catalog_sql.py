@@ -70,3 +70,45 @@ def test_sql_comma_join_and_alias(cat):
         "SELECT count(*) AS n FROM db.orders o, db.nation nn "
         "WHERE o.o_custkey % 25 = nn.n_nationkey").collect()[0]["n"]
     assert n == cat.load_table("db.orders").to_df().count()
+
+
+def test_sql_time_travel_version_and_ref(cat, spark, sf_dir):
+    t = cat.load_table("db.orders")
+    n1 = t.to_df().count()
+    sid1 = t.metadata.current_snapshot_id
+    t.create_tag("v1")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t.append(orders.limit(25))
+
+    cur = cat.sql("SELECT count(*) AS n FROM db.orders").collect()[0]["n"]
+    assert cur == n1 + 25
+    by_tag = cat.sql("SELECT count(*) AS n FROM db.orders "
+                     "VERSION AS OF 'v1'").collect()[0]["n"]
+    by_id = cat.sql(f"SELECT count(*) AS n FROM db.orders "
+                    f"VERSION AS OF {sid1}").collect()[0]["n"]
+    sysv = cat.sql(f"SELECT count(*) AS n FROM db.orders "
+                   f"FOR SYSTEM_VERSION AS OF {sid1}").collect()[0]["n"]
+    assert by_tag == by_id == sysv == n1
+
+
+def test_sql_time_travel_timestamp(cat, spark, sf_dir):
+    import datetime
+    import time
+
+    t = cat.load_table("db.orders")
+    n1 = t.to_df().count()
+    # the as-of plane resolves against the snapshot LOG's commit times
+    ts_log = t.metadata.snapshot_log[-1]["timestamp-ms"]
+    time.sleep(1.2)  # give the string form (1 s resolution) a clean gap
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t.append(orders.limit(25))
+
+    by_ms = cat.sql(f"SELECT count(*) AS n FROM db.orders "
+                    f"TIMESTAMP AS OF {ts_log}").collect()[0]["n"]
+    assert by_ms == n1
+    s = datetime.datetime.fromtimestamp(
+        ts_log / 1000 + 1, datetime.timezone.utc) \
+        .strftime("%Y-%m-%d %H:%M:%S")
+    by_str = cat.sql(f"SELECT count(*) AS n FROM db.orders "
+                     f"FOR SYSTEM_TIME AS OF '{s}'").collect()[0]["n"]
+    assert by_str == n1
