@@ -3532,6 +3532,46 @@ def table_branch_workflow(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("meta_analyze_ndv", """
+SELECT 'o_custkey' AS col,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+       TRUE AS ndv_within_5pct, TRUE AS incremental_tail_only
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority' AS col,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS exact_ndv,
+       TRUE AS ndv_within_5pct, TRUE AS incremental_tail_only
+FROM orders
+ORDER BY col""")
+def meta_analyze_ndv(spark, sf_dir):
+    """Incremental NDV statistics plane (the AnalyzeTable/stats-file
+    analog): per-FILE HLL sketches persist beside the table and merge
+    per snapshot, so analyze after an append scans ONLY the new tail
+    (asserted: the second analyze sketches exactly one file) and the
+    estimates stay within the 5% HLL band of the exact distinct counts
+    the oracle recomputes (catalog/analyze.py)."""
+    from linkedin_iceberg_spark.catalog.analyze import (
+        analyze_table, column_stats)
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_anlz", o)
+    t.append(o.filter(F.col("o_orderkey") % 5 != 0).repartition(4))
+    analyze_table(t, ["o_custkey", "o_orderpriority"])
+    t.append(o.filter(F.col("o_orderkey") % 5 == 0).coalesce(1))
+    second = analyze_table(t, ["o_custkey", "o_orderpriority"])
+    tail_only = all(v == 1 for v in second.values())
+    rows = []
+    for col in ["o_custkey", "o_orderpriority"]:
+        st = column_stats(t, col)
+        exact = o.select(col).distinct().count()
+        rows.append((col, exact,
+                     abs(st["ndv"] - exact) <= max(1, 0.05 * exact),
+                     tail_only))
+    return spark.createDataFrame(
+        rows, "col string, exact_ndv bigint, ndv_within_5pct boolean, "
+              "incremental_tail_only boolean").orderBy("col")
+
+
 @q("table_snapshot_diff", """
 SELECT o_orderkey, diff AS _diff_type FROM (
   SELECT o_orderkey + 1000000 AS o_orderkey, 'added' AS diff FROM orders
@@ -4515,8 +4555,11 @@ _PRIORITY = [
     # deletes in-window) rotates out for table_rewrite_pos_deletes (new:
     # position-delete compaction — merge + dedupe + dead-row purge)
     "sample_temperature_mix", "table_local_read",
+    # r5: meta_scan_summary (green r4, unchanged; the metadata family
+    # keeps meta_find_files in-window) rotates out for meta_analyze_ndv
+    # (new: incremental per-file NDV sketch statistics)
     "table_rewrite_pos_deletes", "meta_find_files",
-    "table_schema_evolution", "meta_scan_summary",
+    "table_schema_evolution", "meta_analyze_ndv",
     # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
     # table_overwrite_where in-window) rotates out for table_update_where
     # (new: keyless copy-on-write UPDATE with pruned candidates)

@@ -1,0 +1,71 @@
+"""Incremental NDV stats plane (catalog/analyze.py): per-file sketches,
+append-tail incrementality, DML survival via file immutability."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog.analyze import analyze_table, column_stats
+from linkedin_iceberg_spark.expressions import lt
+
+
+@pytest.fixture()
+def t(catalog, spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    tbl = catalog.create_table("db.anlz", orders)
+    tbl.append(orders.repartition(4))
+    return tbl, orders
+
+
+def test_ndv_within_hll_band_and_metrics_exact(t):
+    tbl, orders = t
+    analyze_table(tbl, ["o_custkey", "o_orderpriority"])
+    for col in ["o_custkey", "o_orderpriority"]:
+        st = column_stats(tbl, col)
+        exact = orders.select(col).distinct().count()
+        assert abs(st["ndv"] - exact) <= max(1, 0.05 * exact)
+        assert st["row_count"] == orders.count()
+        assert st["null_count"] == 0
+        assert not st["upper_bound"]
+    st = column_stats(tbl, "o_custkey")
+    assert st["min"] == orders.agg(F.min("o_custkey")).collect()[0][0]
+    assert st["max"] == orders.agg(F.max("o_custkey")).collect()[0][0]
+
+
+def test_analyze_is_incremental_on_append(t):
+    tbl, orders = t
+    first = analyze_table(tbl, ["o_custkey"])
+    assert first["o_custkey"] == 4
+    tbl.append(orders.limit(100).coalesce(1))
+    second = analyze_table(tbl, ["o_custkey"])
+    assert second["o_custkey"] == 1  # ONLY the new file is scanned
+    assert analyze_table(tbl, ["o_custkey"])["o_custkey"] == 0
+    st = column_stats(tbl, "o_custkey")
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(st["ndv"] - exact) <= max(1, 0.05 * exact)
+
+
+def test_dml_rewrites_need_only_new_files(t):
+    tbl, orders = t
+    analyze_table(tbl, ["o_custkey"])
+    tbl.delete_where(lt("o_orderkey", 200))  # CoW rewrite of some files
+    added = analyze_table(tbl, ["o_custkey"])["o_custkey"]
+    live = len(tbl._live_data_and_deletes()[0])
+    assert 1 <= added <= live  # rewritten outputs only, never the world
+    st = column_stats(tbl, "o_custkey")
+    exact = tbl.to_df().select("o_custkey").distinct().count()
+    assert abs(st["ndv"] - exact) <= max(1, 0.05 * exact)
+    assert st["row_count"] == tbl.to_df().count()
+
+
+def test_uncovered_files_raise(t):
+    tbl, orders = t
+    with pytest.raises(ValueError, match="analyze_table"):
+        column_stats(tbl, "o_custkey")
+    analyze_table(tbl, ["o_custkey"])
+    tbl.append(orders.limit(10).coalesce(1))
+    with pytest.raises(ValueError, match="missing tail"):
+        column_stats(tbl, "o_custkey")
+    with pytest.raises(ValueError, match="no such column"):
+        analyze_table(tbl, ["nope"])
