@@ -611,3 +611,104 @@ def truncate_embeddings(df: DataFrame, dim: int,
         out_col,
         F.transform(out_col, lambda x: x.cast("double") / F.col("_nrm")))
         .drop("_nrm"))
+
+
+# ------------------------------------------------------------------ PQ
+def pq_train(df: DataFrame, m: int, n_codes: int, n_iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = None) -> list:
+    """Product-quantization codebooks: split each embedding into `m`
+    equal subvectors and train an independent k-means codebook
+    (kmeans_fit — deterministic by construction) per subspace.  Returns
+    [[(code, sub_centroid)] x m].
+
+    PQ compresses a d-dim float vector to m 1-byte codes (m * log2
+    (n_codes) bits) — at d=1024/m=64 that is ~64x smaller than float32,
+    which is what makes BILLION-vector corpora scannable: the ADC scan
+    (pq_topk) touches codes, never raw vectors.  Jegou et al., "Product
+    Quantization for Nearest Neighbor Search" (TPAMI'11).
+
+    Scale: m independent kmeans_fit runs over sliced views — each is
+    the audited broadcast-iterate loop (one scan per iteration, driver
+    state = centroids only)."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"m must divide the embedding dim ({dim})")
+    sub_len = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            id_col,
+            F.slice(F.col(vec_col), s * sub_len + 1, sub_len)
+            .alias("embedding"))
+        books.append(kmeans_fit(sub, n_codes, n_iters, id_col=id_col,
+                                vec_col="embedding"))
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list,
+              vec_col: str = "embedding",
+              codes_col: str = "codes") -> DataFrame:
+    """Encode vectors to their per-subspace nearest-centroid codes
+    (ivf_assign's rounded-cosine rule per subspace — same determinism
+    contract).  One scan, centroids inlined, no shuffle."""
+    sub_len = len(codebooks[0][0][1])
+    out = df
+    tmp = []
+    for s, cents in enumerate(codebooks):
+        c = f"_pq{s}"
+        tmp.append(c)
+        out = out.withColumn(
+            c, F.slice(F.col(vec_col), s * sub_len + 1, sub_len))
+        out = ivf_assign(out, cents, vec_col=c, cell_col=c + "_code")
+    out = out.withColumn(
+        codes_col, F.array(*[F.col(c + "_code") for c in tmp]))
+    return out.drop(*tmp, *[c + "_code" for c in tmp])
+
+
+def pq_topk(encoded: DataFrame, codebooks: list, query_vec, k: int,
+            id_col: str = "vec_id", codes_col: str = "codes") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact, each
+    row's score is the sum of per-subspace dot(query_sub, centroid)
+    looked up from an m x n_codes literal table — dot(q, x_hat) where
+    x_hat is the row's reconstruction.  The scan touches CODES only
+    (one element_at per subspace); TakeOrdered gives top-k with no
+    global sort."""
+    sub_len = len(codebooks[0][0][1])
+    score = None
+    for s, cents in enumerate(codebooks):
+        q_sub = [float(x) for x in query_vec[s * sub_len:(s + 1) * sub_len]]
+        by_code = dict(cents)
+        lut = F.array(*[
+            F.lit(sum(a * float(b) for a, b in zip(q_sub, by_code[cid])))
+            for cid in sorted(by_code)])
+        term = F.element_at(
+            lut, F.element_at(codes_col, s + 1).cast("int") + 1)
+        score = term if score is None else score + term
+    return (encoded.select(F.col(id_col), F.round(score, 5)
+                           .alias("adc_score"))
+            .orderBy(F.col("adc_score").desc(), F.col(id_col))
+            .limit(k))
+
+
+def pq_search(encoded: DataFrame, raw_df: DataFrame, codebooks: list,
+              query_vec, k: int, shortlist: int = 100,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              codes_col: str = "codes") -> DataFrame:
+    """The production PQ pipeline: ADC over codes builds a `shortlist`
+    of candidates (the only full-corpus pass — codes, not vectors),
+    then EXACT cosine reranks just those rows (raw vectors fetched for
+    the shortlist only, via a broadcastable semi-join).  Recall is the
+    shortlist's to lose: size it ~10x k (and grow it with corpus size);
+    at recall 1.0 the result is exactly cosine_topk's.
+
+    At 100 TB: the corpus scan touches m bytes/vector instead of 4*d,
+    and the rerank reads O(shortlist) vectors — the two-stage shape
+    every large ANN deployment uses."""
+    if shortlist < k:
+        raise ValueError("shortlist must be >= k")
+    ids = pq_topk(encoded, codebooks, query_vec, shortlist,
+                  id_col=id_col, codes_col=codes_col).select(id_col)
+    cand = raw_df.join(F.broadcast(ids), id_col, "left_semi")
+    return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -1345,6 +1345,40 @@ _REGISTRY["dedup_embedding"] = (_REGISTRY["dedup_embedding"][0],
                                 _dedup_embedding_oracle())
 
 
+@q("similarity_pq_search", """
+WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT q FROM qv)),
+             5) AS cos_sim,
+       TRUE AS pq_recall_ge_half
+FROM embeddings WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10""")
+def similarity_pq_search(spark, sf_dir):
+    """Product quantization end-to-end (Jegou et al. TPAMI'11): train m=8
+    per-subspace codebooks (deterministic k-means), encode the corpus to
+    8 codes/vector (~32x smaller than float32), ADC-scan the CODES for a
+    20%-of-corpus shortlist, exact-rerank only the shortlist — the
+    two-stage shape every billion-vector deployment uses
+    (operators/similarity.py pq_*).  The checked contract follows the
+    sketch-query pattern: the exact top-10 is value-checked against the
+    oracle, plus a flag that the ADC shortlist recalled at least half of
+    it (these SYNTHETIC random embeddings are PQ's worst case — no
+    cluster structure; observed recall here is 0.9-1.0)."""
+    from linkedin_iceberg_spark.operators.similarity import (
+        cosine_topk, pq_encode, pq_topk, pq_train)
+    e = ld(spark, sf_dir, "embeddings")
+    n = e.count()
+    books = pq_train(e, m=8, n_codes=16, n_iters=2)
+    enc = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    corpus = e.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(corpus, q, k=10)
+    shortlist = pq_topk(enc.filter(F.col("vec_id") != 0), books, q,
+                        max(100, n // 5)).select("vec_id")
+    hits = exact.join(shortlist, "vec_id", "left_semi").count()
+    return exact.withColumn("pq_recall_ge_half", F.lit(hits >= 5))
+
+
 @q("similarity_topk", """
 WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -4735,7 +4769,12 @@ _PRIORITY = [
     # family keeps quantize/ivf_train/ivf_pruned/ann_lsh/matryoshka/
     # refresh) rotates out for join_asof_forward (new: forward direction
     # + tolerance bound of the as-of join)
-    "join_skew_salted", "similarity_ivf_train", "join_asof_forward",
+    # r5: similarity_ivf_train (green r3+r4, unchanged; the trained-
+    # index family keeps ivf_pruned/ivf_refresh/ann_lsh/matryoshka
+    # in-window, and PQ reuses the same audited kmeans_fit) rotates out
+    # for similarity_pq_search (new: product quantization with ADC
+    # shortlist + exact rerank)
+    "join_skew_salted", "similarity_pq_search", "join_asof_forward",
     # r4: scalar_math_funcs (green r3; scalar family has lifetime-green
     # string/json/cond siblings) rotates out for table_count_pushdown
     # (new: metadata-only COUNT(*))

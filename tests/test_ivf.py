@@ -50,3 +50,51 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     probed = {r["vec_id"]
               for r in ivf_topk(e, q, k=10, n_cells=4, n_probe=2).collect()}
     assert len(probed & exact) >= 5
+
+
+# ------------------------------------------------------------------ PQ
+
+def test_pq_roundtrip_and_search(spark, sf_dir):
+    import os
+
+    from linkedin_iceberg_spark.operators.similarity import (
+        cosine_topk, pq_encode, pq_search, pq_topk, pq_train)
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = e.count()
+    books = pq_train(e, m=8, n_codes=8, n_iters=2)
+    assert len(books) == 8 and all(len(b) == 8 for b in books)
+    assert all(len(vec) == 8 for b in books for _, vec in b)
+
+    enc = pq_encode(e, books)
+    row = enc.select("codes").head()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 8 for c in row["codes"])
+
+    q = e.filter("vec_id = 0").select("embedding").head()[0]
+    corpus = e.filter("vec_id <> 0")
+    got = pq_search(enc.filter("vec_id <> 0"), corpus, books, q, k=5,
+                    shortlist=max(50, n // 3))
+    exact = cosine_topk(corpus, q, k=5)
+    assert [r["vec_id"] for r in got.collect()] == \
+        [r["vec_id"] for r in exact.collect()]
+
+    # determinism: retrain -> identical codebooks
+    books2 = pq_train(e, m=8, n_codes=8, n_iters=2)
+    assert books == books2
+
+
+def test_pq_guards(spark, sf_dir):
+    import os
+
+    import pytest as _pytest
+
+    from linkedin_iceberg_spark.operators.similarity import (
+        pq_search, pq_train)
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    with _pytest.raises(ValueError, match="divide"):
+        pq_train(e, m=7, n_codes=4, n_iters=1)
+    books = pq_train(e.limit(20), m=4, n_codes=4, n_iters=1)
+    with _pytest.raises(ValueError, match="shortlist"):
+        pq_search(e, e, books, [0.0] * 64, k=10, shortlist=5)
