@@ -528,6 +528,92 @@ def join_asof_forward(spark, sf_dir):
             .orderBy("event_id"))
 
 
+@q("join_tpch_q3", """
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")
+def join_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): unshipped-order revenue for one
+    market segment.  Both date predicates and the segment filter push to
+    the parquet scans; the segment-filtered customer side is
+    metadata-small after pruning, so AQE broadcasts it; top-10 runs as
+    TakeOrdered (per-partition heaps), never a global sort."""
+    c = ld(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-03-15")
+    li = ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-03-15")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            # price/discount ARE exact 2dp quantities: decimal casts make
+            # the whole revenue sum integer-exact (float summation order
+            # flips cents between engines on small groups)
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                               * (1 - F.col("l_discount")
+                                  .cast("decimal(4,2)"))), 2)
+                 .cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+@q("join_tpch_q10", """
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""")
+def join_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): lost revenue per customer in
+    one quarter.  The quarter predicate prunes orders at the scan, the
+    returnflag filter prunes lineitem, nation broadcasts (25 rows), and
+    the top-20 is TakeOrdered — the join strategy on the two fact sides
+    stays AQE-decided."""
+    c = ld(spark, sf_dir, "customer")
+    n = ld(spark, sf_dir, "nation")
+    o = ld(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(n),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            # price/discount ARE exact 2dp quantities: decimal casts make
+            # the whole revenue sum integer-exact (float summation order
+            # flips cents between engines on small groups)
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                               * (1 - F.col("l_discount")
+                                  .cast("decimal(4,2)"))), 2)
+                 .cast("double").alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
 @q("join_multiway", """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM customer
@@ -635,7 +721,9 @@ def agg_filtered_revenue(spark, sf_dir):
 
 @q("join_shipping_priority", """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue,
        o_orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -657,9 +745,13 @@ def join_shipping_priority(spark, sf_dir):
     return (c.join(o, c.c_custkey == o.o_custkey)
             .join(li, li.l_orderkey == o.o_orderkey)
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"))
+            # price/discount ARE exact 2dp quantities: decimal casts make
+            # the whole revenue sum integer-exact (float summation order
+            # flips cents between engines on small groups)
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                               * (1 - F.col("l_discount")
+                                  .cast("decimal(4,2)"))), 2)
+                 .cast("double").alias("revenue"))
             .select("l_orderkey", "revenue", "o_orderdate")
             .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
             .limit(10))
@@ -4774,7 +4866,11 @@ _PRIORITY = [
     # in-window, and PQ reuses the same audited kmeans_fit) rotates out
     # for similarity_pq_search (new: product quantization with ADC
     # shortlist + exact rerank)
-    "join_skew_salted", "similarity_pq_search", "join_asof_forward",
+    # r5: join_asof_forward (green r4, unchanged; the as-of family holds
+    # lifetime rows r1-r4) rotates out for join_tpch_q3 (new: TPC-H Q3
+    # shipping priority, decimal-exact revenue); its twin join_tpch_q10
+    # is registered local-green and queued for the next rotation
+    "join_skew_salted", "similarity_pq_search", "join_tpch_q3",
     # r4: scalar_math_funcs (green r3; scalar family has lifetime-green
     # string/json/cond siblings) rotates out for table_count_pushdown
     # (new: metadata-only COUNT(*))
