@@ -166,6 +166,14 @@ class Catalog:
         (snapshots/files/partitions/history/refs/…) of table ``db.t``,
         exactly as the reference exposes metadata tables in SQL.
 
+        DML statements route to the commit operators and return a
+        one-row status frame (counts from the committed snapshot's
+        summary — metadata, no recount scan):
+
+            cat.sql("INSERT INTO db.t SELECT ...")       -> append
+            cat.sql("DELETE FROM db.t WHERE k < 10")     -> delete_where
+            cat.sql("UPDATE db.t SET a = a * 2 WHERE p") -> update_where
+
         Resolution is conservative by design (a regex over FROM/JOIN
         clauses, not a SQL parser — Spark's parser lives JVM-side): only
         dotted identifiers are considered, already-registered temp views
@@ -181,6 +189,10 @@ class Catalog:
 
         from linkedin_iceberg_spark.catalog.metadata_tables import (
             METADATA_TABLES)
+
+        dml = self._sql_dml(query)
+        if dml is not None:
+            return dml
 
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
         dotted_pat = rf"{ident}(?:\.{ident})+"
@@ -264,6 +276,80 @@ class Catalog:
                 rf"(?<![A-Za-z0-9_.]){re.escape(dotted)}(?![A-Za-z0-9_])",
                 resolved[dotted], rewritten)
         return self.spark.sql(rewritten)
+
+    def _sql_dml(self, query: str):
+        """Route INSERT/DELETE/UPDATE statements to the commit operators
+        (None when `query` is not DML).  Predicates go through the
+        engine's own parser — so metadata-only deletes, partition
+        pruning, and conflict validation behave exactly as the API
+        route — and the returned one-row frame reads its counts from
+        the committed snapshot's summary (no recount scan)."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from linkedin_iceberg_spark.expressions.parser import parse_expr
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        dotted = rf"{ident}(?:\.{ident})+"
+
+        def status(op: str, rows) -> DataFrame:
+            return self.spark.createDataFrame(
+                [(op, int(rows))], "operation string, rows_affected long")
+
+        m = re.match(rf"\s*insert\s+into\s+({dotted})\s+(select\b.*)",
+                     query, re.IGNORECASE | re.DOTALL)
+        if m:
+            t = self.load_table(m.group(1))
+            t.append(self.sql(m.group(2)))
+            summ = t.metadata.current_snapshot.summary
+            return status("insert", summ.get("added-records", -1))
+
+        m = re.match(rf"\s*delete\s+from\s+({dotted})\s+where\s+(.+)",
+                     query, re.IGNORECASE | re.DOTALL)
+        if m:
+            t = self.load_table(m.group(1))
+            t.delete_where(parse_expr(m.group(2).strip().rstrip(";")))
+            summ = t.metadata.current_snapshot.summary
+            # a CoW delete removes whole files and re-adds survivors:
+            # rows actually deleted = removed records - re-added records
+            return status("delete",
+                          int(summ.get("deleted-records", 0))
+                          - int(summ.get("added-records", 0)))
+
+        m = re.match(rf"\s*update\s+({dotted})\s+set\s+(.+?)"
+                     rf"\s+where\s+(.+)",
+                     query, re.IGNORECASE | re.DOTALL)
+        if m:
+            t = self.load_table(m.group(1))
+            assigns = {}
+            # split assignments on TOP-LEVEL commas only (values may be
+            # function calls); each is `col = <spark sql expression>`
+            depth, cur, parts = 0, [], []
+            for ch in m.group(2):
+                depth += ch == "("
+                depth -= ch == ")"
+                if ch == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+            parts.append("".join(cur))
+            for part in parts:
+                col, _, val = part.partition("=")
+                if not col.strip() or not val.strip():
+                    raise ValueError(f"malformed SET clause: {part!r}")
+                assigns[col.strip()] = F.expr(val.strip())
+            expr = parse_expr(m.group(3).strip().rstrip(";"))
+            # matched-row count BEFORE the rewrite, via the metadata
+            # COUNT pushdown (only residual-undecided files are read) —
+            # the rewrite's own summary counts rewritten rows, not
+            # matched ones
+            n = t.new_scan().filter(expr).count_rows()
+            t.update_where(expr, assigns)
+            return status("update", n)
+
+        return None
 
     def list_tables(self, namespace: str = "") -> list:
         base = os.path.join(self.warehouse, *namespace.split(".")) \

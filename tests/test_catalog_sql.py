@@ -112,3 +112,48 @@ def test_sql_time_travel_timestamp(cat, spark, sf_dir):
     by_str = cat.sql(f"SELECT count(*) AS n FROM db.orders "
                      f"FOR SYSTEM_TIME AS OF '{s}'").collect()[0]["n"]
     assert by_str == n1
+
+
+# -- DML routing ------------------------------------------------------------
+
+def test_sql_insert_into(cat, spark, sf_dir):
+    t = cat.load_table("db.orders")
+    before = t.to_df().count()
+    st = cat.sql("INSERT INTO db.orders "
+                 "SELECT * FROM db.orders WHERE o_orderkey < 20").collect()[0]
+    assert st["operation"] == "insert"
+    assert st["rows_affected"] == "20" or int(st["rows_affected"]) == 20
+    t.refresh()
+    assert t.to_df().count() == before + 20
+
+
+def test_sql_delete_where(cat):
+    t = cat.load_table("db.orders")
+    before = t.to_df().count()
+    n_low = t.to_df().filter("o_orderkey < 30").count()
+    st = cat.sql("DELETE FROM db.orders WHERE o_orderkey < 30").collect()[0]
+    assert st["operation"] == "delete"
+    assert int(st["rows_affected"]) == n_low
+    t.refresh()
+    assert t.to_df().count() == before - n_low
+    assert t.to_df().filter("o_orderkey < 30").count() == 0
+
+
+def test_sql_update_where(cat, spark):
+    t = cat.load_table("db.orders")
+    want = {r["o_orderkey"]: round(r["o_totalprice"] * 2, 4)
+            for r in t.to_df().filter("o_orderkey < 10").collect()}
+    st = cat.sql("UPDATE db.orders "
+                 "SET o_totalprice = round(o_totalprice * 2, 4), "
+                 "    o_orderpriority = 'BUMPED' "
+                 "WHERE o_orderkey < 10").collect()[0]
+    assert st["operation"] == "update"
+    assert int(st["rows_affected"]) == len(want)
+    t.refresh()
+    got = t.to_df().filter("o_orderkey < 10").collect()
+    assert {r["o_orderkey"]: round(r["o_totalprice"], 4)
+            for r in got} == want
+    assert all(r["o_orderpriority"] == "BUMPED" for r in got)
+    # untouched rows keep their priority values
+    assert t.to_df().filter("o_orderkey >= 10 AND "
+                            "o_orderpriority = 'BUMPED'").count() == 0
