@@ -259,6 +259,21 @@ CONTRACTS = {
         # index-level file pruning)
         ["PushedFilters", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "join_tpch_q3": (
+        # both date predicates and the segment filter reach the scans;
+        # top-10 is TakeOrdered, never a global sort
+        ["PushedFilters", "TakeOrderedAndProject", "HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "join_tpch_q10": (
+        # quarter + returnflag predicates pushed; nation broadcast;
+        # fact-side strategy AQE-decided
+        ["PushedFilters", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "similarity_pq_search": (
+        # the returned frame is the exact rerank: codes-only ADC scan
+        # feeds a semi-join shortlist; top-k via TakeOrdered
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
