@@ -750,3 +750,107 @@ JOIN {table} t1 ON t1.{id_col} = c.d1
 JOIN {table} t2 ON t2.{id_col} = c.d2
 WHERE levenshtein(t1.{text_col}, t2.{text_col}) <= {max_edits}
 ORDER BY c.d1, c.d2"""
+
+
+def dedup_semantic(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
+                   threshold: float = 0.4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup with
+    K-MEANS CELL blocking — cluster the embeddings, verify exact cosine
+    only WITHIN each cell, connected components, keep the minimum id per
+    near-dup cluster.  Same output contract as dedup_embedding:
+    (id, group_id, is_kept) for every input row.
+
+    vs the LSH-blocked dedup_embedding: k-means blocking adapts to the
+    corpus's actual density (cells shrink where vectors crowd), which is
+    the published method's rationale at web scale; the trade is that
+    cross-cell near-dups are out of scope BY DESIGN (SemDeDup's stated
+    approximation), where multi-table LSH still proposes them with the
+    standard recall bound.  Both bound the verify stage far below
+    all-pairs.
+
+    Scale: training is kmeans_fit's broadcast-iterate loop; assignment
+    inlines centroids (one scan, no shuffle); the verify self-join
+    shuffles on the cell int and touches only within-cell pairs —
+    O(sum cell_i^2), the quantity k-means minimizes; components are the
+    O(log^2 n) star rounds.  Deterministic end to end, so the WHOLE
+    pipeline (training included) replays in SQL
+    (dedup_semantic_oracle_sql)."""
+    from linkedin_iceberg_spark.operators.graph import connected_components
+    from linkedin_iceberg_spark.operators.similarity import (
+        _dot, _norm, ivf_assign, kmeans_fit)
+
+    cents = kmeans_fit(df, n_cells, n_iters, id_col=id_col,
+                       vec_col=vec_col)
+    assigned = ivf_assign(df.select(id_col, vec_col), cents,
+                          vec_col=vec_col)
+    a = assigned.select(F.col("cell"), F.col(id_col).alias("v1"),
+                        F.col(vec_col).alias("_e1"))
+    b = assigned.select(F.col("cell"), F.col(id_col).alias("v2"),
+                        F.col(vec_col).alias("_e2"))
+    cos = _dot(F.col("_e1"), F.col("_e2")) / (_norm(F.col("_e1"))
+                                              * _norm(F.col("_e2")))
+    verified = (a.join(b, "cell")
+                .filter(F.col("v1") < F.col("v2"))
+                .filter(cos >= threshold)
+                .select("v1", "v2"))
+    comp = connected_components(verified, "v1", "v2")
+    ids = df.select(F.col(id_col))
+    joined = ids.join(comp, ids[id_col] == comp["id"], "left")
+    group = F.coalesce(F.col("component"), F.col(id_col)).cast("long")
+    return (joined.select(
+        F.col(id_col),
+        group.alias("group_id"),
+        F.when(group == F.col(id_col), F.lit(1)).otherwise(F.lit(0))
+         .cast("long").alias("is_kept"))
+        .orderBy(id_col))
+
+
+def dedup_semantic_oracle_sql(n_cells: int = 8, n_iters: int = 2,
+                              threshold: float = 0.4,
+                              table: str = "embeddings",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    """ANSI-SQL (DuckDB) replay of the ENTIRE dedup_semantic pipeline:
+    the k-means training loop (kmeans_oracle_sql as a nested subquery),
+    within-cell pair generation, exact cosine verification, transitive
+    closure, and the keep decision — value-checked end to end."""
+    from linkedin_iceberg_spark.operators.similarity import (
+        kmeans_oracle_sql)
+
+    assign = kmeans_oracle_sql(n_cells, n_iters, table=table,
+                               id_col=id_col, vec_col=vec_col)
+    return f"""
+WITH RECURSIVE assign AS (
+  SELECT * FROM ({assign})
+),
+cand AS (
+  SELECT a.{id_col} AS v1, b.{id_col} AS v2
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.{id_col} < b.{id_col}
+),
+verified AS (
+  SELECT c.v1, c.v2
+  FROM cand c
+  JOIN {table} x ON x.{id_col} = c.v1
+  JOIN {table} y ON y.{id_col} = c.v2
+  WHERE list_cosine_similarity(x.{vec_col}::DOUBLE[],
+                               y.{vec_col}::DOUBLE[]) >= {threshold}
+),
+edges AS (
+  SELECT v1 AS src, v2 AS dst FROM verified
+  UNION
+  SELECT v2, v1 FROM verified
+),
+walk (id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.lab
+),
+comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id)
+SELECT e.{id_col},
+       CAST(coalesce(c.component, e.{id_col}) AS BIGINT) AS group_id,
+       CAST(CASE WHEN coalesce(c.component, e.{id_col}) = e.{id_col}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM {table} e LEFT JOIN comp c ON c.id = e.{id_col}
+ORDER BY e.{id_col}"""

@@ -1437,6 +1437,32 @@ _REGISTRY["dedup_embedding"] = (_REGISTRY["dedup_embedding"][0],
                                 _dedup_embedding_oracle())
 
 
+@q("dedup_semdedup", None)  # oracle attached below (generated SQL)
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup with K-MEANS CELL
+    blocking — cluster, exact-cosine verify within cells only, connected
+    components, keep the min-id representative.  The blocking adapts to
+    corpus density (the published method's web-scale rationale); the
+    oracle replays EVERYTHING including the k-means training loop
+    (kmeans_oracle_sql nested inside the recursive-CTE closure), so
+    training, blocking, grouping and keep-decisions are all
+    value-checked."""
+    from linkedin_iceberg_spark.operators.dedup import dedup_semantic
+    e = ld(spark, sf_dir, "embeddings")
+    return dedup_semantic(e, n_cells=8, n_iters=2, threshold=0.4,
+                          id_col="vec_id", vec_col="embedding")
+
+
+def _dedup_semdedup_oracle() -> str:
+    from linkedin_iceberg_spark.operators.dedup import (
+        dedup_semantic_oracle_sql)
+    return dedup_semantic_oracle_sql(n_cells=8, n_iters=2, threshold=0.4)
+
+
+_REGISTRY["dedup_semdedup"] = (_REGISTRY["dedup_semdedup"][0],
+                               _dedup_semdedup_oracle())
+
+
 @q("similarity_pq_search", """
 WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -4900,7 +4926,12 @@ _PRIORITY = [
     "dedup_spans", "text_trigram_novelty",
     # r3: similarity_ivf_topk (green r2, identical result set) rotates out
     # for similarity_ivf_pruned (new: persisted IVF with partition pruning)
-    "similarity_ann_lsh", "similarity_ivf_pruned",
+    # r5: similarity_ann_lsh (green r3+r4, unchanged; the LSH recipe
+    # keeps its lifetime dedup_embedding rows and the similarity family
+    # keeps ivf_pruned/ivf_refresh/pq/matryoshka in-window) rotates out
+    # for dedup_semdedup (new: SemDeDup — k-means-cell-blocked semantic
+    # dedup, training loop value-checked in the oracle)
+    "dedup_semdedup", "similarity_ivf_pruned",
     # r4: table_scan_bucket_pruned (green r1+r2+r3, unchanged; scan family
     # keeps table_scan_pruned + table_scan_planned_tasks in-window) rotates
     # out for similarity_ivf_refresh (new: growth-gated k-means retrain +
