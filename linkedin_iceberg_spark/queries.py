@@ -3755,6 +3755,58 @@ def table_snapshot_diff(spark, sf_dir):
             .orderBy("o_orderkey", "_diff_type"))
 
 
+@q("table_sql_dml", """
+SELECT o_orderkey,
+       CAST(round(CASE WHEN o_orderkey >= 5000000 AND o_orderkey < 5000050
+                       THEN o_totalprice * 1.1 ELSE o_totalprice END, 2)
+            AS DOUBLE) AS o_totalprice
+FROM (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 200
+  UNION ALL
+  SELECT o_orderkey + 5000000 AS o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey < 100
+)
+ORDER BY o_orderkey""")
+def table_sql_dml(spark, sf_dir):
+    """The SQL DML surface end-to-end: INSERT INTO ... SELECT, DELETE
+    FROM ... WHERE, and UPDATE ... SET ... WHERE all through
+    Catalog.sql, with affected-row counts asserted from the returned
+    status frames (insert/delete counts from snapshot summaries, update
+    from the metadata COUNT pushdown).  The oracle replays the three
+    statements' net effect on raw parquet."""
+    from linkedin_iceberg_spark.expressions import lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_dml", o)
+    t.append(o)
+    n_ins = cat.sql(
+        "INSERT INTO q.orders_dml SELECT o_orderkey + 5000000 AS "
+        "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+        "o_orderpriority FROM q.orders_dml WHERE o_orderkey < 100"
+    ).collect()[0]["rows_affected"]
+    assert n_ins == 100, n_ins
+    n_del = cat.sql("DELETE FROM q.orders_dml WHERE o_orderkey < 200"
+                    ).collect()[0]["rows_affected"]
+    assert n_del == 200, n_del
+    n_upd = cat.sql(
+        "UPDATE q.orders_dml "
+        "SET o_totalprice = round(o_totalprice * 1.1, 2) "
+        "WHERE o_orderkey < 50"
+    ).collect()[0]["rows_affected"]
+    assert n_upd == 0, n_upd  # keys < 50 were deleted; shifted copies stay
+    n_upd2 = cat.sql(
+        "UPDATE q.orders_dml "
+        "SET o_totalprice = round(o_totalprice * 1.1, 2) "
+        "WHERE o_orderkey >= 5000000 and o_orderkey < 5000050"
+    ).collect()[0]["rows_affected"]
+    assert n_upd2 == 50, n_upd2
+    return (t.refresh().to_df()
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).cast("double")
+                    .alias("o_totalprice"))
+            .orderBy("o_orderkey"))
+
+
 @q("table_key_index_lookup", """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey IN (11, 500, 999, 1200, 1400)
@@ -4799,7 +4851,12 @@ _PRIORITY = [
     # is pytest-covered) rotates out for streaming_partition_reprocess
     # (new: Kappa-style idempotent partition reprocessing)
     "table_tag_travel", "agg_hll_mergeable",
-    "streaming_partition_reprocess",
+    # r5: streaming_partition_reprocess (green r4, unchanged;
+    # streaming family keeps incremental_dedup in-window and
+    # lifetime rows across sinks/joins/sessions) rotates out for
+    # table_sql_dml (new: the INSERT/DELETE/UPDATE surface of
+    # Catalog.sql with asserted affected-row counts)
+    "table_sql_dml",
     "multimodal_decode_features",
     # event windows + text analysis (text_bpe_tokens new in r3; takes the
     # slot of double-green similarity_topk below)
