@@ -778,12 +778,20 @@ def dedup_semantic(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
     (dedup_semantic_oracle_sql)."""
     from linkedin_iceberg_spark.operators.graph import connected_components
     from linkedin_iceberg_spark.operators.similarity import (
-        _dot, _norm, ivf_assign, kmeans_fit)
+        _dot, _norm, ivf_assign, ivf_assign_join, kmeans_fit)
 
     cents = kmeans_fit(df, n_cells, n_iters, id_col=id_col,
                        vec_col=vec_col)
-    assigned = ivf_assign(df.select(id_col, vec_col), cents,
-                          vec_col=vec_col)
+    # literal-inlined assignment is ideal for tens of cells; a scaled
+    # deployment (cells ~ N / target_cell_size, thousands) would build
+    # an O(n_cells * dim) expression — switch to the broadcast-join
+    # path there (same rounding + tie rule, value-identical)
+    if n_cells > 64:
+        assigned = ivf_assign_join(df.select(id_col, vec_col), cents,
+                                   id_col=id_col, vec_col=vec_col)
+    else:
+        assigned = ivf_assign(df.select(id_col, vec_col), cents,
+                              vec_col=vec_col)
     a = assigned.select(F.col("cell"), F.col(id_col).alias("v1"),
                         F.col(vec_col).alias("_e1"))
     b = assigned.select(F.col("cell"), F.col(id_col).alias("v2"),
