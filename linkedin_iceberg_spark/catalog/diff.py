@@ -32,10 +32,11 @@ DIFF_TYPE_COL = "_diff_type"
 
 def _resolve(table, ref: Union[int, str, None]):
     """A snapshot from a snapshot id, a ref name (tag or branch), or
-    None (current)."""
+    None (current — branch-aware: on a branch handle this is the BRANCH
+    head, matching every other read on the handle)."""
     md = table.metadata
     if ref is None:
-        return md.current_snapshot
+        return table.current_snapshot()
     if isinstance(ref, str):
         if ref == "main":
             return md.current_snapshot

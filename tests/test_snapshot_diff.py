@@ -99,3 +99,16 @@ def test_duplicate_rows_diff_as_multiset(t, spark):
     d = snapshot_diff(tbl, "v1")
     got = _rows(d)
     assert got == [(k, "added") for k in range(5)]  # ONE added per key
+
+
+def test_diff_on_branch_handle_resolves_branch_head(t, spark):
+    tbl, orders = t
+    tbl.create_branch("work")
+    dev = tbl.branch("work")
+    dev.delete_where(lt("o_orderkey", 25))
+    # on the BRANCH handle, None = the branch head (like every read);
+    # v1 -> branch-head diff shows the branch's delete, though main
+    # still holds the rows
+    got = _rows(dev.diff("v1"))
+    assert got == [(k, "removed") for k in range(25)]
+    assert tbl.to_df().filter(F.col("o_orderkey") < 25).count() == 25
