@@ -81,8 +81,13 @@ def column_stats(table, col: str) -> dict:
     d = _stats_dir(table, col)
     if not os.path.isdir(d):
         raise ValueError(f"no stats for {col!r}; run analyze_table first")
+    # semi-join, NOT isin: the live set is O(files) — at 1M files an
+    # isin literal list is a codegen bomb, while a parallelized frame
+    # joins fine (and AQE broadcasts it when small)
+    live_df = table.spark.createDataFrame(
+        [(p,) for p in sorted(live)], "file_path string")
     store = table.spark.read.parquet(d) \
-        .filter(F.col("file_path").isin(sorted(live)))
+        .join(live_df, "file_path", "left_semi")
     covered = store.select("file_path").distinct().count()
     if covered < len(live):
         raise ValueError(
