@@ -264,7 +264,11 @@ class Catalog:
                     break
                 if df is None:
                     continue
-                view = "liceberg_sql_" + "_".join(parts)
+                import hashlib as _h
+                # md5 suffix: underscore-joining alone would collide
+                # a.b.c with a.b_c in the same query
+                view = ("liceberg_sql_" + "_".join(parts) + "_"
+                        + _h.md5(dotted.encode()).hexdigest()[:6])
                 df.createOrReplaceTempView(view)
                 resolved[dotted] = view
         # substitute longest-first so db.t.snapshots never half-matches a

@@ -1461,8 +1461,9 @@ class Table:
             return self.fast_forward(name)
         branch_anc = md.ancestry(head)  # newest -> oldest
         main_anc = md.ancestry(main_head)
+        main_set = set(main_anc)
         exclusive = [sid for sid in reversed(branch_anc)
-                     if sid not in set(main_anc)]
+                     if sid not in main_set]
         if not exclusive:
             return self  # branch is strictly behind main
 
