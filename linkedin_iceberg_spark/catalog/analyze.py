@@ -1,12 +1,14 @@
 """Incremental table statistics: per-FILE NDV sketches persisted beside
 the table, merged per snapshot on demand.
 
-Manifest metrics (min/max/null counts) come free from footers at write
-time, but NDV — the statistic planners want most for join sizing and the
-one users ask of a corpus ("how many distinct users/tokens/domains") —
-cannot be derived from bounds.  This plane is the AnalyzeTable analog of
-the modern format's stats files: one HLL sketch per (data file, column),
-persisted as parquet under ``<location>/stats/<col>/``.
+Manifest metrics (min/max/null counts — ref: api/.../Metrics.java:32-44,
+collected at write by stats.py) come free from footers, but NDV — the
+statistic planners want most for join sizing and the one users ask of a
+corpus ("how many distinct users/tokens/domains") — cannot be derived
+from bounds.  This plane is the AnalyzeTable analog of the modern
+format's stats files (absent from the 0.9-era reference, whose metrics
+stop at bounds): one HLL sketch per (data file, column), persisted as
+parquet under ``<location>/stats/<col>/``.
 
 Why per FILE and not per snapshot: data files are immutable, so a file's
 sketch never goes stale — any commit (append, CoW DML, compaction) only
