@@ -149,3 +149,50 @@ def changes(table, from_snapshot_id: Optional[int] = None,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+MIRROR_PROP = "changelog.last-mirrored-snapshot-id"
+
+
+def mirror_changelog(src, catalog, dst_name: str):
+    """CDC MIRROR: append `src`'s row-level changes into an append-only
+    engine table, EXACTLY-ONCE — the mirrored high-water snapshot id and
+    the change rows commit in ONE transaction swap, so a crashed mirror
+    run re-runs from the recorded snapshot with no duplicates and no
+    gaps.
+
+    This is how the changelog becomes a STREAM without a bespoke
+    streaming source: consumers `read_stream` the mirror through the
+    existing table stream source (streaming/source.py) and see ordered
+    insert/delete events; a periodic mirror run (cron / foreachBatch)
+    keeps it current.  Work per run is the changelog's: proportional to
+    the files CHANGED since the last mirrored snapshot, never the
+    table.
+
+    Returns the mirror table.  Raises if src's history was rewritten
+    past the recorded snapshot (rollback) — re-create the mirror then."""
+    from pyspark.sql import types as T
+
+    from linkedin_iceberg_spark.schema import Schema
+
+    spark = src.spark
+    try:
+        dst = catalog.load_table(dst_name)
+    except Exception:
+        fields = list(src.schema.to_spark().fields) + [
+            T.StructField(CHANGE_TYPE_COL, T.StringType()),
+            T.StructField(COMMIT_SNAPSHOT_COL, T.LongType()),
+        ]
+        dst = catalog.create_table(dst_name,
+                                   Schema.from_spark(T.StructType(fields)))
+    last = dst.metadata.properties.get(MIRROR_PROP)
+    src.refresh()
+    cur = src.metadata.current_snapshot_id
+    if cur is None or (last is not None and int(last) == cur):
+        return dst
+    df = changes(src, int(last) if last is not None else None, cur)
+    tx = dst.new_transaction()
+    tx.append(df)
+    tx.update_properties({MIRROR_PROP: str(cur)})
+    tx.commit()
+    return dst.refresh()

@@ -3724,6 +3724,42 @@ def meta_analyze_ndv(spark, sf_dir):
               "incremental_tail_only boolean").orderBy("col")
 
 
+@q("table_changelog_mirror", """
+SELECT o_orderkey, _change_type FROM (
+  SELECT o_orderkey, 'insert' AS _change_type FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'delete' FROM orders WHERE o_orderkey < 100
+  UNION ALL
+  SELECT o_orderkey + 1000000, 'insert' FROM orders WHERE o_orderkey < 50
+)
+ORDER BY o_orderkey, _change_type""")
+def table_changelog_mirror(spark, sf_dir):
+    """Exactly-once CDC mirror: row-level changes append into a mirror
+    table whose high-water snapshot id commits IN THE SAME transaction
+    swap as the rows (crash-safe, no duplicates, no gaps); the second
+    mirror run captures only the incremental delta and a third is a
+    committed no-op (asserted) — and the mirror is streamable through
+    the table stream source, turning the changelog into a stream with
+    no bespoke source (catalog/changelog.py mirror_changelog)."""
+    from linkedin_iceberg_spark.catalog.changelog import mirror_changelog
+    from linkedin_iceberg_spark.expressions import lt
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_cm", o)
+    t.append(o.coalesce(1))
+    t.delete_where(lt("o_orderkey", 100))
+    m = mirror_changelog(t, cat, "q.orders_cm_mirror")
+    t.append(o.filter(F.col("o_orderkey") < 50)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+             .coalesce(1))
+    m = mirror_changelog(t, cat, "q.orders_cm_mirror")
+    n_snaps = len(m.snapshots())
+    m = mirror_changelog(t, cat, "q.orders_cm_mirror")
+    assert len(m.snapshots()) == n_snaps, "idle mirror must be a no-op"
+    return (m.to_df().select("o_orderkey", "_change_type")
+            .orderBy("o_orderkey", "_change_type"))
+
+
 @q("table_snapshot_diff", """
 SELECT o_orderkey, diff AS _diff_type FROM (
   SELECT o_orderkey + 1000000 AS o_orderkey, 'added' AS diff FROM orders
@@ -4762,8 +4798,13 @@ _PRIORITY = [
     # r5: meta_scan_summary (green r4, unchanged; the metadata family
     # keeps meta_find_files in-window) rotates out for meta_analyze_ndv
     # (new: incremental per-file NDV sketch statistics)
+    # r5: table_schema_evolution (green r1+r4, unchanged; the schema
+    # family keeps its lifetime rows incl. merge_schema_append and the
+    # nested-evolution pytest suite) rotates out for
+    # table_changelog_mirror (new: exactly-once CDC mirror, streamable
+    # through the table stream source)
     "table_rewrite_pos_deletes", "meta_find_files",
-    "table_schema_evolution", "meta_analyze_ndv",
+    "table_changelog_mirror", "meta_analyze_ndv",
     # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
     # table_overwrite_where in-window) rotates out for table_update_where
     # (new: keyless copy-on-write UPDATE with pruned candidates)
