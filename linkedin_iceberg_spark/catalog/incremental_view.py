@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from linkedin_iceberg_spark.catalog.changelog import CHANGE_TYPE_COL
+from linkedin_iceberg_spark.catalog.deletes import _maybe_broadcast
 
 PROP_BASE = "view.base-location"
 PROP_SNAPSHOT = "view.base-snapshot-id"
@@ -43,6 +44,29 @@ def _last_sync(view) -> int:
         if v is not None:
             return int(v)
     return int(view.properties[PROP_SNAPSHOT])
+
+
+def _changed_rows_bound(base, last: int, cur: int):
+    """Upper bound on the changelog's row count between two synced
+    snapshots, read from snapshot summaries (metadata only — the same
+    source catalog/deletes.py gates its delete broadcasts on).  Every
+    changelog row comes from a record added or removed by some commit in
+    the range, so summing both per snapshot bounds touched-key
+    cardinality from above.  None when any summary lacks counts
+    (conservative: no broadcast hint)."""
+    md = base.metadata
+    total = 0
+    for sid in md.ancestry(cur):
+        if sid == last:
+            return total
+        s = md.snapshot_by_id(sid)
+        a = s.summary.get("added-records")
+        d = s.summary.get("deleted-records")
+        if a is None and d is None:
+            return None
+        total += int(a or 0) + int(d or 0)
+    # `last` not on cur's ancestry (rollback/branch swap): no safe bound
+    return None
 
 
 def _agg_exprs(aggs: dict, signed: bool) -> list:
@@ -121,10 +145,18 @@ def refresh_agg_view(view, base, keys: list, aggs: dict):
         # min/max don't fold under deletes (removing a group's minimum
         # needs the group's surviving rows): recompute ONLY the groups the
         # changelog touched — work is O(touched groups' rows), the
-        # standard non-foldable-aggregate trade
+        # standard non-foldable-aggregate trade.  The touched-key set is
+        # bounded by the changelog's row count, which the snapshot
+        # summaries give for free: broadcast only when that metadata
+        # bound is provably small (a wide overwrite over a
+        # high-cardinality key can touch millions of groups — forcing a
+        # broadcast there ships the whole key set to every executor);
+        # past the gate the semi-join shuffles, same rows either way
         touched = ch.select(*keys).distinct()
+        touched = _maybe_broadcast(
+            touched, _changed_rows_bound(base, last, cur))
         fresh = (base.to_df()
-                 .join(F.broadcast(touched), keys, "left_semi")
+                 .join(touched, keys, "left_semi")
                  .groupBy(*keys).agg(*_agg_exprs(aggs, signed=False)))
         src = touched.join(fresh, keys, "left")
         view.merge(

@@ -98,10 +98,17 @@ def upsert_batch_idempotent(table, df: DataFrame, epoch_id: int,
             *[F.col(c).desc() for c in version_cols])
         df = (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
-        # cross-batch guard: never downgrade a key the table already holds
+        # cross-batch guard: never downgrade a key the table already
+        # holds.  The key set is bounded by the batch's row count — tiny
+        # under any sane trigger, but a maxFilesPerTrigger-unbounded
+        # catch-up batch can exceed broadcast memory, so the hint is
+        # size-gated exactly like the delete-application joins
+        # (catalog/deletes.py); past the gate AQE still may broadcast
+        # from observed sizes, we just never force one
+        from linkedin_iceberg_spark.catalog.deletes import _maybe_broadcast
+        keys = _maybe_broadcast(df.select(*key_cols).distinct(), df.count())
         cur = (table.to_df()
-               .join(F.broadcast(df.select(*key_cols).distinct()),
-                     key_cols, "left_semi")
+               .join(keys, key_cols, "left_semi")
                .groupBy(*key_cols)
                .agg(F.max(F.struct(*[F.col(c) for c in version_cols]))
                     .alias("_ev")))
