@@ -752,9 +752,11 @@ WHERE levenshtein(t1.{text_col}, t2.{text_col}) <= {max_edits}
 ORDER BY c.d1, c.d2"""
 
 
-def dedup_semantic(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
+def dedup_semantic(df: DataFrame, n_cells: int = None, n_iters: int = 2,
                    threshold: float = 0.4, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   target_cell_size: int = 250,
+                   min_cells: int = 8) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup with
     K-MEANS CELL blocking — cluster the embeddings, verify exact cosine
     only WITHIN each cell, connected components, keep the minimum id per
@@ -775,17 +777,29 @@ def dedup_semantic(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
     O(sum cell_i^2), the quantity k-means minimizes; components are the
     O(log^2 n) star rounds.  Deterministic end to end, so the WHOLE
     pipeline (training included) replays in SQL
-    (dedup_semantic_oracle_sql)."""
+    (dedup_semantic_oracle_sql).
+
+    ``n_cells`` defaults to None = DERIVED from the corpus:
+    max(min_cells, ceil(count / target_cell_size)) — SemDeDup's own
+    recipe grows the cluster count with the corpus, which keeps the
+    within-cell verify stage (and the whole operator) linear in N; a
+    FIXED cell count makes it O(N^2 / n_cells).  The one 1-row count
+    this costs is amortized by the k-means scans that follow.  Pass an
+    explicit int only when a second engine must replay training
+    bit-for-bit (the SQL oracle inlines the cell count)."""
     from linkedin_iceberg_spark.operators.graph import connected_components
     from linkedin_iceberg_spark.operators.similarity import (
         _dot, _norm, ivf_assign, ivf_assign_join, kmeans_fit)
 
+    if n_cells is None:
+        n = df.count()
+        n_cells = max(min_cells, -(-n // target_cell_size))
     cents = kmeans_fit(df, n_cells, n_iters, id_col=id_col,
                        vec_col=vec_col)
-    # literal-inlined assignment is ideal for tens of cells; a scaled
-    # deployment (cells ~ N / target_cell_size, thousands) would build
-    # an O(n_cells * dim) expression — switch to the broadcast-join
-    # path there (same rounding + tie rule, value-identical)
+    # literal-inlined assignment is ideal for tens of cells; at derived
+    # scale (cells ~ N / target_cell_size, thousands) the inlined
+    # expression would be O(n_cells * dim) — switch to the
+    # broadcast-join path (same rounding + tie rule, value-identical)
     if n_cells > 64:
         assigned = ivf_assign_join(df.select(id_col, vec_col), cents,
                                    id_col=id_col, vec_col=vec_col)

@@ -1446,10 +1446,16 @@ def dedup_semdedup(spark, sf_dir):
     oracle replays EVERYTHING including the k-means training loop
     (kmeans_oracle_sql nested inside the recursive-CTE closure), so
     training, blocking, grouping and keep-decisions are all
-    value-checked."""
+    value-checked.
+
+    Runs at the operator's DEFAULT config: the cell count auto-derives
+    as max(8, ceil(N/250)), so the verify stage stays linear at any SF.
+    The static SQL oracle inlines n_cells=8 — equal to the derived
+    count at every correctness SF (N<=2000 embeddings), so the replay
+    is exact where it is checked."""
     from linkedin_iceberg_spark.operators.dedup import dedup_semantic
     e = ld(spark, sf_dir, "embeddings")
-    return dedup_semantic(e, n_cells=8, n_iters=2, threshold=0.4,
+    return dedup_semantic(e, n_iters=2, threshold=0.4,
                           id_col="vec_id", vec_col="embedding")
 
 

@@ -76,3 +76,30 @@ def test_semdedup_matches_sql_replay(spark, sf_dir):
     assert [(r["vec_id"], r["group_id"], r["is_kept"]) for r in got] == \
         list(map(tuple, want[["vec_id", "group_id", "is_kept"]]
                  .itertuples(index=False)))
+
+
+def test_semdedup_default_derives_cell_count(spark, sf_dir):
+    """n_cells=None (the default) derives max(min_cells, ceil(N/target))
+    and is value-identical to passing the derived count explicitly —
+    including past the >64-cells broadcast-join assignment switch."""
+    import os
+
+    from linkedin_iceberg_spark.operators.dedup import dedup_semantic
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = e.count()
+
+    def rows(df):
+        return [(r["vec_id"], r["group_id"], r["is_kept"])
+                for r in df.collect()]
+
+    # small corpus: derived count clamps to min_cells
+    assert rows(dedup_semantic(e, n_iters=1, threshold=0.4)) == \
+        rows(dedup_semantic(e, n_cells=8, n_iters=1, threshold=0.4))
+    # tiny target cell size: derived count exceeds 64 -> join-path
+    # assignment, still value-identical to the explicit equivalent
+    derived = max(8, -(-n // 2))
+    assert derived > 64
+    assert rows(dedup_semantic(e, n_iters=1, threshold=0.4,
+                               target_cell_size=2)) == \
+        rows(dedup_semantic(e, n_cells=derived, n_iters=1, threshold=0.4))

@@ -93,26 +93,12 @@ PROBE_QUERIES = [
     "agg_kmv_overlap",
 ]
 
-# Probe OVERRIDES: operators whose production configuration SCALES with
-# the corpus.  The registered dedup_semdedup pins n_cells=8 so its
-# k-means training replays in the static SQL oracle; at 10x data a
-# fixed cell count makes the within-cell verify quadratic (measured
-# 9.25x).  SemDeDup's own recipe grows the cluster count with the
-# corpus (cells ~ N / target_cell_size), which keeps sum(cell^2) — and
-# the probe — linear; this is what a deployment would run.
-def _semdedup_scaled(spark, sf_dir):
-    import os as _os
-
-    from pyspark.sql import functions as _F
-
-    from linkedin_iceberg_spark.operators.dedup import dedup_semantic
-    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
-    n = e.count()
-    return dedup_semantic(e, n_cells=max(8, n // 250), n_iters=2,
-                          threshold=0.4)
-
-
-PROBE_OVERRIDES = {"dedup_semdedup": _semdedup_scaled}
+# Probe OVERRIDES: operators whose probe configuration must differ from
+# the registered query's.  Empty since r6: dedup_semantic now DERIVES
+# its cell count from the corpus by default (max(8, ceil(N/250)) —
+# SemDeDup's own recipe), so the registered dedup_semdedup query itself
+# scales; the probe measures exactly what ships.
+PROBE_OVERRIDES = {}
 
 
 def _rotated_alphabet(i: int) -> str:
