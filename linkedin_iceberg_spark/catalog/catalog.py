@@ -39,6 +39,170 @@ def with_clone_registry(properties: dict, clones: list) -> dict:
     return props
 
 
+import re as _re
+
+# string literals ('' doubling), double-quoted strings, line and block
+# comments — masked to \x00<n>\x00 tokens before ANY rewriting regex
+# runs, so a table name inside a literal or comment is never rewritten
+_SQL_MASK_RE = _re.compile(
+    r"'(?:[^']|'')*'"
+    r"|\"(?:[^\"]|\"\")*\""
+    r"|--[^\n]*"
+    r"|/\*.*?\*/",
+    _re.DOTALL)
+
+_SQL_LIT_TOKEN = _re.compile(r"\x00(\d+)\x00")
+
+# words that can follow a FROM-clause relation without being its alias
+_SQL_NON_ALIAS_WORDS = {
+    "where", "group", "order", "having", "limit", "window", "union",
+    "intersect", "except", "qualify", "on", "join", "inner", "left",
+    "right", "full", "cross", "natural", "using", "for", "version",
+    "timestamp", "as", "lateral", "values", "select", "semi", "anti",
+    "cluster", "distribute", "sort",
+}
+
+_SQL_WHERE_TERMINATORS = (
+    "group", "order", "having", "limit", "window", "union", "intersect",
+    "except", "qualify", "cluster", "distribute", "sort")
+
+# non-column words inside a conjunct the predicate parser accepts
+_SQL_PREDICATE_WORDS = {
+    "and", "or", "not", "in", "is", "null", "like", "between", "true",
+    "false", "timestamp", "date"}
+
+
+def _mask_sql_literals(query: str):
+    """Replace literals/comments with ``\\x00<n>\\x00`` placeholders;
+    returns (masked query, literal list)."""
+    lits: list = []
+
+    def repl(m):
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return _SQL_MASK_RE.sub(repl, query), lits
+
+
+def _unmask_sql_literals(masked: str, lits: list) -> str:
+    return _SQL_LIT_TOKEN.sub(lambda m: lits[int(m.group(1))], masked)
+
+
+def _cut_where_clause(tail: str) -> str:
+    """The WHERE clause body: `tail` (text after the WHERE keyword) up to
+    the first TOP-LEVEL terminator keyword / statement end."""
+    term = _re.compile(
+        r"[();]|\b(" + "|".join(_SQL_WHERE_TERMINATORS) + r")\b",
+        _re.IGNORECASE)
+    depth = 0
+    for m in term.finditer(tail):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+            if depth < 0:
+                return tail[:m.start()]
+        elif depth == 0:
+            return tail[:m.start()]
+    return tail
+
+
+def _split_top_level_and(clause: str) -> list:
+    """Split on depth-0 ANDs, keeping the AND that belongs to a pending
+    BETWEEN inside its conjunct."""
+    parts, depth, start, between = [], 0, 0, False
+    tok = _re.compile(r"[()]|\b(and|between)\b", _re.IGNORECASE)
+    for m in tok.finditer(clause):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            if t.lower() == "between":
+                between = True
+            elif between:  # the BETWEEN's own AND
+                between = False
+            else:
+                parts.append(clause[start:m.start()])
+                start = m.end()
+    parts.append(clause[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _try_parse_conjunct(conjunct: str, lits: list, dotted: str, alias,
+                        own_cols: set, other_cols: set):
+    """One conjunct -> engine Expression, or None when anything about it
+    cannot be proven to be a plain predicate over this table's columns
+    (subquery, function call, arithmetic, foreign/ambiguous column).
+    Sound either way: skipped conjuncts simply aren't pruned on, and the
+    original WHERE re-applies on the scan's rows."""
+    from linkedin_iceberg_spark.expressions.parser import parse_expr
+
+    if _re.search(r"\bselect\b", conjunct, _re.IGNORECASE):
+        return None  # subquery
+    quals = [_re.escape(dotted)]
+    if alias:
+        quals.append(_re.escape(alias))
+    qualified_ours = set(
+        _re.findall(rf"(?<![A-Za-z0-9_.])(?:{'|'.join(quals)})"
+                    rf"\.([A-Za-z_][A-Za-z0-9_]*)", conjunct))
+    stripped = _re.sub(rf"(?<![A-Za-z0-9_.])(?:{'|'.join(quals)})\.",
+                       "", conjunct)
+    for ref in _re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", stripped):
+        if ref.lower() in _SQL_PREDICATE_WORDS:
+            continue
+        if ref not in own_cols:
+            return None  # foreign column, function name, dotted leftover
+        if ref in other_cols and ref not in qualified_ours:
+            return None  # ambiguous between resolved tables
+    # TIMESTAMP '...' / DATE '...' typed literals -> plain strings (the
+    # engine parser binds strings to date/timestamp columns)
+    stripped = _re.sub(r"(?i)\b(?:timestamp|date)\s+(\x00\d+\x00)",
+                       r"\1", stripped)
+    try:
+        return parse_expr(_unmask_sql_literals(stripped, lits))
+    except Exception:  # noqa: BLE001 — anything unparseable: no pushdown
+        return None
+
+
+def _extract_scan_filter(masked: str, lits: list, dotted: str, alias,
+                         table, plain: dict, counts: dict):
+    """Engine row_filter for `dotted`'s scan, extracted from the query's
+    WHERE clause — or None when the query shape is not provably safe.
+    Guards: the table appears exactly once in FROM/JOIN position, the
+    query has exactly one SELECT and at most one WHERE (so the clause
+    provably scopes the table's read), and each conjunct passes
+    _try_parse_conjunct.  Partial extraction is fine — pruning on a
+    subset of conjuncts is still sound."""
+    from linkedin_iceberg_spark.expressions import and_
+
+    if counts.get(dotted, 0) != 1:
+        return None
+    if len(_re.findall(r"\bselect\b", masked, _re.IGNORECASE)) != 1:
+        return None
+    wheres = list(_re.finditer(r"\bwhere\b", masked, _re.IGNORECASE))
+    if len(wheres) != 1:
+        return None
+    clause = _cut_where_clause(masked[wheres[0].end():])
+    own_cols = set(table.schema.column_names())
+    other_cols = set()
+    for d2, (t2, _a2) in plain.items():
+        if d2 != dotted:
+            other_cols |= set(t2.schema.column_names())
+    exprs = [e for c in _split_top_level_and(clause)
+             if (e := _try_parse_conjunct(c, lits, dotted, alias,
+                                          own_cols, other_cols))
+             is not None]
+    if not exprs:
+        return None
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = and_(out, e)
+    return out
+
+
 class NoSuchTableError(Exception):
     pass
 
@@ -178,13 +342,23 @@ class Catalog:
         clauses, not a SQL parser — Spark's parser lives JVM-side): only
         dotted identifiers are considered, already-registered temp views
         and unresolvable names are left untouched, and each resolved
-        identifier is swapped for a deterministic view name.  Scans read
-        the current snapshot through the table read path (v2 deletes
-        applied); engine-side FILE pruning needs a scan filter, so for
-        selective predicates over big tables prefer
-        ``t.scan(row_filter=...).createOrReplaceTempView`` — here Spark
-        still gets parquet footer min/max row-group skipping, just not
-        manifest-level file elimination."""
+        identifier is swapped for a deterministic view name.  String
+        literals and comments are masked before any rewriting, so
+        ``WHERE note = 'db.orders'`` never has its literal rewritten.
+
+        WHERE predicates PUSH DOWN into scan planning (the reference's
+        reason-to-exist: Catalyst filters consumed at plan time,
+        spark3/.../SparkScanBuilder.java:101-130, SparkFilters.java:
+        87-195 — the "Data filtering" claim of site/docs/performance.md):
+        top-level AND-ed conjuncts over a resolved table's own columns
+        are parsed with the engine predicate parser and the view
+        registers ``t.scan(row_filter=...)``, so manifest/file-level
+        pruning applies before Spark ever sees a file.  Extraction bails
+        to the unpruned view on anything it cannot prove (subqueries,
+        multiple SELECTs, expressions/functions, ambiguous column
+        ownership) — always sound, because the original WHERE stays in
+        the rewritten query and re-applies on whatever the scan
+        returns."""
         import re
 
         from linkedin_iceberg_spark.catalog.metadata_tables import (
@@ -194,8 +368,11 @@ class Catalog:
         if dml is not None:
             return dml
 
+        query, lits = _mask_sql_literals(query)
+
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
         dotted_pat = rf"{ident}(?:\.{ident})+"
+        lit_tok = r"\x00\d+\x00"
 
         # time travel first: FROM db.t VERSION AS OF <snapshot-id|'ref'>
         # and FROM db.t TIMESTAMP AS OF '<ts>' (Spark's SQL time-travel
@@ -206,12 +383,14 @@ class Catalog:
             rf"\b(from|join)\s+({dotted_pat})\s+"
             rf"(for\s+system_version\s+as\s+of|version\s+as\s+of|"
             rf"for\s+system_time\s+as\s+of|timestamp\s+as\s+of)\s+"
-            rf"(\d+|'[^']*')",
+            rf"(\d+|{lit_tok})",
             re.IGNORECASE)
 
         def _travel_view(m: "re.Match") -> str:
             kw, dotted, how, lit = (m.group(1), m.group(2),
                                     m.group(3), m.group(4))
+            if lit.startswith("\x00"):  # masked string literal
+                lit = lits[int(lit.strip("\x00"))]
             if not self.table_exists(dotted):
                 return m.group(0)
             t = self.load_table(dotted)
@@ -236,21 +415,29 @@ class Catalog:
 
         query = travel.sub(_travel_view, query)
         # each list element may carry an alias (FROM db.t o, db.u u);
-        # the alias token is stripped again when splitting below
+        # non-alias trailing keywords (WHERE, ON, ...) are filtered below
         clause = re.compile(
-            rf"\b(?:from|join)\s+({dotted_pat}(?:\s+{ident})?"
-            rf"(?:\s*,\s*{dotted_pat}(?:\s+{ident})?)*)",
+            rf"\b(?:from|join)\s+({dotted_pat}(?:\s+(?:as\s+)?{ident})?"
+            rf"(?:\s*,\s*{dotted_pat}(?:\s+(?:as\s+)?{ident})?)*)",
             re.IGNORECASE)
-        resolved: dict = {}
+        plain: dict = {}   # dotted -> (Table, alias-or-None)
+        metadf: dict = {}  # dotted -> metadata-relation DataFrame
+        counts: dict = {}  # dotted -> FROM/JOIN occurrences (self-joins)
         for m in clause.finditer(query):
             for elem in re.split(r"\s*,\s*", m.group(1)):
-                dotted = elem.split()[0]  # drop any alias token
-                if dotted in resolved:
+                toks = elem.split()
+                dotted = toks[0]
+                alias = None
+                rest_toks = [w for w in toks[1:] if w.lower() != "as"]
+                if rest_toks and \
+                        rest_toks[0].lower() not in _SQL_NON_ALIAS_WORDS:
+                    alias = rest_toks[0]
+                counts[dotted] = counts.get(dotted, 0) + 1
+                if dotted in plain or dotted in metadf:
                     continue
                 parts = dotted.split(".")
                 # longest prefix that names a table wins; one trailing
                 # part may name a metadata relation
-                df = None
                 for k in range(len(parts), 0, -1):
                     tname = ".".join(parts[:k])
                     rest = parts[k:]
@@ -258,19 +445,31 @@ class Catalog:
                         continue
                     t = self.load_table(tname)
                     if not rest:
-                        df = t.to_df()
+                        plain[dotted] = (t, alias)
                     elif rest[0] in METADATA_TABLES:
-                        df = t.metadata_table(rest[0])
+                        metadf[dotted] = t.metadata_table(rest[0])
                     break
-                if df is None:
-                    continue
-                import hashlib as _h
-                # md5 suffix: underscore-joining alone would collide
-                # a.b.c with a.b_c in the same query
-                view = ("liceberg_sql_" + "_".join(parts) + "_"
-                        + _h.md5(dotted.encode()).hexdigest()[:6])
-                df.createOrReplaceTempView(view)
-                resolved[dotted] = view
+        resolved: dict = {}
+
+        def _view_name(dotted: str) -> str:
+            import hashlib as _h
+            # md5 suffix: underscore-joining alone would collide
+            # a.b.c with a.b_c in the same query
+            return ("liceberg_sql_" + "_".join(dotted.split(".")) + "_"
+                    + _h.md5(dotted.encode()).hexdigest()[:6])
+
+        for dotted, df in metadf.items():
+            view = _view_name(dotted)
+            df.createOrReplaceTempView(view)
+            resolved[dotted] = view
+        for dotted, (t, alias) in plain.items():
+            flt = _extract_scan_filter(query, lits, dotted, alias, t,
+                                       plain, counts)
+            df = t.new_scan().filter(flt).to_df() if flt is not None \
+                else t.to_df()
+            view = _view_name(dotted)
+            df.createOrReplaceTempView(view)
+            resolved[dotted] = view
         # substitute longest-first so db.t.snapshots never half-matches a
         # db.t rewrite; a trailing dot is ALLOWED so qualified column
         # references (db.t.some_col) rewrite to view.some_col
@@ -279,7 +478,7 @@ class Catalog:
             rewritten = re.sub(
                 rf"(?<![A-Za-z0-9_.]){re.escape(dotted)}(?![A-Za-z0-9_])",
                 resolved[dotted], rewritten)
-        return self.spark.sql(rewritten)
+        return self.spark.sql(_unmask_sql_literals(rewritten, lits))
 
     def _sql_dml(self, query: str):
         """Route INSERT/DELETE/UPDATE statements to the commit operators
@@ -313,13 +512,16 @@ class Catalog:
                      query, re.IGNORECASE | re.DOTALL)
         if m:
             t = self.load_table(m.group(1))
-            t.delete_where(parse_expr(m.group(2).strip().rstrip(";")))
-            summ = t.metadata.current_snapshot.summary
-            # a CoW delete removes whole files and re-adds survivors:
-            # rows actually deleted = removed records - re-added records
-            return status("delete",
-                          int(summ.get("deleted-records", 0))
-                          - int(summ.get("added-records", 0)))
+            expr = parse_expr(m.group(2).strip().rstrip(";"))
+            # matched-row count BEFORE the rewrite via the metadata COUNT
+            # pushdown (same as the UPDATE path).  Summary arithmetic
+            # (deleted-records - added-records) overcounts when rewritten
+            # files carried pre-existing position/equality deletes: rows
+            # already shadowed by those delete files sit in the removed
+            # files' record_count but are absent from the survivors
+            n = t.new_scan().filter(expr).count_rows()
+            t.delete_where(expr)
+            return status("delete", n)
 
         m = re.match(rf"\s*update\s+({dotted})\s+set\s+(.+?)"
                      rf"\s+where\s+(.+)",

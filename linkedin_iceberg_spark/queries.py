@@ -2978,11 +2978,10 @@ def table_sql_direct(spark, sf_dir):
     registration: `FROM q.orders` resolves in the catalog, auto-registers,
     and runs through spark.sql — the day-one-user path the reference's
     Spark integration gives via catalog resolution
-    (ref: spark3/.../SparkCatalog.java:122).  The scan reads the current
-    snapshot through the table read path; the o_orderdate predicate is
-    applied by Spark (footer min/max row-group skipping — manifest-level
-    file pruning stays on the scan(row_filter=...) route, which
-    table_sql_over_view exercises)."""
+    (ref: spark3/.../SparkCatalog.java:122).  Since r6 the WHERE
+    predicate also pushes into scan planning (manifest/file-level
+    pruning, not just footer row-group skipping) — table_sql_pruned
+    carries the explicit pruning evidence."""
     from linkedin_iceberg_spark import PartitionSpec, Schema
 
     def build(cat):
@@ -2997,6 +2996,42 @@ def table_sql_direct(spark, sf_dir):
         FROM q.orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+
+@q("table_sql_pruned", """
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_totalprice > 150000
+ORDER BY o_orderkey""")
+def table_sql_pruned(spark, sf_dir):
+    """SQL-path predicate pushdown (r6, the round's verdict #1): the
+    WHERE conjuncts are extracted from the raw SQL, parsed into engine
+    expressions, and the auto-registered view is a PRUNED scan
+    (t.scan(row_filter=...)) — manifest-list + file-metrics elimination
+    before Spark plans a single file, the reference's core Spark-
+    integration claim (ref: spark3/.../SparkScanBuilder.java:101-130
+    pushFilters -> SparkFilters.convert; site/docs/performance.md "Data
+    filtering").  The o_orderdate conjunct prunes month partitions; the
+    o_totalprice conjunct prunes on file min/max metrics; the original
+    WHERE still re-applies in Spark, so extraction is always sound.
+    tests/test_catalog_sql.py asserts the planned-input-files trip-wire
+    (strictly fewer files than live)."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .month("o_orderdate").build()
+        cat.create_table("q.orders", o, spec=spec).append(o)
+
+    cat = _cached_table(spark, sf_dir, "scan_pruned", build)
+    return cat.sql("""
+        SELECT o_orderkey, o_orderpriority,
+               round(o_totalprice, 2) AS price
+        FROM q.orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_totalprice > 150000
+        ORDER BY o_orderkey""")
 
 
 @q("legacy_hive_scan", """
@@ -4853,8 +4888,13 @@ _PRIORITY = [
     # rotates out for table_object_store_layout (registered r4 late,
     # never windowed — hashed object-store file layout)
     "events_transitions", "table_object_store_layout",
+    # r6: table_sql_over_view (green r4+r5, unchanged; the SQL family
+    # keeps table_sql_direct + table_sql_dml in-window and gains the
+    # strictly-stronger pruned variant) rotates out for table_sql_pruned
+    # (new: WHERE predicates pushed from Catalog.sql into scan planning
+    # — manifest/file-level pruning on the SQL path, verdict #1)
     "table_equality_deletes", "table_compaction", "text_token_entropy",
-    "table_format_orc", "table_remove_orphans", "table_sql_over_view",
+    "table_format_orc", "table_remove_orphans", "table_sql_pruned",
     # r4: table_merge_schema_append (lifetime-green, unchanged; schema
     # family keeps table_schema_evolution in-window) rotates out for
     # text_pack_sharded (new: per-shard packing — pack_sequences'
@@ -4951,8 +4991,12 @@ _PRIORITY = [
     # keeps temperature_mix/token_budget/shuffle_shards in-window)
     # rotates out for sample_weighted_pps (new: integer-exact
     # probability-proportional-to-size Poisson sampling)
+    # r6: sample_token_budget_mix (green r4+r5, unchanged; the sampling
+    # family keeps temperature_mix/weighted_pps/shuffle_shards in-window)
+    # rotates out for join_tpch_q10 (registered r5, local-green, the only
+    # query without a lifetime driver row — verdict #2)
     "streaming_incremental_dedup", "sample_weighted_pps",
-    "sample_token_budget_mix",
+    "join_tpch_q10",
     # relational representatives (one-per-operator-family coverage).
     # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg
     # (each green in BOTH r1 and r2, unchanged since) rotate out for the

@@ -157,3 +157,88 @@ def test_sql_update_where(cat, spark):
     # untouched rows keep their priority values
     assert t.to_df().filter("o_orderkey >= 10 AND "
                             "o_orderpriority = 'BUMPED'").count() == 0
+
+
+def test_sql_where_pushdown_plans_fewer_files(catalog, spark, sf_dir):
+    """The trip-wire for r6's SQL-path predicate pushdown: a selective
+    WHERE over a partitioned engine table must reach scan planning —
+    the query's input files are strictly fewer than the table's live
+    files — while answering exactly."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    spec = PartitionSpec.builder_for(Schema.from_spark(orders.schema)) \
+        .month("o_orderdate").build()
+    t = catalog.create_table("db.po", orders, spec=spec)
+    t.append(orders)
+    n_live = len(t._live_data_and_deletes()[0])
+    df = catalog.sql(
+        "SELECT o_orderkey, o_totalprice FROM db.po "
+        "WHERE o_orderdate >= TIMESTAMP '1997-06-01' "
+        "  AND o_orderpriority = '1-URGENT' ORDER BY o_orderkey")
+    got = [(r.o_orderkey, round(r.o_totalprice, 2)) for r in df.collect()]
+    want = [(r.o_orderkey, round(r.o_totalprice, 2)) for r in
+            orders.filter((F.col("o_orderdate") >= "1997-06-01")
+                          & (F.col("o_orderpriority") == "1-URGENT"))
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey").collect()]
+    assert got == want
+    assert 0 < len(df.inputFiles()) < n_live
+
+
+def test_sql_pushdown_bails_safely(catalog, spark, sf_dir):
+    """Every bail path answers exactly: function conjunct (partial
+    extraction), subquery, self-join, OR across tables."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.bo", orders)
+    t.append(orders)
+    n = catalog.sql(
+        "SELECT count(*) AS n FROM db.bo "
+        "WHERE round(o_totalprice) > 100 AND o_orderkey < 50") \
+        .collect()[0]["n"]
+    assert n == orders.filter((F.round("o_totalprice") > 100)
+                              & (F.col("o_orderkey") < 50)).count()
+    n2 = catalog.sql(
+        "SELECT count(*) AS n FROM db.bo a JOIN db.bo b "
+        "ON a.o_orderkey = b.o_orderkey WHERE a.o_orderkey < 20") \
+        .collect()[0]["n"]
+    assert n2 == orders.filter(F.col("o_orderkey") < 20).count()
+    n3 = catalog.sql(
+        "SELECT count(*) AS n FROM db.bo WHERE o_orderkey IN "
+        "(SELECT o_orderkey FROM db.bo WHERE o_orderkey < 5)") \
+        .collect()[0]["n"]
+    assert n3 == orders.filter(F.col("o_orderkey") < 5).count()
+
+
+def test_sql_literal_masking(cat, spark, sf_dir):
+    """A table name inside a string literal or comment is never
+    rewritten (and never triggers pushdown misparses)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n = cat.sql("SELECT count(*) AS n FROM db.orders "
+                "WHERE o_orderpriority <> 'db.orders'").collect()[0]["n"]
+    assert n == orders.count()
+    n2 = cat.sql("SELECT count(*) AS n FROM db.orders "
+                 "-- comment mentions db.orders and a ' quote\n"
+                 "WHERE o_orderkey >= 0").collect()[0]["n"]
+    assert n2 == orders.count()
+
+
+def test_sql_delete_counts_rows_already_shadowed_once(catalog, spark,
+                                                      sf_dir):
+    """ADVICE r6: DELETE's rows_affected must not double-count rows that
+    pre-existing delete files already shadowed in the rewritten files."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.dc", orders)
+    t.append(orders)
+    # shadow some rows with row-level deletes first (RowDelta path)
+    from linkedin_iceberg_spark.catalog.row_delta import upsert
+    hit = orders.filter(F.col("o_orderkey") < 40)
+    upsert(t, hit.withColumn("o_orderpriority", F.lit("X")),
+           ["o_orderkey"])
+    t.refresh()
+    visible = t.to_df().filter("o_orderkey < 100").count()
+    st = catalog.sql("DELETE FROM db.dc WHERE o_orderkey < 100") \
+        .collect()[0]
+    assert int(st["rows_affected"]) == visible
+    t.refresh()
+    assert t.to_df().filter("o_orderkey < 100").count() == 0
