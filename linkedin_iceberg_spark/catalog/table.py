@@ -330,12 +330,20 @@ class Table:
                 if isinstance(f.type, str)}
 
     def _commit(self, build_fn: Callable, operation: str,
-                wap_id: Optional[str] = None) -> "Table":
+                wap_id: Optional[str] = None,
+                seq_span: int = 1) -> "Table":
         """Optimistic commit loop (ref: SnapshotProducer.commit:249-285).
 
         build_fn(base_metadata, snapshot_id, sequence_number)
           -> (manifest_list_infos, summary, set_current)
-        """
+
+        ``seq_span``: how many sequence numbers this commit consumes.
+        build_fn receives the FIRST; the snapshot records the LAST
+        (seq + span - 1), so the table's sequence space advances past
+        every per-entry number the build assigned — merge_branch lands
+        an n-commit series in ONE atomic commit this way, each
+        re-applied branch commit keeping its own ordinal so delete
+        scoping ("strictly older") replays exactly."""
         if self._branch is not None and wap_id is not None:
             raise ValueError("WAP staging and branch commits are separate "
                              "isolation mechanisms; pick one")
@@ -370,7 +378,7 @@ class Table:
             snap = Snapshot(
                 snapshot_id=snap_id,
                 parent_snapshot_id=build_base.current_snapshot_id,
-                sequence_number=seq,
+                sequence_number=seq + seq_span - 1,
                 timestamp_ms=int(time.time() * 1000),
                 operation=operation,
                 manifest_list=ml_name,
@@ -1421,11 +1429,10 @@ class Table:
 
     def merge_branch(self, name: str) -> "Table":
         """Merge a DIVERGED branch into main: the branch's exclusive
-        commits are re-applied onto main's head in their original order,
-        one conflict-validated cherry-pick each (ref:
-        core/.../SnapshotManager.java:65-171 cherrypick machinery — this
-        is its n-commit generalization for branch refs).  Falls back to
-        ``fast_forward`` when main never diverged.
+        commits are re-applied onto main's head as ONE atomic commit
+        (ref: core/.../SnapshotManager.java:65-171 cherrypick machinery —
+        this is its n-commit generalization for branch refs).  Falls
+        back to ``fast_forward`` when main never diverged.
 
         A TRUE conflict raises ValidationException BEFORE any commit
         lands (the whole series is validated upfront):
@@ -1441,11 +1448,17 @@ class Table:
         DML raises — the reference's validation lens
         (BaseOverwriteFiles.java:76-129).
 
-        Ordered re-application preserves WITHIN-branch delete scoping:
-        each cherry-pick takes a fresh, monotonically higher sequence
-        number, so a branch delete still outranks the branch data it
-        targeted, and a RowDelta's co-committed data and deletes land at
-        ONE sequence number (deletes scope strictly-older rows only).
+        ATOMIC under concurrency: the whole net delta publishes through
+        a single CAS, so a concurrent commit landing mid-merge triggers
+        the standard optimistic retry with full re-validation — main
+        either gains the complete merge or none of it, never a partial
+        prefix.  WITHIN-branch delete scoping survives the flattening
+        because every re-applied entry carries a remapped PER-COMMIT
+        sequence number (branch commit i's files land at seq+i, the
+        merge snapshot records the highest, and the table's sequence
+        space advances by the full span) — a branch delete still
+        outranks the branch data it targeted, and a RowDelta's
+        co-committed data and deletes still share one number.
         The branch ref survives the merge; drop_branch when done."""
         from linkedin_iceberg_spark.catalog.scan import (
             _eq_delete_may_hit, _pos_delete_may_hit)
@@ -1526,21 +1539,103 @@ class Table:
                             f"{d.file_path} may hit main-exclusive data "
                             f"{f.file_path}; resolve by hand")
 
-        # ordered re-application, each through the validated swap loop;
-        # every path the series touches counts as seen, so earlier
-        # cherry-picks (and the branch's own files) never self-conflict —
-        # anything else committed concurrently DOES
+        # flatten the series into one NET delta; each surviving added
+        # entry remembers WHICH branch commit introduced it (its ordinal
+        # becomes the entry's sequence offset).  Intra-branch churn
+        # (added by commit i, removed by commit j>i) cancels here and
+        # never reaches main's manifests.
+        final_added: dict = {}       # path -> (entry, delta index)
+        removed_from_main: dict = {}  # path -> entry (live on main now)
+        for i, (_snap, added, removed) in enumerate(deltas):
+            for e in removed:
+                p = e.data_file.file_path
+                if p in final_added:
+                    del final_added[p]
+                else:
+                    removed_from_main[p] = e
+            for e in added:
+                final_added[e.data_file.file_path] = (e, i)
+
+        # every path the series touches counts as seen, so the branch's
+        # own files never self-conflict — anything committed
+        # concurrently (on any retry attempt) DOES
         seen = set(main_live)
         for _, added, _ in deltas:
             seen |= {e.data_file.file_path for e in added}
-        for snap, added, removed in deltas:
-            self._commit_file_swap(
-                removed=removed,
-                added=[e.data_file for e in added],
-                operation=snap.operation,
-                seen_paths=seen,
-                conflict_fn=lambda e: True)
-        return self
+
+        types_by_id = self._types_by_id()
+        added_data = [e for e, _i in final_added.values()
+                      if e.data_file.content == M.CONTENT_DATA]
+        added_dels = len(final_added) - len(added_data)
+        removed_data = [e for e in removed_from_main.values()
+                        if e.data_file.content == M.CONTENT_DATA]
+        removed_dels = len(removed_from_main) - len(removed_data)
+        operation = OP_APPEND if not removed_from_main and not added_dels \
+            else OP_OVERWRITE
+
+        def build(base, snap_id, seq):
+            ptypes = base.all_partition_types()
+            base_entries = self._live_entries(base=base)
+            live_paths = {e.data_file.file_path for e in base_entries}
+            gone = sorted(set(removed_from_main) - live_paths)
+            if gone:
+                raise ValidationException(
+                    f"merge_branch: {len(gone)} file(s) the branch "
+                    f"removes/rewrites were removed by a concurrent "
+                    f"commit (e.g. {gone[0]}); re-plan on the refreshed "
+                    "table")
+            for e in base_entries:
+                if e.data_file.file_path not in seen:
+                    raise ValidationException(
+                        f"merge_branch: a concurrent commit added "
+                        f"{e.data_file.file_path} since the merge was "
+                        "validated; re-run the merge")
+            keep = [e for e in base_entries
+                    if e.data_file.file_path not in removed_from_main]
+            infos = []
+            if keep:
+                kname = M.new_manifest_name()
+                keep_entries = [M.ManifestEntry(M.STATUS_EXISTING,
+                                                e.snapshot_id,
+                                                e.sequence_number,
+                                                e.data_file)
+                                for e in keep]
+                info = M.write_manifest(self.ops.new_metadata_path(kname),
+                                        keep_entries, types_by_id, ptypes)
+                info.manifest_path = kname
+                infos.append(info)
+            if final_added:
+                aname = M.new_manifest_name()
+                add_entries = [M.ManifestEntry(M.STATUS_ADDED, snap_id,
+                                               seq + i, e.data_file)
+                               for _p, (e, i)
+                               in sorted(final_added.items())]
+                info = M.write_manifest(self.ops.new_metadata_path(aname),
+                                        add_entries, types_by_id, ptypes)
+                info.manifest_path = aname
+                infos.append(info)
+            summary = {
+                "deleted-data-files": str(len(removed_data)),
+                "added-data-files": str(len(added_data)),
+                "deleted-delete-files": str(removed_dels),
+                "added-delete-files": str(added_dels),
+                "deleted-records": str(sum(e.data_file.record_count
+                                           for e in removed_data)),
+                "added-records": str(sum(e.data_file.record_count
+                                         for e in added_data)),
+                "merged-branch": name,
+                "merged-commits": str(len(deltas)),
+                **self._rolling_totals(
+                    base,
+                    d_files=len(added_data) - len(removed_data),
+                    d_records=sum(e.data_file.record_count
+                                  for e in added_data)
+                    - sum(e.data_file.record_count for e in removed_data),
+                    d_delete_files=added_dels - removed_dels),
+            }
+            return infos, summary, None
+
+        return self._commit(build, operation, seq_span=len(deltas))
 
     def cherry_pick(self, snapshot_id: int) -> "Table":
         """Publish a staged (WAP) snapshot: fast-forward if it's a direct

@@ -1,7 +1,9 @@
 """merge_branch: re-apply a diverged branch's exclusive commits onto main
-as ordered, conflict-validated cherry-picks (ref:
-core/.../SnapshotManager.java:65-171 generalized to branch refs).
-Disjoint work merges clean; overlapping DML raises BEFORE any commit."""
+as ONE atomic conflict-validated commit with per-entry remapped sequence
+numbers (ref: core/.../SnapshotManager.java:65-171 generalized to branch
+refs).  Disjoint work merges clean; overlapping DML raises BEFORE any
+commit; a concurrent commit mid-merge retries the WHOLE merge — never a
+partial prefix."""
 
 import os
 
@@ -53,13 +55,20 @@ def test_disjoint_dml_series_merges_clean(table, spark):
     t.delete_where(gt_eq("o_orderkey", 1200))
 
     n_snaps_before = len(t.metadata.ancestry())
+    seq_before = t.metadata.last_sequence_number
     t.merge_branch("dev")
     got = _keys(t)
     want = sorted([k for k in before if 500 <= k < 1200] +
                   [k + 1_000_000 for k in before if k < 50])
     assert got == want
-    # one cherry-pick per exclusive branch commit, in order
-    assert len(t.metadata.ancestry()) == n_snaps_before + 2
+    # the whole series lands as ONE atomic commit (r6) that consumes one
+    # sequence number per merged branch commit, so per-entry delete
+    # scoping replays exactly
+    assert len(t.metadata.ancestry()) == n_snaps_before + 1
+    snap = t.metadata.current_snapshot
+    assert snap.summary["merged-branch"] == "dev"
+    assert snap.summary["merged-commits"] == "2"
+    assert t.metadata.last_sequence_number == seq_before + 2
 
 
 def test_overlapping_dml_raises_before_any_commit(table):
@@ -112,3 +121,43 @@ def test_within_branch_delete_scoping_survives_merge(table, spark):
     assert got.filter(F.col("o_orderkey") < 1010).count() == 0
     assert got.filter(F.col("o_orderkey") >= 1010).count() == \
         2 * dup.filter(F.col("o_orderkey") >= 1010).count()
+
+
+def test_concurrent_commit_mid_merge_never_partial(table, catalog, spark,
+                                                   monkeypatch):
+    """A commit landing between merge validation and publish triggers the
+    retry loop's re-validation: the merge raises (or fully applies) —
+    main NEVER holds a partial prefix of the branch series (r6)."""
+    t, orders = table
+    t.create_branch("dev")
+    dev = t.branch("dev")
+    dev.delete_where(lt("o_orderkey", 500))
+    extra = orders.filter(F.col("o_orderkey") < 50) \
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+    dev.append(extra.coalesce(1))
+    # main diverges (disjoint file) so the merge path engages, not
+    # fast-forward
+    t.delete_where(gt_eq("o_orderkey", 1200))
+    before = _keys(t)
+
+    other = catalog.load_table("db.mergey")
+    sneak = orders.filter(F.col("o_orderkey") < 30) \
+        .withColumn("o_orderkey", F.col("o_orderkey") + 2_000_000) \
+        .coalesce(1)
+    orig = t.ops.commit
+    fired = {}
+
+    def sneaky(version, md):
+        if not fired:
+            fired["x"] = True
+            other.append(sneak)  # lands first -> CAS fails -> retry
+        return orig(version, md)
+
+    monkeypatch.setattr(t.ops, "commit", sneaky)
+    with pytest.raises(ValidationException, match="concurrent commit"):
+        t.merge_branch("dev")
+    t.refresh()
+    # main holds EXACTLY pre-merge rows + the concurrent append: none of
+    # the branch's delete/append effects leaked
+    assert _keys(t) == sorted(before + [k + 2_000_000
+                                        for k in before if k < 30])
