@@ -68,12 +68,18 @@ def main() -> int:
         except Exception:
             pass
 
-    # three timed passes at the target SF, report the min — page cache,
+    # five timed passes at the target SF, report the min — page cache,
     # shuffle file reuse, and scheduler jitter make single-shot numbers
     # noisy on a shared machine (JMH reports per-iteration stats for the
-    # same reason); observed pass-to-pass spread here is ~10%
+    # same reason); observed pass-to-pass spread here is ~10%.  r6: was
+    # three — two consecutive rounds of unexplained +6-9% drift on
+    # unchanged code made the trend line unfalsifiable, so the harness
+    # now records more samples plus the machine's load average, and a
+    # quiet-machine reference run is committed each round
+    # (BENCH_quiet_r{N}.json) for the driver's number to be read against
+    load_start = os.getloadavg()[0]
     times: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(5):
         for name in names:
             fn, _sql = registry[name]
             t0 = time.perf_counter()
@@ -91,6 +97,9 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "passes": 5,
+        "load_avg_1m_start": round(load_start, 2),
+        "load_avg_1m_end": round(os.getloadavg()[0], 2),
     }))
     return 0
 
