@@ -73,6 +73,43 @@ def analyze_table(table, columns: list) -> dict:
     return out
 
 
+def suggest_broadcast(table, threshold_bytes: int = None) -> bool:
+    """Metadata-driven join-side advice: True when the table's LIVE data
+    bytes (summed file_size_in_bytes from the manifests — zero data I/O)
+    fit the session's broadcast budget.  This is the engine-side analog
+    of the stats the reference reports to Spark's planner
+    (spark3/.../SparkBatchScan.java:186 estimateStatistics feeding CBO
+    broadcast decisions): pure-Python can't implement the DSv2 hook, so
+    the engine's OWN join-bearing operators consult this instead of
+    caller hints — row_delta.merge broadcasts its target side iff this
+    says it fits.
+
+    The threshold defaults to the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` (so the advice and AQE
+    agree on what "fits" means); parquet bytes usually DECOMPRESS 2-5x
+    in memory, so a deployment may pass an explicit lower budget.
+    Conservative on unknowns: missing sizes -> False."""
+    if threshold_bytes is None:
+        raw = table.spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                                   "10485760")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        low = raw.strip().lower().rstrip("b")
+        if low and low[-1] in mult:
+            threshold_bytes = int(low[:-1]) * mult[low[-1]]
+        else:
+            threshold_bytes = int(low)
+        if threshold_bytes < 0:  # broadcasts disabled for the session
+            return False
+    entries, _ = table._live_data_and_deletes()
+    total = 0
+    for e in entries:
+        size = e.data_file.file_size_in_bytes
+        if not size and e.data_file.record_count:
+            return False  # unknown size on a non-empty file: no advice
+        total += size or 0
+    return total <= threshold_bytes
+
+
 def column_stats(table, col: str) -> dict:
     """Snapshot-level statistics for ``col``: NDV from the hll_union of
     the LIVE files' persisted sketches (raises if analyze_table hasn't

@@ -221,6 +221,15 @@ def merge(table, source: DataFrame, key_cols: list,
 
     s = source.alias("s")
     t = table.to_df().alias("t")
+    # hint-free by default (AQE sizes the join at runtime); when the
+    # TARGET's manifest metadata proves it broadcast-small — the
+    # dim-table-merge shape — say so up front, the engine-side analog of
+    # the reference reporting estimateStatistics to Spark's planner
+    # (spark3/.../SparkBatchScan.java:186).  Sourced from metadata only,
+    # never forced on unknowns (catalog/analyze.py:suggest_broadcast)
+    from linkedin_iceberg_spark.catalog.analyze import suggest_broadcast
+    if suggest_broadcast(table):
+        t = F.broadcast(t)
     on = None
     for k in key_cols:
         clause = F.col(f"s.{k}") == F.col(f"t.{k}")

@@ -69,3 +69,59 @@ def test_uncovered_files_raise(t):
         column_stats(tbl, "o_custkey")
     with pytest.raises(ValueError, match="no such column"):
         analyze_table(tbl, ["nope"])
+
+
+def test_suggest_broadcast_reads_metadata(t, spark):
+    """Advice comes from summed live-file bytes in the manifests, agrees
+    with the session threshold, and never fires on unknowns (r6)."""
+    from linkedin_iceberg_spark.catalog.analyze import suggest_broadcast
+
+    tbl, _ = t
+    live = tbl._live_data_and_deletes()[0]
+    total = sum(e.data_file.file_size_in_bytes for e in live)
+    assert total > 0
+    # the sf0.001 table is tiny: fits the 10MB default
+    assert suggest_broadcast(tbl) is True
+    # explicit budget below the table's bytes: no
+    assert suggest_broadcast(tbl, threshold_bytes=total - 1) is False
+    assert suggest_broadcast(tbl, threshold_bytes=total) is True
+    # session disabled broadcasts entirely
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert suggest_broadcast(tbl) is False
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1g")
+        assert suggest_broadcast(tbl) is True
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_merge_consults_advisor_and_stays_exact(catalog, spark, sf_dir,
+                                                monkeypatch):
+    """A hint-free merge broadcasts its target iff the advisor says the
+    metadata fits — and the committed rows are identical either way."""
+    from linkedin_iceberg_spark.catalog import row_delta
+    from linkedin_iceberg_spark.catalog import analyze
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .filter(F.col("o_orderkey") < 400)
+    src = orders.filter(F.col("o_orderkey") < 100) \
+        .withColumn("o_orderpriority", F.lit("MERGED"))
+
+    def run(name, force_no_broadcast):
+        tbl = catalog.create_table(name, orders)
+        tbl.append(orders)
+        if force_no_broadcast:
+            monkeypatch.setattr(analyze, "suggest_broadcast",
+                                lambda *a, **k: False)
+        row_delta.merge(tbl, src, key_cols=["o_orderkey"],
+                        matched_update={"o_orderpriority":
+                                        F.col("s.o_orderpriority")})
+        tbl.refresh()
+        return sorted((r.o_orderkey, r.o_orderpriority)
+                      for r in tbl.to_df().collect())
+
+    a = run("db.adv_b", False)
+    b = run("db.adv_s", True)
+    assert a == b
+    assert sum(1 for _k, p in a if p == "MERGED") == src.count()
