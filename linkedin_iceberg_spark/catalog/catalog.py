@@ -508,6 +508,9 @@ class Catalog:
             summ = t.metadata.current_snapshot.summary
             return status("insert", summ.get("added-records", -1))
 
+        if re.match(r"\s*merge\s+into\b", query, re.IGNORECASE):
+            return self._sql_merge(query)
+
         m = re.match(rf"\s*delete\s+from\s+({dotted})\s+where\s+(.+)",
                      query, re.IGNORECASE | re.DOTALL)
         if m:
@@ -556,6 +559,128 @@ class Catalog:
             return status("update", n)
 
         return None
+
+    def _sql_merge(self, query: str) -> DataFrame:
+        """MERGE INTO routed to the row_delta.merge operator — the SQL
+        extension the reference delegates to engines for row-level ops
+        (spark3-era MERGE builders); ours commits ONE sequence-scoped
+        RowDelta snapshot, no copy-on-write of untouched files.
+
+        Supported (conservative; anything else raises with the reason):
+
+            MERGE INTO db.t [AS] t USING (db.src | <temp view>) [AS] s
+            ON t.k = s.k [AND t.k2 = s.k2 ...]
+            [WHEN MATCHED [AND <cond>] THEN DELETE]
+            [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
+            [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+
+        ON must be an equi-conjunction on SAME-NAMED key columns (the
+        operator's key_cols contract).  Conditions and SET expressions
+        are Spark SQL over the declared aliases, normalized to the
+        operator's `t`/`s` aliases.  rows_affected reports the rows the
+        merge WROTE (updated + inserted, the commit's added-records)."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from linkedin_iceberg_spark.catalog.row_delta import merge
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        dotted = rf"{ident}(?:\.{ident})+"
+        masked, lits = _mask_sql_literals(query)
+
+        m = re.match(
+            rf"\s*merge\s+into\s+({dotted})(?:\s+(?:as\s+)?({ident}))?"
+            rf"\s+using\s+({dotted}|{ident})(?:\s+(?:as\s+)?({ident}))?"
+            rf"\s+on\s+(.+?)\s+(when\s+.+?)\s*;?\s*$",
+            masked, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(
+                "unsupported MERGE shape; see Catalog._sql_merge for the "
+                "accepted grammar")
+        tgt_name, tgt_alias, src_name, src_alias, on_text, whens = \
+            m.groups()
+        t = self.load_table(tgt_name)
+        if self.table_exists(src_name):
+            source = self.load_table(src_name).to_df()
+        else:
+            source = self.spark.table(src_name)  # temp view
+
+        def norm(text: str):
+            """Rewrite declared aliases/names to the operator's t/s."""
+            for name, std in ((tgt_alias, "t"), (tgt_name, "t"),
+                              (src_alias, "s"), (src_name, "s")):
+                if name:
+                    text = re.sub(
+                        rf"(?<![A-Za-z0-9_.]){re.escape(name)}\.",
+                        std + ".", text)
+            return _unmask_sql_literals(text, lits)
+
+        key_cols = []
+        for conj in _split_top_level_and(on_text):
+            eq = re.match(
+                rf"\s*({ident})\.({ident})\s*=\s*({ident})\.({ident})\s*$",
+                norm(conj))
+            if not eq or {eq.group(1), eq.group(3)} != {"t", "s"} \
+                    or eq.group(2) != eq.group(4):
+                raise ValueError(
+                    f"MERGE ON must be an equi-conjunction on same-named "
+                    f"key columns; cannot use: {conj.strip()!r}")
+            key_cols.append(eq.group(2))
+
+        upd = upd_cond = del_cond = ins_cond = None
+        insert_unmatched = False
+        clause_re = re.compile(
+            r"when\s+(not\s+)?matched(?:\s+and\s+(.+?))?\s+then\s+"
+            r"(update\s+set\s+.+?|delete|insert\s*\*?)"
+            r"(?=\s+when\s+|\s*$)",
+            re.IGNORECASE | re.DOTALL)
+        matched_any = False
+        for c in clause_re.finditer(whens):
+            matched_any = True
+            is_not, cond_text, action = c.groups()
+            cond = F.expr(norm(cond_text)) if cond_text else None
+            act = action.strip()
+            low = act.lower()
+            if is_not:
+                if not low.startswith("insert"):
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports only INSERT *")
+                insert_unmatched, ins_cond = True, cond
+            elif low == "delete":
+                del_cond = cond if cond is not None else F.lit(True)
+            elif low.startswith("update set"):
+                upd, upd_cond = {}, cond
+                depth, cur, parts = 0, [], []
+                for ch in act[len("update set"):]:
+                    depth += ch == "("
+                    depth -= ch == ")"
+                    if ch == "," and depth == 0:
+                        parts.append("".join(cur))
+                        cur = []
+                    else:
+                        cur.append(ch)
+                parts.append("".join(cur))
+                for part in parts:
+                    col, _, val = part.partition("=")
+                    if not col.strip() or not val.strip():
+                        raise ValueError(f"malformed SET: {part!r}")
+                    upd[norm(col.strip()).removeprefix("t.")] = \
+                        F.expr(norm(val.strip()))
+            else:
+                raise ValueError(f"unsupported MERGE action: {act!r}")
+        if not matched_any:
+            raise ValueError("MERGE needs at least one WHEN clause")
+
+        merge(t, source, key_cols=key_cols,
+              matched_update=upd, matched_update_cond=upd_cond,
+              matched_delete_cond=del_cond,
+              insert_unmatched=insert_unmatched, insert_cond=ins_cond)
+        t.refresh()
+        summ = t.metadata.current_snapshot.summary
+        return self.spark.createDataFrame(
+            [("merge", int(summ.get("added-records", 0)))],
+            "operation string, rows_affected long")
 
     def list_tables(self, namespace: str = "") -> list:
         base = os.path.join(self.warehouse, *namespace.split(".")) \

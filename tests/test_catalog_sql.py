@@ -242,3 +242,67 @@ def test_sql_delete_counts_rows_already_shadowed_once(catalog, spark,
     assert int(st["rows_affected"]) == visible
     t.refresh()
     assert t.to_df().filter("o_orderkey < 100").count() == 0
+
+
+def test_sql_merge_into(catalog, spark, sf_dir):
+    """MERGE INTO routes to the RowDelta merge operator: conditional
+    update + delete + insert in ONE snapshot (r6)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .filter(F.col("o_orderkey") < 400)
+    t = catalog.create_table("db.msql", orders)
+    t.append(orders)
+    src = orders.filter(F.col("o_orderkey") < 120) \
+        .withColumn("o_orderkey",
+                    F.when(F.col("o_orderkey") < 60,
+                           F.col("o_orderkey"))
+                    .otherwise(F.col("o_orderkey") + 1_000_000)) \
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 4))
+    src.createOrReplaceTempView("msql_src")
+
+    st = catalog.sql("""
+        MERGE INTO db.msql AS t USING msql_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderpriority = '1-URGENT' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()[0]
+    assert st["operation"] == "merge"
+    t.refresh()
+    got = {r.o_orderkey: round(r.o_totalprice, 4)
+           for r in t.to_df().collect()}
+    # matched urgent rows deleted
+    urgent = {r.o_orderkey for r in
+              orders.filter((F.col("o_orderkey") < 60)
+                            & (F.col("o_orderpriority") == "1-URGENT"))
+              .collect()}
+    assert urgent and not (urgent & set(got))
+    # matched non-urgent rows doubled
+    doubled = {r.o_orderkey: round(r.o_totalprice * 2, 4)
+               for r in orders.filter((F.col("o_orderkey") < 60)
+                                      & (F.col("o_orderpriority")
+                                         != "1-URGENT")).collect()}
+    assert all(got[k] == v for k, v in doubled.items())
+    # unmatched source rows inserted
+    assert all(k + 1_000_000 in got for k in range(60, 120)
+               if k in {r.o_orderkey for r in orders.collect()})
+    # untouched rows intact
+    base = {r.o_orderkey: round(r.o_totalprice, 4)
+            for r in orders.filter(F.col("o_orderkey") >= 120).collect()}
+    assert all(got[k] == v for k, v in base.items())
+    assert int(st["rows_affected"]) > 0
+
+
+def test_sql_merge_rejects_unsupported_shapes(catalog, spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.msql2", orders)
+    t.append(orders.limit(10))
+    spark.range(5).withColumnRenamed("id", "o_orderkey") \
+        .createOrReplaceTempView("msql_src2")
+    with pytest.raises(ValueError, match="equi-conjunction"):
+        catalog.sql("MERGE INTO db.msql2 t USING msql_src2 s "
+                    "ON t.o_orderkey > s.o_orderkey "
+                    "WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="INSERT"):
+        catalog.sql("MERGE INTO db.msql2 t USING msql_src2 s "
+                    "ON t.o_orderkey = s.o_orderkey "
+                    "WHEN NOT MATCHED THEN UPDATE SET x = 1")
