@@ -363,3 +363,66 @@ def trigram_novelty(df: DataFrame, text_col: str = "text",
         F.col("n_tri").cast("long").alias("n_tri"),
         F.col("n_rare").cast("long").alias("n_rare"),
         F.round(F.col("n_rare") / F.col("n_tri"), 6).alias("rare_ratio"))
+
+
+def lm_bigram_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Corpus-trained bigram language-model quality score — the
+    perplexity-filter lens of the CCNet/Gopher pipelines, self-trained
+    so it needs no external model: add-one-smoothed bigram probabilities
+    are estimated from the corpus itself, and each document scores the
+    MEAN probability of its own bigrams (gibberish/boilerplate scores
+    low against the corpus's own statistics, fluent text scores high).
+
+    INTEGER-exact by construction (the house rule for cross-engine
+    value checks): each bigram contributes
+    ``floor(scale * (c(w1,w2)+1) / (c(w1)+V))`` with BIGINT ``DIV``, and
+    the document score is the integer mean of those micro-probs — no
+    float summation order anywhere, so a second engine replays the
+    number bit-for-bit.  ``scale``*(max bigram count+1) must stay under
+    2^63 (10^6 leaves room for ~9e12 occurrences of one bigram).
+
+    Scale: one tokenize scan; bigrams via a per-document window (one
+    shuffle on id); counts are map-side-combinable hash aggregations;
+    the probability lookup joins per-DOC bigram counts (not occurrences)
+    against the two count tables — hot-word skew on w1 is bounded by
+    pre-aggregation and AQE's skew-join split.  V (distinct unigrams) is
+    a 1-row broadcast.
+
+    Returns (id, n_bigrams, lm_score_micro), one row per input document
+    (documents with <2 tokens score 0 over 0 bigrams)."""
+    from pyspark.sql import Window as W
+
+    toks = (df.select(F.col(id_col),
+                      F.posexplode(F.split(F.lower(F.col(text_col)),
+                                           "[^a-z0-9]+"))
+                      .alias("_p", "_w"))
+            .filter(F.col("_w") != ""))
+    uni = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c1"))
+    vdf = uni.agg(F.count(F.lit(1)).alias("_V"))
+    w = W.partitionBy(id_col).orderBy("_p")
+    bi = (toks.select(F.col(id_col), F.col("_w").alias("_w1"),
+                      F.lead("_w").over(w).alias("_w2"))
+          .filter(F.col("_w2").isNotNull()))
+    # per-document bigram multiplicity first: the count joins below see
+    # one row per distinct (doc, w1, w2), not one per occurrence
+    doc_bi = bi.groupBy(id_col, "_w1", "_w2") \
+        .agg(F.count(F.lit(1)).alias("_m"))
+    corpus_bi = doc_bi.groupBy("_w1", "_w2") \
+        .agg(F.sum("_m").alias("_c2"))
+    p_micro = F.expr(f"({scale}L * (_c2 + 1L)) DIV (_c1 + _V)")
+    scored = (doc_bi.join(corpus_bi, ["_w1", "_w2"])
+              .join(uni, F.col("_w1") == F.col("_w"))
+              .crossJoin(F.broadcast(vdf))
+              .groupBy(id_col)
+              .agg(F.sum("_m").alias("_n"),
+                   F.sum(F.col("_m") * p_micro).alias("_s")))
+    ids = df.select(F.col(id_col))
+    return (ids.join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce(F.expr("_s DIV _n"), F.lit(0)).cast("long")
+                    .alias("lm_score_micro"))
+            .orderBy(id_col))

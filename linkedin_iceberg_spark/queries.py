@@ -1759,6 +1759,56 @@ def text_token_entropy(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@q("text_lm_score", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS lst
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(lst) AS w, unnest(range(len(lst))) AS p FROM toks
+),
+uni AS (SELECT w, count(*) AS c1 FROM pos GROUP BY w),
+v AS (SELECT count(*) AS V FROM uni),
+bi AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+  FROM pos
+),
+doc_bi AS (
+  SELECT doc_id, w1, w2, count(*) AS m
+  FROM bi WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2
+),
+corpus_bi AS (SELECT w1, w2, sum(m) AS c2 FROM doc_bi GROUP BY w1, w2),
+scored AS (
+  SELECT d.doc_id, sum(d.m) AS n,
+         sum(d.m * ((1000000 * (cb.c2 + 1)) // (u.c1 + v.V))) AS s
+  FROM doc_bi d
+  JOIN corpus_bi cb ON d.w1 = cb.w1 AND d.w2 = cb.w2
+  JOIN uni u ON u.w = d.w1
+  CROSS JOIN v
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.s // s.n, 0) AS BIGINT) AS lm_score_micro
+FROM documents doc LEFT JOIN scored s ON s.doc_id = doc.doc_id
+ORDER BY doc.doc_id""")
+def text_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM quality score — the perplexity-filter
+    lens of the CCNet/Gopher pipelines without an external model: add-one
+    bigram probabilities estimated from the corpus itself, each document
+    scored by the INTEGER-exact mean micro-probability of its own
+    bigrams (floor(1e6*(c2+1)/(c1+V)) per bigram, BIGINT DIV end to
+    end — no float summation order anywhere, so the oracle replays the
+    training AND the scoring bit-for-bit)."""
+    from linkedin_iceberg_spark.operators.text import lm_bigram_score
+    d = ld(spark, sf_dir, "documents")
+    return lm_bigram_score(d, text_col="text", id_col="doc_id",
+                           scale=1_000_000)
+
+
 @q("similarity_matryoshka", """
 WITH q AS (
   SELECT embedding[1:16]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0

@@ -170,3 +170,25 @@ def test_dedup_spans_first_seen_wins(spark):
     assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 1
     assert out[4]["clean_text"] == docs[3].text  # 'tail' span is unique
     assert sum(r["n_spans"] for r in out.values()) == 2 + 2 + 1 + 2
+
+
+def test_lm_bigram_score_properties(spark):
+    """Hand-checkable corpus: repeated fluent bigrams score higher than
+    a gibberish doc of corpus-unseen-once bigrams; short docs get 0/0."""
+    from linkedin_iceberg_spark.operators.text import lm_bigram_score
+
+    rows = [(1, "the cat sat on the mat " * 5),
+            (2, "the cat sat on the mat"),
+            (3, "zq xv qj kw pz vy"),
+            (4, "word"),
+            (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_score_micro)
+           for r in lm_bigram_score(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[4] == (0, 0) and got[5] == (0, 0)
+    # doc 1/2 share the corpus-frequent bigrams; doc 3's are singletons
+    assert got[1][1] > got[3][1]
+    assert got[2][1] > got[3][1]
+    # n_bigrams: doc 2 has 5 bigrams; doc 1 has 6*5-1=29 (space-joined)
+    assert got[2][0] == 5 and got[1][0] == 29
