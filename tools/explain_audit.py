@@ -274,6 +274,20 @@ CONTRACTS = {
         # feeds a semi-join shortlist; top-k via TakeOrdered
         ["TakeOrderedAndProject"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "table_sql_pruned": (
+        # the SQL-path pushdown (r6): the registered view is a PRUNED
+        # engine scan, so Spark's plan reads a filtered parquet file
+        # list — fewer-files evidence lives in tests/test_catalog_sql.py
+        # (inputFiles < live); here: a real parquet scan, codegen, and
+        # no Python anywhere
+        ["Scan parquet", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "text_lm_score": (
+        # count tables are map-side-combinable hash aggregations; the
+        # bigram window shuffles once on doc_id; integer DIV math stays
+        # in codegen — no Python, no cartesian
+        ["HashAggregate", "Window", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
