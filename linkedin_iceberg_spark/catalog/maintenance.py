@@ -753,7 +753,11 @@ def rewrite_position_deletes(table,
     live = sorted({e.data_file.file_path for e in entries})
     live_df = spark.createDataFrame([(p,) for p in live],
                                     "file_path: string")
-    kept = (src.join(F.broadcast(live_df), "file_path")
+    # size-gated like every metadata-driven join hint (deletes.py):
+    # one row per LIVE DATA FILE — a million-file table would force a
+    # ~100MB broadcast here; past the gate the semi-shape join shuffles
+    from linkedin_iceberg_spark.catalog.deletes import _maybe_broadcast
+    kept = (src.join(_maybe_broadcast(live_df, len(live)), "file_path")
             .dropDuplicates(["file_path", "pos"]))
     # one materialization total: the input row count comes from manifest
     # record_counts (exact for delete files, zero I/O) and `kept` is

@@ -3934,6 +3934,59 @@ def table_sql_dml(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_sql_merge", """
+SELECT o_orderkey, CAST(round(price, 2) AS DOUBLE) AS o_totalprice,
+       o_orderpriority
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey < 100 THEN round(o_totalprice * 2, 2)
+              ELSE o_totalprice END AS price,
+         o_orderpriority
+  FROM orders
+  WHERE NOT (o_orderkey < 100 AND o_orderpriority = '1-URGENT')
+  UNION ALL
+  SELECT o_orderkey + 5000000, round(o_totalprice * 3, 2),
+         o_orderpriority
+  FROM orders WHERE o_orderkey < 50
+)
+ORDER BY o_orderkey""")
+def table_sql_merge(spark, sf_dir):
+    """MERGE INTO through Catalog.sql (r6): conditional matched DELETE
+    (urgent rows), matched UPDATE (price from source), and NOT MATCHED
+    INSERT * — one sequence-scoped RowDelta snapshot, both sides engine
+    tables resolved by the catalog.  The oracle replays the net state
+    from raw parquet."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_m", o)
+    t.append(o)
+    src = (o.filter(F.col("o_orderkey") < 100)
+           .withColumn("o_totalprice",
+                       F.round(F.col("o_totalprice") * 2, 2))
+           .unionByName(
+               o.filter(F.col("o_orderkey") < 50)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + 5_000_000)
+               .withColumn("o_totalprice",
+                           F.round(F.col("o_totalprice") * 3, 2))))
+    s = cat.create_table("q.src_m", src)
+    s.append(src)
+    st = cat.sql("""
+        MERGE INTO q.orders_m AS t USING q.src_m AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderpriority = '1-URGENT' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()[0]
+    assert st["operation"] == "merge" and st["rows_affected"] > 0
+    return (t.refresh().to_df()
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).cast("double")
+                    .alias("o_totalprice"),
+                    "o_orderpriority")
+            .orderBy("o_orderkey"))
+
+
 @q("table_key_index_lookup", """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey IN (11, 500, 999, 1200, 1400)
