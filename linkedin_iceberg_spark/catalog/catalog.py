@@ -203,6 +203,30 @@ def _extract_scan_filter(masked: str, lits: list, dotted: str, alias,
     return out
 
 
+# SQL type spellings -> engine primitive type strings
+_SQL_TYPE_MAP = {
+    "bigint": "long", "long": "long",
+    "int": "int", "integer": "int", "smallint": "int", "tinyint": "int",
+    "string": "string", "varchar": "string", "text": "string",
+    "char": "string",
+    "double": "double", "float": "float", "real": "float",
+    "boolean": "boolean", "bool": "boolean",
+    "timestamp": "timestamp", "date": "date", "binary": "binary",
+}
+
+
+def _sql_type_to_engine(sql_type: str) -> str:
+    """'BIGINT' -> 'long', 'DECIMAL(10,2)' -> 'decimal(10,2)', ..."""
+    s = sql_type.strip().lower()
+    m = _re.match(r"(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", s)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    base = _re.sub(r"\s*\(.*\)$", "", s)  # VARCHAR(255) -> varchar
+    if base in _SQL_TYPE_MAP:
+        return _SQL_TYPE_MAP[base]
+    raise ValueError(f"unsupported SQL type: {sql_type!r}")
+
+
 class NoSuchTableError(Exception):
     pass
 
@@ -364,6 +388,9 @@ class Catalog:
         from linkedin_iceberg_spark.catalog.metadata_tables import (
             METADATA_TABLES)
 
+        ddl = self._sql_ddl(query)
+        if ddl is not None:
+            return ddl
         dml = self._sql_dml(query)
         if dml is not None:
             return dml
@@ -559,6 +586,111 @@ class Catalog:
             return status("update", n)
 
         return None
+
+    def _sql_ddl(self, query: str):
+        """Route DDL statements to the catalog/evolution operators (None
+        when `query` is not DDL).  Supported:
+
+            CREATE [OR REPLACE] TABLE db.t AS SELECT ...   (CTAS / RTAS)
+            DROP TABLE [IF EXISTS] db.t
+            ALTER TABLE db.t ADD COLUMN[S] name TYPE [, name TYPE ...]
+            ALTER TABLE db.t DROP COLUMN name
+            ALTER TABLE db.t RENAME COLUMN a TO b
+            ALTER TABLE db.t ALTER COLUMN a TYPE <type>    (promotion)
+            ALTER TABLE db.t SET TBLPROPERTIES ('k'='v', ...)
+
+        Schema changes go through the evolution plane (field ids
+        preserved, promotions validated), so old snapshots keep reading
+        correctly — exactly the API route, just spelled in SQL."""
+        import re
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        dotted = rf"{ident}(?:\.{ident})+"
+
+        def status(op: str, detail: str) -> DataFrame:
+            return self.spark.createDataFrame(
+                [(op, detail)], "operation string, detail string")
+
+        m = re.match(
+            rf"\s*create\s+(or\s+replace\s+)?table\s+({dotted})\s+as\s+"
+            rf"(select\b.*)", query, re.IGNORECASE | re.DOTALL)
+        if m:
+            df = self.sql(m.group(3))
+            if m.group(1):
+                t = self.replace_table_as_select(m.group(2), df)
+            else:
+                t = self.create_table_as_select(m.group(2), df)
+            summ = t.metadata.current_snapshot.summary
+            return status("create_table",
+                          f"rows={summ.get('added-records', '0')}")
+
+        m = re.match(rf"\s*drop\s+table\s+(if\s+exists\s+)?({dotted})"
+                     rf"\s*;?\s*$", query, re.IGNORECASE)
+        if m:
+            if m.group(1) and not self.table_exists(m.group(2)):
+                return status("drop_table", "skipped: no such table")
+            return status("drop_table",
+                          f"dropped={self.drop_table(m.group(2))}")
+
+        m = re.match(rf"\s*alter\s+table\s+({dotted})\s+(.*?)\s*;?\s*$",
+                     query, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        t = self.load_table(m.group(1))
+        body = m.group(2)
+
+        a = re.match(rf"add\s+columns?\s+(.+)$", body,
+                     re.IGNORECASE | re.DOTALL)
+        if a:
+            up = t.update_schema()
+            cols = []
+            for part in re.split(r"\s*,\s*", a.group(1).strip()):
+                cm = re.match(rf"({ident}(?:\.{ident})*)\s+(\S.*)$",
+                              part.strip(), re.IGNORECASE)
+                if not cm:
+                    raise ValueError(f"malformed ADD COLUMN: {part!r}")
+                up.add_column(cm.group(1),
+                              _sql_type_to_engine(cm.group(2)))
+                cols.append(cm.group(1))
+            up.commit()
+            return status("alter_table", f"added={','.join(cols)}")
+
+        a = re.match(rf"drop\s+columns?\s+({ident}(?:\.{ident})*)\s*$",
+                     body, re.IGNORECASE)
+        if a:
+            t.update_schema().delete_column(a.group(1)).commit()
+            return status("alter_table", f"dropped={a.group(1)}")
+
+        a = re.match(rf"rename\s+column\s+({ident}(?:\.{ident})*)\s+to\s+"
+                     rf"({ident})\s*$", body, re.IGNORECASE)
+        if a:
+            t.update_schema().rename_column(a.group(1),
+                                            a.group(2)).commit()
+            return status("alter_table",
+                          f"renamed={a.group(1)}->{a.group(2)}")
+
+        a = re.match(rf"alter\s+column\s+({ident}(?:\.{ident})*)\s+"
+                     rf"type\s+(\S.*)$", body, re.IGNORECASE)
+        if a:
+            t.update_schema().update_column(
+                a.group(1), _sql_type_to_engine(a.group(2))).commit()
+            return status("alter_table", f"promoted={a.group(1)}")
+
+        a = re.match(r"set\s+tblproperties\s*\((.+)\)\s*$", body,
+                     re.IGNORECASE | re.DOTALL)
+        if a:
+            props = {}
+            for km, vm in re.findall(r"'((?:[^']|'')*)'\s*=\s*"
+                                     r"'((?:[^']|'')*)'", a.group(1)):
+                props[km.replace("''", "'")] = vm.replace("''", "'")
+            if not props:
+                raise ValueError(
+                    f"malformed TBLPROPERTIES: {a.group(1)!r}")
+            t.update_properties(set_props=props)
+            return status("alter_table",
+                          f"properties={','.join(sorted(props))}")
+
+        raise ValueError(f"unsupported ALTER TABLE clause: {body!r}")
 
     def _sql_merge(self, query: str) -> DataFrame:
         """MERGE INTO routed to the row_delta.merge operator — the SQL

@@ -306,3 +306,60 @@ def test_sql_merge_rejects_unsupported_shapes(catalog, spark, sf_dir):
         catalog.sql("MERGE INTO db.msql2 t USING msql_src2 s "
                     "ON t.o_orderkey = s.o_orderkey "
                     "WHEN NOT MATCHED THEN UPDATE SET x = 1")
+
+
+def test_sql_ddl_ctas_alter_drop(catalog, spark, sf_dir):
+    """The DDL surface: CTAS/RTAS, ADD/DROP/RENAME/promote column, SET
+    TBLPROPERTIES, DROP TABLE — all through Catalog.sql, all via the
+    evolution plane (field ids preserved) (r6)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    catalog.create_table("db.dsrc", orders).append(orders)
+
+    st = catalog.sql("CREATE TABLE db.dtab AS "
+                     "SELECT o_orderkey, o_totalprice FROM db.dsrc "
+                     "WHERE o_orderkey < 100").collect()[0]
+    assert st["operation"] == "create_table"
+    t = catalog.load_table("db.dtab")
+    assert t.to_df().count() == orders.filter("o_orderkey < 100").count()
+
+    catalog.sql("ALTER TABLE db.dtab ADD COLUMNS note STRING, "
+                "cents BIGINT")
+    t.refresh()
+    assert {"note", "cents"} <= set(t.schema.column_names())
+    # new columns read as NULL on pre-evolution rows
+    assert t.to_df().filter("note IS NOT NULL").count() == 0
+
+    catalog.sql("ALTER TABLE db.dtab RENAME COLUMN note TO remark")
+    catalog.sql("ALTER TABLE db.dtab DROP COLUMN cents")
+    t.refresh()
+    cols = set(t.schema.column_names())
+    assert "remark" in cols and "note" not in cols and "cents" not in cols
+
+    # int -> long promotion via SQL (build a table with an int col)
+    small = spark.range(5).selectExpr("CAST(id AS INT) AS k")
+    catalog.create_table("db.dprom", small).append(small)
+    catalog.sql("ALTER TABLE db.dprom ALTER COLUMN k TYPE BIGINT")
+    tp = catalog.load_table("db.dprom")
+    assert dict(tp.to_df().dtypes)["k"] == "bigint"
+    assert tp.to_df().count() == 5
+
+    catalog.sql("ALTER TABLE db.dtab SET TBLPROPERTIES "
+                "('owner'='data-eng', 'note'='it''s fine')")
+    t.refresh()
+    assert t.properties["owner"] == "data-eng"
+    assert t.properties["note"] == "it's fine"
+
+    # RTAS preserves identity + history, swaps contents atomically
+    st = catalog.sql("CREATE OR REPLACE TABLE db.dtab AS "
+                     "SELECT o_orderkey FROM db.dsrc "
+                     "WHERE o_orderkey >= 100 AND o_orderkey < 150") \
+        .collect()[0]
+    assert st["operation"] == "create_table"
+    t.refresh()
+    assert t.to_df().columns == ["o_orderkey"]
+
+    st = catalog.sql("DROP TABLE db.dtab").collect()[0]
+    assert st["detail"] == "dropped=True"
+    assert not catalog.table_exists("db.dtab")
+    st = catalog.sql("DROP TABLE IF EXISTS db.dtab").collect()[0]
+    assert "skipped" in st["detail"]
