@@ -391,6 +391,9 @@ class Catalog:
         ddl = self._sql_ddl(query)
         if ddl is not None:
             return ddl
+        call = self._sql_call(query)
+        if call is not None:
+            return call
         dml = self._sql_dml(query)
         if dml is not None:
             return dml
@@ -691,6 +694,86 @@ class Catalog:
                           f"properties={','.join(sorted(props))}")
 
         raise ValueError(f"unsupported ALTER TABLE clause: {body!r}")
+
+    def _sql_call(self, query: str):
+        """CALL <procedure>('db.t' [, args...]) -> the maintenance /
+        snapshot-management actions, spelled like the Spark procedures
+        the modern format ships (the reference's Actions plane —
+        RewriteDataFilesAction & co — behind a SQL entrypoint).  None
+        when `query` is not a CALL.
+
+            CALL rewrite_data_files('db.t')
+            CALL rewrite_manifests('db.t')
+            CALL rewrite_position_deletes('db.t')
+            CALL remove_dangling_deletes('db.t')
+            CALL expire_snapshots('db.t' [, <older_than_ms>])
+            CALL remove_orphan_files('db.t' [, <older_than_ms>])
+            CALL rollback_to_snapshot('db.t', <snapshot_id>)
+            CALL cherrypick_snapshot('db.t', <snapshot_id>)
+            CALL fast_forward('db.t', '<branch>')
+            CALL analyze_table('db.t', '<col>[,<col>...]')
+        """
+        import json
+        import re
+
+        m = re.match(r"\s*call\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)"
+                     r"\s*;?\s*$", query, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        proc = m.group(1).lower()
+        args, pos = [], 0
+        body = m.group(2).strip()
+        # token-wise parse ('' = escaped quote), so a quoted argument
+        # may itself contain commas ('col1,col2')
+        tok = re.compile(r"\s*(?:'((?:[^']|'')*)'|(-?\d+))\s*(?:,|$)")
+        while pos < len(body):
+            mm = tok.match(body, pos)
+            if not mm:
+                raise ValueError(f"CALL argument must be a quoted string "
+                                 f"or integer at: {body[pos:]!r}")
+            if mm.group(1) is not None:
+                args.append(mm.group(1).replace("''", "'"))
+            else:
+                args.append(int(mm.group(2)))
+            pos = mm.end()
+        if not args or not isinstance(args[0], str):
+            raise ValueError("CALL needs the table name as its first "
+                             "(quoted) argument")
+        t = self.load_table(args[0])
+        rest = args[1:]
+
+        from linkedin_iceberg_spark.catalog import maintenance as MA
+        if proc == "rewrite_data_files":
+            out = MA.rewrite_data_files(t)
+        elif proc == "rewrite_manifests":
+            out = MA.rewrite_manifests(t)
+        elif proc == "rewrite_position_deletes":
+            out = MA.rewrite_position_deletes(t)
+        elif proc == "remove_dangling_deletes":
+            out = MA.remove_dangling_deletes(t)
+        elif proc == "expire_snapshots":
+            out = MA.expire_snapshots(t, *rest[:1])
+        elif proc == "remove_orphan_files":
+            out = MA.remove_orphan_files(t, *rest[:1])
+        elif proc == "rollback_to_snapshot":
+            t.rollback_to(rest[0])
+            out = {"current_snapshot_id": t.metadata.current_snapshot_id}
+        elif proc == "cherrypick_snapshot":
+            t.cherry_pick(rest[0])
+            out = {"current_snapshot_id": t.metadata.current_snapshot_id}
+        elif proc == "fast_forward":
+            t.fast_forward(rest[0])
+            out = {"current_snapshot_id": t.metadata.current_snapshot_id}
+        elif proc == "analyze_table":
+            from linkedin_iceberg_spark.catalog.analyze import (
+                analyze_table)
+            out = analyze_table(t, [c.strip()
+                                    for c in rest[0].split(",")])
+        else:
+            raise ValueError(f"unknown procedure: {proc!r}")
+        return self.spark.createDataFrame(
+            [(proc, json.dumps(out, default=str, sort_keys=True))],
+            "operation string, detail string")
 
     def _sql_merge(self, query: str) -> DataFrame:
         """MERGE INTO routed to the row_delta.merge operator — the SQL

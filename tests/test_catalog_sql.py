@@ -363,3 +363,39 @@ def test_sql_ddl_ctas_alter_drop(catalog, spark, sf_dir):
     assert not catalog.table_exists("db.dtab")
     st = catalog.sql("DROP TABLE IF EXISTS db.dtab").collect()[0]
     assert "skipped" in st["detail"]
+
+
+def test_sql_call_procedures(catalog, spark, sf_dir):
+    """CALL routes to the maintenance/snapshot actions (r6): compaction,
+    manifest rewrite, snapshot expiry, rollback, analyze."""
+    import json
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.proc", orders)
+    t.append(orders.filter(F.col("o_orderkey") < 500))
+    t.append(orders.filter(F.col("o_orderkey") >= 500))
+    before = t.to_df().count()
+
+    st = catalog.sql("CALL rewrite_data_files('db.proc')").collect()[0]
+    assert st["operation"] == "rewrite_data_files"
+    assert json.loads(st["detail"])["rewritten_files"] >= 2
+    t.refresh()
+    assert t.to_df().count() == before
+
+    keep_id = t.metadata.current_snapshot_id
+    st = catalog.sql("CALL expire_snapshots('db.proc')").collect()[0]
+    t.refresh()
+    assert t.metadata.current_snapshot_id == keep_id
+
+    st = catalog.sql(
+        f"CALL rollback_to_snapshot('db.proc', {keep_id})").collect()[0]
+    assert json.loads(st["detail"])["current_snapshot_id"] == keep_id
+
+    st = catalog.sql(
+        "CALL analyze_table('db.proc', 'o_orderkey,o_custkey')"
+    ).collect()[0]
+    out = json.loads(st["detail"])
+    assert set(out) == {"o_orderkey", "o_custkey"}
+
+    with pytest.raises(ValueError, match="unknown procedure"):
+        catalog.sql("CALL no_such_thing('db.proc')")
