@@ -437,6 +437,17 @@ class Catalog:
                 scan = t.new_scan().as_of_time(int(ts.timestamp() * 1000))
             else:
                 scan = t.new_scan().use_ref(lit.strip("'"))
+            # the travel scan prunes on extracted WHERE conjuncts too —
+            # historical states have the same manifest metadata, so a
+            # selective query over VERSION AS OF plans the same reduced
+            # file set as a current-snapshot read
+            n_occ = len(re.findall(
+                rf"\b(?:from|join)\s+{re.escape(dotted)}(?![A-Za-z0-9_])",
+                query, re.IGNORECASE))
+            flt = _extract_scan_filter(query, lits, dotted, None, t,
+                                       {}, {dotted: n_occ})
+            if flt is not None:
+                scan = scan.filter(flt)
             import hashlib as _h
             view = "liceberg_sql_tt_" + _h.md5(
                 f"{dotted}|{lit}".encode()).hexdigest()[:10]

@@ -3987,6 +3987,33 @@ def table_sql_merge(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_sql_ddl", """
+SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DOUBLE) AS price,
+       CAST(NULL AS VARCHAR) AS remark
+FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey""")
+def table_sql_ddl(spark, sf_dir):
+    """The SQL DDL surface end-to-end (r6): CTAS through Catalog.sql,
+    then ALTER TABLE ADD COLUMN + RENAME COLUMN through the evolution
+    plane (field ids preserved — pre-evolution rows read the renamed
+    column as NULL), verified by selecting the final state."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    src = cat.create_table("q.ddl_src", o)
+    src.append(o)
+    cat.sql("CREATE TABLE q.ddl_t AS "
+            "SELECT o_orderkey, o_totalprice FROM q.ddl_src "
+            "WHERE o_orderkey < 150")
+    cat.sql("ALTER TABLE q.ddl_t ADD COLUMN note STRING")
+    cat.sql("ALTER TABLE q.ddl_t RENAME COLUMN note TO remark")
+    t = cat.load_table("q.ddl_t")
+    return (t.to_df()
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).cast("double")
+                    .alias("price"),
+                    "remark")
+            .orderBy("o_orderkey"))
+
+
 @q("table_key_index_lookup", """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey IN (11, 500, 999, 1200, 1400)

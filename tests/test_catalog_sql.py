@@ -399,3 +399,29 @@ def test_sql_call_procedures(catalog, spark, sf_dir):
 
     with pytest.raises(ValueError, match="unknown procedure"):
         catalog.sql("CALL no_such_thing('db.proc')")
+
+
+def test_sql_travel_pushdown(catalog, spark, sf_dir):
+    """WHERE conjuncts prune time-travel scans too: a selective query
+    over VERSION AS OF plans fewer files than the tagged state holds."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.expressions import lt
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    spec = PartitionSpec.builder_for(Schema.from_spark(orders.schema)) \
+        .month("o_orderdate").build()
+    t = catalog.create_table("db.tvp", orders, spec=spec)
+    t.append(orders)
+    t.create_tag("v1")
+    n_at_tag = len(t._live_data_and_deletes()[0])
+    t.delete_where(lt("o_orderkey", 10**9))  # current state is empty
+
+    df = catalog.sql(
+        "SELECT o_orderkey FROM db.tvp VERSION AS OF 'v1' "
+        "WHERE o_orderdate >= TIMESTAMP '1997-06-01' ORDER BY o_orderkey")
+    got = [r.o_orderkey for r in df.collect()]
+    want = [r.o_orderkey for r in
+            orders.filter(F.col("o_orderdate") >= "1997-06-01")
+            .select("o_orderkey").orderBy("o_orderkey").collect()]
+    assert got == want
+    assert 0 < len(df.inputFiles()) < n_at_tag
