@@ -215,6 +215,65 @@ _SQL_TYPE_MAP = {
 }
 
 
+def _apply_sql_transform(builder, text: str) -> None:
+    """Apply one SQL partition-transform spelling to a SpecBuilder:
+    bare column (identity), year/month/day/hour(col),
+    bucket(n, col) or bucket(col, n), truncate likewise."""
+    text = text.strip()
+    m = _re.match(r"([A-Za-z_]\w*)\s*\(\s*([^()]*?)\s*\)$", text)
+    if not m:
+        builder.identity(text)
+        return
+    fn = m.group(1).lower()
+    inner = [a.strip() for a in m.group(2).split(",")]
+    if fn in ("identity", "year", "month", "day", "hour") \
+            and len(inner) == 1:
+        getattr(builder, fn)(inner[0])
+    elif fn in ("bucket", "truncate") and len(inner) == 2:
+        a, b = inner
+        col, n = (b, a) if a.lstrip("-").isdigit() else (a, b)
+        getattr(builder, fn)(col, int(n))
+    else:
+        raise ValueError(f"unsupported partition transform: {text!r}")
+
+
+def _replay_spec_field(builder, f) -> None:
+    """Re-apply an existing bound PartitionField onto a SpecBuilder."""
+    ts, src = f.transform_str, f.source_name
+    if ts == "identity":
+        builder.identity(src)
+    elif ts in ("year", "month", "day", "hour"):
+        getattr(builder, ts)(src)
+    elif ts.startswith("bucket["):
+        builder.bucket(src, int(ts[len("bucket["):-1]))
+    elif ts.startswith("truncate["):
+        builder.truncate(src, int(ts[len("truncate["):-1]))
+    elif ts == "void":
+        builder.always_null(src)
+    else:
+        raise ValueError(f"cannot replay transform {ts!r}")
+
+
+def _spec_field_spellings(f) -> set:
+    """The SQL spellings that name an existing partition field (for
+    DROP PARTITION FIELD): the field name, the bare source column for
+    identity, and the canonical transform(args) form."""
+    ts, src = f.transform_str, f.source_name
+    out = {f.name.lower()}
+    if ts == "identity":
+        out |= {src.lower(), f"identity({src.lower()})"}
+    elif ts.startswith("bucket["):
+        n = ts[len("bucket["):-1]
+        out |= {f"bucket({n},{src.lower()})", f"bucket({src.lower()},{n})"}
+    elif ts.startswith("truncate["):
+        n = ts[len("truncate["):-1]
+        out |= {f"truncate({n},{src.lower()})",
+                f"truncate({src.lower()},{n})"}
+    else:
+        out.add(f"{ts}({src.lower()})")
+    return out
+
+
 def _sql_type_to_engine(sql_type: str) -> str:
     """'BIGINT' -> 'long', 'DECIMAL(10,2)' -> 'decimal(10,2)', ..."""
     s = sql_type.strip().lower()
@@ -605,17 +664,23 @@ class Catalog:
         """Route DDL statements to the catalog/evolution operators (None
         when `query` is not DDL).  Supported:
 
-            CREATE [OR REPLACE] TABLE db.t AS SELECT ...   (CTAS / RTAS)
+            CREATE [OR REPLACE] TABLE db.t
+              [PARTITIONED BY (month(c), bucket(16, k), c2, ...)]
+              AS SELECT ...                                (CTAS / RTAS)
             DROP TABLE [IF EXISTS] db.t
             ALTER TABLE db.t ADD COLUMN[S] name TYPE [, name TYPE ...]
             ALTER TABLE db.t DROP COLUMN name
             ALTER TABLE db.t RENAME COLUMN a TO b
             ALTER TABLE db.t ALTER COLUMN a TYPE <type>    (promotion)
+            ALTER TABLE db.t ADD PARTITION FIELD <transform>
+            ALTER TABLE db.t DROP PARTITION FIELD <transform-or-name>
             ALTER TABLE db.t SET TBLPROPERTIES ('k'='v', ...)
 
         Schema changes go through the evolution plane (field ids
-        preserved, promotions validated), so old snapshots keep reading
-        correctly — exactly the API route, just spelled in SQL."""
+        preserved, promotions validated) and partition-field changes
+        through spec evolution (existing files keep their spec_id and
+        stay scannable), so old snapshots keep reading correctly —
+        exactly the API route, just spelled in SQL."""
         import re
 
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -626,14 +691,31 @@ class Catalog:
                 [(op, detail)], "operation string, detail string")
 
         m = re.match(
-            rf"\s*create\s+(or\s+replace\s+)?table\s+({dotted})\s+as\s+"
-            rf"(select\b.*)", query, re.IGNORECASE | re.DOTALL)
+            rf"\s*create\s+(or\s+replace\s+)?table\s+({dotted})\s+"
+            rf"(?:partitioned\s+by\s*\(([^)]*(?:\([^)]*\)[^)]*)*)\)\s+)?"
+            rf"as\s+(select\b.*)", query, re.IGNORECASE | re.DOTALL)
         if m:
-            df = self.sql(m.group(3))
+            df = self.sql(m.group(4))
+            spec = None
+            if m.group(3):
+                b = PartitionSpec.builder_for(Schema.from_spark(df.schema))
+                depth, cur, parts = 0, [], []
+                for ch in m.group(3):
+                    depth += ch == "("
+                    depth -= ch == ")"
+                    if ch == "," and depth == 0:
+                        parts.append("".join(cur))
+                        cur = []
+                    else:
+                        cur.append(ch)
+                parts.append("".join(cur))
+                for p in parts:
+                    _apply_sql_transform(b, p)
+                spec = b.build()
             if m.group(1):
-                t = self.replace_table_as_select(m.group(2), df)
+                t = self.replace_table_as_select(m.group(2), df, spec=spec)
             else:
-                t = self.create_table_as_select(m.group(2), df)
+                t = self.create_table_as_select(m.group(2), df, spec=spec)
             summ = t.metadata.current_snapshot.summary
             return status("create_table",
                           f"rows={summ.get('added-records', '0')}")
@@ -689,6 +771,33 @@ class Catalog:
             t.update_schema().update_column(
                 a.group(1), _sql_type_to_engine(a.group(2))).commit()
             return status("alter_table", f"promoted={a.group(1)}")
+
+        a = re.match(r"(add|drop)\s+partition\s+field\s+(.+)$", body,
+                     re.IGNORECASE)
+        if a:
+            adding = a.group(1).lower() == "add"
+            target = a.group(2).strip().rstrip(";")
+            cur_fields = t.metadata.spec.fields
+            if not adding:
+                key = re.sub(r"\s+", "", target).lower()
+                keep = [f for f in cur_fields
+                        if key not in _spec_field_spellings(f)]
+                if len(keep) == len(cur_fields):
+                    raise ValueError(
+                        f"no partition field matches {target!r}")
+
+            def build(b):
+                if adding:
+                    for f in cur_fields:
+                        _replay_spec_field(b, f)
+                    _apply_sql_transform(b, target)
+                else:
+                    for f in keep:
+                        _replay_spec_field(b, f)
+            t.update_spec(build)
+            verb = "added" if adding else "dropped"
+            return status("alter_table",
+                          f"partition_field_{verb}={target}")
 
         a = re.match(r"set\s+tblproperties\s*\((.+)\)\s*$", body,
                      re.IGNORECASE | re.DOTALL)

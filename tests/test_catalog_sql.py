@@ -425,3 +425,40 @@ def test_sql_travel_pushdown(catalog, spark, sf_dir):
             .select("o_orderkey").orderBy("o_orderkey").collect()]
     assert got == want
     assert 0 < len(df.inputFiles()) < n_at_tag
+
+
+def test_sql_ddl_partitioned_ctas_and_spec_evolution(catalog, spark,
+                                                     sf_dir):
+    """CTAS with PARTITIONED BY creates hidden partitioning that the
+    SQL-path pushdown then prunes on; ADD/DROP PARTITION FIELD evolve
+    the spec while old files stay scannable (r6)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    catalog.create_table("db.psrc", orders).append(orders)
+    catalog.sql("CREATE TABLE db.ptab PARTITIONED BY (month(o_orderdate)) "
+                "AS SELECT * FROM db.psrc")
+    t = catalog.load_table("db.ptab")
+    assert [f.transform_str for f in t.metadata.spec.fields] == ["month"]
+    n_live = len(t._live_data_and_deletes()[0])
+    df = catalog.sql("SELECT o_orderkey FROM db.ptab "
+                     "WHERE o_orderdate >= TIMESTAMP '1997-06-01'")
+    assert df.count() == orders.filter(
+        F.col("o_orderdate") >= "1997-06-01").count()
+    assert 0 < len(df.inputFiles()) < n_live
+
+    catalog.sql("ALTER TABLE db.ptab ADD PARTITION FIELD "
+                "bucket(4, o_custkey)")
+    t.refresh()
+    assert [f.transform_str for f in t.metadata.spec.fields] == \
+        ["month", "bucket[4]"]
+    # new writes cluster under the evolved spec; old files still scan
+    more = orders.withColumn("o_orderkey",
+                             F.col("o_orderkey") + 5_000_000)
+    t.append(more)
+    assert t.to_df().count() == 2 * orders.count()
+
+    catalog.sql("ALTER TABLE db.ptab DROP PARTITION FIELD "
+                "bucket(4, o_custkey)")
+    t.refresh()
+    assert [f.transform_str for f in t.metadata.spec.fields] == ["month"]
+    with pytest.raises(ValueError, match="no partition field"):
+        catalog.sql("ALTER TABLE db.ptab DROP PARTITION FIELD nope")
