@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 
 METADATA_TABLES = (
     "snapshots", "history", "manifests", "files", "entries", "partitions",
-    "all_manifests", "all_data_files", "all_entries", "refs",
+    "all_manifests", "all_data_files", "all_entries", "refs", "changes",
 )
 
 _SNAPSHOTS_SCHEMA = T.StructType([
@@ -159,3 +159,12 @@ def _empty_from_parquet_schema(table, kind: str) -> DataFrame:
         else M._MANIFEST_SCHEMA
     empty = pa.table({n: [] for n in schema.names}, schema=schema)
     return table.spark.createDataFrame(empty.to_pandas())
+
+
+def _changes(table) -> DataFrame:
+    """Full-history row-level changelog as a relation: the CURRENT
+    schema plus _change_type/_commit_snapshot_id, so SQL users join CDC
+    against snapshots/history directly (SELECT ... FROM db.t.changes
+    JOIN db.t.snapshots ON ...).  Bounded ranges stay on the API route
+    (t.changes(from, to))."""
+    return table.changes()

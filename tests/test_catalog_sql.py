@@ -462,3 +462,27 @@ def test_sql_ddl_partitioned_ctas_and_spec_evolution(catalog, spark,
     assert [f.transform_str for f in t.metadata.spec.fields] == ["month"]
     with pytest.raises(ValueError, match="no partition field"):
         catalog.sql("ALTER TABLE db.ptab DROP PARTITION FIELD nope")
+
+
+def test_sql_changes_relation(catalog, spark, sf_dir):
+    """db.t.changes resolves as a metadata relation: full-history CDC
+    rows queryable in SQL, joinable against db.t.snapshots (r6)."""
+    from linkedin_iceberg_spark.expressions import lt
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .filter(F.col("o_orderkey") < 300)
+    t = catalog.create_table("db.cdcq", orders)
+    t.append(orders)
+    t.delete_where(lt("o_orderkey", 100))
+    got = {(r.ct, r.n) for r in catalog.sql(
+        "SELECT _change_type AS ct, count(*) AS n FROM db.cdcq.changes "
+        "GROUP BY _change_type").collect()}
+    n_all = orders.count()
+    n_del = orders.filter("o_orderkey < 100").count()
+    assert got == {("insert", n_all), ("delete", n_del)}
+    # joins against the snapshots relation resolve in the same query
+    ops = {r.operation for r in catalog.sql(
+        "SELECT DISTINCT s.operation FROM db.cdcq.changes c "
+        "JOIN db.cdcq.snapshots s ON c._commit_snapshot_id = s.snapshot_id"
+    ).collect()}
+    assert ops == {"append", "delete"}
