@@ -4075,9 +4075,16 @@ def table_branch_merge(spark, sf_dir):
              .coalesce(1))
     t.delete_where(gt_eq("o_orderkey", 1400))  # main diverges
     n_before = len(t.metadata.ancestry())
+    seq_before = t.metadata.last_sequence_number
     t.merge_branch("feature")
-    assert len(t.metadata.ancestry()) == n_before + 2, \
-        "expected one cherry-pick per exclusive branch commit"
+    # r6: the whole series lands as ONE atomic commit that consumes one
+    # sequence number per merged branch commit (per-entry remapped, so
+    # delete scoping replays exactly)
+    assert len(t.metadata.ancestry()) == n_before + 1, \
+        "expected one atomic merge commit"
+    assert t.metadata.last_sequence_number == seq_before + 2, \
+        "expected the sequence space to advance by the merged span"
+    assert t.metadata.current_snapshot.summary["merged-commits"] == "2"
     return (t.to_df().select("o_orderkey", "o_totalprice")
             .orderBy("o_orderkey"))
 
