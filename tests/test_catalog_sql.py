@@ -486,3 +486,49 @@ def test_sql_changes_relation(catalog, spark, sf_dir):
         "JOIN db.cdcq.snapshots s ON c._commit_snapshot_id = s.snapshot_id"
     ).collect()}
     assert ops == {"append", "delete"}
+
+
+def test_sql_pushdown_equivalence_sweep(catalog, spark, sf_dir):
+    """Equivalence sweep for the WHERE extractor: every clause shape —
+    pushable, partially pushable, and unpushable — must answer exactly
+    what plain Spark SQL answers on the same rows (the pushdown's
+    soundness contract: pruning may only ever remove non-matching
+    FILES, never rows)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    spec = PartitionSpec.builder_for(Schema.from_spark(orders.schema)) \
+        .month("o_orderdate").build()
+    t = catalog.create_table("db.sweep", orders, spec=spec)
+    t.append(orders)
+    orders.createOrReplaceTempView("sweep_raw")
+
+    clauses = [
+        "o_orderkey = 7",
+        "o_orderkey != 7 AND o_orderkey < 40",
+        "o_orderkey >= 100 AND o_orderkey <= 140",
+        "o_orderkey BETWEEN 50 AND 90",
+        "o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey < 200",
+        "o_orderpriority NOT IN ('1-URGENT') AND o_orderkey < 120",
+        "o_orderpriority IS NOT NULL AND o_orderkey < 60",
+        "o_orderpriority LIKE '1-%' AND o_orderkey < 300",
+        "(o_orderkey < 30 OR o_orderkey > 1400) AND o_totalprice > 0",
+        "NOT (o_orderkey >= 25) AND o_orderpriority <> 'none'",
+        "o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderkey < 500",
+        "o_orderdate >= TIMESTAMP '1996-06-01' "
+        "AND o_orderdate < TIMESTAMP '1997-06-01'",
+        # partially pushable: function conjunct stays Spark-side
+        "round(o_totalprice) > 1000 AND o_orderkey < 250",
+        "length(o_orderpriority) > 3 AND o_orderkey BETWEEN 10 AND 400",
+        # unpushable entirely
+        "o_totalprice > o_orderkey",
+        "o_orderkey % 7 = 0",
+        # literal containing keywords / quotes
+        "o_orderpriority <> 'WHERE AND FROM db.sweep' AND o_orderkey < 80",
+        "o_orderpriority <> 'it''s' AND o_orderkey < 95",
+    ]
+    for cl in clauses:
+        got = sorted(r.o_orderkey for r in catalog.sql(
+            f"SELECT o_orderkey FROM db.sweep WHERE {cl}").collect())
+        want = sorted(r.o_orderkey for r in spark.sql(
+            f"SELECT o_orderkey FROM sweep_raw WHERE {cl}").collect())
+        assert got == want, f"mismatch for WHERE {cl!r}"
