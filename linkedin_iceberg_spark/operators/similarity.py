@@ -712,3 +712,65 @@ def pq_search(encoded: DataFrame, raw_df: DataFrame, codebooks: list,
                   id_col=id_col, codes_col=codes_col).select(id_col)
     cand = raw_df.join(F.broadcast(ids), id_col, "left_semi")
     return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def hybrid_rrf_topk(docs: DataFrame, embs: DataFrame, query_terms: list,
+                    query_vec: list, k: int = 10, pool: int = 50,
+                    rrf_k: int = 60, id_col: str = "doc_id",
+                    text_col: str = "text", emb_id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): a keyword channel (query-term overlap count) and an
+    embedding channel (exact cosine) each nominate their top-``pool``
+    candidates, ranks are assigned WITHIN the pooled candidates, and
+    documents score ``sum(1 / (rrf_k + rank_i))`` over the channels
+    they appear in (the standard hybrid-search fusion — rank-based, so
+    the two channels' incomparable score scales never need calibration).
+
+    Scale shape — the production RRF recipe, not the textbook one:
+    global per-modality ranking would be a single-partition window over
+    the corpus, so each channel first takes its top-``pool`` via
+    TakeOrdered (per-partition heaps, no global sort), and the rank
+    windows run over ≤2*pool pooled rows (driver-bounded by
+    construction).  Missing channels contribute nothing (standard RRF).
+    Determinism: keyword scores are integers; cosine is rounded to 5dp
+    before ranking with an id tie-break; the fusion score is a 2-term
+    sum of correctly-rounded divisions — replayable bit-for-bit.
+
+    Returns (id, kw_rank, vec_rank, rrf_score) top-``k``."""
+    from pyspark.sql import Window as W
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    kw = (docs.select(
+            F.col(id_col),
+            F.size(F.array_intersect(
+                F.array_distinct(F.split(F.lower(F.col(text_col)),
+                                         "[^a-z0-9]+")), terms))
+            .alias("kw_score"))
+          .filter(F.col("kw_score") > 0)
+          .orderBy(F.col("kw_score").desc(), F.col(id_col))
+          .limit(pool))
+    vec = cosine_topk(embs, query_vec, pool, id_col=emb_id_col,
+                      vec_col=vec_col) \
+        .withColumnRenamed(emb_id_col, id_col)
+
+    kw_r = kw.withColumn(
+        "kw_rank", F.row_number().over(
+            W.orderBy(F.col("kw_score").desc(), F.col(id_col))))
+    vec_r = vec.withColumn(
+        "vec_rank", F.row_number().over(
+            W.orderBy(F.col("cos_sim").desc(), F.col(id_col))))
+    fused = (kw_r.select(id_col, "kw_rank")
+             .join(vec_r.select(id_col, "vec_rank"), id_col, "full_outer"))
+    rrf = (F.when(F.col("kw_rank").isNotNull(),
+                  F.lit(1.0) / (F.lit(rrf_k) + F.col("kw_rank")))
+           .otherwise(F.lit(0.0))
+           + F.when(F.col("vec_rank").isNotNull(),
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")))
+           .otherwise(F.lit(0.0)))
+    return (fused.select(F.col(id_col),
+                         F.col("kw_rank").cast("long").alias("kw_rank"),
+                         F.col("vec_rank").cast("long").alias("vec_rank"),
+                         F.round(rrf, 6).alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+            .limit(k))

@@ -1809,6 +1809,59 @@ def text_lm_score(spark, sf_dir):
                            scale=1_000_000)
 
 
+@q("similarity_hybrid_rrf", """
+WITH kw AS (
+  SELECT doc_id,
+         len(list_intersect(
+             list_distinct(string_split_regex(lower(text), '[^a-z0-9]+')),
+             ['spark','query','data','filter'])) AS kw_score
+  FROM documents
+),
+kw_top AS (
+  SELECT doc_id, kw_score FROM kw WHERE kw_score > 0
+  ORDER BY kw_score DESC, doc_id LIMIT 50
+),
+kw_r AS (SELECT doc_id,
+                row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+         FROM kw_top),
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+vec_top AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+                                      (SELECT q FROM qv)), 5) AS cos_sim
+  FROM embeddings
+  ORDER BY cos_sim DESC, vec_id LIMIT 50
+),
+vec_r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+          FROM vec_top),
+fused AS (
+  SELECT coalesce(k.doc_id, v.doc_id) AS doc_id, k.kw_rank, v.vec_rank
+  FROM kw_r k FULL OUTER JOIN vec_r v ON k.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       round(coalesce(1.0/(60+kw_rank), 0)
+             + coalesce(1.0/(60+vec_rank), 0), 6) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 10""")
+def similarity_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    SIGIR'09): keyword-overlap channel + exact-cosine channel, each
+    pooling top-50 via TakeOrdered (per-partition heaps), ranks within
+    the bounded pool, fused by sum(1/(60+rank)).  The production RRF
+    shape — no global per-modality ranking, the rank windows see at
+    most 2*pool rows by construction.  Deterministic: integer keyword
+    scores, 5dp-rounded cosine with id tie-breaks, a 2-term sum of
+    correctly-rounded divisions."""
+    from linkedin_iceberg_spark.operators.similarity import hybrid_rrf_topk
+    d = ld(spark, sf_dir, "documents")
+    e = ld(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return hybrid_rrf_topk(d, e, ["spark", "query", "data", "filter"],
+                           qv, k=10, pool=50)
+
+
 @q("similarity_matryoshka", """
 WITH q AS (
   SELECT embedding[1:16]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0

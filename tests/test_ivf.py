@@ -98,3 +98,30 @@ def test_pq_guards(spark, sf_dir):
     books = pq_train(e.limit(20), m=4, n_codes=4, n_iters=1)
     with _pytest.raises(ValueError, match="shortlist"):
         pq_search(e, e, books, [0.0] * 64, k=10, shortlist=5)
+
+
+def test_hybrid_rrf_channel_semantics(spark):
+    """RRF fusion semantics on a hand-checkable corpus: a doc present in
+    only one channel still scores (standard RRF), ranks tie-break by id,
+    and the fusion favors double-channel presence."""
+    from linkedin_iceberg_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta gamma"), (3, "delta"),
+         (4, "alpha")],
+        "doc_id long, text string")
+    embs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [1.0, 0.05]),
+         (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = {r.doc_id: (r.kw_rank, r.vec_rank, r.rrf_score) for r in
+           hybrid_rrf_topk(docs, embs, ["alpha", "beta", "gamma"],
+                           [1.0, 0.0], k=10, pool=3).collect()}
+    # keyword channel: 2 (3 hits) > 1 (2) > 4 (1); doc 3 absent
+    assert out[2][0] == 1 and out[1][0] == 2 and out[4][0] == 3
+    assert out[3][0] is None and out[3][1] is not None
+    # vec channel: cosine 1.0 for doc 1, ~0.9987 doc 3, ~0.9939 doc 2;
+    # doc 4 orthogonal but pool=3 keeps top-3 only
+    assert out[1][1] == 1 and out[3][1] == 2 and out[2][1] == 3
+    # both-channel docs outrank single-channel at comparable ranks
+    assert out[2][2] > out[3][2]
