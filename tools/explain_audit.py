@@ -288,6 +288,11 @@ CONTRACTS = {
         # in codegen — no Python, no cartesian
         ["HashAggregate", "Window", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "similarity_hybrid_rrf": (
+        # each channel pools via TakeOrdered (per-partition heaps);
+        # the rank windows run over the bounded pool only
+        ["TakeOrderedAndProject", "Window"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
