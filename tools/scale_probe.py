@@ -91,6 +91,12 @@ PROBE_QUERIES = [
     "similarity_pq_search",
     "dedup_semdedup",
     "agg_kmv_overlap",
+    # r6: the round's new corpus-wide operators — the bigram LM score
+    # (two count tables + probability joins, expected ~linear) and RRF
+    # hybrid retrieval (two TakeOrdered pools + bounded-pool windows,
+    # expected ~flat beyond the channel scans)
+    "text_lm_score",
+    "similarity_hybrid_rrf",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
