@@ -131,6 +131,34 @@ def _split_top_level_and(clause: str) -> list:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _split_top_level_commas(text: str) -> list:
+    """Split on depth-0 commas only — list elements may themselves be
+    calls / typed literals with commas (DECIMAL(10,2), bucket(4, k))."""
+    depth, cur, parts = 0, [], []
+    for ch in text:
+        depth += ch == "("
+        depth -= ch == ")"
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _cut_balanced(text: str) -> tuple:
+    """`text` starts just after an opening '(' — return (inner, rest)
+    where `inner` is the balanced content and `rest` follows the close."""
+    depth = 1
+    for i, ch in enumerate(text):
+        depth += ch == "("
+        depth -= ch == ")"
+        if depth == 0:
+            return text[:i], text[i + 1:]
+    raise ValueError(f"unbalanced parentheses in: {text[:80]!r}")
+
+
 def _try_parse_conjunct(conjunct: str, lits: list, dotted: str, alias,
                         own_cols: set, other_cols: set):
     """One conjunct -> engine Expression, or None when anything about it
@@ -580,6 +608,42 @@ class Catalog:
                 resolved[dotted], rewritten)
         return self.spark.sql(_unmask_sql_literals(rewritten, lits))
 
+    def _align_insert_df(self, t: "Table", df: DataFrame,
+                         cols: Optional[list]) -> DataFrame:
+        """Align an INSERT source frame to the target table's schema:
+        with an explicit column list the source binds to it positionally
+        and unmentioned target columns fill with NULL; without one, a
+        source whose names cover the target binds by name, otherwise
+        positionally (the SQL-standard ordinal rule — what VALUES rows
+        produce).  Every output column casts to the target type, so
+        VALUES integer literals land in BIGINT columns losslessly."""
+        from pyspark.sql import functions as F
+
+        fields = t.schema.to_spark().fields
+        names = [f.name for f in fields]
+        if cols is not None:
+            unknown = [c for c in cols if c not in names]
+            if unknown:
+                raise ValueError(
+                    f"INSERT column(s) {unknown} not in target "
+                    f"table (columns: {names})")
+            if len(df.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT supplies {len(df.columns)} values for "
+                    f"{len(cols)} named columns")
+            df = df.toDF(*cols)
+        elif set(df.columns) != set(names):
+            if len(df.columns) != len(names):
+                raise ValueError(
+                    f"INSERT source has {len(df.columns)} columns; "
+                    f"target has {len(names)}")
+            df = df.toDF(*names)
+        have = set(df.columns)
+        return df.select(*[
+            (F.col(f.name) if f.name in have
+             else F.lit(None)).cast(f.dataType).alias(f.name)
+            for f in fields])
+
     def _sql_dml(self, query: str):
         """Route INSERT/DELETE/UPDATE statements to the commit operators
         (None when `query` is not DML).  Predicates go through the
@@ -600,11 +664,42 @@ class Catalog:
             return self.spark.createDataFrame(
                 [(op, int(rows))], "operation string, rows_affected long")
 
-        m = re.match(rf"\s*insert\s+into\s+({dotted})\s+(select\b.*)",
-                     query, re.IGNORECASE | re.DOTALL)
+        m = re.match(
+            rf"\s*insert\s+(into|overwrite)\s+(?:table\s+)?({dotted})\s*"
+            rf"(?:\(\s*({ident}(?:\s*,\s*{ident})*)\s*\)\s*)?"
+            rf"((?:select|values|with)\b.*)",
+            query, re.IGNORECASE | re.DOTALL)
         if m:
-            t = self.load_table(m.group(1))
-            t.append(self.sql(m.group(2)))
+            mode, tname, col_list, body = m.groups()
+            t = self.load_table(tname)
+            body = body.strip().rstrip(";")
+            if re.match(r"values\b", body, re.IGNORECASE):
+                # Spark's inline-table grammar parses the row list
+                # (typed literals, casts, NULLs) — columns come back
+                # positional (col1, col2, ...) and are renamed below
+                df = self.spark.sql(f"SELECT * FROM {body}")
+            else:
+                df = self.sql(body)
+            cols = [c.strip() for c in col_list.split(",")] \
+                if col_list else None
+            df = self._align_insert_df(t, df, cols)
+            if mode.lower() == "overwrite":
+                # route by table shape (the reference's Spark writer
+                # split: ReplacePartitions for partitioned tables,
+                # OverwriteFiles otherwise — spark2/.../Writer.java:
+                # 182-190): dynamic partition overwrite replaces exactly
+                # the partitions present in df; an unpartitioned table
+                # is fully replaced (overwrite-by-filter over TRUE)
+                if t.spec.fields:
+                    t.overwrite_partitions(df)
+                else:
+                    from linkedin_iceberg_spark.expressions import (
+                        always_true)
+                    t.overwrite_where(df, always_true())
+                summ = t.metadata.current_snapshot.summary
+                return status("insert_overwrite",
+                              summ.get("added-records", -1))
+            t.append(df)
             summ = t.metadata.current_snapshot.summary
             return status("insert", summ.get("added-records", -1))
 
@@ -667,6 +762,15 @@ class Catalog:
             CREATE [OR REPLACE] TABLE db.t
               [PARTITIONED BY (month(c), bucket(16, k), c2, ...)]
               AS SELECT ...                                (CTAS / RTAS)
+            CREATE TABLE [IF NOT EXISTS] db.t
+              (col TYPE [NOT NULL] [COMMENT '...'], ...)
+              [USING fmt] [PARTITIONED BY (...)]
+              [TBLPROPERTIES ('k'='v', ...)]   (ref: spark3/.../sql/
+                                    TestCreateTable.java:54,99)
+            SHOW TABLES [IN ns] / SHOW NAMESPACES [IN ns]
+            CREATE NAMESPACE [IF NOT EXISTS] ns
+            DROP NAMESPACE [IF EXISTS] ns      (refuses non-empty)
+            DESCRIBE [EXTENDED] db.t
             DROP TABLE [IF EXISTS] db.t
             ALTER TABLE db.t ADD COLUMN[S] name TYPE [, name TYPE ...]
             ALTER TABLE db.t DROP COLUMN name
@@ -720,6 +824,59 @@ class Catalog:
             return status("create_table",
                           f"rows={summ.get('added-records', '0')}")
 
+        m = re.match(
+            rf"\s*create\s+table\s+(if\s+not\s+exists\s+)?({dotted})\s*\(",
+            query, re.IGNORECASE)
+        if m:
+            # plain CREATE TABLE with a column list (ref: spark3/.../sql/
+            # TestCreateTable.java:54 create / :99 createPartitioned).
+            # Column list is cut on the BALANCED close paren — types like
+            # DECIMAL(10,2) nest — then the tail may carry USING <fmt>,
+            # PARTITIONED BY (...), TBLPROPERTIES (...)
+            if_not_exists, tname = m.group(1), m.group(2)
+            col_text, tail = _cut_balanced(query[m.end():])
+            if if_not_exists and self.table_exists(tname):
+                return status("create_table", "skipped: exists")
+            from linkedin_iceberg_spark.schema import NestedField
+            fields = []
+            for i, part in enumerate(_split_top_level_commas(col_text)):
+                cm = re.match(
+                    rf"({ident})\s+(\S+(?:\s*\([^)]*\))?)"
+                    rf"(\s+not\s+null)?(?:\s+comment\s+'((?:[^']|'')*)')?"
+                    rf"\s*$", part.strip(), re.IGNORECASE)
+                if not cm:
+                    raise ValueError(f"malformed column definition: "
+                                     f"{part.strip()!r}")
+                fields.append(NestedField(
+                    i + 1, cm.group(1),
+                    _sql_type_to_engine(cm.group(2)),
+                    required=bool(cm.group(3)),
+                    doc=cm.group(4).replace("''", "'")
+                    if cm.group(4) else None))
+            schema = Schema(fields)
+            tail = re.sub(rf"^\s*using\s+{ident}", "", tail,
+                          flags=re.IGNORECASE)
+            spec, props = None, None
+            pm = re.search(r"\bpartitioned\s+by\s*\(", tail, re.IGNORECASE)
+            if pm:
+                ptext, _ = _cut_balanced(tail[pm.end():])
+                b = PartitionSpec.builder_for(schema)
+                for p in _split_top_level_commas(ptext):
+                    _apply_sql_transform(b, p)
+                spec = b.build()
+            tm = re.search(r"\btblproperties\s*\(", tail, re.IGNORECASE)
+            if tm:
+                ptext, _ = _cut_balanced(tail[tm.end():])
+                props = {}
+                for km, vm in re.findall(r"'((?:[^']|'')*)'\s*=\s*"
+                                         r"'((?:[^']|'')*)'", ptext):
+                    props[km.replace("''", "'")] = vm.replace("''", "'")
+            self.create_table(tname, schema, spec=spec, properties=props)
+            return status("create_table",
+                          f"columns={len(fields)}"
+                          + (f",partitioned_by={len(spec.fields)}"
+                             if spec else ""))
+
         m = re.match(rf"\s*drop\s+table\s+(if\s+exists\s+)?({dotted})"
                      rf"\s*;?\s*$", query, re.IGNORECASE)
         if m:
@@ -727,6 +884,97 @@ class Catalog:
                 return status("drop_table", "skipped: no such table")
             return status("drop_table",
                           f"dropped={self.drop_table(m.group(2))}")
+
+        m = re.match(rf"\s*show\s+tables(?:\s+in\s+({ident}(?:\.{ident})*))?"
+                     rf"\s*;?\s*$", query, re.IGNORECASE)
+        if m:
+            ns = m.group(1) or ""
+            rows = []
+            for full in self.list_tables(ns):
+                dotted_full = f"{ns}.{full}" if ns else full
+                namespace, _, tbl = dotted_full.rpartition(".")
+                rows.append((namespace, tbl))
+            return self.spark.createDataFrame(
+                rows, "namespace string, tableName string")
+
+        m = re.match(rf"\s*show\s+namespaces(?:\s+in\s+"
+                     rf"({ident}(?:\.{ident})*))?\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            base = os.path.join(self.warehouse,
+                                *m.group(1).split(".")) \
+                if m.group(1) else self.warehouse
+            rows = []
+            if os.path.isdir(base):
+                for d in sorted(os.listdir(base)):
+                    p = os.path.join(base, d)
+                    # a namespace is a dir that is NOT itself a table
+                    if os.path.isdir(p) and not os.path.isdir(
+                            os.path.join(p, "metadata")):
+                        rows.append((d,))
+            return self.spark.createDataFrame(rows, "namespace string")
+
+        m = re.match(rf"\s*create\s+namespace\s+(if\s+not\s+exists\s+)?"
+                     rf"({ident}(?:\.{ident})*)\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            p = os.path.join(self.warehouse, *m.group(2).split("."))
+            if os.path.isdir(p):
+                if m.group(1):
+                    return status("create_namespace", "skipped: exists")
+                raise AlreadyExistsError(
+                    f"namespace {m.group(2)} already exists")
+            os.makedirs(p)
+            return status("create_namespace", m.group(2))
+
+        m = re.match(rf"\s*drop\s+namespace\s+(if\s+exists\s+)?"
+                     rf"({ident}(?:\.{ident})*)\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            p = os.path.join(self.warehouse, *m.group(2).split("."))
+            if not os.path.isdir(p):
+                if m.group(1):
+                    return status("drop_namespace", "skipped: no such")
+                raise NoSuchTableError(f"no such namespace: {m.group(2)}")
+            if self.list_tables(m.group(2)):
+                raise ValueError(
+                    f"namespace {m.group(2)} is not empty; drop its "
+                    "tables first")
+            shutil.rmtree(p)
+            return status("drop_namespace", m.group(2))
+
+        m = re.match(rf"\s*desc(?:ribe)?\s+(extended\s+)?({dotted})"
+                     rf"\s*;?\s*$", query, re.IGNORECASE)
+        if m and self.table_exists(m.group(2)):
+            from linkedin_iceberg_spark.schema import _type_to_json
+            t = self.load_table(m.group(2))
+
+            def tstr(tp):
+                j = _type_to_json(tp)
+                return tp if isinstance(tp, str) else \
+                    __import__("json").dumps(j, sort_keys=True)
+            rows = [(f.name, tstr(f.type), f.doc or "")
+                    for f in t.schema.fields]
+            if m.group(1):
+                rows.append(("", "", ""))
+                rows.append(("# Partitioning", "", ""))
+                for i, f in enumerate(t.spec.fields):
+                    rows.append((f"Part {i}",
+                                 f"{f.transform_str}({f.source_name})",
+                                 ""))
+                rows.append(("# Detailed Table Information", "", ""))
+                rows.append(("Location", t.location, ""))
+                snap = t.metadata.current_snapshot
+                rows.append(("Current Snapshot",
+                             str(snap.snapshot_id) if snap else "none",
+                             ""))
+                from linkedin_iceberg_spark.catalog.metadata import (
+                    FORMAT_VERSION)
+                rows.append(("Format Version", str(FORMAT_VERSION), ""))
+                for k in sorted(t.properties):
+                    rows.append((f"prop:{k}", t.properties[k], ""))
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string")
 
         m = re.match(rf"\s*alter\s+table\s+({dotted})\s+(.*?)\s*;?\s*$",
                      query, re.IGNORECASE | re.DOTALL)
@@ -906,8 +1154,10 @@ class Catalog:
             MERGE INTO db.t [AS] t USING (db.src | <temp view>) [AS] s
             ON t.k = s.k [AND t.k2 = s.k2 ...]
             [WHEN MATCHED [AND <cond>] THEN DELETE]
-            [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
-            [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+            [WHEN MATCHED [AND <cond>] THEN UPDATE SET
+                (col = expr, ... | *)]
+            [WHEN NOT MATCHED [AND <cond>] THEN
+                (INSERT [*] | INSERT (cols) VALUES (exprs))]
 
         ON must be an equi-conjunction on SAME-NAMED key columns (the
         operator's key_cols contract).  Conditions and SET expressions
@@ -963,11 +1213,12 @@ class Catalog:
                     f"key columns; cannot use: {conj.strip()!r}")
             key_cols.append(eq.group(2))
 
-        upd = upd_cond = del_cond = ins_cond = None
+        upd = upd_cond = del_cond = ins_cond = ins_values = None
         insert_unmatched = False
         clause_re = re.compile(
             r"when\s+(not\s+)?matched(?:\s+and\s+(.+?))?\s+then\s+"
-            r"(update\s+set\s+.+?|delete|insert\s*\*?)"
+            r"(update\s+set\s+.+?|delete|"
+            r"insert\s*\([^)]*\)\s*values\s*\(.+?\)|insert\s*\*?)"
             r"(?=\s+when\s+|\s*$)",
             re.IGNORECASE | re.DOTALL)
         matched_any = False
@@ -980,23 +1231,34 @@ class Catalog:
             if is_not:
                 if not low.startswith("insert"):
                     raise ValueError(
-                        "WHEN NOT MATCHED supports only INSERT *")
+                        "WHEN NOT MATCHED supports only INSERT [*] or "
+                        "INSERT (cols) VALUES (exprs)")
                 insert_unmatched, ins_cond = True, cond
+                im = re.match(r"insert\s*\((.*?)\)\s*values\s*\((.+)\)"
+                              r"\s*$", act, re.IGNORECASE | re.DOTALL)
+                if im:
+                    cols = [norm(x.strip()).removeprefix("t.")
+                            for x in im.group(1).split(",")]
+                    vals = _split_top_level_commas(im.group(2))
+                    if len(cols) != len(vals):
+                        raise ValueError(
+                            f"MERGE INSERT names {len(cols)} columns "
+                            f"but supplies {len(vals)} values")
+                    ins_values = {col: F.expr(norm(v))
+                                  for col, v in zip(cols, vals)}
             elif low == "delete":
                 del_cond = cond if cond is not None else F.lit(True)
             elif low.startswith("update set"):
                 upd, upd_cond = {}, cond
-                depth, cur, parts = 0, [], []
-                for ch in act[len("update set"):]:
-                    depth += ch == "("
-                    depth -= ch == ")"
-                    if ch == "," and depth == 0:
-                        parts.append("".join(cur))
-                        cur = []
-                    else:
-                        cur.append(ch)
-                parts.append("".join(cur))
-                for part in parts:
+                body_set = act[len("update set"):].strip()
+                if body_set == "*":
+                    # UPDATE SET *: every target column takes the
+                    # same-named source column
+                    upd = {col: F.col(f"s.{col}")
+                           for col in t.schema.column_names()}
+                    continue
+                for part in _split_top_level_commas(
+                        act[len("update set"):]):
                     col, _, val = part.partition("=")
                     if not col.strip() or not val.strip():
                         raise ValueError(f"malformed SET: {part!r}")
@@ -1010,7 +1272,8 @@ class Catalog:
         merge(t, source, key_cols=key_cols,
               matched_update=upd, matched_update_cond=upd_cond,
               matched_delete_cond=del_cond,
-              insert_unmatched=insert_unmatched, insert_cond=ins_cond)
+              insert_unmatched=insert_unmatched, insert_cond=ins_cond,
+              insert_values=ins_values)
         t.refresh()
         summ = t.metadata.current_snapshot.summary
         return self.spark.createDataFrame(

@@ -186,6 +186,7 @@ def merge(table, source: DataFrame, key_cols: list,
           matched_delete_cond=None,
           insert_unmatched: bool = True,
           insert_cond=None,
+          insert_values: Optional[dict] = None,
           validate_source_unique: bool = True,
           extra_summary: Optional[dict] = None):
     """Full MERGE INTO semantics committed as ONE RowDelta snapshot
@@ -259,7 +260,19 @@ def merge(table, source: DataFrame, key_cols: list,
         inserts = s.join(t, on, "left_anti")
         if insert_cond is not None:
             inserts = inserts.filter(insert_cond)
-        parts.append(inserts.select(*[F.col(c) for c in target_cols]))
+        if insert_values is not None:
+            # INSERT (cols) VALUES (exprs): each target column takes its
+            # declared expression over the source row; unmentioned
+            # columns fill with typed NULLs (the SQL MERGE column-list
+            # form — INSERT * is the dict-less default)
+            ttypes = {f.name: f.dataType
+                      for f in table.to_df().schema.fields}
+            parts.append(inserts.select(*[
+                (insert_values[c] if c in insert_values
+                 else F.lit(None)).cast(ttypes[c]).alias(c)
+                for c in target_cols]))
+        else:
+            parts.append(inserts.select(*[F.col(c) for c in target_cols]))
 
     data_df = None
     if parts:

@@ -128,8 +128,15 @@ def collect_file_stats(path: str, schema, mode: str = "truncate(16)") -> dict:
             if mode == "counts":
                 continue
             if st.has_min_max:
-                lo = _normalize(st.min, type_str)
-                hi = _normalize(st.max, type_str)
+                try:
+                    lo = _normalize(st.min, type_str)
+                    hi = _normalize(st.max, type_str)
+                except Exception:  # noqa: BLE001
+                    # pyarrow cannot decode stats for some physical
+                    # types (e.g. decimal FIXED_LEN_BYTE_ARRAY);
+                    # absent bounds are always safe — inclusive
+                    # evaluators answer might-match without them
+                    lo = hi = None
                 if type_str in ("float", "double") and (
                         (lo is not None and math.isnan(lo))
                         or (hi is not None and math.isnan(hi))):

@@ -1,0 +1,226 @@
+"""Round-7 SQL write/DDL surface: plain CREATE TABLE (cols), INSERT
+INTO ... VALUES, INSERT OVERWRITE routed by table shape, MERGE INSERT
+(cols) VALUES / UPDATE SET *, and the namespace/introspection
+statements (ref: spark3/src/test/.../sql/TestCreateTable.java:54,99,
+TestPartitionedWrites.java:62,77, TestNamespaceSQL.java shapes)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def cat(catalog, spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    catalog.create_table("db.orders", orders).append(orders)
+    return catalog
+
+
+# -- plain CREATE TABLE --------------------------------------------------
+
+def test_create_table_columns(cat):
+    out = cat.sql(
+        "CREATE TABLE db.items (id BIGINT NOT NULL, name STRING, "
+        "price DECIMAL(10,2), ts TIMESTAMP)").collect()[0]
+    assert out["operation"] == "create_table"
+    t = cat.load_table("db.items")
+    assert [f.name for f in t.schema.fields] == \
+        ["id", "name", "price", "ts"]
+    assert t.schema.fields[0].required is True
+    assert t.schema.fields[1].required is False
+    assert t.schema.fields[2].type == "decimal(10,2)"
+    # fresh sequential field ids
+    assert [f.field_id for f in t.schema.fields] == [1, 2, 3, 4]
+
+
+def test_create_table_partitioned_and_props(cat):
+    cat.sql(
+        "CREATE TABLE db.ev (id BIGINT, cat STRING, ts TIMESTAMP) "
+        "USING iceberg PARTITIONED BY (month(ts), bucket(4, id)) "
+        "TBLPROPERTIES ('write.format'='parquet', 'owner'='r7')")
+    t = cat.load_table("db.ev")
+    specs = [(f.transform_str, f.source_name) for f in t.spec.fields]
+    assert specs == [("month", "ts"), ("bucket[4]", "id")]
+    assert t.properties["owner"] == "r7"
+
+
+def test_create_table_if_not_exists(cat):
+    cat.sql("CREATE TABLE db.x (a INT)")
+    out = cat.sql("CREATE TABLE IF NOT EXISTS db.x (a INT)").collect()[0]
+    assert "skipped" in out["detail"]
+    with pytest.raises(Exception):
+        cat.sql("CREATE TABLE db.x (a INT)")
+
+
+def test_create_table_comment_and_malformed(cat):
+    cat.sql("CREATE TABLE db.c (a INT COMMENT 'the ''a'' column')")
+    t = cat.load_table("db.c")
+    assert t.schema.fields[0].doc == "the 'a' column"
+    with pytest.raises(ValueError):
+        cat.sql("CREATE TABLE db.bad (a)")
+
+
+# -- INSERT INTO ... VALUES ----------------------------------------------
+
+def test_insert_values(cat):
+    cat.sql("CREATE TABLE db.kv (k BIGINT, v STRING)")
+    out = cat.sql(
+        "INSERT INTO db.kv VALUES (1, 'a'), (2, 'b'), (3, NULL)"
+    ).collect()[0]
+    assert (out["operation"], out["rows_affected"]) == ("insert", 3)
+    rows = sorted(cat.sql("SELECT * FROM db.kv").collect())
+    assert [(r["k"], r["v"]) for r in rows] == \
+        [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_insert_values_column_list_fills_nulls(cat):
+    cat.sql("CREATE TABLE db.kv3 (k BIGINT, v STRING, w DOUBLE)")
+    cat.sql("INSERT INTO db.kv3 (v, k) VALUES ('z', 9)")
+    r = cat.sql("SELECT * FROM db.kv3").collect()[0]
+    assert (r["k"], r["v"], r["w"]) == (9, "z", None)
+    with pytest.raises(ValueError):
+        cat.sql("INSERT INTO db.kv3 (nope) VALUES (1)")
+    with pytest.raises(ValueError):
+        cat.sql("INSERT INTO db.kv3 (k, v) VALUES (1)")
+
+
+def test_insert_values_casts_to_target_types(cat):
+    cat.sql("CREATE TABLE db.typed (k BIGINT, p DECIMAL(10,2))")
+    cat.sql("INSERT INTO db.typed VALUES (1, 2.5)")
+    f = dict(cat.load_table("db.typed").to_df().dtypes)
+    assert f == {"k": "bigint", "p": "decimal(10,2)"}
+
+
+def test_insert_select_still_works(cat):
+    cat.sql("CREATE TABLE db.top (o_orderkey BIGINT, "
+            "o_totalprice DOUBLE)")
+    out = cat.sql(
+        "INSERT INTO db.top SELECT o_orderkey, o_totalprice "
+        "FROM db.orders WHERE o_orderkey < 100").collect()[0]
+    assert out["operation"] == "insert"
+    n = cat.sql("SELECT count(*) AS n FROM db.top").collect()[0]["n"]
+    assert n == out["rows_affected"] and n > 0
+
+
+# -- INSERT OVERWRITE ----------------------------------------------------
+
+def test_insert_overwrite_unpartitioned_full_replace(cat):
+    cat.sql("CREATE TABLE db.fw (k BIGINT, v STRING)")
+    cat.sql("INSERT INTO db.fw VALUES (1, 'old'), (2, 'old')")
+    out = cat.sql(
+        "INSERT OVERWRITE db.fw VALUES (7, 'new')").collect()[0]
+    assert out["operation"] == "insert_overwrite"
+    rows = cat.sql("SELECT * FROM db.fw").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(7, "new")]
+    t = cat.load_table("db.fw")
+    assert t.metadata.current_snapshot.operation == "overwrite"
+
+
+def test_insert_overwrite_partitioned_is_dynamic(cat):
+    cat.sql("CREATE TABLE db.pw (k BIGINT, part STRING) "
+            "PARTITIONED BY (part)")
+    cat.sql("INSERT INTO db.pw VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    # overwrite ONLY partition 'a'; partition 'b' must survive
+    cat.sql("INSERT OVERWRITE db.pw VALUES (9, 'a')")
+    rows = sorted((r["k"], r["part"])
+                  for r in cat.sql("SELECT * FROM db.pw").collect())
+    assert rows == [(3, "b"), (9, "a")]
+
+
+def test_insert_overwrite_select(cat):
+    cat.sql("CREATE TABLE db.ow (o_orderkey BIGINT, o_custkey BIGINT)")
+    cat.sql("INSERT INTO db.ow VALUES (999999999, 0)")
+    cat.sql("INSERT OVERWRITE TABLE db.ow "
+            "SELECT o_orderkey, o_custkey FROM db.orders "
+            "WHERE o_orderkey < 50")
+    df = cat.load_table("db.ow").to_df()
+    assert df.filter(F.col("o_orderkey") == 999999999).count() == 0
+    want = cat.sql("SELECT count(*) AS n FROM db.orders "
+                   "WHERE o_orderkey < 50").collect()[0]["n"]
+    assert df.count() == want
+
+
+# -- MERGE grammar width -------------------------------------------------
+
+def test_merge_insert_column_list_values(cat, spark):
+    cat.sql("CREATE TABLE db.m (k BIGINT, v STRING, n BIGINT)")
+    cat.sql("INSERT INTO db.m VALUES (1, 'one', 10)")
+    spark.createDataFrame([(1, "ONE"), (2, "TWO")],
+                          "k bigint, txt string") \
+        .createOrReplaceTempView("msrc")
+    cat.sql(
+        "MERGE INTO db.m t USING msrc s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.txt "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, lower(s.txt))")
+    rows = sorted((r["k"], r["v"], r["n"])
+                  for r in cat.load_table("db.m").to_df().collect())
+    assert rows == [(1, "ONE", 10), (2, "two", None)]
+
+
+def test_merge_update_set_star(cat, spark):
+    cat.sql("CREATE TABLE db.m2 (k BIGINT, v STRING)")
+    cat.sql("INSERT INTO db.m2 VALUES (1, 'old'), (2, 'keep')")
+    spark.createDataFrame([(1, "new")], "k bigint, v string") \
+        .createOrReplaceTempView("m2src")
+    cat.sql("MERGE INTO db.m2 t USING m2src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET *")
+    rows = sorted((r["k"], r["v"])
+                  for r in cat.load_table("db.m2").to_df().collect())
+    assert rows == [(1, "new"), (2, "keep")]
+
+
+def test_merge_insert_values_count_mismatch_raises(cat, spark):
+    cat.sql("CREATE TABLE db.m3 (k BIGINT, v STRING)")
+    spark.createDataFrame([(1, "x")], "k bigint, v string") \
+        .createOrReplaceTempView("m3src")
+    with pytest.raises(ValueError, match="columns"):
+        cat.sql("MERGE INTO db.m3 t USING m3src s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)")
+
+
+# -- namespaces / introspection ------------------------------------------
+
+def test_show_tables_and_namespaces(cat):
+    cat.sql("CREATE TABLE db.extra (a INT)")
+    rows = {(r["namespace"], r["tableName"])
+            for r in cat.sql("SHOW TABLES").collect()}
+    assert ("db", "orders") in rows and ("db", "extra") in rows
+    in_db = {r["tableName"]
+             for r in cat.sql("SHOW TABLES IN db").collect()}
+    assert {"orders", "extra"} <= in_db
+    ns = {r["namespace"] for r in cat.sql("SHOW NAMESPACES").collect()}
+    assert "db" in ns
+
+
+def test_create_drop_namespace(cat):
+    cat.sql("CREATE NAMESPACE staging")
+    ns = {r["namespace"] for r in cat.sql("SHOW NAMESPACES").collect()}
+    assert "staging" in ns
+    out = cat.sql("CREATE NAMESPACE IF NOT EXISTS staging").collect()[0]
+    assert "skipped" in out["detail"]
+    with pytest.raises(Exception):
+        cat.sql("CREATE NAMESPACE staging")
+    # non-empty namespace refuses the drop
+    with pytest.raises(ValueError, match="not empty"):
+        cat.sql("DROP NAMESPACE db")
+    cat.sql("DROP NAMESPACE staging")
+    ns = {r["namespace"] for r in cat.sql("SHOW NAMESPACES").collect()}
+    assert "staging" not in ns
+    out = cat.sql("DROP NAMESPACE IF EXISTS staging").collect()[0]
+    assert "skipped" in out["detail"]
+
+
+def test_describe_table(cat):
+    cat.sql("CREATE TABLE db.d (id BIGINT NOT NULL, s STRING "
+            "COMMENT 'note', ts TIMESTAMP) PARTITIONED BY (day(ts)) "
+            "TBLPROPERTIES ('k'='v')")
+    plain = cat.sql("DESCRIBE db.d").collect()
+    assert [(r["col_name"], r["data_type"]) for r in plain] == \
+        [("id", "long"), ("s", "string"), ("ts", "timestamp")]
+    assert plain[1]["comment"] == "note"
+    ext = {r["col_name"]: r["data_type"]
+           for r in cat.sql("DESCRIBE EXTENDED db.d").collect()}
+    assert ext["Part 0"] == "day(ts)"
+    assert ext["prop:k"] == "v"
+    assert "Location" in ext and "Current Snapshot" in ext
