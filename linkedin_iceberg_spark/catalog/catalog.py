@@ -487,6 +487,10 @@ class Catalog:
 
         query, lits = _mask_sql_literals(query)
 
+        fast = self._sql_count_star(query, lits)
+        if fast is not None:
+            return fast
+
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
         dotted_pat = rf"{ident}(?:\.{ident})+"
         lit_tok = r"\x00\d+\x00"
@@ -607,6 +611,53 @@ class Catalog:
                 rf"(?<![A-Za-z0-9_.]){re.escape(dotted)}(?![A-Za-z0-9_])",
                 resolved[dotted], rewritten)
         return self.spark.sql(_unmask_sql_literals(rewritten, lits))
+
+    def _sql_count_star(self, masked: str, lits: list):
+        """`SELECT count(*) FROM db.t [WHERE <pushable>]` answered from
+        manifest record counts via the scan's count_rows() plane — a
+        partition-aligned count is a pure metadata operation, zero data
+        I/O (the ScanSummary/record-count aggregation the reference does
+        driver-side; our SQL spelling of the driver-green
+        table_count_pushdown path).  None (falls through to the generic
+        Spark route) unless the ENTIRE statement is this one shape and
+        EVERY WHERE conjunct parses into an engine predicate — partial
+        extraction is sound for scans (the residual WHERE re-applies)
+        but NOT for a count answered by metadata, so all-or-nothing."""
+        import re
+
+        from pyspark.sql import types as T
+
+        from linkedin_iceberg_spark.expressions import and_
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        m = re.match(
+            rf"\s*select\s+count\(\s*\*\s*\)(?:\s+as\s+({ident}))?\s+"
+            rf"from\s+({ident}(?:\.{ident})+)(?:\s+where\s+(.+?))?"
+            rf"\s*;?\s*$",
+            masked, re.IGNORECASE | re.DOTALL)
+        if not m or not self.table_exists(m.group(2)):
+            return None
+        t = self.load_table(m.group(2))
+        expr = None
+        if m.group(3):
+            own = set(t.schema.column_names())
+            conj = []
+            for c in _split_top_level_and(m.group(3)):
+                e = _try_parse_conjunct(c, lits, m.group(2), None,
+                                        own, set())
+                if e is None:
+                    return None  # unprovable conjunct: generic route
+                conj.append(e)
+            expr = conj[0]
+            for e in conj[1:]:
+                expr = and_(expr, e)
+        scan = t.new_scan()
+        if expr is not None:
+            scan = scan.filter(expr)
+        name = m.group(1) or "count(1)"  # Spark's name for count(*)
+        return self.spark.createDataFrame(
+            [(scan.count_rows(),)],
+            T.StructType([T.StructField(name, T.LongType(), False)]))
 
     def _align_insert_df(self, t: "Table", df: DataFrame,
                          cols: Optional[list]) -> DataFrame:

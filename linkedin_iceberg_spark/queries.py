@@ -3998,17 +3998,26 @@ FROM (
   FROM orders
   WHERE NOT (o_orderkey < 100 AND o_orderpriority = '1-URGENT')
   UNION ALL
-  SELECT o_orderkey + 5000000, round(o_totalprice * 3, 2),
+  SELECT o_orderkey + 5000000,
+         CASE WHEN o_orderkey < 20 THEN round(o_totalprice * 10, 2)
+              ELSE round(o_totalprice * 3, 2) END,
          o_orderpriority
   FROM orders WHERE o_orderkey < 50
+  UNION ALL
+  SELECT o_orderkey + 6000000, round(o_totalprice * 5, 2),
+         o_orderpriority || '-NEW'
+  FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 150
 )
 ORDER BY o_orderkey""")
 def table_sql_merge(spark, sf_dir):
-    """MERGE INTO through Catalog.sql (r6): conditional matched DELETE
-    (urgent rows), matched UPDATE (price from source), and NOT MATCHED
-    INSERT * — one sequence-scoped RowDelta snapshot, both sides engine
-    tables resolved by the catalog.  The oracle replays the net state
-    from raw parquet."""
+    """MERGE INTO through Catalog.sql (r6; grammar widened r7):
+    conditional matched DELETE (urgent rows), matched UPDATE (price
+    from source), NOT MATCHED INSERT * — then a SECOND merge exercising
+    UPDATE SET * (whole-row replace from the source) and INSERT (cols)
+    VALUES (exprs) (column-list insert with expressions; unmentioned
+    columns fill NULL).  Each merge is one sequence-scoped RowDelta
+    snapshot, both sides engine tables resolved by the catalog.  The
+    oracle replays the net state from raw parquet."""
     o = ld(spark, sf_dir, "orders")
     cat = _tmp_catalog(spark)
     t = cat.create_table("q.orders_m", o)
@@ -4032,6 +4041,30 @@ def table_sql_merge(spark, sf_dir):
         WHEN NOT MATCHED THEN INSERT *
     """).collect()[0]
     assert st["operation"] == "merge" and st["rows_affected"] > 0
+    # round 2: UPDATE SET * replaces matched +5M rows (keys < 20)
+    # wholesale with 10x prices; INSERT (cols) VALUES adds +6M rows
+    # through the column-list form with expressions over s.*
+    src2 = (o.filter(F.col("o_orderkey") < 20)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 5_000_000)
+            .withColumn("o_totalprice",
+                        F.round(F.col("o_totalprice") * 10, 2))
+            .unionByName(
+                o.filter((F.col("o_orderkey") >= 100)
+                         & (F.col("o_orderkey") < 150))
+                .withColumn("o_orderkey",
+                            F.col("o_orderkey") + 6_000_000)))
+    s2 = cat.create_table("q.src_m2", src2)
+    s2.append(src2)
+    st2 = cat.sql("""
+        MERGE INTO q.orders_m AS t USING q.src_m2 AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT
+            (o_orderkey, o_totalprice, o_orderpriority)
+            VALUES (s.o_orderkey, round(s.o_totalprice * 5, 2),
+                    concat(s.o_orderpriority, '-NEW'))
+    """).collect()[0]
+    assert st2["operation"] == "merge" and st2["rows_affected"] > 0
     return (t.refresh().to_df()
             .select("o_orderkey",
                     F.round("o_totalprice", 2).cast("double")
@@ -4045,10 +4078,14 @@ SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DOUBLE) AS price,
        CAST(NULL AS VARCHAR) AS remark
 FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey""")
 def table_sql_ddl(spark, sf_dir):
-    """The SQL DDL surface end-to-end (r6): CTAS through Catalog.sql,
-    then ALTER TABLE ADD COLUMN + RENAME COLUMN through the evolution
-    plane (field ids preserved — pre-evolution rows read the renamed
-    column as NULL), verified by selecting the final state."""
+    """The SQL DDL surface end-to-end (r6; widened r7): CTAS through
+    Catalog.sql, ALTER TABLE ADD COLUMN + RENAME COLUMN through the
+    evolution plane (field ids preserved — pre-evolution rows read the
+    renamed column as NULL), verified by selecting the final state.
+    The r7 width: plain CREATE TABLE with a column list + hidden
+    partition spec (ref: spark3/.../sql/TestCreateTable.java:54,99),
+    INSERT INTO ... VALUES, and the introspection statements (SHOW
+    TABLES / DESCRIBE EXTENDED) asserted inline."""
     o = ld(spark, sf_dir, "orders")
     cat = _tmp_catalog(spark)
     src = cat.create_table("q.ddl_src", o)
@@ -4058,6 +4095,19 @@ def table_sql_ddl(spark, sf_dir):
             "WHERE o_orderkey < 150")
     cat.sql("ALTER TABLE q.ddl_t ADD COLUMN note STRING")
     cat.sql("ALTER TABLE q.ddl_t RENAME COLUMN note TO remark")
+    # plain CREATE TABLE (cols) + VALUES + introspection, asserted
+    # inline (the returned frame stays the CTAS/evolution state)
+    cat.sql("CREATE TABLE q.ddl_plain (k BIGINT NOT NULL, v STRING) "
+            "PARTITIONED BY (truncate(1, v))")
+    st = cat.sql("INSERT INTO q.ddl_plain VALUES (1, 'alpha'), "
+                 "(2, 'beta')").collect()[0]
+    assert st["rows_affected"] == 2, st
+    d = {r["col_name"]: r["data_type"]
+         for r in cat.sql("DESCRIBE EXTENDED q.ddl_plain").collect()}
+    assert d["k"] == "long" and d["Part 0"] == "truncate[1](v)", d
+    shown = {(r["namespace"], r["tableName"])
+             for r in cat.sql("SHOW TABLES").collect()}
+    assert {("q", "ddl_plain"), ("q", "ddl_t")} <= shown, shown
     t = cat.load_table("q.ddl_t")
     return (t.to_df()
             .select("o_orderkey",
@@ -4065,6 +4115,108 @@ def table_sql_ddl(spark, sf_dir):
                     .alias("price"),
                     "remark")
             .orderBy("o_orderkey"))
+
+
+@q("table_sql_insert_overwrite", """
+SELECT o_orderkey, o_orderpriority,
+       CAST(round(price, 2) AS DOUBLE) AS price
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+  FROM orders WHERE o_orderkey < 400 AND o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, round(o_totalprice * 2, 2)
+  FROM orders WHERE o_orderkey < 100 AND o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT * FROM (VALUES (9000001, 'X-MANUAL', 4.56),
+                        (9000002, 'X-MANUAL', CAST(NULL AS DOUBLE)))
+)
+ORDER BY o_orderkey""")
+def table_sql_insert_overwrite(spark, sf_dir):
+    """The SQL write surface end-to-end (r7, ref: spark3/.../sql/
+    TestPartitionedWrites.java:62,77): plain CREATE TABLE with a
+    partition spec, INSERT INTO ... SELECT (positional binding into
+    renamed target columns), INSERT OVERWRITE routed to DYNAMIC
+    partition overwrite — only the '1-URGENT' partition present in the
+    overwrite frame is replaced, every other partition survives — and
+    INSERT INTO ... VALUES with typed NULLs.  Asserts rows_affected
+    from each status frame AND the overwrite snapshot's operation +
+    added-records summary; the oracle replays the net state from raw
+    parquet."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    src = cat.create_table("q.io_src", o)
+    src.append(o)
+    cat.sql("CREATE TABLE q.io (o_orderkey BIGINT, "
+            "o_orderpriority STRING, price DOUBLE) "
+            "PARTITIONED BY (o_orderpriority)")
+    st = cat.sql(
+        "INSERT INTO q.io SELECT o_orderkey, o_orderpriority, "
+        "o_totalprice FROM q.io_src WHERE o_orderkey < 400"
+    ).collect()[0]
+    assert st["operation"] == "insert" and st["rows_affected"] == 400, st
+    st = cat.sql(
+        "INSERT OVERWRITE q.io SELECT o_orderkey, o_orderpriority, "
+        "round(o_totalprice * 2, 2) FROM q.io_src "
+        "WHERE o_orderkey < 100 AND o_orderpriority = '1-URGENT'"
+    ).collect()[0]
+    assert st["operation"] == "insert_overwrite", st
+    t = cat.load_table("q.io")
+    snap = t.metadata.current_snapshot
+    assert snap.operation == "overwrite", snap.operation
+    assert int(snap.summary.get("added-records", -1)) == \
+        st["rows_affected"], snap.summary
+    st = cat.sql("INSERT INTO q.io VALUES (9000001, 'X-MANUAL', 4.56), "
+                 "(9000002, 'X-MANUAL', NULL)").collect()[0]
+    assert st["rows_affected"] == 2, st
+    return (t.refresh().to_df()
+            .select("o_orderkey", "o_orderpriority",
+                    F.round("price", 2).cast("double").alias("price"))
+            .orderBy("o_orderkey"))
+
+
+@q("table_sql_count_meta", """
+SELECT (SELECT count(*) FROM orders) AS full_cnt,
+       (SELECT count(*) FROM orders
+        WHERE o_orderdate >= DATE '1995-03-01'
+          AND o_orderdate < DATE '1995-04-01') AS month_cnt,
+       (SELECT count(*) FROM orders WHERE o_orderkey < 1000) AS key_cnt""")
+def table_sql_count_meta(spark, sf_dir):
+    """SQL-path metadata COUNT(*) (r7): `SELECT count(*) FROM db.t
+    [WHERE ...]` through Catalog.sql is answered from manifest record
+    counts via count_rows() — the full-table and month-partition-
+    aligned counts run with the data-reading path POISONED to prove
+    zero data-file input (the ScanSummary record-count aggregation the
+    reference computes driver-side, as a SQL statement).  The key-range
+    count exercises the graceful degrade: metrics decide most files,
+    the undecidable remainder is actually read."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    spec = (PartitionSpec.builder_for(Schema.from_spark(o.schema))
+            .month("o_orderdate").build())
+    t = cat.create_table("q.sql_cnt", o, spec=spec)
+    t.append(o)
+    from linkedin_iceberg_spark.catalog.scan import TableScan
+    orig = TableScan._to_df_default
+
+    def _poisoned(self, tasks=None):
+        raise AssertionError("metadata COUNT touched a data file")
+    TableScan._to_df_default = _poisoned
+    try:
+        full = cat.sql("SELECT count(*) AS full_cnt FROM q.sql_cnt"
+                       ).collect()[0]["full_cnt"]
+        month = cat.sql(
+            "SELECT count(*) AS month_cnt FROM q.sql_cnt "
+            "WHERE o_orderdate >= DATE '1995-03-01' "
+            "AND o_orderdate < DATE '1995-04-01'"
+        ).collect()[0]["month_cnt"]
+    finally:
+        TableScan._to_df_default = orig
+    key = cat.sql("SELECT count(*) AS key_cnt FROM q.sql_cnt "
+                  "WHERE o_orderkey < 1000").collect()[0]["key_cnt"]
+    return spark.createDataFrame(
+        [(full, month, key)],
+        "full_cnt long, month_cnt long, key_cnt long")
 
 
 @q("table_key_index_lookup", """
@@ -5049,14 +5201,27 @@ _PRIORITY = [
     # overwrite_where/equality_deletes/rewrite_pos_deletes in-window)
     # rotates out for table_sql_direct (new: Catalog.sql — SQL over
     # engine tables with zero manual view registration)
-    "table_sql_direct", "events_funnel",
+    # r7: table_sql_direct (green r5+r6, unchanged; the SQL family keeps
+    # table_sql_dml — whose INSERT path CHANGED this round — and
+    # table_sql_pruned in-window, and gains merge/ddl/insert_overwrite/
+    # count_meta rows) rotates out for table_sql_merge (registered r6,
+    # never windowed; grammar widened r7 with UPDATE SET * + INSERT
+    # (cols) VALUES); events_funnel (green r4+r5+r6, unchanged; events
+    # family keeps retention + transitions in-window) rotates out for
+    # table_sql_ddl (registered r6, never windowed; widened r7 with
+    # plain CREATE TABLE + VALUES + DESCRIBE/SHOW)
+    "table_sql_merge", "table_sql_ddl",
     # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
     # out for table_changelog (new: CDC scan over a MERGE commit)
     # r4 late: table_changelog (green r3, unchanged; CDC evidence stands
     # on its r3 row and the in-window upsert sink) rotates out for
     # dedup_text_clustered (new: transitive near-dup clusters with a
     # recursive-CTE full-pipeline oracle)
-    "dedup_text_clustered",
+    # r7: dedup_text_clustered (green r4+r5+r6, unchanged; dedup family
+    # keeps edit_distance/minhash_lsh_full/spans/semdedup in-window)
+    # rotates out for text_lm_score (registered r6, never windowed —
+    # the corpus-trained bigram LM quality score)
+    "text_lm_score",
     # r3: table_merge_upsert (green r1+r2) rotates out for table_merge_full
     # (new: conditional matched-update/delete + unmatched-insert MERGE)
     # r3 late: table_migrate_import (green r1+r2; the import plane keeps
@@ -5083,7 +5248,12 @@ _PRIORITY = [
     # strictly-stronger pruned variant) rotates out for table_sql_pruned
     # (new: WHERE predicates pushed from Catalog.sql into scan planning
     # — manifest/file-level pruning on the SQL path, verdict #1)
-    "table_equality_deletes", "table_compaction", "text_token_entropy",
+    # r7: text_token_entropy (green r4+r5+r6, unchanged; the text family
+    # keeps pack_sharded/trigram_novelty in-window and gains lm_score)
+    # rotates out for table_sql_count_meta (new r7: SELECT count(*)
+    # through Catalog.sql answered from manifest record counts — the
+    # verdict's stretch #7, poison-proven zero data input)
+    "table_equality_deletes", "table_compaction", "table_sql_count_meta",
     "table_format_orc", "table_remove_orphans", "table_sql_pruned",
     # r4: table_merge_schema_append (lifetime-green, unchanged; schema
     # family keeps table_schema_evolution in-window) rotates out for
@@ -5127,7 +5297,17 @@ _PRIORITY = [
     # upsert/incremental-dedup/enrichment in-window and the sessions op
     # is pytest-covered) rotates out for streaming_partition_reprocess
     # (new: Kappa-style idempotent partition reprocessing)
-    "table_tag_travel", "agg_hll_mergeable",
+    # r7: table_tag_travel (green r4+r5+r6, unchanged; snapshot-mgmt
+    # family keeps branch_workflow/branch_merge/snapshot_clone/
+    # snapshot_diff in-window) rotates out for similarity_hybrid_rrf
+    # (registered r6, never windowed — reciprocal-rank-fusion hybrid
+    # retrieval, now with the optional IVF-index channel);
+    # agg_hll_mergeable (green r4+r5+r6, unchanged; the sketch family
+    # keeps grouping_sets + kmv_overlap in-window) rotates out for
+    # table_sql_insert_overwrite (new r7: CREATE TABLE (cols) + INSERT
+    # SELECT/VALUES + dynamic-partition INSERT OVERWRITE, the verdict's
+    # #1 ask)
+    "similarity_hybrid_rrf", "table_sql_insert_overwrite",
     # r5: streaming_partition_reprocess (green r4, unchanged;
     # streaming family keeps incremental_dedup in-window and
     # lifetime rows across sinks/joins/sessions) rotates out for

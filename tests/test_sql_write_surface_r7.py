@@ -224,3 +224,41 @@ def test_describe_table(cat):
     assert ext["Part 0"] == "day(ts)"
     assert ext["prop:k"] == "v"
     assert "Location" in ext and "Current Snapshot" in ext
+
+
+# -- SELECT count(*) metadata pushdown -----------------------------------
+
+def test_sql_count_star_metadata_path(cat, spark, monkeypatch):
+    # full-table count: must short-circuit to manifest record counts —
+    # poison the slow path to prove no data files are read
+    from linkedin_iceberg_spark.catalog import scan as scan_mod
+    t = cat.load_table("db.orders")
+    want = t.to_df().count()
+
+    called = []
+    orig = scan_mod.TableScan._to_df_default
+
+    def spy(self, tasks=None):
+        called.append(len(tasks) if tasks is not None else -1)
+        return orig(self, tasks=tasks)
+    monkeypatch.setattr(scan_mod.TableScan, "_to_df_default", spy)
+    n = cat.sql("SELECT count(*) AS n FROM db.orders").collect()[0]["n"]
+    assert n == want
+    assert called == []  # zero data-file input
+
+    # filtered count matches the generic route's answer
+    got = cat.sql("SELECT count(*) AS n FROM db.orders "
+                  "WHERE o_orderkey < 500").collect()[0]["n"]
+    assert got == t.to_df().filter(F.col("o_orderkey") < 500).count()
+
+
+def test_sql_count_star_falls_back_on_unprovable(cat):
+    # an expression conjunct cannot be pushed — the generic Spark route
+    # must answer (and still be correct)
+    t = cat.load_table("db.orders")
+    got = cat.sql("SELECT count(*) AS n FROM db.orders "
+                  "WHERE o_orderkey % 2 = 0").collect()[0]["n"]
+    assert got == t.to_df().filter("o_orderkey % 2 = 0").count()
+    # spark-default column name when no alias is given
+    row = cat.sql("SELECT count(*) FROM db.orders").collect()[0]
+    assert row["count(1)"] == t.to_df().count()
