@@ -73,22 +73,29 @@ def analyze_table(table, columns: list) -> dict:
     return out
 
 
-def suggest_broadcast(table, threshold_bytes: int = None) -> bool:
-    """Metadata-driven join-side advice: True when the table's LIVE data
-    bytes (summed file_size_in_bytes from the manifests — zero data I/O)
-    fit the session's broadcast budget.  This is the engine-side analog
-    of the stats the reference reports to Spark's planner
-    (spark3/.../SparkBatchScan.java:186 estimateStatistics feeding CBO
-    broadcast decisions): pure-Python can't implement the DSv2 hook, so
-    the engine's OWN join-bearing operators consult this instead of
-    caller hints — row_delta.merge broadcasts its target side iff this
-    says it fits.
+def suggest_broadcast(table, threshold_bytes: int = None,
+                      decompression_factor: float = 3.0,
+                      max_rows: int = None) -> bool:
+    """Metadata-driven join-side advice: True when the table's ESTIMATED
+    IN-MEMORY size — summed live file_size_in_bytes from the manifests
+    (zero data I/O) times ``decompression_factor`` — fits the session's
+    broadcast budget.  This is the engine-side analog of the stats the
+    reference reports to Spark's planner (spark3/.../SparkBatchScan.
+    java:186 estimateStatistics feeding CBO broadcast decisions):
+    pure-Python can't implement the DSv2 hook, so the engine's OWN
+    join-bearing operators consult this instead of caller hints —
+    row_delta.merge broadcasts its target side iff this says it fits.
 
     The threshold defaults to the session's
     ``spark.sql.autoBroadcastJoinThreshold`` (so the advice and AQE
-    agree on what "fits" means); parquet bytes usually DECOMPRESS 2-5x
-    in memory, so a deployment may pass an explicit lower budget.
-    Conservative on unknowns: missing sizes -> False."""
+    agree on what "fits" means).  Parquet bytes usually DECOMPRESS 2-5x
+    into Spark's unsafe rows — dictionary/RLE-heavy wide tables worse —
+    so the estimate multiplies by ``decompression_factor`` (default 3x;
+    pass 1.0 to compare raw file bytes, or higher for very compressible
+    data).  ``max_rows``, when given, additionally bounds the summed
+    manifest record_counts — a broadcast hash table's row OVERHEAD is
+    per-row, so a deployment can refuse many-row builds regardless of
+    byte size.  Conservative on unknowns: missing sizes -> False."""
     if threshold_bytes is None:
         raw = table.spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
                                    "10485760")
@@ -102,12 +109,16 @@ def suggest_broadcast(table, threshold_bytes: int = None) -> bool:
             return False
     entries, _ = table._live_data_and_deletes()
     total = 0
+    rows = 0
     for e in entries:
         size = e.data_file.file_size_in_bytes
         if not size and e.data_file.record_count:
             return False  # unknown size on a non-empty file: no advice
         total += size or 0
-    return total <= threshold_bytes
+        rows += e.data_file.record_count or 0
+    if max_rows is not None and rows > max_rows:
+        return False
+    return total * decompression_factor <= threshold_bytes
 
 
 def column_stats(table, col: str) -> dict:

@@ -718,7 +718,8 @@ def hybrid_rrf_topk(docs: DataFrame, embs: DataFrame, query_terms: list,
                     query_vec: list, k: int = 10, pool: int = 50,
                     rrf_k: int = 60, id_col: str = "doc_id",
                     text_col: str = "text", emb_id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    vec_index=None, n_probe: int = None) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
     SIGIR'09): a keyword channel (query-term overlap count) and an
     embedding channel (exact cosine) each nominate their top-``pool``
@@ -737,6 +738,17 @@ def hybrid_rrf_topk(docs: DataFrame, embs: DataFrame, query_terms: list,
     before ranking with an id tie-break; the fusion score is a 2-term
     sum of correctly-rounded divisions — replayable bit-for-bit.
 
+    Index-backed channel (r7): pass ``vec_index`` (a persisted IVF
+    table from ivf_index_table, cell-partitioned, centroids stamped in
+    properties) and the embedding channel becomes
+    ivf_topk_from_table — scan planning prunes to the ``n_probe``
+    probed cells' FILES instead of scanning ``embs`` (which is then
+    ignored; pass None).  At full probe (n_probe = n_cells, the
+    default when None) every cell is a candidate and the channel is
+    value-identical to the exact scan — the knn_join
+    converges-to-exact contract — so the exact mode stays the oracle's
+    replay path while production sizes n_probe for the recall/IO trade.
+
     Returns (id, kw_rank, vec_rank, rrf_score) top-``k``."""
     from pyspark.sql import Window as W
 
@@ -750,9 +762,16 @@ def hybrid_rrf_topk(docs: DataFrame, embs: DataFrame, query_terms: list,
           .filter(F.col("kw_score") > 0)
           .orderBy(F.col("kw_score").desc(), F.col(id_col))
           .limit(pool))
-    vec = cosine_topk(embs, query_vec, pool, id_col=emb_id_col,
-                      vec_col=vec_col) \
-        .withColumnRenamed(emb_id_col, id_col)
+    if vec_index is not None:
+        cents = ivf_centroids(vec_index)
+        vec = ivf_topk_from_table(
+            vec_index, cents, query_vec, pool,
+            n_probe=n_probe if n_probe is not None else len(cents),
+            id_col=emb_id_col, vec_col=vec_col).drop("cell")
+    else:
+        vec = cosine_topk(embs, query_vec, pool, id_col=emb_id_col,
+                          vec_col=vec_col)
+    vec = vec.withColumnRenamed(emb_id_col, id_col)
 
     kw_r = kw.withColumn(
         "kw_rank", F.row_number().over(

@@ -1853,13 +1853,28 @@ def similarity_hybrid_rrf(spark, sf_dir):
     shape — no global per-modality ranking, the rank windows see at
     most 2*pool rows by construction.  Deterministic: integer keyword
     scores, 5dp-rounded cosine with id tie-breaks, a 2-term sum of
-    correctly-rounded divisions."""
-    from linkedin_iceberg_spark.operators.similarity import hybrid_rrf_topk
+    correctly-rounded divisions.
+
+    r7: the embedding channel can also run off a persisted IVF index
+    (cell-partitioned scan, probes prune files) — asserted inline here
+    at full probe, where it is value-identical to the exact channel
+    that remains the oracle's replay path; the partial-probe pruning
+    evidence lives in tests/test_hybrid_ivf_r7.py + PLANS.md."""
+    from linkedin_iceberg_spark.operators.similarity import (
+        default_centroids, hybrid_rrf_topk, ivf_index_table)
     d = ld(spark, sf_dir, "documents")
     e = ld(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return hybrid_rrf_topk(d, e, ["spark", "query", "data", "filter"],
-                           qv, k=10, pool=50)
+    terms = ["spark", "query", "data", "filter"]
+    exact = hybrid_rrf_topk(d, e, terms, qv, k=10, pool=50)
+    cat = _tmp_catalog(spark)
+    idx = ivf_index_table(cat, "q.hyb_ivf", e,
+                          default_centroids(e, n_cells=8))
+    via_index = hybrid_rrf_topk(d, None, terms, qv, k=10, pool=50,
+                                vec_index=idx)  # full probe
+    assert [tuple(r) for r in via_index.collect()] == \
+        [tuple(r) for r in exact.collect()]
+    return exact
 
 
 @q("similarity_matryoshka", """
@@ -4595,19 +4610,40 @@ GROUP BY 1, 2 ORDER BY 1, 2""")
 def streaming_enrichment(spark, sf_dir):
     """Stream-static enrichment join — the standard ingestion shape: a
     micro-batched event stream joined against SLOWLY-CHANGING dimension
-    tables (customer -> nation) that stay batch DataFrames.  The static
-    side re-resolves per micro-batch (dimension updates apply without
-    restarting the stream) and is broadcast, so the stream side never
-    shuffles for the join; events arrive across three unordered files
-    and the enriched totals must equal the batch join the oracle runs."""
+    ENGINE tables (customer -> nation).  The static side re-resolves
+    per micro-batch (dimension updates apply without restarting the
+    stream); the broadcast hint is no longer forced — it is consulted
+    from each dimension's manifest metadata (suggest_broadcast, r7:
+    decompression-aware estimated memory vs the session threshold), so
+    the stream side never shuffles for the join exactly when the
+    metadata proves the dim fits; events arrive across three unordered
+    files and the enriched totals must equal the batch join the oracle
+    runs."""
     import tempfile
     import time as _time
     import uuid as _uuid
 
+    from linkedin_iceberg_spark.catalog.analyze import suggest_broadcast
+
     e = (ld(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
          .select("event_id", "user_id", "ts", "event_type", "value"))
-    c = ld(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = ld(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cat = _tmp_catalog(spark)
+    ct = cat.create_table(
+        "q.dim_cust",
+        ld(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    ct.append(ld(spark, sf_dir, "customer")
+              .select("c_custkey", "c_nationkey"))
+    nt = cat.create_table(
+        "q.dim_nation",
+        ld(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    nt.append(ld(spark, sf_dir, "nation")
+              .select("n_nationkey", "n_name"))
+    c = ct.to_df()
+    n = nt.to_df()
+    if suggest_broadcast(ct):
+        c = F.broadcast(c)
+    if suggest_broadcast(nt):
+        n = F.broadcast(n)
     base = tempfile.mkdtemp(prefix="q_senrich_")
     src = os.path.join(base, "src")
     for i in range(3):
@@ -4624,10 +4660,8 @@ def streaming_enrichment(spark, sf_dir):
                       "event_type string, value double")
               .option("maxFilesPerTrigger", 1)
               .parquet(os.path.join(src, "*")))
-        enriched = (ev.join(F.broadcast(c),
-                            ev.user_id == F.col("c_custkey"))
-                    .join(F.broadcast(n),
-                          F.col("c_nationkey") == F.col("n_nationkey")))
+        enriched = (ev.join(c, ev.user_id == F.col("c_custkey"))
+                    .join(n, F.col("c_nationkey") == F.col("n_nationkey")))
         q_ = (enriched.writeStream.format("memory").queryName(sink)
               .outputMode("append")
               .option("checkpointLocation", os.path.join(base, "ck"))

@@ -72,19 +72,26 @@ def test_uncovered_files_raise(t):
 
 
 def test_suggest_broadcast_reads_metadata(t, spark):
-    """Advice comes from summed live-file bytes in the manifests, agrees
-    with the session threshold, and never fires on unknowns (r6)."""
+    """Advice comes from summed live-file bytes in the manifests times
+    the decompression factor (r7: estimated MEMORY, not raw file
+    bytes), agrees with the session threshold, and never fires on
+    unknowns (r6)."""
     from linkedin_iceberg_spark.catalog.analyze import suggest_broadcast
 
     tbl, _ = t
     live = tbl._live_data_and_deletes()[0]
     total = sum(e.data_file.file_size_in_bytes for e in live)
     assert total > 0
-    # the sf0.001 table is tiny: fits the 10MB default
+    # the sf0.001 table is tiny: fits the 10MB default even at 3x
     assert suggest_broadcast(tbl) is True
-    # explicit budget below the table's bytes: no
-    assert suggest_broadcast(tbl, threshold_bytes=total - 1) is False
-    assert suggest_broadcast(tbl, threshold_bytes=total) is True
+    # the budget compares ESTIMATED MEMORY = bytes * factor
+    assert suggest_broadcast(tbl, threshold_bytes=total * 3 - 1) is False
+    assert suggest_broadcast(tbl, threshold_bytes=total * 3) is True
+    # factor 1.0 restores the raw-bytes comparison
+    assert suggest_broadcast(tbl, threshold_bytes=total,
+                             decompression_factor=1.0) is True
+    assert suggest_broadcast(tbl, threshold_bytes=total - 1,
+                             decompression_factor=1.0) is False
     # session disabled broadcasts entirely
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
@@ -94,6 +101,36 @@ def test_suggest_broadcast_reads_metadata(t, spark):
         assert suggest_broadcast(tbl) is True
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_suggest_broadcast_wide_compressible_table(catalog, spark):
+    """r7 (verdict #4): a table whose PARQUET bytes squeeze under the
+    budget but whose decompressed rows would not is NOT advised —
+    dictionary-compressed repetitive strings are the classic trap.  The
+    row bound refuses many-row builds independently of byte size."""
+    from linkedin_iceberg_spark.catalog.analyze import suggest_broadcast
+
+    # 20k rows of a single repeated 200-char string: parquet dictionary
+    # encoding crushes this far below its in-memory footprint
+    wide = spark.range(20_000).select(
+        F.col("id"), F.lit("x" * 200).alias("payload"))
+    tbl = catalog.create_table("db.widezip", wide)
+    tbl.append(wide)
+    live = tbl._live_data_and_deletes()[0]
+    file_bytes = sum(e.data_file.file_size_in_bytes for e in live)
+    logical = 20_000 * 200
+    assert file_bytes * 5 < logical  # compression actually happened
+    # budget sits between raw bytes and 3x bytes: raw-bytes advice
+    # would say broadcast, the memory estimate refuses
+    budget = file_bytes * 2
+    assert suggest_broadcast(tbl, threshold_bytes=budget,
+                             decompression_factor=1.0) is True
+    assert suggest_broadcast(tbl, threshold_bytes=budget) is False
+    # row bound from manifest record_counts, no data I/O
+    assert suggest_broadcast(tbl, threshold_bytes=logical * 10,
+                             max_rows=10_000) is False
+    assert suggest_broadcast(tbl, threshold_bytes=logical * 10,
+                             max_rows=20_000) is True
 
 
 def test_merge_consults_advisor_and_stays_exact(catalog, spark, sf_dir,

@@ -282,6 +282,20 @@ CONTRACTS = {
         # no Python anywhere
         ["Scan parquet", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "table_sql_insert_overwrite": (
+        # the final state is a plain engine-table read: parquet scan in
+        # codegen, no Python; the dynamic-overwrite routing itself is
+        # asserted in the query (snapshot operation + summary) and
+        # tests/test_sql_write_surface_r7.py
+        ["Scan parquet", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "table_sql_count_meta": (
+        # the SQL count(*) is answered from manifest record counts: the
+        # result frame is a driver-local row — NO parquet scan anywhere
+        # in the plan (the poison assert in the query body additionally
+        # proves the fast path never touched a data file)
+        ["Scan ExistingRDD"],
+        ["Scan parquet", "CartesianProduct", "BatchEvalPython"]),
     "text_lm_score": (
         # count tables are map-side-combinable hash aggregations; the
         # bigram window shuffles once on doc_id; integer DIV math stays
@@ -290,7 +304,11 @@ CONTRACTS = {
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "similarity_hybrid_rrf": (
         # each channel pools via TakeOrdered (per-partition heaps);
-        # the rank windows run over the bounded pool only
+        # the rank windows run over the bounded pool only.  r7: the
+        # embedding channel can run off the persisted IVF index — the
+        # probed-cells-only file read (partition pruning) is asserted
+        # by plan_files counts in tests/test_hybrid_ivf_r7.py, the
+        # same evidence split as table_sql_pruned
         ["TakeOrderedAndProject", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
