@@ -240,6 +240,9 @@ _SQL_TYPE_MAP = {
     "double": "double", "float": "float", "real": "float",
     "boolean": "boolean", "bool": "boolean",
     "timestamp": "timestamp", "date": "date", "binary": "binary",
+    # engine-native spellings, so SHOW CREATE TABLE output round-trips
+    # through the CREATE TABLE parser
+    "timestamptz": "timestamptz", "uuid": "uuid", "fixed": "binary",
 }
 
 
@@ -659,6 +662,80 @@ class Catalog:
             [(scan.count_rows(),)],
             T.StructType([T.StructField(name, T.LongType(), False)]))
 
+    def _sql_insert_static_partition(self, mode: str, tname: str,
+                                     part_spec: str, body: str, status):
+        """INSERT INTO/OVERWRITE ... PARTITION (col='v', ...) — the
+        static-partition form (ref: spark3/.../sql/
+        TestPartitionedWrites.java static-partition cases).  Each
+        PARTITION column must be an IDENTITY partition source of the
+        current spec (transform partitions — month(ts), bucket(k) —
+        have no static SQL spelling; Spark rejects those too).  The
+        source frame omits the static columns; they are filled as
+        constants.  OVERWRITE becomes overwrite-by-filter on the
+        partition equality conjunction (W4) — exactly the declared
+        partition is replaced, nothing dynamic."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from linkedin_iceberg_spark.expressions import and_, eq
+
+        t = self.load_table(tname)
+        idents = {f.source_name for f in t.spec.fields
+                  if f.transform_str == "identity"}
+        masked, lits = _mask_sql_literals(part_spec)
+        assigns = {}
+        for part in _split_top_level_commas(masked):
+            cm = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
+                          r"(\x00\d+\x00|-?\d+(?:\.\d+)?|true|false)\s*$",
+                          part, re.IGNORECASE)
+            if not cm:
+                raise ValueError(f"malformed PARTITION clause: {part!r}")
+            col, raw = cm.group(1), cm.group(2)
+            if col not in idents:
+                raise ValueError(
+                    f"PARTITION column {col!r} is not an identity "
+                    f"partition source of the current spec "
+                    f"(identity sources: {sorted(idents)})")
+            if raw.startswith("\x00"):
+                val = lits[int(raw.strip("\x00"))].strip("'") \
+                    .replace("''", "'")
+            elif raw.lower() in ("true", "false"):
+                val = raw.lower() == "true"
+            elif "." in raw:
+                val = float(raw)
+            else:
+                val = int(raw)
+            assigns[col] = val
+        body = body.strip().rstrip(";")
+        if re.match(r"values\b", body, re.IGNORECASE):
+            df = self.spark.sql(f"SELECT * FROM {body}")
+        else:
+            df = self.sql(body)
+        fields = t.schema.to_spark().fields
+        rest = [f.name for f in fields if f.name not in assigns]
+        if len(df.columns) != len(rest):
+            raise ValueError(
+                f"INSERT ... PARTITION supplies {len(df.columns)} "
+                f"columns for the {len(rest)} non-partition columns "
+                f"{rest}")
+        df = df.toDF(*rest)
+        for col, val in assigns.items():
+            df = df.withColumn(col, F.lit(val))
+        df = self._align_insert_df(t, df, None)
+        if mode.lower() == "overwrite":
+            conj = [eq(c, v) for c, v in sorted(assigns.items())]
+            expr = conj[0]
+            for e in conj[1:]:
+                expr = and_(expr, e)
+            t.overwrite_where(df, expr)
+            summ = t.metadata.current_snapshot.summary
+            return status("insert_overwrite",
+                          summ.get("added-records", -1))
+        t.append(df)
+        summ = t.metadata.current_snapshot.summary
+        return status("insert", summ.get("added-records", -1))
+
     def _align_insert_df(self, t: "Table", df: DataFrame,
                          cols: Optional[list]) -> DataFrame:
         """Align an INSERT source frame to the target table's schema:
@@ -715,13 +792,28 @@ class Catalog:
             return self.spark.createDataFrame(
                 [(op, int(rows))], "operation string, rows_affected long")
 
+        m = re.match(rf"\s*truncate\s+table\s+({dotted})\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            from linkedin_iceberg_spark.expressions import always_true
+            t = self.load_table(m.group(1))
+            # row count from metadata (zero data I/O), then a
+            # metadata-only delete of every live file
+            n = t.new_scan().count_rows()
+            t.delete_where(always_true())
+            return status("truncate", n)
+
         m = re.match(
             rf"\s*insert\s+(into|overwrite)\s+(?:table\s+)?({dotted})\s*"
+            rf"(?:partition\s*\(([^)]*)\)\s*)?"
             rf"(?:\(\s*({ident}(?:\s*,\s*{ident})*)\s*\)\s*)?"
             rf"((?:select|values|with)\b.*)",
             query, re.IGNORECASE | re.DOTALL)
         if m:
-            mode, tname, col_list, body = m.groups()
+            mode, tname, part_spec, col_list, body = m.groups()
+            if part_spec is not None:
+                return self._sql_insert_static_partition(
+                    mode, tname, part_spec, body, status)
             t = self.load_table(tname)
             body = body.strip().rstrip(";")
             if re.match(r"values\b", body, re.IGNORECASE):
@@ -819,10 +911,13 @@ class Catalog:
               [TBLPROPERTIES ('k'='v', ...)]   (ref: spark3/.../sql/
                                     TestCreateTable.java:54,99)
             SHOW TABLES [IN ns] / SHOW NAMESPACES [IN ns]
+            SHOW PARTITIONS db.t / SHOW CREATE TABLE db.t
             CREATE NAMESPACE [IF NOT EXISTS] ns
             DROP NAMESPACE [IF EXISTS] ns      (refuses non-empty)
             DESCRIBE [EXTENDED] db.t
             DROP TABLE [IF EXISTS] db.t
+            (TRUNCATE TABLE and INSERT ... PARTITION (col=v) route
+             through _sql_dml)
             ALTER TABLE db.t ADD COLUMN[S] name TYPE [, name TYPE ...]
             ALTER TABLE db.t DROP COLUMN name
             ALTER TABLE db.t RENAME COLUMN a TO b
@@ -993,6 +1088,53 @@ class Catalog:
                     "tables first")
             shutil.rmtree(p)
             return status("drop_namespace", m.group(2))
+
+        m = re.match(rf"\s*show\s+partitions\s+({dotted})\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m and self.table_exists(m.group(1)):
+            # the partitions metadata relation: one row per live
+            # partition tuple with record/file counts — strictly more
+            # than Spark's string list, same manifest-only cost
+            return self.load_table(m.group(1)).metadata_table(
+                "partitions")
+
+        m = re.match(rf"\s*show\s+create\s+table\s+({dotted})\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            t = self.load_table(m.group(1))
+            from linkedin_iceberg_spark.schema import _type_to_json
+            cols = []
+            for f in t.schema.fields:
+                tp = f.type if isinstance(f.type, str) else \
+                    __import__("json").dumps(_type_to_json(f.type))
+                line = f"  {f.name} {tp.upper()}"
+                if f.required:
+                    line += " NOT NULL"
+                if f.doc:
+                    line += " COMMENT '" + f.doc.replace("'", "''") + "'"
+                cols.append(line)
+            stmt = (f"CREATE TABLE {m.group(1)} (\n"
+                    + ",\n".join(cols) + ")\nUSING iceberg")
+            if t.spec.fields:
+                parts = []
+                for f in t.spec.fields:
+                    ts = f.transform_str
+                    if ts == "identity":
+                        parts.append(f.source_name)
+                    elif "[" in ts:  # bucket[n] / truncate[n]
+                        fn, n = ts.split("[")
+                        parts.append(f"{fn}({n.rstrip(']')}, "
+                                     f"{f.source_name})")
+                    else:
+                        parts.append(f"{ts}({f.source_name})")
+                stmt += "\nPARTITIONED BY (" + ", ".join(parts) + ")"
+            if t.properties:
+                kv = ", ".join(
+                    f"'{k}'='{t.properties[k]}'"
+                    for k in sorted(t.properties))
+                stmt += f"\nTBLPROPERTIES ({kv})"
+            return self.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string")
 
         m = re.match(rf"\s*desc(?:ribe)?\s+(extended\s+)?({dotted})"
                      rf"\s*;?\s*$", query, re.IGNORECASE)
@@ -1207,8 +1349,12 @@ class Catalog:
             [WHEN MATCHED [AND <cond>] THEN DELETE]
             [WHEN MATCHED [AND <cond>] THEN UPDATE SET
                 (col = expr, ... | *)]
-            [WHEN NOT MATCHED [AND <cond>] THEN
+            [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
                 (INSERT [*] | INSERT (cols) VALUES (exprs))]
+            [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+                (DELETE | UPDATE SET col = expr, ...)]
+                -- the Spark 3.4+ extension: target rows with no
+                -- source match; conditions/exprs see t.* only
 
         ON must be an equi-conjunction on SAME-NAMED key columns (the
         operator's key_cols contract).  Conditions and SET expressions
@@ -1265,9 +1411,11 @@ class Catalog:
             key_cols.append(eq.group(2))
 
         upd = upd_cond = del_cond = ins_cond = ins_values = None
+        src_upd = src_upd_cond = src_del_cond = None
         insert_unmatched = False
         clause_re = re.compile(
-            r"when\s+(not\s+)?matched(?:\s+and\s+(.+?))?\s+then\s+"
+            r"when\s+(not\s+)?matched(?:\s+by\s+(source|target))?"
+            r"(?:\s+and\s+(.+?))?\s+then\s+"
             r"(update\s+set\s+.+?|delete|"
             r"insert\s*\([^)]*\)\s*values\s*\(.+?\)|insert\s*\*?)"
             r"(?=\s+when\s+|\s*$)",
@@ -1275,11 +1423,36 @@ class Catalog:
         matched_any = False
         for c in clause_re.finditer(whens):
             matched_any = True
-            is_not, cond_text, action = c.groups()
+            is_not, by, cond_text, action = c.groups()
             cond = F.expr(norm(cond_text)) if cond_text else None
             act = action.strip()
             low = act.lower()
-            if is_not:
+            if by and by.lower() == "source":
+                if not is_not:
+                    raise ValueError("MATCHED BY SOURCE is not a MERGE "
+                                     "clause; use WHEN NOT MATCHED BY "
+                                     "SOURCE")
+                if low == "delete":
+                    src_del_cond = cond if cond is not None \
+                        else F.lit(True)
+                elif low.startswith("update set"):
+                    body_set = act[len("update set"):].strip()
+                    if body_set == "*":
+                        raise ValueError(
+                            "NOT MATCHED BY SOURCE UPDATE SET * is "
+                            "meaningless (there is no source row)")
+                    src_upd, src_upd_cond = {}, cond
+                    for part in _split_top_level_commas(body_set):
+                        col, _, val = part.partition("=")
+                        if not col.strip() or not val.strip():
+                            raise ValueError(f"malformed SET: {part!r}")
+                        src_upd[norm(col.strip()).removeprefix("t.")] = \
+                            F.expr(norm(val.strip()))
+                else:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports only "
+                        "DELETE or UPDATE SET")
+            elif is_not:
                 if not low.startswith("insert"):
                     raise ValueError(
                         "WHEN NOT MATCHED supports only INSERT [*] or "
@@ -1324,7 +1497,10 @@ class Catalog:
               matched_update=upd, matched_update_cond=upd_cond,
               matched_delete_cond=del_cond,
               insert_unmatched=insert_unmatched, insert_cond=ins_cond,
-              insert_values=ins_values)
+              insert_values=ins_values,
+              unmatched_source_update=src_upd,
+              unmatched_source_update_cond=src_upd_cond,
+              unmatched_source_delete_cond=src_del_cond)
         t.refresh()
         summ = t.metadata.current_snapshot.summary
         return self.spark.createDataFrame(

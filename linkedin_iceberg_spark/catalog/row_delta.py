@@ -187,6 +187,9 @@ def merge(table, source: DataFrame, key_cols: list,
           insert_unmatched: bool = True,
           insert_cond=None,
           insert_values: Optional[dict] = None,
+          unmatched_source_update: Optional[dict] = None,
+          unmatched_source_update_cond=None,
+          unmatched_source_delete_cond=None,
           validate_source_unique: bool = True,
           extra_summary: Optional[dict] = None):
     """Full MERGE INTO semantics committed as ONE RowDelta snapshot
@@ -199,6 +202,15 @@ def merge(table, source: DataFrame, key_cols: list,
         with the update expressions (dict target_col -> Column over the
         `s`/`t` aliases)
       * not matched and `insert_unmatched` (+opt cond) -> source row added
+
+    r7 — NOT MATCHED BY SOURCE (the Spark 3.4+ MERGE extension): target
+    rows with NO source match can be deleted
+    (`unmatched_source_delete_cond`) or updated
+    (`unmatched_source_update` + opt cond) — conditions/expressions see
+    `t.*` only.  These clauses touch keys OUTSIDE the source's key
+    range, so the conflict guard widens from the source key bounds to
+    the whole table (any concurrent data/delete commit conflicts) —
+    correctness first; the scoped guard stays for source-only merges.
 
     Everything is distributed DataFrame work: one inner join for matches,
     one anti join for inserts, and a single equality-delete + append
@@ -274,13 +286,42 @@ def merge(table, source: DataFrame, key_cols: list,
         else:
             parts.append(inserts.select(*[F.col(c) for c in target_cols]))
 
+    by_source = unmatched_source_delete_cond is not None \
+        or unmatched_source_update
+    if by_source:
+        t_only = t.join(s, on, "left_anti")
+        src_del = unmatched_source_delete_cond \
+            if unmatched_source_delete_cond is not None else false_
+        if unmatched_source_update:
+            src_upd = unmatched_source_update_cond \
+                if unmatched_source_update_cond is not None else F.lit(True)
+        else:
+            src_upd = false_
+        affected = affected.unionByName(
+            t_only.filter(src_del | src_upd)
+            .select(*[F.col(f"t.{k}") for k in key_cols]))
+        if unmatched_source_update:
+            parts.append(
+                t_only.filter(src_upd & ~src_del)
+                .select(*[(unmatched_source_update[c]
+                           if c in unmatched_source_update
+                           else F.col(f"t.{c}")).alias(c)
+                          for c in target_cols]))
+
     data_df = None
     if parts:
         data_df = parts[0]
         for p in parts[1:]:
             data_df = data_df.unionByName(p)
 
-    seen, conflict = _key_bounds_guard(table, source, key_cols)
+    if by_source:
+        # clauses touch keys outside the source range: widen the guard
+        from linkedin_iceberg_spark.expressions import always_true, bind
+        seen = {e.data_file.file_path for e in table._live_entries()}
+        conflict = table._filter_conflict_fn(
+            bind(table.schema, always_true()))
+    else:
+        seen, conflict = _key_bounds_guard(table, source, key_cols)
     return row_delta(table, data_df=data_df,
                      equality_delete_keys=affected, key_cols=key_cols,
                      extra_summary=extra_summary,

@@ -262,3 +262,128 @@ def test_sql_count_star_falls_back_on_unprovable(cat):
     # spark-default column name when no alias is given
     row = cat.sql("SELECT count(*) FROM db.orders").collect()[0]
     assert row["count(1)"] == t.to_df().count()
+
+
+# -- MERGE ... WHEN NOT MATCHED BY SOURCE --------------------------------
+
+def test_merge_not_matched_by_source_delete(cat, spark):
+    cat.sql("CREATE TABLE db.sync (k BIGINT, v STRING)")
+    cat.sql("INSERT INTO db.sync VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.createDataFrame([(1, "A"), (4, "D")], "k bigint, v string") \
+        .createOrReplaceTempView("sync_src")
+    # full-sync shape: update matches, insert new, drop rows the source
+    # no longer carries
+    cat.sql("MERGE INTO db.sync t USING sync_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    rows = sorted((r["k"], r["v"])
+                  for r in cat.load_table("db.sync").to_df().collect())
+    assert rows == [(1, "A"), (4, "D")]
+
+
+def test_merge_not_matched_by_source_update(cat, spark):
+    cat.sql("CREATE TABLE db.flagged (k BIGINT, v STRING, "
+            "stale BOOLEAN)")
+    cat.sql("INSERT INTO db.flagged VALUES (1,'a',false), "
+            "(2,'b',false), (3,'c',false)")
+    spark.createDataFrame([(2,)], "k bigint") \
+        .createOrReplaceTempView("flag_src")
+    cat.sql("MERGE INTO db.flagged t USING flag_src s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE AND t.k > 1 "
+            "THEN UPDATE SET stale = true")
+    rows = sorted((r["k"], r["v"], r["stale"])
+                  for r in cat.load_table("db.flagged").to_df().collect())
+    # k=1 unmatched but fails the condition; k=2 matched; k=3 flagged
+    assert rows == [(1, "a", False), (2, "b", False), (3, "c", True)]
+
+
+def test_merge_by_source_conditional_delete_and_insert(cat, spark):
+    cat.sql("CREATE TABLE db.mix (k BIGINT, v STRING)")
+    cat.sql("INSERT INTO db.mix VALUES (1,'keep'), (2,'drop'), "
+            "(3,'keep')")
+    spark.createDataFrame([(9, "new")], "k bigint, v string") \
+        .createOrReplaceTempView("mix_src")
+    cat.sql("MERGE INTO db.mix t USING mix_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE AND t.v = 'drop' THEN DELETE")
+    rows = sorted((r["k"], r["v"])
+                  for r in cat.load_table("db.mix").to_df().collect())
+    assert rows == [(1, "keep"), (3, "keep"), (9, "new")]
+
+
+def test_merge_by_source_set_star_raises(cat, spark):
+    cat.sql("CREATE TABLE db.ss (k BIGINT, v STRING)")
+    spark.createDataFrame([(1, "x")], "k bigint, v string") \
+        .createOrReplaceTempView("ss_src")
+    with pytest.raises(ValueError, match="meaningless"):
+        cat.sql("MERGE INTO db.ss t USING ss_src s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *")
+
+
+# -- TRUNCATE / static PARTITION / SHOW PARTITIONS / SHOW CREATE ---------
+
+def test_truncate_table(cat):
+    cat.sql("CREATE TABLE db.tr (k BIGINT)")
+    cat.sql("INSERT INTO db.tr VALUES (1), (2), (3)")
+    out = cat.sql("TRUNCATE TABLE db.tr").collect()[0]
+    assert (out["operation"], out["rows_affected"]) == ("truncate", 3)
+    assert cat.sql("SELECT count(*) AS n FROM db.tr").collect()[0]["n"] == 0
+    # metadata-only: the truncate snapshot is a delete
+    t = cat.load_table("db.tr")
+    assert t.metadata.current_snapshot.operation == "delete"
+
+
+def test_insert_static_partition(cat):
+    cat.sql("CREATE TABLE db.sp (k BIGINT, part STRING) "
+            "PARTITIONED BY (part)")
+    cat.sql("INSERT INTO db.sp PARTITION (part='a') VALUES (1), (2)")
+    cat.sql("INSERT INTO db.sp PARTITION (part='b') VALUES (3)")
+    rows = sorted((r["k"], r["part"])
+                  for r in cat.load_table("db.sp").to_df().collect())
+    assert rows == [(1, "a"), (2, "a"), (3, "b")]
+    # static OVERWRITE replaces exactly the named partition
+    cat.sql("INSERT OVERWRITE db.sp PARTITION (part='a') VALUES (9)")
+    rows = sorted((r["k"], r["part"])
+                  for r in cat.load_table("db.sp").to_df().collect())
+    assert rows == [(3, "b"), (9, "a")]
+
+
+def test_insert_static_partition_rejects_non_identity(cat):
+    cat.sql("CREATE TABLE db.spb (k BIGINT, ts TIMESTAMP) "
+            "PARTITIONED BY (month(ts))")
+    with pytest.raises(ValueError, match="identity"):
+        cat.sql("INSERT INTO db.spb PARTITION (ts='2024-01-01') "
+                "VALUES (1)")
+
+
+def test_show_partitions(cat):
+    cat.sql("CREATE TABLE db.shp (k BIGINT, part STRING) "
+            "PARTITIONED BY (part)")
+    cat.sql("INSERT INTO db.shp VALUES (1,'a'), (2,'a'), (3,'b')")
+    rows = cat.sql("SHOW PARTITIONS db.shp").collect()
+    by_part = {r["partition"]: r["record_count"] for r in rows}
+    assert len(by_part) == 2 and sum(by_part.values()) == 3
+    assert any("a" in k for k in by_part) and \
+        any("b" in k for k in by_part)
+
+
+def test_show_create_table_round_trips(cat):
+    cat.sql("CREATE TABLE db.sct (id BIGINT NOT NULL, "
+            "v STRING COMMENT 'the ''v''', amt DECIMAL(10,2), "
+            "ts TIMESTAMP) "
+            "PARTITIONED BY (month(ts), bucket(4, id)) "
+            "TBLPROPERTIES ('owner'='r7')")
+    stmt = cat.sql("SHOW CREATE TABLE db.sct").collect()[0][
+        "createtab_stmt"]
+    assert "PARTITIONED BY (month(ts), bucket(4, id))" in stmt
+    assert "'owner'='r7'" in stmt
+    # the emitted DDL parses back through our own CREATE TABLE route
+    cat.sql(stmt.replace("db.sct", "db.sct2"))
+    a, b = cat.load_table("db.sct"), cat.load_table("db.sct2")
+    assert [(f.name, f.type, f.required, f.doc)
+            for f in a.schema.fields] == \
+        [(f.name, f.type, f.required, f.doc) for f in b.schema.fields]
+    assert [(f.transform_str, f.source_name) for f in a.spec.fields] == \
+        [(f.transform_str, f.source_name) for f in b.spec.fields]
+    assert b.properties.get("owner") == "r7"
