@@ -426,6 +426,83 @@ class Catalog:
                 "maintenance stays blocked until snapshot.clone-locations "
                 "is cleared by hand", stacklevel=2)
 
+    # -- persisted SQL views (the view-spec analog: versioned SQL text
+    # in the catalog, resolved at query time against engine tables) ----
+
+    def _view_path(self, name: str) -> str:
+        return os.path.join(self._table_location(name), "view.json")
+
+    def view_exists(self, name: str) -> bool:
+        return os.path.isfile(self._view_path(name))
+
+    def create_view(self, name: str, sql_text: str,
+                    replace: bool = False) -> None:
+        """Persist a named SQL view.  The text is stored verbatim and
+        re-planned per query (late binding — the view tracks the base
+        tables' CURRENT snapshots, the view-spec semantic), with a
+        version history like table metadata.  Staged+renamed write."""
+        import json
+
+        if self.table_exists(name):
+            raise AlreadyExistsError(f"{name} is a table")
+        p = self._view_path(name)
+        versions = []
+        if os.path.isfile(p):
+            if not replace:
+                raise AlreadyExistsError(f"view {name} already exists")
+            with open(p) as f:
+                versions = json.load(f).get("versions", [])
+        versions.append({"version-id": len(versions) + 1,
+                         "sql": sql_text})
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"current-version-id": len(versions),
+                       "versions": versions}, f)
+        os.replace(tmp, p)
+
+    def view_sql(self, name: str) -> str:
+        import json
+        with open(self._view_path(name)) as f:
+            doc = json.load(f)
+        cur = doc["current-version-id"]
+        return next(v["sql"] for v in doc["versions"]
+                    if v["version-id"] == cur)
+
+    def drop_view(self, name: str) -> bool:
+        p = self._view_path(name)
+        if not os.path.isfile(p):
+            return False
+        os.remove(p)
+        d = os.path.dirname(p)
+        if not os.listdir(d):
+            os.rmdir(d)
+        return True
+
+    def list_views(self, namespace: str = "") -> list:
+        base = os.path.join(self.warehouse, *namespace.split(".")) \
+            if namespace else self.warehouse
+        out = []
+        for root, _dirs, files in os.walk(base):
+            if "view.json" in files:
+                rel = os.path.relpath(root, base)
+                out.append(rel.replace(os.sep, "."))
+        return sorted(out)
+
+    def _resolve_view(self, name: str) -> DataFrame:
+        """Evaluate a view's SQL through the full Catalog.sql pipeline
+        (nested views resolve recursively); a definition cycle raises
+        instead of recursing forever."""
+        stack = getattr(self, "_view_stack", frozenset())
+        if name in stack:
+            raise ValueError(
+                f"view definition cycle through {name!r}")
+        self._view_stack = stack | {name}
+        try:
+            return self.sql(self.view_sql(name))
+        finally:
+            self._view_stack = stack
+
     def sql(self, query: str) -> DataFrame:
         """Run Spark SQL directly against engine tables — the day-one-user
         entrypoint the reference's Spark integration gives via catalog
@@ -571,11 +648,14 @@ class Catalog:
                 if dotted in plain or dotted in metadf:
                     continue
                 parts = dotted.split(".")
-                # longest prefix that names a table wins; one trailing
-                # part may name a metadata relation
+                # longest prefix that names a table/view wins; one
+                # trailing part may name a metadata relation
                 for k in range(len(parts), 0, -1):
                     tname = ".".join(parts[:k])
                     rest = parts[k:]
+                    if not rest and self.view_exists(tname):
+                        metadf[dotted] = self._resolve_view(tname)
+                        break
                     if len(rest) > 1 or not self.table_exists(tname):
                         continue
                     t = self.load_table(tname)
@@ -849,6 +929,18 @@ class Catalog:
         if re.match(r"\s*merge\s+into\b", query, re.IGNORECASE):
             return self._sql_merge(query)
 
+        m = re.match(rf"\s*delete\s+from\s+({dotted})\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            # WHERE-less DELETE: remove every row — same metadata-only
+            # plan as TRUNCATE (every live file's strict projection
+            # decides TRUE, zero rewrites)
+            from linkedin_iceberg_spark.expressions import always_true
+            t = self.load_table(m.group(1))
+            n = t.new_scan().count_rows()
+            t.delete_where(always_true())
+            return status("delete", n)
+
         m = re.match(rf"\s*delete\s+from\s+({dotted})\s+where\s+(.+)",
                      query, re.IGNORECASE | re.DOTALL)
         if m:
@@ -865,7 +957,7 @@ class Catalog:
             return status("delete", n)
 
         m = re.match(rf"\s*update\s+({dotted})\s+set\s+(.+?)"
-                     rf"\s+where\s+(.+)",
+                     rf"(?:\s+where\s+(.+))?\s*;?\s*$",
                      query, re.IGNORECASE | re.DOTALL)
         if m:
             t = self.load_table(m.group(1))
@@ -887,7 +979,9 @@ class Catalog:
                 if not col.strip() or not val.strip():
                     raise ValueError(f"malformed SET clause: {part!r}")
                 assigns[col.strip()] = F.expr(val.strip())
-            expr = parse_expr(m.group(3).strip().rstrip(";"))
+            from linkedin_iceberg_spark.expressions import always_true
+            expr = parse_expr(m.group(3).strip().rstrip(";")) \
+                if m.group(3) else always_true()  # WHERE-less: all rows
             # matched-row count BEFORE the rewrite, via the metadata
             # COUNT pushdown (only residual-undecided files are read) —
             # the rewrite's own summary counts rewritten rows, not
@@ -1088,6 +1182,35 @@ class Catalog:
                     "tables first")
             shutil.rmtree(p)
             return status("drop_namespace", m.group(2))
+
+        m = re.match(
+            rf"\s*create\s+(or\s+replace\s+)?view\s+({dotted})\s+"
+            rf"as\s+(select\b.*)$", query, re.IGNORECASE | re.DOTALL)
+        if m:
+            self.create_view(m.group(2), m.group(3).strip().rstrip(";"),
+                             replace=bool(m.group(1)))
+            return status("create_view", m.group(2))
+
+        m = re.match(rf"\s*drop\s+view\s+(if\s+exists\s+)?({dotted})"
+                     rf"\s*;?\s*$", query, re.IGNORECASE)
+        if m:
+            dropped = self.drop_view(m.group(2))
+            if not dropped and not m.group(1):
+                raise NoSuchTableError(f"no such view: {m.group(2)}")
+            return status("drop_view",
+                          f"dropped={dropped}")
+
+        m = re.match(rf"\s*show\s+views(?:\s+in\s+({ident}(?:\.{ident})*"
+                     rf"))?\s*;?\s*$", query, re.IGNORECASE)
+        if m:
+            ns = m.group(1) or ""
+            rows = []
+            for full in self.list_views(ns):
+                dotted_full = f"{ns}.{full}" if ns else full
+                namespace, _, vname = dotted_full.rpartition(".")
+                rows.append((namespace, vname))
+            return self.spark.createDataFrame(
+                rows, "namespace string, viewName string")
 
         m = re.match(rf"\s*show\s+partitions\s+({dotted})\s*;?\s*$",
                      query, re.IGNORECASE)

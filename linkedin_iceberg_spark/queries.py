@@ -4132,6 +4132,69 @@ def table_sql_ddl(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_sql_merge_sync", """
+SELECT o_orderkey, CAST(round(price, 2) AS DOUBLE) AS o_totalprice,
+       o_orderpriority
+FROM (
+  SELECT o_orderkey, round(o_totalprice * 2, 2) AS price,
+         o_orderpriority
+  FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey >= 500 THEN 'STALE'
+              ELSE o_orderpriority END
+  FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 1000
+  UNION ALL
+  SELECT o_orderkey + 7000000, round(o_totalprice * 3, 2),
+         o_orderpriority
+  FROM orders WHERE o_orderkey < 50
+)
+ORDER BY o_orderkey""")
+def table_sql_merge_sync(spark, sf_dir):
+    """Full-sync MERGE (r7): the Spark 3.4+ NOT MATCHED BY SOURCE
+    clauses — one statement updates matches (SET *), inserts new
+    source rows, FLAGS unmatched target rows in a range (BY SOURCE
+    UPDATE) and DELETES unmatched target rows beyond it (BY SOURCE
+    DELETE), committed as ONE sequence-scoped RowDelta snapshot.
+    Because by-source clauses touch keys outside the source's range,
+    the operator widens its conflict guard to the whole table
+    (catalog/row_delta.py).  The oracle replays the net state from raw
+    parquet."""
+    o = (ld(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_sync", o)
+    t.append(o)
+    src = (o.filter(F.col("o_orderkey") < 200)
+           .withColumn("o_totalprice",
+                       F.round(F.col("o_totalprice") * 2, 2))
+           .unionByName(
+               o.filter(F.col("o_orderkey") < 50)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + 7_000_000)
+               .withColumn("o_totalprice",
+                           F.round(F.col("o_totalprice") * 3, 2))))
+    s = cat.create_table("q.src_sync", src)
+    s.append(src)
+    st = cat.sql("""
+        MERGE INTO q.orders_sync AS t USING q.src_sync AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey >= 500
+            AND t.o_orderkey < 1000
+            THEN UPDATE SET o_orderpriority = 'STALE'
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey >= 1000 THEN DELETE
+    """).collect()[0]
+    assert st["operation"] == "merge"
+    return (t.refresh().to_df()
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).cast("double")
+                    .alias("o_totalprice"),
+                    "o_orderpriority")
+            .orderBy("o_orderkey"))
+
+
 @q("table_sql_insert_overwrite", """
 SELECT o_orderkey, o_orderpriority,
        CAST(round(price, 2) AS DOUBLE) AS price

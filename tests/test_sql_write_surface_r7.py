@@ -387,3 +387,21 @@ def test_show_create_table_round_trips(cat):
     assert [(f.transform_str, f.source_name) for f in a.spec.fields] == \
         [(f.transform_str, f.source_name) for f in b.spec.fields]
     assert b.properties.get("owner") == "r7"
+
+
+def test_delete_and_update_without_where(cat):
+    cat.sql("CREATE TABLE db.all1 (k BIGINT, v STRING)")
+    cat.sql("INSERT INTO db.all1 VALUES (1,'a'), (2,'b')")
+    out = cat.sql("UPDATE db.all1 SET v = upper(v)").collect()[0]
+    assert (out["operation"], out["rows_affected"]) == ("update", 2)
+    rows = sorted((r["k"], r["v"])
+                  for r in cat.load_table("db.all1").to_df().collect())
+    assert rows == [(1, "A"), (2, "B")]
+    out = cat.sql("DELETE FROM db.all1").collect()[0]
+    assert (out["operation"], out["rows_affected"]) == ("delete", 2)
+    assert cat.load_table("db.all1").to_df().count() == 0
+    # a literal containing 'where' never splits the SET clause
+    cat.sql("INSERT INTO db.all1 VALUES (5, 'x')")
+    cat.sql("UPDATE db.all1 SET v = 'where it was'")
+    assert cat.load_table("db.all1").to_df().collect()[0]["v"] == \
+        "where it was"
