@@ -892,6 +892,11 @@ class Catalog:
         if m:
             mode, tname, part_spec, col_list, body = m.groups()
             if part_spec is not None:
+                if col_list:
+                    raise ValueError(
+                        "INSERT ... PARTITION with an explicit column "
+                        "list is not supported; list only the "
+                        "non-partition columns' values")
                 return self._sql_insert_static_partition(
                     mode, tname, part_spec, body, status)
             t = self.load_table(tname)

@@ -97,6 +97,15 @@ PROBE_QUERIES = [
     # expected ~flat beyond the channel scans)
     "text_lm_score",
     "similarity_hybrid_rrf",
+    # r7: the SQL write surface under the 10x lens — the full-sync
+    # MERGE (inner + two anti-joins + whole-table conflict guard, one
+    # RowDelta commit) and the CREATE/INSERT/dynamic-OVERWRITE chain
+    # (partitioned write path); the SQL count(*) plane is metadata-only
+    # and rides on manifest size, not data size — included to prove the
+    # driver planning stays flat
+    "table_sql_merge_sync",
+    "table_sql_insert_overwrite",
+    "table_sql_count_meta",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
