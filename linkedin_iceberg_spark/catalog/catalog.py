@@ -1368,6 +1368,34 @@ class Catalog:
             return status("alter_table",
                           f"partition_field_{verb}={target}")
 
+        a = re.match(r"write\s+ordered\s+by\s*\(?\s*([A-Za-z0-9_,\s]+?)"
+                     r"\s*\)?\s*$", body, re.IGNORECASE)
+        if a:
+            # the write-order DDL of the Spark SQL extensions (ALTER
+            # TABLE ... WRITE ORDERED BY): every subsequent write
+            # clusters rows on these columns so file min/max bounds
+            # stay tight (consumed by _write_data_files)
+            cols = [c.strip() for c in a.group(1).split(",") if c.strip()]
+            names = set(t.schema.column_names())
+            bad = [c for c in cols if c not in names]
+            if bad:
+                raise ValueError(f"WRITE ORDERED BY: no such "
+                                 f"column(s) {bad}")
+            t.update_properties(set_props={"write.sort-by":
+                                           ",".join(cols)})
+            return status("alter_table",
+                          f"write_ordered_by={','.join(cols)}")
+
+        a = re.match(r"write\s+distributed\s+by\s+"
+                     r"(partition|hash|range|none)\s*$", body,
+                     re.IGNORECASE)
+        if a:
+            mode = a.group(1).lower()
+            mode = "hash" if mode == "partition" else mode
+            t.update_properties(set_props={"write.distribution-mode":
+                                           mode})
+            return status("alter_table", f"write_distributed_by={mode}")
+
         a = re.match(r"set\s+tblproperties\s*\((.+)\)\s*$", body,
                      re.IGNORECASE | re.DOTALL)
         if a:

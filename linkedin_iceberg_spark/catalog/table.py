@@ -185,7 +185,15 @@ class Table:
             else:
                 df = df.sortWithinPartitions(*write_cols, *(sort_by or []))
         elif sort_by:
-            df = df.sortWithinPartitions(*sort_by)
+            if dist == "range":
+                # unpartitioned + range mode: globally range-cluster on
+                # the sort columns so FILES carry disjoint min/max
+                # bounds — the layout that makes metrics skipping
+                # effective on high-cardinality non-partition keys
+                df = df.repartitionByRange(*sort_by) \
+                    .sortWithinPartitions(*sort_by)
+            else:
+                df = df.sortWithinPartitions(*sort_by)
         if fmt == "avro":
             from linkedin_iceberg_spark.sources.avro_spark import (
                 write_avro_files)
