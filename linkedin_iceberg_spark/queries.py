@@ -4132,6 +4132,41 @@ def table_sql_ddl(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_write_ordered", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey >= 5000 AND o_orderkey < 6000
+ORDER BY o_orderkey""")
+def table_write_ordered(spark, sf_dir):
+    """Table write order (r7): ALTER TABLE ... WRITE ORDERED BY +
+    DISTRIBUTED BY RANGE makes every write globally range-cluster on
+    the sort columns, so files carry DISJOINT min/max bounds and a
+    key-range scan prunes by file metrics alone — the clustering story
+    for high-cardinality non-partition keys (hidden partitioning's
+    complement; the secondary key index covers point lookups, write
+    order covers ranges).  Asserted inline: the range scan plans
+    strictly fewer files than live; rows must equal the raw-parquet
+    oracle."""
+    from linkedin_iceberg_spark.expressions import and_, gt_eq, lt
+    o = (ld(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_totalprice")
+         .orderBy(F.rand(seed=7)))  # arrive shuffled
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.wo", o)
+    cat.sql("ALTER TABLE q.wo WRITE ORDERED BY (o_orderkey)")
+    cat.sql("ALTER TABLE q.wo WRITE DISTRIBUTED BY RANGE")
+    cat.sql("ALTER TABLE q.wo SET TBLPROPERTIES "
+            "('write.target-max-records-per-file'='2000')")
+    t.refresh()
+    t.append(o.repartition(8))
+    n_live = len(t._live_data_and_deletes()[0])
+    flt = and_(gt_eq("o_orderkey", 5000), lt("o_orderkey", 6000))
+    n_planned = len(t.new_scan().filter(flt).plan_files())
+    assert n_planned < n_live, (n_planned, n_live)
+    return (t.new_scan().filter(flt).to_df()
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_sql_merge_sync", """
 SELECT o_orderkey, CAST(round(price, 2) AS DOUBLE) AS o_totalprice,
        o_orderpriority

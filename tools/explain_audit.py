@@ -282,6 +282,13 @@ CONTRACTS = {
         # no Python anywhere
         ["Scan parquet", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "table_write_ordered": (
+        # the range scan over a write-ordered table reads the planned
+        # (metrics-pruned) file subset — fewer-files evidence is the
+        # inline assert + tests/test_write_order_r7.py; here: a real
+        # parquet scan in codegen, no Python
+        ["Scan parquet", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "table_sql_insert_overwrite": (
         # the final state is a plain engine-table read: parquet scan in
         # codegen, no Python; the dynamic-overwrite routing itself is
