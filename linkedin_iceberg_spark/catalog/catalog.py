@@ -696,16 +696,19 @@ class Catalog:
         return self.spark.sql(_unmask_sql_literals(rewritten, lits))
 
     def _sql_count_star(self, masked: str, lits: list):
-        """`SELECT count(*) FROM db.t [WHERE <pushable>]` answered from
-        manifest record counts via the scan's count_rows() plane — a
-        partition-aligned count is a pure metadata operation, zero data
-        I/O (the ScanSummary/record-count aggregation the reference does
-        driver-side; our SQL spelling of the driver-green
+        """`SELECT count(*) | min(c) | max(c) [, ...] FROM db.t
+        [WHERE <pushable>]` answered from manifest metadata via the
+        scan's count_rows() / agg_minmax() planes — partition-aligned
+        counts and exact-bounds min/max are pure metadata operations,
+        zero data I/O, and both degrade gracefully by actually reading
+        only undecidable files (ref: the aggregate pushdown of the
+        modern SparkScan; our SQL spelling of the driver-green
         table_count_pushdown path).  None (falls through to the generic
-        Spark route) unless the ENTIRE statement is this one shape and
-        EVERY WHERE conjunct parses into an engine predicate — partial
-        extraction is sound for scans (the residual WHERE re-applies)
-        but NOT for a count answered by metadata, so all-or-nothing."""
+        Spark route) unless the ENTIRE statement is this shape, every
+        select item is one of the three aggregates, and EVERY WHERE
+        conjunct parses into an engine predicate — partial extraction
+        is sound for scans (the residual WHERE re-applies) but NOT for
+        a metadata-answered aggregate, so all-or-nothing."""
         import re
 
         from pyspark.sql import types as T
@@ -714,16 +717,35 @@ class Catalog:
 
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
         m = re.match(
-            rf"\s*select\s+count\(\s*\*\s*\)(?:\s+as\s+({ident}))?\s+"
+            rf"\s*select\s+(.+?)\s+"
             rf"from\s+({ident}(?:\.{ident})+)(?:\s+where\s+(.+?))?"
             rf"\s*;?\s*$",
             masked, re.IGNORECASE | re.DOTALL)
         if not m or not self.table_exists(m.group(2)):
             return None
         t = self.load_table(m.group(2))
+        own = set(t.schema.column_names())
+        item_re = re.compile(
+            rf"\s*(count\(\s*\*\s*\)|(min|max)\(\s*({ident})\s*\))"
+            rf"(?:\s+as\s+({ident}))?\s*$", re.IGNORECASE)
+        items = []  # (kind, col-or-None, out-name)
+        for raw in _split_top_level_commas(m.group(1)):
+            im = item_re.match(raw)
+            if not im:
+                return None  # not a pure fast-aggregate select list
+            if im.group(2):  # min/max
+                kind, col = im.group(2).lower(), im.group(3)
+                if col not in own:
+                    return None
+                name = im.group(4) or f"{kind}({col})"
+            else:
+                kind, col = "count", None
+                name = im.group(4) or "count(1)"  # Spark's name
+            items.append((kind, col, name))
+        if not items:
+            return None
         expr = None
         if m.group(3):
-            own = set(t.schema.column_names())
             conj = []
             for c in _split_top_level_and(m.group(3)):
                 e = _try_parse_conjunct(c, lits, m.group(2), None,
@@ -737,10 +759,22 @@ class Catalog:
         scan = t.new_scan()
         if expr is not None:
             scan = scan.filter(expr)
-        name = m.group(1) or "count(1)"  # Spark's name for count(*)
+        minmax: dict = {}  # col -> (lo, hi), one pass per column
+        values, fields = [], []
+        spark_types = {f.name: f.dataType
+                       for f in t.schema.to_spark().fields}
+        for kind, col, name in items:
+            if kind == "count":
+                values.append(scan.count_rows())
+                fields.append(T.StructField(name, T.LongType(), False))
+            else:
+                if col not in minmax:
+                    minmax[col] = scan.agg_minmax(col)
+                lo, hi = minmax[col]
+                values.append(lo if kind == "min" else hi)
+                fields.append(T.StructField(name, spark_types[col], True))
         return self.spark.createDataFrame(
-            [(scan.count_rows(),)],
-            T.StructType([T.StructField(name, T.LongType(), False)]))
+            [tuple(values)], T.StructType(fields))
 
     def _sql_insert_static_partition(self, mode: str, tname: str,
                                      part_spec: str, body: str, status):

@@ -405,3 +405,32 @@ def test_delete_and_update_without_where(cat):
     cat.sql("UPDATE db.all1 SET v = 'where it was'")
     assert cat.load_table("db.all1").to_df().collect()[0]["v"] == \
         "where it was"
+
+
+def test_sql_min_max_pushdown(cat, spark):
+    t = cat.load_table("db.orders")
+    df = t.to_df()
+    want = df.agg(F.min("o_orderkey"), F.max("o_orderkey"),
+                  F.min("o_orderdate"), F.max("o_orderdate"),
+                  F.count("*")).head()
+    row = cat.sql(
+        "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, "
+        "min(o_orderdate) AS dlo, max(o_orderdate) AS dhi, "
+        "count(*) AS n FROM db.orders").collect()[0]
+    assert (row["lo"], row["hi"], row["n"]) == \
+        (want[0], want[1], want[4])
+    assert (row["dlo"], row["dhi"]) == (want[2], want[3])
+    # filtered: min/max under a pushable predicate still exact
+    row = cat.sql("SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi "
+                  "FROM db.orders WHERE o_orderkey >= 100 AND "
+                  "o_orderkey < 500").collect()[0]
+    assert (row["lo"], row["hi"]) == (100, 499)
+    # non-aggregate select list falls through to the generic route
+    assert cat.sql("SELECT min(o_orderkey) AS lo, o_custkey "
+                   "FROM db.orders GROUP BY o_custkey").count() > 0
+
+
+def test_sql_min_max_default_names_match_spark(cat):
+    got = cat.sql("SELECT min(o_orderkey), max(o_orderkey) "
+                  "FROM db.orders")
+    assert got.columns == ["min(o_orderkey)", "max(o_orderkey)"]
