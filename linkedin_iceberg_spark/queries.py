@@ -4292,7 +4292,9 @@ SELECT (SELECT count(*) FROM orders) AS full_cnt,
        (SELECT count(*) FROM orders
         WHERE o_orderdate >= DATE '1995-03-01'
           AND o_orderdate < DATE '1995-04-01') AS month_cnt,
-       (SELECT count(*) FROM orders WHERE o_orderkey < 1000) AS key_cnt""")
+       (SELECT count(*) FROM orders WHERE o_orderkey < 1000) AS key_cnt,
+       (SELECT min(o_orderkey) FROM orders) AS key_lo,
+       (SELECT max(o_orderkey) FROM orders) AS key_hi""")
 def table_sql_count_meta(spark, sf_dir):
     """SQL-path metadata COUNT(*) (r7): `SELECT count(*) FROM db.t
     [WHERE ...]` through Catalog.sql is answered from manifest record
@@ -4323,13 +4325,19 @@ def table_sql_count_meta(spark, sf_dir):
             "WHERE o_orderdate >= DATE '1995-03-01' "
             "AND o_orderdate < DATE '1995-04-01'"
         ).collect()[0]["month_cnt"]
+        # min/max from exact manifest bounds — also zero data input
+        # (r7: the agg_minmax SQL spelling)
+        mm = cat.sql("SELECT min(o_orderkey) AS key_lo, "
+                     "max(o_orderkey) AS key_hi FROM q.sql_cnt"
+                     ).collect()[0]
     finally:
         TableScan._to_df_default = orig
     key = cat.sql("SELECT count(*) AS key_cnt FROM q.sql_cnt "
                   "WHERE o_orderkey < 1000").collect()[0]["key_cnt"]
     return spark.createDataFrame(
-        [(full, month, key)],
-        "full_cnt long, month_cnt long, key_cnt long")
+        [(full, month, key, mm["key_lo"], mm["key_hi"])],
+        "full_cnt long, month_cnt long, key_cnt long, "
+        "key_lo long, key_hi long")
 
 
 @q("table_key_index_lookup", """
