@@ -332,18 +332,48 @@ class Catalog:
         os.makedirs(warehouse, exist_ok=True)
 
     def _table_location(self, name: str) -> str:
-        parts = name.split(".")
-        return os.path.join(self.warehouse, *parts)
+        """Physical location for reads: the catalog.json mapping wins
+        (rename support); a tombstone (None) means the default dir is
+        occupied by a renamed-away table, so the name resolves to a
+        location that never holds metadata."""
+        mapping = self._catalog_map()
+        if name in mapping:
+            loc = mapping[name]
+            if loc is None:  # tombstone: name is free
+                return os.path.join(self.warehouse, "__tombstone__",
+                                    *name.split("."))
+            return loc
+        return os.path.join(self.warehouse, *name.split("."))
+
+    def _location_for_create(self, name: str) -> str:
+        """Physical location for a NEW table: the default dir when
+        free, else a unique suffixed dir recorded in the mapping (the
+        default is occupied by a renamed-away table's data)."""
+        import uuid as _uuid
+        mapping = self._catalog_map()
+        default = os.path.join(self.warehouse, *name.split("."))
+        occupied = os.path.isdir(os.path.join(default, "metadata")) \
+            or os.path.isfile(os.path.join(default, "view.json"))
+        if mapping.get(name, "") is None or occupied:
+            loc = default + "__" + _uuid.uuid4().hex[:8]
+            mapping[name] = loc
+            self._write_catalog_map(mapping)
+            return loc
+        if name in mapping:
+            # stale mapping to a dropped location: reclaim the default
+            mapping.pop(name)
+            self._write_catalog_map(mapping)
+        return default
 
     def create_table(self, name: str, schema: Union[Schema, "DataFrame"],
                      spec: Optional[PartitionSpec] = None,
                      properties: Optional[dict] = None) -> Table:
         if isinstance(schema, DataFrame):
             schema = Schema.from_spark(schema.schema)
-        location = self._table_location(name)
-        ops = TableOperations(location)
-        if ops.refresh() is not None:
+        if self.table_exists(name):
             raise AlreadyExistsError(f"table {name} already exists")
+        location = self._location_for_create(name)
+        ops = TableOperations(location)
         spec = spec or PartitionSpec.unpartitioned()
         if spec.fields and spec.fields[0].source_name is None:
             spec = spec.bind(schema)
@@ -383,6 +413,24 @@ class Catalog:
             shutil.rmtree(location)
         else:
             shutil.rmtree(os.path.join(location, "metadata"))
+        mapping = self._catalog_map()
+        if name in mapping:
+            # the logical name's mapping (rename/relocation) dies with
+            # the table; tombstones for OTHER names over this dir are
+            # cleared too once the occupying data is gone
+            mapping.pop(name)
+            default = os.path.join(self.warehouse, *name.split("."))
+            if os.path.isdir(os.path.join(default, "metadata")) and \
+                    os.path.abspath(default) != os.path.abspath(location):
+                # the name's default dir is still occupied by a
+                # renamed-away table: keep the name tombstoned
+                mapping[name] = None
+            if purge:
+                for k, v in list(mapping.items()):
+                    if v is None and os.path.join(
+                            self.warehouse, *k.split(".")) == location:
+                        mapping.pop(k)
+            self._write_catalog_map(mapping)
         if src_loc:
             self._release_clone(src_loc, location)
         # a recreate at this location restarts version numbers at 1 —
@@ -391,6 +439,60 @@ class Catalog:
             invalidate_metadata_cache)
         invalidate_metadata_cache(location)
         return True
+
+    # -- logical-name mapping (rename support) -------------------------
+    #
+    # The reference's directory catalog cannot rename
+    # (core/.../hadoop/HadoopCatalog.java:219 throws: manifests record
+    # absolute paths, so moving the directory would orphan every data
+    # file).  Metastore catalogs rename by remapping the NAME and
+    # leaving the location alone — we do the same with a warehouse-level
+    # catalog.json: logical name -> physical location, plus None
+    # tombstones for renamed-away names whose default directory is
+    # still occupied by the (now differently-named) table.
+
+    def _catalog_map_path(self) -> str:
+        return os.path.join(self.warehouse, "catalog.json")
+
+    def _catalog_map(self) -> dict:
+        import json
+        p = self._catalog_map_path()
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("tables", {})
+
+    def _write_catalog_map(self, mapping: dict) -> None:
+        import json
+        p = self._catalog_map_path()
+        tmp = p + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"tables": mapping}, f, sort_keys=True)
+        os.replace(tmp, p)  # atomic vs readers; concurrent renames race
+
+    def rename_table(self, name: str, new_name: str) -> None:
+        """ALTER TABLE ... RENAME TO (ref: spark3/.../sql/
+        TestAlterTable.java:200 testTableRename — which the reference's
+        own directory catalog cannot do, HadoopCatalog.java:219).
+        Metadata-only: the logical name remaps to the existing physical
+        location, so every absolute file path in manifests — and every
+        location-keyed clone registration — stays valid.  Concurrent
+        renames last-write-win on catalog.json; table DATA commits are
+        unaffected (they CAS on per-table version files)."""
+        if not self.table_exists(name):
+            raise NoSuchTableError(f"no such table: {name}")
+        if self.table_exists(new_name) or self.view_exists(new_name):
+            raise AlreadyExistsError(f"{new_name} already exists")
+        loc = self._table_location(name)
+        mapping = self._catalog_map()
+        default_old = os.path.join(self.warehouse, *name.split("."))
+        if os.path.abspath(loc) == os.path.abspath(default_old):
+            # the old name's default dir stays occupied: tombstone it
+            mapping[name] = None
+        else:
+            mapping.pop(name, None)
+        mapping[new_name] = loc
+        self._write_catalog_map(mapping)
 
     def _release_clone(self, source_location: str,
                        clone_location: str) -> None:
@@ -1375,6 +1477,58 @@ class Catalog:
                 a.group(1), _sql_type_to_engine(a.group(2))).commit()
             return status("alter_table", f"promoted={a.group(1)}")
 
+        a = re.match(rf"alter\s+column\s+({ident}(?:\.{ident})*)\s+"
+                     rf"comment\s+'((?:[^']|'')*)'\s*$", body,
+                     re.IGNORECASE)
+        if a:
+            t.update_schema().update_column_doc(
+                a.group(1), a.group(2).replace("''", "'")).commit()
+            return status("alter_table", f"commented={a.group(1)}")
+
+        a = re.match(rf"alter\s+column\s+({ident}(?:\.{ident})*)\s+"
+                     rf"(drop|set)\s+not\s+null\s*$", body, re.IGNORECASE)
+        if a:
+            up = t.update_schema()
+            if a.group(2).lower() == "drop":
+                up.make_column_optional(a.group(1)).commit()
+                return status("alter_table", f"optional={a.group(1)}")
+            # SET NOT NULL on existing data is unsafe unless proven;
+            # the evolution plane enforces that contract
+            up.allow_incompatible_changes() \
+                .require_column(a.group(1)).commit()
+            return status("alter_table", f"required={a.group(1)}")
+
+        a = re.match(rf"alter\s+column\s+({ident}(?:\.{ident})*)\s+"
+                     rf"(?:first|after\s+({ident}(?:\.{ident})*))\s*$",
+                     body, re.IGNORECASE)
+        if a:
+            up = t.update_schema()
+            if a.group(2):
+                up.move_after(a.group(1), a.group(2)).commit()
+                return status("alter_table",
+                              f"moved={a.group(1)} after {a.group(2)}")
+            up.move_first(a.group(1)).commit()
+            return status("alter_table", f"moved={a.group(1)} first")
+
+        a = re.match(rf"rename\s+to\s+({dotted})\s*$", body,
+                     re.IGNORECASE)
+        if a:
+            self.rename_table(m.group(1), a.group(1))
+            return status("alter_table",
+                          f"renamed={m.group(1)}->{a.group(1)}")
+
+        a = re.match(r"unset\s+tblproperties\s*(?:if\s+exists\s*)?"
+                     r"\((.+)\)\s*$", body, re.IGNORECASE | re.DOTALL)
+        if a:
+            keys = [k.replace("''", "'") for k in
+                    re.findall(r"'((?:[^']|'')*)'", a.group(1))]
+            if not keys:
+                raise ValueError(
+                    f"malformed UNSET TBLPROPERTIES: {a.group(1)!r}")
+            t.update_properties(remove=keys)
+            return status("alter_table",
+                          f"unset={','.join(sorted(keys))}")
+
         a = re.match(r"(add|drop)\s+partition\s+field\s+(.+)$", body,
                      re.IGNORECASE)
         if a:
@@ -1700,13 +1854,31 @@ class Catalog:
     def list_tables(self, namespace: str = "") -> list:
         base = os.path.join(self.warehouse, *namespace.split(".")) \
             if namespace else self.warehouse
-        out = []
+        mapping = self._catalog_map()
+        by_loc = {os.path.abspath(v): k
+                  for k, v in mapping.items() if v is not None}
+        hidden = {k for k, v in mapping.items() if v is None}
+        prefix = f"{namespace}." if namespace else ""
+        out = set()
         for root, dirs, _files in os.walk(base):
             if os.path.basename(root) == "metadata":
                 tdir = os.path.dirname(root)
-                rel = os.path.relpath(tdir, self.warehouse)
-                out.append(rel.replace(os.sep, "."))
+                logical = by_loc.get(os.path.abspath(tdir))
+                if logical is None:
+                    rel = os.path.relpath(tdir, self.warehouse)
+                    logical = rel.replace(os.sep, ".")
+                if logical in hidden:
+                    dirs.clear()
+                    continue
+                if logical.startswith(prefix):
+                    out.add(logical[len(prefix):])
                 dirs.clear()
+        # mapped tables whose location sits OUTSIDE this namespace's
+        # default subtree still belong to the namespace by name
+        for k, v in mapping.items():
+            if v is not None and k.startswith(prefix) and \
+                    os.path.isdir(os.path.join(v, "metadata")):
+                out.add(k[len(prefix):])
         return sorted(out)
 
     def create_table_as_select(self, name: str, df: DataFrame,

@@ -434,3 +434,30 @@ def test_sql_min_max_default_names_match_spark(cat):
     got = cat.sql("SELECT min(o_orderkey), max(o_orderkey) "
                   "FROM db.orders")
     assert got.columns == ["min(o_orderkey)", "max(o_orderkey)"]
+
+
+# -- ALTER COLUMN width (ref: TestAlterTable.java:117-199) ---------------
+
+def test_alter_column_comment_nullability_position(cat):
+    cat.sql("CREATE TABLE db.ac (a INT, b STRING, c DOUBLE)")
+    cat.sql("ALTER TABLE db.ac ALTER COLUMN b COMMENT 'the ''b'''")
+    t = cat.load_table("db.ac")
+    assert t.schema.find_field("b").doc == "the 'b'"
+    cat.sql("ALTER TABLE db.ac ALTER COLUMN a SET NOT NULL")
+    cat.sql("ALTER TABLE db.ac ALTER COLUMN a DROP NOT NULL")
+    t = cat.load_table("db.ac")
+    assert t.schema.find_field("a").required is False
+    cat.sql("ALTER TABLE db.ac ALTER COLUMN c FIRST")
+    t = cat.load_table("db.ac")
+    assert [f.name for f in t.schema.fields] == ["c", "a", "b"]
+    cat.sql("ALTER TABLE db.ac ALTER COLUMN c AFTER a")
+    t = cat.load_table("db.ac")
+    assert [f.name for f in t.schema.fields] == ["a", "c", "b"]
+
+
+def test_unset_tblproperties(cat):
+    cat.sql("CREATE TABLE db.up (a INT) TBLPROPERTIES "
+            "('x'='1', 'y'='2')")
+    cat.sql("ALTER TABLE db.up UNSET TBLPROPERTIES ('x', 'zzz')")
+    t = cat.load_table("db.up")
+    assert "x" not in t.properties and t.properties.get("y") == "2"
