@@ -436,14 +436,20 @@ class Table:
                                     ptypes)
 
     def append(self, df: DataFrame, wap_id: Optional[str] = None,
-               merge_schema: bool = False) -> "Table":
+               merge_schema: bool = False,
+               extra_summary: Optional[dict] = None) -> "Table":
         """FastAppend semantics: new manifest per commit, never rewrites old
         manifests (ref: core/.../FastAppend.java).  Manifest merging is done
         by maintenance.rewrite_manifests (A2).
 
         merge_schema=True evolves the table by union-by-name first (ref:
         SchemaUpdate.applyChanges:403-406): new df columns are added as
-        optional fields; missing table columns are written as null."""
+        optional fields; missing table columns are written as null.
+
+        extra_summary entries land in the snapshot summary verbatim —
+        the `snapshot-property.*` write-option plane of the reference
+        (spark/.../TestDataSourceOptions.java:369
+        testExtraSnapshotMetadata): lineage tags, job ids, audit keys."""
         if merge_schema:
             self._merge_schema(df)
             cols = []
@@ -456,7 +462,8 @@ class Table:
                                 .alias(f.name))
             df = df.select(*cols)
         files = self._write_data_files(df)
-        return self._commit_append_files(files, wap_id=wap_id)
+        return self._commit_append_files(files, wap_id=wap_id,
+                                         extra_summary=extra_summary)
 
     @staticmethod
     def _rolling_totals(base: TableMetadata, d_files: int = 0,

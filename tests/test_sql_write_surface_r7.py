@@ -461,3 +461,18 @@ def test_unset_tblproperties(cat):
     cat.sql("ALTER TABLE db.up UNSET TBLPROPERTIES ('x', 'zzz')")
     t = cat.load_table("db.up")
     assert "x" not in t.properties and t.properties.get("y") == "2"
+
+
+def test_append_extra_snapshot_metadata(cat, spark):
+    # ref: spark/.../TestDataSourceOptions.java:369 — the
+    # snapshot-property.* write-option plane
+    kv = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    t = cat.create_table("db.meta1", kv)
+    t.append(kv, extra_summary={"extra-key": "someValue",
+                                "another-key": "anotherValue"})
+    summ = t.metadata.current_snapshot.summary
+    assert summ["extra-key"] == "someValue"
+    assert summ["another-key"] == "anotherValue"
+    # and they are visible through the snapshots metadata relation
+    row = cat.sql("SELECT summary FROM db.meta1.snapshots").collect()[0]
+    assert "extra-key" in str(row["summary"])
