@@ -4132,6 +4132,63 @@ def table_sql_ddl(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_sql_view", """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS revenue
+FROM orders WHERE o_orderkey < 5000
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def table_sql_view(spark, sf_dir):
+    """Persisted SQL views (r7): CREATE VIEW stores versioned SQL text
+    catalog-side; queries over the view re-plan it against the base
+    table's CURRENT snapshot (late binding) through the full
+    Catalog.sql pipeline — so the view inherits WHERE pushdown,
+    metadata relations, and every engine-table plane.  The aggregation
+    here runs OVER the view; the oracle replays the composed SQL on
+    raw parquet.  Decimal casts keep the revenue sum order-insensitive
+    and bit-exact across engines."""
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.vsrc", o)
+    t.append(o)
+    cat.sql("CREATE VIEW q.rev AS SELECT o_orderpriority, o_totalprice "
+            "FROM q.vsrc WHERE o_orderkey < 5000")
+    return cat.sql(
+        "SELECT o_orderpriority, count(*) AS n, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) "
+        "AS DOUBLE) AS revenue "
+        "FROM q.rev GROUP BY o_orderpriority ORDER BY o_orderpriority")
+
+
+@q("table_rename_flow", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey >= 200 AND o_orderkey < 1200
+ORDER BY o_orderkey""")
+def table_rename_flow(spark, sf_dir):
+    """ALTER TABLE ... RENAME TO (r7): metadata-only logical-name remap
+    — the reference's own directory catalog cannot rename at all
+    (HadoopCatalog.java:219 throws; manifests hold absolute paths), so
+    the engine keeps the location fixed and remaps the NAME in a
+    warehouse-level catalog.json.  Flow: build under the old name,
+    rename, run DML under the NEW name, verify the old name is gone
+    and every pre-rename file still reads."""
+    from linkedin_iceberg_spark.expressions import lt
+    o = (ld(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") < 1200)
+         .select("o_orderkey", "o_totalprice"))
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.rn_a", o)
+    t.append(o)
+    cat.sql("ALTER TABLE q.rn_a RENAME TO q.rn_b")
+    assert not cat.table_exists("q.rn_a")
+    st = cat.sql("DELETE FROM q.rn_b WHERE o_orderkey < 200"
+                 ).collect()[0]
+    assert st["rows_affected"] == 200, st
+    return (cat.load_table("q.rn_b").to_df()
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_write_ordered", """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey >= 5000 AND o_orderkey < 6000
