@@ -317,6 +317,18 @@ def _sql_type_to_engine(sql_type: str) -> str:
     raise ValueError(f"unsupported SQL type: {sql_type!r}")
 
 
+def _mv_agg_objects(spec_aggs: dict) -> dict:
+    """Persisted MV agg spec -> the incremental_view aggs dict.
+    count(*) maps to counting a non-null literal, which folds signed
+    exactly like any count."""
+    from pyspark.sql import functions as F
+    out = {}
+    for name, (fn, col) in spec_aggs.items():
+        out[name] = ("count", F.lit(1)) if fn == "count_star" \
+            else (fn, col)
+    return out
+
+
 class NoSuchTableError(Exception):
     pass
 
@@ -1325,6 +1337,40 @@ class Catalog:
             return status("drop_namespace", m.group(2))
 
         m = re.match(
+            rf"\s*create\s+materialized\s+view\s+({dotted})\s+as\s+"
+            rf"select\s+(.+?)\s+from\s+({dotted})\s+"
+            rf"group\s+by\s+(.+?)\s*;?\s*$",
+            query, re.IGNORECASE | re.DOTALL)
+        if m:
+            return self._sql_create_mview(*m.groups(), status=status)
+
+        m = re.match(rf"\s*refresh\s+materialized\s+view\s+({dotted})"
+                     rf"\s*;?\s*$", query, re.IGNORECASE)
+        if m:
+            import json as _json
+
+            from linkedin_iceberg_spark.catalog.incremental_view import (
+                refresh_agg_view)
+            view = self.load_table(m.group(1))
+            spec = _json.loads(view.properties["mview.spec"])
+            base = self.load_table(spec["base"])
+            refresh_agg_view(view, base, spec["keys"],
+                             _mv_agg_objects(spec["aggs"]))
+            return status(
+                "refresh_materialized_view",
+                f"synced_to={base.metadata.current_snapshot_id}")
+
+        m = re.match(rf"\s*drop\s+materialized\s+view\s+"
+                     rf"(if\s+exists\s+)?({dotted})\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            if m.group(1) and not self.table_exists(m.group(2)):
+                return status("drop_materialized_view",
+                              "skipped: no such view")
+            return status("drop_materialized_view",
+                          f"dropped={self.drop_table(m.group(2))}")
+
+        m = re.match(
             rf"\s*create\s+(or\s+replace\s+)?view\s+({dotted})\s+"
             rf"as\s+(select\b.*)$", query, re.IGNORECASE | re.DOTALL)
         if m:
@@ -1599,6 +1645,64 @@ class Catalog:
                           f"properties={','.join(sorted(props))}")
 
         raise ValueError(f"unsupported ALTER TABLE clause: {body!r}")
+
+    def _sql_create_mview(self, name: str, sel: str, base_name: str,
+                          gby: str, status) -> DataFrame:
+        """CREATE MATERIALIZED VIEW ... AS SELECT <keys+aggs> FROM t
+        GROUP BY <keys> — the SQL spelling of the incrementally-
+        maintained aggregate view plane (catalog/incremental_view.py):
+        the view materializes as an engine table, and REFRESH folds the
+        base's CHANGELOG since the last sync in O(changed rows) — never
+        a recompute.  Accepted aggregates: count(*), count(col),
+        sum(col), min(col), max(col), each with a mandatory alias
+        (min/max views refresh via the recompute-touched-groups path).
+        Conservative: single base table, no WHERE, group keys must be
+        plain base columns listed in the select."""
+        import json as _json
+        import re
+
+        from linkedin_iceberg_spark.catalog.incremental_view import (
+            create_agg_view)
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        base = self.load_table(base_name)
+        own = set(base.schema.column_names())
+        keys = []
+        for g in _split_top_level_commas(gby):
+            if not re.match(rf"{ident}$", g) or g not in own:
+                raise ValueError(
+                    f"MATERIALIZED VIEW group key must be a plain "
+                    f"base column: {g!r}")
+            keys.append(g)
+        spec_aggs: dict = {}
+        for item in _split_top_level_commas(sel):
+            if item in keys:
+                continue
+            am = re.match(
+                rf"(count|sum|min|max)\(\s*(\*|{ident})\s*\)\s+"
+                rf"as\s+({ident})\s*$", item, re.IGNORECASE)
+            if not am:
+                raise ValueError(
+                    f"MATERIALIZED VIEW select item must be a group "
+                    f"key or fn(col) AS alias: {item!r}")
+            fn, col, alias = (am.group(1).lower(), am.group(2),
+                              am.group(3))
+            if col == "*":
+                if fn != "count":
+                    raise ValueError(f"{fn}(*) is not an aggregate")
+                spec_aggs[alias] = ["count_star", None]
+            else:
+                if col not in own:
+                    raise ValueError(f"no such base column: {col!r}")
+                spec_aggs[alias] = [fn, col]
+        view = create_agg_view(self, name, base, keys,
+                               _mv_agg_objects(spec_aggs))
+        view.update_properties(set_props={
+            "mview.spec": _json.dumps(
+                {"base": base_name, "keys": keys, "aggs": spec_aggs},
+                sort_keys=True)})
+        return status("create_materialized_view",
+                      f"keys={','.join(keys)},aggs={len(spec_aggs)}")
 
     def _sql_call(self, query: str):
         """CALL <procedure>('db.t' [, args...]) -> the maintenance /
