@@ -4132,6 +4132,51 @@ def table_sql_ddl(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_sql_mview", """
+SELECT o_orderpriority, n, total_cents
+FROM (
+  SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+  FROM (
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey >= 300
+    UNION ALL
+    SELECT o_orderkey + 7000000, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600
+  )
+  GROUP BY o_orderpriority
+)
+ORDER BY o_orderpriority""")
+def table_sql_mview(spark, sf_dir):
+    """Materialized view SQL end-to-end (r7): CREATE MATERIALIZED VIEW
+    builds the per-key aggregate as an engine table; after a DELETE and
+    an INSERT on the base, REFRESH folds ONLY the changelog since the
+    last sync (signed count/sum deltas, one MERGE snapshot — O(changed
+    rows), never a recompute).  Integer cents keep the sum exact under
+    signed folding; the oracle replays the FINAL base state's full
+    aggregate from raw parquet — the strongest possible check that
+    incremental maintenance equals recompute."""
+    o = (ld(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority",
+                 F.floor(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cents")))
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.mb", o)
+    t.append(o)
+    cat.sql("CREATE MATERIALIZED VIEW q.mv AS "
+            "SELECT o_orderpriority, count(*) AS n, "
+            "sum(cents) AS total_cents "
+            "FROM q.mb GROUP BY o_orderpriority")
+    cat.sql("DELETE FROM q.mb WHERE o_orderkey < 300")
+    cat.sql("INSERT INTO q.mb SELECT o_orderkey + 7000000, "
+            "o_orderpriority, cents FROM q.mb WHERE o_orderkey < 600")
+    st = cat.sql("REFRESH MATERIALIZED VIEW q.mv").collect()[0]
+    assert st["operation"] == "refresh_materialized_view", st
+    return cat.sql("SELECT o_orderpriority, n, total_cents FROM q.mv "
+                   "ORDER BY o_orderpriority")
+
+
 @q("table_sql_view", """
 SELECT o_orderpriority, count(*) AS n,
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
