@@ -1602,23 +1602,42 @@ class Catalog:
             return status("alter_table",
                           f"partition_field_{verb}={target}")
 
-        a = re.match(r"write\s+ordered\s+by\s*\(?\s*([A-Za-z0-9_,\s]+?)"
-                     r"\s*\)?\s*$", body, re.IGNORECASE)
+        a = re.match(r"write\s+ordered\s+by\s+"
+                     r"(zorder\s*\(\s*[A-Za-z0-9_,\s]+?\s*\)|"
+                     r"\(?\s*[A-Za-z0-9_,\s]+?\s*\)?)\s*$",
+                     body, re.IGNORECASE)
         if a:
             # the write-order DDL of the Spark SQL extensions (ALTER
             # TABLE ... WRITE ORDERED BY): every subsequent write
             # clusters rows on these columns so file min/max bounds
-            # stay tight (consumed by _write_data_files)
-            cols = [c.strip() for c in a.group(1).split(",") if c.strip()]
+            # stay tight; the zorder(...) form clusters on the Morton
+            # interleave — multi-dimensional range pruning (both
+            # consumed by _write_data_files)
+            raw = a.group(1).strip()
+            zm = re.match(r"zorder\s*\(\s*(.+?)\s*\)\s*$", raw,
+                          re.IGNORECASE)
+            cols = [c.strip() for c in
+                    (zm.group(1) if zm else raw.strip("() ")).split(",")
+                    if c.strip()]
             names = set(t.schema.column_names())
             bad = [c for c in cols if c not in names]
             if bad:
                 raise ValueError(f"WRITE ORDERED BY: no such "
                                  f"column(s) {bad}")
-            t.update_properties(set_props={"write.sort-by":
-                                           ",".join(cols)})
-            return status("alter_table",
-                          f"write_ordered_by={','.join(cols)}")
+            if zm:
+                nonnum = [c for c in cols
+                          if not isinstance(t.schema.find_type(c), str)
+                          or t.schema.find_type(c).startswith(
+                              ("string", "binary", "fixed", "uuid"))]
+                if nonnum:
+                    raise ValueError(
+                        f"zorder needs numeric/date/timestamp "
+                        f"columns; cannot interleave {nonnum}")
+                prop = f"zorder({','.join(cols)})"
+            else:
+                prop = ",".join(cols)
+            t.update_properties(set_props={"write.sort-by": prop})
+            return status("alter_table", f"write_ordered_by={prop}")
 
         a = re.match(r"write\s+distributed\s+by\s+"
                      r"(partition|hash|range|none)\s*$", body,

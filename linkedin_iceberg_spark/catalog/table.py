@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import random
+import re
 import time
 import urllib.parse
 import uuid
@@ -154,13 +155,29 @@ class Table:
         fmt = self.file_format
         cols = schema.column_names()
         df = df.select(*cols)  # enforce column order == table schema
+        zorder_cols = None
         if sort_by is None:
             # table-level sort order: every write clusters rows so file
             # stats stay tight from the first append (the reference's
-            # write-order table property; compaction sort_by overrides)
+            # write-order table property; compaction sort_by overrides).
+            # zorder(c1,c2,...) orders by the Morton interleave instead:
+            # multi-dimensional clustering at write time, so range
+            # predicates on EVERY z-column prune files
             prop = self.properties.get("write.sort-by")
             if prop:
-                sort_by = [c.strip() for c in prop.split(",") if c.strip()]
+                zm = re.match(r"zorder\s*\((.+)\)\s*$", prop.strip(),
+                              re.IGNORECASE)
+                if zm:
+                    zorder_cols = [c.strip()
+                                   for c in zm.group(1).split(",")]
+                else:
+                    sort_by = [c.strip() for c in prop.split(",")
+                               if c.strip()]
+        if zorder_cols:
+            from linkedin_iceberg_spark.catalog.zorder import zorder_value
+            df = df.withColumn("_liceberg_z",
+                               zorder_value(df, zorder_cols))
+            sort_by = ["_liceberg_z"]
         df, write_cols = self._partition_columns(df)
         # ref: TableProperties WRITE_DISTRIBUTION_MODE (none/hash/range).
         #   hash (default): cluster by partition key — one writer-open per
@@ -194,6 +211,8 @@ class Table:
                     .sortWithinPartitions(*sort_by)
             else:
                 df = df.sortWithinPartitions(*sort_by)
+        if zorder_cols:
+            df = df.drop("_liceberg_z")  # clustering key, not data
         if fmt == "avro":
             from linkedin_iceberg_spark.sources.avro_spark import (
                 write_avro_files)

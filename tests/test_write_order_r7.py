@@ -60,3 +60,36 @@ def test_write_ordered_by_validates_columns(catalog, spark, sf_dir):
     out = catalog.sql("ALTER TABLE db.wo_bad WRITE DISTRIBUTED BY "
                       "PARTITION").collect()[0]
     assert "hash" in out["detail"]
+
+
+def test_zorder_write_order(catalog, spark, sf_dir):
+    """zorder(...) write order: multi-dim clustering at write time —
+    range predicates on EITHER z-column prune files."""
+    import pytest
+    from linkedin_iceberg_spark.expressions import and_, gt_eq, lt
+
+    o = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+         .select("o_orderkey", "o_custkey", "o_totalprice")
+         .orderBy(F.rand(seed=3)))
+    t = catalog.create_table("db.wo_z", o)
+    catalog.sql("ALTER TABLE db.wo_z WRITE ORDERED BY "
+                "zorder(o_orderkey, o_custkey)")
+    catalog.sql("ALTER TABLE db.wo_z WRITE DISTRIBUTED BY RANGE")
+    catalog.sql("ALTER TABLE db.wo_z SET TBLPROPERTIES "
+                "('write.target-max-records-per-file'='200')")
+    t.refresh()
+    assert t.properties["write.sort-by"] == "zorder(o_orderkey,o_custkey)"
+    t.append(o)
+    files = t._live_data_and_deletes()[0]
+    assert len(files) > 3
+    # the z column never lands in the data
+    assert "_liceberg_z" not in t.to_df().columns
+    n_all = len(files)
+    for col, lo, hi in (("o_orderkey", 0, 150), ("o_custkey", 0, 15)):
+        n = len(t.new_scan().filter(
+            and_(gt_eq(col, lo), lt(col, hi))).plan_files())
+        assert n < n_all, (col, n, n_all)
+    assert t.to_df().count() == o.count()
+    with pytest.raises(ValueError, match="interleave"):
+        catalog.sql("CREATE TABLE db.zs (a INT, s STRING)")
+        catalog.sql("ALTER TABLE db.zs WRITE ORDERED BY zorder(a, s)")
