@@ -1448,6 +1448,12 @@ class Catalog:
 
         m = re.match(rf"\s*desc(?:ribe)?\s+(extended\s+)?({dotted})"
                      rf"\s*;?\s*$", query, re.IGNORECASE)
+        if m and self.view_exists(m.group(2)):
+            resolved = self._resolve_view(m.group(2))
+            rows = [(c, tp, "") for c, tp in resolved.dtypes]
+            rows.append(("# View Text", self.view_sql(m.group(2)), ""))
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string")
         if m and self.table_exists(m.group(2)):
             from linkedin_iceberg_spark.schema import _type_to_json
             t = self.load_table(m.group(2))

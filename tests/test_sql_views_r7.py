@@ -71,3 +71,12 @@ def test_view_cycle_raises(cat):
 def test_view_name_cannot_shadow_table(cat):
     with pytest.raises(Exception, match="table"):
         cat.sql("CREATE VIEW db.orders AS SELECT 1")
+
+
+def test_describe_view(cat):
+    cat.sql("CREATE VIEW db.dv AS SELECT o_orderkey, o_totalprice "
+            "FROM db.orders WHERE o_orderkey < 10")
+    d = {r["col_name"]: r["data_type"]
+         for r in cat.sql("DESCRIBE db.dv").collect()}
+    assert d["o_orderkey"] == "bigint"
+    assert "SELECT o_orderkey" in d["# View Text"]

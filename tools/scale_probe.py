@@ -106,6 +106,11 @@ PROBE_QUERIES = [
     "table_sql_merge_sync",
     "table_sql_insert_overwrite",
     "table_sql_count_meta",
+    # r7 late: incremental MV maintenance — refresh cost must ride on
+    # CHANGED rows (the DELETE + INSERT ranges are constant across
+    # scales), not base size, so the probe expectation is ~flat beyond
+    # the base build
+    "table_sql_mview",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
