@@ -1157,12 +1157,27 @@ class Catalog:
               [USING fmt] [PARTITIONED BY (...)]
               [TBLPROPERTIES ('k'='v', ...)]   (ref: spark3/.../sql/
                                     TestCreateTable.java:54,99)
-            SHOW TABLES [IN ns] / SHOW NAMESPACES [IN ns]
+            CREATE TABLE [IF NOT EXISTS] db.t2 LIKE db.t
+            CREATE [OR REPLACE] VIEW db.v AS SELECT ...
+            DROP VIEW [IF EXISTS] db.v
+            CREATE MATERIALIZED VIEW db.mv AS
+              SELECT keys..., fn(col) AS alias... FROM db.t
+              GROUP BY keys                    (incremental_view plane)
+            REFRESH MATERIALIZED VIEW db.mv    (changelog fold)
+            DROP MATERIALIZED VIEW [IF EXISTS] db.mv
+            SHOW TABLES [IN ns] / SHOW NAMESPACES [IN ns] / SHOW VIEWS
             SHOW PARTITIONS db.t / SHOW CREATE TABLE db.t
             CREATE NAMESPACE [IF NOT EXISTS] ns
             DROP NAMESPACE [IF EXISTS] ns      (refuses non-empty)
-            DESCRIBE [EXTENDED] db.t
+            DESCRIBE [EXTENDED] db.t           (tables and views)
             DROP TABLE [IF EXISTS] db.t
+            ALTER TABLE db.t RENAME TO db.u    (logical-name remap)
+            ALTER TABLE db.t ALTER COLUMN c
+              (COMMENT '...' | SET/DROP NOT NULL | FIRST | AFTER o)
+            ALTER TABLE db.t UNSET TBLPROPERTIES ('k', ...)
+            ALTER TABLE db.t WRITE ORDERED BY (cols | zorder(cols))
+            ALTER TABLE db.t WRITE DISTRIBUTED BY
+              (PARTITION | HASH | RANGE | NONE)
             (TRUNCATE TABLE and INSERT ... PARTITION (col=v) route
              through _sql_dml)
             ALTER TABLE db.t ADD COLUMN[S] name TYPE [, name TYPE ...]
@@ -1269,6 +1284,27 @@ class Catalog:
                           f"columns={len(fields)}"
                           + (f",partitioned_by={len(spec.fields)}"
                              if spec else ""))
+
+        m = re.match(rf"\s*create\s+table\s+(if\s+not\s+exists\s+)?"
+                     rf"({dotted})\s+like\s+({dotted})\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            # CREATE TABLE ... LIKE: clone schema + partition spec +
+            # properties (field ids re-assigned fresh), no data
+            if m.group(1) and self.table_exists(m.group(2)):
+                return status("create_table", "skipped: exists")
+            src = self.load_table(m.group(3))
+            b = PartitionSpec.builder_for(src.schema)
+            for f in src.spec.fields:
+                _replay_spec_field(b, f)
+            # lineage-bound properties (clone registry, MV spec) must
+            # NOT transfer — they describe the source's files/identity
+            props = {k: v for k, v in src.properties.items()
+                     if not k.startswith(("snapshot.", "mview.",
+                                          "view."))}
+            self.create_table(m.group(2), src.schema,
+                              spec=b.build(), properties=props)
+            return status("create_table", f"like={m.group(3)}")
 
         m = re.match(rf"\s*drop\s+table\s+(if\s+exists\s+)?({dotted})"
                      rf"\s*;?\s*$", query, re.IGNORECASE)

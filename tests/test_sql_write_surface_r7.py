@@ -476,3 +476,20 @@ def test_append_extra_snapshot_metadata(cat, spark):
     # and they are visible through the snapshots metadata relation
     row = cat.sql("SELECT summary FROM db.meta1.snapshots").collect()[0]
     assert "extra-key" in str(row["summary"])
+
+
+def test_create_table_like(cat):
+    cat.sql("CREATE TABLE db.proto (id BIGINT NOT NULL, cat STRING, "
+            "ts TIMESTAMP) PARTITIONED BY (month(ts), cat) "
+            "TBLPROPERTIES ('write.sort-by'='id', 'owner'='x')")
+    cat.sql("CREATE TABLE db.copy LIKE db.proto")
+    a, b = cat.load_table("db.proto"), cat.load_table("db.copy")
+    assert [(f.name, f.type, f.required) for f in a.schema.fields] == \
+        [(f.name, f.type, f.required) for f in b.schema.fields]
+    assert [(f.transform_str, f.source_name) for f in a.spec.fields] == \
+        [(f.transform_str, f.source_name) for f in b.spec.fields]
+    assert b.properties.get("write.sort-by") == "id"
+    assert b.to_df().count() == 0  # no data transfers
+    out = cat.sql("CREATE TABLE IF NOT EXISTS db.copy LIKE db.proto"
+                  ).collect()[0]
+    assert "skipped" in out["detail"]
