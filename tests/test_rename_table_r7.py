@@ -68,3 +68,18 @@ def test_renamed_table_dml_and_sql(cat):
     after = cat.sql("SELECT count(*) AS n FROM db.o2"
                     ).collect()[0]["n"]
     assert after == before - 100
+
+
+def test_inflight_writer_survives_rename(cat, spark):
+    """The name-mapping design means a rename never moves the location:
+    a handle loaded BEFORE the rename keeps committing (its CAS runs on
+    per-table version files at the unchanged location), and readers
+    under the NEW name see those commits."""
+    t = cat.load_table("db.orders")  # pre-rename handle
+    n0 = t.to_df().count()
+    cat.sql("ALTER TABLE db.orders RENAME TO db.moved")
+    extra = spark.createDataFrame(
+        [(99999991, 1, "O", 1.0, None, "1-URGENT")],
+        t.to_df().schema)
+    t.append(extra)  # old handle commits after the rename
+    assert cat.load_table("db.moved").to_df().count() == n0 + 1

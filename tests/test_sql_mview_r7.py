@@ -94,3 +94,30 @@ def test_mview_conservative_raises(cat):
         cat.sql("CREATE MATERIALIZED VIEW db.bad AS "
                 "SELECT o_orderpriority, avg(cents) "
                 "FROM db.base GROUP BY o_orderpriority")
+
+
+def test_mview_tracks_streaming_upserts(cat, spark):
+    """Composition: micro-batch commits to the base (the streaming-sink
+    shape — here driven as successive SQL inserts/deletes) with a
+    REFRESH after each batch; the MV must equal a recompute at every
+    sync point, and each refresh reads only that batch's changelog."""
+    cat.sql("CREATE MATERIALIZED VIEW db.mvs AS "
+            "SELECT o_orderpriority, count(*) AS n, "
+            "sum(cents) AS total_cents "
+            "FROM db.base GROUP BY o_orderpriority")
+    for lo, hi in ((0, 200), (200, 500), (500, 900)):
+        cat.sql(f"DELETE FROM db.base WHERE o_orderkey >= {lo} "
+                f"AND o_orderkey < {hi}")
+        cat.sql(f"INSERT INTO db.base SELECT o_orderkey + 9000000, "
+                f"o_orderpriority, cents FROM db.base "
+                f"WHERE o_orderkey >= {hi} AND o_orderkey < {hi + 50}")
+        cat.sql("REFRESH MATERIALIZED VIEW db.mvs")
+        got = {(r["o_orderpriority"], r["n"], r["total_cents"])
+               for r in cat.sql("SELECT o_orderpriority, n, "
+                                "total_cents FROM db.mvs").collect()}
+        want = {(r["o_orderpriority"], r["n"], r["t"])
+                for r in cat.sql(
+                    "SELECT o_orderpriority, count(*) AS n, "
+                    "sum(cents) AS t FROM db.base "
+                    "GROUP BY o_orderpriority").collect()}
+        assert got == want, (lo, hi)
