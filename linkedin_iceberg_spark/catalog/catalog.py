@@ -1435,6 +1435,21 @@ class Catalog:
             return self.spark.createDataFrame(
                 rows, "namespace string, viewName string")
 
+        m = re.match(rf"\s*show\s+tblproperties\s+({dotted})"
+                     rf"(?:\s*\(\s*'((?:[^']|'')*)'\s*\))?\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            t = self.load_table(m.group(1))
+            if m.group(2) is not None:
+                k = m.group(2).replace("''", "'")
+                rows = [(k, t.properties.get(
+                    k, f"Table {m.group(1)} does not have property: "
+                       f"{k}"))]
+            else:
+                rows = sorted(t.properties.items())
+            return self.spark.createDataFrame(
+                rows, "key string, value string")
+
         m = re.match(rf"\s*show\s+partitions\s+({dotted})\s*;?\s*$",
                      query, re.IGNORECASE)
         if m and self.table_exists(m.group(1)):

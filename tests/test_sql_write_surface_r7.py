@@ -493,3 +493,15 @@ def test_create_table_like(cat):
     out = cat.sql("CREATE TABLE IF NOT EXISTS db.copy LIKE db.proto"
                   ).collect()[0]
     assert "skipped" in out["detail"]
+
+
+def test_show_tblproperties(cat):
+    cat.sql("CREATE TABLE db.stp (a INT) TBLPROPERTIES "
+            "('p1'='v1', 'p2'='v2')")
+    rows = {r["key"]: r["value"]
+            for r in cat.sql("SHOW TBLPROPERTIES db.stp").collect()}
+    assert rows.get("p1") == "v1" and rows.get("p2") == "v2"
+    one = cat.sql("SHOW TBLPROPERTIES db.stp ('p1')").collect()
+    assert [(r["key"], r["value"]) for r in one] == [("p1", "v1")]
+    missing = cat.sql("SHOW TBLPROPERTIES db.stp ('zz')").collect()[0]
+    assert "does not have property" in missing["value"]
