@@ -426,3 +426,95 @@ def lm_bigram_score(df: DataFrame, text_col: str = "text",
                     F.coalesce(F.expr("_s DIV _n"), F.lit(0)).cast("long")
                     .alias("lm_score_micro"))
             .orderBy(id_col))
+
+
+def rocchio_classify(df: DataFrame, text_col: str = "text",
+                     label_col: str = "lang", id_col: str = "doc_id",
+                     n_features: int = 64, train_mod: int = 5,
+                     test_residue: int = 0, scale: int = 1_000_000,
+                     salt: str = "v1") -> DataFrame:
+    """Rocchio / nearest-class-centroid text classifier over hashed
+    bag-of-words count features — the cheap supervised domain/quality
+    filter of web-corpus pipelines (the linear stand-in for a fastText
+    classifier), trained and applied wholly inside the engine.
+
+    Rows with ``id % train_mod != test_residue`` train one centroid per
+    label; held-out rows (``== test_residue``) are assigned the label of
+    the nearest centroid under squared Euclidean distance.  Features are
+    token counts hashed into ``n_features`` buckets with the house
+    md5-bucket recipe (the ONE portable hash, shared with the samplers),
+    so a second engine replays the exact feature vectors.
+
+    INTEGER-exact end to end (the house rule): centroids are quantized
+    to ``floor(scale * sum(x) / N_class)`` with BIGINT DIV; distances
+    expand to ``X2 - 2*XM + M2`` computed in decimal(38,0) (Spark
+    decimal arithmetic is exact to 38 digits; the oracle replays in
+    HUGEINT) — no float anywhere, so the argmin is bit-stable across
+    engines.  Ties break to the lexicographically smallest label.
+    Magnitude bound: scale * per-doc-per-bucket count must stay well
+    under 1e19 (1e6 scale leaves room for ~1e9-token documents); for
+    unbounded corpora cap the training side per class (hash-ordered,
+    `sampling.cap_per_group`) — a centroid estimate does not need
+    millions of rows.
+
+    Scale shape: one tokenize scan; per-(doc,bucket) counts are map-side
+    combinable; the centroid table is labels x n_features rows (tiny,
+    broadcast into the cross-term join); per-doc work is sparse (only
+    the doc's own non-empty buckets).  No window over data-sized rows —
+    the argmin window partitions by doc over |labels| rows.
+
+    Returns (id, actual_label, pred_label, n_tokens), one row per
+    held-out document (empty documents get the smallest-norm centroid).
+    Training rows with a NULL label are dropped."""
+    lbl = F.col(label_col)
+    toks = (df.select(F.col(id_col), lbl.alias("_y"),
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        "[^a-z0-9]+")).alias("_w"))
+            .filter(F.col("_w") != ""))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("-"), F.col("_w"))),
+        1, 15), 16, 10).cast("long") % n_features)
+    feat = (toks.select(F.col(id_col), F.col("_y"), bucket.alias("_b"))
+            .groupBy(id_col, "_y", "_b")
+            .agg(F.count(F.lit(1)).alias("_x")))
+    is_test = (F.col(id_col) % train_mod) == test_residue
+    # class sizes from the BASE table: empty training documents are real
+    # class members with zero vectors and pull the centroid to origin
+    n_c = (df.filter(~is_test).filter(lbl.isNotNull())
+           .groupBy(lbl.alias("_c"))
+           .agg(F.count(F.lit(1)).alias("_n")))
+    cent = (feat.filter(~is_test)
+            .groupBy(F.col("_y").alias("_c"), "_b")
+            .agg(F.sum("_x").alias("_s"))
+            .join(n_c, "_c")
+            .select("_c", "_b",
+                    F.expr(f"({scale}L * _s) DIV _n").alias("_m")))
+    dec = "decimal(38,0)"
+    m2 = cent.groupBy("_c").agg(
+        F.sum(F.col("_m").cast(dec) * F.col("_m")).alias("_m2"))
+    tf = feat.filter(is_test).select(
+        id_col, "_b", (F.lit(scale) * F.col("_x")).alias("_sx"))
+    x2 = tf.groupBy(id_col).agg(
+        F.sum(F.col("_sx").cast(dec) * F.col("_sx")).alias("_x2"))
+    xm = (tf.join(F.broadcast(cent), "_b")
+          .groupBy(id_col, "_c")
+          .agg(F.sum(F.col("_sx").cast(dec) * F.col("_m")).alias("_xm")))
+    from pyspark.sql import Window as W
+    base = df.filter(is_test).select(F.col(id_col), lbl.alias("_actual"))
+    grid = (base.crossJoin(F.broadcast(m2))
+            .join(x2, id_col, "left")
+            .join(xm, [id_col, "_c"], "left"))
+    d2 = (F.coalesce(F.col("_x2"), F.lit(0).cast(dec))
+          - F.lit(2) * F.coalesce(F.col("_xm"), F.lit(0).cast(dec))
+          + F.col("_m2"))
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(d2.asc(), F.col("_c").asc()))
+    n_tok = feat.groupBy(id_col).agg(F.sum("_x").alias("_nt"))
+    return (grid.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+            .join(n_tok, id_col, "left")
+            .select(F.col(id_col),
+                    F.col("_actual").alias("actual_label"),
+                    F.col("_c").alias("pred_label"),
+                    F.coalesce(F.col("_nt"), F.lit(0)).cast("long")
+                    .alias("n_tokens"))
+            .orderBy(id_col))

@@ -1809,6 +1809,74 @@ def text_lm_score(spark, sf_dir):
                            scale=1_000_000)
 
 
+@q("text_rocchio_classify", """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('v1-' || w), 1, 15))::BIGINT % 64) AS b,
+         count(*) AS x
+  FROM toks GROUP BY ALL
+),
+nc AS (
+  SELECT lang AS c, count(*) AS n FROM documents
+  WHERE doc_id % 5 <> 0 AND lang IS NOT NULL GROUP BY lang
+),
+cent AS (
+  SELECT f.lang AS c, f.b, (1000000 * sum(f.x)) // any_value(nc.n) AS m
+  FROM feat f JOIN nc ON nc.c = f.lang
+  WHERE f.doc_id % 5 <> 0
+  GROUP BY f.lang, f.b
+),
+m2 AS (SELECT c, sum(CAST(m AS HUGEINT) * m) AS m2 FROM cent GROUP BY c),
+tf AS (
+  SELECT doc_id, b, 1000000 * x AS sx FROM feat WHERE doc_id % 5 = 0
+),
+x2 AS (
+  SELECT doc_id, sum(CAST(sx AS HUGEINT) * sx) AS x2 FROM tf GROUP BY doc_id
+),
+xm AS (
+  SELECT tf.doc_id, cent.c, sum(CAST(tf.sx AS HUGEINT) * cent.m) AS xm
+  FROM tf JOIN cent ON cent.b = tf.b GROUP BY tf.doc_id, cent.c
+),
+ntok AS (SELECT doc_id, sum(x) AS nt FROM feat GROUP BY doc_id),
+grid AS (
+  SELECT d.doc_id, d.lang AS actual,
+         m2.c, coalesce(x2.x2, 0) - 2 * coalesce(xm.xm, 0) + m2.m2 AS d2
+  FROM documents d
+  CROSS JOIN m2
+  LEFT JOIN x2 ON x2.doc_id = d.doc_id
+  LEFT JOIN xm ON xm.doc_id = d.doc_id AND xm.c = m2.c
+  WHERE d.doc_id % 5 = 0
+),
+pred AS (
+  SELECT doc_id, actual, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, c) AS rn
+  FROM grid
+)
+SELECT p.doc_id, p.actual AS actual_label, p.c AS pred_label,
+       CAST(coalesce(n.nt, 0) AS BIGINT) AS n_tokens
+FROM pred p LEFT JOIN ntok n ON n.doc_id = p.doc_id
+WHERE p.rn = 1 ORDER BY p.doc_id""")
+def text_rocchio_classify(spark, sf_dir):
+    """Rocchio nearest-centroid text classifier (the cheap supervised
+    domain/quality filter — the linear stand-in for fastText in CCNet-
+    style pipelines), trained on the 80% hash split and applied to the
+    held-out 20%, wholly in-engine.  INTEGER-exact: md5-bucketed count
+    features, BIGINT-DIV-quantized centroids, decimal(38,0)/HUGEINT
+    expanded squared distances — the oracle replays training AND
+    prediction bit-for-bit."""
+    from linkedin_iceberg_spark.operators.text import rocchio_classify
+    d = ld(spark, sf_dir, "documents")
+    return rocchio_classify(d, text_col="text", label_col="lang",
+                            id_col="doc_id", n_features=64, train_mod=5,
+                            test_residue=0, scale=1_000_000, salt="v1")
+
+
 @q("similarity_hybrid_rrf", """
 WITH kw AS (
   SELECT doc_id,

@@ -192,3 +192,83 @@ def test_lm_bigram_score_properties(spark):
     assert got[2][1] > got[3][1]
     # n_bigrams: doc 2 has 5 bigrams; doc 1 has 6*5-1=29 (space-joined)
     assert got[2][0] == 5 and got[1][0] == 29
+
+
+def test_rocchio_classify_separable(spark):
+    """A vocabulary-separable corpus classifies held-out docs to the
+    right centroid; ties break to the smallest label; empty held-out
+    docs land on the smallest-norm centroid; NULL-label train rows are
+    dropped from training but the test split keeps its own labels."""
+    from linkedin_iceberg_spark.operators.text import rocchio_classify
+
+    rows = []
+    # train ids: id % 5 != 0; class 'cat' uses cat-words, 'dog' dog-words
+    for i in (1, 2, 3, 4, 6, 7):
+        rows.append((i, "meow purr whiskers meow purr", "cat"))
+    for i in (8, 9, 11, 12, 13, 14):
+        rows.append((i, "bark woof fetch bark woof", "dog"))
+    rows.append((16, "bark bark bark", None))   # NULL label: ignored
+    # held-out (id % 5 == 0)
+    rows.append((5, "meow whiskers purr purr", "cat"))
+    rows.append((10, "woof fetch bark", "dog"))
+    rows.append((15, "", "cat"))                # empty text
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in rocchio_classify(df).collect()}
+    assert set(got) == {5, 10, 15}
+    assert got[5].pred_label == "cat" and got[5].actual_label == "cat"
+    assert got[10].pred_label == "dog"
+    assert got[5].n_tokens == 4 and got[10].n_tokens == 3
+    assert got[15].n_tokens == 0
+    # empty doc: dist^2 = |m_c|^2, so the smaller-norm centroid wins;
+    # both centroids here have equal norm by construction? no — counts
+    # differ (5 vs 5 tokens per doc, 6 docs each) so norms tie and the
+    # lexicographic tiebreak gives 'cat'
+    assert got[15].pred_label == "cat"
+
+
+def test_rocchio_classify_matches_brute_force(spark):
+    """Property check on a pseudo-random corpus: the DataFrame plan's
+    argmin equals a driver-side exact recomputation (python ints are
+    arbitrary precision — validates the decimal(38,0) arithmetic)."""
+    import hashlib
+    from linkedin_iceberg_spark.operators.text import rocchio_classify
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = []
+    for i in range(40):
+        toks = [words[(i * 7 + j * 3) % len(words)]
+                for j in range((i % 6) + 1)]
+        rows.append((i, " ".join(toks), "L" + str(i % 3)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.pred_label
+           for r in rocchio_classify(df, n_features=8).collect()}
+
+    def bucket(w):
+        return int(hashlib.md5(f"v1-{w}".encode()).hexdigest()[:15],
+                   16) % 8
+
+    scale = 1_000_000
+    feats, labels = {}, {}
+    for i, text, lab in rows:
+        v = {}
+        for w in text.split():
+            if w:
+                v[bucket(w)] = v.get(bucket(w), 0) + 1
+        feats[i], labels[i] = v, lab
+    train = [i for i in feats if i % 5 != 0]
+    cents = {}
+    for lab in {labels[i] for i in train}:
+        ids = [i for i in train if labels[i] == lab]
+        s = {}
+        for i in ids:
+            for b, x in feats[i].items():
+                s[b] = s.get(b, 0) + x
+        cents[lab] = {b: (scale * c) // len(ids) for b, c in s.items()}
+    for i in feats:
+        if i % 5 != 0:
+            continue
+        best = min(
+            ((sum((scale * feats[i].get(b, 0) - m.get(b, 0)) ** 2
+                  for b in set(feats[i]) | set(m)), lab)
+             for lab, m in cents.items()))
+        assert got[i] == best[1], f"doc {i}"

@@ -309,6 +309,13 @@ CONTRACTS = {
         # in codegen — no Python, no cartesian
         ["HashAggregate", "Window", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "text_rocchio_classify": (
+        # feature counts and centroid sums are map-side-combinable hash
+        # aggregations; the centroid table (labels x 64) broadcasts into
+        # the cross-term join; decimal(38,0) distance math stays JVM-side
+        # and the argmin window partitions per doc over |labels| rows
+        ["HashAggregate", "BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "similarity_hybrid_rrf": (
         # each channel pools via TakeOrdered (per-partition heaps);
         # the rank windows run over the bounded pool only.  r7: the
