@@ -1187,6 +1187,11 @@ class Catalog:
             ALTER TABLE db.t ADD PARTITION FIELD <transform>
             ALTER TABLE db.t DROP PARTITION FIELD <transform-or-name>
             ALTER TABLE db.t SET TBLPROPERTIES ('k'='v', ...)
+            ALTER TABLE db.t CREATE [OR REPLACE] BRANCH|TAG [IF NOT
+              EXISTS] name [AS OF VERSION n] [RETAIN n DAYS|HOURS|
+              MINUTES]
+            ALTER TABLE db.t REPLACE BRANCH|TAG name AS OF VERSION n
+            ALTER TABLE db.t DROP BRANCH|TAG [IF EXISTS] name
 
         Schema changes go through the evolution plane (field ids
         preserved, promotions validated) and partition-field changes
@@ -1631,6 +1636,71 @@ class Catalog:
             t.update_properties(remove=keys)
             return status("alter_table",
                           f"unset={','.join(sorted(keys))}")
+
+        a = re.match(
+            r"(create\s+(?:or\s+replace\s+)?|replace\s+)"
+            r"(branch|tag)\s+(?:if\s+not\s+exists\s+)?"
+            rf"({ident})"
+            r"(?:\s+as\s+of\s+version\s+(\d+))?"
+            r"(?:\s+retain\s+(\d+)\s+(days?|hours?|minutes?))?\s*$",
+            body, re.IGNORECASE)
+        if a:
+            # the branch/tag DDL of the Spark SQL extensions (ALTER
+            # TABLE ... CREATE/REPLACE BRANCH|TAG ... [AS OF VERSION n]
+            # [RETAIN n DAYS]) over the SnapshotRef plane (ref:
+            # core/.../SnapshotManager.java tag/branch ops; this fork
+            # stages via wap.id — our refs are the n-commit
+            # generalization, table.py create_branch/create_tag)
+            verb, kind = a.group(1).lower(), a.group(2).lower()
+            name, ver = a.group(3), a.group(4)
+            replace = "replace" in verb
+            if_not_exists = bool(re.search(r"if\s+not\s+exists", body,
+                                           re.IGNORECASE))
+            if verb.strip() == "replace" and ver is None:
+                raise ValueError(
+                    f"REPLACE {kind.upper()} requires AS OF VERSION")
+            sid = int(ver) if ver is not None else None
+            age_ms = None
+            if a.group(5):
+                unit = a.group(6).lower()
+                per = {"day": 86_400_000, "hour": 3_600_000,
+                       "minute": 60_000}[unit.rstrip("s")]
+                age_ms = int(a.group(5)) * per
+            # ref_types records branches only; a name in refs without a
+            # ref_types row is a tag
+            exists = t.metadata.ref_types.get(
+                name, "tag" if name in t.metadata.refs else None)
+            if exists and if_not_exists:
+                return status("alter_table",
+                              f"{kind}_exists={name}")
+            if kind == "tag":
+                t.create_tag(name, snapshot_id=sid, replace=replace,
+                             max_ref_age_ms=age_ms)
+            else:
+                if exists == "branch" and replace:
+                    t.drop_branch(name)
+                elif exists and not replace:
+                    raise ValueError(
+                        f"{kind} {name!r} already exists "
+                        f"(use CREATE OR REPLACE / IF NOT EXISTS)")
+                t.create_branch(name, snapshot_id=sid,
+                                max_ref_age_ms=age_ms)
+            did = "replaced" if (replace and exists) else "created"
+            return status("alter_table", f"{kind}_{did}={name}")
+
+        a = re.match(r"drop\s+(branch|tag)\s+(?:if\s+exists\s+)?"
+                     rf"({ident})\s*$", body, re.IGNORECASE)
+        if a:
+            kind, name = a.group(1).lower(), a.group(2)
+            if_exists = bool(re.search(r"if\s+exists", body,
+                                       re.IGNORECASE))
+            if name not in t.metadata.refs and if_exists:
+                return status("alter_table", f"{kind}_absent={name}")
+            if kind == "tag":
+                t.drop_tag(name)
+            else:
+                t.drop_branch(name)
+            return status("alter_table", f"{kind}_dropped={name}")
 
         a = re.match(r"(add|drop)\s+partition\s+field\s+(.+)$", body,
                      re.IGNORECASE)

@@ -532,3 +532,74 @@ def test_sql_pushdown_equivalence_sweep(catalog, spark, sf_dir):
         want = sorted(r.o_orderkey for r in spark.sql(
             f"SELECT o_orderkey FROM sweep_raw WHERE {cl}").collect())
         assert got == want, f"mismatch for WHERE {cl!r}"
+
+
+def test_sql_branch_tag_ddl(cat, spark, sf_dir):
+    """ALTER TABLE ... CREATE/REPLACE/DROP BRANCH|TAG — the snapshot-ref
+    DDL of the Spark SQL extensions, routed to the table's ref plane
+    (create_tag/create_branch/drop_*) (r7)."""
+    t = cat.load_table("db.orders")
+    n0 = t.to_df().count()
+    sid0 = t.metadata.current_snapshot_id
+
+    st = cat.sql("ALTER TABLE db.orders CREATE TAG v1").collect()[0]
+    assert st["detail"] == "tag_created=v1"
+    extra = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")).limit(7)
+    t.append(extra)
+    t.refresh()
+    assert t.new_scan().use_ref("v1").to_df().count() == n0
+    assert t.to_df().count() == n0 + 7
+
+    # IF NOT EXISTS on an existing tag: no-op, no error
+    st = cat.sql("ALTER TABLE db.orders CREATE TAG IF NOT EXISTS v1"
+                 ).collect()[0]
+    assert st["detail"] == "tag_exists=v1"
+    # bare CREATE on an existing tag raises
+    with pytest.raises(ValueError):
+        cat.sql("ALTER TABLE db.orders CREATE TAG v1")
+    # REPLACE needs AS OF VERSION
+    with pytest.raises(ValueError, match="AS OF VERSION"):
+        cat.sql("ALTER TABLE db.orders REPLACE TAG v1")
+
+    sid1 = t.metadata.current_snapshot_id
+    st = cat.sql(f"ALTER TABLE db.orders CREATE OR REPLACE TAG v1 "
+                 f"AS OF VERSION {sid1} RETAIN 30 DAYS").collect()[0]
+    assert st["detail"] == "tag_replaced=v1"
+    t.refresh()
+    assert t.new_scan().use_ref("v1").to_df().count() == n0 + 7
+    # tags live in refs with no ref_types row (branches only there)
+    assert "v1" in t.metadata.refs
+    assert t.metadata.ref_types.get("v1") != "branch"
+
+    # branches: create at the OLD snapshot, write to it, then REPLACE
+    # resets the head
+    st = cat.sql(f"ALTER TABLE db.orders CREATE BRANCH audit "
+                 f"AS OF VERSION {sid0} RETAIN 2 HOURS").collect()[0]
+    assert st["detail"] == "branch_created=audit"
+    t.refresh()
+    assert t.metadata.ref_types["audit"] == "branch"
+    assert t.new_scan().use_ref("audit").to_df().count() == n0
+    t.branch("audit").append(extra.limit(3))
+    t.refresh()
+    assert t.new_scan().use_ref("audit").to_df().count() == n0 + 3
+    st = cat.sql(f"ALTER TABLE db.orders CREATE OR REPLACE BRANCH "
+                 f"audit AS OF VERSION {sid1}").collect()[0]
+    assert st["detail"] == "branch_replaced=audit"
+    t.refresh()
+    assert t.new_scan().use_ref("audit").to_df().count() == n0 + 7
+
+    # kind mismatch is refused (a tag cannot be dropped as a branch)
+    with pytest.raises(ValueError):
+        cat.sql("ALTER TABLE db.orders DROP BRANCH v1")
+    st = cat.sql("ALTER TABLE db.orders DROP TAG v1").collect()[0]
+    assert st["detail"] == "tag_dropped=v1"
+    st = cat.sql("ALTER TABLE db.orders DROP BRANCH audit").collect()[0]
+    assert st["detail"] == "branch_dropped=audit"
+    t.refresh()
+    assert "v1" not in t.metadata.refs and "audit" not in t.metadata.refs
+    # IF EXISTS on absent refs: no-op
+    assert cat.sql("ALTER TABLE db.orders DROP TAG IF EXISTS v1"
+                   ).collect()[0]["detail"] == "tag_absent=v1"
+    assert cat.sql("ALTER TABLE db.orders DROP BRANCH IF EXISTS nope"
+                   ).collect()[0]["detail"] == "branch_absent=nope"
