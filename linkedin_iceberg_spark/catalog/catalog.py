@@ -1864,9 +1864,16 @@ class Catalog:
             CALL expire_snapshots('db.t' [, <older_than_ms>])
             CALL remove_orphan_files('db.t' [, <older_than_ms>])
             CALL rollback_to_snapshot('db.t', <snapshot_id>)
+            CALL rollback_to_timestamp('db.t', <timestamp_ms>)
+            CALL set_current_snapshot('db.t', <snapshot_id>)
             CALL cherrypick_snapshot('db.t', <snapshot_id>)
+            CALL publish_changes('db.t', '<wap_id>')
             CALL fast_forward('db.t', '<branch>')
             CALL analyze_table('db.t', '<col>[,<col>...]')
+            CALL ancestors_of('db.t' [, <snapshot_id>])  (returns rows)
+            CALL add_files('db.t', '<dir>' [, '<fmt>'])
+            CALL migrate('db.t', '<path-or-dir>')
+            CALL snapshot('db.src', 'db.dest')
         """
         import json
         import re
@@ -1894,8 +1901,25 @@ class Catalog:
         if not args or not isinstance(args[0], str):
             raise ValueError("CALL needs the table name as its first "
                              "(quoted) argument")
-        t = self.load_table(args[0])
         rest = args[1:]
+        # catalog-level procedures create their target table — dispatch
+        # before the load (ref: spark/.../procedures/MigrateTableProcedure,
+        # SnapshotTableProcedure — same two-level split)
+        if proc == "migrate":
+            t = self.migrate(args[0], rest[0])
+            out = {"migrated_files_count":
+                   len(t.new_scan().plan_files())}
+            return self.spark.createDataFrame(
+                [(proc, json.dumps(out, default=str, sort_keys=True))],
+                "operation string, detail string")
+        if proc == "snapshot":
+            t = self.snapshot_table(self.load_table(args[0]), rest[0])
+            out = {"imported_files_count":
+                   len(t.new_scan().plan_files())}
+            return self.spark.createDataFrame(
+                [(proc, json.dumps(out, default=str, sort_keys=True))],
+                "operation string, detail string")
+        t = self.load_table(args[0])
 
         from linkedin_iceberg_spark.catalog import maintenance as MA
         if proc == "rewrite_data_files":
@@ -1913,9 +1937,49 @@ class Catalog:
         elif proc == "rollback_to_snapshot":
             t.rollback_to(rest[0])
             out = {"current_snapshot_id": t.metadata.current_snapshot_id}
+        elif proc == "rollback_to_timestamp":
+            t.rollback_to_time(rest[0])
+            out = {"current_snapshot_id": t.metadata.current_snapshot_id}
+        elif proc == "set_current_snapshot":
+            t.set_current_snapshot(rest[0])
+            out = {"current_snapshot_id": t.metadata.current_snapshot_id}
         elif proc == "cherrypick_snapshot":
             t.cherry_pick(rest[0])
             out = {"current_snapshot_id": t.metadata.current_snapshot_id}
+        elif proc == "publish_changes":
+            # the WAP publish: cherry-pick the snapshot staged under
+            # wap.id onto the current lineage (ref: the reference's
+            # cherrypick + spark.wap.id write flow,
+            # SnapshotManager.java:65-171)
+            sid = t.metadata.staged_wap.get(rest[0])
+            if sid is None:
+                raise ValueError(
+                    f"no staged snapshot for wap.id {rest[0]!r} "
+                    f"(staged: {sorted(t.metadata.staged_wap)})")
+            t.cherry_pick(sid)
+            out = {"published_snapshot_id": sid,
+                   "current_snapshot_id": t.metadata.current_snapshot_id}
+        elif proc == "ancestors_of":
+            # lineage walk over parent ids — rows, not a status blob
+            md = t.metadata
+            sid = rest[0] if rest else md.current_snapshot_id
+            rows = []
+            while sid is not None:
+                snap = md.snapshot_by_id(sid)
+                if snap is None:
+                    break
+                rows.append((snap.snapshot_id, snap.timestamp_ms))
+                sid = snap.parent_snapshot_id
+            return self.spark.createDataFrame(
+                rows, "snapshot_id long, timestamp_ms long")
+        elif proc == "add_files":
+            before = t.metadata.current_snapshot
+            n_before = int((before.summary or {}).get(
+                "total-data-files", 0)) if before else 0
+            t.add_files(rest[0], *rest[1:2])
+            after = t.metadata.current_snapshot.summary or {}
+            out = {"added_files_count":
+                   int(after.get("total-data-files", 0)) - n_before}
         elif proc == "fast_forward":
             t.fast_forward(rest[0])
             out = {"current_snapshot_id": t.metadata.current_snapshot_id}

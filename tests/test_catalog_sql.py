@@ -603,3 +603,71 @@ def test_sql_branch_tag_ddl(cat, spark, sf_dir):
                    ).collect()[0]["detail"] == "tag_absent=v1"
     assert cat.sql("ALTER TABLE db.orders DROP BRANCH IF EXISTS nope"
                    ).collect()[0]["detail"] == "branch_absent=nope"
+
+
+def test_sql_call_snapshot_lineage_procs(catalog, spark, sf_dir):
+    """The r7 procedure additions: rollback_to_timestamp,
+    set_current_snapshot, publish_changes (WAP), ancestors_of (rows),
+    add_files, migrate, snapshot — each routed to its engine action."""
+    import json
+    import tempfile
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.proc2", orders)
+    t.append(orders.limit(50))
+    sid1 = t.metadata.current_snapshot_id
+    ts1 = t.metadata.current_snapshot.timestamp_ms
+    t.append(orders.limit(10))
+    sid2 = t.metadata.current_snapshot_id
+
+    # ancestors_of returns the lineage as ROWS, newest first
+    anc = catalog.sql("CALL ancestors_of('db.proc2')").collect()
+    assert [r.snapshot_id for r in anc] == [sid2, sid1]
+    anc1 = catalog.sql(
+        f"CALL ancestors_of('db.proc2', {sid1})").collect()
+    assert [r.snapshot_id for r in anc1] == [sid1]
+
+    st = catalog.sql(
+        f"CALL rollback_to_timestamp('db.proc2', {ts1})").collect()[0]
+    assert json.loads(st.detail)["current_snapshot_id"] == sid1
+    st = catalog.sql(
+        f"CALL set_current_snapshot('db.proc2', {sid2})").collect()[0]
+    assert json.loads(st.detail)["current_snapshot_id"] == sid2
+
+    # WAP: stage under wap.id, then publish via CALL
+    t.refresh()
+    t.append(orders.limit(5), wap_id="audit9")
+    t.refresh()
+    n_before = t.to_df().count()
+    assert "audit9" in t.metadata.staged_wap
+    st = catalog.sql(
+        "CALL publish_changes('db.proc2', 'audit9')").collect()[0]
+    d = json.loads(st.detail)
+    assert d["published_snapshot_id"] == t.metadata.staged_wap["audit9"]
+    t.refresh()
+    assert t.to_df().count() == n_before + 5
+    with pytest.raises(ValueError, match="no staged snapshot"):
+        catalog.sql("CALL publish_changes('db.proc2', 'nope')")
+
+    # add_files: import a raw parquet directory into the table
+    src = tempfile.mkdtemp(prefix="addfiles_")
+    orders.limit(7).write.mode("overwrite").parquet(src)
+    st = catalog.sql(
+        f"CALL add_files('db.proc2', '{src}')").collect()[0]
+    assert json.loads(st.detail)["added_files_count"] >= 1
+    t.refresh()
+    assert t.to_df().count() == n_before + 5 + 7
+
+    # migrate: adopt a bare parquet dir as a brand-new table
+    src2 = tempfile.mkdtemp(prefix="migrate_")
+    orders.limit(9).write.mode("overwrite").parquet(src2)
+    st = catalog.sql(f"CALL migrate('db.mig2', '{src2}')").collect()[0]
+    assert json.loads(st.detail)["migrated_files_count"] >= 1
+    assert catalog.load_table("db.mig2").to_df().count() == 9
+
+    # snapshot: zero-copy clone of an existing engine table
+    st = catalog.sql(
+        "CALL snapshot('db.proc2', 'db.proc2_snap')").collect()[0]
+    assert json.loads(st.detail)["imported_files_count"] >= 1
+    assert catalog.load_table("db.proc2_snap").to_df().count() == \
+        t.to_df().count()
