@@ -1877,6 +1877,41 @@ def text_rocchio_classify(spark, sf_dir):
                             test_residue=0, scale=1_000_000, salt="v1")
 
 
+@q("stats_exact_quantiles", """
+WITH rows_ AS (
+  SELECT lang, n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL
+),
+ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rk
+  FROM rows_
+),
+cnt AS (SELECT lang, count(*) AS n FROM rows_ GROUP BY lang),
+p AS (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct),
+tgt AS (
+  SELECT lang, pct, n,
+         greatest(1, (pct * n + 99) // 100) AS rk
+  FROM cnt CROSS JOIN p
+)
+SELECT r.lang, t.pct, CAST(t.n AS BIGINT) AS n,
+       r.n_chars AS quantile_value
+FROM ranked r JOIN tgt t ON t.lang = r.lang AND t.rk = r.rk
+ORDER BY r.lang, t.pct""")
+def stats_exact_quantiles(spark, sf_dir):
+    """Exact per-group order-statistics quantiles (`exact_quantiles`) —
+    the Gopher/CCNet threshold primitive ("drop below the 10th
+    percentile of quality", "cap at p99 length"), exact and
+    reproducible where percentile_approx sketches drift.  Rank
+    convention pinned as max(1, ceil(pct*n/100)) with doc_id
+    tiebreak — the oracle replays the identical arithmetic."""
+    from linkedin_iceberg_spark.operators.quantiles import \
+        exact_quantiles
+    d = ld(spark, sf_dir, "documents")
+    return exact_quantiles(d, "n_chars", pcts=(10, 25, 50, 75, 90, 99),
+                           group_col="lang", id_col="doc_id")
+
+
 @q("similarity_hybrid_rrf", """
 WITH kw AS (
   SELECT doc_id,

@@ -316,6 +316,12 @@ CONTRACTS = {
         # and the argmin window partitions per doc over |labels| rows
         ["HashAggregate", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "stats_exact_quantiles": (
+        # grouped rank via per-group window sort (groups are the
+        # parallel unit); the |groups| x |pcts| target table broadcasts
+        # into the rank equi-join; no partition-less window, no Python
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "similarity_hybrid_rrf": (
         # each channel pools via TakeOrdered (per-partition heaps);
         # the rank windows run over the bounded pool only.  r7: the
