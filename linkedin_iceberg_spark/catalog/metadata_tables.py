@@ -20,6 +20,8 @@ from pyspark.sql import types as T
 METADATA_TABLES = (
     "snapshots", "history", "manifests", "files", "entries", "partitions",
     "all_manifests", "all_data_files", "all_entries", "refs", "changes",
+    "data_files", "delete_files", "all_delete_files", "all_files",
+    "metadata_log_entries", "position_deletes",
 )
 
 _SNAPSHOTS_SCHEMA = T.StructType([
@@ -140,6 +142,71 @@ def _all_data_files(table) -> DataFrame:
 
 def _all_manifests(table) -> DataFrame:
     return _manifests(table, all_snapshots=True)
+
+
+def _data_files(table) -> DataFrame:
+    """Live DATA files only (ref: MetadataTableType.DATA_FILES — the
+    content=0 slice of `files`)."""
+    from linkedin_iceberg_spark.catalog.manifests import CONTENT_DATA
+    return _files(table).filter(F.col("content") == CONTENT_DATA)
+
+
+def _delete_files(table) -> DataFrame:
+    """Live position/equality DELETE files (ref:
+    MetadataTableType.DELETE_FILES — content != 0)."""
+    from linkedin_iceberg_spark.catalog.manifests import CONTENT_DATA
+    return _files(table).filter(F.col("content") != CONTENT_DATA)
+
+
+def _all_files(table) -> DataFrame:
+    """Every live file reachable from ANY snapshot, data and deletes
+    (ref: MetadataTableType.ALL_FILES)."""
+    from linkedin_iceberg_spark.catalog.manifests import STATUS_DELETED
+    return (_entries_df(table, all_snapshots=True)
+            .filter(F.col("status") != STATUS_DELETED)
+            .dropDuplicates(["file_path"]))
+
+
+def _all_delete_files(table) -> DataFrame:
+    from linkedin_iceberg_spark.catalog.manifests import CONTENT_DATA
+    return _all_files(table).filter(F.col("content") != CONTENT_DATA)
+
+
+def _metadata_log_entries(table) -> DataFrame:
+    """The metadata-file log (ref: MetadataTableType.METADATA_LOG_ENTRIES
+    / MetadataLogEntriesTable): one row per retained metadata.json
+    version plus the current one — the audit trail of COMMITS (every
+    snapshot, schema, spec, or property change writes one)."""
+    md = table.metadata
+    rows = [(int(e["timestamp-ms"]), e["metadata-file"])
+            for e in md.metadata_log]
+    rows.append((int(md.last_updated_ms), "(current)"))
+    df = table.spark.createDataFrame(
+        rows, "timestamp_ms long, file string")
+    return df.select(
+        F.timestamp_millis(F.col("timestamp_ms")).alias("timestamp"),
+        "timestamp_ms", "file")
+
+
+def _position_deletes(table) -> DataFrame:
+    """The position-delete ROWS themselves (ref:
+    MetadataTableType.POSITION_DELETES / PositionDeletesTable): one row
+    per (data file_path, pos) tombstone across all live pos-delete
+    files, tagged with the delete file that holds it.  A distributed
+    parquet scan of the delete files — O(tombstones) executor work, the
+    path list is metadata-sized."""
+    from linkedin_iceberg_spark.catalog.deletes import POS_DELETE_SCHEMA
+    from linkedin_iceberg_spark.catalog.manifests import (
+        CONTENT_POSITION_DELETES)
+    paths = [r.file_path for r in
+             _files(table)
+             .filter(F.col("content") == CONTENT_POSITION_DELETES)
+             .select("file_path").collect()]
+    if not paths:
+        return table.spark.createDataFrame([], POS_DELETE_SCHEMA) \
+            .withColumn("delete_file_path", F.lit("").cast("string"))
+    return (table.spark.read.schema(POS_DELETE_SCHEMA).parquet(*paths)
+            .withColumn("delete_file_path", F.input_file_name()))
 
 
 def _partitions(table) -> DataFrame:
