@@ -147,6 +147,102 @@ def _split_top_level_commas(text: str) -> list:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _split_type_commas(text: str) -> list:
+    """Depth-0 comma split tracking BOTH () and <> — column/type lists
+    where struct<x: double, y: double> and DECIMAL(10,2) nest."""
+    depth, cur, parts = 0, [], []
+    for ch in text:
+        depth += ch in "(<"
+        depth -= ch in ")>"
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _sql_type_def(s: str):
+    """SQL type text -> engine type: a primitive string via
+    _sql_type_to_engine, or a StructTypeDef/ListTypeDef/MapTypeDef tree
+    (placeholder ids — CREATE assigns via _assign_fresh_ids, ALTER via
+    the evolution plane's fresh_ids).  Struct fields accept the
+    reference's test spellings (`x: double NOT NULL`,
+    TestAlterTable.java:65) and Spark DDL's space form (`x double`)."""
+    from linkedin_iceberg_spark.schema import (ListTypeDef, MapTypeDef,
+                                               NestedField, StructTypeDef)
+    s = s.strip()
+    low = s.lower()
+    m = _re.match(r"(struct|array|list|map)\s*<(.*)>\s*$", s,
+                  _re.IGNORECASE | _re.DOTALL)
+    if not m:
+        return _sql_type_to_engine(s)
+    kind, inner = m.group(1).lower(), m.group(2)
+    if kind in ("array", "list"):
+        return ListTypeDef(0, _sql_type_def(inner), False)
+    if kind == "map":
+        parts = _split_type_commas(inner)
+        if len(parts) != 2:
+            raise ValueError(f"map needs key, value: {s!r}")
+        return MapTypeDef(0, _sql_type_def(parts[0]), 0,
+                          _sql_type_def(parts[1]), False)
+    fields = []
+    for part in _split_type_commas(inner):
+        fm = _re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*:?\s*(.+)$",
+                       part.strip(), _re.DOTALL)
+        if not fm:
+            raise ValueError(f"malformed struct field: {part!r}")
+        name, rest = fm.group(1), fm.group(2).strip()
+        doc = None
+        cm = _re.search(r"\s+comment\s+'((?:[^']|'')*)'\s*$", rest,
+                        _re.IGNORECASE)
+        if cm:
+            doc = cm.group(1).replace("''", "'")
+            rest = rest[:cm.start()].strip()
+        required = False
+        nm = _re.search(r"\s+not\s+null\s*$", rest, _re.IGNORECASE)
+        if nm:
+            required = True
+            rest = rest[:nm.start()].strip()
+        fields.append(NestedField(0, name, _sql_type_def(rest),
+                                  required, doc))
+    if not fields:
+        raise ValueError(f"empty struct type: {s!r}")
+    return StructTypeDef(tuple(fields))
+
+
+def _assign_fresh_ids(fields: list) -> list:
+    """Sequential unique ids across a whole new-schema tree (CREATE
+    TABLE path; the evolution plane re-ids ALTER adds itself)."""
+    from linkedin_iceberg_spark.schema import (ListTypeDef, MapTypeDef,
+                                               NestedField, StructTypeDef)
+    counter = [0]
+
+    def nid() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def walk(t):
+        if isinstance(t, StructTypeDef):
+            return StructTypeDef(tuple(
+                NestedField(nid(), f.name, walk(f.type), f.required,
+                            f.doc) for f in t.fields))
+        if isinstance(t, ListTypeDef):
+            return ListTypeDef(nid(), walk(t.element), t.element_required)
+        if isinstance(t, MapTypeDef):
+            return MapTypeDef(nid(), walk(t.key), nid(), walk(t.value),
+                              t.value_required)
+        return t
+
+    out = []
+    for f in fields:
+        fid = nid()
+        out.append(NestedField(fid, f.name, walk(f.type), f.required,
+                               f.doc))
+    return out
+
+
 def _cut_balanced(text: str) -> tuple:
     """`text` starts just after an opening '(' — return (inner, rest)
     where `inner` is the balanced content and `rest` follows the close."""
@@ -1252,21 +1348,21 @@ class Catalog:
                 return status("create_table", "skipped: exists")
             from linkedin_iceberg_spark.schema import NestedField
             fields = []
-            for i, part in enumerate(_split_top_level_commas(col_text)):
+            for part in _split_type_commas(col_text):
                 cm = re.match(
-                    rf"({ident})\s+(\S+(?:\s*\([^)]*\))?)"
+                    rf"({ident})\s+(.+?)"
                     rf"(\s+not\s+null)?(?:\s+comment\s+'((?:[^']|'')*)')?"
-                    rf"\s*$", part.strip(), re.IGNORECASE)
+                    rf"\s*$", part.strip(), re.IGNORECASE | re.DOTALL)
                 if not cm:
                     raise ValueError(f"malformed column definition: "
                                      f"{part.strip()!r}")
                 fields.append(NestedField(
-                    i + 1, cm.group(1),
-                    _sql_type_to_engine(cm.group(2)),
+                    0, cm.group(1),
+                    _sql_type_def(cm.group(2)),
                     required=bool(cm.group(3)),
                     doc=cm.group(4).replace("''", "'")
                     if cm.group(4) else None))
-            schema = Schema(fields)
+            schema = Schema(_assign_fresh_ids(fields))
             tail = re.sub(rf"^\s*using\s+{ident}", "", tail,
                           flags=re.IGNORECASE)
             spec, props = None, None
@@ -1551,17 +1647,58 @@ class Catalog:
         a = re.match(rf"add\s+columns?\s+(.+)$", body,
                      re.IGNORECASE | re.DOTALL)
         if a:
+            # full ADD COLUMN grammar (ref: spark3/.../sql/
+            # TestAlterTable.java:60 NOT NULL rejected, :65 struct type
+            # + AFTER, :78 nested add + COMMENT + FIRST): per column
+            #   name TYPE [NOT NULL] [COMMENT '...'] [FIRST | AFTER c]
+            # Moves commit as a second schema update — SchemaUpdate
+            # resolves move targets against the pre-update schema, so a
+            # just-added column is movable only after its add commits.
+            text = a.group(1).strip()
+            if text.startswith("(") and text.endswith(")"):
+                text = text[1:-1]
             up = t.update_schema()
-            cols = []
-            for part in re.split(r"\s*,\s*", a.group(1).strip()):
+            cols, moves = [], []
+            for part in _split_type_commas(text):
+                part = part.strip()
+                pos = None
+                pm = re.search(rf"\s+(first|after\s+({ident}"
+                               rf"(?:\.{ident})*))\s*$", part,
+                               re.IGNORECASE)
+                if pm:
+                    pos = ("first", None) if pm.group(1).lower() == \
+                        "first" else ("after", pm.group(2))
+                    part = part[:pm.start()]
+                doc = None
+                cm = re.search(r"\s+comment\s+'((?:[^']|'')*)'\s*$",
+                               part, re.IGNORECASE)
+                if cm:
+                    doc = cm.group(1).replace("''", "'")
+                    part = part[:cm.start()]
+                required = False
+                nm = re.search(r"\s+not\s+null\s*$", part, re.IGNORECASE)
+                if nm:
+                    required = True
+                    part = part[:nm.start()]
                 cm = re.match(rf"({ident}(?:\.{ident})*)\s+(\S.*)$",
-                              part.strip(), re.IGNORECASE)
+                              part.strip(), re.IGNORECASE | re.DOTALL)
                 if not cm:
                     raise ValueError(f"malformed ADD COLUMN: {part!r}")
-                up.add_column(cm.group(1),
-                              _sql_type_to_engine(cm.group(2)))
+                up.add_column(cm.group(1), _sql_type_def(cm.group(2)),
+                              doc=doc, required=required)
                 cols.append(cm.group(1))
+                if pos:
+                    moves.append((cm.group(1), pos))
             up.commit()
+            if moves:
+                t.refresh()
+                up2 = t.update_schema()
+                for name, (kind, other) in moves:
+                    if kind == "first":
+                        up2.move_first(name)
+                    else:
+                        up2.move_after(name, other)
+                up2.commit()
             return status("alter_table", f"added={','.join(cols)}")
 
         a = re.match(rf"drop\s+columns?\s+({ident}(?:\.{ident})*)\s*$",

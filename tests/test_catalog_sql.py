@@ -671,3 +671,80 @@ def test_sql_call_snapshot_lineage_procs(catalog, spark, sf_dir):
     assert json.loads(st.detail)["imported_files_count"] >= 1
     assert catalog.load_table("db.proc2_snap").to_df().count() == \
         t.to_df().count()
+
+
+def test_sql_add_column_full_grammar(catalog):
+    """The reference's TestAlterTable ADD COLUMN shapes (r7): struct
+    types with NOT NULL fields, AFTER/FIRST positions, nested adds with
+    COMMENT, and the NOT-NULL-column rejection
+    (TestAlterTable.java:60,65,78)."""
+    from linkedin_iceberg_spark.schema import StructTypeDef
+
+    catalog.sql("CREATE TABLE db.nt (id BIGINT NOT NULL, data STRING) "
+                "USING iceberg")
+    t = catalog.load_table("db.nt")
+    assert t.schema.fields[0].required
+    assert not t.schema.fields[1].required
+
+    catalog.sql("ALTER TABLE db.nt ADD COLUMN point "
+                "struct<x: double NOT NULL, y: double NOT NULL> "
+                "AFTER id")
+    t.refresh()
+    names = t.schema.column_names()
+    assert names == ["id", "point", "data"]
+    point = t.schema.fields[1]
+    assert not point.required            # the column itself is optional
+    assert isinstance(point.type, StructTypeDef)
+    assert [(f.name, f.type, f.required) for f in point.type.fields] \
+        == [("x", "double", True), ("y", "double", True)]
+
+    catalog.sql("ALTER TABLE db.nt ADD COLUMN point.z double "
+                "COMMENT 'May be null' FIRST")
+    t.refresh()
+    zf = t.schema.fields[1].type.fields[0]
+    assert zf.name == "z" and zf.doc == "May be null" and not zf.required
+
+    with pytest.raises(ValueError, match="required column"):
+        catalog.sql("ALTER TABLE db.nt ADD COLUMN c3 INT NOT NULL")
+
+    # unique nested ids: highest id covers every nested field
+    ids = []
+
+    def walk(fields):
+        for f in fields:
+            ids.append(f.field_id)
+            if isinstance(f.type, StructTypeDef):
+                walk(f.type.fields)
+    walk(t.schema.fields)
+    assert len(ids) == len(set(ids))
+
+
+def test_sql_create_table_compound_types(catalog, spark):
+    catalog.sql("CREATE TABLE db.ct ("
+                "id BIGINT NOT NULL, "
+                "tags array<string>, "
+                "attrs map<string, bigint>, "
+                "pts array<struct<x: double, y: double NOT NULL>>, "
+                "meta struct<k: string COMMENT 'key', n: int>"
+                ") USING iceberg")
+    t = catalog.load_table("db.ct")
+    from linkedin_iceberg_spark.schema import (ListTypeDef, MapTypeDef,
+                                               StructTypeDef)
+    by = {f.name: f for f in t.schema.fields}
+    assert isinstance(by["tags"].type, ListTypeDef)
+    assert by["tags"].type.element == "string"
+    assert isinstance(by["attrs"].type, MapTypeDef)
+    assert (by["attrs"].type.key, by["attrs"].type.value) \
+        == ("string", "long")
+    inner = by["pts"].type.element
+    assert isinstance(inner, StructTypeDef)
+    assert inner.fields[1].required and not inner.fields[0].required
+    assert by["meta"].type.fields[0].doc == "key"
+    # the schema round-trips to Spark and accepts a matching write
+    rows = spark.createDataFrame(
+        [(1, ["a"], {"k": 2}, [(1.0, 2.0)], ("s", 3))],
+        t.schema.to_spark())
+    t.append(rows)
+    got = t.to_df().collect()[0]
+    assert got.id == 1 and got.tags == ["a"] and got.attrs == {"k": 2}
+    assert got.pts[0].y == 2.0 and got.meta.n == 3
