@@ -475,12 +475,21 @@ class Catalog:
 
     def create_table(self, name: str, schema: Union[Schema, "DataFrame"],
                      spec: Optional[PartitionSpec] = None,
-                     properties: Optional[dict] = None) -> Table:
+                     properties: Optional[dict] = None,
+                     location: Optional[str] = None) -> Table:
+        """`location` pins a custom physical directory (the SQL LOCATION
+        clause, ref: spark3/.../sql/TestCreateTable.java
+        testCreateTableLocation); the logical name maps to it through
+        catalog.json — the same remap plane renames use."""
         if isinstance(schema, DataFrame):
             schema = Schema.from_spark(schema.schema)
         if self.table_exists(name):
             raise AlreadyExistsError(f"table {name} already exists")
-        location = self._location_for_create(name)
+        if location:
+            location = os.path.abspath(
+                _re.sub(r"^file:(//)?", "", location))
+        else:
+            location = self._location_for_create(name)
         ops = TableOperations(location)
         spec = spec or PartitionSpec.unpartitioned()
         if spec.fields and spec.fields[0].source_name is None:
@@ -488,6 +497,13 @@ class Catalog:
         md = TableMetadata.new_table(location, schema, spec, properties)
         version = ops.commit(0, md)
         md._version = version  # type: ignore[attr-defined]
+        default = os.path.join(self.warehouse, *name.split("."))
+        if os.path.abspath(location) != os.path.abspath(default):
+            # record the mapping only after the metadata commit: a
+            # failed create must not leave a dangling catalog entry
+            mapping = self._catalog_map()
+            mapping[name] = location
+            self._write_catalog_map(mapping)
         return Table(self.spark, ops, md, version, name)
 
     def load_table(self, name: str) -> Table:
@@ -1380,7 +1396,21 @@ class Catalog:
                 for km, vm in re.findall(r"'((?:[^']|'')*)'\s*=\s*"
                                          r"'((?:[^']|'')*)'", ptext):
                     props[km.replace("''", "'")] = vm.replace("''", "'")
-            self.create_table(tname, schema, spec=spec, properties=props)
+            # COMMENT 'Table doc' -> the 'comment' property; LOCATION
+            # '...' pins the physical dir (ref: spark3/.../sql/
+            # TestCreateTable.java testCreateTableComment/Location)
+            cm2 = re.search(r"\bcomment\s+'((?:[^']|'')*)'", tail,
+                            re.IGNORECASE)
+            if cm2:
+                props = dict(props or {})
+                props["comment"] = cm2.group(1).replace("''", "'")
+            loc = None
+            lm = re.search(r"\blocation\s+'((?:[^']|'')*)'", tail,
+                           re.IGNORECASE)
+            if lm:
+                loc = lm.group(1).replace("''", "'")
+            self.create_table(tname, schema, spec=spec, properties=props,
+                              location=loc)
             return status("create_table",
                           f"columns={len(fields)}"
                           + (f",partitioned_by={len(spec.fields)}"

@@ -748,3 +748,24 @@ def test_sql_create_table_compound_types(catalog, spark):
     got = t.to_df().collect()[0]
     assert got.id == 1 and got.tags == ["a"] and got.attrs == {"k": 2}
     assert got.pts[0].y == 2.0 and got.meta.n == 3
+
+
+def test_sql_create_table_comment_and_location(catalog, spark, tmp_path):
+    """CREATE TABLE ... COMMENT 'Table doc' LOCATION '...' (ref:
+    TestCreateTable.java testCreateTableComment/testCreateTableLocation):
+    comment lands in properties, the physical dir is the pinned one, and
+    the logical name keeps resolving through catalog.json."""
+    loc = str(tmp_path / "custom_spot")
+    catalog.sql(f"CREATE TABLE db.cl (id BIGINT, data STRING) "
+                f"USING iceberg COMMENT 'Table doc' LOCATION '{loc}'")
+    t = catalog.load_table("db.cl")
+    assert t.properties.get("comment") == "Table doc"
+    assert os.path.isdir(os.path.join(loc, "metadata"))
+    catalog.sql("INSERT INTO db.cl VALUES (1, 'a'), (2, 'b')")
+    t.refresh()
+    assert t.to_df().count() == 2
+    # every data file lives under the pinned location
+    for e in t._live_data_and_deletes()[0]:
+        assert e.data_file.file_path.startswith(os.path.abspath(loc))
+    assert catalog.drop_table("db.cl")
+    assert not catalog.table_exists("db.cl")
