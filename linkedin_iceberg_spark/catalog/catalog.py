@@ -2017,6 +2017,26 @@ class Catalog:
         return status("create_materialized_view",
                       f"keys={','.join(keys)},aggs={len(spec_aggs)}")
 
+    _PROC_ARG_ORDER_DEF = {
+        "rewrite_data_files": ("table",),
+        "rewrite_manifests": ("table",),
+        "rewrite_position_deletes": ("table",),
+        "remove_dangling_deletes": ("table",),
+        "expire_snapshots": ("table", "older_than"),
+        "remove_orphan_files": ("table", "older_than"),
+        "rollback_to_snapshot": ("table", "snapshot_id"),
+        "rollback_to_timestamp": ("table", "timestamp"),
+        "set_current_snapshot": ("table", "snapshot_id"),
+        "cherrypick_snapshot": ("table", "snapshot_id"),
+        "publish_changes": ("table", "wap_id"),
+        "fast_forward": ("table", "branch"),
+        "analyze_table": ("table", "columns"),
+        "ancestors_of": ("table", "snapshot_id"),
+        "add_files": ("table", "source_table", "format"),
+        "migrate": ("table", "location"),
+        "snapshot": ("source_table", "table"),
+    }
+
     def _sql_call(self, query: str):
         """CALL <procedure>('db.t' [, args...]) -> the maintenance /
         snapshot-management actions, spelled like the Spark procedures
@@ -2053,18 +2073,51 @@ class Catalog:
         args, pos = [], 0
         body = m.group(2).strip()
         # token-wise parse ('' = escaped quote), so a quoted argument
-        # may itself contain commas ('col1,col2')
-        tok = re.compile(r"\s*(?:'((?:[^']|'')*)'|(-?\d+))\s*(?:,|$)")
+        # may itself contain commas ('col1,col2').  Both spellings of
+        # the Spark procedure syntax are accepted: positional
+        # (CALL p('db.t', 123)) and named (CALL p(table => 'db.t',
+        # snapshot_id => 123)) — named arguments follow each
+        # procedure's documented parameter order below, with `table`
+        # always first (ref: spark/.../procedures/*Procedure PARAMETERS
+        # arrays; our orders match the positional forms above).
+        tok = re.compile(
+            r"\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*=>\s*)?"
+            r"(?:'((?:[^']|'')*)'|(-?\d+))\s*(?:,|$)")
+        named = {}
         while pos < len(body):
             mm = tok.match(body, pos)
             if not mm:
                 raise ValueError(f"CALL argument must be a quoted string "
                                  f"or integer at: {body[pos:]!r}")
-            if mm.group(1) is not None:
-                args.append(mm.group(1).replace("''", "'"))
+            val = mm.group(2).replace("''", "'") \
+                if mm.group(2) is not None else int(mm.group(3))
+            if mm.group(1):
+                named[mm.group(1).lower()] = val
+            elif named:
+                raise ValueError("positional CALL argument after a "
+                                 "named one")
             else:
-                args.append(int(mm.group(2)))
+                args.append(val)
             pos = mm.end()
+        if named:
+            order = self._PROC_ARG_ORDER_DEF.get(proc)
+            if order is None:
+                raise ValueError(f"procedure {proc!r} does not accept "
+                                 f"named arguments")
+            unknown = set(named) - set(order)
+            if unknown:
+                raise ValueError(f"unknown argument(s) for {proc}: "
+                                 f"{sorted(unknown)} (takes {order})")
+            # named args must fill the parameter slots RIGHT AFTER any
+            # positional ones, gap-free (the dispatch below is
+            # order-based)
+            want = list(order[len(args):len(args) + len(named)])
+            if sorted(named) != sorted(want):
+                raise ValueError(
+                    f"named arguments for {proc} must cover "
+                    f"{want or 'no remaining slots'}, got "
+                    f"{sorted(named)}")
+            args.extend(named[k] for k in want)
         if not args or not isinstance(args[0], str):
             raise ValueError("CALL needs the table name as its first "
                              "(quoted) argument")

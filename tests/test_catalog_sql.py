@@ -769,3 +769,36 @@ def test_sql_create_table_comment_and_location(catalog, spark, tmp_path):
         assert e.data_file.file_path.startswith(os.path.abspath(loc))
     assert catalog.drop_table("db.cl")
     assert not catalog.table_exists("db.cl")
+
+
+def test_sql_call_named_arguments(catalog, spark, sf_dir):
+    """CALL with the procedure syntax's named arguments (k => v),
+    interchangeable with positional and mixable after them (r7)."""
+    import json
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.np", orders)
+    t.append(orders.limit(30))
+    sid1 = t.metadata.current_snapshot_id
+    t.append(orders.limit(10))
+    sid2 = t.metadata.current_snapshot_id
+
+    st = catalog.sql("CALL rollback_to_snapshot(table => 'db.np', "
+                     f"snapshot_id => {sid1})").collect()[0]
+    assert json.loads(st.detail)["current_snapshot_id"] == sid1
+    # mixed: positional table + named rest
+    st = catalog.sql(f"CALL set_current_snapshot('db.np', "
+                     f"snapshot_id => {sid2})").collect()[0]
+    assert json.loads(st.detail)["current_snapshot_id"] == sid2
+    # named in declaration order regardless of spelling order
+    anc = catalog.sql(f"CALL ancestors_of(snapshot_id => {sid1}, "
+                      "table => 'db.np')").collect()
+    assert [r.snapshot_id for r in anc] == [sid1]
+
+    with pytest.raises(ValueError, match="unknown argument"):
+        catalog.sql("CALL rollback_to_snapshot(table => 'db.np', "
+                    "nope => 3)")
+    with pytest.raises(ValueError, match="must cover"):
+        catalog.sql("CALL rollback_to_snapshot(snapshot_id => 3)")
+    with pytest.raises(ValueError, match="positional CALL argument"):
+        catalog.sql(f"CALL rollback_to_snapshot(table => 'db.np', {sid1})")
