@@ -1912,6 +1912,84 @@ def stats_exact_quantiles(spark, sf_dir):
                            group_col="lang", id_col="doc_id")
 
 
+@q("pipeline_quality_gate", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS lst
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(lst) AS w, unnest(range(len(lst))) AS p FROM toks
+),
+uni AS (SELECT w, count(*) AS c1 FROM pos GROUP BY w),
+v AS (SELECT count(*) AS V FROM uni),
+bi AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+  FROM pos
+),
+doc_bi AS (
+  SELECT doc_id, w1, w2, count(*) AS m
+  FROM bi WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2
+),
+corpus_bi AS (SELECT w1, w2, sum(m) AS c2 FROM doc_bi GROUP BY w1, w2),
+sc AS (
+  SELECT d.doc_id, sum(d.m) AS n,
+         sum(d.m * ((1000000 * (cb.c2 + 1)) // (u.c1 + v.V))) AS s
+  FROM doc_bi d
+  JOIN corpus_bi cb ON d.w1 = cb.w1 AND d.w2 = cb.w2
+  JOIN uni u ON u.w = d.w1
+  CROSS JOIN v
+  GROUP BY d.doc_id
+),
+scored AS (
+  SELECT doc.doc_id, doc.lang,
+         CAST(coalesce(sc.s // sc.n, 0) AS BIGINT) AS lm_score_micro
+  FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id
+),
+ranked AS (
+  SELECT lang, lm_score_micro,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY lm_score_micro, doc_id) AS rk
+  FROM scored
+),
+cnt AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang),
+thr AS (
+  SELECT r.lang, r.lm_score_micro AS cut
+  FROM ranked r JOIN cnt c ON c.lang = r.lang
+  WHERE r.rk = greatest(1, (10 * c.n + 99) // 100)
+)
+SELECT s.doc_id, s.lang, s.lm_score_micro
+FROM scored s JOIN thr ON thr.lang = s.lang
+WHERE s.lm_score_micro >= thr.cut
+ORDER BY s.doc_id""")
+def pipeline_quality_gate(spark, sf_dir):
+    """The Gopher/CCNet quality-gate composition, end to end in one
+    plan: self-trained bigram-LM quality scores (integer-exact) ->
+    per-language EXACT 10th-percentile thresholds (`exact_quantiles`)
+    -> keep documents at or above their language's cut.  The release-
+    manifest shape: both the score and the threshold replay bit-for-bit
+    in a second engine, so the kept-set is auditable.  Scale: the LM
+    plan's shuffles + one per-lang window for the threshold + a
+    |langs|-row broadcast join for the gate."""
+    from linkedin_iceberg_spark.operators.quantiles import \
+        exact_quantiles
+    from linkedin_iceberg_spark.operators.text import lm_bigram_score
+
+    d = ld(spark, sf_dir, "documents")
+    scored = (lm_bigram_score(d, text_col="text", id_col="doc_id")
+              .join(d.select("doc_id", "lang"), "doc_id")
+              .select("doc_id", "lang", "lm_score_micro"))
+    thr = (exact_quantiles(scored, "lm_score_micro", pcts=(10,),
+                           group_col="lang", id_col="doc_id")
+           .select("lang", F.col("quantile_value").alias("_cut")))
+    return (scored.join(F.broadcast(thr), "lang")
+            .filter(F.col("lm_score_micro") >= F.col("_cut"))
+            .select("doc_id", "lang", "lm_score_micro")
+            .orderBy("doc_id"))
+
+
 @q("similarity_hybrid_rrf", """
 WITH kw AS (
   SELECT doc_id,

@@ -316,6 +316,12 @@ CONTRACTS = {
         # and the argmin window partitions per doc over |labels| rows
         ["HashAggregate", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "pipeline_quality_gate": (
+        # LM scoring's map-side-combinable aggs + per-doc window, one
+        # per-lang threshold window, and a |langs|-row broadcast gate
+        # join; integer math stays in codegen
+        ["HashAggregate", "Window", "BroadcastHashJoin", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "stats_exact_quantiles": (
         # grouped rank via per-group window sort (groups are the
         # parallel unit); the |groups| x |pcts| target table broadcasts
