@@ -719,7 +719,8 @@ def hybrid_rrf_topk(docs: DataFrame, embs: DataFrame, query_terms: list,
                     rrf_k: int = 60, id_col: str = "doc_id",
                     text_col: str = "text", emb_id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    vec_index=None, n_probe: int = None) -> DataFrame:
+                    vec_index=None, n_probe: int = None,
+                    kw_index=None) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
     SIGIR'09): a keyword channel (query-term overlap count) and an
     embedding channel (exact cosine) each nominate their top-``pool``
@@ -748,20 +749,36 @@ def hybrid_rrf_topk(docs: DataFrame, embs: DataFrame, query_terms: list,
     value-identical to the exact scan — the knn_join
     converges-to-exact contract — so the exact mode stays the oracle's
     replay path while production sizes n_probe for the recall/IO trade.
+    Pass ``kw_index`` (a persisted inverted index from
+    keyword.keyword_index_table, token-bucket-partitioned) and the
+    keyword channel likewise prunes to the query terms' buckets' files,
+    with VALUE-IDENTICAL scores (distinct matched-term counts) — both
+    serving channels then run off persisted, file-pruned indexes.
 
     Returns (id, kw_rank, vec_rank, rrf_score) top-``k``."""
     from pyspark.sql import Window as W
 
-    terms = F.array(*[F.lit(t) for t in query_terms])
-    kw = (docs.select(
-            F.col(id_col),
-            F.size(F.array_intersect(
-                F.array_distinct(F.split(F.lower(F.col(text_col)),
-                                         "[^a-z0-9]+")), terms))
-            .alias("kw_score"))
-          .filter(F.col("kw_score") > 0)
-          .orderBy(F.col("kw_score").desc(), F.col(id_col))
-          .limit(pool))
+    if kw_index is not None:
+        # index-backed keyword channel (r7): postings partitioned by
+        # token bucket — scan planning prunes to the query terms'
+        # buckets' FILES; value-identical to the exact scan below
+        # (distinct matched-term counts either way), so the exact mode
+        # stays the oracle's replay path (docs is then ignored)
+        from linkedin_iceberg_spark.operators.keyword import (
+            keyword_topk_from_table)
+        kw = keyword_topk_from_table(kw_index, query_terms, pool,
+                                     id_col=id_col)
+    else:
+        terms = F.array(*[F.lit(t) for t in query_terms])
+        kw = (docs.select(
+                F.col(id_col),
+                F.size(F.array_intersect(
+                    F.array_distinct(F.split(F.lower(F.col(text_col)),
+                                             "[^a-z0-9]+")), terms))
+                .alias("kw_score"))
+              .filter(F.col("kw_score") > 0)
+              .orderBy(F.col("kw_score").desc(), F.col(id_col))
+              .limit(pool))
     if vec_index is not None:
         cents = ivf_centroids(vec_index)
         vec = ivf_topk_from_table(

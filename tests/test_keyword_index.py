@@ -1,0 +1,83 @@
+"""r7: the persisted inverted keyword index — the keyword channel's
+serving shape: token-bucket-partitioned postings, file-level pruning
+for a query's terms, value-identical scores to the exact corpus scan
+(the converges-to-exact contract), and incremental append."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.expressions import in_
+from linkedin_iceberg_spark.operators.keyword import (
+    keyword_index_append, keyword_index_table, keyword_topk_from_table,
+    term_bucket)
+from linkedin_iceberg_spark.operators.similarity import hybrid_rrf_topk
+
+TERMS = ["spark", "query", "data", "filter"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _exact_channel(d, terms, pool):
+    t = F.array(*[F.lit(x) for x in terms])
+    return (d.select(
+        "doc_id",
+        F.size(F.array_intersect(
+            F.array_distinct(F.split(F.lower(F.col("text")),
+                                     "[^a-z0-9]+")), t))
+        .alias("kw_score"))
+        .filter(F.col("kw_score") > 0)
+        .orderBy(F.col("kw_score").desc(), "doc_id")
+        .limit(pool))
+
+
+def test_index_channel_equals_exact_scan(catalog, spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    idx = keyword_index_table(catalog, "db.kwidx", d)
+    got = keyword_topk_from_table(idx, TERMS, pool=50).collect()
+    want = _exact_channel(d, TERMS, 50).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_query_prunes_to_term_buckets(catalog, spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    idx = keyword_index_table(catalog, "db.kwidx_p", d, n_buckets=16)
+    buckets = sorted({term_bucket(t, 16) for t in TERMS})
+    all_files = idx.new_scan().plan_files()
+    pruned = idx.new_scan().filter(in_("bucket", buckets)).plan_files()
+    assert len(pruned) < len(all_files)
+    assert {t.file.partition["bucket"] for t in pruned} <= set(buckets)
+
+
+def test_incremental_append_extends_results(catalog, spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    first = d.filter("doc_id % 2 = 0")
+    rest = d.filter("doc_id % 2 = 1")
+    idx = keyword_index_table(catalog, "db.kwidx_a", first)
+    n0 = int(idx.properties["kw.indexed-count"])
+    keyword_index_append(idx, rest)
+    idx.refresh()
+    assert int(idx.properties["kw.indexed-count"]) == n0 + rest.count()
+    got = keyword_topk_from_table(idx, TERMS, pool=50).collect()
+    want = _exact_channel(d, TERMS, 50).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_hybrid_rrf_with_kw_index_equals_exact(catalog, spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    idx = keyword_index_table(catalog, "db.kwidx_h", d)
+    exact = hybrid_rrf_topk(d, e, TERMS, qv, k=10, pool=50)
+    via_idx = hybrid_rrf_topk(None, e, TERMS, qv, k=10, pool=50,
+                              kw_index=idx)
+    assert [tuple(r) for r in via_idx.collect()] == \
+        [tuple(r) for r in exact.collect()]
+
+
+def test_empty_terms_rejected(catalog, spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    idx = keyword_index_table(catalog, "db.kwidx_e", d.limit(10))
+    with pytest.raises(ValueError, match="non-empty term"):
+        keyword_topk_from_table(idx, ["", None], pool=5)

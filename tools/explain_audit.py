@@ -316,6 +316,13 @@ CONTRACTS = {
         # and the argmin window partitions per doc over |labels| rows
         ["HashAggregate", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "similarity_keyword_index": (
+        # postings read off the persisted index's parquet (bucket
+        # pruning itself is pinned by plan_files counts in
+        # tests/test_keyword_index.py), match-count aggregation, and a
+        # TakeOrdered pool — no global sort, no Python
+        ["Scan parquet", "HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "pipeline_quality_gate": (
         # LM scoring's map-side-combinable aggs + per-doc window, one
         # per-lang threshold window, and a |langs|-row broadcast gate

@@ -111,6 +111,13 @@ PROBE_QUERIES = [
     # scales), not base size, so the probe expectation is ~flat beyond
     # the base build
     "table_sql_mview",
+    # r7 session 2: the classifier (tokenize + tiny centroid broadcast,
+    # expected ~linear), the per-group order-statistics quantiles (one
+    # window sort per lang), and the composed quality gate (LM score +
+    # threshold window + broadcast gate — the LM plan dominates)
+    "text_rocchio_classify",
+    "stats_exact_quantiles",
+    "pipeline_quality_gate",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
