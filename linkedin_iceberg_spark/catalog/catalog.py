@@ -1206,6 +1206,35 @@ class Catalog:
             t.delete_where(always_true())
             return status("delete", n)
 
+        m = re.match(rf"\s*delete\s+from\s+({dotted})\s+where\s+"
+                     rf"({ident})\s+in\s*\(\s*(select\b.+)\)\s*;?\s*$",
+                     query, re.IGNORECASE | re.DOTALL)
+        if m:
+            # DELETE ... WHERE col IN (SELECT ...): the subquery result
+            # becomes an EQUALITY-DELETE file (one sequence-scoped
+            # RowDelta commit, no copy-on-write of untouched files) —
+            # the reference's engine-delegated row-level delete shape.
+            # The subquery may read any engine table, including the
+            # target itself (keys materialize before the commit).  IN
+            # semantics: NULL keys match nothing.
+            t = self.load_table(m.group(1))
+            col = m.group(2)
+            if col not in t.schema.column_names():
+                raise ValueError(f"DELETE key {col!r} is not a column "
+                                 f"of {m.group(1)}")
+            keys = self.sql(m.group(3).strip())
+            if len(keys.columns) != 1:
+                raise ValueError("IN (SELECT ...) must produce exactly "
+                                 f"one column, got {keys.columns}")
+            keys = keys.toDF(col).filter(F.col(col).isNotNull()) \
+                .distinct()
+            # matched rows BEFORE the commit (the rows_affected
+            # contract); a semi-join count, since arbitrary keys have
+            # no metadata pushdown
+            n = t.to_df().join(keys, col, "left_semi").count()
+            t.row_delta(equality_delete_keys=keys, key_cols=[col])
+            return status("delete", n)
+
         m = re.match(rf"\s*delete\s+from\s+({dotted})\s+where\s+(.+)",
                      query, re.IGNORECASE | re.DOTALL)
         if m:

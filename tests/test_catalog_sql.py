@@ -802,3 +802,37 @@ def test_sql_call_named_arguments(catalog, spark, sf_dir):
         catalog.sql("CALL rollback_to_snapshot(snapshot_id => 3)")
     with pytest.raises(ValueError, match="positional CALL argument"):
         catalog.sql(f"CALL rollback_to_snapshot(table => 'db.np', {sid1})")
+
+
+def test_sql_delete_where_in_subquery(cat, spark):
+    """DELETE ... WHERE col IN (SELECT ...) routes to an equality-delete
+    RowDelta (no copy-on-write), keys may come from any engine table
+    including the target itself (r7)."""
+    t = cat.load_table("db.orders")
+    before = t.to_df().count()
+    want_gone = t.to_df().filter(
+        "o_orderpriority = '1-URGENT' AND o_orderkey < 200").count()
+    st = cat.sql(
+        "DELETE FROM db.orders WHERE o_orderkey IN "
+        "(SELECT o_orderkey FROM db.orders "
+        " WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 200)"
+    ).collect()[0]
+    assert st["operation"] == "delete"
+    assert int(st["rows_affected"]) == want_gone
+    t.refresh()
+    assert t.to_df().count() == before - want_gone
+    assert t.to_df().filter(
+        "o_orderpriority = '1-URGENT' AND o_orderkey < 200").count() == 0
+    # the commit is a RowDelta (delete files), not a rewrite
+    assert t.metadata.current_snapshot.summary.get(
+        "added-delete-files", "0") != "0"
+    # keys from ANOTHER table
+    n_nat = cat.sql(
+        "DELETE FROM db.orders WHERE o_custkey IN "
+        "(SELECT n_nationkey FROM db.nation WHERE n_nationkey < 5)"
+    ).collect()[0]
+    t.refresh()
+    assert t.to_df().filter("o_custkey < 5").count() == 0
+    with pytest.raises(ValueError, match="not a column"):
+        cat.sql("DELETE FROM db.orders WHERE nope IN "
+                "(SELECT n_nationkey FROM db.nation)")
