@@ -1250,6 +1250,38 @@ class Catalog:
             t.delete_where(expr)
             return status("delete", n)
 
+        m = re.match(rf"\s*update\s+({dotted})\s+set\s+(.+?)\s+where\s+"
+                     rf"({ident})\s+in\s*\(\s*(select\b.+)\)\s*;?\s*$",
+                     query, re.IGNORECASE | re.DOTALL)
+        if m:
+            # UPDATE ... WHERE col IN (SELECT ...): routed through the
+            # MERGE operator (matched-update only, ONE sequence-scoped
+            # RowDelta commit).  SET expressions see the target's
+            # columns; reference the KEY column as t.<col> (unqualified
+            # it is ambiguous against the key set's side of the join).
+            from linkedin_iceberg_spark.catalog.row_delta import merge
+            t = self.load_table(m.group(1))
+            col = m.group(3)
+            if col not in t.schema.column_names():
+                raise ValueError(f"UPDATE key {col!r} is not a column "
+                                 f"of {m.group(1)}")
+            keys = self.sql(m.group(4).strip())
+            if len(keys.columns) != 1:
+                raise ValueError("IN (SELECT ...) must produce exactly "
+                                 f"one column, got {keys.columns}")
+            keys = keys.toDF(col).filter(F.col(col).isNotNull()) \
+                .distinct()
+            assigns = {}
+            for part in _split_top_level_commas(m.group(2)):
+                c, _, val = part.partition("=")
+                if not c.strip() or not val.strip():
+                    raise ValueError(f"malformed SET clause: {part!r}")
+                assigns[c.strip()] = F.expr(val.strip())
+            n = t.to_df().join(keys, col, "left_semi").count()
+            merge(t, keys, key_cols=[col], matched_update=assigns,
+                  insert_unmatched=False)
+            return status("update", n)
+
         m = re.match(rf"\s*update\s+({dotted})\s+set\s+(.+?)"
                      rf"(?:\s+where\s+(.+))?\s*;?\s*$",
                      query, re.IGNORECASE | re.DOTALL)

@@ -836,3 +836,26 @@ def test_sql_delete_where_in_subquery(cat, spark):
     with pytest.raises(ValueError, match="not a column"):
         cat.sql("DELETE FROM db.orders WHERE nope IN "
                 "(SELECT n_nationkey FROM db.nation)")
+
+
+def test_sql_update_where_in_subquery(cat, spark):
+    """UPDATE ... WHERE col IN (SELECT ...) routes through MERGE
+    (matched-update only, one RowDelta commit) (r7)."""
+    t = cat.load_table("db.orders")
+    want = {r.o_orderkey: round(r.o_totalprice * 3, 4) for r in
+            t.to_df().filter("o_custkey < 10 AND o_orderkey < 500")
+            .collect()}
+    st = cat.sql(
+        "UPDATE db.orders SET o_totalprice = round(o_totalprice * 3, 4) "
+        "WHERE o_orderkey IN (SELECT o_orderkey FROM db.orders "
+        "  WHERE o_custkey < 10 AND o_orderkey < 500)").collect()[0]
+    assert st["operation"] == "update"
+    assert int(st["rows_affected"]) == len(want)
+    t.refresh()
+    got = {r.o_orderkey: round(r.o_totalprice, 4) for r in
+           t.to_df().filter("o_custkey < 10 AND o_orderkey < 500")
+           .collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="not a column"):
+        cat.sql("UPDATE db.orders SET o_totalprice = 0 WHERE zz IN "
+                "(SELECT n_nationkey FROM db.nation)")
