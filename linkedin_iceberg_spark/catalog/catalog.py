@@ -1365,6 +1365,8 @@ class Catalog:
               MINUTES]
             ALTER TABLE db.t REPLACE BRANCH|TAG name AS OF VERSION n
             ALTER TABLE db.t DROP BRANCH|TAG [IF EXISTS] name
+            ALTER TABLE db.t SET IDENTIFIER FIELDS a [, b ...]
+            ALTER TABLE db.t DROP IDENTIFIER FIELDS a [, b ...]
 
         Schema changes go through the evolution plane (field ids
         preserved, promotions validated) and partition-field changes
@@ -1723,6 +1725,9 @@ class Catalog:
                 from linkedin_iceberg_spark.catalog.metadata import (
                     FORMAT_VERSION)
                 rows.append(("Format Version", str(FORMAT_VERSION), ""))
+                if t.identifier_fields:
+                    rows.append(("Identifier Fields",
+                                 ",".join(t.identifier_fields), ""))
                 for k in sorted(t.properties):
                     rows.append((f"prop:{k}", t.properties[k], ""))
             return self.spark.createDataFrame(
@@ -1864,6 +1869,32 @@ class Catalog:
             t.update_properties(remove=keys)
             return status("alter_table",
                           f"unset={','.join(sorted(keys))}")
+
+        a = re.match(rf"set\s+identifier\s+fields\s+"
+                     rf"({ident}(?:\s*,\s*{ident})*)\s*$", body,
+                     re.IGNORECASE)
+        if a:
+            # the Spark SQL extension's row-identity DDL (ref: the v2
+            # spec's identifier-field-ids; Table.set_identifier_fields
+            # enforces required/primitive/non-float)
+            names = [c.strip() for c in a.group(1).split(",")]
+            t.set_identifier_fields(names)
+            return status("alter_table",
+                          f"identifier_fields={','.join(names)}")
+
+        a = re.match(rf"drop\s+identifier\s+fields\s+"
+                     rf"({ident}(?:\s*,\s*{ident})*)\s*$", body,
+                     re.IGNORECASE)
+        if a:
+            drop = {c.strip() for c in a.group(1).split(",")}
+            cur = t.identifier_fields
+            missing = drop - set(cur)
+            if missing:
+                raise ValueError(f"not identifier field(s): "
+                                 f"{sorted(missing)} (current: {cur})")
+            t.set_identifier_fields([c for c in cur if c not in drop])
+            return status("alter_table",
+                          f"identifier_fields_dropped={','.join(sorted(drop))}")
 
         a = re.match(
             r"(create\s+(?:or\s+replace\s+)?|replace\s+)"

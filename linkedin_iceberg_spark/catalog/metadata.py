@@ -106,6 +106,12 @@ class TableMetadata:
     # target snapshot is older than its limit is dropped by
     # expire_snapshots — the SnapshotRef maxRefAgeMs retention knob
     ref_ages: dict = field(default_factory=dict)
+    # row-identity field ids (ref: the v2 spec's schema
+    # identifier-field-ids and UpdateSchema.setIdentifierFields; kept
+    # at the metadata level — this engine has one current schema, and
+    # the ids survive schema evolution because evolution preserves
+    # field ids)
+    identifier_field_ids: list = field(default_factory=list)
 
     # -- accessors ----------------------------------------------------------
     @property
@@ -223,6 +229,7 @@ class TableMetadata:
             "staged-wap": self.staged_wap,
             "ref-types": self.ref_types,
             "ref-ages": self.ref_ages,
+            "identifier-field-ids": self.identifier_field_ids,
         }
 
     @classmethod
@@ -246,6 +253,7 @@ class TableMetadata:
             staged_wap=j.get("staged-wap", {}),
             ref_types=j.get("ref-types", {}),
             ref_ages=j.get("ref-ages", {}),
+            identifier_field_ids=j.get("identifier-field-ids", []),
         )
 
     @classmethod

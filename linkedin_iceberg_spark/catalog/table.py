@@ -1303,6 +1303,50 @@ class Table:
             raise ValueError(f"no snapshot as of {timestamp_ms}")
         return self.rollback_to(snap.snapshot_id)
 
+    def set_identifier_fields(self, names: list) -> "Table":
+        """Declare the table's row-identity columns (ref: the v2 spec's
+        schema identifier-field-ids / UpdateSchema.setIdentifierFields)
+        — the default key set for upsert-shaped consumers (the
+        streaming upsert sink reads them when key_cols is omitted).
+        Spec rules enforced: each field must exist, be a top-level-
+        addressable primitive, be REQUIRED (an identity that can be
+        NULL identifies nothing), and not be float/double (NaN breaks
+        equality).  An empty list clears them."""
+        ids = []
+        for name in names:
+            f = self.schema.find_field(name)
+            if f is None:
+                raise ValueError(f"no such column: {name!r}")
+            if not isinstance(f.type, str):
+                raise ValueError(f"identifier field {name!r} must be a "
+                                 f"primitive, not {type(f.type).__name__}")
+            if f.type in ("float", "double"):
+                raise ValueError(f"identifier field {name!r} cannot be "
+                                 f"{f.type} (NaN breaks identity)")
+            if not f.required:
+                raise ValueError(f"identifier field {name!r} must be "
+                                 "required (SET NOT NULL first)")
+            ids.append(f.field_id)
+
+        def do(base: TableMetadata):
+            import dataclasses
+            md = dataclasses.replace(base)
+            md.identifier_field_ids = list(ids)
+            return md
+
+        return self._commit_metadata_edit(do)
+
+    @property
+    def identifier_fields(self) -> list:
+        """Current identifier column NAMES (resolved through field ids,
+        so they survive renames)."""
+        out = []
+        for fid in self.metadata.identifier_field_ids:
+            f = self.schema.find_field(fid)
+            if f is not None:
+                out.append(f.name)
+        return out
+
     def create_tag(self, name: str, snapshot_id: Optional[int] = None,
                    replace: bool = False,
                    max_ref_age_ms: Optional[int] = None) -> "Table":

@@ -71,7 +71,7 @@ def foreach_batch_writer(table, query_id: Optional[str] = None) -> Callable:
 
 
 def upsert_batch_idempotent(table, df: DataFrame, epoch_id: int,
-                            key_cols: list,
+                            key_cols: Optional[list] = None,
                             version_cols: Optional[list] = None,
                             query_id: Optional[str] = None):
     """CDC apply: upsert df by key unless this (query, epoch) already
@@ -91,6 +91,16 @@ def upsert_batch_idempotent(table, df: DataFrame, epoch_id: int,
     from pyspark.sql import functions as F
 
     table.refresh()
+    if key_cols is None:
+        # default to the table's declared row identity (the v2 spec's
+        # identifier-field-ids, Table.set_identifier_fields) — the
+        # Flink-upsert convention: CDC keys live on the TABLE, not in
+        # every writer's config
+        key_cols = table.identifier_fields
+        if not key_cols:
+            raise ValueError(
+                "key_cols omitted and the table declares no identifier "
+                "fields (ALTER TABLE ... SET IDENTIFIER FIELDS)")
     if epoch_id in _committed_epochs(table, query_id):
         return table  # replayed batch: drop
     if version_cols:
