@@ -1912,6 +1912,42 @@ def stats_exact_quantiles(spark, sf_dir):
                            group_col="lang", id_col="doc_id")
 
 
+@q("join_interval_events", """
+SELECT w.event_id AS win_id,
+       CAST(count(*) AS BIGINT) AS n_clicks
+FROM events w
+JOIN events c
+  ON c.user_id = w.user_id
+ AND c.ts >= w.ts
+ AND c.ts < w.ts + INTERVAL 10 MINUTE
+WHERE w.event_type = 'error' AND c.event_type = 'click'
+GROUP BY w.event_id
+ORDER BY win_id""")
+def join_interval_events(spark, sf_dir):
+    """Point-in-interval join via `interval_join` — clicks inside each
+    error event's 10-minute window, per user.  Spelled naively this is
+    Spark's classic BroadcastNestedLoopJoin blow-up; the operator
+    manufactures bucket equi-keys (intervals replicated into covered
+    600 s buckets, points mapped to their one bucket) so the plan is a
+    hash join + residual range filter.  The oracle replays the naive
+    BETWEEN join — same pairs by construction."""
+    from linkedin_iceberg_spark.operators.joins import interval_join
+    e = ld(spark, sf_dir, "events")
+    ivs = (e.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("win_id"),
+                   F.col("user_id").alias("iuser"),
+                   F.col("ts").alias("lo"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                   .alias("hi")))
+    pts = (e.filter(F.col("event_type") == "click")
+           .select(F.col("event_id").alias("pid"), "user_id", "ts"))
+    j = interval_join(pts, ivs, "ts", "lo", "hi", bucket_width=600.0,
+                      by=[("user_id", "iuser")])
+    return (j.groupBy("win_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+            .orderBy("win_id"))
+
+
 @q("similarity_keyword_index", """
 WITH kw AS (
   SELECT doc_id,

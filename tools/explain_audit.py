@@ -316,6 +316,13 @@ CONTRACTS = {
         # and the argmin window partitions per doc over |labels| rows
         ["HashAggregate", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "join_interval_events": (
+        # the whole point: an EQUI join on manufactured bucket keys
+        # (broadcast at this sf; sort-merge at scale) with the range
+        # predicate residual — never a nested loop
+        ["Join", "HashAggregate"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"]),
     "similarity_keyword_index": (
         # postings read off the persisted index's parquet (bucket
         # pruning itself is pinned by plan_files counts in
