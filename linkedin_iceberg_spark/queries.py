@@ -1912,6 +1912,36 @@ def stats_exact_quantiles(spark, sf_dir):
                            group_col="lang", id_col="doc_id")
 
 
+@q("table_batch_source_read", """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 7 <> 0 AND o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey""")
+def table_batch_source_read(spark, sf_dir):
+    """The batch Python DataSource end to end:
+    spark.read.format("linkedin_iceberg") over an engine table carrying
+    a live equality-delete file, with a pushed filter — the reference's
+    DataSourceV2 read integration (IcebergSource/SparkBatchScan) as a
+    PySpark 4 Python DataSource.  The oracle replays the delete as a
+    predicate; the filter prunes at plan time and Spark re-applies it
+    row-level (sound by construction)."""
+    from linkedin_iceberg_spark.sources.batch_source import read_table
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        t = cat.create_table("q.bsrc", o)
+        t.append(o)
+        keys = o.filter((F.col("o_orderkey") % 7) == 0) \
+            .select("o_orderkey")
+        t.row_delta(equality_delete_keys=keys, key_cols=["o_orderkey"])
+
+    t = _cached_table(spark, sf_dir, "bsrc", build).load_table("q.bsrc")
+    df = read_table(spark, t)
+    return (df.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("join_interval_events", """
 SELECT w.event_id AS win_id,
        CAST(count(*) AS BIGINT) AS n_clicks

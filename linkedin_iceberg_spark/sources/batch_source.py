@@ -1,0 +1,301 @@
+"""Batch Python DataSource: ``spark.read.format("linkedin_iceberg")``.
+
+The reference IS a Spark DataSourceV2 integration (spark3/.../source/
+IcebergSource.java + SparkBatchScan.java: catalog-planned scans handed
+to Spark as input partitions, with filter pushdown at plan time).  This
+is the same integration re-expressed on PySpark 4's Python DataSource
+API — the batch sibling of streaming/source.py:
+
+* ``schema()``        -> the table's CURRENT schema (field-id mapped)
+* ``pushFilters()``   -> supported conjuncts become an engine row
+  filter: manifest pruning + file-metrics skipping happen at PLAN time
+  (SparkScanBuilder.java:101-130's pushFilters, ours in Python).  Every
+  filter is also RETURNED as unsupported, so Spark re-applies it above
+  the scan — metadata pruning is inclusive, re-application makes the
+  pushdown sound without a row-level residual in the worker.
+* ``partitions()``    -> one InputPartition per planned FileScanTask,
+  carrying PLAIN DATA ONLY (paths, column mappings, delete-file lists,
+  a pyarrow target schema): scan planning runs in Spark's planning
+  worker (the package ships via shipping.ship_package), and the row
+  ``read()`` needs nothing but pyarrow — the same self-containment
+  discipline as the stream reader.
+* ``read()``          -> pyarrow scan of one data file: position-delete
+  masks, equality-delete anti-joins, field-id column alignment
+  (renames, promotions via cast, dropped/added columns, identity
+  partition constants), yielding Arrow batches.
+
+Limits (documented, raise clearly): avro data files and nested-struct
+schema evolution need the richer local_read/to_df paths.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+SOURCE_NAME = "linkedin_iceberg"
+
+
+class _TaskPartition(InputPartition):
+    def __init__(self, spec: dict):
+        self.spec = spec
+
+
+def _filter_to_expr(f: Filter):
+    """One Spark Filter -> engine expression, or None when the shape
+    is not pushable (nested attribute, exotic value type...).  Only
+    used for PLAN-time pruning — unpushable filters simply prune
+    nothing (Spark re-applies them all)."""
+    from linkedin_iceberg_spark.expressions import (
+        eq, gt, gt_eq, in_, is_null, lt, lt_eq, not_null)
+    if len(f.attribute) != 1:
+        return None
+    name = f.attribute[0]
+    if isinstance(f, IsNull):
+        return is_null(name)
+    if isinstance(f, IsNotNull):
+        return not_null(name)
+    ok = (int, float, str, bool)
+    import datetime
+    ok = ok + (datetime.date, datetime.datetime)
+    if isinstance(f, In):
+        vals = [v for v in f.value if isinstance(v, ok)]
+        if len(vals) != len(f.value) or not vals:
+            return None
+        return in_(name, vals)
+    v = getattr(f, "value", None)
+    if not isinstance(v, ok):
+        return None
+    return {EqualTo: eq, GreaterThan: gt, GreaterThanOrEqual: gt_eq,
+            LessThan: lt, LessThanOrEqual: lt_eq}.get(type(f),
+            lambda *_: None)(name, v)
+
+
+class _TableBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.location = options["location"]
+        self.snapshot_id = int(options["snapshot_id"]) \
+            if options.get("snapshot_id") else None
+        self.ref = options.get("ref") or None
+        self.as_of_ms = int(options["as_of_ms"]) \
+            if options.get("as_of_ms") else None
+        self._expr = None
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        from linkedin_iceberg_spark.expressions import and_
+        expr = None
+        for f in filters:
+            try:
+                e = _filter_to_expr(f)
+            except Exception:
+                e = None
+            if e is not None:
+                expr = e if expr is None else and_(expr, e)
+        self._expr = expr
+        # every filter comes back "unsupported": pruning used them at
+        # plan time, Spark re-applies them row-level — always sound
+        return filters
+
+    # -- plan time (Spark planning worker; package shipped) --------------
+    def partitions(self):
+        from linkedin_iceberg_spark.catalog import manifests as M
+        from linkedin_iceberg_spark.catalog.local_read import type_to_arrow
+        from linkedin_iceberg_spark.catalog.metadata import TableOperations
+        from linkedin_iceberg_spark.catalog.table import Table
+        import pyarrow as pa
+
+        ops = TableOperations(self.location)
+        md = ops.refresh()
+        if md is None:
+            raise ValueError(f"no table at {self.location}")
+        t = Table(None, ops, md, getattr(md, "_version", 1))
+        scan = t.new_scan()
+        if self.ref:
+            scan = scan.use_ref(self.ref)
+        if self.snapshot_id:
+            scan = scan.use_snapshot(self.snapshot_id)
+        if self.as_of_ms:
+            scan = scan.as_of_time(self.as_of_ms)
+        if self._expr is not None:
+            scan = scan.filter(self._expr)
+        current = md.schema
+        target = pa.schema([pa.field(f.name, type_to_arrow(f.type),
+                                     nullable=not f.required)
+                            for f in current.fields])
+        parts = []
+        for task in scan.plan_files():
+            if task.file.file_format not in ("parquet", "orc"):
+                raise ValueError(
+                    f"{SOURCE_NAME} reads parquet/orc data files; "
+                    f"{task.file.file_format!r} needs local_read/to_df")
+            written = md.schema_by_id(task.file.schema_id)
+            file_spec = md.spec_by_id(task.file.spec_id)
+            consts = {}
+            for pf in file_spec.fields:
+                if pf.transform_str == "identity" and \
+                        pf.name in task.file.partition:
+                    consts[pf.source_id] = task.file.partition[pf.name]
+            out, read_cols = [], []
+            for f in current.fields:
+                wname = written.name_for_id(f.field_id)
+                if wname is not None:
+                    out.append((f.name, "col", wname))
+                    read_cols.append(wname)
+                elif f.field_id in consts:
+                    out.append((f.name, "const", consts[f.field_id]))
+                else:
+                    out.append((f.name, "null", None))
+            eq_deletes, pos_deletes = [], []
+            for d in task.deletes:
+                df_ = d.data_file
+                if df_.content == M.CONTENT_POSITION_DELETES:
+                    pos_deletes.append(df_.file_path)
+                else:
+                    dkeys = [current.name_for_id(i)
+                             for i in df_.equality_ids]
+                    wkeys = [written.name_for_id(i)
+                             for i in df_.equality_ids]
+                    if any(k is None for k in wkeys):
+                        raise ValueError(
+                            "equality delete on a column absent from "
+                            "the data file's written schema; use to_df")
+                    eq_deletes.append((df_.file_path, dkeys, wkeys))
+                    for w in wkeys:
+                        if w not in read_cols:
+                            read_cols.append(w)
+            parts.append(_TaskPartition({
+                "path": task.file.file_path,
+                "fmt": task.file.file_format,
+                "read_cols": read_cols,
+                "out": out,
+                "target": target,
+                "pos_deletes": pos_deletes,
+                "eq_deletes": eq_deletes,
+            }))
+        if not parts:
+            parts.append(_TaskPartition({"empty": True,
+                                         "target": target}))
+        return parts
+
+    # -- executor time (pyarrow only — no package import) -----------------
+    def read(self, partition: _TaskPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        s = partition.spec
+        target: "pa.Schema" = s["target"]
+        if s.get("empty"):
+            yield from pa.Table.from_pylist([], schema=target).to_batches()
+            return
+        if s["fmt"] == "orc":
+            from pyarrow import orc
+            tbl = orc.read_table(s["path"])
+            tbl = tbl.select([c for c in s["read_cols"]])
+        else:
+            tbl = pq.read_table(s["path"], columns=s["read_cols"])
+        dead: set = set()
+        for p in s["pos_deletes"]:
+            dt = pq.read_table(p, columns=["file_path", "pos"])
+            dead.update(dt.filter(pc.equal(dt["file_path"], s["path"])
+                                  )["pos"].to_pylist())
+        if dead:
+            # ONE mask over the original in-file positions — filtering
+            # per delete file would shift indices under later masks
+            tbl = tbl.filter(pa.array(
+                [i not in dead for i in range(len(tbl))]))
+        for (dpath, dkeys, wkeys) in s["eq_deletes"]:
+            dt = pq.read_table(dpath, columns=dkeys)
+            dead = set(zip(*[dt[k].to_pylist() for k in dkeys])) \
+                if len(dt) else set()
+            if not dead:
+                continue
+            cols = [tbl[w].to_pylist() for w in wkeys]
+            keep = pa.array([t not in dead for t in zip(*cols)]) \
+                if len(tbl) else pa.array([], type=pa.bool_())
+            tbl = tbl.filter(keep)
+        arrays = []
+        for (name, kind, v), field in zip(s["out"], target):
+            if kind == "col":
+                arr = tbl[v]
+                if arr.type != field.type:
+                    arr = pc.cast(arr, field.type)
+                arrays.append(arr)
+            elif kind == "const":
+                arrays.append(pa.array([v] * len(tbl), type=field.type))
+            else:
+                arrays.append(pa.nulls(len(tbl), type=field.type))
+        out = pa.table(dict(zip([f.name for f in target], arrays)),
+                       schema=target)
+        yield from out.to_batches()
+
+
+class TableBatchDataSource(DataSource):
+    """spark.read.format("linkedin_iceberg")
+         .option("location", table.location)
+         [.option("snapshot_id", ...) | .option("ref", ...) |
+          .option("as_of_ms", ...)].load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+        sj = self.options.get("schemajson")
+        if sj:
+            return StructType.fromJson(json.loads(sj))
+        from linkedin_iceberg_spark.catalog.metadata import TableOperations
+        md = TableOperations(self.options["location"]).refresh()
+        if md is None:
+            raise ValueError(f"no table at {self.options['location']}")
+        return md.schema.to_spark()
+
+    def reader(self, schema) -> _TableBatchReader:
+        return _TableBatchReader(self.options)
+
+
+def register_batch_source(spark) -> str:
+    """Idempotently register; ships the package so planning workers can
+    import it (read() itself needs pyarrow only)."""
+    from linkedin_iceberg_spark.shipping import ship_package
+    ship_package(spark)
+    # runtime SQL conf (default false in 4.1): without it Spark refuses
+    # any reader that implements pushFilters
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(TableBatchDataSource)
+    except Exception:
+        pass  # already registered
+    return SOURCE_NAME
+
+
+def read_table(spark, table, snapshot_id=None, ref=None, as_of_ms=None):
+    """Convenience: ``spark.read.format(...)`` over an engine table."""
+    register_batch_source(spark)
+    r = spark.read.format(SOURCE_NAME) \
+        .option("location", table.location) \
+        .option("schemajson", json.dumps(
+            table.schema.to_spark().jsonValue()))
+    if snapshot_id:
+        r = r.option("snapshot_id", str(snapshot_id))
+    if ref:
+        r = r.option("ref", ref)
+    if as_of_ms:
+        r = r.option("as_of_ms", str(as_of_ms))
+    return r.load()

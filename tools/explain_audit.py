@@ -316,6 +316,12 @@ CONTRACTS = {
         # and the argmin window partitions per doc over |labels| rows
         ["HashAggregate", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "table_batch_source_read": (
+        # the Python DataSource scan node with Spark's row-level
+        # re-application of the (also plan-time-pushed) filter; no
+        # Python expression evaluation in the query plan itself
+        ["BatchScan linkedin_iceberg", "Filter"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "join_interval_events": (
         # the whole point: an EQUI join on manufactured bucket keys
         # (broadcast at this sf; sort-merge at scale) with the range
