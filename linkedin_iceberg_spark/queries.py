@@ -5699,7 +5699,16 @@ _PRIORITY = [
     # family keeps update_where/merge_full/overwrite_where/equality_
     # deletes in-window) rotates out for table_rewrite_pos_deletes (new:
     # position-delete compaction — merge + dedupe + dead-row purge)
-    "sample_temperature_mix", "table_local_read",
+    # r7 session 2 rotation (window stays 50; retire multi-round-green
+    # unchanged entries whose families keep in-window representation):
+    #   sample_temperature_mix (green r4+r5+r6; sampling keeps
+    #     weighted_pps + shuffle_shards) -> stats_exact_quantiles (new:
+    #     exact per-group order-statistics quantiles)
+    #   table_local_read (green r4+r5+r6; the alternative-read-path
+    #     family) -> table_batch_source_read (new: the batch Python
+    #     DataSource — the strictly richer read integration: deletes,
+    #     schema alignment, plan-time filter pushdown)
+    "stats_exact_quantiles", "table_batch_source_read",
     # r5: meta_scan_summary (green r4, unchanged; the metadata family
     # keeps meta_find_files in-window) rotates out for meta_analyze_ndv
     # (new: incremental per-file NDV sketch statistics)
@@ -5708,7 +5717,11 @@ _PRIORITY = [
     # nested-evolution pytest suite) rotates out for
     # table_changelog_mirror (new: exactly-once CDC mirror, streamable
     # through the table stream source)
-    "table_rewrite_pos_deletes", "meta_find_files",
+    # r7 session 2: meta_find_files (green r4+r5+r6; meta family keeps
+    # analyze_ndv + count_pushdown + sql_count_meta) rotates out for
+    # text_rocchio_classify (new: integer-exact nearest-centroid
+    # classifier, trained and replayed in the oracle)
+    "table_rewrite_pos_deletes", "text_rocchio_classify",
     "table_changelog_mirror", "meta_analyze_ndv",
     # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
     # table_overwrite_where in-window) rotates out for table_update_where
@@ -5764,7 +5777,11 @@ _PRIORITY = [
     # family keeps pack_sharded/token_entropy/trigram_novelty in-window)
     # rotates out for table_object_store_layout (registered r4 late,
     # never windowed — hashed object-store file layout)
-    "events_transitions", "table_object_store_layout",
+    # r7 session 2: events_transitions (green r5+r6, unchanged; events
+    # family keeps events_retention, and the events TABLE gains a new
+    # exerciser) rotates out for join_interval_events (new: bucketized
+    # point-in-interval join — hash equi-plan, never a nested loop)
+    "join_interval_events", "table_object_store_layout",
     # r6: table_sql_over_view (green r4+r5, unchanged; the SQL family
     # keeps table_sql_direct + table_sql_dml in-window and gains the
     # strictly-stronger pruned variant) rotates out for table_sql_pruned
@@ -5783,7 +5800,12 @@ _PRIORITY = [
     # shard_col mode, the verdict's "kill the last single-task plan" ask;
     # its global twin text_pack stays in-window since the operator code
     # changed this round)
-    "text_pack_sharded",
+    # r7 session 2: text_pack_sharded (green r4+r5+r6; text family
+    # keeps lm_score + trigram_novelty, packing keeps its pytest suite)
+    # rotates out for pipeline_quality_gate (new: LM score -> exact
+    # per-language percentile cut -> gated keep-set, one composed
+    # full-pipeline oracle)
+    "pipeline_quality_gate",
     # r3: three commit operators that were pytest-only get driver rows —
     # overwrite-by-filter (W4), rewrite-manifests (W9), rollback+WAP (W13).
     # They take the slots of meta_snapshots_log / events_sliding_window /
@@ -5794,7 +5816,11 @@ _PRIORITY = [
     # family keeps tag_travel/branch_workflow/snapshot_clone in-window)
     # rotates out for table_branch_merge (new: diverged-branch merge as
     # ordered conflict-validated cherry-picks)
-    "table_overwrite_where", "similarity_matryoshka", "table_branch_merge",
+    # r7 session 2: similarity_matryoshka (green r4+r5+r6; similarity
+    # family keeps hybrid_rrf + pq_search + ivf_pruned + ivf_refresh)
+    # rotates out for similarity_keyword_index (new: persisted inverted
+    # keyword index, the file-pruned keyword serving channel)
+    "table_overwrite_where", "similarity_keyword_index", "table_branch_merge",
     # metadata tables / streaming / multimodal
     # r3 late: meta_partitions_months (green r1+r2, unchanged; family keeps
     # meta_files_stats in-window) rotates out for legacy_hive_scan (new:
