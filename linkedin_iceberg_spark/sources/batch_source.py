@@ -35,6 +35,7 @@ from typing import Iterable, List
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -46,7 +47,10 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
+
+import os
 
 SOURCE_NAME = "linkedin_iceberg"
 
@@ -245,6 +249,92 @@ class _TableBatchReader(DataSourceReader):
         yield from out.to_batches()
 
 
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path, rows):
+        self.path = path
+        self.rows = rows
+
+
+class _TableBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("linkedin_iceberg")`` — the write half of the
+    DataSourceV2 analog (spark3/.../source/SparkWriteBuilder-era batch
+    writes): each task streams its Arrow batches into one staged
+    parquet file (pyarrow only — no package import on executors), and
+    ``commit`` turns the staged files into ONE engine snapshot (footer
+    stats collected into DataFile entries; append, or an atomic
+    full-replace swap for overwrite mode).  ``abort`` removes staged
+    files — nothing uncommitted ever becomes visible (the snapshot IS
+    the publication point).
+
+    v1 restriction (raises clearly): unpartitioned tables only —
+    partitioned writes route through table.append, which clusters and
+    fans out per partition transform."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid as _uuid
+        self.location = options["location"]
+        self.overwrite = overwrite
+        self.staging = os.path.join(
+            self.location, "data", f"dsv2-{_uuid.uuid4().hex[:12]}")
+
+    def write(self, iterator):
+        import os as _os
+        import uuid as _uuid
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _FileCommit(None, 0)
+        tbl = pa.Table.from_batches(batches)
+        _os.makedirs(self.staging, exist_ok=True)
+        path = _os.path.join(self.staging,
+                             f"part-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, path, compression="snappy")
+        return _FileCommit(path, tbl.num_rows)
+
+    def commit(self, messages):
+        from linkedin_iceberg_spark.catalog import manifests as M
+        from linkedin_iceberg_spark.catalog.metadata import (
+            OP_OVERWRITE, TableOperations)
+        from linkedin_iceberg_spark.catalog.stats import collect_file_stats
+        from linkedin_iceberg_spark.catalog.table import Table
+
+        ops = TableOperations(self.location)
+        md = ops.refresh()
+        if md is None:
+            raise ValueError(f"no table at {self.location}")
+        t = Table(None, ops, md, getattr(md, "_version", 1))
+        if md.spec.fields:
+            raise ValueError(
+                "format writes support unpartitioned tables; use "
+                "table.append for partitioned writes")
+        schema = md.schema
+        mode = md.properties.get("write.metadata.metrics.default",
+                                 "truncate(16)")
+        files = []
+        for m in messages:
+            if not getattr(m, "path", None):
+                continue
+            st = collect_file_stats(m.path, schema, mode)
+            files.append(M.DataFile(
+                file_path=m.path, file_format="parquet",
+                partition={}, spec_id=md.default_spec_id,
+                schema_id=md.current_schema_id, **st))
+        if self.overwrite:
+            data, dels = t._live_data_and_deletes()
+            t._commit_file_swap(
+                removed=data + dels, added=files,
+                operation=OP_OVERWRITE,
+                seen_paths={e.data_file.file_path
+                            for e in data + dels})
+        elif files:
+            t._commit_append_files(files)
+
+    def abort(self, messages):
+        import shutil
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class TableBatchDataSource(DataSource):
     """spark.read.format("linkedin_iceberg")
          .option("location", table.location)
@@ -268,6 +358,23 @@ class TableBatchDataSource(DataSource):
 
     def reader(self, schema) -> _TableBatchReader:
         return _TableBatchReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _TableBatchWriter:
+        # staged parquet becomes table data verbatim, so the incoming
+        # frame must already BE the table schema (names + types; the
+        # engine's append() does richer alignment — route odd shapes
+        # there)
+        from linkedin_iceberg_spark.catalog.metadata import TableOperations
+        md = TableOperations(self.options["location"]).refresh()
+        if md is None:
+            raise ValueError(f"no table at {self.options['location']}")
+        want = [(f.name, f.dataType) for f in md.schema.to_spark().fields]
+        got = [(f.name, f.dataType) for f in schema.fields]
+        if want != got:
+            raise ValueError(
+                f"write schema {got} does not match table schema "
+                f"{want}; use table.append for schema alignment")
+        return _TableBatchWriter(self.options, overwrite)
 
 
 def register_batch_source(spark) -> str:

@@ -89,3 +89,55 @@ def test_empty_table(catalog, spark, sf_dir):
     df = read_table(spark, t)
     assert df.count() == 0
     assert df.schema == t.schema.to_spark()
+
+
+def test_write_append_and_overwrite(catalog, spark, sf_dir):
+    from linkedin_iceberg_spark.sources.batch_source import (
+        register_batch_source)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.bw", orders)
+    t.append(orders.limit(100))
+    register_batch_source(spark)
+
+    orders.limit(40).write.format("linkedin_iceberg") \
+        .option("location", t.location).mode("append").save()
+    t.refresh()
+    assert t.to_df().count() == 140
+    assert t.metadata.current_snapshot.operation == "append"
+    # stats flow into planning: a selective engine filter prunes
+    from linkedin_iceberg_spark.expressions import lt
+    assert len(t.new_scan().filter(
+        lt("o_orderkey", -1)).plan_files()) == 0
+
+    orders.limit(7).write.format("linkedin_iceberg") \
+        .option("location", t.location).mode("overwrite").save()
+    t.refresh()
+    assert t.to_df().count() == 7
+    assert t.metadata.current_snapshot.operation == "overwrite"
+    # time travel still sees the pre-overwrite rows
+    prev = t.metadata.snapshots[-2].snapshot_id
+    assert t.new_scan().use_snapshot(prev).to_df().count() == 140
+
+
+def test_write_rejects_partitioned_and_bad_schema(catalog, spark, sf_dir):
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.sources.batch_source import (
+        register_batch_source)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    register_batch_source(spark)
+
+    spec = PartitionSpec.builder_for(Schema.from_spark(orders.schema)) \
+        .month("o_orderdate").build()
+    tp = catalog.create_table("db.bw_p", orders, spec=spec)
+    with pytest.raises(Exception, match="unpartitioned"):
+        orders.limit(5).write.format("linkedin_iceberg") \
+            .option("location", tp.location).mode("append").save()
+
+    tu = catalog.create_table("db.bw_s", orders)
+    with pytest.raises(Exception, match="does not match table schema"):
+        orders.limit(5).selectExpr("o_orderkey", "o_totalprice") \
+            .write.format("linkedin_iceberg") \
+            .option("location", tu.location).mode("append").save()
+    # nothing staged leaked into the table dir's data/
+    tu.refresh()
+    assert tu.to_df().count() == 0
