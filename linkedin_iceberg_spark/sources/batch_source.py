@@ -36,6 +36,7 @@ from typing import Iterable, List
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -335,6 +336,60 @@ class _TableBatchWriter(DataSourceArrowWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class _TableStreamWriter(_TableBatchWriter,
+                         DataSourceStreamArrowWriter):
+    """``df.writeStream.format("linkedin_iceberg")`` — exactly-once
+    micro-batch appends through the stream-writer protocol (ref:
+    spark2/.../StreamingWriter.java:42-107 commit(epochId, messages)):
+    each epoch's staged files commit as ONE snapshot stamped with the
+    (query, epoch) summary keys the foreachBatch sink uses
+    (streaming/sink.py), so a replayed epoch is recognized and its
+    staged files dropped — the same idempotence contract, spelled as a
+    native format instead of foreachBatch."""
+
+    def __init__(self, options: dict):
+        super().__init__(options, overwrite=False)
+        self.query_id = options.get("queryid") or "dsv2-stream"
+
+    def commit(self, messages, batchId: int) -> None:
+        from linkedin_iceberg_spark.catalog import manifests as M
+        from linkedin_iceberg_spark.catalog.metadata import TableOperations
+        from linkedin_iceberg_spark.catalog.stats import collect_file_stats
+        from linkedin_iceberg_spark.catalog.table import Table
+        from linkedin_iceberg_spark.streaming.sink import (
+            EPOCH_KEY, QUERY_KEY, _committed_epochs)
+
+        ops = TableOperations(self.location)
+        md = ops.refresh()
+        t = Table(None, ops, md, getattr(md, "_version", 1))
+        paths = [m.path for m in messages
+                 if m is not None and getattr(m, "path", None)]
+        if batchId in _committed_epochs(t, self.query_id):
+            import shutil
+            for p in paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            return
+        if md.spec.fields:
+            raise ValueError("stream writes support unpartitioned "
+                             "tables; use the foreachBatch sink for "
+                             "partitioned tables")
+        mode = md.properties.get("write.metadata.metrics.default",
+                                 "truncate(16)")
+        files = [M.DataFile(
+            file_path=p, file_format="parquet", partition={},
+            spec_id=md.default_spec_id, schema_id=md.current_schema_id,
+            **collect_file_stats(p, md.schema, mode)) for p in paths]
+        t._commit_append_files(files, extra_summary={
+            EPOCH_KEY: str(batchId), QUERY_KEY: self.query_id})
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class TableBatchDataSource(DataSource):
     """spark.read.format("linkedin_iceberg")
          .option("location", table.location)
@@ -358,6 +413,11 @@ class TableBatchDataSource(DataSource):
 
     def reader(self, schema) -> _TableBatchReader:
         return _TableBatchReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError("stream writes are append-only")
+        return _TableStreamWriter(self.options)
 
     def writer(self, schema, overwrite: bool) -> _TableBatchWriter:
         # staged parquet becomes table data verbatim, so the incoming

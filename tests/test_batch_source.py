@@ -141,3 +141,41 @@ def test_write_rejects_partitioned_and_bad_schema(catalog, spark, sf_dir):
     # nothing staged leaked into the table dir's data/
     tu.refresh()
     assert tu.to_df().count() == 0
+
+
+def test_stream_writer_exactly_once(catalog, spark, tmp_path):
+    """writeStream.format("linkedin_iceberg"): one snapshot per epoch
+    stamped with the sink's (query, epoch) summary keys; a replayed
+    epoch commits nothing twice."""
+    import time
+
+    from linkedin_iceberg_spark.sources.batch_source import (
+        register_batch_source, _TableStreamWriter, _FileCommit)
+    from linkedin_iceberg_spark.streaming.sink import EPOCH_KEY
+
+    catalog.sql("CREATE TABLE db.sw (v BIGINT) USING iceberg")
+    t = catalog.load_table("db.sw")
+    register_batch_source(spark)
+
+    src = str(tmp_path / "in")
+    spark.range(5).selectExpr("id AS v").write.mode("overwrite") \
+        .parquet(src)
+    q = (spark.readStream.schema("v long").parquet(src)
+         .writeStream.format("linkedin_iceberg")
+         .option("location", t.location)
+         .option("queryid", "swtest")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    t.refresh()
+    assert t.to_df().count() == 5
+    snap = t.metadata.current_snapshot
+    assert snap.summary.get(EPOCH_KEY) == "0"
+    assert snap.summary.get("streaming-query-id") == "swtest"
+
+    # replay the SAME epoch manually: recognized, nothing re-commits
+    w = _TableStreamWriter({"location": t.location, "queryid": "swtest"})
+    w.commit([_FileCommit(None, 0)], batchId=0)
+    t.refresh()
+    assert t.to_df().count() == 5
+    assert len(t.metadata.snapshots) == 1

@@ -118,6 +118,14 @@ PROBE_QUERIES = [
     "text_rocchio_classify",
     "stats_exact_quantiles",
     "pipeline_quality_gate",
+    # r7 session 2 late: the bucketized interval join (interval
+    # replication ∝ total length / width, then a hash join), the
+    # inverted-index keyword channel (build + pruned read), and the
+    # batch Python DataSource read (planned tasks as partitions,
+    # pyarrow workers)
+    "join_interval_events",
+    "similarity_keyword_index",
+    "table_batch_source_read",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
