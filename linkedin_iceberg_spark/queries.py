@@ -1912,6 +1912,48 @@ def stats_exact_quantiles(spark, sf_dir):
                            group_col="lang", id_col="doc_id")
 
 
+@q("streaming_dsv2_roundtrip", """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderpriority = '2-HIGH'
+ORDER BY o_orderkey""")
+def streaming_dsv2_roundtrip(spark, sf_dir):
+    """The full Python-DataSource write/read loop under Structured
+    Streaming: a file stream of the orders rows writes through
+    writeStream.format("linkedin_iceberg") (one epoch-stamped snapshot
+    per micro-batch, exactly-once under replay), then the committed
+    table reads back through the batch source with a pushed filter.
+    The oracle is the plain projection — the loop must be lossless."""
+    import tempfile
+
+    from linkedin_iceberg_spark import Catalog
+    from linkedin_iceberg_spark.sources.batch_source import (
+        read_table, register_batch_source)
+
+    o = ld(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice",
+                                           "o_orderpriority")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="liceberg_dsv2_"))
+    cat.sql("CREATE TABLE q.rt (o_orderkey BIGINT, o_totalprice DOUBLE, "
+            "o_orderpriority STRING) USING iceberg")
+    t = cat.load_table("q.rt")
+    register_batch_source(spark)
+    src = tempfile.mkdtemp(prefix="liceberg_dsv2_src_")
+    o.write.mode("overwrite").parquet(src)
+    q_ = (spark.readStream.schema(o.schema).parquet(src)
+          .writeStream.format("linkedin_iceberg")
+          .option("location", t.location)
+          .option("queryid", "dsv2rt")
+          .option("checkpointLocation",
+                  tempfile.mkdtemp(prefix="liceberg_dsv2_ck_"))
+          .trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    t.refresh()
+    return (read_table(spark, t)
+            .filter(F.col("o_orderpriority") == "2-HIGH")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_batch_source_read", """
 SELECT o_orderkey, o_totalprice
 FROM orders
