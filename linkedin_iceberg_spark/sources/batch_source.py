@@ -48,6 +48,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -75,6 +76,10 @@ def _filter_to_expr(f: Filter):
         return is_null(name)
     if isinstance(f, IsNotNull):
         return not_null(name)
+    if isinstance(f, StringStartsWith):
+        from linkedin_iceberg_spark.expressions import starts_with
+        return starts_with(name, f.value) \
+            if isinstance(f.value, str) else None
     ok = (int, float, str, bool)
     import datetime
     ok = ok + (datetime.date, datetime.datetime)
