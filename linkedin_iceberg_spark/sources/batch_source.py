@@ -256,9 +256,13 @@ class _TableBatchReader(DataSourceReader):
 
 
 class _FileCommit(WriterCommitMessage):
-    def __init__(self, path, rows):
-        self.path = path
-        self.rows = rows
+    def __init__(self, files):
+        # [(staged path, partition dict)] — empty for a rowless task
+        self.files = files
+
+    @property
+    def path(self):  # single-file convenience (tests, stream replay)
+        return self.files[0][0] if self.files else None
 
 
 class _TableBatchWriter(DataSourceArrowWriter):
@@ -272,14 +276,19 @@ class _TableBatchWriter(DataSourceArrowWriter):
     files — nothing uncommitted ever becomes visible (the snapshot IS
     the publication point).
 
-    v1 restriction (raises clearly): unpartitioned tables only —
-    partitioned writes route through table.append, which clusters and
-    fans out per partition transform."""
+    Partitioning: IDENTITY-transform specs are honored worker-side —
+    each task splits its batches by the partition columns and stages
+    one single-partition file per value combination (pyarrow group
+    split, no package import).  Transform specs (bucket/time/truncate)
+    raise clearly: route those through table.append, which computes
+    transforms as Spark columns."""
 
-    def __init__(self, options: dict, overwrite: bool):
+    def __init__(self, options: dict, overwrite: bool,
+                 part_fields: list = None):
         import uuid as _uuid
         self.location = options["location"]
         self.overwrite = overwrite
+        self.part_fields = part_fields or []  # [(pf.name, source col)]
         self.staging = os.path.join(
             self.location, "data", f"dsv2-{_uuid.uuid4().hex[:12]}")
 
@@ -290,13 +299,31 @@ class _TableBatchWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
         batches = [b for b in iterator if b.num_rows]
         if not batches:
-            return _FileCommit(None, 0)
+            return _FileCommit([])
         tbl = pa.Table.from_batches(batches)
         _os.makedirs(self.staging, exist_ok=True)
-        path = _os.path.join(self.staging,
-                             f"part-{_uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, path, compression="snappy")
-        return _FileCommit(path, tbl.num_rows)
+
+        def stage(part_tbl, pdict):
+            path = _os.path.join(self.staging,
+                                 f"part-{_uuid.uuid4().hex}.parquet")
+            pq.write_table(part_tbl, path, compression="snappy")
+            return (path, pdict)
+
+        if not self.part_fields:
+            return _FileCommit([stage(tbl, {})])
+        import pyarrow.compute as pc
+        src_cols = [c for _, c in self.part_fields]
+        combos = tbl.group_by(src_cols).aggregate([]).to_pylist()
+        files = []
+        for combo in combos:
+            mask = None
+            for c in src_cols:
+                v = combo[c]
+                m = pc.is_null(tbl[c]) if v is None                     else pc.equal(tbl[c], v)
+                mask = m if mask is None else pc.and_(mask, m)
+            pdict = {pf: combo[c] for (pf, c) in self.part_fields}
+            files.append(stage(tbl.filter(mask), pdict))
+        return _FileCommit(files)
 
     def commit(self, messages):
         from linkedin_iceberg_spark.catalog import manifests as M
@@ -310,22 +337,17 @@ class _TableBatchWriter(DataSourceArrowWriter):
         if md is None:
             raise ValueError(f"no table at {self.location}")
         t = Table(None, ops, md, getattr(md, "_version", 1))
-        if md.spec.fields:
-            raise ValueError(
-                "format writes support unpartitioned tables; use "
-                "table.append for partitioned writes")
         schema = md.schema
         mode = md.properties.get("write.metadata.metrics.default",
                                  "truncate(16)")
         files = []
         for m in messages:
-            if not getattr(m, "path", None):
-                continue
-            st = collect_file_stats(m.path, schema, mode)
-            files.append(M.DataFile(
-                file_path=m.path, file_format="parquet",
-                partition={}, spec_id=md.default_spec_id,
-                schema_id=md.current_schema_id, **st))
+            for (path, pdict) in getattr(m, "files", []) or []:
+                st = collect_file_stats(path, schema, mode)
+                files.append(M.DataFile(
+                    file_path=path, file_format="parquet",
+                    partition=pdict, spec_id=md.default_spec_id,
+                    schema_id=md.current_schema_id, **st))
         if self.overwrite:
             data, dels = t._live_data_and_deletes()
             t._commit_file_swap(
@@ -352,8 +374,9 @@ class _TableStreamWriter(_TableBatchWriter,
     staged files dropped — the same idempotence contract, spelled as a
     native format instead of foreachBatch."""
 
-    def __init__(self, options: dict):
-        super().__init__(options, overwrite=False)
+    def __init__(self, options: dict, part_fields: list = None):
+        super().__init__(options, overwrite=False,
+                         part_fields=part_fields)
         self.query_id = options.get("queryid") or "dsv2-stream"
 
     def commit(self, messages, batchId: int) -> None:
@@ -367,28 +390,25 @@ class _TableStreamWriter(_TableBatchWriter,
         ops = TableOperations(self.location)
         md = ops.refresh()
         t = Table(None, ops, md, getattr(md, "_version", 1))
-        paths = [m.path for m in messages
-                 if m is not None and getattr(m, "path", None)]
+        staged = [fp for m in messages if m is not None
+                  for fp in (getattr(m, "files", []) or [])]
         if batchId in _committed_epochs(t, self.query_id):
-            import shutil
-            for p in paths:
+            for p, _ in staged:
                 try:
                     os.remove(p)
                 except OSError:
                     pass
             return
-        if md.spec.fields:
-            raise ValueError("stream writes support unpartitioned "
-                             "tables; use the foreachBatch sink for "
-                             "partitioned tables")
         mode = md.properties.get("write.metadata.metrics.default",
                                  "truncate(16)")
         files = [M.DataFile(
-            file_path=p, file_format="parquet", partition={},
+            file_path=p, file_format="parquet", partition=pdict,
             spec_id=md.default_spec_id, schema_id=md.current_schema_id,
-            **collect_file_stats(p, md.schema, mode)) for p in paths]
-        t._commit_append_files(files, extra_summary={
-            EPOCH_KEY: str(batchId), QUERY_KEY: self.query_id})
+            **collect_file_stats(p, md.schema, mode))
+            for (p, pdict) in staged]
+        if files:
+            t._commit_append_files(files, extra_summary={
+                EPOCH_KEY: str(batchId), QUERY_KEY: self.query_id})
 
     def abort(self, messages, batchId: int) -> None:
         import shutil
@@ -422,9 +442,16 @@ class TableBatchDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool):
         if overwrite:
             raise ValueError("stream writes are append-only")
-        return _TableStreamWriter(self.options)
+        self._check_write_schema(schema)
+        return _TableStreamWriter(
+            self.options, self._part_fields(schema))
 
     def writer(self, schema, overwrite: bool) -> _TableBatchWriter:
+        self._check_write_schema(schema)
+        return _TableBatchWriter(self.options, overwrite,
+                                 self._part_fields(schema))
+
+    def _check_write_schema(self, schema) -> None:
         # staged parquet becomes table data verbatim, so the incoming
         # frame must already BE the table schema (names + types; the
         # engine's append() does richer alignment — route odd shapes
@@ -439,7 +466,23 @@ class TableBatchDataSource(DataSource):
             raise ValueError(
                 f"write schema {got} does not match table schema "
                 f"{want}; use table.append for schema alignment")
-        return _TableBatchWriter(self.options, overwrite)
+
+    def _part_fields(self, schema) -> list:
+        """Identity partition fields as [(pf.name, source column)];
+        transform specs raise — table.append computes those."""
+        from linkedin_iceberg_spark.catalog.metadata import TableOperations
+        md = TableOperations(self.options["location"]).refresh()
+        if md is None:
+            raise ValueError(f"no table at {self.options['location']}")
+        out = []
+        for pf in md.spec.fields:
+            if pf.transform_str != "identity":
+                raise ValueError(
+                    f"format writes support identity partitioning; "
+                    f"{pf.transform_str}({pf.source_name}) needs "
+                    f"table.append / the foreachBatch sink")
+            out.append((pf.name, pf.source_name))
+        return out
 
 
 def register_batch_source(spark) -> str:

@@ -129,7 +129,7 @@ def test_write_rejects_partitioned_and_bad_schema(catalog, spark, sf_dir):
     spec = PartitionSpec.builder_for(Schema.from_spark(orders.schema)) \
         .month("o_orderdate").build()
     tp = catalog.create_table("db.bw_p", orders, spec=spec)
-    with pytest.raises(Exception, match="unpartitioned"):
+    with pytest.raises(Exception, match="identity partitioning"):
         orders.limit(5).write.format("linkedin_iceberg") \
             .option("location", tp.location).mode("append").save()
 
@@ -175,7 +175,39 @@ def test_stream_writer_exactly_once(catalog, spark, tmp_path):
 
     # replay the SAME epoch manually: recognized, nothing re-commits
     w = _TableStreamWriter({"location": t.location, "queryid": "swtest"})
-    w.commit([_FileCommit(None, 0)], batchId=0)
+    w.commit([_FileCommit([])], batchId=0)
     t.refresh()
     assert t.to_df().count() == 5
     assert len(t.metadata.snapshots) == 1
+
+
+def test_write_identity_partitioned(catalog, spark, sf_dir):
+    """Identity-partitioned writes through the format: each task splits
+    its batches per partition value, every staged file is single-
+    partition, and the committed entries prune by partition."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.expressions import eq
+    from linkedin_iceberg_spark.sources.batch_source import (
+        read_table, register_batch_source)
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    spec = PartitionSpec.builder_for(Schema.from_spark(orders.schema)) \
+        .identity("o_orderpriority").build()
+    t = catalog.create_table("db.bw_id", orders, spec=spec)
+    register_batch_source(spark)
+    orders.limit(200).write.format("linkedin_iceberg") \
+        .option("location", t.location).mode("append").save()
+    t.refresh()
+    assert t.to_df().count() == 200
+    # per-file partition purity + partition pruning
+    entries, _ = t._live_data_and_deletes()
+    assert all(e.data_file.partition.get("o_orderpriority") is not None
+               for e in entries)
+    urgent = orders.limit(200).filter(
+        "o_orderpriority = '1-URGENT'").count()
+    pruned = t.new_scan().filter(
+        eq("o_orderpriority", "1-URGENT")).plan_files()
+    assert len(pruned) < len(entries)
+    assert sum(e.file.record_count for e in pruned) == urgent
+    # round-trip read through the source sees everything
+    assert read_table(spark, t).count() == 200
