@@ -316,6 +316,11 @@ CONTRACTS = {
         # and the argmin window partitions per doc over |labels| rows
         ["HashAggregate", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "streaming_dsv2_roundtrip": (
+        # after the epoch-stamped stream write, the read-back is the
+        # same Python BatchScan shape as table_batch_source_read
+        ["BatchScan linkedin_iceberg", "Filter"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "table_batch_source_read": (
         # the Python DataSource scan node with Spark's row-level
         # re-application of the (also plan-time-pushed) filter; no
