@@ -276,19 +276,21 @@ class _TableBatchWriter(DataSourceArrowWriter):
     files — nothing uncommitted ever becomes visible (the snapshot IS
     the publication point).
 
-    Partitioning: IDENTITY-transform specs are honored worker-side —
-    each task splits its batches by the partition columns and stages
-    one single-partition file per value combination (pyarrow group
-    split, no package import).  Transform specs (bucket/time/truncate)
-    raise clearly: route those through table.append, which computes
-    transforms as Spark columns."""
+    Partitioning: honored worker-side — each task computes the spec's
+    partition values (identity via raw pyarrow grouping; bucket/time/
+    truncate through the ENGINE's own transform objects, applied
+    per-row on the shipped package, so partition math can never drift
+    from scan-side projections), splits its batches per value
+    combination, and stages one single-partition file each.  The
+    per-row apply() is the parity-over-speed choice: table.append
+    remains the vectorized write path (transforms as Spark columns)."""
 
     def __init__(self, options: dict, overwrite: bool,
                  part_fields: list = None):
         import uuid as _uuid
         self.location = options["location"]
         self.overwrite = overwrite
-        self.part_fields = part_fields or []  # [(pf.name, source col)]
+        self.part_fields = part_fields or []  # [(pf, src, transform, type)]
         self.staging = os.path.join(
             self.location, "data", f"dsv2-{_uuid.uuid4().hex[:12]}")
 
@@ -312,17 +314,36 @@ class _TableBatchWriter(DataSourceArrowWriter):
         if not self.part_fields:
             return _FileCommit([stage(tbl, {})])
         import pyarrow.compute as pc
-        src_cols = [c for _, c in self.part_fields]
-        combos = tbl.group_by(src_cols).aggregate([]).to_pylist()
+        # one helper column per partition field holding the TRANSFORMED
+        # value; identity reuses the raw column, others go through the
+        # engine's transform apply() (exact parity with scan-side math)
+        work = tbl
+        gcols = []
+        for (pf, src, tstr, stype) in self.part_fields:
+            if tstr == "identity":
+                gcols.append((pf, src))
+                continue
+            from linkedin_iceberg_spark.transforms.transforms import (
+                parse_transform)
+            tr = parse_transform(tstr, stype)
+            tvals = [None if v is None else tr.apply(v)
+                     for v in work[src].to_pylist()]
+            helper = f"_pt_{pf}"
+            work = work.append_column(helper, pa.array(tvals))
+            gcols.append((pf, helper))
+        names = [c for _, c in gcols]
+        combos = work.group_by(names).aggregate([]).to_pylist()
         files = []
         for combo in combos:
             mask = None
-            for c in src_cols:
+            for c in names:
                 v = combo[c]
-                m = pc.is_null(tbl[c]) if v is None                     else pc.equal(tbl[c], v)
+                m = pc.is_null(work[c]) if v is None \
+                    else pc.equal(work[c], v)
                 mask = m if mask is None else pc.and_(mask, m)
-            pdict = {pf: combo[c] for (pf, c) in self.part_fields}
-            files.append(stage(tbl.filter(mask), pdict))
+            pdict = {pf: combo[c] for (pf, c) in gcols}
+            part_tbl = work.filter(mask).select(tbl.column_names)
+            files.append(stage(part_tbl, pdict))
         return _FileCommit(files)
 
     def commit(self, messages):
@@ -468,20 +489,24 @@ class TableBatchDataSource(DataSource):
                 f"{want}; use table.append for schema alignment")
 
     def _part_fields(self, schema) -> list:
-        """Identity partition fields as [(pf.name, source column)];
-        transform specs raise — table.append computes those."""
+        """Partition fields as [(pf.name, source col, transform str,
+        source type)] — every spec transform is writable (the worker
+        applies the engine's own transform objects); only void/unknown
+        raise."""
         from linkedin_iceberg_spark.catalog.metadata import TableOperations
         md = TableOperations(self.options["location"]).refresh()
         if md is None:
             raise ValueError(f"no table at {self.options['location']}")
         out = []
         for pf in md.spec.fields:
-            if pf.transform_str != "identity":
+            if pf.transform_str in ("void",) or \
+                    pf.transform_str.startswith("unknown"):
                 raise ValueError(
-                    f"format writes support identity partitioning; "
-                    f"{pf.transform_str}({pf.source_name}) needs "
-                    f"table.append / the foreachBatch sink")
-            out.append((pf.name, pf.source_name))
+                    f"format writes cannot compute "
+                    f"{pf.transform_str}({pf.source_name}); use "
+                    f"table.append")
+            out.append((pf.name, pf.source_name, pf.transform_str,
+                        md.schema.find_type(pf.source_name)))
         return out
 
 

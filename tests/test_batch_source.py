@@ -119,19 +119,45 @@ def test_write_append_and_overwrite(catalog, spark, sf_dir):
     assert t.new_scan().use_snapshot(prev).to_df().count() == 140
 
 
-def test_write_rejects_partitioned_and_bad_schema(catalog, spark, sf_dir):
+def test_write_transform_partitioned(catalog, spark, sf_dir):
+    """month()/bucket() specs write through the format: the worker
+    computes partition values with the ENGINE's transform objects, so
+    the committed entries prune exactly like table.append's."""
     from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.expressions import and_, gt_eq, lt
     from linkedin_iceberg_spark.sources.batch_source import (
         register_batch_source)
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     register_batch_source(spark)
 
     spec = PartitionSpec.builder_for(Schema.from_spark(orders.schema)) \
-        .month("o_orderdate").build()
+        .month("o_orderdate").bucket("o_orderkey", 4).build()
     tp = catalog.create_table("db.bw_p", orders, spec=spec)
-    with pytest.raises(Exception, match="identity partitioning"):
-        orders.limit(5).write.format("linkedin_iceberg") \
-            .option("location", tp.location).mode("append").save()
+    orders.write.format("linkedin_iceberg") \
+        .option("location", tp.location).mode("append").save()
+    tp.refresh()
+    assert tp.to_df().count() == orders.count()
+    # identical rows AND identical partition tuples to the native path
+    tn = catalog.create_table("db.bw_pn", orders, spec=spec)
+    tn.append(orders)
+    def ptuples(t):
+        return sorted((e.data_file.partition["o_orderdate_month"],
+                       e.data_file.partition["o_orderkey_bucket"],
+                       e.data_file.record_count)
+                      for e in t._live_data_and_deletes()[0])
+    assert ptuples(tp) == ptuples(tn)
+    # month pruning works on the format-written files
+    f = and_(gt_eq("o_orderdate", "1997-06-01"),
+             lt("o_orderdate", "1997-08-01"))
+    pruned = tp.new_scan().filter(f).plan_files()
+    assert 0 < len(pruned) < len(tp._live_data_and_deletes()[0])
+
+
+def test_write_rejects_bad_schema(catalog, spark, sf_dir):
+    from linkedin_iceberg_spark.sources.batch_source import (
+        register_batch_source)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    register_batch_source(spark)
 
     tu = catalog.create_table("db.bw_s", orders)
     with pytest.raises(Exception, match="does not match table schema"):
