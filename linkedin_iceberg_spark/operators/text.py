@@ -432,7 +432,9 @@ def rocchio_classify(df: DataFrame, text_col: str = "text",
                      label_col: str = "lang", id_col: str = "doc_id",
                      n_features: int = 64, train_mod: int = 5,
                      test_residue: int = 0, scale: int = 1_000_000,
-                     salt: str = "v1") -> DataFrame:
+                     salt: str = "v1",
+                     train_per_class_cap: Optional[int] = None
+                     ) -> DataFrame:
     """Rocchio / nearest-class-centroid text classifier over hashed
     bag-of-words count features — the cheap supervised domain/quality
     filter of web-corpus pipelines (the linear stand-in for a fastText
@@ -479,11 +481,23 @@ def rocchio_classify(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("_x")))
     is_test = (F.col(id_col) % train_mod) == test_residue
     # class sizes from the BASE table: empty training documents are real
-    # class members with zero vectors and pull the centroid to origin
-    n_c = (df.filter(~is_test).filter(lbl.isNotNull())
-           .groupBy(lbl.alias("_c"))
+    # class members with zero vectors and pull the centroid to origin.
+    # train_per_class_cap bounds the training side by DETERMINISTIC HASH
+    # ORDER (the shared cap_per_group recipe) — the magnitude-bound knob
+    # the docstring prescribes for unbounded corpora: a centroid
+    # estimate does not need millions of rows, and the cap keeps
+    # scale * N_class * count well inside decimal(38,0)
+    train_docs = df.filter(~is_test).filter(lbl.isNotNull())
+    if train_per_class_cap is not None:
+        from linkedin_iceberg_spark.operators.sampling import (
+            cap_per_group)
+        train_docs = cap_per_group(train_docs, label_col,
+                                   train_per_class_cap, id_col,
+                                   salt=salt)
+    train_ids = train_docs.select(id_col)
+    n_c = (train_docs.groupBy(lbl.alias("_c"))
            .agg(F.count(F.lit(1)).alias("_n")))
-    cent = (feat.filter(~is_test)
+    cent = (feat.join(train_ids, id_col, "left_semi")
             .groupBy(F.col("_y").alias("_c"), "_b")
             .agg(F.sum("_x").alias("_s"))
             .join(n_c, "_c")

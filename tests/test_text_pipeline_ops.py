@@ -272,3 +272,30 @@ def test_rocchio_classify_matches_brute_force(spark):
                   for b in set(feats[i]) | set(m)), lab)
              for lab, m in cents.items()))
         assert got[i] == best[1], f"doc {i}"
+
+
+def test_rocchio_classify_train_cap(spark):
+    """train_per_class_cap bounds the training side deterministically:
+    a huge cap equals uncapped, and a tiny cap still classifies a
+    separable corpus (centroids from fewer rows, same argmin)."""
+    from linkedin_iceberg_spark.operators.text import rocchio_classify
+
+    rows = []
+    for i in range(1, 40):
+        if i % 5 == 0:
+            continue
+        lab = "cat" if i % 2 else "dog"
+        rows.append((i, "meow purr" if lab == "cat" else "bark woof",
+                     lab))
+    rows += [(5, "meow meow purr", "cat"), (10, "woof bark", "dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    uncapped = {r.doc_id: r.pred_label
+                for r in rocchio_classify(df).collect()}
+    huge = {r.doc_id: r.pred_label
+            for r in rocchio_classify(
+                df, train_per_class_cap=10_000).collect()}
+    assert huge == uncapped
+    tiny = {r.doc_id: r.pred_label
+            for r in rocchio_classify(
+                df, train_per_class_cap=3).collect()}
+    assert tiny[5] == "cat" and tiny[10] == "dog"
