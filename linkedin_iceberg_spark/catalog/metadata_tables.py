@@ -176,16 +176,40 @@ def _metadata_log_entries(table) -> DataFrame:
     """The metadata-file log (ref: MetadataTableType.METADATA_LOG_ENTRIES
     / MetadataLogEntriesTable): one row per retained metadata.json
     version plus the current one — the audit trail of COMMITS (every
-    snapshot, schema, spec, or property change writes one)."""
+    snapshot, schema, spec, or property change writes one), each row
+    enriched with that version's latest snapshot / schema / sequence
+    (the reference columns).  Retained versions are small JSON files
+    read driver-side — O(retention limit), metadata-sized by
+    construction."""
+    import json as _json
+    import os as _os
+
     md = table.metadata
-    rows = [(int(e["timestamp-ms"]), e["metadata-file"])
-            for e in md.metadata_log]
-    rows.append((int(md.last_updated_ms), "(current)"))
+    rows = []
+    for e in md.metadata_log:
+        fname = e["metadata-file"]
+        sid = schema_id = seq = None
+        p = _os.path.join(table.location, "metadata", fname)
+        try:
+            with open(p) as fh:
+                j = _json.load(fh)
+            sid = j.get("current-snapshot-id")
+            schema_id = j.get("current-schema-id")
+            seq = j.get("last-sequence-number")
+        except OSError:
+            pass  # cleaned up by metadata-log retention: row stays
+        rows.append((int(e["timestamp-ms"]), fname, sid, schema_id, seq))
+    rows.append((int(md.last_updated_ms), "(current)",
+                 md.current_snapshot_id, md.current_schema_id,
+                 md.last_sequence_number))
     df = table.spark.createDataFrame(
-        rows, "timestamp_ms long, file string")
+        rows, "timestamp_ms long, file string, "
+              "latest_snapshot_id long, latest_schema_id int, "
+              "latest_sequence_number long")
     return df.select(
         F.timestamp_millis(F.col("timestamp_ms")).alias("timestamp"),
-        "timestamp_ms", "file")
+        "timestamp_ms", "file", "latest_snapshot_id",
+        "latest_schema_id", "latest_sequence_number")
 
 
 def _position_deletes(table) -> DataFrame:

@@ -95,3 +95,20 @@ def test_new_relations_via_sql(laden, catalog):
     logs = catalog.sql("SELECT file FROM db.mtab7.metadata_log_entries"
                        ).collect()
     assert logs[-1].file == "(current)"
+
+
+def test_metadata_log_entries_enriched_columns(laden, catalog):
+    t, _ = laden
+    rows = t.metadata_table("metadata_log_entries").collect()
+    cur = rows[-1]
+    assert cur.file == "(current)"
+    assert cur.latest_snapshot_id == t.metadata.current_snapshot_id
+    assert cur.latest_sequence_number == \
+        t.metadata.last_sequence_number
+    # older retained versions carry THEIR snapshot ids (ascending
+    # sequence numbers along the log)
+    seqs = [r.latest_sequence_number for r in rows
+            if r.latest_sequence_number is not None]
+    assert seqs == sorted(seqs)
+    assert any(r.latest_snapshot_id != cur.latest_snapshot_id
+               for r in rows[:-1])
