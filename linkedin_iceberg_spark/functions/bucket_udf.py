@@ -35,22 +35,17 @@ def _to_i64_micros(dt_vals) -> "object":
     raise ValueError(f"unsupported datetime unit {unit}")
 
 
-@lru_cache(maxsize=64)
-def bucket_udf(src_type: str, n: int):
-    """Returns a pandas UDF computing Iceberg bucket ids for `src_type`.
-
-    Vectorized: the whole Arrow batch is hashed in numpy (int64 fast path
-    for int/long/date/time/timestamp; packed-block path for string/decimal/
-    binary/uuid).  The scalar murmur3_32 remains the parity reference and
-    the fallback for exotic inputs."""
+def bucket_series(s: "pd.Series", src_type: str, n: int) -> "pd.Series":
+    """Vectorized Iceberg bucket ids over a pandas Series — the shared
+    kernel behind bucket_udf AND the DataSource writer's worker-side
+    partition computation (one hash over the whole batch in numpy,
+    scalar murmur3 parity fallback for exotic inputs)."""
     import numpy as np
 
-    from linkedin_iceberg_spark.shipping import ship_to_active_session
     from linkedin_iceberg_spark.transforms.bucket_hash import (
         murmur3_32_vec_bytes,
         murmur3_32_vec_i64,
     )
-    ship_to_active_session()  # executors must import this module
 
     def _one(v):
         if v is None or (isinstance(v, float) and v != v):
@@ -65,7 +60,6 @@ def bucket_udf(src_type: str, n: int):
         s[mask] = pd.NA
         return s
 
-    @F.pandas_udf(T.IntegerType())
     def _bucket(s: pd.Series) -> pd.Series:
         try:
             if src_type in ("int", "long", "time"):
@@ -101,7 +95,21 @@ def bucket_udf(src_type: str, n: int):
             pass  # fall back to the scalar parity path
         return s.map(_one).astype("Int32")
 
-    return _bucket
+    return _bucket(s)
+
+
+@lru_cache(maxsize=64)
+def bucket_udf(src_type: str, n: int):
+    """Returns a pandas UDF computing Iceberg bucket ids for `src_type`
+    (the Spark-column route; `bucket_series` is the raw kernel)."""
+    from linkedin_iceberg_spark.shipping import ship_to_active_session
+    ship_to_active_session()  # executors must import this module
+
+    @F.pandas_udf(T.IntegerType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return bucket_series(s, src_type, n)
+
+    return _udf
 
 
 @lru_cache(maxsize=64)

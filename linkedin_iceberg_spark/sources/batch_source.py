@@ -255,6 +255,74 @@ class _TableBatchReader(DataSourceReader):
         yield from out.to_batches()
 
 
+def _transform_column(arr, tstr: str, stype: str):
+    """Arrow column -> Arrow column of Iceberg partition values for one
+    transform — VECTORIZED (the write hot path must not run per-row
+    Python): time ordinals via pyarrow/numpy epoch math, buckets via
+    the shared numpy murmur3 kernel (`functions.bucket_udf.
+    bucket_series` — byte-identical to the scalar parity reference),
+    int/string truncate via array ops.  The engine's scalar
+    ``Transform.apply`` stays the semantic reference (exercised against
+    this in tests) and the fallback for exotic types."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def epoch_micros():
+        ts = pc.cast(arr, pa.timestamp("us"))
+        return pc.cast(ts, pa.int64())
+
+    if tstr == "year":
+        return pc.cast(pc.subtract(pc.year(arr), 1970), pa.int32())
+    if tstr == "month":
+        y = pc.subtract(pc.year(arr), 1970)
+        return pc.cast(pc.add(pc.multiply(y, 12),
+                              pc.subtract(pc.month(arr), 1)),
+                       pa.int32())
+    if tstr == "day":
+        if pa.types.is_date(arr.type):
+            return pc.cast(pc.cast(arr, pa.date32()), pa.int32())
+        # floor division keeps pre-1970 ordinals correct
+        micros = epoch_micros().to_numpy(zero_copy_only=False)
+        mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        out = np.where(mask, 0, micros) // 86_400_000_000
+        return pa.array(np.where(mask, None, out), type=pa.int32(),
+                        from_pandas=True)
+    if tstr == "hour":
+        micros = epoch_micros().to_numpy(zero_copy_only=False)
+        mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        out = np.where(mask, 0, micros) // 3_600_000_000
+        return pa.array(np.where(mask, None, out), type=pa.int32(),
+                        from_pandas=True)
+    if tstr.startswith("bucket["):
+        from linkedin_iceberg_spark.functions.bucket_udf import (
+            bucket_series)
+        n = int(tstr[7:-1])
+        s = arr.to_pandas()
+        return pa.Array.from_pandas(bucket_series(s, stype, n),
+                                    type=pa.int32())
+    if tstr.startswith("truncate["):
+        w = int(tstr[9:-1])
+        if pa.types.is_integer(arr.type):
+            # numpy floor division = python floor-mod truncate, exact
+            # for negatives
+            vals = arr.to_numpy(zero_copy_only=False)
+            mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            safe = np.where(mask, 0, vals)
+            out = (safe // w) * w
+            return pa.array(np.where(mask, None, out), type=arr.type,
+                            from_pandas=True)
+        if pa.types.is_string(arr.type) or \
+                pa.types.is_large_string(arr.type):
+            return pc.utf8_slice_codeunits(arr, 0, w)
+    # exotic types: the scalar parity reference
+    from linkedin_iceberg_spark.transforms.transforms import (
+        parse_transform)
+    tr = parse_transform(tstr, stype)
+    return pa.array([None if v is None else tr.apply(v)
+                     for v in arr.to_pylist()])
+
+
 class _FileCommit(WriterCommitMessage):
     def __init__(self, files):
         # [(staged path, partition dict)] — empty for a rowless task
@@ -323,13 +391,9 @@ class _TableBatchWriter(DataSourceArrowWriter):
             if tstr == "identity":
                 gcols.append((pf, src))
                 continue
-            from linkedin_iceberg_spark.transforms.transforms import (
-                parse_transform)
-            tr = parse_transform(tstr, stype)
-            tvals = [None if v is None else tr.apply(v)
-                     for v in work[src].to_pylist()]
             helper = f"_pt_{pf}"
-            work = work.append_column(helper, pa.array(tvals))
+            work = work.append_column(
+                helper, _transform_column(work[src], tstr, stype))
             gcols.append((pf, helper))
         names = [c for _, c in gcols]
         combos = work.group_by(names).aggregate([]).to_pylist()

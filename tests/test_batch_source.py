@@ -237,3 +237,48 @@ def test_write_identity_partitioned(catalog, spark, sf_dir):
     assert sum(e.file.record_count for e in pruned) == urgent
     # round-trip read through the source sees everything
     assert read_table(spark, t).count() == 200
+
+
+def test_transform_column_matches_scalar_reference():
+    """The writer's vectorized partition kernels are byte-identical to
+    the engine's scalar Transform.apply across types, NULLs, and
+    pre-1970 values."""
+    import datetime
+
+    import pyarrow as pa
+
+    from linkedin_iceberg_spark.sources.batch_source import (
+        _transform_column)
+    from linkedin_iceberg_spark.transforms.transforms import (
+        parse_transform)
+
+    ts = [datetime.datetime(1997, 7, 27, 13, 5),
+          datetime.datetime(1969, 12, 31, 23, 59),
+          datetime.datetime(1970, 1, 1), None,
+          datetime.datetime(2034, 2, 28, 1, 2, 3)]
+    dates = [datetime.date(1997, 7, 27), datetime.date(1969, 6, 1),
+             None, datetime.date(1970, 1, 1)]
+    longs = [0, -17, 12345, None, 2**40]
+    strs = ["abcdef", "", None, "xy"]
+
+    cases = [
+        ("year", pa.array(ts), "timestamp"),
+        ("month", pa.array(ts), "timestamp"),
+        ("day", pa.array(ts), "timestamp"),
+        ("hour", pa.array(ts), "timestamp"),
+        ("year", pa.array(dates), "date"),
+        ("month", pa.array(dates), "date"),
+        ("day", pa.array(dates), "date"),
+        ("bucket[7]", pa.array(longs, type=pa.int64()), "long"),
+        ("bucket[7]", pa.array(strs), "string"),
+        ("bucket[7]", pa.array(ts), "timestamp"),
+        ("truncate[10]", pa.array(longs, type=pa.int64()), "long"),
+        ("truncate[3]", pa.array(strs), "string"),
+    ]
+    for tstr, arr, stype in cases:
+        got = _transform_column(pa.chunked_array([arr]), tstr,
+                                stype).to_pylist()
+        tr = parse_transform(tstr, stype)
+        want = [None if v is None else tr.apply(v)
+                for v in arr.to_pylist()]
+        assert got == want, (tstr, stype, got, want)
