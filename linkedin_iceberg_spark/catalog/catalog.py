@@ -2123,6 +2123,7 @@ class Catalog:
         "publish_changes": ("table", "wap_id"),
         "fast_forward": ("table", "branch"),
         "analyze_table": ("table", "columns"),
+        "optimize": ("table",),
         "ancestors_of": ("table", "snapshot_id"),
         "add_files": ("table", "source_table", "format"),
         "migrate": ("table", "location"),
@@ -2149,6 +2150,8 @@ class Catalog:
             CALL publish_changes('db.t', '<wap_id>')
             CALL fast_forward('db.t', '<branch>')
             CALL analyze_table('db.t', '<col>[,<col>...]')
+            CALL optimize('db.t')   (compaction + pos-delete rewrite +
+                                     dangling-delete drop + manifests)
             CALL ancestors_of('db.t' [, <snapshot_id>])  (returns rows)
             CALL add_files('db.t', '<dir>' [, '<fmt>'])
             CALL migrate('db.t', '<path-or-dir>')
@@ -2300,6 +2303,19 @@ class Catalog:
                 analyze_table)
             out = analyze_table(t, [c.strip()
                                     for c in rest[0].split(",")])
+        elif proc == "optimize":
+            # the OPTIMIZE composite users expect from lakehouse SQL:
+            # compact small data files, fold the position-delete
+            # backlog, drop deletes nothing references, then compact
+            # manifests — each step the already-audited action, run in
+            # the order that lets later steps see earlier results
+            out = {"rewrite_data_files": MA.rewrite_data_files(t),
+                   "rewrite_position_deletes":
+                       MA.rewrite_position_deletes(t.refresh()),
+                   "remove_dangling_deletes":
+                       MA.remove_dangling_deletes(t.refresh()),
+                   "rewrite_manifests":
+                       MA.rewrite_manifests(t.refresh())}
         else:
             raise ValueError(f"unknown procedure: {proc!r}")
         return self.spark.createDataFrame(

@@ -859,3 +859,32 @@ def test_sql_update_where_in_subquery(cat, spark):
     with pytest.raises(ValueError, match="not a column"):
         cat.sql("UPDATE db.orders SET o_totalprice = 0 WHERE zz IN "
                 "(SELECT n_nationkey FROM db.nation)")
+
+
+def test_sql_call_optimize(catalog, spark, sf_dir):
+    """CALL optimize: the maintenance composite — small-file compaction,
+    pos-delete fold, dangling-delete drop, manifest rewrite — leaves
+    identical rows in fewer files (r7)."""
+    import json
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.opt", orders)
+    for i in range(4):
+        t.append(orders.limit(100))
+    entries, _ = t._live_data_and_deletes()
+    pos = spark.createDataFrame(
+        [(entries[0].data_file.file_path, i) for i in range(5)],
+        "file_path string, pos bigint")
+    t.row_delta(position_deletes=pos)
+    before_rows = sorted(map(tuple, t.to_df().collect()))
+    n_files = len(entries)
+
+    st = catalog.sql("CALL optimize('db.opt')").collect()[0]
+    d = json.loads(st.detail)
+    assert set(d) == {"rewrite_data_files", "rewrite_position_deletes",
+                      "remove_dangling_deletes", "rewrite_manifests"}
+    t.refresh()
+    data, dels = t._live_data_and_deletes()
+    assert len(data) < n_files
+    assert not dels  # the pos-delete backlog folded away
+    assert sorted(map(tuple, t.to_df().collect())) == before_rows

@@ -81,3 +81,28 @@ def test_empty_terms_rejected(catalog, spark, sf_dir):
     idx = keyword_index_table(catalog, "db.kwidx_e", d.limit(10))
     with pytest.raises(ValueError, match="non-empty term"):
         keyword_topk_from_table(idx, ["", None], pool=5)
+
+
+def test_index_survives_compaction(catalog, spark, sf_dir):
+    """The inverted index is an ENGINE table, so the maintenance plane
+    applies unchanged: rewrite_data_files compacts postings per bucket
+    partition and query results are byte-identical after."""
+    from linkedin_iceberg_spark.catalog.maintenance import (
+        rewrite_data_files)
+
+    d = _docs(spark, sf_dir)
+    idx = keyword_index_table(catalog, "db.kwidx_c",
+                              d.filter("doc_id % 2 = 0"), n_buckets=8)
+    keyword_index_append(idx, d.filter("doc_id % 2 = 1"))
+    idx.refresh()
+    before = keyword_topk_from_table(idx, TERMS, pool=50).collect()
+    n_before = len(idx._live_data_and_deletes()[0])
+    rewrite_data_files(idx)
+    idx.refresh()
+    n_after = len(idx._live_data_and_deletes()[0])
+    assert n_after < n_before
+    # compaction preserves the bucket partitioning (pruning intact)
+    assert all(e.data_file.partition.get("bucket") is not None
+               for e in idx._live_data_and_deletes()[0])
+    after = keyword_topk_from_table(idx, TERMS, pool=50).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]

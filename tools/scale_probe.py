@@ -126,6 +126,10 @@ PROBE_QUERIES = [
     "join_interval_events",
     "similarity_keyword_index",
     "table_batch_source_read",
+    # the DataSource WRITE path at 10x: a file stream of every order
+    # row through writeStream.format(...) then the batch-source read —
+    # cost should ride on rows written (expect ~linear, not super)
+    "streaming_dsv2_roundtrip",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
