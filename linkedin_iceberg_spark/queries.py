@@ -2020,6 +2020,38 @@ def join_interval_events(spark, sf_dir):
             .orderBy("win_id"))
 
 
+@q("stats_global_quantiles", """
+WITH rows_ AS (
+  SELECT n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL
+),
+ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+  FROM rows_
+),
+cnt AS (SELECT count(*) AS n FROM rows_),
+p AS (SELECT unnest([1, 10, 50, 90, 99, 100]) AS pct),
+tgt AS (
+  SELECT pct, n, greatest(1, (pct * n + 99) // 100) AS rk
+  FROM cnt CROSS JOIN p
+)
+SELECT t.pct, CAST(t.n AS BIGINT) AS n, r.n_chars AS quantile_value
+FROM ranked r JOIN tgt t ON t.rk = r.rk
+ORDER BY t.pct""")
+def stats_global_quantiles(spark, sf_dir):
+    """GLOBAL exact quantiles — the scalable no-group path: range-
+    partition on (value, id), rank within partitions, add per-partition
+    offsets from a P-row count collect (no partition-less window, no
+    global sort on one task — the TeraSort shape).  Same pinned rank
+    arithmetic as the grouped query; the oracle replays it over a
+    single ordering."""
+    from linkedin_iceberg_spark.operators.quantiles import \
+        exact_quantiles
+    d = ld(spark, sf_dir, "documents")
+    return exact_quantiles(d, "n_chars", pcts=(1, 10, 50, 90, 99, 100),
+                           group_col=None, id_col="doc_id")
+
+
 @q("similarity_keyword_index", """
 WITH kw AS (
   SELECT doc_id,

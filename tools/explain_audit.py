@@ -334,6 +334,12 @@ CONTRACTS = {
         ["Join", "HashAggregate"],
         ["BroadcastNestedLoopJoin", "CartesianProduct",
          "BatchEvalPython", "ArrowEvalPython"]),
+    "stats_global_quantiles": (
+        # the global path's signature: a RANGE repartition on the value
+        # order with a per-partition-id window — never a partition-less
+        # window moving the corpus to one task
+        ["rangepartitioning", "Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "similarity_keyword_index": (
         # postings read off the persisted index's parquet (bucket
         # pruning itself is pinned by plan_files counts in
