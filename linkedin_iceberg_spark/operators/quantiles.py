@@ -120,3 +120,73 @@ def exact_quantiles(df: DataFrame, value_col: str,
            .select("pct", F.col("_n").cast("long").alias("n"),
                    F.col(value_col).alias("quantile_value")))
     return out.orderBy("pct")
+
+
+def sampled_quantiles(df: DataFrame, value_col: str,
+                      pcts: Sequence[int] = (25, 50, 75, 90),
+                      group_col: Optional[str] = None,
+                      id_col: str = "doc_id", k: int = 4096,
+                      salt: str = "v1") -> DataFrame:
+    """Bounded-memory quantiles: exact order statistics over a
+    DETERMINISTIC uniform sample — the scale path when the full sort of
+    `exact_quantiles` is too heavy and percentile_approx's run-to-run
+    drift is unacceptable.
+
+    The sample is each group's bottom-``k`` rows by the house md5 hash
+    order over (value, id) — uniform (the hash is independent of the
+    value ordering), reproducible across engines/runs/partitionings,
+    and MERGEABLE (bottom-k of a union = bottom-k of the parts'
+    bottom-ks, the KMV property), so per-shard samples roll up without
+    rescans.  Quantiles over the sample follow the same pinned rank
+    arithmetic as exact_quantiles; sampling error is the standard
+    order-statistic bound (~1/sqrt(k) on the rank fraction — k=4096
+    gives ~1.6% rank error).  When a group has <= k rows the sample IS
+    the group and the result is exact.
+
+    Shape: one hash + per-group TOP-K (window over hash order — groups
+    are the parallel unit), then the tiny rank join; nothing sorts the
+    full corpus.  Returns (group?, pct, n_sampled, quantile_value)."""
+    if not pcts or any(p < 1 or p > 100 for p in pcts):
+        raise ValueError(f"pcts must be integer percents in [1,100], "
+                         f"got {list(pcts)!r}")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    rows = df.filter(F.col(value_col).isNotNull())
+    gcols = [group_col] if group_col else []
+    h = F.md5(F.concat(F.lit(salt), F.lit("-"),
+                       F.col(value_col).cast("string"), F.lit("-"),
+                       F.col(id_col).cast("string")))
+    worder = [F.col("_h").asc(), F.col(id_col).asc()]
+    if gcols:
+        w = W.partitionBy(*gcols).orderBy(*worder)
+        sample = (rows.select(*gcols, value_col, id_col, h.alias("_h"))
+                  .withColumn("_sr", F.row_number().over(w))
+                  .filter(F.col("_sr") <= k))
+    else:
+        # global: a single bottom-k window would shuffle the WHOLE
+        # corpus to one task just to rank hashes — take per-Spark-
+        # partition heads first (each task keeps <= k), then the final
+        # bottom-k runs over <= k * n_partitions survivors
+        part = (rows.select(value_col, id_col, h.alias("_h"))
+                .withColumn("_pid", F.spark_partition_id()))
+        wl = W.partitionBy("_pid").orderBy(*worder)
+        local = (part.withColumn("_sr", F.row_number().over(wl))
+                 .filter(F.col("_sr") <= k).drop("_sr", "_pid"))
+        # <= k * n_partitions rows remain; the final bottom-k is tiny
+        wg = W.partitionBy(F.lit(1)).orderBy(*worder)
+        sample = (local.withColumn("_sr", F.row_number().over(wg))
+                  .filter(F.col("_sr") <= k))
+    ranked = sample.select(
+        *gcols, F.col(value_col),
+        F.row_number().over(
+            (W.partitionBy(*gcols) if gcols else
+             W.partitionBy(F.lit(1)))
+            .orderBy(F.col(value_col).asc(), F.col(id_col).asc()))
+        .cast("long").alias("_rk"))
+    counts = sample.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_n"))
+    out = (ranked.join(F.broadcast(_targets(counts, pcts, gcols)),
+                       gcols + ["_rk"])
+           .select(*gcols, "pct",
+                   F.col("_n").cast("long").alias("n_sampled"),
+                   F.col(value_col).alias("quantile_value")))
+    return out.orderBy(*gcols, "pct")

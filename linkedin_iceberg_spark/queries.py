@@ -2020,6 +2020,51 @@ def join_interval_events(spark, sf_dir):
             .orderBy("win_id"))
 
 
+@q("stats_sampled_quantiles", """
+WITH rows_ AS (
+  SELECT lang, n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL
+),
+hashed AS (
+  SELECT lang, n_chars, doc_id,
+         md5('v1-' || n_chars::VARCHAR || '-' || doc_id::VARCHAR) AS h
+  FROM rows_
+),
+sample AS (
+  SELECT lang, n_chars, doc_id FROM (
+    SELECT lang, n_chars, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS sr
+    FROM hashed
+  ) WHERE sr <= 64
+),
+ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rk
+  FROM sample
+),
+cnt AS (SELECT lang, count(*) AS n FROM sample GROUP BY lang),
+p AS (SELECT unnest([10, 50, 90]) AS pct),
+tgt AS (
+  SELECT lang, pct, n, greatest(1, (pct * n + 99) // 100) AS rk
+  FROM cnt CROSS JOIN p
+)
+SELECT r.lang, t.pct, CAST(t.n AS BIGINT) AS n_sampled,
+       r.n_chars AS quantile_value
+FROM ranked r JOIN tgt t ON t.lang = r.lang AND t.rk = r.rk
+ORDER BY r.lang, t.pct""")
+def stats_sampled_quantiles(spark, sf_dir):
+    """Bounded-memory quantiles (`sampled_quantiles`): exact order
+    statistics over each language's bottom-64 md5-hash sample — the
+    mergeable KMV-style scale path where the full sort is too heavy and
+    percentile_approx drifts.  DETERMINISTIC end to end, so the oracle
+    replays the hash order, the sample, AND the rank arithmetic."""
+    from linkedin_iceberg_spark.operators.quantiles import \
+        sampled_quantiles
+    d = ld(spark, sf_dir, "documents")
+    return sampled_quantiles(d, "n_chars", pcts=(10, 50, 90),
+                             group_col="lang", id_col="doc_id", k=64)
+
+
 @q("stats_global_quantiles", """
 WITH rows_ AS (
   SELECT n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL

@@ -75,3 +75,63 @@ def test_global_many_partitions_offsets(spark):
                                     id_col="id").collect()}
     vals = [v for _, v in rows]
     assert got == {p: _brute(vals, p) for p in (50, 95, 100)}
+
+
+def test_sampled_quantiles_exact_when_small(spark):
+    """k >= group size: the sample IS the group, results equal
+    exact_quantiles (modulo the column name)."""
+    from linkedin_iceberg_spark.operators.quantiles import (
+        sampled_quantiles)
+
+    rows = [(i, "g" + str(i % 2), (i * 37) % 101) for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {(r.g, r.pct): (r.n_sampled, r.quantile_value)
+           for r in sampled_quantiles(df, "v", pcts=(10, 50, 95),
+                                      group_col="g", id_col="id",
+                                      k=10_000).collect()}
+    want = {(r.g, r.pct): (r.n, r.quantile_value)
+            for r in exact_quantiles(df, "v", pcts=(10, 50, 95),
+                                     group_col="g", id_col="id"
+                                     ).collect()}
+    assert got == want
+
+
+def test_sampled_quantiles_bounded_and_close(spark):
+    """k << n: the sample caps at k, is deterministic across
+    repartitionings, and its median lands near the true median."""
+    from linkedin_iceberg_spark.operators.quantiles import (
+        sampled_quantiles)
+
+    rows = [(i, i % 1000) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    a = sampled_quantiles(df, "v", pcts=(50,), id_col="id",
+                          k=512).collect()
+    b = sampled_quantiles(df.repartition(17), "v", pcts=(50,),
+                          id_col="id", k=512).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0].n_sampled == 512
+    assert abs(a[0].quantile_value - 500) < 100  # ~1/sqrt(512) rank err
+
+
+def test_sampled_quantiles_global_two_level(spark):
+    """The global path's two-level bottom-k equals a driver-side brute
+    bottom-k over the same hash order."""
+    import hashlib
+
+    from linkedin_iceberg_spark.operators.quantiles import (
+        sampled_quantiles)
+
+    rows = [(i, (i * 13) % 997) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(11)
+    got = {r.pct: r.quantile_value
+           for r in sampled_quantiles(df, "v", pcts=(25, 75),
+                                      id_col="id", k=200).collect()}
+
+    def h(v, i):
+        return hashlib.md5(f"v1-{v}-{i}".encode()).hexdigest()
+
+    sample = sorted(rows, key=lambda r: (h(r[1], r[0]), r[0]))[:200]
+    vals = sorted(v for _, v in sample)
+    for pct in (25, 75):
+        rk = max(1, -(-pct * len(vals) // 100))
+        assert got[pct] == vals[rk - 1], pct

@@ -334,6 +334,12 @@ CONTRACTS = {
         ["Join", "HashAggregate"],
         ["BroadcastNestedLoopJoin", "CartesianProduct",
          "BatchEvalPython", "ArrowEvalPython"]),
+    "stats_sampled_quantiles": (
+        # per-group bottom-k windows (groups parallel), then ranks over
+        # <= k rows per group and the tiny target join — the corpus is
+        # never fully sorted
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     "stats_global_quantiles": (
         # the global path's signature: a RANGE repartition on the value
         # order with a per-partition-id window — never a partition-less
