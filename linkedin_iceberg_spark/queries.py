@@ -2254,11 +2254,17 @@ def similarity_hybrid_rrf(spark, sf_dir):
     scores, 5dp-rounded cosine with id tie-breaks, a 2-term sum of
     correctly-rounded divisions.
 
-    r7: the embedding channel can also run off a persisted IVF index
-    (cell-partitioned scan, probes prune files) — asserted inline here
-    at full probe, where it is value-identical to the exact channel
-    that remains the oracle's replay path; the partial-probe pruning
-    evidence lives in tests/test_hybrid_ivf_r7.py + PLANS.md."""
+    r7: BOTH channels can also run off persisted indexes — the
+    embedding channel off the cell-partitioned IVF table (probes prune
+    files) and the keyword channel off the token-bucket inverted index
+    (terms prune files) — asserted inline here at full probe / full
+    coverage, where each is value-identical to its exact channel; the
+    exact composition remains the oracle's replay path, and the
+    partial-probe/bucket pruning evidence lives in
+    tests/test_hybrid_ivf_r7.py, tests/test_keyword_index.py and
+    PLANS.md."""
+    from linkedin_iceberg_spark.operators.keyword import (
+        keyword_index_table)
     from linkedin_iceberg_spark.operators.similarity import (
         default_centroids, hybrid_rrf_topk, ivf_index_table)
     d = ld(spark, sf_dir, "documents")
@@ -2269,8 +2275,10 @@ def similarity_hybrid_rrf(spark, sf_dir):
     cat = _tmp_catalog(spark)
     idx = ivf_index_table(cat, "q.hyb_ivf", e,
                           default_centroids(e, n_cells=8))
-    via_index = hybrid_rrf_topk(d, None, terms, qv, k=10, pool=50,
-                                vec_index=idx)  # full probe
+    kidx = keyword_index_table(cat, "q.hyb_kw", d, n_buckets=16)
+    via_index = hybrid_rrf_topk(None, None, terms, qv, k=10, pool=50,
+                                vec_index=idx,  # full probe
+                                kw_index=kidx)  # full corpus coverage
     assert [tuple(r) for r in via_index.collect()] == \
         [tuple(r) for r in exact.collect()]
     return exact
