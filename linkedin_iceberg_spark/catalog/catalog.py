@@ -2357,6 +2357,22 @@ class Catalog:
         dotted = rf"{ident}(?:\.{ident})+"
         masked, lits = _mask_sql_literals(query)
 
+        um = re.search(r"\busing\s*\(", masked, re.IGNORECASE)
+        if um:
+            # USING (SELECT ...) [AS] alias: evaluate the subquery
+            # through the full SQL path (engine tables resolve, WHERE
+            # pushdown applies) and substitute a temp view so the main
+            # grammar proceeds unchanged
+            import uuid as _uuid
+            inner, rest = _cut_balanced(masked[um.end():])
+            sub_sql = _unmask_sql_literals(inner, lits).strip()
+            if not re.match(r"(select|with)\b", sub_sql, re.IGNORECASE):
+                raise ValueError("MERGE USING (...) must wrap a "
+                                 "SELECT/WITH subquery")
+            vname = f"_merge_src_{_uuid.uuid4().hex[:8]}"
+            self.sql(sub_sql).createOrReplaceTempView(vname)
+            masked = masked[:um.start()] + f"using {vname}" + rest
+
         m = re.match(
             rf"\s*merge\s+into\s+({dotted})(?:\s+(?:as\s+)?({ident}))?"
             rf"\s+using\s+({dotted}|{ident})(?:\s+(?:as\s+)?({ident}))?"

@@ -888,3 +888,30 @@ def test_sql_call_optimize(catalog, spark, sf_dir):
     assert len(data) < n_files
     assert not dels  # the pos-delete backlog folded away
     assert sorted(map(tuple, t.to_df().collect())) == before_rows
+
+
+def test_sql_merge_using_subquery(cat, spark):
+    """MERGE INTO ... USING (SELECT ...) s: the subquery evaluates
+    through the full SQL path (engine tables resolve) and merges as a
+    normal source (r7)."""
+    t = cat.load_table("db.orders")
+    hot = t.to_df().filter("o_custkey < 8 AND o_orderkey < 400")
+    want = {r.o_orderkey: round(r.o_totalprice * 2, 4)
+            for r in hot.collect()}
+    st = cat.sql(
+        "MERGE INTO db.orders t USING ("
+        "  SELECT o_orderkey AS o_orderkey, o_totalprice AS newp"
+        "  FROM db.orders WHERE o_custkey < 8 AND o_orderkey < 400"
+        ") s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET "
+        "o_totalprice = round(s.newp * 2, 4)").collect()[0]
+    assert st["operation"] == "merge"
+    t.refresh()
+    got = {r.o_orderkey: round(r.o_totalprice, 4)
+           for r in t.to_df().filter(
+               "o_custkey < 8 AND o_orderkey < 400").collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="SELECT/WITH subquery"):
+        cat.sql("MERGE INTO db.orders t USING (42) s "
+                "ON t.o_orderkey = s.o_orderkey "
+                "WHEN MATCHED THEN DELETE")
