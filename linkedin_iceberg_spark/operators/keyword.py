@@ -72,11 +72,16 @@ def keyword_index_table(catalog, name: str, docs: DataFrame,
     spec = (PartitionSpec.builder_for(Schema.from_spark(post.schema))
             .identity("bucket").build())
     t = catalog.create_table(name, post, spec=spec)
-    t.append(post)
+    # cluster postings by token WITHIN each bucket (write.sort-by):
+    # file min/max token bounds stay tight, so a query's term list
+    # skips a bucket's non-covering FILES too — two-level pruning
+    # (partition -> metrics), not just the bucket partitions
     t.update_properties({"kw.n-buckets": str(n_buckets),
                          "kw.salt": salt,
                          "kw.id-col": id_col,
-                         "kw.indexed-count": str(docs.count())})
+                         "kw.indexed-count": str(docs.count()),
+                         "write.sort-by": "token"})
+    t.append(post)
     return t
 
 
@@ -103,7 +108,7 @@ def keyword_topk_from_table(table, query_terms: list, pool: int,
     scan planner).  Value-identical to the exact corpus scan channel:
     postings are distinct (token, doc) rows, so the per-doc match count
     IS ``size(array_intersect(distinct doc tokens, terms))``."""
-    from linkedin_iceberg_spark.expressions import in_
+    from linkedin_iceberg_spark.expressions import and_, in_
     n_buckets = int(table.properties["kw.n-buckets"])
     salt = table.properties["kw.salt"]
     terms = sorted({t for t in query_terms if t})
@@ -111,7 +116,11 @@ def keyword_topk_from_table(table, query_terms: list, pool: int,
         raise ValueError("query_terms must contain at least one "
                          "non-empty term")
     buckets = sorted({term_bucket(t, n_buckets, salt) for t in terms})
-    post = table.new_scan().filter(in_("bucket", buckets)).to_df()
+    # the token predicate goes INTO scan planning too: with postings
+    # token-clustered (write.sort-by), file min/max bounds skip a
+    # bucket's non-covering files before the row filter runs
+    post = table.new_scan().filter(
+        and_(in_("bucket", buckets), in_("token", terms))).to_df()
     stored_id = table.properties.get("kw.id-col", "doc_id")
     return (post.filter(F.col("token").isin(terms))
             .groupBy(F.col(stored_id).alias(id_col))

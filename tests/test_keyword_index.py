@@ -106,3 +106,33 @@ def test_index_survives_compaction(catalog, spark, sf_dir):
                for e in idx._live_data_and_deletes()[0])
     after = keyword_topk_from_table(idx, TERMS, pool=50).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_token_clustering_skips_files_within_bucket(catalog, spark,
+                                                    sf_dir):
+    """Postings cluster by token (write.sort-by) so the token predicate
+    skips a bucket's non-covering FILES through min/max bounds — the
+    second pruning level under the bucket partitions."""
+    from linkedin_iceberg_spark.expressions import and_, in_
+
+    d = _docs(spark, sf_dir)
+    idx = keyword_index_table(catalog, "db.kwidx_t", d.limit(20),
+                              n_buckets=2)
+    # append the bulk with small target files so one bucket spans
+    # several token-clustered files
+    idx.update_properties(
+        set_props={"write.target-max-records-per-file": "2000"})
+    keyword_index_append(idx, d.subtract(d.limit(20)))
+    idx.refresh()
+
+    terms = ["spark"]
+    b = [term_bucket("spark", 2)]
+    bucket_only = idx.new_scan().filter(in_("bucket", b)).plan_files()
+    with_token = idx.new_scan().filter(
+        and_(in_("bucket", b), in_("token", terms))).plan_files()
+    assert len(bucket_only) > 1  # the bucket really spans files
+    assert len(with_token) < len(bucket_only)
+    # and the query still answers exactly
+    got = keyword_topk_from_table(idx, terms, pool=20).collect()
+    want = _exact_channel(d, terms, 20).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
