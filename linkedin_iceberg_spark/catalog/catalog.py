@@ -2114,7 +2114,7 @@ class Catalog:
         "rewrite_manifests": ("table",),
         "rewrite_position_deletes": ("table",),
         "remove_dangling_deletes": ("table",),
-        "expire_snapshots": ("table", "older_than"),
+        "expire_snapshots": ("table", "older_than", "retain_last"),
         "remove_orphan_files": ("table", "older_than"),
         "rollback_to_snapshot": ("table", "snapshot_id"),
         "rollback_to_timestamp": ("table", "timestamp"),
@@ -2141,7 +2141,8 @@ class Catalog:
             CALL rewrite_manifests('db.t')
             CALL rewrite_position_deletes('db.t')
             CALL remove_dangling_deletes('db.t')
-            CALL expire_snapshots('db.t' [, <older_than_ms>])
+            CALL expire_snapshots('db.t' [, <older_than_ms>
+                                  [, <retain_last>]])
             CALL remove_orphan_files('db.t' [, <older_than_ms>])
             CALL rollback_to_snapshot('db.t', <snapshot_id>)
             CALL rollback_to_timestamp('db.t', <timestamp_ms>)
@@ -2246,7 +2247,7 @@ class Catalog:
         elif proc == "remove_dangling_deletes":
             out = MA.remove_dangling_deletes(t)
         elif proc == "expire_snapshots":
-            out = MA.expire_snapshots(t, *rest[:1])
+            out = MA.expire_snapshots(t, *rest[:2])
         elif proc == "remove_orphan_files":
             out = MA.remove_orphan_files(t, *rest[:1])
         elif proc == "rollback_to_snapshot":

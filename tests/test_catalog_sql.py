@@ -915,3 +915,20 @@ def test_sql_merge_using_subquery(cat, spark):
         cat.sql("MERGE INTO db.orders t USING (42) s "
                 "ON t.o_orderkey = s.o_orderkey "
                 "WHEN MATCHED THEN DELETE")
+
+
+def test_sql_call_expire_retain_last(catalog, spark, sf_dir):
+    import json
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.exp", orders)
+    for _ in range(5):
+        t.append(orders.limit(10))
+    assert len(t.metadata.snapshots) == 5
+    st = catalog.sql(
+        "CALL expire_snapshots(table => 'db.exp', "
+        f"older_than => {t.metadata.current_snapshot.timestamp_ms + 1}, "
+        "retain_last => 3)").collect()[0]
+    t.refresh()
+    assert len(t.metadata.snapshots) == 3
+    assert json.loads(st.detail)["expired_snapshots"] == 2
