@@ -189,6 +189,7 @@ class _TableBatchReader(DataSourceReader):
                         if w not in read_cols:
                             read_cols.append(w)
             parts.append(_TaskPartition({
+                "bytes": int(task.file.file_size_in_bytes or 0),
                 "path": task.file.file_path,
                 "fmt": task.file.file_format,
                 "read_cols": read_cols,
@@ -198,21 +199,41 @@ class _TableBatchReader(DataSourceReader):
                 "eq_deletes": eq_deletes,
             }))
         if not parts:
-            parts.append(_TaskPartition({"empty": True,
-                                         "target": target}))
-        return parts
+            return [_TaskPartition({"empty": True, "target": target})]
+        # size-based task coalescing (the split-planning discipline,
+        # S6): a 100 TB table of small files must not become one Spark
+        # task per file — pack file specs into ~maxPartitionBytes-sized
+        # input partitions; read() drains every spec in its pack
+        limit = 128 * 1024 * 1024
+        packs, cur, acc = [], [], 0
+        for p in parts:
+            sz = max(p.spec.get("bytes", 0), 1)
+            if cur and acc + sz > limit:
+                packs.append(cur)
+                cur, acc = [], 0
+            cur.append(p.spec)
+            acc += sz
+        if cur:
+            packs.append(cur)
+        return [_TaskPartition({"specs": pack, "target": target})
+                for pack in packs]
 
     # -- executor time (pyarrow only — no package import) -----------------
     def read(self, partition: _TaskPartition):
         import pyarrow as pa
+
+        target: "pa.Schema" = partition.spec["target"]
+        if partition.spec.get("empty"):
+            yield from pa.Table.from_pylist([], schema=target).to_batches()
+            return
+        for s in partition.spec["specs"]:
+            yield from self._read_one(s, target)
+
+    def _read_one(self, s: dict, target):
+        import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        s = partition.spec
-        target: "pa.Schema" = s["target"]
-        if s.get("empty"):
-            yield from pa.Table.from_pylist([], schema=target).to_batches()
-            return
         if s["fmt"] == "orc":
             from pyarrow import orc
             tbl = orc.read_table(s["path"])
