@@ -24,8 +24,8 @@ API — the batch sibling of streaming/source.py:
   (renames, promotions via cast, dropped/added columns, identity
   partition constants), yielding Arrow batches.
 
-Limits (documented, raise clearly): avro data files and nested-struct
-schema evolution need the richer local_read/to_df paths.
+Limits (documented, raise clearly): nested-struct schema evolution
+needs the richer local_read/to_df paths.
 """
 
 from __future__ import annotations
@@ -149,9 +149,9 @@ class _TableBatchReader(DataSourceReader):
                             for f in current.fields])
         parts = []
         for task in scan.plan_files():
-            if task.file.file_format not in ("parquet", "orc"):
+            if task.file.file_format not in ("parquet", "orc", "avro"):
                 raise ValueError(
-                    f"{SOURCE_NAME} reads parquet/orc data files; "
+                    f"{SOURCE_NAME} reads parquet/orc/avro data files; "
                     f"{task.file.file_format!r} needs local_read/to_df")
             written = md.schema_by_id(task.file.schema_id)
             file_spec = md.spec_by_id(task.file.spec_id)
@@ -190,6 +190,8 @@ class _TableBatchReader(DataSourceReader):
                             read_cols.append(w)
             parts.append(_TaskPartition({
                 "bytes": int(task.file.file_size_in_bytes or 0),
+                "written_schema":
+                    written if task.file.file_format == "avro" else None,
                 "path": task.file.file_path,
                 "fmt": task.file.file_format,
                 "read_cols": read_cols,
@@ -237,6 +239,22 @@ class _TableBatchReader(DataSourceReader):
         if s["fmt"] == "orc":
             from pyarrow import orc
             tbl = orc.read_table(s["path"])
+            tbl = tbl.select([c for c in s["read_cols"]])
+        elif s["fmt"] == "avro":
+            # the pure-Python codec rides the shipped package (the one
+            # read path that is not pyarrow-native); the spec carries
+            # the WRITTEN schema object (pickles fine)
+            from linkedin_iceberg_spark.catalog.local_read import (
+                type_to_arrow)
+            from linkedin_iceberg_spark.sources.avro_codec import (
+                read_avro)
+            written = s["written_schema"]
+            rows = read_avro(s["path"], written)
+            names = [f.name for f in written.fields]
+            arrays = [pa.array([r[i] for r in rows],
+                               type=type_to_arrow(f.type))
+                      for i, f in enumerate(written.fields)]
+            tbl = pa.table(dict(zip(names, arrays)))
             tbl = tbl.select([c for c in s["read_cols"]])
         else:
             tbl = pq.read_table(s["path"], columns=s["read_cols"])

@@ -282,3 +282,20 @@ def test_transform_column_matches_scalar_reference():
         want = [None if v is None else tr.apply(v)
                 for v in arr.to_pylist()]
         assert got == want, (tstr, stype, got, want)
+
+
+def test_read_avro_table(catalog, spark, sf_dir):
+    """Avro data files read through the format too: the pure-Python
+    codec rides the shipped package in the worker (the one non-pyarrow
+    read path)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = catalog.create_table(
+        "db.bav", orders,
+        properties={"write.format-default": "avro"})
+    t.append(orders.limit(60))
+    entries, _ = t._live_data_and_deletes()
+    assert all(e.data_file.file_format == "avro" for e in entries)
+    df = read_table(spark, t)
+    assert _sorted(df.collect()) == _sorted(t.to_df().collect())
+    assert df.count() == 60
