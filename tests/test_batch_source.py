@@ -299,3 +299,50 @@ def test_read_avro_table(catalog, spark, sf_dir):
     df = read_table(spark, t)
     assert _sorted(df.collect()) == _sorted(t.to_df().collect())
     assert df.count() == 60
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_fuzz_read_matches_to_df(catalog, spark, sf_dir, seed):
+    """Seeded fuzz: after a random sequence of appends, row-level
+    deletes, CoW deletes, and schema evolution, the DataSource read is
+    row-identical to the engine read."""
+    import random
+
+    rng = random.Random(seed)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderpriority")
+    t = catalog.create_table(f"db.fz{seed}", orders)
+    t.append(orders.limit(300))
+    renamed = False
+    for step in range(5):
+        op = rng.choice(["append", "eq_delete", "pos_delete",
+                         "cow_delete", "evolve"])
+        if op == "append":
+            t.append(t.to_df().limit(rng.randint(1, 40)))
+        elif op == "eq_delete":
+            lo = rng.randint(0, 1000)
+            keys = spark.createDataFrame(
+                [(k,) for k in range(lo, lo + 30)], "o_orderkey bigint")
+            t.row_delta(equality_delete_keys=keys,
+                        key_cols=["o_orderkey"])
+        elif op == "pos_delete":
+            entries, _ = t._live_data_and_deletes()
+            f = rng.choice(entries).data_file
+            n = max(1, min(5, f.record_count))
+            pos = spark.createDataFrame(
+                [(f.file_path, i) for i in range(n)],
+                "file_path string, pos bigint")
+            t.row_delta(position_deletes=pos)
+        elif op == "cow_delete":
+            from linkedin_iceberg_spark.expressions import lt
+            t.delete_where(lt("o_custkey", rng.randint(1, 50)))
+        elif op == "evolve" and not renamed:
+            t.update_schema() \
+                .rename_column("o_totalprice", "price") \
+                .add_column(f"note{step}", "string").commit()
+            renamed = True
+        t.refresh()
+        got = _sorted(read_table(spark, t).collect())
+        want = _sorted(t.to_df().collect())
+        assert got == want, f"seed={seed} step={step} op={op}"
