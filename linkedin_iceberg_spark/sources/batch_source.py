@@ -393,11 +393,15 @@ class _TableBatchWriter(DataSourceArrowWriter):
     remains the vectorized write path (transforms as Spark columns)."""
 
     def __init__(self, options: dict, overwrite: bool,
-                 part_fields: list = None):
+                 part_fields: list = None, sort_by: list = None):
         import uuid as _uuid
         self.location = options["location"]
         self.overwrite = overwrite
         self.part_fields = part_fields or []  # [(pf, src, transform, type)]
+        # the table's declared write order (write.sort-by): rows inside
+        # each staged file cluster so parquet row-group stats stay
+        # tight (zorder interleaves are left to table.append)
+        self.sort_by = sort_by or []
         self.staging = os.path.join(
             self.location, "data", f"dsv2-{_uuid.uuid4().hex[:12]}")
 
@@ -413,6 +417,9 @@ class _TableBatchWriter(DataSourceArrowWriter):
         _os.makedirs(self.staging, exist_ok=True)
 
         def stage(part_tbl, pdict):
+            if self.sort_by:
+                part_tbl = part_tbl.sort_by(
+                    [(c, "ascending") for c in self.sort_by])
             path = _os.path.join(self.staging,
                                  f"part-{_uuid.uuid4().hex}.parquet")
             pq.write_table(part_tbl, path, compression="snappy")
@@ -570,10 +577,12 @@ class TableBatchDataSource(DataSource):
         return _TableStreamWriter(
             self.options, self._part_fields(schema))
 
+
     def writer(self, schema, overwrite: bool) -> _TableBatchWriter:
         self._check_write_schema(schema)
         return _TableBatchWriter(self.options, overwrite,
-                                 self._part_fields(schema))
+                                 self._part_fields(schema),
+                                 self._sort_by())
 
     def _check_write_schema(self, schema) -> None:
         # staged parquet becomes table data verbatim, so the incoming
@@ -590,6 +599,17 @@ class TableBatchDataSource(DataSource):
             raise ValueError(
                 f"write schema {got} does not match table schema "
                 f"{want}; use table.append for schema alignment")
+
+    def _sort_by(self) -> list:
+        """The table's declared write order as plain column names
+        (zorder(...) stays with table.append — its interleave is a
+        Spark-column computation)."""
+        from linkedin_iceberg_spark.catalog.metadata import TableOperations
+        md = TableOperations(self.options["location"]).refresh()
+        prop = (md.properties.get("write.sort-by") or "") if md else ""
+        if not prop or prop.lower().startswith("zorder"):
+            return []
+        return [c.strip() for c in prop.split(",") if c.strip()]
 
     def _part_fields(self, schema) -> list:
         """Partition fields as [(pf.name, source col, transform str,

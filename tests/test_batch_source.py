@@ -346,3 +346,28 @@ def test_fuzz_read_matches_to_df(catalog, spark, sf_dir, seed):
         got = _sorted(read_table(spark, t).collect())
         want = _sorted(t.to_df().collect())
         assert got == want, f"seed={seed} step={step} op={op}"
+
+
+def test_write_honors_declared_sort_order(catalog, spark, sf_dir):
+    """WRITE ORDERED BY clusters rows inside each staged file (tight
+    row-group stats); zorder write orders stay with table.append."""
+    import pyarrow.parquet as pq
+
+    from linkedin_iceberg_spark.sources.batch_source import (
+        register_batch_source)
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.bw_o", orders)
+    catalog.sql("ALTER TABLE db.bw_o WRITE ORDERED BY (o_totalprice)")
+    t.refresh()
+    register_batch_source(spark)
+    orders.limit(300).write.format("linkedin_iceberg") \
+        .option("location", t.location).mode("append").save()
+    t.refresh()
+    assert sorted(map(tuple, t.to_df().collect())) == \
+        sorted(map(tuple, orders.limit(300).collect()))
+    for e in t._live_data_and_deletes()[0]:
+        vals = pq.read_table(e.data_file.file_path,
+                             columns=["o_totalprice"]) \
+            .column(0).to_pylist()
+        assert vals == sorted(vals)
