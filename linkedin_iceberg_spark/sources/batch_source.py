@@ -570,6 +570,19 @@ class TableBatchDataSource(DataSource):
     def reader(self, schema) -> _TableBatchReader:
         return _TableBatchReader(self.options)
 
+    def streamReader(self, schema):
+        # one format name for the whole surface: readStream delegates
+        # to the table-as-stream reader (streaming/source.py — file-
+        # slice offsets, Arrow batches, branch/tag refs)
+        from linkedin_iceberg_spark.streaming.source import (
+            DEFAULT_MAX_FILES_PER_BATCH, _TableStreamReader)
+        return _TableStreamReader(
+            self.options["location"],
+            [f.name for f in schema.fields],
+            int(self.options.get("maxfilesperbatch",
+                                 DEFAULT_MAX_FILES_PER_BATCH)),
+            self.options.get("ref") or None)
+
     def streamWriter(self, schema, overwrite: bool):
         if overwrite:
             raise ValueError("stream writes are append-only")

@@ -371,3 +371,23 @@ def test_write_honors_declared_sort_order(catalog, spark, sf_dir):
                              columns=["o_totalprice"]) \
             .column(0).to_pylist()
         assert vals == sorted(vals)
+
+
+def test_stream_read_same_format_name(catalog, spark, sf_dir, tmp_path):
+    """readStream.format("linkedin_iceberg") works too — one format
+    name across batch read/write and stream read/write."""
+    from linkedin_iceberg_spark.sources.batch_source import (
+        register_batch_source)
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.bsr", orders)
+    t.append(orders.limit(30))
+    register_batch_source(spark)
+    q = (spark.readStream.format("linkedin_iceberg")
+         .option("location", t.location)
+         .schema(t.schema.to_spark()).load()
+         .writeStream.format("memory").queryName("bsr_out")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) AS n FROM bsr_out").head().n == 30
