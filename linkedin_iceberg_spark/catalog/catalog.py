@@ -781,6 +781,24 @@ class Catalog:
         from linkedin_iceberg_spark.catalog.metadata_tables import (
             METADATA_TABLES)
 
+        em = re.match(r"\s*explain\s+(formatted\s+|extended\s+)?(.+)$",
+                      query, re.IGNORECASE | re.DOTALL)
+        if em and re.match(r"(select|with)\b", em.group(2).strip(),
+                           re.IGNORECASE):
+            # EXPLAIN [FORMATTED|EXTENDED] SELECT ...: resolve through
+            # the full path (engine tables register, WHERE pushdown
+            # applies — the plan SHOWS the pruned scan), return the
+            # plan text as rows
+            df = self.sql(em.group(2).strip())
+            mode = (em.group(1) or "formatted").strip().lower()
+            qe = df._jdf.queryExecution()
+            text = qe.toString() if mode == "extended" \
+                else qe.explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString("formatted"))
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "plan string")
+
         ddl = self._sql_ddl(query)
         if ddl is not None:
             return ddl
@@ -1338,6 +1356,7 @@ class Catalog:
               GROUP BY keys                    (incremental_view plane)
             REFRESH MATERIALIZED VIEW db.mv    (changelog fold)
             DROP MATERIALIZED VIEW [IF EXISTS] db.mv
+            EXPLAIN [FORMATTED|EXTENDED] SELECT ...   (plan as rows)
             SHOW TABLES [IN ns] / SHOW NAMESPACES [IN ns] / SHOW VIEWS
             SHOW PARTITIONS db.t / SHOW CREATE TABLE db.t
             CREATE NAMESPACE [IF NOT EXISTS] ns

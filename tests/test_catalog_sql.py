@@ -932,3 +932,21 @@ def test_sql_call_expire_retain_last(catalog, spark, sf_dir):
     t.refresh()
     assert len(t.metadata.snapshots) == 3
     assert json.loads(st.detail)["expired_snapshots"] == 2
+
+
+def test_sql_explain(cat):
+    """EXPLAIN [FORMATTED|EXTENDED] SELECT resolves engine tables
+    through the full path and returns the plan as rows — the SQL-path
+    pushdown is VISIBLE in the output (r7)."""
+    rows = cat.sql("EXPLAIN SELECT o_orderkey FROM db.orders "
+                   "WHERE o_orderkey < 50").collect()
+    txt = "\n".join(r.plan for r in rows)
+    assert "Physical Plan" in txt and "Scan" in txt
+    ext = cat.sql("EXPLAIN EXTENDED SELECT count(*) AS n "
+                  "FROM db.orders o JOIN db.nation "
+                  "ON o.o_custkey % 25 = db.nation.n_nationkey").collect()
+    etxt = "\n".join(r.plan for r in ext)
+    assert "Analyzed Logical Plan" in etxt
+    # non-SELECT statements are untouched by the EXPLAIN route
+    st = cat.sql("SHOW TABLES").collect()
+    assert st  # still works
