@@ -15,6 +15,7 @@ import datetime as _dt
 import math
 import re
 from decimal import Decimal
+from typing import Optional
 
 import pyarrow.parquet as pq
 
@@ -72,7 +73,22 @@ def _normalize(v, type_str: str):
     return v
 
 
-def collect_file_stats(path: str, schema, mode: str = "truncate(16)") -> dict:
+def _parse_metrics_mode(mode: str) -> tuple:
+    """mode string -> (kind, trunc_len): kind none|counts|bounds,
+    trunc_len None = untruncated (``full``)."""
+    mode = (mode or "").strip().lower()
+    if mode == "none":
+        return ("none", None)
+    if mode == "counts":
+        return ("counts", None)
+    if mode.startswith("truncate"):
+        m = re.match(r"truncate\((\d+)\)", mode)
+        return ("bounds", int(m.group(1)) if m else TRUNCATE_LEN)
+    return ("bounds", None)  # "full"
+
+
+def collect_file_stats(path: str, schema, mode: str = "truncate(16)",
+                       column_modes: Optional[dict] = None) -> dict:
     """Returns dict with record_count, file_size, value_counts,
     null_value_counts, nan_value_counts, lower_bounds, upper_bounds —
     all keyed by our field ids (top-level primitive columns only; nested
@@ -81,19 +97,20 @@ def collect_file_stats(path: str, schema, mode: str = "truncate(16)") -> dict:
     ``mode`` mirrors MetricsModes.java:34-96 — ``none`` (record count
     only), ``counts`` (value/null counts, no bounds), ``truncate(N)``
     (bounds, strings truncated to N; the reference default N=16), ``full``
-    (untruncated bounds)."""
+    (untruncated bounds).  ``column_modes`` overrides per COLUMN NAME
+    (the reference's write.metadata.metrics.column.<name> properties),
+    e.g. {"payload": "none", "url": "full"}."""
     md = pq.read_metadata(path)
-    if mode == "none":
+    kind, trunc_len = _parse_metrics_mode(mode)
+    overrides = {name: _parse_metrics_mode(m)
+                 for name, m in (column_modes or {}).items()}
+    if kind == "none" and not overrides:
         return {
             "record_count": md.num_rows,
             "file_size_in_bytes": _file_size(path),
             "value_counts": {}, "null_value_counts": {},
             "nan_value_counts": {}, "lower_bounds": {}, "upper_bounds": {},
         }
-    trunc_len = None
-    if mode.startswith("truncate"):
-        m = re.match(r"truncate\((\d+)\)", mode)
-        trunc_len = int(m.group(1)) if m else TRUNCATE_LEN
     # leaf column index -> dotted path
     leaf_paths = [md.schema.column(i).path for i in range(md.num_columns)]
 
@@ -103,11 +120,15 @@ def collect_file_stats(path: str, schema, mode: str = "truncate(16)") -> dict:
     lowers: dict[int, object] = {}
     uppers: dict[int, object] = {}
 
-    # our field name -> (field_id, type) for top-level primitives
+    # our field name -> (field_id, type, kind, trunc) for top-level
+    # primitives, with per-column mode overrides resolved
     fields = {}
+    truncs = {}
     for f in schema.fields:
         if isinstance(f.type, str):
-            fields[f.name] = (f.field_id, f.type)
+            k, tl = overrides.get(f.name, (kind, trunc_len))
+            fields[f.name] = (f.field_id, f.type, k)
+            truncs[f.field_id] = tl
 
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -116,7 +137,9 @@ def collect_file_stats(path: str, schema, mode: str = "truncate(16)") -> dict:
             col_path = leaf_paths[ci]
             if col_path not in fields:
                 continue
-            fid, type_str = fields[col_path]
+            fid, type_str, col_kind = fields[col_path]
+            if col_kind == "none":
+                continue
             st = col.statistics
             if st is None:
                 continue
@@ -125,7 +148,7 @@ def collect_file_stats(path: str, schema, mode: str = "truncate(16)") -> dict:
             value_counts[fid] = value_counts.get(fid, 0) + n
             if st.has_null_count:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
-            if mode == "counts":
+            if col_kind == "counts":
                 continue
             if st.has_min_max:
                 try:
@@ -148,18 +171,20 @@ def collect_file_stats(path: str, schema, mode: str = "truncate(16)") -> dict:
                     cur = uppers.get(fid)
                     uppers[fid] = hi if cur is None or hi > cur else cur
 
-    # string truncation (metrics mode truncate(N); "full" keeps exact bounds)
-    if trunc_len is not None:
-        for fid in list(lowers):
-            if isinstance(lowers[fid], str):
-                lowers[fid] = truncate_lower(lowers[fid], trunc_len)
-        for fid in list(uppers):
-            if isinstance(uppers[fid], str):
-                t = truncate_upper(uppers[fid], trunc_len)
-                if t is None:
-                    del uppers[fid]
-                else:
-                    uppers[fid] = t
+    # string truncation (metrics mode truncate(N); "full" keeps exact
+    # bounds) — per-column truncation lengths after overrides
+    for fid in list(lowers):
+        tl = truncs.get(fid)
+        if tl is not None and isinstance(lowers[fid], str):
+            lowers[fid] = truncate_lower(lowers[fid], tl)
+    for fid in list(uppers):
+        tl = truncs.get(fid)
+        if tl is not None and isinstance(uppers[fid], str):
+            t = truncate_upper(uppers[fid], tl)
+            if t is None:
+                del uppers[fid]
+            else:
+                uppers[fid] = t
 
     return {
         "record_count": md.num_rows,

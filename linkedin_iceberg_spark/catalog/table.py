@@ -94,6 +94,16 @@ class Table:
     def properties(self) -> dict:
         return self.metadata.properties
 
+    def _column_metrics_modes(self) -> dict:
+        """Per-column metrics overrides from
+        ``write.metadata.metrics.column.<name>`` properties (ref:
+        TableProperties METRICS_MODE_COLUMN_CONF_PREFIX) — e.g. turn a
+        giant text/binary column's bounds off (``none``/``counts``) or
+        keep an URL column's bounds exact (``full``)."""
+        prefix = "write.metadata.metrics.column."
+        return {k[len(prefix):]: v for k, v in self.properties.items()
+                if k.startswith(prefix)}
+
     def refresh(self) -> "Table":
         md = self.ops.refresh()
         if md is not None:
@@ -309,6 +319,7 @@ class Table:
         # ref: TableProperties.java:116 DEFAULT_WRITE_METRICS_MODE
         metrics_mode = self.properties.get(
             "write.metadata.metrics.default", "truncate(16)")
+        column_modes = self._column_metrics_modes()
 
         def build(item):
             fpath, partition = item
@@ -328,7 +339,8 @@ class Table:
                     "upper_bounds": {},
                 }
             else:
-                stats = collect_file_stats(fpath, schema, metrics_mode)
+                stats = collect_file_stats(fpath, schema, metrics_mode,
+                                           column_modes=column_modes)
             return M.DataFile(
                 file_path=fpath,
                 file_format=fmt,

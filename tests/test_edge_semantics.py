@@ -97,3 +97,36 @@ def test_empty_string_partition_distinct_from_null(catalog, spark):
     got = t.scan(row_filter=eq("s", "")).select("id").orderBy("id")
     assert [r.id for r in got.collect()] == [1, 4]
     assert t.to_df().filter(F.col("s").isNull()).count() == 1
+
+
+def test_per_column_metrics_modes(catalog, spark, sf_dir):
+    """write.metadata.metrics.column.<name> overrides (ref:
+    TableProperties METRICS_MODE_COLUMN_CONF_PREFIX): a 'none' column
+    carries no counts or bounds, a 'counts' column no bounds, while the
+    default columns keep theirs (r7)."""
+    import os
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table(
+        "db.metcol", orders,
+        properties={
+            "write.metadata.metrics.column.o_orderpriority": "none",
+            "write.metadata.metrics.column.o_orderstatus": "counts",
+        })
+    t.append(orders.limit(200))
+    sch = t.schema
+    fid_none = sch.id_for_name("o_orderpriority")
+    fid_counts = sch.id_for_name("o_orderstatus")
+    fid_def = sch.id_for_name("o_orderkey")
+    for e in t._live_data_and_deletes()[0]:
+        f = e.data_file
+        assert fid_none not in f.value_counts
+        assert fid_none not in f.lower_bounds
+        assert fid_counts in f.value_counts
+        assert fid_counts not in f.lower_bounds
+        assert fid_def in f.value_counts
+        assert fid_def in f.lower_bounds
+    # the default-mode columns still prune
+    from linkedin_iceberg_spark.expressions import lt
+    assert len(t.new_scan().filter(lt("o_orderkey", -5)).plan_files()) \
+        == 0
