@@ -471,10 +471,14 @@ class _TableBatchWriter(DataSourceArrowWriter):
         schema = md.schema
         mode = md.properties.get("write.metadata.metrics.default",
                                  "truncate(16)")
+        cmodes = {k[len("write.metadata.metrics.column."):]: v
+                  for k, v in md.properties.items()
+                  if k.startswith("write.metadata.metrics.column.")}
         files = []
         for m in messages:
             for (path, pdict) in getattr(m, "files", []) or []:
-                st = collect_file_stats(path, schema, mode)
+                st = collect_file_stats(path, schema, mode,
+                                        column_modes=cmodes)
                 files.append(M.DataFile(
                     file_path=path, file_format="parquet",
                     partition=pdict, spec_id=md.default_spec_id,
@@ -532,10 +536,14 @@ class _TableStreamWriter(_TableBatchWriter,
             return
         mode = md.properties.get("write.metadata.metrics.default",
                                  "truncate(16)")
+        cmodes = {k[len("write.metadata.metrics.column."):]: v
+                  for k, v in md.properties.items()
+                  if k.startswith("write.metadata.metrics.column.")}
         files = [M.DataFile(
             file_path=p, file_format="parquet", partition=pdict,
             spec_id=md.default_spec_id, schema_id=md.current_schema_id,
-            **collect_file_stats(p, md.schema, mode))
+            **collect_file_stats(p, md.schema, mode,
+                                 column_modes=cmodes))
             for (p, pdict) in staged]
         if files:
             t._commit_append_files(files, extra_summary={
