@@ -485,6 +485,12 @@ class Catalog:
             schema = Schema.from_spark(schema.schema)
         if self.table_exists(name):
             raise AlreadyExistsError(f"table {name} already exists")
+        if self.view_exists(name):
+            # Catalog.sql resolves views BEFORE tables, so a table
+            # created under a view's name would be unreachable by name
+            # while the stale view shadows it — refuse symmetrically
+            # with create_view's table check
+            raise AlreadyExistsError(f"view {name} already exists")
         if location:
             location = os.path.abspath(
                 _re.sub(r"^file:(//)?", "", location))
@@ -1080,7 +1086,7 @@ class Catalog:
         df = df.toDF(*rest)
         for col, val in assigns.items():
             df = df.withColumn(col, F.lit(val))
-        df = self._align_insert_df(t, df, None)
+        df = self._align_insert_df(t, df, None, by_name=True)
         if mode.lower() == "overwrite":
             conj = [eq(c, v) for c, v in sorted(assigns.items())]
             expr = conj[0]
@@ -1095,19 +1101,29 @@ class Catalog:
         return status("insert", summ.get("added-records", -1))
 
     def _align_insert_df(self, t: "Table", df: DataFrame,
-                         cols: Optional[list]) -> DataFrame:
+                         cols: Optional[list],
+                         by_name: bool = False) -> DataFrame:
         """Align an INSERT source frame to the target table's schema:
         with an explicit column list the source binds to it positionally
-        and unmentioned target columns fill with NULL; without one, a
-        source whose names cover the target binds by name, otherwise
-        positionally (the SQL-standard ordinal rule — what VALUES rows
-        produce).  Every output column casts to the target type, so
-        VALUES integer literals land in BIGINT columns losslessly."""
+        and unmentioned target columns fill with NULL; without one, the
+        source binds POSITIONALLY — the SQL-standard ordinal rule Spark
+        itself applies to `INSERT INTO t SELECT b, a`, never silently
+        remapped by name.  `by_name=True` is for internal callers whose
+        frame is already target-named but possibly reordered (the static
+        PARTITION path appends the assigned partition columns last).
+        Every output column casts to the target type, so VALUES integer
+        literals land in BIGINT columns losslessly."""
         from pyspark.sql import functions as F
 
         fields = t.schema.to_spark().fields
         names = [f.name for f in fields]
-        if cols is not None:
+        if by_name:
+            missing = [n for n in names if n not in set(df.columns)]
+            if missing:
+                raise ValueError(
+                    f"INSERT source is missing target column(s) "
+                    f"{missing}")
+        elif cols is not None:
             unknown = [c for c in cols if c not in names]
             if unknown:
                 raise ValueError(
@@ -1118,7 +1134,7 @@ class Catalog:
                     f"INSERT supplies {len(df.columns)} values for "
                     f"{len(cols)} named columns")
             df = df.toDF(*cols)
-        elif set(df.columns) != set(names):
+        else:
             if len(df.columns) != len(names):
                 raise ValueError(
                     f"INSERT source has {len(df.columns)} columns; "
@@ -2435,6 +2451,10 @@ class Catalog:
         upd = upd_cond = del_cond = ins_cond = ins_values = None
         src_upd = src_upd_cond = src_del_cond = None
         insert_unmatched = False
+        # SQL MERGE evaluates WHEN clauses in declared order (first
+        # matching clause wins) — record each clause's position so the
+        # operator knows whether DELETE or UPDATE was declared first
+        clause_pos: dict = {}
         clause_re = re.compile(
             r"when\s+(not\s+)?matched(?:\s+by\s+(source|target))?"
             r"(?:\s+and\s+(.+?))?\s+then\s+"
@@ -2443,7 +2463,7 @@ class Catalog:
             r"(?=\s+when\s+|\s*$)",
             re.IGNORECASE | re.DOTALL)
         matched_any = False
-        for c in clause_re.finditer(whens):
+        for idx, c in enumerate(clause_re.finditer(whens)):
             matched_any = True
             is_not, by, cond_text, action = c.groups()
             cond = F.expr(norm(cond_text)) if cond_text else None
@@ -2457,7 +2477,9 @@ class Catalog:
                 if low == "delete":
                     src_del_cond = cond if cond is not None \
                         else F.lit(True)
+                    clause_pos["src_del"] = idx
                 elif low.startswith("update set"):
+                    clause_pos["src_upd"] = idx
                     body_set = act[len("update set"):].strip()
                     if body_set == "*":
                         raise ValueError(
@@ -2494,8 +2516,10 @@ class Catalog:
                                   for col, v in zip(cols, vals)}
             elif low == "delete":
                 del_cond = cond if cond is not None else F.lit(True)
+                clause_pos["del"] = idx
             elif low.startswith("update set"):
                 upd, upd_cond = {}, cond
+                clause_pos["upd"] = idx
                 body_set = act[len("update set"):].strip()
                 if body_set == "*":
                     # UPDATE SET *: every target column takes the
@@ -2522,7 +2546,13 @@ class Catalog:
               insert_values=ins_values,
               unmatched_source_update=src_upd,
               unmatched_source_update_cond=src_upd_cond,
-              unmatched_source_delete_cond=src_del_cond)
+              unmatched_source_delete_cond=src_del_cond,
+              matched_delete_first=(
+                  clause_pos.get("del", 1 << 30)
+                  < clause_pos.get("upd", 1 << 30)),
+              source_delete_first=(
+                  clause_pos.get("src_del", 1 << 30)
+                  < clause_pos.get("src_upd", 1 << 30)))
         t.refresh()
         summ = t.metadata.current_snapshot.summary
         return self.spark.createDataFrame(

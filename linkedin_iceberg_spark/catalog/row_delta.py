@@ -190,6 +190,8 @@ def merge(table, source: DataFrame, key_cols: list,
           unmatched_source_update: Optional[dict] = None,
           unmatched_source_update_cond=None,
           unmatched_source_delete_cond=None,
+          matched_delete_first: bool = True,
+          source_delete_first: bool = True,
           validate_source_unique: bool = True,
           extra_summary: Optional[dict] = None):
     """Full MERGE INTO semantics committed as ONE RowDelta snapshot
@@ -202,6 +204,15 @@ def merge(table, source: DataFrame, key_cols: list,
         with the update expressions (dict target_col -> Column over the
         `s`/`t` aliases)
       * not matched and `insert_unmatched` (+opt cond) -> source row added
+
+    Clause semantics follow SQL MERGE three-valued logic and ordering:
+    a condition that evaluates to NULL does not fire its clause (it is
+    coalesced to false, never silently flipping an update into a
+    delete), and when BOTH an update and a delete clause are present
+    the FIRST matching clause wins — `matched_delete_first` /
+    `source_delete_first` record the declared clause order (True = the
+    DELETE clause precedes the UPDATE clause, the default; the SQL
+    route passes the order it parsed).
 
     r7 — NOT MATCHED BY SOURCE (the Spark 3.4+ MERGE extension): target
     rows with NO source match can be deleted
@@ -249,20 +260,36 @@ def merge(table, source: DataFrame, key_cols: list,
         on = clause if on is None else (on & clause)
 
     false_ = F.lit(False)
-    del_cond = matched_delete_cond if matched_delete_cond is not None \
-        else false_
+
+    def _fires(cond):
+        # SQL clause firing is three-valued: a NULL condition does NOT
+        # fire the clause.  Coalesce to false so the later negation
+        # (~del over the update set) can never go NULL and silently
+        # turn an update into a delete.
+        return F.coalesce(cond.cast("boolean"), false_)
+
+    del_cond = _fires(matched_delete_cond) \
+        if matched_delete_cond is not None else false_
     if matched_update:
-        upd_cond = matched_update_cond if matched_update_cond is not None \
-            else F.lit(True)
+        upd_cond = _fires(matched_update_cond) \
+            if matched_update_cond is not None else F.lit(True)
     else:
         upd_cond = false_
+    # first-matching-clause-wins (SQL MERGE evaluates WHEN clauses in
+    # declared order): the later clause only fires where the earlier
+    # one did not
+    if matched_delete_first:
+        eff_upd = upd_cond & ~del_cond
+    else:
+        eff_upd = upd_cond
+        del_cond = del_cond & ~upd_cond
 
     matched = s.join(t, on, "inner")
-    affected = (matched.filter(del_cond | upd_cond)
+    affected = (matched.filter(del_cond | eff_upd)
                 .select(*[F.col(f"s.{k}") for k in key_cols]))
 
     target_cols = table.to_df().columns
-    updated = (matched.filter(upd_cond & ~del_cond)
+    updated = (matched.filter(eff_upd)
                .select(*[(matched_update[c] if c in (matched_update or {})
                           else F.col(f"t.{c}")).alias(c)
                          for c in target_cols]))
@@ -290,19 +317,24 @@ def merge(table, source: DataFrame, key_cols: list,
         or unmatched_source_update
     if by_source:
         t_only = t.join(s, on, "left_anti")
-        src_del = unmatched_source_delete_cond \
+        src_del = _fires(unmatched_source_delete_cond) \
             if unmatched_source_delete_cond is not None else false_
         if unmatched_source_update:
-            src_upd = unmatched_source_update_cond \
+            src_upd = _fires(unmatched_source_update_cond) \
                 if unmatched_source_update_cond is not None else F.lit(True)
         else:
             src_upd = false_
+        if source_delete_first:
+            src_eff_upd = src_upd & ~src_del
+        else:
+            src_eff_upd = src_upd
+            src_del = src_del & ~src_upd
         affected = affected.unionByName(
-            t_only.filter(src_del | src_upd)
+            t_only.filter(src_del | src_eff_upd)
             .select(*[F.col(f"t.{k}") for k in key_cols]))
         if unmatched_source_update:
             parts.append(
-                t_only.filter(src_upd & ~src_del)
+                t_only.filter(src_eff_upd)
                 .select(*[(unmatched_source_update[c]
                            if c in unmatched_source_update
                            else F.col(f"t.{c}")).alias(c)

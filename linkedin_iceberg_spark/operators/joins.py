@@ -101,6 +101,15 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         raise ValueError("bucket_width must be positive")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    shared = set(points.columns) & set(intervals.columns)
+    if shared:
+        # the output carries BOTH sides' columns verbatim (and the left
+        # path NULL-fills the interval side), so a shared name would be
+        # ambiguous in the inner result and silently NULL the point's
+        # own column in the left result — require disjoint names
+        raise ValueError(
+            f"interval_join requires disjoint column names; shared: "
+            f"{sorted(shared)} — alias one side first")
     by = by or []
     w = F.lit(float(bucket_width))
 

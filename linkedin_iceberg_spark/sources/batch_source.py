@@ -551,6 +551,26 @@ class _TableStreamWriter(_TableBatchWriter,
 
     def abort(self, messages, batchId: int) -> None:
         import shutil
+        # the streaming runner constructs a FRESH writer instance per
+        # commit/abort call, so self.staging is a brand-new uuid dir the
+        # failed epoch's tasks never wrote to — the real staged paths
+        # travel in the task messages (the same channel the
+        # replayed-epoch branch of commit drains).  Delete those files,
+        # then their now-empty per-writer staging dirs, so an aborted
+        # epoch leaves no orphan parquet under <location>/data/.
+        dirs = set()
+        for m in messages or []:
+            for p, _ in (getattr(m, "files", []) or []):
+                try:
+                    os.remove(p)
+                    dirs.add(os.path.dirname(p))
+                except OSError:
+                    pass
+        for d in dirs:
+            try:
+                os.rmdir(d)
+            except OSError:
+                pass  # non-empty (another epoch's files) or already gone
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
