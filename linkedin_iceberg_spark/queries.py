@@ -5835,6 +5835,27 @@ _PRIORITY = [
     #     family) -> table_batch_source_read (new: the batch Python
     #     DataSource — the strictly richer read integration: deletes,
     #     schema alignment, plan-time filter pushdown)
+    # r8 rotation (window stays 50; retire 3+-round-green unchanged
+    # entries whose families keep in-window representation, rotate in
+    # the 8 registered-but-never-windowed r7 queries):
+    #   table_rewrite_pos_deletes (green r4-r7; deletes family keeps
+    #     equality_deletes + purge_forgotten) -> table_sql_merge_sync
+    #   meta_analyze_ndv (green r5-r7; meta family keeps sql_count_meta
+    #     + count_pushdown) -> stats_global_quantiles
+    #   table_object_store_layout (green r5-r7; the write-layout family
+    #     gains its declared-order sibling) -> table_write_ordered
+    #   table_branch_merge (green r5-r7; refs family keeps
+    #     branch_workflow + snapshot_diff) -> table_rename_flow
+    #   table_key_index_lookup (green r5-r7; the persisted-index family
+    #     keeps similarity_keyword_index + ivf_pruned/refresh)
+    #     -> table_sql_view
+    #   table_snapshot_clone (green r4-r7; snapshot family keeps
+    #     branch_workflow + snapshot_diff) -> table_sql_mview
+    #   streaming_incremental_dedup (green r3-r7; streaming family
+    #     gains the DSv2 round-trip) -> streaming_dsv2_roundtrip
+    #   table_scan_planned_tasks (green r3-r7; scan family keeps
+    #     sql_pruned + batch_source_read, which plans through the same
+    #     split planner) -> stats_sampled_quantiles
     "stats_exact_quantiles", "table_batch_source_read",
     # r5: meta_scan_summary (green r4, unchanged; the metadata family
     # keeps meta_find_files in-window) rotates out for meta_analyze_ndv
@@ -5848,8 +5869,8 @@ _PRIORITY = [
     # analyze_ndv + count_pushdown + sql_count_meta) rotates out for
     # text_rocchio_classify (new: integer-exact nearest-centroid
     # classifier, trained and replayed in the oracle)
-    "table_rewrite_pos_deletes", "text_rocchio_classify",
-    "table_changelog_mirror", "meta_analyze_ndv",
+    "table_sql_merge_sync", "text_rocchio_classify",
+    "table_changelog_mirror", "stats_global_quantiles",
     # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
     # table_overwrite_where in-window) rotates out for table_update_where
     # (new: keyless copy-on-write UPDATE with pruned candidates)
@@ -5908,7 +5929,7 @@ _PRIORITY = [
     # family keeps events_retention, and the events TABLE gains a new
     # exerciser) rotates out for join_interval_events (new: bucketized
     # point-in-interval join — hash equi-plan, never a nested loop)
-    "join_interval_events", "table_object_store_layout",
+    "join_interval_events", "table_write_ordered",
     # r6: table_sql_over_view (green r4+r5, unchanged; the SQL family
     # keeps table_sql_direct + table_sql_dml in-window and gains the
     # strictly-stronger pruned variant) rotates out for table_sql_pruned
@@ -5947,7 +5968,7 @@ _PRIORITY = [
     # family keeps hybrid_rrf + pq_search + ivf_pruned + ivf_refresh)
     # rotates out for similarity_keyword_index (new: persisted inverted
     # keyword index, the file-pruned keyword serving channel)
-    "table_overwrite_where", "similarity_keyword_index", "table_branch_merge",
+    "table_overwrite_where", "similarity_keyword_index", "table_rename_flow",
     # metadata tables / streaming / multimodal
     # r3 late: meta_partitions_months (green r1+r2, unchanged; family keeps
     # meta_files_stats in-window) rotates out for legacy_hive_scan (new:
@@ -5958,7 +5979,7 @@ _PRIORITY = [
     # pytest coverage) rotates out for table_key_index_lookup (new:
     # secondary key index — point-lookup file pruning for
     # high-cardinality non-partition keys)
-    "table_key_index_lookup", "agg_grouping_sets",
+    "table_sql_view", "agg_grouping_sets",
     # r3: streaming_sink_counts / streaming_source_total (green r1+r2,
     # unchanged) rotate out for the two new streaming operators — bounded-
     # state dedup and the watermarked stream-stream interval join
@@ -6001,7 +6022,7 @@ _PRIORITY = [
     # family keeps incremental_dedup/enrichment/partition_reprocess
     # in-window) rotates out for table_snapshot_clone (new: zero-copy
     # snapshot-table clone with preserved delete sequence numbers)
-    "table_snapshot_clone",
+    "table_sql_mview",
     # r3 late: text_token_stats (green r1+r2) rotates out for
     # text_split_assign (new: deterministic hash-bucket train/val/test);
     # text_quality_score (green r1+r2) rotates out for text_pii_scrub
@@ -6040,7 +6061,7 @@ _PRIORITY = [
     # family keeps temperature_mix/weighted_pps/shuffle_shards in-window)
     # rotates out for join_tpch_q10 (registered r5, local-green, the only
     # query without a lifetime driver row — verdict #2)
-    "streaming_incremental_dedup", "sample_weighted_pps",
+    "streaming_dsv2_roundtrip", "sample_weighted_pps",
     "join_tpch_q10",
     # relational representatives (one-per-operator-family coverage).
     # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg
@@ -6051,7 +6072,7 @@ _PRIORITY = [
     # dedup_exact (green r1+r2, family has four other in-window entries)
     # rotates out for table_scan_planned_tasks (new r3 feature: S6 split
     # planning wired into the Spark read path).
-    "table_scan_planned_tasks",
+    "stats_sampled_quantiles",
     # r3 late: join_inner_equi and window_topk_per_group (both green r1+r2,
     # unchanged; their families keep asof/multiway and five lifetime-green
     # window variants) rotate out for sample_stratified (new: deterministic
