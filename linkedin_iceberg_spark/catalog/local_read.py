@@ -94,7 +94,10 @@ def _align_array(arr, written_t, current_t, length: int):
         we = written_t.element if isinstance(written_t, ListTypeDef) else None
         values = _align_array(arr.values, we, current_t.element,
                               len(arr.values))
-        return pa.ListArray.from_arrays(arr.offsets, values)
+        # offsets alone don't carry entry validity — pass the mask or
+        # NULL lists silently become empty lists
+        return pa.ListArray.from_arrays(arr.offsets, values,
+                                        mask=arr.is_null())
     if isinstance(current_t, MapTypeDef):
         # rebuild via cast — map key/value renames don't occur (no ids kept)
         return arr.cast(target)

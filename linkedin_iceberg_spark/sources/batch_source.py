@@ -24,8 +24,9 @@ API — the batch sibling of streaming/source.py:
   (renames, promotions via cast, dropped/added columns, identity
   partition constants), yielding Arrow batches.
 
-Limits (documented, raise clearly): nested-struct schema evolution
-needs the richer local_read/to_df paths.
+Nested-struct schema evolution aligns by FIELD ID through the same
+recursive kernel local_read/to_df use (catalog/local_read._align_array),
+so struct-internal renames/adds/drops/promotions read correctly here too.
 """
 
 from __future__ import annotations
@@ -164,12 +165,18 @@ class _TableBatchReader(DataSourceReader):
             for f in current.fields:
                 wname = written.name_for_id(f.field_id)
                 if wname is not None:
-                    out.append((f.name, "col", wname))
+                    # carry the written/current ENGINE types so read()
+                    # can align nested-struct evolution by field id
+                    # (rename/add/drop/promote INSIDE a struct), not
+                    # just cast flat columns
+                    wt = written.find_field(f.field_id).type
+                    out.append((f.name, "col", wname, wt, f.type))
                     read_cols.append(wname)
                 elif f.field_id in consts:
-                    out.append((f.name, "const", consts[f.field_id]))
+                    out.append((f.name, "const", consts[f.field_id],
+                                None, None))
                 else:
-                    out.append((f.name, "null", None))
+                    out.append((f.name, "null", None, None, None))
             eq_deletes, pos_deletes = [], []
             for d in task.deletes:
                 df_ = d.data_file
@@ -279,11 +286,22 @@ class _TableBatchReader(DataSourceReader):
                 if len(tbl) else pa.array([], type=pa.bool_())
             tbl = tbl.filter(keep)
         arrays = []
-        for (name, kind, v), field in zip(s["out"], target):
+        for (name, kind, v, wt, ct), field in zip(s["out"], target):
             if kind == "col":
                 arr = tbl[v]
                 if arr.type != field.type:
-                    arr = pc.cast(arr, field.type)
+                    if isinstance(wt, str) and isinstance(ct, str):
+                        arr = pc.cast(arr, field.type)
+                    else:
+                        # nested evolution (struct/list internals moved,
+                        # renamed, promoted, added, dropped): recursive
+                        # field-id alignment via the shipped package —
+                        # the same kernel local_read/to_df use
+                        from linkedin_iceberg_spark.catalog.local_read \
+                            import _align_array
+                        if isinstance(arr, pa.ChunkedArray):
+                            arr = arr.combine_chunks()
+                        arr = _align_array(arr, wt, ct, len(tbl))
                 arrays.append(arr)
             elif kind == "const":
                 arrays.append(pa.array([v] * len(tbl), type=field.type))

@@ -391,3 +391,39 @@ def test_stream_read_same_format_name(catalog, spark, sf_dir, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) AS n FROM bsr_out").head().n == 30
+
+
+def test_nested_struct_evolution_alignment(catalog, spark):
+    """r8: nested-struct evolution reads correctly through the DSv2
+    source — field-id alignment recurses into structs and arrays (the
+    same kernel local_read/to_df use), not a flat positional cast."""
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(id=1, info=Row(a=10, b="x"), tags=[Row(k="t1", w=1)]),
+         Row(id=2, info=Row(a=20, b="y"), tags=[Row(k="t2", w=2)]),
+         Row(id=3, info=None, tags=None)],
+        "id long, info struct<a int, b string>, "
+        "tags array<struct<k string, w int>>")
+    t = catalog.create_table("db.bsrc_nested", df)
+    t.append(df)
+    (t.update_schema()
+     .rename_column("info.a", "alpha")
+     .add_column("info.note", "string")
+     .delete_column("info.b")
+     .update_column("info.a", "long")
+     .rename_column("tags.k", "key")
+     .commit())
+    t.refresh()
+    # append a second generation under the NEW schema
+    t.append(spark.createDataFrame(
+        [Row(id=4, info=Row(alpha=40, note="n"), tags=[Row(key="t4", w=4)])],
+        t.schema.to_spark()))
+    got = read_table(spark, t)
+    want = t.to_df()
+    assert got.schema == want.schema
+    assert _sorted(got.collect()) == _sorted(want.collect())
+    out = {r.id: r for r in got.collect()}
+    assert out[1].info.alpha == 10 and out[1].info.note is None
+    assert out[3].info is None
+    assert out[4].info.note == "n" and out[4].tags[0].key == "t4"
+    assert out[1].tags[0].key == "t1"
