@@ -1,0 +1,82 @@
+"""Runtime join filtering — the engine-metadata analog of Spark's
+dynamic partition pruning / the modern Iceberg-Spark runtime filters
+(SparkScanBuilder's filter pushdown consumed at plan time,
+ref: spark3/.../source/SparkBatchScan.java:99-131 filter handling;
+site/docs/performance.md "Data filtering").
+
+The classic star-schema problem at 100 TB: `fact JOIN dim WHERE
+dim.selective = ...` — Catalyst pushes nothing onto the fact scan
+because the filter sits on the other side of the join, so the fact
+table reads EVERY file and the filter only applies post-shuffle.  This
+operator closes the loop through engine metadata instead:
+
+1. evaluate the (small) build side once and collect its DISTINCT join
+   keys — one aggregate job over the dim, never the fact;
+2. turn them into an engine scan predicate — an IN list while the key
+   set is small (partition-transform projection then prunes whole
+   partitions: identity/bucket/truncate all project IN exactly), or the
+   sound [min, max] envelope above `max_keys` (file metrics still skip
+   on range);
+3. plan the fact scan WITH that predicate, so manifest- and file-level
+   pruning happen before Spark ever lists a fact file;
+4. run the actual join on the reduced scan.
+
+Sound for inner/semi joins only (rows pruned from the probe side can
+never appear in the result); left/full-outer probes would lose their
+unmatched rows, so those raise.
+"""
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from linkedin_iceberg_spark.expressions import (always_false, and_,
+                                                gt_eq, in_, lt_eq)
+
+# above this many distinct build keys the IN list degrades to the
+# [min, max] envelope: partition projection of a huge IN is pointless
+# (it enumerates every partition) and metrics evaluation caps IN lists
+# at the reference's 200-literal limit anyway
+DEFAULT_MAX_KEYS = 10_000
+
+
+def runtime_filter(build_df: DataFrame, build_col: str, probe_col: str,
+                   max_keys: int = DEFAULT_MAX_KEYS):
+    """Engine Expression over `probe_col` admitting exactly the join
+    keys present in `build_df[build_col]` (or a sound superset: the
+    min/max envelope once the distinct count exceeds `max_keys`).
+
+    NULL build keys are dropped — an equi-join never matches NULL, so
+    excluding them from the probe scan is exact."""
+    from pyspark.sql import functions as F
+
+    distinct = (build_df.select(F.col(build_col).alias("_rf_k"))
+                .filter(F.col("_rf_k").isNotNull()).distinct())
+    rows = distinct.limit(max_keys + 1).collect()
+    if not rows:
+        return always_false()
+    if len(rows) <= max_keys:
+        return in_(probe_col, [r["_rf_k"] for r in rows])
+    lo, hi = build_df.agg(F.min(build_col), F.max(build_col)).first()
+    return and_(gt_eq(probe_col, lo), lt_eq(probe_col, hi))
+
+
+def runtime_filtered_join(table, build_df: DataFrame, probe_col: str,
+                          build_col: Optional[str] = None,
+                          how: str = "inner",
+                          max_keys: int = DEFAULT_MAX_KEYS) -> DataFrame:
+    """`table JOIN build_df ON table[probe_col] == build_df[build_col]`
+    with the fact scan pruned by the build side's key set BEFORE
+    planning (module docstring).  `how` is inner|semi|anti-safe subset:
+    inner and left_semi only — the probe side is filtered, so any join
+    keeping unmatched probe rows would be wrong."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            f"runtime_filtered_join supports inner/left_semi (the probe "
+            f"side is pruned); got {how!r}")
+    build_col = build_col or probe_col
+    flt = runtime_filter(build_df, build_col, probe_col, max_keys)
+    scan_df = table.new_scan().filter(flt).to_df()
+    cond = scan_df[probe_col] == build_df[build_col]
+    return scan_df.join(build_df, cond,
+                        "left_semi" if how == "semi" else how)

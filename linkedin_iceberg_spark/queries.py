@@ -2020,6 +2020,47 @@ def join_interval_events(spark, sf_dir):
             .orderBy("win_id"))
 
 
+@q("join_runtime_filtered", """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice AS price, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 150 = 7
+ORDER BY o_orderkey""")
+def join_runtime_filtered(spark, sf_dir):
+    """Runtime-filtered star join (the dynamic-partition-pruning /
+    Iceberg runtime-filter analog over engine metadata): the selective
+    dim's DISTINCT join keys become an IN predicate on the fact scan,
+    so truncate-partition projection prunes whole fact files BEFORE
+    Spark plans the join — Catalyst alone cannot move a dim-side filter
+    onto the fact scan.  The pruning assertion holds at every sf: dim
+    keys sit every 150 apart while the fact partitions truncate at 100,
+    so ~1/3 of the fact partitions are provably key-free.  The oracle
+    replays the plain join — runtime filtering is pure pruning, never a
+    semantics change."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.catalog.runtime_filter import (
+        runtime_filter, runtime_filtered_join)
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .truncate("o_custkey", 100).build()
+        cat.create_table("q.orders_rtf", o, spec=spec).append(o)
+
+    t = _cached_table(spark, sf_dir, "rtf_orders", build) \
+        .load_table("q.orders_rtf")
+    dim = (ld(spark, sf_dir, "customer")
+           .filter(F.col("c_custkey") % 150 == 7)
+           .select("c_custkey", "c_name"))
+    flt = runtime_filter(dim, "c_custkey", "o_custkey")
+    n_all = len(t.new_scan().plan_files())
+    n_pruned = len(t.new_scan().filter(flt).plan_files())
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    out = runtime_filtered_join(t, dim, "o_custkey", "c_custkey")
+    return (out.select("o_orderkey", "o_custkey",
+                       F.col("o_totalprice").alias("price"), "c_name")
+            .orderBy("o_orderkey"))
+
+
 @q("stats_sampled_quantiles", """
 WITH rows_ AS (
   SELECT lang, n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL

@@ -1,0 +1,84 @@
+"""Runtime join filtering (the DPP / runtime-filter analog): build-side
+keys prune the fact scan at manifest level; results always equal the
+plain join."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark import PartitionSpec, Schema
+from linkedin_iceberg_spark.catalog.runtime_filter import (
+    runtime_filter, runtime_filtered_join)
+
+
+@pytest.fixture()
+def fact(catalog, spark, sf_dir):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .truncate("o_custkey", 20).build()
+    t = catalog.create_table("db.rtf", o, spec=spec)
+    t.append(o)
+    return t, o
+
+
+def test_prunes_files_and_matches_plain_join(fact, spark, sf_dir):
+    t, o = fact
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    dim = c.filter(F.col("c_custkey") % 40 == 3) \
+        .select("c_custkey", "c_name")
+    flt = runtime_filter(dim, "c_custkey", "o_custkey")
+    n_all = len(t.new_scan().plan_files())
+    n_pruned = len(t.new_scan().filter(flt).plan_files())
+    assert 0 < n_pruned < n_all
+    got = runtime_filtered_join(t, dim, "o_custkey", "c_custkey") \
+        .select("o_orderkey", "c_name")
+    want = o.join(dim, o.o_custkey == dim.c_custkey) \
+        .select("o_orderkey", "c_name")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_semi_join_and_how_guard(fact, spark, sf_dir):
+    t, o = fact
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    dim = c.filter(F.col("c_custkey") % 40 == 3).select("c_custkey")
+    got = runtime_filtered_join(t, dim, "o_custkey", "c_custkey",
+                                how="left_semi")
+    want = o.join(dim, o.o_custkey == dim.c_custkey, "left_semi")
+    assert got.count() == want.count() > 0
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        runtime_filtered_join(t, dim, "o_custkey", how="left")
+
+
+def test_empty_build_side_reads_nothing(fact, spark):
+    t, _ = fact
+    dim = spark.createDataFrame([], "c_custkey bigint")
+    flt = runtime_filter(dim, "c_custkey", "o_custkey")
+    assert t.new_scan().filter(flt).plan_files() == []
+    assert runtime_filtered_join(t, dim, "o_custkey",
+                                 "c_custkey").count() == 0
+
+
+def test_null_build_keys_dropped(fact, spark):
+    t, o = fact
+    dim = spark.createDataFrame([(3,), (None,)], "c_custkey bigint")
+    got = runtime_filtered_join(t, dim, "o_custkey", "c_custkey")
+    want = o.filter(F.col("o_custkey") == 3).count()
+    assert got.count() == want
+
+
+def test_max_keys_falls_back_to_range_envelope(fact, spark, sf_dir):
+    t, o = fact
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    lo = 41
+    dim = c.filter(F.col("c_custkey").between(lo, lo + 39)) \
+        .select("c_custkey")
+    flt = runtime_filter(dim, "c_custkey", "o_custkey", max_keys=5)
+    n_all = len(t.new_scan().plan_files())
+    n_env = len(t.new_scan().filter(flt).plan_files())
+    assert 0 < n_env < n_all  # the [41, 80] envelope still prunes
+    got = runtime_filtered_join(t, dim, "o_custkey", "c_custkey",
+                                max_keys=5)
+    want = o.join(dim, o.o_custkey == dim.c_custkey)
+    assert got.count() == want.count() > 0

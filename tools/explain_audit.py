@@ -327,6 +327,14 @@ CONTRACTS = {
         # Python expression evaluation in the query plan itself
         ["BatchScan linkedin_iceberg", "Filter"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "join_runtime_filtered": (
+        # the query itself ASSERTS manifest-level file pruning (the
+        # in-query plan_files() comparison — runtime filtering happens
+        # BEFORE Spark planning, so the physical plan's contribution is
+        # the ordinary pruned-scan equi-join shape); no Python eval
+        ["Join", "PushedFilters"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "BroadcastNestedLoopJoin"]),
     "join_interval_events": (
         # the whole point: an EQUI join on manufactured bucket keys
         # (broadcast at this sf; sort-merge at scale) with the range
