@@ -327,6 +327,89 @@ def _extract_scan_filter(masked: str, lits: list, dotted: str, alias,
     return out
 
 
+def _runtime_join_filters(catalog, masked: str, lits: list, plain: dict,
+                          counts: dict, filters: dict) -> dict:
+    """Auto runtime filtering for the star-join SQL shape (the
+    dynamic-partition-pruning move, catalog/runtime_filter.py): when a
+    two-table equi-join puts ALL its extracted WHERE conjuncts on one
+    side (the dim), that side's DISTINCT join keys become an extra scan
+    predicate on the other side (the fact), so fact files prune at plan
+    time — Catalyst cannot move a dim-side filter across the join.
+
+    Conservative guards (bail -> {} -> plain behavior, always sound):
+    exactly two engine tables, each once in FROM/JOIN, a single
+    SELECT/WHERE, no outer/semi/anti/cross/natural join keywords (an
+    outer-preserved side must not be pruned), an unambiguous
+    `a.k = b.j` equi-conjunct between the two, and the build side's
+    PRUNED scan fits the session broadcast budget (collecting its
+    distinct keys is then strictly cheaper than one fact-file read).
+    Keys are collected with only the EXTRACTED conjuncts applied — a
+    superset of the true build rows, so pruning stays sound even when
+    part of the dim's WHERE didn't extract."""
+    from linkedin_iceberg_spark.catalog.runtime_filter import (
+        runtime_filter)
+
+    if len(plain) != 2 or any(counts.get(d, 0) != 1 for d in plain):
+        return {}
+    with_f = [d for d in plain if filters.get(d) is not None]
+    if len(with_f) != 1:
+        return {}  # no selective side, or both selective: nothing to gain
+    build_dotted = with_f[0]
+    probe_dotted = next(d for d in plain if d != build_dotted)
+    if len(_re.findall(r"\bselect\b", masked, _re.IGNORECASE)) != 1 \
+            or len(_re.findall(r"\bwhere\b", masked, _re.IGNORECASE)) != 1:
+        return {}
+    if _re.search(r"\b(left|right|full|cross|semi|anti|natural)\b",
+                  masked, _re.IGNORECASE):
+        return {}
+    # qualifier -> dotted (aliases and the dotted names themselves)
+    quals = {}
+    for d, (t, a) in plain.items():
+        quals[d] = d
+        if a:
+            quals[a] = d
+    ident = r"[A-Za-z_][A-Za-z0-9_]*"
+    pair = None
+    for m in _re.finditer(
+            rf"(?<![A-Za-z0-9_.])((?:{ident}\.)*{ident})\.({ident})"
+            rf"\s*=\s*((?:{ident}\.)*{ident})\.({ident})", masked):
+        lq, lc, rq, rc = m.groups()
+        if lq not in quals or rq not in quals:
+            continue
+        ld_, rd_ = quals[lq], quals[rq]
+        if {ld_, rd_} != {build_dotted, probe_dotted}:
+            continue
+        b_col, p_col = (lc, rc) if ld_ == build_dotted else (rc, lc)
+        bt, pt = plain[build_dotted][0], plain[probe_dotted][0]
+        if b_col not in set(bt.schema.column_names()) \
+                or p_col not in set(pt.schema.column_names()):
+            continue
+        pair = (b_col, p_col)
+        break
+    if pair is None:
+        return {}
+    b_col, p_col = pair
+    bt = plain[build_dotted][0]
+    build_scan = bt.new_scan().filter(filters[build_dotted])
+    try:
+        tasks = build_scan.plan_files()
+    except Exception:  # noqa: BLE001 — planning trouble: no filtering
+        return {}
+    raw = catalog.spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                                 "10485760")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    low = raw.strip().lower().rstrip("b")
+    thr = int(low[:-1]) * mult[low[-1]] if low and low[-1] in mult \
+        else int(low)
+    if thr < 0:
+        return {}
+    total = sum(task.file.file_size_in_bytes or 0 for task in tasks)
+    if total * 3 > thr:
+        return {}
+    rf = runtime_filter(build_scan.to_df().select(b_col), b_col, p_col)
+    return {probe_dotted: rf}
+
+
 # SQL type spellings -> engine primitive type strings
 _SQL_TYPE_MAP = {
     "bigint": "long", "long": "long",
@@ -927,9 +1010,20 @@ class Catalog:
             view = _view_name(dotted)
             df.createOrReplaceTempView(view)
             resolved[dotted] = view
+        filters = {d: _extract_scan_filter(query, lits, d, a, t2,
+                                           plain, counts)
+                   for d, (t2, a) in plain.items()}
+        # star-join shapes additionally runtime-filter the fact side by
+        # the dim side's distinct join keys (sound pruning; bails to {}
+        # on anything unprovable)
+        rt = _runtime_join_filters(self, query, lits, plain, counts,
+                                   filters)
         for dotted, (t, alias) in plain.items():
-            flt = _extract_scan_filter(query, lits, dotted, alias, t,
-                                       plain, counts)
+            from linkedin_iceberg_spark.expressions import and_ as _and
+            flt = filters[dotted]
+            if dotted in rt:
+                flt = _and(flt, rt[dotted]) if flt is not None \
+                    else rt[dotted]
             df = t.new_scan().filter(flt).to_df() if flt is not None \
                 else t.to_df()
             view = _view_name(dotted)

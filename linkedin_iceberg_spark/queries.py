@@ -2061,6 +2061,42 @@ def join_runtime_filtered(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_sql_star_pruned", """
+SELECT o.o_orderkey, o.o_custkey, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey < 100
+ORDER BY o_orderkey""")
+def table_sql_star_pruned(spark, sf_dir):
+    """The SQL spelling of runtime join filtering: Catalog.sql detects
+    the star shape (two engine tables, equi-join, every extracted WHERE
+    conjunct on the dim side) and prunes the fact scan by the dim's
+    distinct join keys before planning — a query the user writes as a
+    plain join reads one fact partition instead of all of them.  The
+    in-query assertion pins the pruning (planned input files strictly
+    under fact+dim file counts); the oracle replays the plain join."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .truncate("o_custkey", 100).build()
+        cat.create_table("q.star_fact", o, spec=spec).append(o)
+        c = ld(spark, sf_dir, "customer")
+        cat.create_table("q.star_dim", c).append(c)
+
+    cat = _cached_table(spark, sf_dir, "star_sql", build)
+    out = cat.sql(
+        "SELECT o.o_orderkey, o.o_custkey, c.c_name "
+        "FROM q.star_fact o JOIN q.star_dim c "
+        "ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey < 100 ORDER BY o_orderkey")
+    n_fact = len(cat.load_table("q.star_fact").new_scan().plan_files())
+    n_dim = len(cat.load_table("q.star_dim").new_scan().plan_files())
+    assert 0 < len(out.inputFiles()) < n_fact + n_dim, \
+        (len(out.inputFiles()), n_fact, n_dim)
+    return out
+
+
 @q("stats_sampled_quantiles", """
 WITH rows_ AS (
   SELECT lang, n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL
@@ -6151,7 +6187,14 @@ _PRIORITY = [
     # lifetime rows r1-r4) rotates out for join_tpch_q3 (new: TPC-H Q3
     # shipping priority, decimal-exact revenue); its twin join_tpch_q10
     # is registered local-green and queued for the next rotation
-    "join_skew_salted", "similarity_pq_search", "join_tpch_q3",
+    # r8 late: join_skew_salted (green r4-r7; joins family keeps
+    # tpch_q3/q10 + interval_events and GAINS the runtime-filtered star
+    # join) rotates out for join_runtime_filtered (new r8: DPP-analog
+    # fact-scan pruning by dim keys); table_count_pushdown (green
+    # r4-r7; meta family keeps sql_count_meta — the SQL spelling of the
+    # same manifest-count plane) rotates out for table_sql_star_pruned
+    # (new r8: the auto runtime filter on the SQL path)
+    "join_runtime_filtered", "similarity_pq_search", "join_tpch_q3",
     # r4: scalar_math_funcs (green r3; scalar family has lifetime-green
     # string/json/cond siblings) rotates out for table_count_pushdown
     # (new: metadata-only COUNT(*))
@@ -6159,7 +6202,7 @@ _PRIORITY = [
     # family keeps grouping_sets + hll_mergeable in-window) rotates out
     # for agg_kmv_overlap (new: KMV bottom-k set-overlap sketches —
     # union/Jaccard/intersection estimation HLL cannot express)
-    "table_count_pushdown", "agg_kmv_overlap",
+    "table_sql_star_pruned", "agg_kmv_overlap",
     # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
     # dedup_embedding (new r3: cosine near-dup -> connected components ->
     # keep-decision, full-pipeline generated oracle)

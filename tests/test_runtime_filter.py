@@ -82,3 +82,64 @@ def test_max_keys_falls_back_to_range_envelope(fact, spark, sf_dir):
                                 max_keys=5)
     want = o.join(dim, o.o_custkey == dim.c_custkey)
     assert got.count() == want.count() > 0
+
+
+def _star_tables(catalog, spark, sf_dir):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .truncate("o_custkey", 20).build()
+    tf = catalog.create_table("db.fact_s", o, spec=spec)
+    tf.append(o)
+    td = catalog.create_table("db.dim_s", c)
+    td.append(c)
+    return tf, td, o, c
+
+
+def test_sql_star_join_auto_runtime_filter(catalog, spark, sf_dir):
+    """Catalog.sql detects the star shape (two tables, equi-join, all
+    extracted WHERE conjuncts on one side) and prunes the fact scan by
+    the dim's distinct keys — values identical, fewer files read."""
+    tf, td, o, c = _star_tables(catalog, spark, sf_dir)
+    n_fact = len(tf.new_scan().plan_files())
+    n_dim = len(td.new_scan().plan_files())
+    out = catalog.sql(
+        "SELECT o.o_orderkey, c.c_name FROM db.fact_s o "
+        "JOIN db.dim_s c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey < 40 ORDER BY o_orderkey")
+    dim = c.filter(F.col("c_custkey") < 40)
+    want = (o.join(dim, o.o_custkey == dim.c_custkey)
+            .select("o_orderkey", "c_name").orderBy("o_orderkey"))
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in want.collect()]
+    # pruning evidence: the fact side read strictly fewer files
+    assert 0 < len(out.inputFiles()) < n_fact + n_dim
+
+
+def test_sql_left_join_bails_but_stays_correct(catalog, spark, sf_dir):
+    tf, td, o, c = _star_tables(catalog, spark, sf_dir)
+    out = catalog.sql(
+        "SELECT o.o_orderkey, c.c_name FROM db.fact_s o "
+        "LEFT JOIN db.dim_s c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey < 40 ORDER BY o_orderkey")
+    dim = c.filter(F.col("c_custkey") < 40)
+    want = (o.join(dim, o.o_custkey == dim.c_custkey, "left")
+            .filter(F.col("c_custkey") < 40)
+            .select("o_orderkey", "c_name").orderBy("o_orderkey"))
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+
+def test_sql_both_sides_filtered_bails(catalog, spark, sf_dir):
+    tf, td, o, c = _star_tables(catalog, spark, sf_dir)
+    out = catalog.sql(
+        "SELECT o.o_orderkey, c.c_name FROM db.fact_s o "
+        "JOIN db.dim_s c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey < 40 AND o.o_totalprice > 1000 "
+        "ORDER BY o_orderkey")
+    dim = c.filter(F.col("c_custkey") < 40)
+    fact = o.filter(F.col("o_totalprice") > 1000)
+    want = (fact.join(dim, fact.o_custkey == dim.c_custkey)
+            .select("o_orderkey", "c_name").orderBy("o_orderkey"))
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in want.collect()]

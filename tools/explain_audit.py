@@ -335,6 +335,13 @@ CONTRACTS = {
         ["Join", "PushedFilters"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
          "BroadcastNestedLoopJoin"]),
+    "table_sql_star_pruned": (
+        # the SQL route's auto runtime filter: pruning is pinned by the
+        # in-query inputFiles assertion; the plan itself is the plain
+        # pruned-scan equi-join with no Python eval
+        ["Join"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "BroadcastNestedLoopJoin"]),
     "join_interval_events": (
         # the whole point: an EQUI join on manufactured bucket keys
         # (broadcast at this sf; sort-merge at scale) with the range
