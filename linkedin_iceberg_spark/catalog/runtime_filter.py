@@ -40,43 +40,78 @@ from linkedin_iceberg_spark.expressions import (always_false, and_,
 DEFAULT_MAX_KEYS = 10_000
 
 
-def runtime_filter(build_df: DataFrame, build_col: str, probe_col: str,
-                   max_keys: int = DEFAULT_MAX_KEYS):
-    """Engine Expression over `probe_col` admitting exactly the join
-    keys present in `build_df[build_col]` (or a sound superset: the
-    min/max envelope once the distinct count exceeds `max_keys`).
-
-    NULL build keys are dropped — an equi-join never matches NULL, so
-    excluding them from the probe scan is exact."""
+def _collect_keys(build_df: DataFrame, build_col: str,
+                  max_keys: int) -> Optional[list]:
+    """DISTINCT non-NULL build keys, or None once they exceed
+    `max_keys` (NULL keys never match an equi-join, so dropping them
+    is exact)."""
     from pyspark.sql import functions as F
 
     distinct = (build_df.select(F.col(build_col).alias("_rf_k"))
                 .filter(F.col("_rf_k").isNotNull()).distinct())
     rows = distinct.limit(max_keys + 1).collect()
-    if not rows:
-        return always_false()
-    if len(rows) <= max_keys:
-        return in_(probe_col, [r["_rf_k"] for r in rows])
+    return None if len(rows) > max_keys else [r["_rf_k"] for r in rows]
+
+
+def _envelope(build_df: DataFrame, build_col: str, probe_col: str):
+    from pyspark.sql import functions as F
     lo, hi = build_df.agg(F.min(build_col), F.max(build_col)).first()
     return and_(gt_eq(probe_col, lo), lt_eq(probe_col, hi))
+
+
+def runtime_filter(build_df: DataFrame, build_col: str, probe_col: str,
+                   max_keys: int = DEFAULT_MAX_KEYS):
+    """Engine Expression over `probe_col` admitting exactly the join
+    keys present in `build_df[build_col]` (or a sound superset: the
+    min/max envelope once the distinct count exceeds `max_keys`)."""
+    keys = _collect_keys(build_df, build_col, max_keys)
+    if keys is None:
+        return _envelope(build_df, build_col, probe_col)
+    if not keys:
+        return always_false()
+    return in_(probe_col, keys)
 
 
 def runtime_filtered_join(table, build_df: DataFrame, probe_col: str,
                           build_col: Optional[str] = None,
                           how: str = "inner",
-                          max_keys: int = DEFAULT_MAX_KEYS) -> DataFrame:
+                          max_keys: int = DEFAULT_MAX_KEYS,
+                          use_key_index: bool = True) -> DataFrame:
     """`table JOIN build_df ON table[probe_col] == build_df[build_col]`
     with the fact scan pruned by the build side's key set BEFORE
     planning (module docstring).  `how` is inner|semi|anti-safe subset:
     inner and left_semi only — the probe side is filtered, so any join
-    keeping unmatched probe rows would be wrong."""
+    keeping unmatched probe rows would be wrong.
+
+    When the table carries a secondary key index on `probe_col`
+    (catalog/key_index.py) and the key set collected, the probe reads
+    the index-resolved EXACT file set (partition pruning and min/max
+    metrics both degenerate when the key is uncorrelated with layout;
+    the index doesn't).  Any index problem — absent, stale after
+    row-changing DML, v2 deletes — silently falls back to the metrics
+    path, which is always sound."""
     if how not in ("inner", "left_semi", "semi"):
         raise ValueError(
             f"runtime_filtered_join supports inner/left_semi (the probe "
             f"side is pruned); got {how!r}")
     build_col = build_col or probe_col
-    flt = runtime_filter(build_df, build_col, probe_col, max_keys)
-    scan_df = table.new_scan().filter(flt).to_df()
+    keys = _collect_keys(build_df, build_col, max_keys)
+    scan_df = None
+    if use_key_index and keys:
+        try:
+            from linkedin_iceberg_spark.catalog.key_index import (
+                read_by_keys)
+            scan_df = read_by_keys(table, probe_col, keys)
+        except Exception:  # noqa: BLE001 — no/stale index: metrics path
+            scan_df = None
+    if scan_df is None:
+        if keys is None:
+            flt = _envelope(build_df, build_col, probe_col)
+        elif not keys:
+            flt = always_false()
+        else:
+            flt = in_(probe_col, keys)
+        scan_df = table.new_scan().filter(flt).to_df()
     cond = scan_df[probe_col] == build_df[build_col]
     return scan_df.join(build_df, cond,
                         "left_semi" if how == "semi" else how)

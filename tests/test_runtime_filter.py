@@ -143,3 +143,32 @@ def test_sql_both_sides_filtered_bails(catalog, spark, sf_dir):
             .select("o_orderkey", "c_name").orderBy("o_orderkey"))
     assert [tuple(r) for r in out.collect()] == \
         [tuple(r) for r in want.collect()]
+
+
+def test_key_index_path_exact_files_and_fallback(fact, spark, sf_dir):
+    """With a key index on the probe column the join reads the
+    index-resolved exact file set; after a row-changing commit the
+    stale index silently falls back to the metrics path."""
+    from linkedin_iceberg_spark.catalog.key_index import (
+        build_key_index, lookup_files)
+    from linkedin_iceberg_spark.expressions import eq
+    t, o = fact
+    build_key_index(t, "o_custkey")
+    dim = spark.createDataFrame([(3,), (47,)], "c_custkey bigint")
+    got = runtime_filtered_join(t, dim, "o_custkey", "c_custkey") \
+        .select("o_orderkey")
+    want = o.filter(F.col("o_custkey").isin([3, 47])).select("o_orderkey")
+    assert sorted(r[0] for r in got.collect()) == \
+        sorted(r[0] for r in want.collect())
+    # exact: the probe read at most the index-resolved files
+    idx_files = set(lookup_files(t, "o_custkey", [3, 47]))
+    got2 = runtime_filtered_join(t, dim, "o_custkey", "c_custkey")
+    read = {p.removeprefix("file://") for p in got2.inputFiles()}
+    assert read <= idx_files
+    # stale after a row-changing commit -> fallback stays correct
+    t.delete_where(eq("o_custkey", 3))
+    got3 = runtime_filtered_join(t, dim, "o_custkey", "c_custkey") \
+        .select("o_orderkey")
+    want3 = o.filter(F.col("o_custkey") == 47).select("o_orderkey")
+    assert sorted(r[0] for r in got3.collect()) == \
+        sorted(r[0] for r in want3.collect())
