@@ -903,6 +903,9 @@ class Catalog:
         fast = self._sql_count_star(query, lits)
         if fast is not None:
             return fast
+        fast = self._sql_group_count(query, lits)
+        if fast is not None:
+            return fast
 
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
         dotted_pat = rf"{ident}(?:\.{ident})+"
@@ -1038,6 +1041,97 @@ class Catalog:
                 rf"(?<![A-Za-z0-9_.]){re.escape(dotted)}(?![A-Za-z0-9_])",
                 resolved[dotted], rewritten)
         return self.spark.sql(_unmask_sql_literals(rewritten, lits))
+
+    def _sql_group_count(self, masked: str, lits: list):
+        """`SELECT <group cols...>, count(*) FROM db.t [WHERE <pushable>]
+        GROUP BY <group cols> [ORDER BY <out cols>]` answered from
+        manifest record counts via count_rows_grouped — per-partition
+        counts are a pure metadata fold when the group columns are
+        identity partition columns, and degrade gracefully (only the
+        undecidable files are read) otherwise.  None (generic route)
+        unless the whole statement is this shape and EVERY WHERE
+        conjunct parses (all-or-nothing, same rule as _sql_count_star:
+        a metadata answer can't re-apply a residual WHERE)."""
+        import re
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from linkedin_iceberg_spark.expressions import and_
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        m = re.match(
+            rf"\s*select\s+(.+?)\s+from\s+({ident}(?:\.{ident})+)"
+            rf"(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+?)"
+            rf"(?:\s+order\s+by\s+(.+?))?\s*;?\s*$",
+            masked, re.IGNORECASE | re.DOTALL)
+        if not m or not self.table_exists(m.group(2)):
+            return None
+        t = self.load_table(m.group(2))
+        own = set(t.schema.column_names())
+        group_cols = []
+        for g in _split_top_level_commas(m.group(4)):
+            if g not in own:
+                return None
+            group_cols.append(g)
+        cnt_re = re.compile(
+            rf"\s*count\(\s*\*\s*\)(?:\s+as\s+({ident}))?\s*$",
+            re.IGNORECASE)
+        col_re = re.compile(rf"\s*({ident})(?:\s+as\s+({ident}))?\s*$",
+                            re.IGNORECASE)
+        items = []  # (kind, col-or-None, out-name)
+        for raw in _split_top_level_commas(m.group(1)):
+            cm = cnt_re.match(raw)
+            if cm:
+                items.append(("count", None, cm.group(1) or "count(1)"))
+                continue
+            km = col_re.match(raw)
+            if km and km.group(1) in group_cols:
+                items.append(("col", km.group(1),
+                              km.group(2) or km.group(1)))
+                continue
+            return None
+        if not any(k == "count" for k, _c, _n in items):
+            return None
+        out_names = [n for _k, _c, n in items]
+        orders = []
+        if m.group(5):
+            for o in _split_top_level_commas(m.group(5)):
+                om = re.match(rf"\s*({ident})(?:\s+(asc|desc))?\s*$",
+                              o, re.IGNORECASE)
+                if not om or om.group(1) not in out_names:
+                    return None
+                c = F.col(om.group(1))
+                orders.append(c.desc() if om.group(2)
+                              and om.group(2).lower() == "desc"
+                              else c.asc())
+        expr = None
+        if m.group(3):
+            conj = []
+            for c in _split_top_level_and(m.group(3)):
+                e = _try_parse_conjunct(c, lits, m.group(2), None,
+                                        own, set())
+                if e is None:
+                    return None
+                conj.append(e)
+            expr = conj[0]
+            for e in conj[1:]:
+                expr = and_(expr, e)
+        scan = t.new_scan()
+        if expr is not None:
+            scan = scan.filter(expr)
+        counts = scan.count_rows_grouped(group_cols)
+        stypes = {f.name: f.dataType for f in t.schema.to_spark().fields}
+        fields = [T.StructField(n, T.LongType(), False) if k == "count"
+                  else T.StructField(n, stypes[c], True)
+                  for k, c, n in items]
+        rows = []
+        for key, n in counts.items():
+            kv = dict(zip(group_cols, key))
+            rows.append(tuple(int(n) if k == "count" else kv[c]
+                              for k, c, _n in items))
+        df = self.spark.createDataFrame(rows, T.StructType(fields))
+        return df.orderBy(*orders) if orders else df
 
     def _sql_count_star(self, masked: str, lits: list):
         """`SELECT count(*) | min(c) | max(c) [, ...] FROM db.t

@@ -212,6 +212,65 @@ class TableScan:
             fast_total += self._to_df_default(tasks=slow).count()
         return fast_total
 
+    def count_rows_grouped(self, group_cols: list) -> dict:
+        """GROUP BY <identity-partition columns> COUNT(*) with the
+        metadata short-circuit (the per-partition record-count fold the
+        reference surfaces through its partitions metadata table, as a
+        grouped aggregate): a delete-free, residual-decided file whose
+        spec identity-partitions on EVERY group column contributes its
+        manifest record_count to that partition value's group — zero
+        data I/O.  Everything else (partial residuals, deletes, files
+        written under a spec that doesn't identity-partition a group
+        column, types whose partition-value encoding differs from the
+        scanned value) is actually read and folded in, so the result is
+        exact under any history.
+
+        Returns {tuple(group values): count}; NULL partition values
+        group as None, matching SQL GROUP BY."""
+        types = {f.name: f.type for f in self.table.schema.fields}
+        # fast-path only the types whose manifest partition value is
+        # byte-identical to the scanned value (dates/timestamps encode
+        # differently in partition JSON; floats have NaN trouble)
+        exact = all(isinstance(types.get(c), str)
+                    and types[c] in ("int", "long", "string", "boolean")
+                    for c in group_cols)
+        tasks = self.plan_files()
+        md = self.table.metadata
+        counts: dict = {}
+        slow: list = []
+        spec_map: dict = {}
+        for t in tasks:
+            decided = self.row_filter is None or \
+                isinstance(t.residual, AlwaysTrue)
+            ok = exact and decided and not t.deletes \
+                and t.file.record_count is not None
+            vals = []
+            if ok:
+                sid = t.file.spec_id
+                if sid not in spec_map:
+                    spec_map[sid] = {
+                        pf.source_name: pf.name
+                        for pf in md.spec_by_id(sid).fields
+                        if pf.transform_str == "identity"}
+                part = t.file.partition or {}
+                for c in group_cols:
+                    pn = spec_map[sid].get(c)
+                    if pn is None or pn not in part:
+                        ok = False
+                        break
+                    vals.append(part[pn])
+            if ok:
+                key = tuple(vals)
+                counts[key] = counts.get(key, 0) + t.file.record_count
+            else:
+                slow.append(t)
+        if slow:
+            for r in (self._to_df_default(tasks=slow)
+                      .groupBy(*group_cols).count().collect()):
+                key = tuple(r[c] for c in group_cols)
+                counts[key] = counts.get(key, 0) + r["count"]
+        return counts
+
     def agg_minmax(self, col: str) -> tuple:
         """(min, max) of a column with the file-stats short-circuit (the
         same discipline as count_rows, ref: Iceberg's SparkScan aggregate

@@ -2061,6 +2061,53 @@ def join_runtime_filtered(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_sql_group_count", """
+SELECT o_orderstatus AS st, count(*) AS n
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_orderstatus ORDER BY st""")
+def table_sql_group_count(spark, sf_dir):
+    """SQL grouped COUNT answered from manifest metadata (r8): GROUP BY
+    an identity partition column folds per-partition record counts —
+    the partitions-metadata-table aggregation as a plain SQL statement,
+    poison-proven to touch zero data files.  A second, price-bounded
+    variant exercises the graceful degrade (undecidable files actually
+    read) and is asserted against the Spark-computed answer."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.catalog.scan import TableScan
+
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .identity("o_orderstatus").build()
+        cat.create_table("q.orders_gc", o, spec=spec).append(o)
+
+    cat = _cached_table(spark, sf_dir, "group_count", build)
+    sql = ("SELECT o_orderstatus AS st, count(*) AS n FROM q.orders_gc "
+           "WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus "
+           "ORDER BY st")
+    orig = TableScan._to_df_default
+
+    def _poisoned(self, tasks=None):
+        raise AssertionError("metadata grouped COUNT touched a data file")
+    TableScan._to_df_default = _poisoned
+    try:
+        out = cat.sql(sql)
+        rows = out.collect()  # force evaluation under the poison
+    finally:
+        TableScan._to_df_default = orig
+    # graceful degrade: a metrics-undecidable conjunct reads only the
+    # undecided files and still matches Spark's own answer
+    t = cat.load_table("q.orders_gc")
+    deg = {(r["st"], r["n"]) for r in cat.sql(
+        "SELECT o_orderstatus AS st, count(*) AS n FROM q.orders_gc "
+        "WHERE o_totalprice > 1000 GROUP BY o_orderstatus").collect()}
+    want = {(r["o_orderstatus"], r["count"]) for r in
+            t.to_df().filter(F.col("o_totalprice") > 1000)
+            .groupBy("o_orderstatus").count().collect()}
+    assert deg == want, (deg, want)
+    return spark.createDataFrame(rows, out.schema)
+
+
 @q("table_sql_star_pruned", """
 SELECT o.o_orderkey, o.o_custkey, c.c_name
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

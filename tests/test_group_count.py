@@ -1,0 +1,78 @@
+"""count_rows_grouped + the SQL grouped-COUNT route: metadata fold over
+identity partitions, graceful degrade for everything else."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark import PartitionSpec, Schema
+from linkedin_iceberg_spark.catalog.scan import TableScan
+
+
+@pytest.fixture()
+def gt(catalog, spark, sf_dir):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .identity("o_orderstatus").build()
+    t = catalog.create_table("db.gc", o, spec=spec)
+    t.append(o)
+    return t, o
+
+
+def _want(o, *cols):
+    return {tuple(r[c] for c in cols): r["count"]
+            for r in o.groupBy(*cols).count().collect()}
+
+
+def test_grouped_count_is_metadata_only(gt, spark):
+    t, o = gt
+    orig = TableScan._to_df_default
+    TableScan._to_df_default = lambda self, tasks=None: (_ for _ in ()
+                                                         ).throw(
+        AssertionError("touched data"))
+    try:
+        got = t.new_scan().count_rows_grouped(["o_orderstatus"])
+    finally:
+        TableScan._to_df_default = orig
+    assert {k[0]: v for k, v in got.items()} == \
+        {k[0]: v for k, v in _want(o, "o_orderstatus").items()}
+
+
+def test_grouped_count_degrades_with_filter_and_deletes(gt, spark):
+    from linkedin_iceberg_spark.expressions import gt as egt
+    from linkedin_iceberg_spark.expressions import eq
+    t, o = gt
+    # price conjunct: metrics can't decide most files -> real read
+    got = t.new_scan().filter(egt("o_totalprice", 1000.0)) \
+        .count_rows_grouped(["o_orderstatus"])
+    want = _want(o.filter(F.col("o_totalprice") > 1000), "o_orderstatus")
+    assert got == want
+    # v2 deletes force the slow path; counts reflect the deletion
+    t.row_delta(equality_delete_keys=spark.createDataFrame(
+        [(1,)], "o_orderkey bigint"), key_cols=["o_orderkey"])
+    got2 = t.new_scan().count_rows_grouped(["o_orderstatus"])
+    want2 = _want(o.filter(F.col("o_orderkey") != 1), "o_orderstatus")
+    assert got2 == want2
+
+
+def test_non_partition_group_col_still_exact(gt, spark):
+    t, o = gt
+    got = t.new_scan().count_rows_grouped(["o_orderpriority"])
+    assert got == _want(o, "o_orderpriority")
+
+
+def test_sql_group_count_route_and_bails(catalog, spark, sf_dir, gt):
+    t, o = gt
+    out = catalog.sql(
+        "SELECT o_orderstatus AS st, count(*) AS n FROM db.gc "
+        "GROUP BY o_orderstatus ORDER BY n DESC, st")
+    want = sorted(((r["o_orderstatus"], r["count"])
+                   for r in o.groupBy("o_orderstatus").count().collect()),
+                  key=lambda x: (-x[1], x[0]))
+    assert [tuple(r) for r in out.collect()] == want
+    # non-count aggregate in the list -> generic Spark route, same rows
+    out2 = catalog.sql(
+        "SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS s "
+        "FROM db.gc GROUP BY o_orderstatus")
+    assert out2.count() == len(want)
