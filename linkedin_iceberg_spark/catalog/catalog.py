@@ -1743,6 +1743,24 @@ class Catalog:
             return self.spark.createDataFrame(
                 rows, "namespace string, tableName string")
 
+        m = re.match(rf"\s*show\s+partitions\s+({ident}(?:\.{ident})+)"
+                     rf"\s*;?\s*$", query, re.IGNORECASE)
+        if m:
+            # Hive/Spark's SHOW PARTITIONS answered from manifest
+            # metadata (the live entries' partition tuples — zero data
+            # I/O); Spark's own error shape for unpartitioned tables
+            t = self.load_table(m.group(1))
+            if not t.spec.fields:
+                raise ValueError(
+                    f"SHOW PARTITIONS is not allowed on a table that is "
+                    f"not partitioned: {m.group(1)}")
+            parts = set()
+            for e in t._live_entries():
+                p = e.data_file.partition or {}
+                parts.add("/".join(f"{k}={p[k]}" for k in sorted(p)))
+            return self.spark.createDataFrame(
+                [(x,) for x in sorted(parts)], "partition string")
+
         m = re.match(rf"\s*show\s+namespaces(?:\s+in\s+"
                      rf"({ident}(?:\.{ident})*))?\s*;?\s*$",
                      query, re.IGNORECASE)

@@ -527,9 +527,10 @@ class _TableStreamWriter(_TableBatchWriter,
     staged files dropped — the same idempotence contract, spelled as a
     native format instead of foreachBatch."""
 
-    def __init__(self, options: dict, part_fields: list = None):
+    def __init__(self, options: dict, part_fields: list = None,
+                 sort_by: list = None):
         super().__init__(options, overwrite=False,
-                         part_fields=part_fields)
+                         part_fields=part_fields, sort_by=sort_by)
         self.query_id = options.get("queryid") or "dsv2-stream"
 
     def commit(self, messages, batchId: int) -> None:
@@ -634,7 +635,7 @@ class TableBatchDataSource(DataSource):
             raise ValueError("stream writes are append-only")
         self._check_write_schema(schema)
         return _TableStreamWriter(
-            self.options, self._part_fields(schema))
+            self.options, self._part_fields(schema), self._sort_by())
 
 
     def writer(self, schema, overwrite: bool) -> _TableBatchWriter:

@@ -76,3 +76,14 @@ def test_sql_group_count_route_and_bails(catalog, spark, sf_dir, gt):
         "SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS s "
         "FROM db.gc GROUP BY o_orderstatus")
     assert out2.count() == len(want)
+
+
+def test_show_partitions(catalog, spark, gt):
+    rows = [r["partition"] for r in
+            catalog.sql("SHOW PARTITIONS db.gc").collect()]
+    assert rows == ["o_orderstatus=F", "o_orderstatus=O",
+                    "o_orderstatus=P"]
+    df = spark.createDataFrame([(1,)], "a long")
+    catalog.create_table("db.unpart", df)
+    with pytest.raises(ValueError, match="not partitioned"):
+        catalog.sql("SHOW PARTITIONS db.unpart")
