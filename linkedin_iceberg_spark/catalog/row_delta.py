@@ -244,7 +244,23 @@ def merge(table, source: DataFrame, key_cols: list,
                 f"{tuple(dup[0])[:-1]} appears {dup[0]['count']} times")
 
     s = source.alias("s")
-    t = table.to_df().alias("t")
+    by_source = unmatched_source_delete_cond is not None \
+        or unmatched_source_update
+    if by_source:
+        # NOT MATCHED BY SOURCE touches target rows OUTSIDE the source
+        # key range — the full target participates
+        bounds_pred = None
+        t = table.to_df().alias("t")
+    else:
+        # source-only merges never need target rows outside the
+        # source's key envelope: matched rows equal a source key, and
+        # the insert anti-join can only be contradicted by a target row
+        # inside the envelope.  Scanning with the bounds prunes the
+        # target's manifests/files BEFORE the join — a small-delta
+        # merge against a huge table reads the delta's slice, not the
+        # table (the same bounds already scope the conflict guard)
+        bounds_pred = _source_key_bounds(source, key_cols)
+        t = table.scan(row_filter=bounds_pred).alias("t")
     # hint-free by default (AQE sizes the join at runtime); when the
     # TARGET's manifest metadata proves it broadcast-small — the
     # dim-table-merge shape — say so up front, the engine-side analog of
@@ -313,8 +329,6 @@ def merge(table, source: DataFrame, key_cols: list,
         else:
             parts.append(inserts.select(*[F.col(c) for c in target_cols]))
 
-    by_source = unmatched_source_delete_cond is not None \
-        or unmatched_source_update
     if by_source:
         t_only = t.join(s, on, "left_anti")
         src_del = _fires(unmatched_source_delete_cond) \
@@ -353,28 +367,26 @@ def merge(table, source: DataFrame, key_cols: list,
         conflict = table._filter_conflict_fn(
             bind(table.schema, always_true()))
     else:
-        seen, conflict = _key_bounds_guard(table, source, key_cols)
+        seen, conflict = _key_bounds_guard(table, source, key_cols,
+                                           pred=bounds_pred)
     return row_delta(table, data_df=data_df,
                      equality_delete_keys=affected, key_cols=key_cols,
                      extra_summary=extra_summary,
                      seen_paths=seen, conflict_fn=conflict)
 
 
-def _key_bounds_guard(table, source: DataFrame, key_cols: list) -> tuple:
-    """(seen_paths, conflict_fn) for merge/upsert: a concurrent commit
-    conflicts only if it might touch the SOURCE KEY RANGE — a new data
-    file whose metrics overlap [min, max] of every key column (a new key
-    outside the range can change neither the matched set nor the
-    anti-join inserts), any new delete file, or removal of any file the
-    operation read.  One metadata-sized agg over the source computes the
-    bounds (ref: the scoped conflict detection of
-    BaseOverwriteFiles.java:76-129, applied to the RowDelta path)."""
+def _source_key_bounds(source: DataFrame, key_cols: list):
+    """Unbound engine predicate enveloping the source's key range —
+    one metadata-sized agg job.  Always sound as a TARGET scan filter
+    for source-only merges: a target row can only affect the merge by
+    sharing a key with some source row, which puts every key column
+    inside [min, max].  All-NULL / empty sources fold to always_true."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    from linkedin_iceberg_spark.expressions import (
-        always_true, and_, bind, gt_eq, lt_eq)
+    from linkedin_iceberg_spark.expressions import (always_true, and_,
+                                                    gt_eq, lt_eq)
 
     row = source.agg(*[f for k in key_cols
                        for f in (F.min(k).alias(f"_lo_{k}"),
@@ -384,7 +396,26 @@ def _key_bounds_guard(table, source: DataFrame, key_cols: list) -> tuple:
         lo, hi = row[f"_lo_{k}"], row[f"_hi_{k}"]
         if lo is not None:
             conj += [gt_eq(k, lo), lt_eq(k, hi)]
-    pred = reduce(lambda a, b: and_(a, b), conj) if conj else always_true()
+    return reduce(lambda a, b: and_(a, b), conj) if conj \
+        else always_true()
+
+
+def _key_bounds_guard(table, source: DataFrame, key_cols: list,
+                      pred=None) -> tuple:
+    """(seen_paths, conflict_fn) for merge/upsert: a concurrent commit
+    conflicts only if it might touch the SOURCE KEY RANGE — a new data
+    file whose metrics overlap [min, max] of every key column (a new key
+    outside the range can change neither the matched set nor the
+    anti-join inserts), any new delete file, or removal of any file the
+    operation read.  One metadata-sized agg over the source computes the
+    bounds (ref: the scoped conflict detection of
+    BaseOverwriteFiles.java:76-129, applied to the RowDelta path);
+    callers that already computed them pass `pred` to avoid re-running
+    the agg."""
+    from linkedin_iceberg_spark.expressions import bind
+
+    if pred is None:
+        pred = _source_key_bounds(source, key_cols)
     seen = {e.data_file.file_path for e in table._live_entries()}
     return seen, table._filter_conflict_fn(bind(table.schema, pred))
 

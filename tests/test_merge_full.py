@@ -87,3 +87,32 @@ def test_merge_noop_clauses_commit_nothing_harmful(spark, target):
             insert_unmatched=False)
     assert t.to_df().count() == before
     assert t.to_df().filter(F.col("o_totalprice") == 0.0).count() == 0
+
+
+def test_merge_prunes_target_scan_by_source_bounds(catalog, spark, sf_dir):
+    """r8: a source-only merge scans only the target slice inside the
+    source's key envelope — the join must not read the whole table."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    from linkedin_iceberg_spark.catalog import row_delta as RD
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .truncate("o_orderkey", 100).build()
+    t = catalog.create_table("db.mrg_prune", o, spec=spec)
+    t.append(o)
+    n_all = len(t.new_scan().plan_files())
+    src = o.filter((F.col("o_orderkey") >= 200)
+                   & (F.col("o_orderkey") < 300)) \
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    pred = RD._source_key_bounds(src, ["o_orderkey"])
+    n_slice = len(t.new_scan().filter(pred).plan_files())
+    assert 0 < n_slice < n_all
+    t.merge(src, key_cols=["o_orderkey"],
+            matched_update={"o_totalprice": F.col("s.o_totalprice")},
+            insert_unmatched=False)
+    got = {r.o_orderkey: r.o_totalprice for r in
+           t.to_df().select("o_orderkey", "o_totalprice").collect()}
+    want = {r.o_orderkey:
+            round(r.o_totalprice * 2, 2) if 200 <= r.o_orderkey < 300
+            else r.o_totalprice
+            for r in o.select("o_orderkey", "o_totalprice").collect()}
+    assert {k: round(v, 2) for k, v in got.items()} == want

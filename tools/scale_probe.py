@@ -130,6 +130,13 @@ PROBE_QUERIES = [
     # row through writeStream.format(...) then the batch-source read —
     # cost should ride on rows written (expect ~linear, not super)
     "streaming_dsv2_roundtrip",
+    # r8: runtime-filtered star joins — cost must ride on the PRUNED
+    # fact slice (dim keys fixed per sf ratio, fact partitions 10x), so
+    # the expectation is well under 10x; the grouped-count SQL is
+    # metadata-only and should stay ~flat beyond the table build
+    "join_runtime_filtered",
+    "table_sql_star_pruned",
+    "table_sql_group_count",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
