@@ -116,8 +116,14 @@ def upsert_batch_idempotent(table, df: DataFrame, epoch_id: int,
         # (catalog/deletes.py); past the gate AQE still may broadcast
         # from observed sizes, we just never force one
         from linkedin_iceberg_spark.catalog.deletes import _maybe_broadcast
+        from linkedin_iceberg_spark.catalog.row_delta import (
+            _source_key_bounds)
         keys = _maybe_broadcast(df.select(*key_cols).distinct(), df.count())
-        cur = (table.to_df()
+        # the lookup only needs table rows sharing a batch key — scan
+        # the batch's key envelope, not the whole table (the same
+        # bounds-pruning merge uses for its target join)
+        bounds = _source_key_bounds(df, key_cols)
+        cur = (table.scan(row_filter=bounds)
                .join(keys, key_cols, "left_semi")
                .groupBy(*key_cols)
                .agg(F.max(F.struct(*[F.col(c) for c in version_cols]))
