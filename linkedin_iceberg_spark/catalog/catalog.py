@@ -2351,7 +2351,7 @@ class Catalog:
                       f"keys={','.join(keys)},aggs={len(spec_aggs)}")
 
     _PROC_ARG_ORDER_DEF = {
-        "rewrite_data_files": ("table",),
+        "rewrite_data_files": ("table", "where"),
         "rewrite_manifests": ("table",),
         "rewrite_position_deletes": ("table",),
         "remove_dangling_deletes": ("table",),
@@ -2480,7 +2480,14 @@ class Catalog:
 
         from linkedin_iceberg_spark.catalog import maintenance as MA
         if proc == "rewrite_data_files":
-            out = MA.rewrite_data_files(t)
+            # optional second arg: a WHERE predicate scoping the
+            # compaction (the reference action's .filter(Expression))
+            if rest[:1]:
+                from linkedin_iceberg_spark.expressions.parser import (
+                    parse_expr)
+                out = MA.rewrite_data_files(t, where=parse_expr(rest[0]))
+            else:
+                out = MA.rewrite_data_files(t)
         elif proc == "rewrite_manifests":
             out = MA.rewrite_manifests(t)
         elif proc == "rewrite_position_deletes":

@@ -29,7 +29,8 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
                        zorder_by: Optional[list] = None,
                        partial_progress: bool = False,
                        max_groups_per_commit: int = 1,
-                       remove_dangling: bool = False) -> dict:
+                       remove_dangling: bool = False,
+                       where=None) -> dict:
     """Bin-pack small files per partition and rewrite them (A1).
 
     With `sort_by`, the rewrite also CLUSTERS rows: unpartitioned tables
@@ -72,6 +73,16 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
         raise ValueError("max_groups_per_commit must be >= 1")
 
     entries, delete_entries = table._live_data_and_deletes()
+    if where is not None:
+        # scope the compaction to files the expression MIGHT touch
+        # (ref: BaseRewriteDataFilesAction.filter — partition projection
+        # + file metrics through the scan planner's own selection, so
+        # "compact last month" never rewrites cold history).  Data is
+        # unchanged either way: the filter picks files, never rows.
+        scoped = {t_.file.file_path
+                  for t_ in table.new_scan().filter(where).plan_files()}
+        entries = [e for e in entries
+                   if e.data_file.file_path in scoped]
     # files with pending v2 deletes are candidates REGARDLESS of size or
     # group count: rewriting them materializes the deletes (the reference's
     # delete-threshold behavior in RewriteDataFiles) — until then every

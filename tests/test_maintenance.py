@@ -256,3 +256,37 @@ def test_compaction_with_remove_dangling_option(catalog, spark, sf_dir):
     t.refresh()
     _d, dels = t._live_data_and_deletes()
     assert dels == [] and t.to_df().count() == n
+
+
+def test_rewrite_data_files_where_scopes_compaction(catalog, spark, sf_dir):
+    """r8: where= compacts only the files the predicate might touch
+    (BaseRewriteDataFilesAction.filter) -- cold partitions keep their
+    original files byte-for-byte; the CALL route parses the predicate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .identity("o_orderstatus").build()
+    t = catalog.create_table("db.cmpw", o.limit(0), spec=spec)
+    for i in range(3):  # 3 small files per partition
+        t.append(o.filter(F.col("o_orderkey") % 3 == i))
+    ent = t._live_entries()
+    before = {e.data_file.file_path for e in ent}
+    cold = {e.data_file.file_path for e in ent
+            if e.data_file.partition.get("o_orderstatus") == "F"}
+    hot = {e.data_file.file_path for e in ent
+           if e.data_file.partition.get("o_orderstatus") == "O"}
+    assert cold and hot
+    sql = ("CALL rewrite_data_files('db.cmpw', "
+           + "where => 'o_orderstatus = " + "''" + "O" + "''" + "')")
+    catalog.sql(sql)
+    t.refresh()
+    after = {e.data_file.file_path for e in t._live_entries()}
+    assert cold <= after  # untouched partition's files survive verbatim
+    gone = before - after
+    assert gone and gone <= hot
+    assert sorted(r.o_orderkey for r in t.to_df().collect()) == \
+        sorted(r.o_orderkey for r in o.collect())
