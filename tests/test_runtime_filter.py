@@ -172,3 +172,21 @@ def test_key_index_path_exact_files_and_fallback(fact, spark, sf_dir):
     want3 = o.filter(F.col("o_custkey") == 47).select("o_orderkey")
     assert sorted(r[0] for r in got3.collect()) == \
         sorted(r[0] for r in want3.collect())
+
+
+def test_sql_comma_join_also_runtime_filters(catalog, spark, sf_dir):
+    """FROM a, b WHERE a.k = b.k AND <dim filter> — the implicit-join
+    spelling hits the same star shape."""
+    tf, td, o, c = _star_tables(catalog, spark, sf_dir)
+    n_fact = len(tf.new_scan().plan_files())
+    n_dim = len(td.new_scan().plan_files())
+    out = catalog.sql(
+        "SELECT o.o_orderkey, c.c_name FROM db.fact_s o, db.dim_s c "
+        "WHERE o.o_custkey = c.c_custkey AND c.c_custkey < 40 "
+        "ORDER BY o_orderkey")
+    dim = c.filter(F.col("c_custkey") < 40)
+    want = (o.join(dim, o.o_custkey == dim.c_custkey)
+            .select("o_orderkey", "c_name").orderBy("o_orderkey"))
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in want.collect()]
+    assert 0 < len(out.inputFiles()) < n_fact + n_dim
