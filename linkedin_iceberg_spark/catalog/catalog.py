@@ -369,10 +369,27 @@ def _runtime_join_filters(catalog, masked: str, lits: list, plain: dict,
         if a:
             quals[a] = d
     ident = r"[A-Za-z_][A-Za-z0-9_]*"
+    # only a TOP-LEVEL AND conjunct of the WHERE clause or of an ON
+    # clause proves the equality holds for every result row — an
+    # equality nested under an OR (or any larger expression) does not,
+    # and pruning on it would drop rows the OR's other branch keeps
+    conjuncts = []
+    wm = _re.search(r"\bwhere\b", masked, _re.IGNORECASE)
+    if wm:
+        conjuncts += _split_top_level_and(
+            _cut_where_clause(masked[wm.end():]))
+    for om in _re.finditer(
+            r"\bon\b(.*?)(?=\b(?:where|join|group|order|limit|having|"
+            r"union)\b|$)", masked, _re.IGNORECASE | _re.DOTALL):
+        conjuncts += _split_top_level_and(om.group(1))
+    pair_re = _re.compile(
+        rf"\s*((?:{ident}\.)*{ident})\.({ident})"
+        rf"\s*=\s*((?:{ident}\.)*{ident})\.({ident})\s*$")
     pair = None
-    for m in _re.finditer(
-            rf"(?<![A-Za-z0-9_.])((?:{ident}\.)*{ident})\.({ident})"
-            rf"\s*=\s*((?:{ident}\.)*{ident})\.({ident})", masked):
+    for conj in conjuncts:
+        m = pair_re.match(conj)
+        if not m:
+            continue
         lq, lc, rq, rc = m.groups()
         if lq not in quals or rq not in quals:
             continue

@@ -190,3 +190,21 @@ def test_sql_comma_join_also_runtime_filters(catalog, spark, sf_dir):
     assert [tuple(r) for r in out.collect()] == \
         [tuple(r) for r in want.collect()]
     assert 0 < len(out.inputFiles()) < n_fact + n_dim
+
+
+def test_sql_or_nested_equality_bails(catalog, spark, sf_dir):
+    """An equality under OR proves nothing — the filter must NOT prune
+    (rows satisfying the other OR branch would be lost)."""
+    tf, td, o, c = _star_tables(catalog, spark, sf_dir)
+    out = catalog.sql(
+        "SELECT o.o_orderkey, c.c_name FROM db.fact_s o "
+        "JOIN db.dim_s c ON (o.o_custkey = c.c_custkey "
+        "OR o.o_orderkey = c.c_custkey) "
+        "WHERE c.c_custkey < 10 ORDER BY o_orderkey, c_name")
+    dim = c.filter(F.col("c_custkey") < 10)
+    want = (o.join(dim, (o.o_custkey == dim.c_custkey)
+                   | (o.o_orderkey == dim.c_custkey))
+            .select("o_orderkey", "c_name")
+            .orderBy("o_orderkey", "c_name"))
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in want.collect()]
