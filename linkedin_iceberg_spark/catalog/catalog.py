@@ -337,25 +337,30 @@ def _runtime_join_filters(catalog, masked: str, lits: list, plain: dict,
     time — Catalyst cannot move a dim-side filter across the join.
 
     Conservative guards (bail -> {} -> plain behavior, always sound):
-    exactly two engine tables, each once in FROM/JOIN, a single
-    SELECT/WHERE, no outer/semi/anti/cross/natural join keywords (an
-    outer-preserved side must not be pruned), an unambiguous
-    `a.k = b.j` equi-conjunct between the two, and the build side's
+    one fact table and one-or-more FILTERED dims (the fact is the
+    single table WITHOUT extracted conjuncts), each table once in
+    FROM/JOIN, a single SELECT/WHERE, no outer/semi/anti/cross/natural
+    join keywords (an outer-preserved side must not be pruned), an
+    unambiguous `dim.k = fact.j` equi-conjunct as a TOP-LEVEL AND
+    conjunct of the WHERE or an ON clause, and each build side's
     PRUNED scan fits the session broadcast budget (collecting its
     distinct keys is then strictly cheaper than one fact-file read).
-    Keys are collected with only the EXTRACTED conjuncts applied — a
-    superset of the true build rows, so pruning stays sound even when
-    part of the dim's WHERE didn't extract."""
+    Dims that fail any per-dim check simply contribute nothing — each
+    dim's runtime filter is independently sound (an inner-join
+    conjunct binds every result row).  Keys are collected with only
+    the EXTRACTED conjuncts applied — a superset of the true build
+    rows, so pruning stays sound even when part of the dim's WHERE
+    didn't extract."""
     from linkedin_iceberg_spark.catalog.runtime_filter import (
         runtime_filter)
 
-    if len(plain) != 2 or any(counts.get(d, 0) != 1 for d in plain):
+    if len(plain) < 2 or any(counts.get(d, 0) != 1 for d in plain):
         return {}
-    with_f = [d for d in plain if filters.get(d) is not None]
-    if len(with_f) != 1:
-        return {}  # no selective side, or both selective: nothing to gain
-    build_dotted = with_f[0]
-    probe_dotted = next(d for d in plain if d != build_dotted)
+    no_f = [d for d in plain if filters.get(d) is None]
+    if len(no_f) != 1:
+        return {}  # need exactly one unfiltered side: the fact
+    probe_dotted = no_f[0]
+    build_dotteds = [d for d in plain if d != probe_dotted]
     if len(_re.findall(r"\bselect\b", masked, _re.IGNORECASE)) != 1 \
             or len(_re.findall(r"\bwhere\b", masked, _re.IGNORECASE)) != 1:
         return {}
@@ -385,7 +390,9 @@ def _runtime_join_filters(catalog, masked: str, lits: list, plain: dict,
     pair_re = _re.compile(
         rf"\s*((?:{ident}\.)*{ident})\.({ident})"
         rf"\s*=\s*((?:{ident}\.)*{ident})\.({ident})\s*$")
-    pair = None
+    pairs = {}  # build_dotted -> (build_col, probe_col), first wins
+    pt = plain[probe_dotted][0]
+    probe_cols = set(pt.schema.column_names())
     for conj in conjuncts:
         m = pair_re.match(conj)
         if not m:
@@ -394,23 +401,17 @@ def _runtime_join_filters(catalog, masked: str, lits: list, plain: dict,
         if lq not in quals or rq not in quals:
             continue
         ld_, rd_ = quals[lq], quals[rq]
-        if {ld_, rd_} != {build_dotted, probe_dotted}:
+        if probe_dotted not in (ld_, rd_) or ld_ == rd_:
             continue
-        b_col, p_col = (lc, rc) if ld_ == build_dotted else (rc, lc)
-        bt, pt = plain[build_dotted][0], plain[probe_dotted][0]
-        if b_col not in set(bt.schema.column_names()) \
-                or p_col not in set(pt.schema.column_names()):
+        bd = rd_ if ld_ == probe_dotted else ld_
+        if bd in pairs:
             continue
-        pair = (b_col, p_col)
-        break
-    if pair is None:
-        return {}
-    b_col, p_col = pair
-    bt = plain[build_dotted][0]
-    build_scan = bt.new_scan().filter(filters[build_dotted])
-    try:
-        tasks = build_scan.plan_files()
-    except Exception:  # noqa: BLE001 — planning trouble: no filtering
+        b_col, p_col = (lc, rc) if ld_ == bd else (rc, lc)
+        if b_col not in set(plain[bd][0].schema.column_names()) \
+                or p_col not in probe_cols:
+            continue
+        pairs[bd] = (b_col, p_col)
+    if not pairs:
         return {}
     raw = catalog.spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
                                  "10485760")
@@ -420,11 +421,24 @@ def _runtime_join_filters(catalog, masked: str, lits: list, plain: dict,
         else int(low)
     if thr < 0:
         return {}
-    total = sum(task.file.file_size_in_bytes or 0 for task in tasks)
-    if total * 3 > thr:
-        return {}
-    rf = runtime_filter(build_scan.to_df().select(b_col), b_col, p_col)
-    return {probe_dotted: rf}
+    rf = None
+    for bd in build_dotteds:
+        if bd not in pairs:
+            continue  # this dim never equi-joins the fact: skip it
+        b_col, p_col = pairs[bd]
+        build_scan = plain[bd][0].new_scan().filter(filters[bd])
+        try:
+            tasks = build_scan.plan_files()
+        except Exception:  # noqa: BLE001 — planning trouble: skip dim
+            continue
+        total = sum(task.file.file_size_in_bytes or 0 for task in tasks)
+        if total * 3 > thr:
+            continue  # oversized build: this dim contributes nothing
+        from linkedin_iceberg_spark.expressions import and_ as _and
+        one = runtime_filter(build_scan.to_df().select(b_col),
+                             b_col, p_col)
+        rf = one if rf is None else _and(rf, one)
+    return {probe_dotted: rf} if rf is not None else {}
 
 
 # SQL type spellings -> engine primitive type strings

@@ -208,3 +208,32 @@ def test_sql_or_nested_equality_bails(catalog, spark, sf_dir):
             .orderBy("o_orderkey", "c_name"))
     assert [tuple(r) for r in out.collect()] == \
         [tuple(r) for r in want.collect()]
+
+
+def test_sql_multi_dim_star_filters_fact_by_both(catalog, spark, sf_dir):
+    """One fact + two filtered dims: the fact scan takes BOTH dims'
+    key filters (AND of INs) — the TPC-H star shape."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    tf = catalog.create_table("db.li", li)
+    tf.append(li)
+    t1 = catalog.create_table("db.ord", o)
+    t1.append(o)
+    t2 = catalog.create_table("db.prt", p)
+    t2.append(p)
+    out = catalog.sql(
+        "SELECT l.l_orderkey, l.l_partkey, l.l_quantity AS qty "
+        "FROM db.li l JOIN db.ord o ON l.l_orderkey = o.o_orderkey "
+        "JOIN db.prt p ON l.l_partkey = p.p_partkey "
+        "WHERE o.o_orderkey < 100 AND p.p_partkey < 50 "
+        "ORDER BY l_orderkey, l_partkey")
+    od = o.filter(F.col("o_orderkey") < 100)
+    pd_ = p.filter(F.col("p_partkey") < 50)
+    want = (li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(pd_, li.l_partkey == pd_.p_partkey)
+            .select("l_orderkey", "l_partkey",
+                    F.col("l_quantity").alias("qty"))
+            .orderBy("l_orderkey", "l_partkey"))
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in want.collect()]
