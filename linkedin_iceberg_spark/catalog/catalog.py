@@ -1108,6 +1108,9 @@ class Catalog:
         cnt_re = re.compile(
             rf"\s*count\(\s*\*\s*\)(?:\s+as\s+({ident}))?\s*$",
             re.IGNORECASE)
+        mm_re = re.compile(
+            rf"\s*(min|max)\(\s*({ident})\s*\)(?:\s+as\s+({ident}))?\s*$",
+            re.IGNORECASE)
         col_re = re.compile(rf"\s*({ident})(?:\s+as\s+({ident}))?\s*$",
                             re.IGNORECASE)
         items = []  # (kind, col-or-None, out-name)
@@ -1116,14 +1119,20 @@ class Catalog:
             if cm:
                 items.append(("count", None, cm.group(1) or "count(1)"))
                 continue
+            mmm = mm_re.match(raw)
+            if mmm and mmm.group(2) in own:
+                kind, c = mmm.group(1).lower(), mmm.group(2)
+                items.append((kind, c,
+                              mmm.group(3) or f"{kind}({c})"))
+                continue
             km = col_re.match(raw)
             if km and km.group(1) in group_cols:
                 items.append(("col", km.group(1),
                               km.group(2) or km.group(1)))
                 continue
             return None
-        if not any(k == "count" for k, _c, _n in items):
-            return None
+        if all(k == "col" for k, _c, _n in items):
+            return None  # no aggregate at all: generic route
         out_names = [n for _k, _c, n in items]
         orders = []
         if m.group(5):
@@ -1151,16 +1160,40 @@ class Catalog:
         scan = t.new_scan()
         if expr is not None:
             scan = scan.filter(expr)
-        counts = scan.count_rows_grouped(group_cols)
+        kinds = {k for k, _c, _n in items}
+        counts = scan.count_rows_grouped(group_cols) \
+            if "count" in kinds else None
+        minmax = {}  # col -> {key: (lo, hi)}, one pass per column
+        for k, c, _n in items:
+            if k in ("min", "max") and c not in minmax:
+                minmax[c] = scan.agg_minmax_grouped(group_cols, c)
+        keys = set()
+        if counts is not None:
+            keys |= set(counts)
+        for mm in minmax.values():
+            keys |= set(mm)
         stypes = {f.name: f.dataType for f in t.schema.to_spark().fields}
-        fields = [T.StructField(n, T.LongType(), False) if k == "count"
-                  else T.StructField(n, stypes[c], True)
-                  for k, c, n in items]
+        fields = []
+        for k, c, n in items:
+            if k == "count":
+                fields.append(T.StructField(n, T.LongType(), False))
+            elif k == "col":
+                fields.append(T.StructField(n, stypes[c], True))
+            else:
+                fields.append(T.StructField(n, stypes[c], True))
         rows = []
-        for key, n in counts.items():
+        for key in keys:
             kv = dict(zip(group_cols, key))
-            rows.append(tuple(int(n) if k == "count" else kv[c]
-                              for k, c, _n in items))
+            row = []
+            for k, c, _n in items:
+                if k == "count":
+                    row.append(int(counts.get(key, 0)))
+                elif k == "col":
+                    row.append(kv[c])
+                else:
+                    lo, hi = minmax[c].get(key, (None, None))
+                    row.append(lo if k == "min" else hi)
+            rows.append(tuple(row))
         df = self.spark.createDataFrame(rows, T.StructType(fields))
         return df.orderBy(*orders) if orders else df
 

@@ -232,35 +232,19 @@ class TableScan:
         # byte-identical to the scanned value (dates/timestamps encode
         # differently in partition JSON; floats have NaN trouble)
         exact = all(isinstance(types.get(c), str)
-                    and types[c] in ("int", "long", "string", "boolean")
+                    and types[c] in self._GROUPABLE_TYPES
                     for c in group_cols)
-        tasks = self.plan_files()
-        md = self.table.metadata
         counts: dict = {}
         slow: list = []
         spec_map: dict = {}
-        for t in tasks:
+        for t in self.plan_files():
             decided = self.row_filter is None or \
                 isinstance(t.residual, AlwaysTrue)
-            ok = exact and decided and not t.deletes \
-                and t.file.record_count is not None
-            vals = []
-            if ok:
-                sid = t.file.spec_id
-                if sid not in spec_map:
-                    spec_map[sid] = {
-                        pf.source_name: pf.name
-                        for pf in md.spec_by_id(sid).fields
-                        if pf.transform_str == "identity"}
-                part = t.file.partition or {}
-                for c in group_cols:
-                    pn = spec_map[sid].get(c)
-                    if pn is None or pn not in part:
-                        ok = False
-                        break
-                    vals.append(part[pn])
-            if ok:
-                key = tuple(vals)
+            key = self._group_key_from_metadata(t, group_cols, spec_map) \
+                if exact else None
+            if exact and decided and not t.deletes \
+                    and t.file.record_count is not None \
+                    and key is not None:
                 counts[key] = counts.get(key, 0) + t.file.record_count
             else:
                 slow.append(t)
@@ -270,6 +254,79 @@ class TableScan:
                 key = tuple(r[c] for c in group_cols)
                 counts[key] = counts.get(key, 0) + r["count"]
         return counts
+
+    def _group_key_from_metadata(self, task, group_cols: list,
+                                 spec_map: dict):
+        """Identity-partition values for `group_cols` of one task's
+        file, or None when any column isn't identity-partitioned under
+        that file's spec."""
+        sid = task.file.spec_id
+        if sid not in spec_map:
+            spec_map[sid] = {
+                pf.source_name: pf.name
+                for pf in self.table.metadata.spec_by_id(sid).fields
+                if pf.transform_str == "identity"}
+        part = task.file.partition or {}
+        vals = []
+        for c in group_cols:
+            pn = spec_map[sid].get(c)
+            if pn is None or pn not in part:
+                return None
+            vals.append(part[pn])
+        return tuple(vals)
+
+    _GROUPABLE_TYPES = ("int", "long", "string", "boolean")
+
+    def agg_minmax_grouped(self, group_cols: list, col: str) -> dict:
+        """GROUP BY <identity-partition columns> MIN/MAX(col) with the
+        file-bounds short-circuit (the grouped sibling of agg_minmax):
+        a delete-free, residual-decided file with EXACT bounds for
+        `col` contributes them to its partition group; everything else
+        is actually read and folded in per group.  Strings and floats
+        never take the fast path (truncated bounds / NaN ordering).
+
+        Returns {tuple(group values): (lo, hi)}."""
+        from pyspark.sql import functions as F
+
+        types = {f.name: f.type for f in self.table.schema.fields}
+        fid = self.table.schema.id_for_name(col)
+        exact = all(isinstance(types.get(c), str)
+                    and types[c] in self._GROUPABLE_TYPES
+                    for c in group_cols) \
+            and isinstance(types.get(col), str) \
+            and not types[col].startswith(("string", "float", "double"))
+        out: dict = {}
+        slow: list = []
+        spec_map: dict = {}
+        for t in self.plan_files():
+            decided = self.row_filter is None or \
+                isinstance(t.residual, AlwaysTrue)
+            lb = (t.file.lower_bounds or {}).get(fid)
+            ub = (t.file.upper_bounds or {}).get(fid)
+            key = self._group_key_from_metadata(t, group_cols, spec_map) \
+                if exact else None
+            if not (exact and decided and not t.deletes and key is not None
+                    and lb is not None and ub is not None):
+                slow.append(t)
+                continue
+            cur = out.get(key)
+            out[key] = (lb if cur is None or lb < cur[0] else cur[0],
+                        ub if cur is None or ub > cur[1] else cur[1])
+        if slow:
+            for r in (self._to_df_default(tasks=slow)
+                      .groupBy(*group_cols)
+                      .agg(F.min(col).alias("_lo"),
+                           F.max(col).alias("_hi")).collect()):
+                key = tuple(r[c] for c in group_cols)
+                slo, shi = r["_lo"], r["_hi"]
+                cur = out.get(key)
+                if cur is None:
+                    out[key] = (slo, shi)
+                else:
+                    lo = slo if slo is not None and slo < cur[0] else cur[0]
+                    hi = shi if shi is not None and shi > cur[1] else cur[1]
+                    out[key] = (lo, hi)
+        return out
 
     def agg_minmax(self, col: str) -> tuple:
         """(min, max) of a column with the file-stats short-circuit (the

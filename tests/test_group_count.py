@@ -87,3 +87,43 @@ def test_show_partitions(catalog, spark, gt):
     catalog.create_table("db.unpart", df)
     with pytest.raises(ValueError, match="not partitioned"):
         catalog.sql("SHOW PARTITIONS db.unpart")
+
+
+def test_grouped_minmax_metadata_and_sql(gt, catalog, spark):
+    t, o = gt
+    # pure metadata when bounds are exact (long col, identity groups)
+    from linkedin_iceberg_spark.catalog.scan import TableScan
+    orig = TableScan._to_df_default
+    TableScan._to_df_default = lambda self, tasks=None: (_ for _ in ()
+                                                         ).throw(
+        AssertionError("touched data"))
+    try:
+        got = t.new_scan().agg_minmax_grouped(["o_orderstatus"],
+                                              "o_orderkey")
+    finally:
+        TableScan._to_df_default = orig
+    want = {(r["o_orderstatus"],): (r["lo"], r["hi"]) for r in
+            o.groupBy("o_orderstatus")
+            .agg(F.min("o_orderkey").alias("lo"),
+                 F.max("o_orderkey").alias("hi")).collect()}
+    assert got == want
+    # SQL: mixed count + min/max items through the grouped route
+    out = catalog.sql(
+        "SELECT o_orderstatus AS st, count(*) AS n, "
+        "min(o_orderkey) AS lo, max(o_orderkey) AS hi "
+        "FROM db.gc GROUP BY o_orderstatus ORDER BY st")
+    want2 = sorted((r["o_orderstatus"], r["n"], r["lo"], r["hi"])
+                   for r in o.groupBy("o_orderstatus")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.min("o_orderkey").alias("lo"),
+                        F.max("o_orderkey").alias("hi")).collect())
+    assert [tuple(r) for r in out.collect()] == want2
+    # double column (float family) degrades to a real scan, still exact
+    out2 = catalog.sql(
+        "SELECT o_orderstatus AS st, max(o_totalprice) AS m "
+        "FROM db.gc GROUP BY o_orderstatus ORDER BY st")
+    want3 = sorted((r["o_orderstatus"], r["m"])
+                   for r in o.groupBy("o_orderstatus")
+                   .agg(F.max("o_totalprice").alias("m")).collect())
+    assert [(r[0], round(r[1], 2)) for r in out2.collect()] == \
+        [(a, round(b, 2)) for a, b in want3]
