@@ -2062,16 +2062,18 @@ def join_runtime_filtered(spark, sf_dir):
 
 
 @q("table_sql_group_count", """
-SELECT o_orderstatus AS st, count(*) AS n
+SELECT o_orderstatus AS st, count(*) AS n,
+       min(o_orderkey) AS lo, max(o_orderkey) AS hi
 FROM orders WHERE o_orderstatus <> 'F'
 GROUP BY o_orderstatus ORDER BY st""")
 def table_sql_group_count(spark, sf_dir):
-    """SQL grouped COUNT answered from manifest metadata (r8): GROUP BY
-    an identity partition column folds per-partition record counts —
-    the partitions-metadata-table aggregation as a plain SQL statement,
-    poison-proven to touch zero data files.  A second, price-bounded
-    variant exercises the graceful degrade (undecidable files actually
-    read) and is asserted against the Spark-computed answer."""
+    """SQL grouped COUNT + MIN/MAX answered from manifest metadata
+    (r8): GROUP BY an identity partition column folds per-partition
+    record counts and exact file bounds — the partitions-metadata-table
+    aggregation as a plain SQL statement, poison-proven to touch zero
+    data files.  A second, price-bounded variant exercises the graceful
+    degrade (undecidable files actually read) and is asserted against
+    the Spark-computed answer."""
     from linkedin_iceberg_spark import PartitionSpec, Schema
     from linkedin_iceberg_spark.catalog.scan import TableScan
 
@@ -2082,9 +2084,10 @@ def table_sql_group_count(spark, sf_dir):
         cat.create_table("q.orders_gc", o, spec=spec).append(o)
 
     cat = _cached_table(spark, sf_dir, "group_count", build)
-    sql = ("SELECT o_orderstatus AS st, count(*) AS n FROM q.orders_gc "
-           "WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus "
-           "ORDER BY st")
+    sql = ("SELECT o_orderstatus AS st, count(*) AS n, "
+           "min(o_orderkey) AS lo, max(o_orderkey) AS hi "
+           "FROM q.orders_gc WHERE o_orderstatus <> 'F' "
+           "GROUP BY o_orderstatus ORDER BY st")
     orig = TableScan._to_df_default
 
     def _poisoned(self, tasks=None):
