@@ -1094,10 +1094,11 @@ class Catalog:
         m = re.match(
             rf"\s*select\s+(.+?)\s+from\s+({ident}(?:\.{ident})+)"
             rf"(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+?)"
-            rf"(?:\s+order\s+by\s+(.+?))?\s*;?\s*$",
+            rf"(?:\s+having\s+(.+?))?(?:\s+order\s+by\s+(.+?))?\s*;?\s*$",
             masked, re.IGNORECASE | re.DOTALL)
         if not m or not self.table_exists(m.group(2)):
             return None
+        having_text, order_text = m.group(5), m.group(6)
         t = self.load_table(m.group(2))
         own = set(t.schema.column_names())
         group_cols = []
@@ -1135,8 +1136,8 @@ class Catalog:
             return None  # no aggregate at all: generic route
         out_names = [n for _k, _c, n in items]
         orders = []
-        if m.group(5):
-            for o in _split_top_level_commas(m.group(5)):
+        if order_text:
+            for o in _split_top_level_commas(order_text):
                 om = re.match(rf"\s*({ident})(?:\s+(asc|desc))?\s*$",
                               o, re.IGNORECASE)
                 if not om or om.group(1) not in out_names:
@@ -1145,6 +1146,23 @@ class Catalog:
                 orders.append(c.desc() if om.group(2)
                               and om.group(2).lower() == "desc"
                               else c.asc())
+        having = None
+        if having_text:
+            # conservative HAVING: top-level AND of simple comparisons
+            # over OUTPUT columns (`n > 5`, `st <> 'F'`) — anything
+            # richer falls back to the generic route, same results
+            hv_re = re.compile(
+                rf"\s*({ident})\s*(=|<>|!=|<=|>=|<|>)\s*"
+                rf"(-?\d+(?:\.\d+)?|\x00\d+\x00)\s*$")
+            for conj in _split_top_level_and(having_text):
+                hm = hv_re.match(conj)
+                if not hm or hm.group(1) not in out_names:
+                    return None
+                name, op, val = hm.groups()
+                val = _unmask_sql_literals(val, lits)
+                cond = F.expr(f"{name} {'!=' if op == '<>' else op} "
+                              f"{val}")
+                having = cond if having is None else (having & cond)
         expr = None
         if m.group(3):
             conj = []
@@ -1195,6 +1213,8 @@ class Catalog:
                     row.append(lo if k == "min" else hi)
             rows.append(tuple(row))
         df = self.spark.createDataFrame(rows, T.StructType(fields))
+        if having is not None:
+            df = df.filter(having)
         return df.orderBy(*orders) if orders else df
 
     def _sql_count_star(self, masked: str, lits: list):

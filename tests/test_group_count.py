@@ -127,3 +127,27 @@ def test_grouped_minmax_metadata_and_sql(gt, catalog, spark):
                    .agg(F.max("o_totalprice").alias("m")).collect())
     assert [(r[0], round(r[1], 2)) for r in out2.collect()] == \
         [(a, round(b, 2)) for a, b in want3]
+
+
+def test_sql_group_having(gt, catalog, spark):
+    t, o = gt
+    want = sorted((r["o_orderstatus"], r["count"])
+                  for r in o.groupBy("o_orderstatus").count().collect()
+                  if r["count"] > 400)
+    out = catalog.sql(
+        "SELECT o_orderstatus AS st, count(*) AS n FROM db.gc "
+        "GROUP BY o_orderstatus HAVING n > 400 ORDER BY st")
+    assert [tuple(r) for r in out.collect()] == want
+    # string comparison + <> spelling over an output group column
+    out2 = catalog.sql(
+        "SELECT o_orderstatus AS st, count(*) AS n FROM db.gc "
+        "GROUP BY o_orderstatus HAVING st <> 'F' ORDER BY st")
+    want2 = sorted((r["o_orderstatus"], r["count"])
+                   for r in o.groupBy("o_orderstatus").count().collect()
+                   if r["o_orderstatus"] != "F")
+    assert [tuple(r) for r in out2.collect()] == want2
+    # unsupported HAVING shape falls back to the generic route, same rows
+    out3 = catalog.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM db.gc "
+        "GROUP BY o_orderstatus HAVING n + 0 > 400")
+    assert out3.count() == len(want)
