@@ -2147,6 +2147,46 @@ def table_sql_star_pruned(spark, sf_dir):
     return out
 
 
+@q("table_sql_star_multidim", """
+SELECT l.l_orderkey, l.l_partkey, l.l_quantity AS qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE o.o_orderkey < 1000 AND p.p_partkey < 300
+ORDER BY l_orderkey, l_partkey""")
+def table_sql_star_multidim(spark, sf_dir):
+    """Multi-dimension star runtime filtering on the SQL path (r8):
+    BOTH filtered dims contribute their join keys to the fact scan
+    (AND of INs), so the lineitem read plans only the partitions the
+    dims' key ranges can touch — the TPC-H star shape as a plain SQL
+    statement.  The in-query assertion pins the fact-side pruning; the
+    oracle replays the plain three-way join."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+
+    def build(cat):
+        li = ld(spark, sf_dir, "lineitem")
+        spec = PartitionSpec.builder_for(Schema.from_spark(li.schema)) \
+            .truncate("l_orderkey", 1000).build()
+        cat.create_table("q.star_li", li, spec=spec).append(li)
+        cat.create_table("q.star_o", ld(spark, sf_dir, "orders")) \
+            .append(ld(spark, sf_dir, "orders"))
+        cat.create_table("q.star_p", ld(spark, sf_dir, "part")) \
+            .append(ld(spark, sf_dir, "part"))
+
+    cat = _cached_table(spark, sf_dir, "star_multi", build)
+    out = cat.sql(
+        "SELECT l.l_orderkey, l.l_partkey, l.l_quantity AS qty "
+        "FROM q.star_li l "
+        "JOIN q.star_o o ON l.l_orderkey = o.o_orderkey "
+        "JOIN q.star_p p ON l.l_partkey = p.p_partkey "
+        "WHERE o.o_orderkey < 1000 AND p.p_partkey < 300 "
+        "ORDER BY l_orderkey, l_partkey")
+    n_fact = len(cat.load_table("q.star_li").new_scan().plan_files())
+    fact_read = sum(1 for f in out.inputFiles() if "star_li" in f)
+    assert 0 < fact_read < n_fact, (fact_read, n_fact)
+    return out
+
+
 @q("stats_sampled_quantiles", """
 WITH rows_ AS (
   SELECT lang, n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL
