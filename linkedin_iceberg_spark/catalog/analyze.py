@@ -163,3 +163,268 @@ def column_stats(table, col: str) -> dict:
     return {"column": col, "ndv": int(ndv), "row_count": rows,
             "null_count": nulls, "min": lo, "max": hi,
             "upper_bound": bool(delete_entries)}
+
+
+# ---------------------------------------------------------------------------
+# KMV plane: per-file bottom-k sketches with a PORTABLE hash
+# ---------------------------------------------------------------------------
+
+KMV_DEFAULT_K = 256
+_KMV_SCALE = 1 << 60  # hash space: 60-bit md5-hex prefixes
+
+
+def _kmv_dir(table, col: str, k: int) -> str:
+    # k is part of the identity: a bottom-256 store cannot serve k=512
+    return os.path.join(table.location, "stats_kmv", col, f"k={k}")
+
+
+def _kmv_hash(col):
+    """60-bit md5-hex prefix of the value's string form — the engine's
+    portable-hash recipe (shared with the md5 minhash twin and the
+    sampling bucket): identical in Spark and ANSI/DuckDB SQL, so the
+    estimate is REPLAYABLE bit-for-bit by an external oracle, unlike
+    HLL (whose sketch encoding is engine-private)."""
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def kmv_hash_sql(col: str) -> str:
+    """The same 60-bit hash as DuckDB/ANSI SQL (oracle building block)."""
+    return f"(('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT)"
+
+
+def analyze_table_kmv(table, columns: list, k: int = KMV_DEFAULT_K) -> dict:
+    """Bring the per-file KMV store up to date for ``columns``: for each
+    live data file missing from the store, persist the k smallest 60-bit
+    portable hashes of the column's DISTINCT non-null values (rows:
+    file_path, h; a file with no non-null values stores one h=NULL
+    marker row so coverage is visible without rescanning).
+
+    Same incremental contract as analyze_table (files are immutable, so
+    sketches never go stale; appends sketch only the new tail), but with
+    two properties HLL lacks: bottom-k sets MERGE EXACTLY over any file
+    subset (bottom-k of a union == bottom-k of the per-file bottom-ks),
+    and the estimator is pure integer/one-division arithmetic an
+    external SQL engine reproduces exactly.  Returns
+    {column: files_sketched_now}."""
+    from pyspark.sql.window import Window as W
+    names = set(table.schema.column_names())
+    for c in columns:
+        if c not in names:
+            raise ValueError(f"no such column {c!r}")
+    entries, _ = table._live_data_and_deletes()
+    live = {e.data_file.file_path for e in entries}
+    out = {}
+    for col in columns:
+        d = _kmv_dir(table, col, k)
+        have = set()
+        if os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            have = {r["file_path"] for r in
+                    table.spark.read.parquet(d)
+                    .select("file_path").distinct().collect()}
+        todo = sorted(live - have)
+        out[col] = len(todo)
+        if not todo:
+            continue
+        src = (table.spark.read.schema(table.schema.to_spark())
+               .parquet(*todo)
+               .select(F.regexp_replace(F.col("_metadata.file_path"),
+                                        "^file:", "").alias("file_path"),
+                       _kmv_hash(col).alias("h"))
+               .where(F.col("h").isNotNull())
+               .distinct())
+        # bottom-k per file via a per-partition-keyed window: one shuffle
+        # on file_path, spill-safe at any per-file NDV (collect_set would
+        # buffer the whole distinct set per file in one executor row)
+        w = W.partitionBy("file_path").orderBy("h")
+        bk = (src.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= k).select("file_path", "h"))
+        paths_df = table.spark.createDataFrame(
+            [(p,) for p in todo], "file_path string")
+        empties = (paths_df
+                   .join(bk.select("file_path").distinct(),
+                         "file_path", "left_anti")
+                   .select("file_path",
+                           F.lit(None).cast("long").alias("h")))
+        bk.unionByName(empties).write.mode("append").parquet(d)
+    return out
+
+
+def kmv_estimate(hashes: list, k: int) -> int:
+    """The KMV distinct estimator over a merged bottom-k hash list —
+    EXACT when fewer than k distinct hashes exist, else
+    floor((k-1) * 2^60 / (h_k + 1)), all integer arithmetic (Python is
+    arbitrary-precision; the DuckDB oracle replays with HUGEINT)."""
+    hs = sorted(set(hashes))[:k]
+    if len(hs) < k:
+        return len(hs)
+    return (k - 1) * _KMV_SCALE // (hs[-1] + 1)
+
+
+def kmv_estimate_sql(values_sql: str, from_sql: str, k: int) -> str:
+    """DuckDB SQL computing the identical estimate over the column
+    expression ``values_sql`` drawn from ``from_sql`` (a full replay:
+    hash -> distinct -> bottom-k -> integer estimator; HUGEINT keeps
+    (k-1)*2^60 exact).  Returns a scalar subquery string."""
+    h = kmv_hash_sql(values_sql)
+    return f"""(
+      WITH _kh AS (SELECT DISTINCT {h} AS h
+                   FROM {from_sql} WHERE {values_sql} IS NOT NULL),
+           _kb AS (SELECT h FROM _kh ORDER BY h LIMIT {k}),
+           _ks AS (SELECT count(*) AS m, max(h) AS hk FROM _kb)
+      SELECT CAST(CASE WHEN m < {k} THEN m
+                  ELSE (({k} - 1)::HUGEINT * {_KMV_SCALE}::HUGEINT
+                        // (hk + 1)::HUGEINT)::BIGINT END AS BIGINT)
+      FROM _ks)"""
+
+
+# ---------------------------------------------------------------------------
+# Dictionary plane: per-file exact distinct-value sets for low-NDV columns
+# ---------------------------------------------------------------------------
+
+DICT_DEFAULT_MAX_NDV = 1024
+# types whose literal <-> stored-value comparison is exact and repr-stable
+# (floats/decimals/timestamps are excluded: equality pruning on them is
+# both rare and rounding-hazardous; bounds already serve ranges)
+_DICT_TYPES = {"int", "long", "string", "boolean", "date"}
+
+
+def _dict_dir(table, field_id: int) -> str:
+    # keyed by FIELD ID, not name: rename-safe (a renamed column keeps
+    # its dictionary; a NEW column reusing a dropped name never sees the
+    # old column's store)
+    return os.path.join(table.location, "stats_dict", str(field_id))
+
+
+def analyze_dictionary(table, col: str,
+                       max_ndv: int = DICT_DEFAULT_MAX_NDV) -> int:
+    """Per-file exact distinct-value dictionaries — the file-skipping
+    analog of parquet dictionary-filter pruning (the reference benches
+    dictionary-encoded vectorized reads; its plan-time pruning stops at
+    min/max bounds).  For point lookups on columns that are NOT the
+    table's sort/partition key, bounds are useless (every file's range
+    spans the whole domain) while the per-file VALUE SET is tiny and
+    prunes exactly.
+
+    For each live data file missing from the store, persists one row
+    (file_path, values): the sorted distinct non-null values when the
+    file's NDV is <= max_ndv, NULL when it overflows (recorded so the
+    file is never rescanned; overflow files simply never prune), and an
+    EMPTY array when the column is all-NULL in the file (eq/IN can never
+    match NULL, so such files always prune).  Files are immutable ->
+    entries never go stale; appends scan only the new tail.  Scan
+    planning (plan_files -> dictionary_prune) consults the store for
+    top-level eq/IN conjuncts automatically.  Returns the number of
+    files analyzed now."""
+    f = next((f for f in table.schema.fields if f.name == col), None)
+    if f is None:
+        raise ValueError(f"no such column {col!r}")
+    if not (isinstance(f.type, str) and f.type in _DICT_TYPES):
+        raise ValueError(
+            f"dictionary stats support {sorted(_DICT_TYPES)} columns; "
+            f"{col!r} is {f.type!r}")
+    spark = table.spark
+    stype = next(sf.dataType for sf in table.schema.to_spark().fields
+                 if sf.name == col)
+    from pyspark.sql import types as T
+    arr = T.ArrayType(stype)
+    d = _dict_dir(table, f.field_id)
+    entries, _ = table._live_data_and_deletes()
+    live = {e.data_file.file_path for e in entries}
+    have = set()
+    if os.path.isdir(d) and any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        have = {r["file_path"] for r in
+                spark.read.parquet(d)
+                .select("file_path").distinct().collect()}
+    todo = sorted(live - have)
+    if not todo:
+        return 0
+    src = (spark.read.schema(table.schema.to_spark()).parquet(*todo)
+           .select(F.regexp_replace(F.col("_metadata.file_path"),
+                                    "^file:", "").alias("file_path"),
+                   F.col(col).alias("v"))
+           .where(F.col("v").isNotNull())
+           .distinct())
+    counts = src.groupBy("file_path").agg(F.count("*").alias("n"))
+    # only under-cap files ever materialize a value list (the semi-join
+    # keeps collect_set bounded by max_ndv per group)
+    ok = counts.filter(F.col("n") <= max_ndv).select("file_path")
+    vals = (src.join(ok, "file_path", "left_semi")
+            .groupBy("file_path")
+            .agg(F.sort_array(F.collect_set("v")).alias("values")))
+    paths_df = spark.createDataFrame([(p,) for p in todo],
+                                     "file_path string")
+    merged = (paths_df
+              .join(counts, "file_path", "left")
+              .join(vals, "file_path", "left")
+              .select("file_path",
+                      F.when(F.col("n").isNull(),
+                             F.array().cast(arr))          # all-NULL file
+                      .when(F.col("n") > max_ndv,
+                            F.lit(None).cast(arr))         # overflow
+                      .otherwise(F.col("values")).alias("values")))
+    merged.write.mode("append").parquet(d)
+    return len(todo)
+
+
+def dictionary_prune(table, data_entries: list, bound) -> list:
+    """Drop manifest entries whose persisted dictionary PROVES no row can
+    match: for each top-level AND conjunct that is eq/IN over a plain
+    column of a dictionary-supported type, a file present in that
+    column's store with a concrete value set and no overlap with the
+    literals cannot contain a matching row (NULLs never satisfy eq/IN).
+    Files missing from the store, overflow entries (values NULL), and
+    every other predicate shape are untouched — pruning is advisory,
+    correctness never depends on it.  Called from plan_files when the
+    table has a stats_dict directory; time travel is safe because
+    entries are keyed by immutable file path."""
+    from linkedin_iceberg_spark.expressions.expressions import (
+        And, BoundReference, Operation, Predicate)
+    conjuncts = []
+
+    def walk(e):
+        if isinstance(e, And):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, Predicate) and \
+                isinstance(e.term, BoundReference) and \
+                isinstance(e.term.type, str) and \
+                e.term.type in _DICT_TYPES:
+            if e.op == Operation.EQ:
+                conjuncts.append((e.term.field_id, [e.literal]))
+            elif e.op == Operation.IN:
+                conjuncts.append((e.term.field_id, sorted(e.literals)))
+
+    walk(bound)
+    if not conjuncts:
+        return data_entries
+    spark = table.spark
+    drop: set = set()
+    candidates = {e.data_file.file_path for e in data_entries}
+    for fid, lits in conjuncts:
+        d = _dict_dir(table, fid)
+        if not os.path.isdir(d) or not any(
+                p.endswith(".parquet") for p in os.listdir(d)):
+            continue
+        store = spark.read.parquet(d)
+        lit_arr = F.array(*[F.lit(v) for v in lits])
+        # collect only the DISPROVEN paths (values present, no overlap
+        # with the literal set) — the drop list is what comes back to
+        # the driver, bounded by the candidate count
+        try:
+            gone = (store
+                    .where(F.col("values").isNotNull() &
+                           ~F.arrays_overlap(
+                               F.col("values"),
+                               lit_arr.cast(
+                                   store.schema["values"].dataType)))
+                    .select("file_path").collect())
+        except Exception:
+            continue  # literal/store type mismatch: skip, stay sound
+        drop |= {r["file_path"] for r in gone} & candidates
+    if not drop:
+        return data_entries
+    return [e for e in data_entries
+            if e.data_file.file_path not in drop]

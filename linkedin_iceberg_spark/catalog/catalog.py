@@ -1218,14 +1218,19 @@ class Catalog:
         return df.orderBy(*orders) if orders else df
 
     def _sql_count_star(self, masked: str, lits: list):
-        """`SELECT count(*) | min(c) | max(c) [, ...] FROM db.t
-        [WHERE <pushable>]` answered from manifest metadata via the
-        scan's count_rows() / agg_minmax() planes — partition-aligned
-        counts and exact-bounds min/max are pure metadata operations,
-        zero data I/O, and both degrade gracefully by actually reading
-        only undecidable files (ref: the aggregate pushdown of the
-        modern SparkScan; our SQL spelling of the driver-green
-        table_count_pushdown path).  None (falls through to the generic
+        """`SELECT count(*) | min(c) | max(c) | approx_count_distinct(c)
+        [, ...] FROM db.t [WHERE <pushable>]` answered from manifest
+        metadata via the scan's count_rows() / agg_minmax() /
+        approx_ndv() planes — partition-aligned counts, exact-bounds
+        min/max, and KMV-store distinct estimates are metadata
+        operations, zero data I/O, and all degrade gracefully by
+        actually reading only undecidable/uncovered files (ref: the
+        aggregate pushdown of the modern SparkScan; our SQL spelling of
+        the driver-green table_count_pushdown path).  NOTE
+        approx_count_distinct here is the ENGINE's deterministic KMV
+        semantics, not Spark's HLL++ — documented in approx_ndv; the
+        two differ only within each other's error bands.  None (falls
+        through to the generic
         Spark route) unless the ENTIRE statement is this shape, every
         select item is one of the three aggregates, and EVERY WHERE
         conjunct parses into an engine predicate — partial extraction
@@ -1248,14 +1253,15 @@ class Catalog:
         t = self.load_table(m.group(2))
         own = set(t.schema.column_names())
         item_re = re.compile(
-            rf"\s*(count\(\s*\*\s*\)|(min|max)\(\s*({ident})\s*\))"
+            rf"\s*(count\(\s*\*\s*\)"
+            rf"|(min|max|approx_count_distinct)\(\s*({ident})\s*\))"
             rf"(?:\s+as\s+({ident}))?\s*$", re.IGNORECASE)
         items = []  # (kind, col-or-None, out-name)
         for raw in _split_top_level_commas(m.group(1)):
             im = item_re.match(raw)
             if not im:
                 return None  # not a pure fast-aggregate select list
-            if im.group(2):  # min/max
+            if im.group(2):  # min/max/approx_count_distinct
                 kind, col = im.group(2).lower(), im.group(3)
                 if col not in own:
                     return None
@@ -1288,6 +1294,14 @@ class Catalog:
         for kind, col, name in items:
             if kind == "count":
                 values.append(scan.count_rows())
+                fields.append(T.StructField(name, T.LongType(), False))
+            elif kind == "approx_count_distinct":
+                # engine-defined semantics: the deterministic KMV
+                # estimate (scan.approx_ndv) — served from the per-file
+                # bottom-k store when analyze_table_kmv covers the
+                # surviving delete-free files, identical value from a
+                # live hash of the remainder otherwise
+                values.append(scan.approx_ndv(col))
                 fields.append(T.StructField(name, T.LongType(), False))
             else:
                 if col not in minmax:

@@ -371,6 +371,65 @@ class TableScan:
             hi = shi if hi is None or (shi is not None and shi > hi) else hi
         return lo, hi
 
+    def approx_ndv(self, col: str, k: int = None) -> int:
+        """Approximate COUNT(DISTINCT col) via the mergeable per-file KMV
+        store (catalog/analyze.py): a task that is delete-free, fully
+        decided by the filter (residual AlwaysTrue or no filter), and
+        present in the store contributes its persisted bottom-k hashes
+        WITHOUT being read; every other task's rows are hashed live with
+        the same portable recipe.  Bottom-k sets merge exactly (the
+        bottom-k of a union IS the bottom-k of the per-set bottom-ks), so
+        the answer is IDENTICAL whichever mix of store and live hashing
+        served it — store coverage only changes data I/O, never the value.
+        Exact (not approximate) whenever the true NDV is under k.
+
+        This is the engine-defined semantics of approx_count_distinct in
+        Catalog.sql: deterministic and replayable by an external SQL
+        oracle, unlike HLL++ whose estimate is engine-private."""
+        from linkedin_iceberg_spark.catalog import analyze as AN
+        if k is None:
+            k = AN.KMV_DEFAULT_K
+        if self.table.schema.id_for_name(col) is None:
+            raise ValueError(f"no such column {col!r}")
+        tasks = self.plan_files()
+        fast, slow = [], []
+        for t in tasks:
+            decided = self.row_filter is None or \
+                isinstance(t.residual, AlwaysTrue)
+            (fast if decided and not t.deletes else slow).append(t)
+        spark = self.table.spark
+        d = AN._kmv_dir(self.table, col, k)
+        covered: set = set()
+        frames = []
+        if fast and os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            store = spark.read.parquet(d)
+            want = {t.file.file_path for t in fast}
+            paths_df = spark.createDataFrame(
+                [(p,) for p in sorted(want)], "file_path string")
+            hit = store.join(paths_df, "file_path", "left_semi")
+            covered = {r["file_path"] for r in
+                       hit.select("file_path").distinct().collect()}
+            frames.append(hit.select("h"))
+        live_fast = [t for t in fast if t.file.file_path not in covered]
+        if live_fast:
+            paths = [t.file.file_path for t in live_fast]
+            frames.append(
+                spark.read.schema(self.table.schema.to_spark())
+                .parquet(*paths).select(AN._kmv_hash(col).alias("h")))
+        if slow:
+            frames.append(self._to_df_default(tasks=slow)
+                          .select(AN._kmv_hash(col).alias("h")))
+        if not frames:
+            return 0
+        merged = frames[0]
+        for f_ in frames[1:]:
+            merged = merged.unionByName(f_)
+        hs = [r["h"] for r in
+              merged.where(F.col("h").isNotNull()).distinct()
+              .orderBy("h").limit(k).collect()]
+        return AN.kmv_estimate(hs, k)
+
     # ------------------------------------------------------------- planning
     def _snapshot(self):
         md = self.table.metadata
@@ -454,6 +513,16 @@ class TableScan:
                             data_entries.append(e)
                     else:
                         delete_entries.append(e)
+
+        # level 3 (opt-in): exact dictionary skipping — when the table
+        # carries per-file distinct-value stores (analyze_dictionary),
+        # eq/IN conjuncts drop files whose value SET provably excludes
+        # the literals (bounds can't: an unsorted column's min/max spans
+        # the domain in every file).  Advisory only; absent store = no-op.
+        if data_entries and self.row_filter is not None and \
+                os.path.isdir(os.path.join(table.location, "stats_dict")):
+            from linkedin_iceberg_spark.catalog import analyze as AN
+            data_entries = AN.dictionary_prune(table, data_entries, bound)
 
         residuals_by_spec = {s.spec_id: ResidualEvaluator(s, bound)
                              for s in md.bound_specs()}

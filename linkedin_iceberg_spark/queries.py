@@ -5957,6 +5957,120 @@ def multimodal_decode_features(spark, sf_dir):
 # =========================================================================
 # Registry ordering
 # =========================================================================
+def _kmv_oracle_sql(values_sql: str, from_sql: str, k: int) -> str:
+    from linkedin_iceberg_spark.catalog.analyze import kmv_estimate_sql
+    return kmv_estimate_sql(values_sql, from_sql, k)
+
+
+@q("meta_kmv_ndv", f"""
+SELECT * FROM (
+  SELECT 'o_custkey' AS col,
+         {{KMV_CUSTKEY}} AS ndv,
+         TRUE AS tail_only
+  UNION ALL
+  SELECT 'o_orderpriority' AS col,
+         {{KMV_PRIO}} AS ndv,
+         TRUE AS tail_only
+) ORDER BY col""")
+def meta_kmv_ndv(spark, sf_dir):
+    """KMV statistics plane (catalog/analyze.py analyze_table_kmv /
+    TableScan.approx_ndv): per-file bottom-k sketches of a PORTABLE
+    60-bit md5 hash.  Unlike the HLL plane (meta_analyze_ndv, checked
+    within a 5% band), the KMV estimate is replayed EXACTLY by the
+    oracle — DuckDB reruns hash -> distinct -> bottom-k -> the integer
+    estimator and must match bit-for-bit, which also proves the
+    merge-exactness claim (the engine answered from per-file sketches
+    persisted across two appends; the oracle hashed the raw table in
+    one pass).  o_custkey (NDV 1500 > k=64) exercises the estimator
+    path, o_orderpriority (NDV 5) the exact small-set path; the second
+    analyze is asserted to sketch ONLY the appended tail."""
+    from linkedin_iceberg_spark.catalog.analyze import analyze_table_kmv
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_kmv", o)
+    t.append(o.filter(F.col("o_orderkey") % 4 != 0).repartition(4))
+    analyze_table_kmv(t, ["o_custkey", "o_orderpriority"], k=64)
+    t.append(o.filter(F.col("o_orderkey") % 4 == 0).coalesce(1))
+    second = analyze_table_kmv(t, ["o_custkey", "o_orderpriority"], k=64)
+    tail_only = all(v == 1 for v in second.values())
+    rows = [(c, t.new_scan().approx_ndv(c, k=64), tail_only)
+            for c in ["o_custkey", "o_orderpriority"]]
+    return spark.createDataFrame(
+        rows, "col string, ndv bigint, tail_only boolean").orderBy("col")
+
+
+@q("table_scan_dict_pruned", """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""")
+def table_scan_dict_pruned(spark, sf_dir):
+    """Dictionary file skipping (catalog/analyze.py analyze_dictionary +
+    dictionary_prune in plan_files): files are clustered by
+    o_orderpriority, so every file's o_orderkey bounds span the table
+    (min/max useless) while the per-file VALUE SETS are near-disjoint —
+    the persisted exact dictionaries prune the eq conjunct to a strict
+    subset of the live files (asserted), the pruning a plain-parquet
+    reader and bounds-only Iceberg both cannot do.  Rows are the full
+    filtered result, so the oracle also proves the pruning dropped
+    nothing (tests/test_dict_skip.py adds the physical-poison proof)."""
+    from linkedin_iceberg_spark.catalog.analyze import analyze_dictionary
+    from linkedin_iceberg_spark.expressions import eq as E_eq
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_dict", o)
+    t.append(o.repartition(5, "o_orderpriority"))
+    live = len(t.new_scan().plan_files())
+    analyze_dictionary(t, "o_orderpriority")
+    scan = t.new_scan().filter(E_eq("o_orderpriority", "1-URGENT"))
+    assert len(scan.plan_files()) < live, "dictionary pruned nothing"
+    return (scan.to_df()
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("table_sql_approx_ndv", f"""
+SELECT {{KMV_SQL_NDV}} AS ndv_cust,
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice > 1000)
+            AS BIGINT) AS n""")
+def table_sql_approx_ndv(spark, sf_dir):
+    """approx_count_distinct through Catalog.sql, answered from the KMV
+    store: the engine-defined (deterministic, KMV) semantics make an
+    'approximate' aggregate exactly oracle-checkable — DuckDB replays
+    the full estimator over the same WHERE slice and must agree to the
+    last integer.  The filter exercises the sound fallback mix: files
+    fully decided by metrics serve from the store, the boundary files
+    are re-hashed live, and the merged bottom-k is value-identical
+    either way (the KMV merge-exactness property)."""
+    from linkedin_iceberg_spark.catalog.analyze import analyze_table_kmv
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_andv", o)
+    t.append(o.repartition(4, "o_custkey"))
+    analyze_table_kmv(t, ["o_custkey"])
+    return cat.sql(
+        "SELECT approx_count_distinct(o_custkey) AS ndv_cust, "
+        "count(*) AS n FROM q.orders_andv WHERE o_totalprice > 1000")
+
+
+def _patch_kmv_oracles() -> None:
+    """The KMV oracle strings embed the shared estimator SQL — built
+    here so the recipe lives in ONE place (catalog/analyze.py)."""
+    fn, sql = _REGISTRY["meta_kmv_ndv"]
+    _REGISTRY["meta_kmv_ndv"] = (fn, sql
+        .replace("{KMV_CUSTKEY}",
+                 _kmv_oracle_sql("o_custkey", "orders", 64))
+        .replace("{KMV_PRIO}",
+                 _kmv_oracle_sql("o_orderpriority", "orders", 64)))
+    fn, sql = _REGISTRY["table_sql_approx_ndv"]
+    _REGISTRY["table_sql_approx_ndv"] = (fn, sql.replace(
+        "{KMV_SQL_NDV}",
+        _kmv_oracle_sql(
+            "o_custkey",
+            "(SELECT * FROM orders WHERE o_totalprice > 1000)", 256)))
+
+
+_patch_kmv_oracles()
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order.  Definition order above groups by family, which in round 1 left the
 # entire table-format / streaming / multimodal plane (positions 51-79)
@@ -6146,7 +6260,13 @@ _PRIORITY = [
     # pytest coverage) rotates out for table_key_index_lookup (new:
     # secondary key index — point-lookup file pruning for
     # high-cardinality non-partition keys)
-    "table_sql_view", "agg_grouping_sets",
+    # r8 session 3: agg_grouping_sets (green r4-r7, unchanged; the agg/
+    # sketch family keeps agg_kmv_overlap in-window plus lifetime rows
+    # across cube/rollup/pivot/hll) rotates out for meta_kmv_ndv (new
+    # r8: the KMV statistics plane — per-file bottom-k portable-hash
+    # sketches whose estimate the oracle replays EXACTLY, unlike the
+    # 5%-band HLL row it strengthens)
+    "table_sql_view", "meta_kmv_ndv",
     # r3: streaming_sink_counts / streaming_source_total (green r1+r2,
     # unchanged) rotate out for the two new streaming operators — bounded-
     # state dedup and the watermarked stream-stream interval join
@@ -6310,8 +6430,16 @@ _PRIORITY = [
     # for dedup_edit_distance (new) — whose oracle replays the SAME
     # banded CTE for the identical candidate set AND adds the
     # Levenshtein verify stage, strictly superset evidence
+    # r8 session 3: dedup_spans (green r4-r7, unchanged; dedup family
+    # keeps edit_distance/minhash_lsh_full/semdedup in-window) rotates
+    # out for table_scan_dict_pruned (new r8: dictionary file skipping —
+    # per-file exact value sets prune eq/IN point lookups bounds can't);
+    # text_trigram_novelty (green r4-r7, unchanged; text family keeps
+    # lm_score + pipeline_quality_gate + rocchio in-window) rotates out
+    # for table_sql_approx_ndv (new r8: approx_count_distinct through
+    # Catalog.sql answered from the KMV store, exactly replayed)
     "dedup_edit_distance", "dedup_minhash_lsh_full",
-    "dedup_spans", "text_trigram_novelty",
+    "table_scan_dict_pruned", "table_sql_approx_ndv",
     # r3: similarity_ivf_topk (green r2, identical result set) rotates out
     # for similarity_ivf_pruned (new: persisted IVF with partition pruning)
     # r5: similarity_ann_lsh (green r3+r4, unchanged; the LSH recipe

@@ -1,0 +1,153 @@
+"""KMV statistics plane (catalog/analyze.py): per-file bottom-k
+portable-hash sketches, the exact-merge property, the deterministic
+integer estimator, store/live path identity, and the Catalog.sql
+approx_count_distinct route.
+
+The defining contract (vs the HLL plane): every estimate is REPLAYABLE
+by an external SQL engine — kmv_estimate_sql reruns the full
+hash -> distinct -> bottom-k -> estimator pipeline in DuckDB and must
+match the engine's answer EXACTLY, not within a band."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog.analyze import (
+    KMV_DEFAULT_K, analyze_table_kmv, kmv_estimate, kmv_estimate_sql)
+from linkedin_iceberg_spark.expressions import lt
+
+from conftest import SF_DIR, duckdb_oracle
+
+
+def _orders(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+
+
+def _duck_ndv(values_sql, from_sql, k):
+    df = duckdb_oracle(
+        f"SELECT {kmv_estimate_sql(values_sql, from_sql, k)} AS v")
+    return int(df["v"].iloc[0])
+
+
+def test_incremental_tail_only(spark, catalog):
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o.filter(F.col("o_orderkey") % 3 != 0).repartition(4))
+    first = analyze_table_kmv(t, ["o_custkey"], k=64)
+    assert first["o_custkey"] == 4
+    t.append(o.filter(F.col("o_orderkey") % 3 == 0).coalesce(1))
+    second = analyze_table_kmv(t, ["o_custkey"], k=64)
+    assert second["o_custkey"] == 1  # only the appended tail
+    assert analyze_table_kmv(t, ["o_custkey"], k=64) == {"o_custkey": 0}
+
+
+def test_estimator_matches_duckdb_exactly(spark, catalog):
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o.repartition(4))
+    analyze_table_kmv(t, ["o_custkey", "o_orderpriority"], k=64)
+    # estimator path (NDV 150 > k=64) and exact path (NDV 5 < k) both
+    # replay bit-for-bit
+    assert t.new_scan().approx_ndv("o_custkey", k=64) == \
+        _duck_ndv("o_custkey", "orders", 64)
+    assert t.new_scan().approx_ndv("o_orderpriority", k=64) == \
+        _duck_ndv("o_orderpriority", "orders", 64) == 5
+
+
+def test_store_and_live_paths_identical(spark, catalog):
+    """Coverage only changes I/O, never the value: un-analyzed table ==
+    analyzed table == half-analyzed table (merge-exactness of bottom-k)."""
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0).repartition(3))
+    live = t.new_scan().approx_ndv("o_custkey", k=64)  # no store at all
+    analyze_table_kmv(t, ["o_custkey"], k=64)          # covers first half
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
+    t2 = catalog.create_table("db.o2", o)
+    t2.append(o.repartition(5))
+    mixed = t.new_scan().approx_ndv("o_custkey", k=64)   # store + live mix
+    fresh = t2.new_scan().approx_ndv("o_custkey", k=64)  # all live
+    assert mixed == fresh
+    analyze_table_kmv(t, ["o_custkey"], k=64)
+    assert t.new_scan().approx_ndv("o_custkey", k=64) == mixed
+    # and the first (half-table) live answer replays in DuckDB too
+    assert live == _duck_ndv(
+        "o_custkey", "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)", 64)
+
+
+def test_metadata_only_when_covered(spark, catalog):
+    """Full coverage + no filter + no deletes => the answer comes from
+    the store alone: poison-proven by physically moving the data files."""
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o.repartition(4))
+    analyze_table_kmv(t, ["o_custkey"], k=64)
+    want = t.new_scan().approx_ndv("o_custkey", k=64)
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        assert t.new_scan().approx_ndv("o_custkey", k=64) == want
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+
+
+def test_filter_and_deletes_fall_back_soundly(spark, catalog):
+    """A row filter (residuals) or pending deletes must NOT be served
+    from whole-file sketches — the value equals a fresh KMV over the
+    actual surviving rows."""
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o.repartition(4))
+    analyze_table_kmv(t, ["o_custkey"], k=64)
+    got = t.new_scan().filter(lt("o_orderkey", 900)).approx_ndv(
+        "o_custkey", k=64)
+    assert got == _duck_ndv(
+        "o_custkey", "(SELECT * FROM orders WHERE o_orderkey < 900)", 64)
+    t.delete_where(lt("o_orderkey", 900))
+    got2 = t.new_scan().approx_ndv("o_custkey", k=64)
+    assert got2 == _duck_ndv(
+        "o_custkey", "(SELECT * FROM orders WHERE o_orderkey >= 900)", 64)
+
+
+def test_kmv_estimate_pure():
+    assert kmv_estimate([5, 1, 3], 8) == 3      # exact: m < k
+    assert kmv_estimate([5, 1, 3, 1], 8) == 3   # duplicates collapse
+    hs = list(range(1, 10))
+    # estimator: floor((k-1) * 2^60 / (h_k + 1))
+    assert kmv_estimate(hs, 8) == 7 * (1 << 60) // 9
+    assert kmv_estimate([], 4) == 0
+
+
+def test_sql_route(spark, catalog):
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o.repartition(4))
+    analyze_table_kmv(t, ["o_custkey"])
+    df = catalog.sql(
+        "SELECT approx_count_distinct(o_custkey) AS ndv, count(*) AS n "
+        "FROM db.o")
+    row = df.first()
+    assert row["n"] == o.count()
+    assert row["ndv"] == _duck_ndv("o_custkey", "orders", KMV_DEFAULT_K)
+    # with a pushable WHERE
+    df2 = catalog.sql("SELECT approx_count_distinct(o_custkey) AS ndv "
+                      "FROM db.o WHERE o_orderkey < 900")
+    assert df2.first()["ndv"] == _duck_ndv(
+        "o_custkey", "(SELECT * FROM orders WHERE o_orderkey < 900)",
+        KMV_DEFAULT_K)
+
+
+def test_unknown_column_raises(spark, catalog):
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o)
+    with pytest.raises(ValueError, match="no such column"):
+        analyze_table_kmv(t, ["nope"])
+    with pytest.raises(ValueError, match="no such column"):
+        t.new_scan().approx_ndv("nope")

@@ -1,0 +1,163 @@
+"""Dictionary file skipping (catalog/analyze.py analyze_dictionary +
+dictionary_prune wired into plan_files): per-file exact distinct-value
+sets prune eq/IN point lookups that min/max bounds cannot, proven by
+physically removing the pruned files (poison) and by an equivalence
+sweep against raw-DataFrame answers."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog.analyze import analyze_dictionary
+from linkedin_iceberg_spark.expressions import and_, eq, gt, in_, or_
+
+from conftest import SF_DIR
+
+
+def _orders(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+
+
+def _clustered(catalog, o, name="db.o"):
+    """Files clustered by o_orderpriority: o_orderkey bounds overlap in
+    every file (useless for pruning) while the priority dictionaries
+    are near-disjoint — the dictionary's home turf."""
+    t = catalog.create_table(name, o)
+    t.append(o.repartition(5, "o_orderpriority"))
+    return t
+
+
+def test_eq_prunes_files_poison_proven(spark, catalog):
+    o = _orders(spark)
+    t = _clustered(catalog, o)
+    prio = o.select("o_orderpriority").first()[0]
+    before = len(t.new_scan().filter(eq("o_orderpriority", prio))
+                 .plan_files())
+    analyze_dictionary(t, "o_orderpriority")
+    tasks = t.new_scan().filter(eq("o_orderpriority", prio)).plan_files()
+    assert len(tasks) < before
+    kept = {x.file.file_path for x in tasks}
+    live = {e.data_file.file_path for e in t._live_data_and_deletes()[0]}
+    moved = []
+    for p in live - kept:
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        got = t.new_scan().filter(eq("o_orderpriority", prio)) \
+            .to_df().count()
+        assert got == o.filter(F.col("o_orderpriority") == prio).count()
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+
+
+def test_equivalence_sweep(spark, catalog):
+    """Every value (and IN sets, and conjuncts with ranges) answers
+    identically with and without the store."""
+    o = _orders(spark)
+    t = _clustered(catalog, o)
+    analyze_dictionary(t, "o_orderpriority")
+    prios = [r[0] for r in o.select("o_orderpriority").distinct().collect()]
+    for p in prios + ["9-NOSUCH"]:
+        got = t.new_scan().filter(eq("o_orderpriority", p)).to_df().count()
+        assert got == o.filter(F.col("o_orderpriority") == p).count()
+    f = and_(in_("o_orderpriority", prios[:2]), gt("o_orderkey", 100))
+    got = t.new_scan().filter(f).to_df().count()
+    assert got == o.filter(F.col("o_orderpriority").isin(prios[:2]) &
+                           (F.col("o_orderkey") > 100)).count()
+
+
+def test_or_and_negations_do_not_prune_unsoundly(spark, catalog):
+    """Predicates under OR are not top-level conjuncts — the walker must
+    ignore them (pruning on one OR branch would drop the other's rows)."""
+    o = _orders(spark)
+    t = _clustered(catalog, o)
+    analyze_dictionary(t, "o_orderpriority")
+    prios = sorted(r[0] for r in
+                   o.select("o_orderpriority").distinct().collect())
+    f = or_(eq("o_orderpriority", prios[0]), gt("o_orderkey", 100))
+    got = t.new_scan().filter(f).to_df().count()
+    assert got == o.filter((F.col("o_orderpriority") == prios[0]) |
+                           (F.col("o_orderkey") > 100)).count()
+
+
+def test_unanalyzed_tail_is_kept(spark, catalog):
+    """Files appended after analyze are missing from the store and must
+    survive pruning (no info = keep)."""
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    prios = sorted(r[0] for r in
+                   o.select("o_orderpriority").distinct().collect())
+    t.append(o.filter(F.col("o_orderpriority") == prios[0]))
+    analyze_dictionary(t, "o_orderpriority")
+    # the tail contains prios[1] — the store knows nothing about it
+    t.append(o.filter(F.col("o_orderpriority") == prios[1]))
+    got = t.new_scan().filter(eq("o_orderpriority", prios[1])) \
+        .to_df().count()
+    assert got == o.filter(F.col("o_orderpriority") == prios[1]).count()
+
+
+def test_overflow_files_never_prune(spark, catalog):
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o.coalesce(1))
+    # o_custkey NDV (150) > max_ndv=16 -> overflow marker, no pruning
+    assert analyze_dictionary(t, "o_custkey", max_ndv=16) == 1
+    ck = o.select("o_custkey").first()[0]
+    tasks = t.new_scan().filter(eq("o_custkey", ck)).plan_files()
+    assert len(tasks) == 1
+    got = t.new_scan().filter(eq("o_custkey", ck)).to_df().count()
+    assert got == o.filter(F.col("o_custkey") == ck).count()
+    # incremental: nothing to re-analyze (overflow is recorded, not retried)
+    assert analyze_dictionary(t, "o_custkey", max_ndv=16) == 0
+
+
+def test_all_null_file_prunes(spark, catalog):
+    o = _orders(spark).limit(50)
+    nulled = o.withColumn(
+        "o_orderpriority",
+        F.lit(None).cast("string"))
+    t = catalog.create_table("db.o", o)
+    t.append(nulled.coalesce(1))
+    t.append(o.coalesce(1))
+    analyze_dictionary(t, "o_orderpriority")
+    prio = o.select("o_orderpriority").first()[0]
+    tasks = t.new_scan().filter(eq("o_orderpriority", prio)).plan_files()
+    # eq can never match NULL: the all-null file is pruned outright
+    assert len(tasks) == 1
+    got = t.new_scan().filter(eq("o_orderpriority", prio)).to_df().count()
+    assert got == o.filter(F.col("o_orderpriority") == prio).count()
+
+
+def test_time_travel_uses_immutable_entries(spark, catalog):
+    o = _orders(spark)
+    t = _clustered(catalog, o)
+    snap = t.current_snapshot().snapshot_id
+    analyze_dictionary(t, "o_orderpriority")
+    t.append(o.limit(10).coalesce(1))
+    prio = o.select("o_orderpriority").first()[0]
+    got = (t.new_scan().use_snapshot(snap)
+           .filter(eq("o_orderpriority", prio)).to_df().count())
+    assert got == o.filter(F.col("o_orderpriority") == prio).count()
+
+
+def test_type_gate(spark, catalog):
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o)
+    with pytest.raises(ValueError, match="dictionary stats support"):
+        analyze_dictionary(t, "o_totalprice")  # double: excluded
+    with pytest.raises(ValueError, match="no such column"):
+        analyze_dictionary(t, "nope")
+
+
+def test_incremental_tail_only(spark, catalog):
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o.repartition(3))
+    assert analyze_dictionary(t, "o_orderpriority") == 3
+    t.append(o.limit(20).coalesce(1))
+    assert analyze_dictionary(t, "o_orderpriority") == 1
+    assert analyze_dictionary(t, "o_orderpriority") == 0

@@ -389,6 +389,13 @@ CONTRACTS = {
         # same evidence split as table_sql_pruned
         ["TakeOrderedAndProject", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "table_scan_dict_pruned": (
+        # dictionary skipping already dropped the non-matching files at
+        # PLAN time (asserted inside the query: planned < live), so the
+        # parquet scan reads the surviving subset with the residual
+        # filter pushed; no Python anywhere
+        ["Scan parquet", "PushedFilters", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
