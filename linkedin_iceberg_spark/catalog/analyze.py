@@ -251,15 +251,23 @@ def analyze_table_kmv(table, columns: list, k: int = KMV_DEFAULT_K) -> dict:
     return out
 
 
+def kmv_estimate_mk(m: int, hk, k: int) -> int:
+    """The estimator from the two bottom-k summary values: m (how many
+    distinct hashes the bottom-k holds) and hk (its max) — EXACT when
+    m < k, else floor((k-1) * 2^60 / (h_k + 1)), all integer arithmetic
+    (Python is arbitrary-precision; the DuckDB oracle replays with
+    HUGEINT)."""
+    if m < k:
+        return m
+    return (k - 1) * _KMV_SCALE // (hk + 1)
+
+
 def kmv_estimate(hashes: list, k: int) -> int:
-    """The KMV distinct estimator over a merged bottom-k hash list —
-    EXACT when fewer than k distinct hashes exist, else
-    floor((k-1) * 2^60 / (h_k + 1)), all integer arithmetic (Python is
-    arbitrary-precision; the DuckDB oracle replays with HUGEINT)."""
+    """The KMV distinct estimator over a merged bottom-k hash list."""
     hs = sorted(set(hashes))[:k]
-    if len(hs) < k:
-        return len(hs)
-    return (k - 1) * _KMV_SCALE // (hs[-1] + 1)
+    if not hs:
+        return 0
+    return kmv_estimate_mk(len(hs), hs[-1], k)
 
 
 def kmv_estimate_sql(values_sql: str, from_sql: str, k: int) -> str:

@@ -1074,12 +1074,15 @@ class Catalog:
         return self.spark.sql(_unmask_sql_literals(rewritten, lits))
 
     def _sql_group_count(self, masked: str, lits: list):
-        """`SELECT <group cols...>, count(*) FROM db.t [WHERE <pushable>]
-        GROUP BY <group cols> [ORDER BY <out cols>]` answered from
-        manifest record counts via count_rows_grouped — per-partition
-        counts are a pure metadata fold when the group columns are
-        identity partition columns, and degrade gracefully (only the
-        undecidable files are read) otherwise.  None (generic route)
+        """`SELECT <group cols...>, count(*) | min(c) | max(c) |
+        approx_count_distinct(c) FROM db.t [WHERE <pushable>]
+        GROUP BY <group cols> [HAVING ...] [ORDER BY <out cols>]`
+        answered from metadata via count_rows_grouped /
+        agg_minmax_grouped / approx_ndv_grouped — per-partition record
+        counts, exact file bounds, and per-file KMV sketches are pure
+        metadata folds when the group columns are identity partition
+        columns, and degrade gracefully (only the undecidable files
+        are read) otherwise.  None (generic route)
         unless the whole statement is this shape and EVERY WHERE
         conjunct parses (all-or-nothing, same rule as _sql_count_star:
         a metadata answer can't re-apply a residual WHERE)."""
@@ -1110,7 +1113,8 @@ class Catalog:
             rf"\s*count\(\s*\*\s*\)(?:\s+as\s+({ident}))?\s*$",
             re.IGNORECASE)
         mm_re = re.compile(
-            rf"\s*(min|max)\(\s*({ident})\s*\)(?:\s+as\s+({ident}))?\s*$",
+            rf"\s*(min|max|approx_count_distinct)\(\s*({ident})\s*\)"
+            rf"(?:\s+as\s+({ident}))?\s*$",
             re.IGNORECASE)
         col_re = re.compile(rf"\s*({ident})(?:\s+as\s+({ident}))?\s*$",
                             re.IGNORECASE)
@@ -1182,18 +1186,23 @@ class Catalog:
         counts = scan.count_rows_grouped(group_cols) \
             if "count" in kinds else None
         minmax = {}  # col -> {key: (lo, hi)}, one pass per column
+        ndvs = {}    # col -> {key: KMV estimate}, one pass per column
         for k, c, _n in items:
             if k in ("min", "max") and c not in minmax:
                 minmax[c] = scan.agg_minmax_grouped(group_cols, c)
+            elif k == "approx_count_distinct" and c not in ndvs:
+                ndvs[c] = scan.approx_ndv_grouped(group_cols, c)
         keys = set()
         if counts is not None:
             keys |= set(counts)
         for mm in minmax.values():
             keys |= set(mm)
+        for nd in ndvs.values():
+            keys |= set(nd)
         stypes = {f.name: f.dataType for f in t.schema.to_spark().fields}
         fields = []
         for k, c, n in items:
-            if k == "count":
+            if k in ("count", "approx_count_distinct"):
                 fields.append(T.StructField(n, T.LongType(), False))
             elif k == "col":
                 fields.append(T.StructField(n, stypes[c], True))
@@ -1206,6 +1215,8 @@ class Catalog:
             for k, c, _n in items:
                 if k == "count":
                     row.append(int(counts.get(key, 0)))
+                elif k == "approx_count_distinct":
+                    row.append(int(ndvs[c].get(key, 0)))
                 elif k == "col":
                     row.append(kv[c])
                 else:
@@ -1845,19 +1856,16 @@ class Catalog:
                      rf"\s*;?\s*$", query, re.IGNORECASE)
         if m:
             # Hive/Spark's SHOW PARTITIONS answered from manifest
-            # metadata (the live entries' partition tuples — zero data
-            # I/O); Spark's own error shape for unpartitioned tables
+            # metadata (zero data I/O) — served as the partitions
+            # metadata relation (partition string + record/file counts,
+            # strictly more than Spark's bare string list); Spark's own
+            # error shape for unpartitioned tables
             t = self.load_table(m.group(1))
             if not t.spec.fields:
                 raise ValueError(
                     f"SHOW PARTITIONS is not allowed on a table that is "
                     f"not partitioned: {m.group(1)}")
-            parts = set()
-            for e in t._live_entries():
-                p = e.data_file.partition or {}
-                parts.add("/".join(f"{k}={p[k]}" for k in sorted(p)))
-            return self.spark.createDataFrame(
-                [(x,) for x in sorted(parts)], "partition string")
+            return t.metadata_table("partitions")
 
         m = re.match(rf"\s*show\s+namespaces(?:\s+in\s+"
                      rf"({ident}(?:\.{ident})*))?\s*;?\s*$",
@@ -2462,6 +2470,8 @@ class Catalog:
         "publish_changes": ("table", "wap_id"),
         "fast_forward": ("table", "branch"),
         "analyze_table": ("table", "columns"),
+        "analyze_kmv": ("table", "columns", "k"),
+        "analyze_dictionary": ("table", "column", "max_ndv"),
         "optimize": ("table",),
         "ancestors_of": ("table", "snapshot_id"),
         "add_files": ("table", "source_table", "format"),
@@ -2490,6 +2500,8 @@ class Catalog:
             CALL publish_changes('db.t', '<wap_id>')
             CALL fast_forward('db.t', '<branch>')
             CALL analyze_table('db.t', '<col>[,<col>...]')
+            CALL analyze_kmv('db.t', '<col>[,<col>...]' [, <k>])
+            CALL analyze_dictionary('db.t', '<col>' [, <max_ndv>])
             CALL optimize('db.t')   (compaction + pos-delete rewrite +
                                      dangling-delete drop + manifests)
             CALL ancestors_of('db.t' [, <snapshot_id>])  (returns rows)
@@ -2650,6 +2662,22 @@ class Catalog:
                 analyze_table)
             out = analyze_table(t, [c.strip()
                                     for c in rest[0].split(",")])
+        elif proc == "analyze_kmv":
+            # the KMV stats plane: files_sketched per column, so
+            # approx_count_distinct answers become metadata-only
+            from linkedin_iceberg_spark.catalog.analyze import (
+                KMV_DEFAULT_K, analyze_table_kmv)
+            k = int(rest[1]) if rest[1:] else KMV_DEFAULT_K
+            out = analyze_table_kmv(
+                t, [c.strip() for c in rest[0].split(",")], k=k)
+        elif proc == "analyze_dictionary":
+            # the dictionary file-skipping plane: per-file exact value
+            # sets consulted by scan planning for eq/IN conjuncts
+            from linkedin_iceberg_spark.catalog.analyze import (
+                DICT_DEFAULT_MAX_NDV, analyze_dictionary)
+            cap = int(rest[1]) if rest[1:] else DICT_DEFAULT_MAX_NDV
+            out = {"files_analyzed":
+                   analyze_dictionary(t, rest[0], max_ndv=cap)}
         elif proc == "optimize":
             # the OPTIMIZE composite users expect from lakehouse SQL:
             # compact small data files, fold the position-delete

@@ -430,6 +430,92 @@ class TableScan:
               .orderBy("h").limit(k).collect()]
         return AN.kmv_estimate(hs, k)
 
+    def approx_ndv_grouped(self, group_cols: list, col: str,
+                           k: int = None) -> dict:
+        """GROUP BY <identity-partition columns> approx_count_distinct
+        with the KMV-store short-circuit (the grouped sibling of
+        approx_ndv): a delete-free, residual-decided, store-covered
+        file whose spec identity-partitions on every group column
+        contributes its persisted bottom-k hashes to that partition
+        value's group — zero data I/O; everything else is read and
+        hashed live with the same portable recipe.  Per-group bottom-k
+        sets merge exactly, so the answer is identical under any
+        store/live mix.  Driver work after the one Spark job is
+        O(groups): each group collapses to (m, h_k) before collection.
+
+        Returns {tuple(group values): estimate} (groups with no
+        non-null values of `col` estimate 0)."""
+        from pyspark.sql import types as ST
+        from pyspark.sql.window import Window as SW
+
+        from linkedin_iceberg_spark.catalog import analyze as AN
+        if k is None:
+            k = AN.KMV_DEFAULT_K
+        if self.table.schema.id_for_name(col) is None:
+            raise ValueError(f"no such column {col!r}")
+        spark = self.table.spark
+        types = {f.name: f.type for f in self.table.schema.fields}
+        exact = all(isinstance(types.get(c), str)
+                    and types[c] in self._GROUPABLE_TYPES
+                    for c in group_cols)
+        fast: dict = {}  # file_path -> group key tuple
+        slow: list = []
+        spec_map: dict = {}
+        for t in self.plan_files():
+            decided = self.row_filter is None or \
+                isinstance(t.residual, AlwaysTrue)
+            key = self._group_key_from_metadata(t, group_cols, spec_map) \
+                if exact else None
+            if exact and decided and not t.deletes and key is not None:
+                fast[t.file.file_path] = key
+            else:
+                slow.append(t)
+        d = AN._kmv_dir(self.table, col, k)
+        frames = []
+        covered: set = set()
+        if fast and os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            sfields = {f.name: f.dataType
+                       for f in self.table.schema.to_spark().fields}
+            key_schema = ST.StructType(
+                [ST.StructField("file_path", ST.StringType(), False)] +
+                [ST.StructField(c, sfields[c], True) for c in group_cols])
+            keys_df = spark.createDataFrame(
+                [(p, *key) for p, key in sorted(fast.items())],
+                key_schema)
+            store = spark.read.parquet(d).join(keys_df, "file_path")
+            covered = {r["file_path"] for r in
+                       store.select("file_path").distinct().collect()}
+            frames.append(store.select(*group_cols, "h"))
+        live_fast = [p for p in fast if p not in covered]
+        if live_fast:
+            frames.append(
+                spark.read.schema(self.table.schema.to_spark())
+                .parquet(*sorted(live_fast))
+                .select(*group_cols, AN._kmv_hash(col).alias("h")))
+        if slow:
+            frames.append(self._to_df_default(tasks=slow)
+                          .select(*group_cols,
+                                  AN._kmv_hash(col).alias("h")))
+        if not frames:
+            return {}
+        merged = frames[0]
+        for f_ in frames[1:]:
+            merged = merged.unionByName(f_)
+        w = SW.partitionBy(*group_cols).orderBy("h")
+        summary = (merged.where(F.col("h").isNotNull()).distinct()
+                   .withColumn("_rk", F.row_number().over(w))
+                   .filter(F.col("_rk") <= k)
+                   .groupBy(*group_cols)
+                   .agg(F.count("*").alias("_m"), F.max("h").alias("_hk"))
+                   .collect())
+        out = {tuple(r[c] for c in group_cols):
+               AN.kmv_estimate_mk(r["_m"], r["_hk"], k) for r in summary}
+        # groups that exist but hold no non-null values estimate 0
+        for key in fast.values():
+            out.setdefault(key, 0)
+        return out
+
     # ------------------------------------------------------------- planning
     def _snapshot(self):
         md = self.table.metadata

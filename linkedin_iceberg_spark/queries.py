@@ -2062,30 +2062,49 @@ def join_runtime_filtered(spark, sf_dir):
 
 
 @q("table_sql_group_count", """
-SELECT o_orderstatus AS st, count(*) AS n,
+WITH _h AS (SELECT DISTINCT o_orderstatus AS st,
+       ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+       FROM orders WHERE o_orderstatus <> 'F' AND o_custkey IS NOT NULL),
+_r AS (SELECT st, h,
+       row_number() OVER (PARTITION BY st ORDER BY h) AS rk FROM _h),
+_s AS (SELECT st, count(*) AS m, max(h) AS hk
+       FROM _r WHERE rk <= 256 GROUP BY st),
+_b AS (SELECT o_orderstatus AS st, count(*) AS n,
        min(o_orderkey) AS lo, max(o_orderkey) AS hi
-FROM orders WHERE o_orderstatus <> 'F'
-GROUP BY o_orderstatus ORDER BY st""")
+       FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus)
+SELECT _b.st, n, lo, hi,
+       CAST(COALESCE(CASE WHEN m < 256 THEN m
+            ELSE (255::HUGEINT * 1152921504606846976::HUGEINT
+                  // (hk + 1)::HUGEINT)::BIGINT END, 0) AS BIGINT)
+           AS ndv_cust
+FROM _b LEFT JOIN _s ON _b.st = _s.st ORDER BY _b.st""")
 def table_sql_group_count(spark, sf_dir):
-    """SQL grouped COUNT + MIN/MAX answered from manifest metadata
-    (r8): GROUP BY an identity partition column folds per-partition
-    record counts and exact file bounds — the partitions-metadata-table
-    aggregation as a plain SQL statement, poison-proven to touch zero
-    data files.  A second, price-bounded variant exercises the graceful
-    degrade (undecidable files actually read) and is asserted against
-    the Spark-computed answer."""
+    """SQL grouped COUNT + MIN/MAX + approx_count_distinct answered
+    from metadata (r8): GROUP BY an identity partition column folds
+    per-partition record counts, exact file bounds, AND the per-file
+    KMV sketches (merge-exact bottom-k, so the oracle replays the
+    distinct estimate to the last integer) — the partitions-metadata-
+    table aggregation as a plain SQL statement, poison-proven to touch
+    zero data files.  A second, price-bounded variant exercises the
+    graceful degrade (undecidable files actually read) and is asserted
+    against the Spark-computed answer."""
     from linkedin_iceberg_spark import PartitionSpec, Schema
     from linkedin_iceberg_spark.catalog.scan import TableScan
 
     def build(cat):
+        from linkedin_iceberg_spark.catalog.analyze import (
+            analyze_table_kmv)
         o = ld(spark, sf_dir, "orders")
         spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
             .identity("o_orderstatus").build()
-        cat.create_table("q.orders_gc", o, spec=spec).append(o)
+        t = cat.create_table("q.orders_gc", o, spec=spec)
+        t.append(o)
+        analyze_table_kmv(t, ["o_custkey"])
 
-    cat = _cached_table(spark, sf_dir, "group_count", build)
+    cat = _cached_table(spark, sf_dir, "group_count_v2", build)
     sql = ("SELECT o_orderstatus AS st, count(*) AS n, "
-           "min(o_orderkey) AS lo, max(o_orderkey) AS hi "
+           "min(o_orderkey) AS lo, max(o_orderkey) AS hi, "
+           "approx_count_distinct(o_custkey) AS ndv_cust "
            "FROM q.orders_gc WHERE o_orderstatus <> 'F' "
            "GROUP BY o_orderstatus ORDER BY st")
     orig = TableScan._to_df_default

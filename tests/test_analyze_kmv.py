@@ -151,3 +151,57 @@ def test_unknown_column_raises(spark, catalog):
         analyze_table_kmv(t, ["nope"])
     with pytest.raises(ValueError, match="no such column"):
         t.new_scan().approx_ndv("nope")
+
+
+def test_grouped_ndv_identity_partitions(spark, catalog):
+    """approx_ndv_grouped: identity-partitioned + store-covered files
+    answer per-group from sketches alone (data files physically moved
+    away), and the store/live mix is value-identical to all-live."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    o = _orders(spark)
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .identity("o_orderstatus").build()
+    t = catalog.create_table("db.og", o, spec=spec)
+    t.append(o)
+    live = t.new_scan().approx_ndv_grouped(["o_orderstatus"],
+                                           "o_custkey", k=64)
+    analyze_table_kmv(t, ["o_custkey"], k=64)
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        covered = t.new_scan().approx_ndv_grouped(["o_orderstatus"],
+                                                  "o_custkey", k=64)
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert covered == live
+    # per-group values replay in DuckDB
+    for (st,), v in covered.items():
+        assert v == _duck_ndv(
+            "o_custkey",
+            f"(SELECT * FROM orders WHERE o_orderstatus = '{st}')", 64)
+
+
+def test_grouped_ndv_sql_route(spark, catalog):
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    o = _orders(spark)
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .identity("o_orderstatus").build()
+    t = catalog.create_table("db.og", o, spec=spec)
+    t.append(o)
+    analyze_table_kmv(t, ["o_custkey"])
+    rows = catalog.sql(
+        "SELECT o_orderstatus AS st, approx_count_distinct(o_custkey) "
+        "AS ndv, count(*) AS n FROM db.og "
+        "GROUP BY o_orderstatus ORDER BY st").collect()
+    assert len(rows) == o.select("o_orderstatus").distinct().count()
+    for r in rows:
+        assert r["ndv"] == _duck_ndv(
+            "o_custkey",
+            f"(SELECT * FROM orders WHERE o_orderstatus = '{r['st']}')",
+            KMV_DEFAULT_K)
+        assert r["n"] == o.filter(
+            F.col("o_orderstatus") == r["st"]).count()

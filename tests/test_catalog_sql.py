@@ -397,6 +397,24 @@ def test_sql_call_procedures(catalog, spark, sf_dir):
     out = json.loads(st["detail"])
     assert set(out) == {"o_orderkey", "o_custkey"}
 
+    # the KMV and dictionary stats planes, SQL-reachable (r8): after the
+    # CALLs, approx_count_distinct is store-served and eq prunes files
+    st = catalog.sql(
+        "CALL analyze_kmv('db.proc', 'o_custkey')").collect()[0]
+    assert json.loads(st["detail"])["o_custkey"] >= 1
+    got = catalog.sql("SELECT approx_count_distinct(o_custkey) AS v "
+                      "FROM db.proc").collect()[0]["v"]
+    t.refresh()
+    assert got == t.new_scan().approx_ndv("o_custkey")
+    # a non-default k lands in its own store partition (k is identity)
+    st = catalog.sql(
+        "CALL analyze_kmv('db.proc', 'o_custkey', k => 64)").collect()[0]
+    assert json.loads(st["detail"])["o_custkey"] >= 1
+    st = catalog.sql(
+        "CALL analyze_dictionary('db.proc', 'o_orderpriority')"
+    ).collect()[0]
+    assert json.loads(st["detail"])["files_analyzed"] >= 1
+
     with pytest.raises(ValueError, match="unknown procedure"):
         catalog.sql("CALL no_such_thing('db.proc')")
 
