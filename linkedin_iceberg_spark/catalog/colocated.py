@@ -1,0 +1,217 @@
+"""Co-located bucket join: a ZERO-SHUFFLE join between two engine tables
+bucketed on the join key.
+
+The storage-partitioned-join idea (Iceberg's SPJ under Spark's DSv2
+reportPartitioning, out of reach for a pure-Python source): when both
+sides' partition specs bucket the join key with the SAME modulus, a row
+with key k can only meet rows in the other table's SAME bucket — so the
+join decomposes into n_buckets independent joins whose inputs are
+already materialized as disjoint file sets.  A plain Spark join would
+hash-shuffle BOTH tables end to end; here each bucket becomes ONE task
+that reads both sides' bucket files and joins them in memory, and the
+physical plan contains NO join operator and NO exchange at all — the
+scan IS the join.  At 100 TB this is the difference between re-shuffling
+two fact tables and streaming them once.
+
+Scale shape and its cliff, named: per-bucket work is bounded by the
+LARGER side's bucket bytes (both sides of one bucket must fit in a
+task's memory for the pandas merge).  Bucket counts are chosen at table
+design time exactly so that holds — the same contract Hive/Spark
+bucketed joins and Iceberg SPJ carry.  A skewed bucket is a skewed task;
+re-bucket with a higher n (spec evolution) when buckets outgrow memory.
+
+Correctness contract: inner/left joins on the bucketed key, flat
+schemas, parquet files, no pending row-level deletes, and every live
+file bucketed under the CURRENT modulus.  Anything else falls back to
+the plain Spark join (same rows, just with a shuffle) — the fallback is
+the semantics; the co-located path is the fast plan.
+
+ref: the reference plans bucketed scans but leaves join placement to
+Spark (spark/src/.../IcebergSource.java); SPJ landed in the modern
+format + Spark 3.3 DSv2 (SPARK-37377).
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from pyspark.sql import DataFrame
+
+
+def _bucket_layout(table, key: str):
+    """(modulus, partition_field_name) when the table's live files are
+    all bucketed on `key`; None otherwise."""
+    import re
+    mods = set()
+    pname_by_spec = {}
+    for spec in table.metadata.bound_specs():
+        for pf in spec.fields:
+            m = re.match(r"bucket\[(\d+)\]$", pf.transform_str)
+            if m and pf.source_name == key:
+                pname_by_spec[spec.spec_id] = pf.name
+                mods.add(int(m.group(1)))
+    if len(mods) != 1:
+        return None
+    return mods.pop(), pname_by_spec
+
+
+def colocated_bucket_join(left, right, key: str, how: str = "inner",
+                          left_cols: list = None,
+                          right_cols: list = None) -> DataFrame:
+    """Join two engine Tables on `key` bucket-by-bucket with no shuffle
+    and no Spark join operator; falls back to the plain Spark join (one
+    shuffle, identical rows) whenever the co-located contract doesn't
+    hold.  Non-key column names must be disjoint (alias first — the
+    interval_join rule)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    lcols = left_cols or left.schema.column_names()
+    rcols = right_cols or right.schema.column_names()
+    if key not in lcols or key not in rcols:
+        raise ValueError(f"join key {key!r} must be selected on both "
+                         "sides")
+    shared = (set(lcols) & set(rcols)) - {key}
+    if shared:
+        raise ValueError("colocated_bucket_join requires disjoint "
+                         f"non-key column names; shared: {sorted(shared)}")
+
+    def _fallback():
+        lf = left.to_df().select(*lcols)
+        rf = right.to_df().select(*rcols)
+        return lf.join(rf, on=key, how=how)
+
+    lb = _bucket_layout(left, key)
+    rb = _bucket_layout(right, key)
+    if lb is None or rb is None or lb[0] != rb[0]:
+        return _fallback()  # unbucketed side or modulus mismatch
+
+    sides = []
+    for table, pnames, cols in ((left, lb[1], lcols),
+                                (right, rb[1], rcols)):
+        if any(not isinstance(f.type, str) for f in table.schema.fields):
+            return _fallback()  # nested schemas: alignment is top-level
+        tasks = table.new_scan().plan_files()
+        if any(t.deletes for t in tasks) or \
+                any(t.file.file_format != "parquet" for t in tasks):
+            return _fallback()
+        by_bucket: dict = {}
+        md = table.metadata
+        current = md.schema
+        rev_by_sid: dict = {}
+        for t in tasks:
+            pn = pnames.get(t.file.spec_id)
+            b = (t.file.partition or {}).get(pn) if pn else None
+            if b is None:
+                return _fallback()  # un-bucketed file in the mix
+            sid = t.file.schema_id
+            if sid not in rev_by_sid:
+                written = md.schema_by_id(sid)
+                rev_by_sid[sid] = {
+                    f.name: written.name_for_id(f.field_id)
+                    for f in current.fields if f.name in cols
+                    and written.name_for_id(f.field_id) is not None}
+            by_bucket.setdefault(int(b), []).append(
+                {"path": t.file.file_path, "sid": t.file.schema_id})
+        sides.append((by_bucket, rev_by_sid, cols))
+
+    (l_by, l_rev, _), (r_by, r_rev, _) = sides
+    buckets = sorted(set(l_by)) if how == "left" \
+        else sorted(set(l_by) & set(r_by))
+    spark = left.spark
+    from pyspark.sql.types import StructType
+    out_schema = StructType(
+        [next(f for f in left.schema.to_spark().fields
+              if f.name == key)] +
+        [f for f in left.schema.to_spark().fields
+         if f.name in lcols and f.name != key] +
+        [f for f in right.schema.to_spark().fields
+         if f.name in rcols and f.name != key])
+    if not buckets:
+        return spark.createDataFrame([], out_schema)
+
+    descs = []
+    for b in buckets:
+        descs.append((b, _json.dumps({
+            "left": l_by.get(b, []), "right": r_by.get(b, []),
+            "l_rev": {str(s): m for s, m in l_rev.items()},
+            "r_rev": {str(s): m for s, m in r_rev.items()},
+        })))
+    l_names = [c for c in lcols if c != key]
+    r_names = [c for c in rcols if c != key]
+    how_ = how
+    # target arrow types per output column: missing columns (schema
+    # evolution) materialize as TYPED null arrays, and every file's
+    # physical type casts up to the current engine type
+    import pyarrow as pa
+
+    from linkedin_iceberg_spark.catalog.local_read import type_to_arrow
+    arrow_types = {}
+    for tbl_, cols_ in ((left, lcols), (right, rcols)):
+        for f in tbl_.schema.fields:
+            if f.name in cols_:
+                arrow_types[f.name] = type_to_arrow(f.type)
+    ser_types = pa.schema(
+        [pa.field(n, t) for n, t in sorted(arrow_types.items())]) \
+        .serialize().to_pybytes()
+
+    def join_bucket(batches):
+        import json as _j
+
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        tgt = {f.name: f.type for f in
+               _pa.ipc.read_schema(_pa.py_buffer(ser_types))}
+
+        def read_side(splits, rev, want):
+            tbls = []
+            for sp in splits:
+                m = rev.get(str(sp["sid"]), {})
+                pf = _pq.ParquetFile(sp["path"])
+                have = set(pf.schema_arrow.names)
+                cols = [m[c] for c in want if m.get(c) in have]
+                t = pf.read(columns=cols or None)
+                # current-name alignment (renames are field-id safe)
+                t = t.rename_columns(
+                    [next((c for c, s in m.items() if s == n), n)
+                     for n in t.column_names])
+                data = {}
+                for c in want:
+                    if c in t.column_names:
+                        arr = t[c].combine_chunks()
+                        data[c] = arr if arr.type == tgt[c] \
+                            else arr.cast(tgt[c])
+                    else:
+                        data[c] = _pa.nulls(len(t), tgt[c])
+                tbls.append(_pa.table(data))
+            if not tbls:
+                return None
+            # arrow-backed dtypes: integer NULLs survive the merge (a
+            # numpy-backed frame would float-promote them and the
+            # arrow write-back of a left join's missing side would
+            # reject NaN-as-int)
+            return _pa.concat_tables(tbls) \
+                .to_pandas(types_mapper=_pd.ArrowDtype)
+
+        for pdf in batches:
+            for desc_s in pdf["desc"]:
+                d = _j.loads(desc_s)
+                lp = read_side(d["left"], d["l_rev"], [key] + l_names)
+                if lp is None or not len(lp):
+                    continue
+                rp = read_side(d["right"], d["r_rev"], [key] + r_names)
+                if rp is None or not len(rp):
+                    if how_ == "inner":
+                        continue
+                    out = lp.copy()
+                    for c in r_names:  # lonely left bucket: NULL right
+                        out[c] = None
+                else:
+                    out = lp.merge(rp, on=key, how=how_)
+                if len(out):
+                    yield out[[key] + l_names + r_names]
+
+    rdd = spark.sparkContext.parallelize(descs, len(descs))
+    seed = spark.createDataFrame(rdd, "bucket long, desc string")
+    return seed.mapInPandas(join_bucket, schema=out_schema)

@@ -1844,6 +1844,15 @@ class Table:
         return row_delta(self, data_df, position_deletes,
                          equality_delete_keys, key_cols)
 
+    def colocated_join(self, other: "Table", key: str, **kw) -> DataFrame:
+        """Zero-shuffle bucket-co-located join with `other` on `key`
+        (both tables bucketed on it with one modulus) — see
+        catalog/colocated.py; falls back to the plain Spark join
+        whenever the co-located contract doesn't hold."""
+        from linkedin_iceberg_spark.catalog.colocated import (
+            colocated_bucket_join)
+        return colocated_bucket_join(self, other, key, **kw)
+
     def upsert(self, df: DataFrame, key_cols: list) -> "Table":
         from linkedin_iceberg_spark.catalog.row_delta import upsert
         return upsert(self, df, key_cols)

@@ -5976,6 +5976,48 @@ def multimodal_decode_features(spark, sf_dir):
 # =========================================================================
 # Registry ordering
 # =========================================================================
+@q("join_colocated_buckets", """
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_name, c.c_acctbal
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey""")
+def join_colocated_buckets(spark, sf_dir):
+    """Co-located bucket join (catalog/colocated.py — the
+    storage-partitioned-join analog): both tables bucket o_custkey with
+    modulus 8, so the join decomposes into 8 independent per-bucket
+    tasks that read both sides' bucket files and merge in memory.  The
+    in-query assertion pins the defining property: the physical plan
+    carries NO exchange and NO Spark join operator at all — a plain
+    Spark join would hash-shuffle both tables end to end, the dominant
+    cost of fact-fact joins at 100 TB.  The oracle replays the plain
+    join; the rows must be identical."""
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        c = ld(spark, sf_dir, "customer") \
+            .withColumnRenamed("c_custkey", "o_custkey")
+        from linkedin_iceberg_spark import PartitionSpec, Schema
+        so = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .bucket("o_custkey", 8).build()
+        sc_ = PartitionSpec.builder_for(Schema.from_spark(c.schema)) \
+            .bucket("o_custkey", 8).build()
+        cat.create_table("q.cj_fact", o, spec=so).append(o)
+        cat.create_table("q.cj_dim", c, spec=sc_).append(c)
+
+    cat = _cached_table(spark, sf_dir, "coloc_join", build)
+    t1, t2 = cat.load_table("q.cj_fact"), cat.load_table("q.cj_dim")
+    j = t1.colocated_join(
+        t2, "o_custkey",
+        left_cols=["o_custkey", "o_orderkey", "o_totalprice"],
+        right_cols=["o_custkey", "c_name", "c_acctbal"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "co-located join shuffled"
+    assert not any(op in plan for op in
+                   ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "CartesianProduct")), \
+        "co-located join fell back to a Spark join operator"
+    return (j.select("o_custkey", "o_orderkey", "o_totalprice",
+                     "c_name", "c_acctbal").orderBy("o_orderkey"))
+
+
 def _kmv_oracle_sql(values_sql: str, from_sql: str, k: int) -> str:
     from linkedin_iceberg_spark.catalog.analyze import kmv_estimate_sql
     return kmv_estimate_sql(values_sql, from_sql, k)
@@ -6423,7 +6465,13 @@ _PRIORITY = [
     # r4-r7; meta family keeps sql_count_meta — the SQL spelling of the
     # same manifest-count plane) rotates out for table_sql_star_pruned
     # (new r8: the auto runtime filter on the SQL path)
-    "join_runtime_filtered", "similarity_pq_search", "join_tpch_q3",
+    # r8 session 3: join_tpch_q3 (green r5+r6+r7, unchanged; joins
+    # family keeps tpch_q10 + interval_events + runtime_filtered
+    # in-window) rotates out for join_colocated_buckets (new r8: the
+    # storage-partitioned-join analog — zero-shuffle, no-join-operator
+    # per-bucket merge, plan-asserted in the query)
+    "join_runtime_filtered", "similarity_pq_search",
+    "join_colocated_buckets",
     # r4: scalar_math_funcs (green r3; scalar family has lifetime-green
     # string/json/cond siblings) rotates out for table_count_pushdown
     # (new: metadata-only COUNT(*))

@@ -389,6 +389,13 @@ CONTRACTS = {
         # same evidence split as table_sql_pruned
         ["TakeOrderedAndProject", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "join_colocated_buckets": (
+        # the join happens INSIDE the per-bucket MapInPandas task: the
+        # final sort is the only exchange-bearing stage; no Spark join
+        # operator may appear anywhere
+        ["MapInPandas"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct"]),
     "table_scan_dict_pruned": (
         # dictionary skipping already dropped the non-matching files at
         # PLAN time (asserted inside the query: planned < live), so the
