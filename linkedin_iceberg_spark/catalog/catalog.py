@@ -925,6 +925,9 @@ class Catalog:
         call = self._sql_call(query)
         if call is not None:
             return call
+        an = self._sql_analyze(query)
+        if an is not None:
+            return an
         dml = self._sql_dml(query)
         if dml is not None:
             return dml
@@ -935,6 +938,9 @@ class Catalog:
         if fast is not None:
             return fast
         fast = self._sql_group_count(query, lits)
+        if fast is not None:
+            return fast
+        fast = self._sql_colocated_join(query, lits)
         if fast is not None:
             return fast
 
@@ -2478,6 +2484,140 @@ class Catalog:
         "migrate": ("table", "location"),
         "snapshot": ("source_table", "table"),
     }
+
+    def _sql_colocated_join(self, masked: str, lits: list):
+        """Automatic storage-partitioned join on the SQL path: a single
+        two-table equi-join whose sides BOTH bucket their join key with
+        one modulus executes bucket-by-bucket through
+        colocated_bucket_join — no exchange, no Spark join operator —
+        and the rest of the statement (WHERE/GROUP BY/ORDER BY/LIMIT,
+        all post-join semantics in SQL) runs over the joined view.
+        Column pruning: only identifiers the statement references are
+        read.  None (generic route) on anything outside the shape:
+        a second join, subqueries, non-equi ON, shared non-key column
+        names, or either side un-bucketed — conservatism is free
+        because the generic route answers everything identically."""
+        import re
+
+        from linkedin_iceberg_spark.catalog.colocated import (
+            _bucket_layout, colocated_bucket_join)
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        dotted = rf"{ident}(?:\.{ident})+"
+        m = re.match(
+            rf"\s*select\s+(.+?)\s+from\s+({dotted})"
+            rf"(?:\s+(?:as\s+)?({ident}))?"
+            rf"\s+((?:left\s+(?:outer\s+)?|inner\s+)?)join\s+({dotted})"
+            rf"(?:\s+(?:as\s+)?({ident}))?"
+            rf"\s+on\s+({ident})\.({ident})\s*=\s*({ident})\.({ident})"
+            rf"(\s.*?)?\s*;?\s*$",
+            masked, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        (sel, lt_name, la, jkind, rt_name, ra,
+         q1, c1, q2, c2, rest) = m.groups()
+        rest = rest or ""
+        # conservative shape gate: exactly one join, no subqueries
+        if re.search(r"\b(join|select|from|union)\b", sel + rest,
+                     re.IGNORECASE):
+            return None
+        if not (self.table_exists(lt_name) and self.table_exists(rt_name)):
+            return None
+        lq = (la or lt_name.rsplit(".", 1)[-1]).lower()
+        rq = (ra or rt_name.rsplit(".", 1)[-1]).lower()
+        pair = {q1.lower(): c1, q2.lower(): c2}
+        if set(pair) != {lq, rq} or lq == rq:
+            return None  # qualifiers must name the two sides, once each
+        lkey, rkey = pair[lq], pair[rq]
+        how = "left" if jkind.strip().lower().startswith("left") \
+            else "inner"
+        lt, rt = self.load_table(lt_name), self.load_table(rt_name)
+        lown, rown = set(lt.schema.column_names()), \
+            set(rt.schema.column_names())
+        if lkey not in lown or rkey not in rown:
+            return None
+        if (lown & rown) - ({lkey} if lkey == rkey else set()):
+            return None  # ambiguous bare columns after the view rewrite
+        lb = _bucket_layout(lt, lkey)
+        rb = _bucket_layout(rt, rkey)
+        if lb is None or rb is None or lb[0] != rb[0]:
+            return None  # not co-bucketed: the generic route is right
+        if "*" in sel:
+            # SELECT * through an ON-join has its own column arity and
+            # ordering rules (duplicate key columns, table order) that
+            # the joined view does not reproduce — generic route
+            return None
+        toks = {t.lower() for t in re.findall(ident, masked)}
+        lcols = [c for c in lt.schema.column_names()
+                 if c.lower() in toks or c == lkey]
+        rcols = [c for c in rt.schema.column_names()
+                 if c.lower() in toks or c == rkey]
+        j = colocated_bucket_join(lt, rt, lkey, how=how,
+                                  left_cols=lcols, right_cols=rcols,
+                                  right_key=rkey)
+        import hashlib as _h
+        view = "liceberg_cj_" + _h.md5(
+            f"{lt_name}|{rt_name}|{lkey}|{rkey}".encode()).hexdigest()[:8]
+        j.createOrReplaceTempView(view)
+        text = f"SELECT {sel} FROM {view}{rest}"
+        for q in {lq, rq, la or "", ra or "",
+                  lt_name.lower(), rt_name.lower()} - {""}:
+            text = re.sub(rf"(?<![A-Za-z0-9_.]){re.escape(q)}\.",
+                          "", text, flags=re.IGNORECASE)
+        return self.spark.sql(_unmask_sql_literals(text, lits))
+
+    def _sql_analyze(self, query: str):
+        """Spark's ANALYZE TABLE grammar over the engine's stats planes.
+        None when `query` is not an ANALYZE statement.
+
+            ANALYZE TABLE db.t COMPUTE STATISTICS
+                -> table-level stats from manifest metadata alone
+                   (live files / bytes / rows), returned as rows
+            ANALYZE TABLE db.t COMPUTE STATISTICS FOR COLUMNS c1, c2
+            ANALYZE TABLE db.t COMPUTE STATISTICS FOR ALL COLUMNS
+                -> brings BOTH per-file NDV stores up to date for the
+                   named (or all primitive) columns: the HLL plane
+                   (column_stats) and the KMV plane (the replayable
+                   approx_count_distinct backing); incremental — only
+                   un-sketched live files are scanned
+        """
+        import re
+        m = re.match(
+            r"\s*analyze\s+table\s+([A-Za-z_][A-Za-z0-9_.]*)\s+"
+            r"compute\s+statistics"
+            r"(?:\s+for\s+(all\s+columns|columns\s+(.+?)))?\s*;?\s*$",
+            query, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        t = self.load_table(m.group(1))
+        if not m.group(2):
+            entries, deletes = t._live_data_and_deletes()
+            rows = [("data_files", len(entries)),
+                    ("delete_files", len(deletes)),
+                    ("total_bytes", sum(
+                        e.data_file.file_size_in_bytes or 0
+                        for e in entries)),
+                    ("row_count", sum(e.data_file.record_count or 0
+                                      for e in entries))]
+            return self.spark.createDataFrame(
+                rows, "statistic string, value long")
+        from linkedin_iceberg_spark.catalog.analyze import (
+            analyze_table, analyze_table_kmv)
+        if m.group(3):
+            cols = [c.strip() for c in m.group(3).split(",")]
+        else:
+            # ALL COLUMNS: the types the HLL sketch aggregate accepts
+            # (datasketches HLL is int/long/string/binary); explicitly
+            # named columns of other types raise from the plane itself
+            cols = [f.name for f in t.schema.fields
+                    if isinstance(f.type, str)
+                    and f.type in ("int", "long", "string", "binary")]
+        hll = analyze_table(t, cols)
+        kmv = analyze_table_kmv(t, cols)
+        return self.spark.createDataFrame(
+            [(c, hll.get(c, 0), kmv.get(c, 0)) for c in cols],
+            "column string, files_sketched_hll long, "
+            "files_sketched_kmv long")
 
     def _sql_call(self, query: str):
         """CALL <procedure>('db.t' [, args...]) -> the maintenance /

@@ -57,20 +57,26 @@ def _bucket_layout(table, key: str):
 
 def colocated_bucket_join(left, right, key: str, how: str = "inner",
                           left_cols: list = None,
-                          right_cols: list = None) -> DataFrame:
-    """Join two engine Tables on `key` bucket-by-bucket with no shuffle
-    and no Spark join operator; falls back to the plain Spark join (one
-    shuffle, identical rows) whenever the co-located contract doesn't
-    hold.  Non-key column names must be disjoint (alias first — the
-    interval_join rule)."""
+                          right_cols: list = None,
+                          right_key: str = None) -> DataFrame:
+    """Join two engine Tables on `key` (= `right_key` when the sides
+    name it differently) bucket-by-bucket with no shuffle and no Spark
+    join operator; falls back to the plain Spark join (one shuffle,
+    identical rows) whenever the co-located contract doesn't hold.
+    Bucket placement depends only on the VALUE (the spec's murmur3
+    bucket transform), so equal keys land in equal buckets regardless
+    of column name.  Non-key column names must be disjoint (alias
+    first — the interval_join rule); with distinct key names both key
+    columns appear in the output (SQL join semantics)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    rkey = right_key or key
     lcols = left_cols or left.schema.column_names()
     rcols = right_cols or right.schema.column_names()
-    if key not in lcols or key not in rcols:
-        raise ValueError(f"join key {key!r} must be selected on both "
-                         "sides")
-    shared = (set(lcols) & set(rcols)) - {key}
+    if key not in lcols or rkey not in rcols:
+        raise ValueError(f"join keys {key!r}/{rkey!r} must be selected "
+                         "on their sides")
+    shared = (set(lcols) & set(rcols)) - ({key} if key == rkey else set())
     if shared:
         raise ValueError("colocated_bucket_join requires disjoint "
                          f"non-key column names; shared: {sorted(shared)}")
@@ -78,10 +84,12 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
     def _fallback():
         lf = left.to_df().select(*lcols)
         rf = right.to_df().select(*rcols)
-        return lf.join(rf, on=key, how=how)
+        if key == rkey:
+            return lf.join(rf, on=key, how=how)
+        return lf.join(rf, on=lf[key] == rf[rkey], how=how)
 
     lb = _bucket_layout(left, key)
-    rb = _bucket_layout(right, key)
+    rb = _bucket_layout(right, rkey)
     if lb is None or rb is None or lb[0] != rb[0]:
         return _fallback()  # unbucketed side or modulus mismatch
 
@@ -124,8 +132,10 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
               if f.name == key)] +
         [f for f in left.schema.to_spark().fields
          if f.name in lcols and f.name != key] +
+        ([next(f for f in right.schema.to_spark().fields
+               if f.name == rkey)] if rkey != key else []) +
         [f for f in right.schema.to_spark().fields
-         if f.name in rcols and f.name != key])
+         if f.name in rcols and f.name != rkey])
     if not buckets:
         return spark.createDataFrame([], out_schema)
 
@@ -137,7 +147,8 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
             "r_rev": {str(s): m for s, m in r_rev.items()},
         })))
     l_names = [c for c in lcols if c != key]
-    r_names = [c for c in rcols if c != key]
+    r_names = [c for c in rcols if c != rkey]
+    out_names = [key] + l_names + ([rkey] if rkey != key else []) + r_names
     how_ = how
     # target arrow types per output column: missing columns (schema
     # evolution) materialize as TYPED null arrays, and every file's
@@ -200,17 +211,21 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
                 lp = read_side(d["left"], d["l_rev"], [key] + l_names)
                 if lp is None or not len(lp):
                     continue
-                rp = read_side(d["right"], d["r_rev"], [key] + r_names)
+                rp = read_side(d["right"], d["r_rev"], [rkey] + r_names)
+                lonely = [rkey] + r_names if rkey != key else r_names
                 if rp is None or not len(rp):
                     if how_ == "inner":
                         continue
                     out = lp.copy()
-                    for c in r_names:  # lonely left bucket: NULL right
+                    for c in lonely:  # lonely left bucket: NULL right
                         out[c] = None
-                else:
+                elif rkey == key:
                     out = lp.merge(rp, on=key, how=how_)
+                else:
+                    out = lp.merge(rp, left_on=key, right_on=rkey,
+                                   how=how_)
                 if len(out):
-                    yield out[[key] + l_names + r_names]
+                    yield out[out_names]
 
     rdd = spark.sparkContext.parallelize(descs, len(descs))
     seed = spark.createDataFrame(rdd, "bucket long, desc string")

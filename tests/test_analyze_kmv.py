@@ -205,3 +205,38 @@ def test_grouped_ndv_sql_route(spark, catalog):
             KMV_DEFAULT_K)
         assert r["n"] == o.filter(
             F.col("o_orderstatus") == r["st"]).count()
+
+
+def test_analyze_table_sql_spelling(spark, catalog):
+    """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS | FOR ALL
+    COLUMNS] drives both stats planes; the bare form answers
+    table-level stats from manifests alone."""
+    o = _orders(spark)
+    t = catalog.create_table("db.oan", o)
+    t.append(o.repartition(3))
+    stats = {r["statistic"]: r["value"] for r in catalog.sql(
+        "ANALYZE TABLE db.oan COMPUTE STATISTICS").collect()}
+    assert stats["data_files"] == 3
+    assert stats["row_count"] == o.count()
+    rows = catalog.sql(
+        "ANALYZE TABLE db.oan COMPUTE STATISTICS "
+        "FOR COLUMNS o_custkey, o_orderpriority").collect()
+    got = {r["column"]: (r["files_sketched_hll"], r["files_sketched_kmv"])
+           for r in rows}
+    assert got == {"o_custkey": (3, 3), "o_orderpriority": (3, 3)}
+    # both planes now serve: column_stats (HLL) and approx_ndv (KMV)
+    from linkedin_iceberg_spark.catalog.analyze import column_stats
+    t.refresh()
+    st = column_stats(t, "o_custkey")
+    exact = o.select("o_custkey").distinct().count()
+    assert abs(st["ndv"] - exact) <= max(1, 0.05 * exact)
+    assert t.new_scan().approx_ndv("o_custkey") == _duck_ndv(
+        "o_custkey", "orders", KMV_DEFAULT_K)
+    # FOR ALL COLUMNS sketches every HLL-compatible primitive, and the
+    # second run is a no-op (incremental store)
+    rows = catalog.sql("ANALYZE TABLE db.oan COMPUTE STATISTICS "
+                       "FOR ALL COLUMNS").collect()
+    assert all(r["files_sketched_kmv"] == 0 for r in rows
+               if r["column"] == "o_custkey")
+    assert {r["column"] for r in rows} >= {"o_orderkey", "o_custkey",
+                                           "o_orderstatus"}

@@ -147,3 +147,80 @@ def test_validation(spark, catalog):
                               right_cols=["o_custkey"])
     with pytest.raises(ValueError, match="inner|left"):
         colocated_bucket_join(t1, t2, "o_custkey", how="full")
+
+
+def _bucketed_pair(catalog, spark):
+    o = _orders(spark)
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    so = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .bucket("o_custkey", 8).build()
+    sc_ = PartitionSpec.builder_for(Schema.from_spark(c.schema)) \
+        .bucket("c_custkey", 8).build()
+    catalog.create_table("db.fact", o, spec=so).append(o)
+    catalog.create_table("db.dim", c, spec=sc_).append(c)
+    return o, c
+
+
+def test_sql_auto_route_no_join_operator(spark, catalog):
+    """Catalog.sql detects the co-bucketed equi-join and serves it
+    bucket-by-bucket; WHERE/ORDER BY/LIMIT run over the joined view
+    with identical rows to the generic plan."""
+    o, c = _bucketed_pair(catalog, spark)
+    df = catalog.sql(
+        "SELECT o.o_orderkey, o.o_totalprice, c.c_name "
+        "FROM db.fact o JOIN db.dim c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_acctbal > 100 ORDER BY o.o_orderkey LIMIT 40")
+    plan = _plan(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan
+    assert "MapInPandas" in plan
+    want = (o.join(c, o.o_custkey == c.c_custkey)
+            .where(F.col("c_acctbal") > 100)
+            .select("o_orderkey", "o_totalprice", "c_name")
+            .orderBy("o_orderkey").limit(40).collect())
+    assert df.collect() == want
+
+
+def test_sql_auto_route_aggregate_and_left(spark, catalog):
+    o, c = _bucketed_pair(catalog, spark)
+    got = [(r["seg"], r["n"]) for r in catalog.sql(
+        "SELECT c.c_mktsegment AS seg, count(*) AS n "
+        "FROM db.fact o JOIN db.dim c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment ORDER BY seg").collect()]
+    want = [(r["c_mktsegment"], r["count"]) for r in
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment").count()
+            .orderBy("c_mktsegment").collect()]
+    assert got == want
+    gl = catalog.sql(
+        "SELECT o.o_orderkey, c.c_name FROM db.fact o "
+        "LEFT JOIN db.dim c ON o.o_custkey = c.c_custkey "
+        "ORDER BY o.o_orderkey LIMIT 25").collect()
+    wl = (o.join(c, o.o_custkey == c.c_custkey, "left")
+          .select("o_orderkey", "c_name")
+          .orderBy("o_orderkey").limit(25).collect())
+    assert gl == wl
+
+
+def test_sql_auto_route_bails_conservatively(spark, catalog):
+    """SELECT *, extra joins, and unbucketed sides all take the generic
+    route — identical answers either way."""
+    o, c = _bucketed_pair(catalog, spark)
+    n = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    catalog.create_table("db.nat", n).append(n)
+    # SELECT * (ON-join arity rules) -> generic, still correct
+    df = catalog.sql("SELECT * FROM db.fact o JOIN db.dim c "
+                     "ON o.o_custkey = c.c_custkey")
+    assert df.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+    assert len(df.columns) == len(o.columns) + len(c.columns)
+    # three tables -> generic
+    df2 = catalog.sql(
+        "SELECT o.o_orderkey, c.c_name, n.n_name "
+        "FROM db.fact o JOIN db.dim c ON o.o_custkey = c.c_custkey "
+        "JOIN db.nat n ON c.c_nationkey = n.n_nationkey "
+        "ORDER BY o.o_orderkey LIMIT 10")
+    want2 = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+             .select("o_orderkey", "c_name", "n_name")
+             .orderBy("o_orderkey").limit(10).collect())
+    assert df2.collect() == want2
