@@ -137,6 +137,15 @@ PROBE_QUERIES = [
     "join_runtime_filtered",
     "table_sql_star_pruned",
     "table_sql_group_count",
+    # r8 session 3: the KMV stats plane (per-file bottom-k build +
+    # store-served estimate — the analyze scan is ~linear, the answer
+    # path metadata-only), dictionary skipping (distinct per file +
+    # pruned point lookup, expect well under 10x on the read), and the
+    # co-located bucket join (per-bucket merges, NO shuffle — the probe
+    # guards the per-bucket memory shape staying linear)
+    "meta_kmv_ndv",
+    "table_scan_dict_pruned",
+    "join_colocated_buckets",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
