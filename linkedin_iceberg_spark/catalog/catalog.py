@@ -2552,9 +2552,48 @@ class Catalog:
                  if c.lower() in toks or c == lkey]
         rcols = [c for c in rt.schema.column_names()
                  if c.lower() in toks or c == rkey]
+        # point-lookup bucket pruning: a top-level `key = lit` / `key IN
+        # (...)` WHERE conjunct on either side's join key restricts the
+        # read to the values' buckets (the WHERE itself still runs over
+        # the view, so rows sharing those buckets stay filtered)
+        key_values = None
+        wm = re.match(r"\s*where\s+(.+?)(?:\s+group\s+by\s+.*|"
+                      r"\s+order\s+by\s+.*|\s+limit\s+.*)?$",
+                      rest, re.IGNORECASE | re.DOTALL)
+        ktype = next((f.type for f in lt.schema.fields
+                      if f.name == lkey), None)
+        if wm and ktype in ("int", "long", "string"):
+            keypat = (rf"(?:({ident})\.)?"
+                      rf"(?:{re.escape(lkey)}|{re.escape(rkey)})")
+            val = rf"(\x00\d+\x00|-?\d+)"
+            for conj in _split_top_level_and(wm.group(1)):
+                cm = re.match(rf"\s*{keypat}\s*(?:=\s*{val}|in\s*\("
+                              rf"\s*{val}(?:\s*,\s*{val})*\s*\))\s*$",
+                              conj, re.IGNORECASE)
+                if not cm:
+                    continue
+                if cm.group(1) and cm.group(1).lower() not in (lq, rq):
+                    continue
+                raws = re.findall(rf"{val}", conj)
+                vals = []
+                for raw in raws:
+                    if raw.startswith("\x00"):
+                        s = lits[int(raw.strip("\x00"))]
+                        if not (s.startswith("'") and s.endswith("'")):
+                            vals = None
+                            break
+                        vals.append(s[1:-1].replace("''", "'"))
+                    else:
+                        vals.append(int(raw))
+                if vals is None or not vals or not all(
+                        isinstance(v, int if ktype in ("int", "long")
+                                   else str) for v in vals):
+                    continue
+                key_values = vals
+                break
         j = colocated_bucket_join(lt, rt, lkey, how=how,
                                   left_cols=lcols, right_cols=rcols,
-                                  right_key=rkey)
+                                  right_key=rkey, key_values=key_values)
         import hashlib as _h
         view = "liceberg_cj_" + _h.md5(
             f"{lt_name}|{rt_name}|{lkey}|{rkey}".encode()).hexdigest()[:8]

@@ -58,7 +58,8 @@ def _bucket_layout(table, key: str):
 def colocated_bucket_join(left, right, key: str, how: str = "inner",
                           left_cols: list = None,
                           right_cols: list = None,
-                          right_key: str = None) -> DataFrame:
+                          right_key: str = None,
+                          key_values: list = None) -> DataFrame:
     """Join two engine Tables on `key` (= `right_key` when the sides
     name it differently) bucket-by-bucket with no shuffle and no Spark
     join operator; falls back to the plain Spark join (one shuffle,
@@ -67,7 +68,15 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
     bucket transform), so equal keys land in equal buckets regardless
     of column name.  Non-key column names must be disjoint (alias
     first — the interval_join rule); with distinct key names both key
-    columns appear in the output (SQL join semantics)."""
+    columns appear in the output (SQL join semantics).
+
+    ``key_values``: when the CALLER will restrict the key to these
+    values anyway (a point-lookup join — `WHERE key IN (...)` applied
+    on top of this frame), pass them and only the values' buckets are
+    read on BOTH sides; rows of other keys sharing those buckets still
+    come back, so the caller's filter stays load-bearing.  Sound for
+    left joins too: left rows outside the values are exactly the rows
+    the caller's filter drops."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     rkey = right_key or key
@@ -125,6 +134,14 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
     (l_by, l_rev, _), (r_by, r_rev, _) = sides
     buckets = sorted(set(l_by)) if how == "left" \
         else sorted(set(l_by) & set(r_by))
+    if key_values is not None:
+        # point-lookup pruning: only the values' buckets can hold them
+        kf = next(f for f in left.schema.fields if f.name == key)
+        from linkedin_iceberg_spark.transforms.transforms import (
+            parse_transform)
+        tf = parse_transform(f"bucket[{lb[0]}]", kf.type)
+        want = {tf.apply(v) for v in key_values if v is not None}
+        buckets = [b for b in buckets if b in want]
     spark = left.spark
     from pyspark.sql.types import StructType
     out_schema = StructType(

@@ -224,3 +224,57 @@ def test_sql_auto_route_bails_conservatively(spark, catalog):
              .select("o_orderkey", "c_name", "n_name")
              .orderBy("o_orderkey").limit(10).collect())
     assert df2.collect() == want2
+
+
+def test_sql_point_lookup_prunes_buckets(spark, catalog):
+    """WHERE key = literal restricts the co-located join to the value's
+    bucket pair: strictly fewer input files than the full join, same
+    rows as the generic plan."""
+    o, c = _bucketed_pair(catalog, spark)
+    ck = o.select("o_custkey").first()[0]
+    # pruning evidence: one bucket pair = one task partition (the
+    # per-bucket tasks ARE the read — mapInPandas shows no inputFiles)
+    full = catalog.sql(
+        "SELECT o.o_orderkey, c.c_name FROM db.fact o JOIN db.dim c "
+        "ON o.o_custkey = c.c_custkey")
+    pruned = catalog.sql(
+        f"SELECT o.o_orderkey, c.c_name FROM db.fact o JOIN db.dim c "
+        f"ON o.o_custkey = c.c_custkey WHERE o.o_custkey = {ck}")
+    assert 0 < pruned.rdd.getNumPartitions() < \
+        full.rdd.getNumPartitions()
+    want = (o.filter(F.col("o_custkey") == ck)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("o_orderkey", "c_name")
+            .orderBy("o_orderkey").collect())
+    assert sorted(pruned.collect()) == sorted(want)
+    # IN over several keys, unqualified spelling
+    ks = [r[0] for r in o.select("o_custkey").distinct().limit(3).collect()]
+    inq = catalog.sql(
+        f"SELECT o.o_orderkey, c.c_name FROM db.fact o JOIN db.dim c "
+        f"ON o.o_custkey = c.c_custkey "
+        f"WHERE o_custkey IN ({','.join(map(str, ks))}) "
+        f"ORDER BY o.o_orderkey")
+    want2 = (o.filter(F.col("o_custkey").isin(ks))
+             .join(c, o.o_custkey == c.c_custkey)
+             .select("o_orderkey", "c_name")
+             .orderBy("o_orderkey").collect())
+    assert inq.collect() == want2
+
+
+def test_api_key_values_pruning(spark, catalog):
+    o, c = _orders(spark), _customer(spark)
+    t1 = _bucketed(catalog, "db.fact", o)
+    t2 = _bucketed(catalog, "db.dim", c)
+    ck = o.select("o_custkey").first()[0]
+    j = colocated_bucket_join(t1, t2, "o_custkey",
+                              left_cols=["o_custkey", "o_orderkey"],
+                              right_cols=["o_custkey", "c_name"],
+                              key_values=[ck])
+    assert j.rdd.getNumPartitions() == 1  # one bucket pair read
+    got = (j.where(F.col("o_custkey") == ck)
+           .orderBy("o_orderkey").collect())
+    want = (o.filter(F.col("o_custkey") == ck)
+            .select("o_custkey", "o_orderkey")
+            .join(c.select("o_custkey", "c_name"), "o_custkey")
+            .orderBy("o_orderkey").collect())
+    assert got == want
