@@ -436,3 +436,84 @@ def dictionary_prune(table, data_entries: list, bound) -> list:
         return data_entries
     return [e for e in data_entries
             if e.data_file.file_path not in drop]
+
+
+def kmv_table_overlap(left, left_col: str, right, right_col: str,
+                      k: int = KMV_DEFAULT_K) -> dict:
+    """Corpus overlap between two TABLES from their persisted KMV stores
+    alone — the decontamination/source-mix audit ("how much of eval is
+    inside training?") with ZERO data I/O once analyze_table_kmv has
+    covered both: per-table bottom-k sets merge exactly from the
+    per-file stores, and the Beyer et al. KMV algebra gives distinct
+    counts, Jaccard, and intersection size.  Uncovered/delete-bearing
+    files fall back to live hashing with the same recipe (identical
+    values, the merge-exactness property).
+
+    All outputs are integer-exact or one-division arithmetic on the
+    SAME 60-bit md5 hashes an external SQL engine computes, so every
+    number replays bit-for-bit:
+
+      ndv_a, ndv_b      per-table estimates (exact when NDV < k)
+      ndv_union         estimate over bottom-k(A u B)
+      overlap_k         |bottomk(AuB) n A n B| (the Jaccard numerator,
+                        an exact integer; jaccard ~= overlap_k / m)
+      intersection_est  overlap_k * ndv_union // m (integer floor)
+
+    where m = |bottomk(AuB)| (= k, or the exact union size below k)."""
+    a = _kmv_bottomk(left, left_col, k)
+    b = _kmv_bottomk(right, right_col, k)
+    union = sorted(set(a) | set(b))[:k]
+    m = len(union)
+    ndv_u = kmv_estimate(union, k)
+    overlap = len(set(union) & set(a) & set(b))
+    return {
+        "ndv_a": kmv_estimate(a, k),
+        "ndv_b": kmv_estimate(b, k),
+        "ndv_union": ndv_u,
+        "overlap_k": overlap,
+        "m": m,
+        "intersection_est": (overlap * ndv_u) // m if m else 0,
+    }
+
+
+def _kmv_bottomk(table, col: str, k: int) -> list:
+    """The table's merged bottom-k hash list (store-served for covered
+    delete-free files, live-hashed for the rest) — the same channel mix
+    as TableScan.approx_ndv, returning the hashes instead of the
+    estimate."""
+    scan = table.new_scan()
+    tasks = scan.plan_files()
+    fast = [t for t in tasks if not t.deletes]
+    slow = [t for t in tasks if t.deletes]
+    spark = table.spark
+    d = _kmv_dir(table, col, k)
+    frames = []
+    covered: set = set()
+    if fast and os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)):
+        store = spark.read.parquet(d)
+        paths_df = spark.createDataFrame(
+            [(t.file.file_path,) for t in sorted(
+                fast, key=lambda t: t.file.file_path)],
+            "file_path string")
+        hit = store.join(paths_df, "file_path", "left_semi")
+        covered = {r["file_path"] for r in
+                   hit.select("file_path").distinct().collect()}
+        frames.append(hit.select("h"))
+    live = [t for t in fast if t.file.file_path not in covered]
+    if live:
+        frames.append(
+            spark.read.schema(table.schema.to_spark())
+            .parquet(*[t.file.file_path for t in live])
+            .select(_kmv_hash(col).alias("h")))
+    if slow:
+        frames.append(scan._to_df_default(tasks=slow)
+                      .select(_kmv_hash(col).alias("h")))
+    if not frames:
+        return []
+    merged = frames[0]
+    for f_ in frames[1:]:
+        merged = merged.unionByName(f_)
+    return [r["h"] for r in
+            merged.where(F.col("h").isNotNull()).distinct()
+            .orderBy("h").limit(k).collect()]

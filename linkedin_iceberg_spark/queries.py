@@ -5976,6 +5976,60 @@ def multimodal_decode_features(spark, sf_dir):
 # =========================================================================
 # Registry ordering
 # =========================================================================
+@q("meta_kmv_overlap_tables", """
+WITH a AS (SELECT DISTINCT
+        ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+        FROM orders WHERE o_custkey < 100),
+     b AS (SELECT DISTINCT
+        ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+        FROM orders WHERE o_custkey >= 50),
+     ba AS (SELECT h FROM a ORDER BY h LIMIT 64),
+     bb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+     u AS (SELECT h FROM (SELECT h FROM ba UNION SELECT h FROM bb)
+           ORDER BY h LIMIT 64),
+     s AS (SELECT count(*) AS m, max(h) AS hk,
+                  (SELECT count(*) FROM u
+                   WHERE h IN (SELECT h FROM ba)
+                     AND h IN (SELECT h FROM bb)) AS overlap_k
+           FROM u),
+     est AS (SELECT m, overlap_k,
+        CAST(CASE WHEN m < 64 THEN m
+             ELSE (63::HUGEINT * 1152921504606846976::HUGEINT
+                   // (hk + 1)::HUGEINT)::BIGINT END AS BIGINT)
+            AS ndv_union FROM s)
+SELECT m, overlap_k, ndv_union,
+       CAST((overlap_k::HUGEINT * ndv_union::HUGEINT // m::HUGEINT)
+            AS BIGINT) AS intersection_est
+FROM est""")
+def meta_kmv_overlap_tables(spark, sf_dir):
+    """Corpus overlap between two TABLES from their persisted KMV
+    stores alone (catalog/analyze.py kmv_table_overlap): the
+    decontamination audit — "how much of corpus B is inside corpus A" —
+    as pure metadata once both stores cover the live files.  The
+    oracle recomputes the full bottom-k algebra (per-slice bottom-k,
+    union bottom-k, three-way membership count, the integer estimator
+    and the integer intersection estimate) over the raw rows and must
+    match bit-for-bit — proving the per-file sketches merged into
+    exactly the corpus-level sets.  The two slices share custkeys
+    50-99, so the overlap is real, not degenerate."""
+    from linkedin_iceberg_spark.catalog.analyze import (
+        analyze_table_kmv, kmv_table_overlap)
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    ta = cat.create_table("q.kmv_a", o)
+    ta.append(o.filter(F.col("o_custkey") < 100).repartition(3))
+    tb = cat.create_table("q.kmv_b", o)
+    tb.append(o.filter(F.col("o_custkey") >= 50).repartition(2))
+    analyze_table_kmv(ta, ["o_custkey"], k=64)
+    analyze_table_kmv(tb, ["o_custkey"], k=64)
+    got = kmv_table_overlap(ta, "o_custkey", tb, "o_custkey", k=64)
+    return spark.createDataFrame(
+        [(got["m"], got["overlap_k"], got["ndv_union"],
+          got["intersection_est"])],
+        "m bigint, overlap_k bigint, ndv_union bigint, "
+        "intersection_est bigint")
+
+
 @q("join_colocated_buckets", """
 SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_name, c.c_acctbal
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -6479,7 +6533,13 @@ _PRIORITY = [
     # family keeps grouping_sets + hll_mergeable in-window) rotates out
     # for agg_kmv_overlap (new: KMV bottom-k set-overlap sketches —
     # union/Jaccard/intersection estimation HLL cannot express)
-    "table_sql_star_pruned", "agg_kmv_overlap",
+    # r8 session 3: agg_kmv_overlap (green r5+r6+r7, unchanged; the KMV
+    # family keeps in-window representation through the strictly
+    # STRONGER store-backed sibling below plus meta_kmv_ndv /
+    # table_sql_approx_ndv) rotates out for meta_kmv_overlap_tables
+    # (new r8: table-level corpus overlap from the persisted stores,
+    # full bottom-k algebra replayed by the oracle)
+    "table_sql_star_pruned", "meta_kmv_overlap_tables",
     # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
     # dedup_embedding (new r3: cosine near-dup -> connected components ->
     # keep-decision, full-pipeline generated oracle)

@@ -240,3 +240,55 @@ def test_analyze_table_sql_spelling(spark, catalog):
                if r["column"] == "o_custkey")
     assert {r["column"] for r in rows} >= {"o_orderkey", "o_custkey",
                                            "o_orderstatus"}
+
+
+def test_table_overlap_from_stores(spark, catalog):
+    """kmv_table_overlap: decontamination-style overlap between two
+    tables answered from the stores (poison: data files moved away),
+    every number replayed exactly by DuckDB over the raw slices."""
+    o = _orders(spark)
+    a_df = o.filter(F.col("o_custkey") < 100)
+    b_df = o.filter(F.col("o_custkey") >= 50)
+    ta = catalog.create_table("db.a", a_df)
+    ta.append(a_df.repartition(3))
+    tb = catalog.create_table("db.b", b_df)
+    tb.append(b_df.repartition(2))
+    analyze_table_kmv(ta, ["o_custkey"], k=64)
+    analyze_table_kmv(tb, ["o_custkey"], k=64)
+    from linkedin_iceberg_spark.catalog.analyze import kmv_table_overlap
+    moved = []
+    for t in (ta, tb):
+        for e in t._live_data_and_deletes()[0]:
+            p = e.data_file.file_path
+            shutil.move(p, p + ".poison")
+            moved.append(p)
+    try:
+        got = kmv_table_overlap(ta, "o_custkey", tb, "o_custkey", k=64)
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    # replay: DuckDB computes identical bottom-k algebra on raw slices
+    h = ("(('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT)")
+    df = duckdb_oracle(f"""
+WITH a AS (SELECT DISTINCT {h} AS h FROM orders WHERE o_custkey < 100),
+     b AS (SELECT DISTINCT {h} AS h FROM orders WHERE o_custkey >= 50),
+     ba AS (SELECT h FROM a ORDER BY h LIMIT 64),
+     bb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+     u AS (SELECT h FROM (SELECT h FROM ba UNION SELECT h FROM bb)
+           ORDER BY h LIMIT 64)
+SELECT (SELECT count(*) FROM u) AS m,
+       (SELECT count(*) FROM u
+        WHERE h IN (SELECT h FROM ba) AND h IN (SELECT h FROM bb))
+           AS overlap_k""")
+    assert got["m"] == int(df["m"].iloc[0])
+    assert got["overlap_k"] == int(df["overlap_k"].iloc[0])
+    assert got["ndv_a"] == _duck_ndv(
+        "o_custkey", "(SELECT * FROM orders WHERE o_custkey < 100)", 64)
+    assert got["ndv_b"] == _duck_ndv(
+        "o_custkey", "(SELECT * FROM orders WHERE o_custkey >= 50)", 64)
+    # estimator band sanity (exact: ndv_a=99, ndv_union=150, k=64) and
+    # the integer identity between the published numbers
+    assert abs(got["ndv_a"] - 99) <= 99 * 0.2
+    assert abs(got["ndv_union"] - 150) <= 150 * 0.2
+    assert got["overlap_k"] * got["ndv_union"] // got["m"] == \
+        got["intersection_est"]
