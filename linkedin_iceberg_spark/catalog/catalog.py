@@ -1236,9 +1236,9 @@ class Catalog:
 
     def _sql_count_star(self, masked: str, lits: list):
         """`SELECT count(*) | min(c) | max(c) | approx_count_distinct(c)
-        [, ...] FROM db.t [WHERE <pushable>]` answered from manifest
-        metadata via the scan's count_rows() / agg_minmax() /
-        approx_ndv() planes — partition-aligned counts, exact-bounds
+        | count(DISTINCT c) [, ...] FROM db.t [WHERE <pushable>]`
+        answered from manifest metadata via the scan's count_rows() /
+        agg_minmax() / approx_ndv() / exact_ndv_from_dict() planes — partition-aligned counts, exact-bounds
         min/max, and KMV-store distinct estimates are metadata
         operations, zero data I/O, and all degrade gracefully by
         actually reading only undecidable/uncovered files (ref: the
@@ -1271,6 +1271,7 @@ class Catalog:
         own = set(t.schema.column_names())
         item_re = re.compile(
             rf"\s*(count\(\s*\*\s*\)"
+            rf"|count\(\s*distinct\s+({ident})\s*\)"
             rf"|(min|max|approx_count_distinct)\(\s*({ident})\s*\))"
             rf"(?:\s+as\s+({ident}))?\s*$", re.IGNORECASE)
         items = []  # (kind, col-or-None, out-name)
@@ -1278,14 +1279,19 @@ class Catalog:
             im = item_re.match(raw)
             if not im:
                 return None  # not a pure fast-aggregate select list
-            if im.group(2):  # min/max/approx_count_distinct
-                kind, col = im.group(2).lower(), im.group(3)
+            if im.group(2):  # count(DISTINCT col): dictionary-exact
+                kind, col = "count_distinct", im.group(2)
                 if col not in own:
                     return None
-                name = im.group(4) or f"{kind}({col})"
+                name = im.group(5) or f"count(DISTINCT {col})"
+            elif im.group(3):  # min/max/approx_count_distinct
+                kind, col = im.group(3).lower(), im.group(4)
+                if col not in own:
+                    return None
+                name = im.group(5) or f"{kind}({col})"
             else:
                 kind, col = "count", None
-                name = im.group(4) or "count(1)"  # Spark's name
+                name = im.group(5) or "count(1)"  # Spark's name
             items.append((kind, col, name))
         if not items:
             return None
@@ -1319,6 +1325,16 @@ class Catalog:
                 # surviving delete-free files, identical value from a
                 # live hash of the remainder otherwise
                 values.append(scan.approx_ndv(col))
+                fields.append(T.StructField(name, T.LongType(), False))
+            elif kind == "count_distinct":
+                # EXACT count(DISTINCT col) from the dictionary store —
+                # all-or-nothing: any coverage gap sends the WHOLE
+                # statement to the generic route (the answer must be
+                # exact, unlike the approx aggregate above)
+                v = scan.exact_ndv_from_dict(col)
+                if v is None:
+                    return None
+                values.append(v)
                 fields.append(T.StructField(name, T.LongType(), False))
             else:
                 if col not in minmax:

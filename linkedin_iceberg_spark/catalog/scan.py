@@ -430,6 +430,48 @@ class TableScan:
               .orderBy("h").limit(k).collect()]
         return AN.kmv_estimate(hs, k)
 
+    def exact_ndv_from_dict(self, col: str):
+        """EXACT COUNT(DISTINCT col) from the dictionary store
+        (analyze_dictionary), zero data I/O — or None when the store
+        cannot prove it: the per-file value sets are exact, so when
+        every surviving task is delete-free, fully decided by the
+        filter, and covered by a non-overflow dictionary entry, the
+        distinct count is |union of the sets| — not an estimate.  Any
+        gap (uncovered file, overflow marker, pending deletes, partial
+        residual) returns None and the caller takes the real scan."""
+        from linkedin_iceberg_spark.catalog import analyze as AN
+        fid = self.table.schema.id_for_name(col)
+        if fid is None:
+            raise ValueError(f"no such column {col!r}")
+        d = AN._dict_dir(self.table, fid)
+        if not os.path.isdir(d) or not any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            return None
+        tasks = self.plan_files()
+        for t in tasks:
+            decided = self.row_filter is None or \
+                isinstance(t.residual, AlwaysTrue)
+            if not decided or t.deletes:
+                return None
+        if not tasks:
+            return 0
+        spark = self.table.spark
+        paths_df = spark.createDataFrame(
+            [(t.file.file_path,) for t in
+             sorted(tasks, key=lambda t: t.file.file_path)],
+            "file_path string")
+        store = spark.read.parquet(d).join(paths_df, "file_path",
+                                           "left_semi")
+        # coverage/overflow gate first, then the exact set union
+        cov = store.agg(
+            F.count_distinct("file_path").alias("n"),
+            F.sum(F.when(F.col("values").isNull(), 1).otherwise(0))
+            .alias("overflow")).head()
+        if cov["n"] < len(tasks) or (cov["overflow"] or 0) > 0:
+            return None
+        return (store.select(F.explode("values").alias("v"))
+                .agg(F.count_distinct("v")).head()[0] or 0)
+
     def approx_ndv_grouped(self, group_cols: list, col: str,
                            k: int = None) -> dict:
         """GROUP BY <identity-partition columns> approx_count_distinct

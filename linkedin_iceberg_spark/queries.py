@@ -6145,7 +6145,9 @@ def table_scan_dict_pruned(spark, sf_dir):
 @q("table_sql_approx_ndv", f"""
 SELECT {{KMV_SQL_NDV}} AS ndv_cust,
        CAST((SELECT count(*) FROM orders WHERE o_totalprice > 1000)
-            AS BIGINT) AS n""")
+            AS BIGINT) AS n,
+       CAST((SELECT count(DISTINCT o_orderpriority) FROM orders)
+            AS BIGINT) AS d_prio""")
 def table_sql_approx_ndv(spark, sf_dir):
     """approx_count_distinct through Catalog.sql, answered from the KMV
     store: the engine-defined (deterministic, KMV) semantics make an
@@ -6154,16 +6156,26 @@ def table_sql_approx_ndv(spark, sf_dir):
     last integer.  The filter exercises the sound fallback mix: files
     fully decided by metrics serve from the store, the boundary files
     are re-hashed live, and the merged bottom-k is value-identical
-    either way (the KMV merge-exactness property)."""
-    from linkedin_iceberg_spark.catalog.analyze import analyze_table_kmv
+    either way (the KMV merge-exactness property).  The second
+    statement adds the EXACT count(DISTINCT) served from the
+    dictionary store — poison-proven zero-data in the pytest suite."""
+    from linkedin_iceberg_spark.catalog.analyze import (
+        analyze_dictionary, analyze_table_kmv)
     o = ld(spark, sf_dir, "orders")
     cat = _tmp_catalog(spark)
     t = cat.create_table("q.orders_andv", o)
     t.append(o.repartition(4, "o_custkey"))
     analyze_table_kmv(t, ["o_custkey"])
-    return cat.sql(
+    analyze_dictionary(t, "o_orderpriority")
+    a = cat.sql(
         "SELECT approx_count_distinct(o_custkey) AS ndv_cust, "
-        "count(*) AS n FROM q.orders_andv WHERE o_totalprice > 1000")
+        "count(*) AS n FROM q.orders_andv WHERE o_totalprice > 1000") \
+        .head()
+    d = cat.sql("SELECT count(DISTINCT o_orderpriority) AS d_prio "
+                "FROM q.orders_andv").head()["d_prio"]
+    return spark.createDataFrame(
+        [(a["ndv_cust"], a["n"], d)],
+        "ndv_cust bigint, n bigint, d_prio bigint")
 
 
 def _patch_kmv_oracles() -> None:

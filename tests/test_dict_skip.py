@@ -161,3 +161,51 @@ def test_incremental_tail_only(spark, catalog):
     t.append(o.limit(20).coalesce(1))
     assert analyze_dictionary(t, "o_orderpriority") == 1
     assert analyze_dictionary(t, "o_orderpriority") == 0
+
+
+def test_exact_count_distinct_from_dict(spark, catalog):
+    """count(DISTINCT col) answers EXACTLY from the dictionary store
+    (poison: data files moved away); any coverage gap falls back to the
+    generic route with the same value."""
+    o = _orders(spark)
+    t = catalog.create_table("db.o", o)
+    t.append(o.repartition(4))
+    analyze_dictionary(t, "o_orderpriority")
+    exact = o.select("o_orderpriority").distinct().count()
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        got = catalog.sql(
+            "SELECT count(DISTINCT o_orderpriority) AS d, count(*) AS n "
+            "FROM db.o").head()
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert got["d"] == exact
+    assert got["n"] == o.count()
+    # pushable WHERE fully decided by metrics: still store-served
+    t2 = catalog.create_table("db.o2", o)
+    t2.append(o.filter(F.col("o_orderkey") < 500).coalesce(1))
+    t2.append(o.filter(F.col("o_orderkey") >= 500).coalesce(1))
+    analyze_dictionary(t2, "o_orderpriority")
+    got2 = catalog.sql(
+        "SELECT count(DISTINCT o_orderpriority) AS d FROM db.o2 "
+        "WHERE o_orderkey < 500").head()["d"]
+    assert got2 == (o.filter(F.col("o_orderkey") < 500)
+                    .select("o_orderpriority").distinct().count())
+    # uncovered tail -> generic route, identical value
+    t2.append(o.limit(20).coalesce(1))
+    got3 = catalog.sql(
+        "SELECT count(DISTINCT o_orderpriority) AS d FROM db.o2"
+    ).head()["d"]
+    assert got3 == exact
+    # overflow store -> generic route, identical value
+    t3 = catalog.create_table("db.o3", o)
+    t3.append(o.coalesce(1))
+    analyze_dictionary(t3, "o_custkey", max_ndv=8)
+    got4 = catalog.sql(
+        "SELECT count(DISTINCT o_custkey) AS d FROM db.o3").head()["d"]
+    assert got4 == o.select("o_custkey").distinct().count()
