@@ -1122,6 +1122,9 @@ class Catalog:
             rf"\s*(min|max|approx_count_distinct)\(\s*({ident})\s*\)"
             rf"(?:\s+as\s+({ident}))?\s*$",
             re.IGNORECASE)
+        cntd_re = re.compile(
+            rf"\s*count\(\s*distinct\s+({ident})\s*\)"
+            rf"(?:\s+as\s+({ident}))?\s*$", re.IGNORECASE)
         col_re = re.compile(rf"\s*({ident})(?:\s+as\s+({ident}))?\s*$",
                             re.IGNORECASE)
         items = []  # (kind, col-or-None, out-name)
@@ -1129,6 +1132,12 @@ class Catalog:
             cm = cnt_re.match(raw)
             if cm:
                 items.append(("count", None, cm.group(1) or "count(1)"))
+                continue
+            dm = cntd_re.match(raw)
+            if dm and dm.group(1) in own:
+                items.append(("count_distinct", dm.group(1),
+                              dm.group(2) or
+                              f"count(DISTINCT {dm.group(1)})"))
                 continue
             mmm = mm_re.match(raw)
             if mmm and mmm.group(2) in own:
@@ -1193,11 +1202,19 @@ class Catalog:
             if "count" in kinds else None
         minmax = {}  # col -> {key: (lo, hi)}, one pass per column
         ndvs = {}    # col -> {key: KMV estimate}, one pass per column
+        exacts = {}  # col -> {key: exact distinct from dictionaries}
         for k, c, _n in items:
             if k in ("min", "max") and c not in minmax:
                 minmax[c] = scan.agg_minmax_grouped(group_cols, c)
             elif k == "approx_count_distinct" and c not in ndvs:
                 ndvs[c] = scan.approx_ndv_grouped(group_cols, c)
+            elif k == "count_distinct" and c not in exacts:
+                # exactness is all-or-nothing: a coverage gap sends the
+                # whole statement to the generic route
+                ex = scan.exact_ndv_from_dict_grouped(group_cols, c)
+                if ex is None:
+                    return None
+                exacts[c] = ex
         keys = set()
         if counts is not None:
             keys |= set(counts)
@@ -1205,10 +1222,12 @@ class Catalog:
             keys |= set(mm)
         for nd in ndvs.values():
             keys |= set(nd)
+        for ex in exacts.values():
+            keys |= set(ex)
         stypes = {f.name: f.dataType for f in t.schema.to_spark().fields}
         fields = []
         for k, c, n in items:
-            if k in ("count", "approx_count_distinct"):
+            if k in ("count", "approx_count_distinct", "count_distinct"):
                 fields.append(T.StructField(n, T.LongType(), False))
             elif k == "col":
                 fields.append(T.StructField(n, stypes[c], True))
@@ -1223,6 +1242,8 @@ class Catalog:
                     row.append(int(counts.get(key, 0)))
                 elif k == "approx_count_distinct":
                     row.append(int(ndvs[c].get(key, 0)))
+                elif k == "count_distinct":
+                    row.append(int(exacts[c].get(key, 0)))
                 elif k == "col":
                     row.append(kv[c])
                 else:

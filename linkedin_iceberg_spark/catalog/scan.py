@@ -472,6 +472,64 @@ class TableScan:
         return (store.select(F.explode("values").alias("v"))
                 .agg(F.count_distinct("v")).head()[0] or 0)
 
+    def exact_ndv_from_dict_grouped(self, group_cols: list, col: str):
+        """GROUP BY <identity-partition columns> count(DISTINCT col)
+        from the dictionary store — {key: exact count} when EVERY task
+        is delete-free, residual-decided, identity-partitioned on the
+        group columns, and covered by a non-overflow entry; None on any
+        gap (exactness is all-or-nothing, unlike the mergeable KMV
+        estimate which degrades per file)."""
+        from pyspark.sql import types as ST
+
+        from linkedin_iceberg_spark.catalog import analyze as AN
+        fid = self.table.schema.id_for_name(col)
+        if fid is None:
+            raise ValueError(f"no such column {col!r}")
+        d = AN._dict_dir(self.table, fid)
+        if not os.path.isdir(d) or not any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            return None
+        types = {f.name: f.type for f in self.table.schema.fields}
+        if not all(isinstance(types.get(c), str)
+                   and types[c] in self._GROUPABLE_TYPES
+                   for c in group_cols):
+            return None
+        tasks = self.plan_files()
+        spec_map: dict = {}
+        keys: dict = {}
+        for t in tasks:
+            decided = self.row_filter is None or \
+                isinstance(t.residual, AlwaysTrue)
+            key = self._group_key_from_metadata(t, group_cols, spec_map)
+            if not decided or t.deletes or key is None:
+                return None
+            keys[t.file.file_path] = key
+        if not keys:
+            return {}
+        spark = self.table.spark
+        sfields = {f.name: f.dataType
+                   for f in self.table.schema.to_spark().fields}
+        key_schema = ST.StructType(
+            [ST.StructField("file_path", ST.StringType(), False)] +
+            [ST.StructField(c, sfields[c], True) for c in group_cols])
+        keys_df = spark.createDataFrame(
+            [(p, *k) for p, k in sorted(keys.items())], key_schema)
+        store = spark.read.parquet(d).join(keys_df, "file_path")
+        cov = store.agg(
+            F.count_distinct("file_path").alias("n"),
+            F.sum(F.when(F.col("values").isNull(), 1).otherwise(0))
+            .alias("overflow")).head()
+        if cov["n"] < len(keys) or (cov["overflow"] or 0) > 0:
+            return None
+        rows = (store.select(*group_cols,
+                             F.explode("values").alias("v"))
+                .groupBy(*group_cols)
+                .agg(F.count_distinct("v").alias("_d")).collect())
+        out = {tuple(r[c] for c in group_cols): r["_d"] for r in rows}
+        for key in keys.values():  # all-NULL groups count 0
+            out.setdefault(key, 0)
+        return out
+
     def approx_ndv_grouped(self, group_cols: list, col: str,
                            k: int = None) -> dict:
         """GROUP BY <identity-partition columns> approx_count_distinct

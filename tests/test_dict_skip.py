@@ -209,3 +209,40 @@ def test_exact_count_distinct_from_dict(spark, catalog):
     got4 = catalog.sql(
         "SELECT count(DISTINCT o_custkey) AS d FROM db.o3").head()["d"]
     assert got4 == o.select("o_custkey").distinct().count()
+
+
+def test_grouped_count_distinct_from_dict(spark, catalog):
+    """GROUP BY identity partition + count(DISTINCT col) from the
+    per-partition dictionary unions (poison: data files moved away)."""
+    from linkedin_iceberg_spark import PartitionSpec, Schema
+    o = _orders(spark)
+    spec = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .identity("o_orderstatus").build()
+    t = catalog.create_table("db.og", o, spec=spec)
+    t.append(o)
+    analyze_dictionary(t, "o_orderpriority")
+    want = {(r["o_orderstatus"], r["d"]) for r in
+            o.groupBy("o_orderstatus")
+            .agg(F.count_distinct("o_orderpriority").alias("d"))
+            .collect()}
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        got = {(r["st"], r["d"]) for r in catalog.sql(
+            "SELECT o_orderstatus AS st, "
+            "count(DISTINCT o_orderpriority) AS d "
+            "FROM db.og GROUP BY o_orderstatus").collect()}
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert got == want
+    # unanalyzed tail -> generic route, identical values
+    t.append(o.limit(30).coalesce(1))
+    got2 = {(r["st"], r["d"]) for r in catalog.sql(
+        "SELECT o_orderstatus AS st, "
+        "count(DISTINCT o_orderpriority) AS d "
+        "FROM db.og GROUP BY o_orderstatus").collect()}
+    assert got2 == want
