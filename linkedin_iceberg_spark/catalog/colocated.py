@@ -247,3 +247,221 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
     rdd = spark.sparkContext.parallelize(descs, len(descs))
     seed = spark.createDataFrame(rdd, "bucket long, desc string")
     return seed.mapInPandas(join_bucket, schema=out_schema)
+
+
+def colocated_feature_assembly(base, key: str, features: list,
+                               base_cols: list = None,
+                               how: str = "left",
+                               key_values: list = None) -> DataFrame:
+    """N-way zero-shuffle feature assembly over a shared entity key —
+    the training-data pattern (user/document features scattered across
+    N tables, all bucketed on the entity id, assembled into one wide
+    frame) that would otherwise cost N-1 full shuffles of the base.
+
+    ``features`` is a list of ``(table, feature_key, cols)`` (cols may
+    be None = all): every table, base included, must bucket its key
+    with ONE modulus.  Each bucket becomes one task that reads the
+    base's and every feature's bucket files and merges them in memory
+    (how='left' keeps every base row, NULL-filling absent features —
+    the assembly default; 'inner' intersects).  The output carries the
+    key once plus each side's non-key columns (disjoint names
+    required).  Any contract violation falls back to chained Spark
+    joins with identical rows.  ``key_values`` prunes to the values'
+    buckets, as in colocated_bucket_join.
+
+    Scale cliff, named: one task holds ONE bucket of every side at
+    once — bucket counts must be sized so the WIDEST assembly fits a
+    task (the same contract as the 2-way join, times N sides)."""
+    import json as _json2
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    bcols = base_cols or base.schema.column_names()
+    if key not in bcols:
+        raise ValueError(f"key {key!r} must be selected on the base")
+    feats = [(t, fk, cols or t.schema.column_names())
+             for t, fk, cols in features]
+    for t, fk, cols in feats:
+        if fk not in cols:
+            raise ValueError(f"feature key {fk!r} must be selected")
+    claimed = set(bcols) - {key}
+    for _t, fk, cols in feats:
+        non_key = set(cols) - {fk}
+        clash = claimed & non_key
+        if fk != key and fk in claimed:
+            clash |= {fk}  # a feature key shadowing another side's col
+        if clash:
+            raise ValueError("colocated_feature_assembly requires "
+                             f"disjoint non-key columns; shared: "
+                             f"{sorted(clash)}")
+        claimed |= non_key
+
+    def _fallback():
+        out = base.to_df().select(*bcols)
+        for t, fk, cols in feats:
+            f_df = t.to_df().select(*cols)
+            if fk == key:
+                out = out.join(f_df, on=key, how=how)
+            else:
+                out = out.join(f_df, on=out[key] == f_df[fk], how=how) \
+                    .drop(fk)
+        return out
+
+    layouts = [_bucket_layout(base, key)] + \
+        [_bucket_layout(t, fk) for t, fk, _ in feats]
+    if any(lo is None for lo in layouts) or \
+            len({lo[0] for lo in layouts}) != 1:
+        return _fallback()
+
+    all_sides = [(base, key, bcols, layouts[0][1])] + \
+        [(t, fk, cols, lo[1]) for (t, fk, cols), lo
+         in zip(feats, layouts[1:])]
+    planned = []
+    for table, skey, cols, pnames in all_sides:
+        if any(not isinstance(f.type, str) for f in table.schema.fields):
+            return _fallback()
+        tasks = table.new_scan().plan_files()
+        if any(t.deletes for t in tasks) or \
+                any(t.file.file_format != "parquet" for t in tasks):
+            return _fallback()
+        by_bucket: dict = {}
+        md = table.metadata
+        rev_by_sid: dict = {}
+        for t in tasks:
+            pn = pnames.get(t.file.spec_id)
+            b = (t.file.partition or {}).get(pn) if pn else None
+            if b is None:
+                return _fallback()
+            sid = t.file.schema_id
+            if sid not in rev_by_sid:
+                written = md.schema_by_id(sid)
+                rev_by_sid[sid] = {
+                    f.name: written.name_for_id(f.field_id)
+                    for f in md.schema.fields if f.name in cols
+                    and written.name_for_id(f.field_id) is not None}
+            by_bucket.setdefault(int(b), []).append(
+                {"path": t.file.file_path, "sid": t.file.schema_id})
+        planned.append((by_bucket, rev_by_sid))
+
+    buckets = set(planned[0][0])
+    if how == "inner":
+        for by, _ in planned[1:]:
+            buckets &= set(by)
+    buckets = sorted(buckets)
+    if key_values is not None:
+        kf = next(f for f in base.schema.fields if f.name == key)
+        from linkedin_iceberg_spark.transforms.transforms import (
+            parse_transform)
+        tf = parse_transform(f"bucket[{layouts[0][0]}]", kf.type)
+        want = {tf.apply(v) for v in key_values if v is not None}
+        buckets = [b for b in buckets if b in want]
+
+    import pyarrow as pa
+
+    from linkedin_iceberg_spark.catalog.local_read import type_to_arrow
+    spark = base.spark
+    from pyspark.sql.types import StructType
+    side_names = []   # per side: [key-or-fk] + non-key cols, in order
+    out_fields = [next(f for f in base.schema.to_spark().fields
+                       if f.name == key)]
+    arrow_types = {}
+    for i, (table, skey, cols, _pn) in enumerate(all_sides):
+        names = [skey] + [c for c in cols if c != skey]
+        side_names.append(names)
+        sf = {f.name: f for f in table.schema.to_spark().fields}
+        for f in table.schema.fields:
+            if f.name in names:
+                arrow_types[(i, f.name)] = type_to_arrow(f.type)
+        out_fields += [sf[c] for c in names[1:]]
+    out_schema = StructType(out_fields)
+    if not buckets:
+        return spark.createDataFrame([], out_schema)
+    ser_types = pa.schema(
+        [pa.field(f"{i}::{n}", t)
+         for (i, n), t in sorted(arrow_types.items())]) \
+        .serialize().to_pybytes()
+
+    descs = []
+    for b in buckets:
+        descs.append((b, _json2.dumps([
+            {"splits": by.get(b, []),
+             "rev": {str(s): mm for s, mm in rev.items()}}
+            for by, rev in planned])))
+    keys_per_side = [names[0] for names in side_names]
+    nonkey_per_side = [names[1:] for names in side_names]
+    out_names = [key] + [c for names in nonkey_per_side for c in names]
+    how_ = how
+
+    def assemble(batches):
+        import json as _j
+
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        tgt = {}
+        for f in _pa.ipc.read_schema(_pa.py_buffer(ser_types)):
+            i, n = f.name.split("::", 1)
+            tgt[(int(i), n)] = f.type
+
+        def read_side(i, splits, rev, want):
+            tbls = []
+            for sp in splits:
+                m = rev.get(str(sp["sid"]), {})
+                pf = _pq.ParquetFile(sp["path"])
+                have = set(pf.schema_arrow.names)
+                cols = [m[c] for c in want if m.get(c) in have]
+                t = pf.read(columns=cols or None)
+                t = t.rename_columns(
+                    [next((c for c, s in m.items() if s == n), n)
+                     for n in t.column_names])
+                data = {}
+                for c in want:
+                    ty = tgt[(i, c)]
+                    if c in t.column_names:
+                        arr = t[c].combine_chunks()
+                        data[c] = arr if arr.type == ty \
+                            else arr.cast(ty)
+                    else:
+                        data[c] = _pa.nulls(len(t), ty)
+                tbls.append(_pa.table(data))
+            if not tbls:
+                return None
+            return _pa.concat_tables(tbls) \
+                .to_pandas(types_mapper=_pd.ArrowDtype)
+
+        for pdf in batches:
+            for desc_s in pdf["desc"]:
+                sides_d = _j.loads(desc_s)
+                out = read_side(0, sides_d[0]["splits"],
+                                sides_d[0]["rev"],
+                                [keys_per_side[0]] + nonkey_per_side[0])
+                if out is None or not len(out):
+                    continue
+                alive = True
+                for i in range(1, len(sides_d)):
+                    fk = keys_per_side[i]
+                    want = [fk] + nonkey_per_side[i]
+                    fp = read_side(i, sides_d[i]["splits"],
+                                   sides_d[i]["rev"], want)
+                    if fp is None or not len(fp):
+                        if how_ == "inner":
+                            alive = False
+                            break
+                        for c in nonkey_per_side[i]:
+                            out[c] = None
+                        continue
+                    if fk == key:
+                        out = out.merge(fp, on=key, how=how_)
+                    else:
+                        out = out.merge(fp, left_on=key, right_on=fk,
+                                        how=how_).drop(columns=[fk])
+                    if not len(out):
+                        alive = False
+                        break
+                if alive and len(out):
+                    yield out[out_names]
+
+    rdd = spark.sparkContext.parallelize(descs, len(descs))
+    seed = spark.createDataFrame(rdd, "bucket long, desc string")
+    return seed.mapInPandas(assemble, schema=out_schema)

@@ -5976,6 +5976,61 @@ def multimodal_decode_features(spark, sf_dir):
 # =========================================================================
 # Registry ordering
 # =========================================================================
+@q("join_feature_assembly", """
+SELECT o.o_orderkey, o.o_custkey, c1.c_acctbal AS bal,
+       c2.c_mktsegment AS seg
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_custkey % 2 = 0) c1 ON o.o_custkey = c1.c_custkey
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer) c2
+       ON o.o_custkey = c2.c_custkey
+ORDER BY o.o_orderkey""")
+def join_feature_assembly(spark, sf_dir):
+    """N-way zero-shuffle feature assembly (catalog/colocated.py
+    colocated_feature_assembly): the training-data join — entity
+    features scattered across N tables, all bucketed on the entity
+    key — assembled per bucket inside scan tasks.  A chained Spark
+    join would shuffle the base N-1 times; the plan here carries NO
+    exchange and NO join operator (asserted in-query).  One feature
+    table is deliberately sparse so the left-join NULL-fill path is
+    value-checked too."""
+    def build(cat):
+        from linkedin_iceberg_spark import PartitionSpec, Schema
+        o = ld(spark, sf_dir, "orders")
+        c = ld(spark, sf_dir, "customer")
+        f1 = (c.filter(F.col("c_custkey") % 2 == 0)
+              .select(F.col("c_custkey").alias("k1"),
+                      F.col("c_acctbal").alias("bal")))
+        f2 = c.select(F.col("c_custkey").alias("k2"),
+                      F.col("c_mktsegment").alias("seg"))
+        so = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .bucket("o_custkey", 8).build()
+        s1 = PartitionSpec.builder_for(Schema.from_spark(f1.schema)) \
+            .bucket("k1", 8).build()
+        s2 = PartitionSpec.builder_for(Schema.from_spark(f2.schema)) \
+            .bucket("k2", 8).build()
+        cat.create_table("q.fa_base", o, spec=so).append(o)
+        cat.create_table("q.fa_f1", f1, spec=s1).append(f1)
+        cat.create_table("q.fa_f2", f2, spec=s2).append(f2)
+
+    from linkedin_iceberg_spark.catalog.colocated import (
+        colocated_feature_assembly)
+    cat = _cached_table(spark, sf_dir, "feature_assembly", build)
+    out = colocated_feature_assembly(
+        cat.load_table("q.fa_base"), "o_custkey",
+        [(cat.load_table("q.fa_f1"), "k1", None),
+         (cat.load_table("q.fa_f2"), "k2", None)],
+        base_cols=["o_custkey", "o_orderkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "feature assembly shuffled"
+    assert not any(op in plan for op in
+                   ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "CartesianProduct")), \
+        "feature assembly fell back to a Spark join"
+    return (out.select("o_orderkey", "o_custkey", "bal", "seg")
+            .orderBy("o_orderkey"))
+
+
 @q("meta_kmv_overlap_tables", """
 WITH a AS (SELECT DISTINCT
         ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
@@ -6510,7 +6565,12 @@ _PRIORITY = [
     # keeps temperature_mix/shuffle_shards/cap_per_source/token_budget/
     # split_assign in-window) rotates out for events_retention (new:
     # cohort retention triangle)
-    "sample_shuffle_shards", "table_branch_workflow", "events_retention",
+    # r8 session 3: sample_shuffle_shards (green r4-r7, unchanged; the
+    # sampling family keeps weighted_pps in-window plus lifetime rows
+    # across stratified/caps/token-budget) rotates out for
+    # join_feature_assembly (new r8: N-way zero-shuffle feature
+    # assembly over one bucketed entity key, plan-asserted)
+    "join_feature_assembly", "table_branch_workflow", "events_retention",
     # r4 late: similarity_knn_join (green r3, unchanged; similarity
     # family keeps quantize/ivf_train/ivf_pruned/ann_lsh/matryoshka/
     # refresh) rotates out for join_asof_forward (new: forward direction

@@ -278,3 +278,60 @@ def test_api_key_values_pruning(spark, catalog):
             .join(c.select("o_custkey", "c_name"), "o_custkey")
             .orderBy("o_orderkey").collect())
     assert got == want
+
+
+def test_feature_assembly_three_way(spark, catalog):
+    """N-way shuffle-free feature assembly over one entity key: base
+    orders + two feature tables, all bucketed on the key; no exchange,
+    no join operator, rows identical to chained Spark joins."""
+    from linkedin_iceberg_spark.catalog.colocated import (
+        colocated_feature_assembly)
+    o = _orders(spark)
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    f1 = c.select(F.col("c_custkey").alias("k"),
+                  F.col("c_acctbal").alias("bal"))
+    f2 = c.select(F.col("c_custkey").alias("ck2"),
+                  F.col("c_mktsegment").alias("seg"))
+    so = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .bucket("o_custkey", 8).build()
+    s1 = PartitionSpec.builder_for(Schema.from_spark(f1.schema)) \
+        .bucket("k", 8).build()
+    s2 = PartitionSpec.builder_for(Schema.from_spark(f2.schema)) \
+        .bucket("ck2", 8).build()
+    tb = catalog.create_table("db.base", o, spec=so)
+    tb.append(o)
+    t1 = catalog.create_table("db.f1", f1, spec=s1)
+    t1.append(f1.filter(F.col("k") % 2 == 0))  # sparse feature
+    t2 = catalog.create_table("db.f2", f2, spec=s2)
+    t2.append(f2)
+    out = colocated_feature_assembly(
+        tb, "o_custkey", [(t1, "k", None), (t2, "ck2", None)],
+        base_cols=["o_custkey", "o_orderkey"])
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan
+    got = out.orderBy("o_orderkey").collect()
+    want = (o.select("o_custkey", "o_orderkey")
+            .join(f1.filter(F.col("k") % 2 == 0),
+                  F.col("o_custkey") == F.col("k"), "left").drop("k")
+            .join(f2, F.col("o_custkey") == F.col("ck2"), "left")
+            .drop("ck2")
+            .orderBy("o_orderkey").collect())
+    assert got == want
+    # inner intersects; fallback on an unbucketed feature
+    inner = colocated_feature_assembly(
+        tb, "o_custkey", [(t1, "k", None)],
+        base_cols=["o_custkey", "o_orderkey"], how="inner")
+    assert inner.count() == o.join(
+        f1.filter(F.col("k") % 2 == 0),
+        F.col("o_custkey") == F.col("k")).count()
+    flat = catalog.create_table("db.fflat", f1)
+    flat.append(f1)
+    fb = colocated_feature_assembly(
+        tb, "o_custkey", [(flat, "k", None)],
+        base_cols=["o_custkey", "o_orderkey"])
+    assert fb.count() == o.count()
+    with pytest.raises(ValueError, match="disjoint"):
+        colocated_feature_assembly(
+            tb, "o_custkey", [(t1, "k", None), (t1, "k", None)])
