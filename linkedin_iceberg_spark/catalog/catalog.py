@@ -456,6 +456,33 @@ _SQL_TYPE_MAP = {
 }
 
 
+def _tasks_fit_broadcast(spark, tasks: list,
+                         decompression_factor: float = 3.0) -> bool:
+    """True when the planned tasks' summed file bytes, scaled by the
+    parquet->unsafe-row decompression factor, fit the session's
+    broadcast threshold (suggest_broadcast's sizing rule applied to a
+    PRUNED task list instead of the whole table).  Conservative on
+    unknowns: a non-empty file without a recorded size disables the
+    advice; pending deletes don't (they only shrink the side)."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                         "10485760")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    low = raw.strip().lower().rstrip("b")
+    if low and low[-1] in mult:
+        threshold = int(low[:-1]) * mult[low[-1]]
+    else:
+        threshold = int(low)
+    if threshold < 0:
+        return False
+    total = 0
+    for t in tasks:
+        size = t.file.file_size_in_bytes
+        if not size and t.file.record_count:
+            return False
+        total += size or 0
+    return total * decompression_factor <= threshold
+
+
 def _apply_sql_transform(builder, text: str) -> None:
     """Apply one SQL partition-transform spelling to a SpecBuilder:
     bare column (identity), year/month/day/hour(col),
@@ -1058,14 +1085,30 @@ class Catalog:
         # on anything unprovable)
         rt = _runtime_join_filters(self, query, lits, plain, counts,
                                    filters)
+        multi_table = len(plain) + len(metadf) > 1
         for dotted, (t, alias) in plain.items():
             from linkedin_iceberg_spark.expressions import and_ as _and
             flt = filters[dotted]
             if dotted in rt:
                 flt = _and(flt, rt[dotted]) if flt is not None \
                     else rt[dotted]
-            df = t.new_scan().filter(flt).to_df() if flt is not None \
-                else t.to_df()
+            scan = t.new_scan().filter(flt) if flt is not None \
+                else t.new_scan()
+            tasks = scan.plan_files()
+            df = scan._to_df_default(tasks=tasks)
+            # metadata-informed broadcast hint (the estimateStatistics
+            # analog a pure-Python source can't report to Catalyst):
+            # the PRUNED scan's summed file bytes x decompression
+            # factor under the session broadcast threshold marks the
+            # side broadcastable, so multi-table SQL plans BHJ without
+            # waiting for an AQE shuffle to observe the size.  Spark
+            # ignores hints where a broadcast is invalid (e.g. the
+            # preserved side of an outer join), so this is advice, not
+            # a plan override.  Planned ONCE: the same task list feeds
+            # the size estimate and the read.
+            if multi_table and _tasks_fit_broadcast(self.spark, tasks):
+                from pyspark.sql import functions as _F
+                df = _F.broadcast(df)
             view = _view_name(dotted)
             df.createOrReplaceTempView(view)
             resolved[dotted] = view

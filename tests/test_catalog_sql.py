@@ -968,3 +968,29 @@ def test_sql_explain(cat):
     # non-SELECT statements are untouched by the EXPLAIN route
     st = cat.sql("SHOW TABLES").collect()
     assert st  # still works
+
+
+def test_sql_metadata_broadcast_hint(catalog, spark, sf_dir):
+    """Multi-table SQL marks sides whose PRUNED scan bytes fit the
+    session broadcast threshold - the estimateStatistics analog - so
+    the first plan is a BroadcastHashJoin, not an AQE afterthought.
+    Oversized sides (threshold shrunk to 1 byte) get no hint."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    catalog.create_table("db.big", o).append(o)
+    catalog.create_table("db.tiny", n).append(n)
+    q = ("SELECT o.o_orderkey, t.n_name FROM db.big o "
+         "JOIN db.tiny t ON o.o_custkey % 25 = t.n_nationkey")
+    df = catalog.sql(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert df.count() == o.join(
+        n, o.o_custkey % 25 == n.n_nationkey).count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try:
+        plan2 = catalog.sql(q)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
