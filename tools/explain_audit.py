@@ -389,6 +389,12 @@ CONTRACTS = {
         # same evidence split as table_sql_pruned
         ["TakeOrderedAndProject", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "join_feature_assembly": (
+        # N-way assembly inside per-bucket tasks: no exchange-bearing
+        # join stage, no Spark join operator anywhere
+        ["MapInPandas"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct"]),
     "join_colocated_buckets": (
         # the join happens INSIDE the per-bucket MapInPandas task: the
         # final sort is the only exchange-bearing stage; no Spark join

@@ -146,6 +146,7 @@ PROBE_QUERIES = [
     "meta_kmv_ndv",
     "table_scan_dict_pruned",
     "join_colocated_buckets",
+    "join_feature_assembly",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
