@@ -2576,11 +2576,24 @@ class Catalog:
         read.  None (generic route) on anything outside the shape:
         a second join, subqueries, non-equi ON, shared non-key column
         names, or either side un-bucketed — conservatism is free
-        because the generic route answers everything identically."""
+        because the generic route answers everything identically.
+
+        Trade-off, named: this route reads every bucket pair (minus
+        point-lookup pruning below) and never shuffles; the generic
+        route shuffles but can runtime-filter the fact scan by a
+        SELECTIVE dim WHERE.  For full joins and point lookups the
+        co-located plan strictly wins; for a needle-selective dim
+        filter over a huge fact, set
+        ``spark.liceberg.sql.colocatedJoin=false`` for the session to
+        prefer the runtime-filtered shuffle plan."""
         import re
 
         from linkedin_iceberg_spark.catalog.colocated import (
             _bucket_layout, colocated_bucket_join)
+
+        if self.spark.conf.get("spark.liceberg.sql.colocatedJoin",
+                               "true").lower() == "false":
+            return None
 
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
         dotted = rf"{ident}(?:\.{ident})+"

@@ -335,3 +335,19 @@ def test_feature_assembly_three_way(spark, catalog):
     with pytest.raises(ValueError, match="disjoint"):
         colocated_feature_assembly(
             tb, "o_custkey", [(t1, "k", None), (t1, "k", None)])
+
+
+def test_sql_route_conf_gate(spark, catalog):
+    """spark.liceberg.sql.colocatedJoin=false prefers the generic
+    (runtime-filterable) plan; values identical either way."""
+    o, c = _bucketed_pair(catalog, spark)
+    q = ("SELECT o.o_orderkey, c.c_name FROM db.fact o JOIN db.dim c "
+         "ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey LIMIT 15")
+    on = catalog.sql(q).collect()
+    spark.conf.set("spark.liceberg.sql.colocatedJoin", "false")
+    try:
+        off_df = catalog.sql(q)
+        assert "MapInPandas" not in _plan(off_df)
+        assert off_df.collect() == on
+    finally:
+        spark.conf.unset("spark.liceberg.sql.colocatedJoin")
