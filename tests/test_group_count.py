@@ -79,10 +79,16 @@ def test_sql_group_count_route_and_bails(catalog, spark, sf_dir, gt):
 
 
 def test_show_partitions(catalog, spark, gt):
-    rows = [r["partition"] for r in
-            catalog.sql("SHOW PARTITIONS db.gc").collect()]
-    assert rows == ["o_orderstatus=F", "o_orderstatus=O",
-                    "o_orderstatus=P"]
+    # served as the partitions metadata relation (r8): one row per live
+    # partition with record/file counts, strictly more than the bare
+    # Hive string list
+    rows = catalog.sql("SHOW PARTITIONS db.gc").collect()
+    parts = sorted(r["partition"] for r in rows)
+    assert len(parts) == 3
+    for st, p in zip(("F", "O", "P"), parts):
+        assert st in p
+    t, o = gt
+    assert sum(r["record_count"] for r in rows) == o.count()
     df = spark.createDataFrame([(1,)], "a long")
     catalog.create_table("db.unpart", df)
     with pytest.raises(ValueError, match="not partitioned"):
