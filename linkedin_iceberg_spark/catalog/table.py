@@ -493,8 +493,38 @@ class Table:
                                 .alias(f.name))
             df = df.select(*cols)
         files = self._write_data_files(df)
-        return self._commit_append_files(files, wap_id=wap_id,
-                                         extra_summary=extra_summary)
+        out = self._commit_append_files(files, wap_id=wap_id,
+                                        extra_summary=extra_summary)
+        self._auto_analyze()
+        return out
+
+    def _auto_analyze(self) -> None:
+        """Write-time stats maintenance, property-driven: with
+        ``stats.auto`` set (e.g. ``kmv:user_id,doc_id;dict:lang``), an
+        append incrementally extends the named per-file stores — only
+        the files this commit added get sketched, so the cost rides on
+        the write, and approx_count_distinct / dictionary skipping stay
+        metadata-only without a separate ANALYZE cadence.  Best-effort
+        by design: a stats failure must never fail the data commit
+        (every consumer falls back to live computation for uncovered
+        files with identical values), so errors are swallowed."""
+        spec = (self.properties or {}).get("stats.auto")
+        if not spec:
+            return
+        from linkedin_iceberg_spark.catalog import analyze as AN
+        try:
+            for part in spec.split(";"):
+                if ":" not in part:
+                    continue
+                kind, cols = part.split(":", 1)
+                names = [c.strip() for c in cols.split(",") if c.strip()]
+                if kind.strip().lower() == "kmv" and names:
+                    AN.analyze_table_kmv(self, names)
+                elif kind.strip().lower() == "dict":
+                    for c in names:
+                        AN.analyze_dictionary(self, c)
+        except Exception:
+            pass  # stats are advisory; the write already committed
 
     @staticmethod
     def _rolling_totals(base: TableMetadata, d_files: int = 0,

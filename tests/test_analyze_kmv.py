@@ -292,3 +292,29 @@ SELECT (SELECT count(*) FROM u) AS m,
     assert abs(got["ndv_union"] - 150) <= 150 * 0.2
     assert got["overlap_k"] * got["ndv_union"] // got["m"] == \
         got["intersection_est"]
+
+
+def test_auto_analyze_property(spark, catalog):
+    """stats.auto=kmv:...;dict:... extends the stores at append time —
+    after two appends both planes answer with zero data I/O (poison),
+    with no explicit ANALYZE ever run."""
+    o = _orders(spark)
+    t = catalog.create_table("db.auto", o)
+    t.update_properties(set_props={
+        "stats.auto": "kmv:o_custkey;dict:o_orderpriority"})
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0).repartition(2))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        ndv = t.new_scan().approx_ndv("o_custkey")
+        d = catalog.sql("SELECT count(DISTINCT o_orderpriority) AS d "
+                        "FROM db.auto").head()["d"]
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert ndv == _duck_ndv("o_custkey", "orders", KMV_DEFAULT_K)
+    assert d == o.select("o_orderpriority").distinct().count()
