@@ -2161,6 +2161,22 @@ class Catalog:
                 if t.identifier_fields:
                     rows.append(("Identifier Fields",
                                  ",".join(t.identifier_fields), ""))
+                # statistics-plane coverage: which columns carry
+                # persisted HLL/KMV/dictionary stores (directory names
+                # only — zero store I/O)
+                stats = []
+                for sub, label in (("stats", "hll"),
+                                   ("stats_kmv", "kmv"),
+                                   ("stats_dict", "dict")):
+                    base = os.path.join(t.location, sub)
+                    if os.path.isdir(base):
+                        names = sorted(os.listdir(base))
+                        if sub == "stats_dict":
+                            names = [t.schema.name_for_id(int(fid))
+                                     or fid for fid in names]
+                        stats.append(f"{label}:{','.join(names)}")
+                if stats:
+                    rows.append(("Statistics", "; ".join(stats), ""))
                 for k in sorted(t.properties):
                     rows.append((f"prop:{k}", t.properties[k], ""))
             return self.spark.createDataFrame(
@@ -2558,6 +2574,8 @@ class Catalog:
         "analyze_table": ("table", "columns"),
         "analyze_kmv": ("table", "columns", "k"),
         "analyze_dictionary": ("table", "column", "max_ndv"),
+        "kmv_overlap": ("table", "column", "other_table",
+                        "other_column", "k"),
         "optimize": ("table",),
         "ancestors_of": ("table", "snapshot_id"),
         "add_files": ("table", "source_table", "format"),
@@ -2774,6 +2792,7 @@ class Catalog:
             CALL analyze_table('db.t', '<col>[,<col>...]')
             CALL analyze_kmv('db.t', '<col>[,<col>...]' [, <k>])
             CALL analyze_dictionary('db.t', '<col>' [, <max_ndv>])
+            CALL kmv_overlap('db.a', '<col>', 'db.b', '<col>' [, <k>])
             CALL optimize('db.t')   (compaction + pos-delete rewrite +
                                      dangling-delete drop + manifests)
             CALL ancestors_of('db.t' [, <snapshot_id>])  (returns rows)
@@ -2950,6 +2969,14 @@ class Catalog:
             cap = int(rest[1]) if rest[1:] else DICT_DEFAULT_MAX_NDV
             out = {"files_analyzed":
                    analyze_dictionary(t, rest[0], max_ndv=cap)}
+        elif proc == "kmv_overlap":
+            # table-vs-table corpus overlap from the KMV stores (the
+            # decontamination audit as one CALL)
+            from linkedin_iceberg_spark.catalog.analyze import (
+                KMV_DEFAULT_K, kmv_table_overlap)
+            other = self.load_table(rest[1])
+            k = int(rest[3]) if rest[3:] else KMV_DEFAULT_K
+            out = kmv_table_overlap(t, rest[0], other, rest[2], k=k)
         elif proc == "optimize":
             # the OPTIMIZE composite users expect from lakehouse SQL:
             # compact small data files, fold the position-delete

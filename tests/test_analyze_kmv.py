@@ -318,3 +318,24 @@ def test_auto_analyze_property(spark, catalog):
             shutil.move(p + ".poison", p)
     assert ndv == _duck_ndv("o_custkey", "orders", KMV_DEFAULT_K)
     assert d == o.select("o_orderpriority").distinct().count()
+
+
+def test_call_kmv_overlap_and_describe_stats(spark, catalog):
+    import json as _json
+    o = _orders(spark)
+    ta = catalog.create_table("db.ka", o)
+    ta.append(o.filter(F.col("o_custkey") < 100))
+    tb = catalog.create_table("db.kb", o)
+    tb.append(o.filter(F.col("o_custkey") >= 50))
+    analyze_table_kmv(ta, ["o_custkey"], k=64)
+    analyze_table_kmv(tb, ["o_custkey"], k=64)
+    st = catalog.sql("CALL kmv_overlap('db.ka', 'o_custkey', "
+                     "'db.kb', 'o_custkey', 64)").head()
+    out = _json.loads(st["detail"])
+    from linkedin_iceberg_spark.catalog.analyze import kmv_table_overlap
+    ta.refresh(); tb.refresh()
+    assert out == kmv_table_overlap(ta, "o_custkey", tb, "o_custkey",
+                                    k=64)
+    rows = {r["col_name"]: r["data_type"] for r in
+            catalog.sql("DESCRIBE EXTENDED db.ka").collect()}
+    assert "kmv:o_custkey" in rows["Statistics"]
