@@ -2576,6 +2576,8 @@ class Catalog:
         "analyze_dictionary": ("table", "column", "max_ndv"),
         "kmv_overlap": ("table", "column", "other_table",
                         "other_column", "k"),
+        "build_key_index": ("table", "column"),
+        "refresh_key_index": ("table", "column"),
         "optimize": ("table",),
         "ancestors_of": ("table", "snapshot_id"),
         "add_files": ("table", "source_table", "format"),
@@ -2793,6 +2795,8 @@ class Catalog:
             CALL analyze_kmv('db.t', '<col>[,<col>...]' [, <k>])
             CALL analyze_dictionary('db.t', '<col>' [, <max_ndv>])
             CALL kmv_overlap('db.a', '<col>', 'db.b', '<col>' [, <k>])
+            CALL build_key_index('db.t', '<col>')
+            CALL refresh_key_index('db.t', '<col>')
             CALL optimize('db.t')   (compaction + pos-delete rewrite +
                                      dangling-delete drop + manifests)
             CALL ancestors_of('db.t' [, <snapshot_id>])  (returns rows)
@@ -2977,6 +2981,14 @@ class Catalog:
             other = self.load_table(rest[1])
             k = int(rest[3]) if rest[3:] else KMV_DEFAULT_K
             out = kmv_table_overlap(t, rest[0], other, rest[2], k=k)
+        elif proc == "build_key_index":
+            from linkedin_iceberg_spark.catalog.key_index import (
+                build_key_index)
+            out = build_key_index(t, rest[0])
+        elif proc == "refresh_key_index":
+            from linkedin_iceberg_spark.catalog.key_index import (
+                refresh_key_index)
+            out = refresh_key_index(t, rest[0])
         elif proc == "optimize":
             # the OPTIMIZE composite users expect from lakehouse SQL:
             # compact small data files, fold the position-delete

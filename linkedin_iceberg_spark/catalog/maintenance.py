@@ -125,6 +125,9 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
             # just raised the inputs' sequence numbers, so deletes that
             # only guarded them are dead metadata now
             out.update(remove_dangling_deletes(table))
+        # stats.auto tables keep their KMV/dictionary stores covered
+        # across compaction too (only the rewrite's OUTPUT files sketch)
+        table._auto_analyze()
         return out
 
     rewritten = added = commits = 0
@@ -157,6 +160,7 @@ def rewrite_data_files(table, target_size_bytes: int = TARGET_FILE_SIZE,
            "commits": commits}
     if remove_dangling:
         out.update(remove_dangling_deletes(table))
+    table._auto_analyze()
     return out
 
 

@@ -339,3 +339,37 @@ def test_call_kmv_overlap_and_describe_stats(spark, catalog):
     rows = {r["col_name"]: r["data_type"] for r in
             catalog.sql("DESCRIBE EXTENDED db.ka").collect()}
     assert "kmv:o_custkey" in rows["Statistics"]
+
+
+def test_call_key_index_and_auto_stats_after_compaction(spark, catalog):
+    import json as _json
+    from linkedin_iceberg_spark.catalog.key_index import lookup_files
+    o = _orders(spark)
+    t = catalog.create_table("db.ki", o)
+    t.update_properties(set_props={"stats.auto": "kmv:o_custkey"})
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0).repartition(2))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
+    st = catalog.sql(
+        "CALL build_key_index('db.ki', 'o_orderkey')").head()
+    assert _json.loads(st["detail"])["indexed_files"] >= 4
+    t.refresh()
+    hits = lookup_files(t, "o_orderkey", [1, 2])
+    assert 0 < len(hits) <= 4
+    # compaction keeps the stats.auto KMV store covered: the answer
+    # still comes from the store alone afterwards (poison)
+    catalog.sql("CALL rewrite_data_files('db.ki')")
+    t.refresh()
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        ndv = t.new_scan().approx_ndv("o_custkey")
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert ndv == _duck_ndv("o_custkey", "orders", KMV_DEFAULT_K)
+    st = catalog.sql(
+        "CALL refresh_key_index('db.ki', 'o_orderkey')").head()
+    assert st["operation"] == "refresh_key_index"
