@@ -955,6 +955,9 @@ class Catalog:
         an = self._sql_analyze(query)
         if an is not None:
             return an
+        mv = self._sql_optimize_vacuum(query)
+        if mv is not None:
+            return mv
         dml = self._sql_dml(query)
         if dml is not None:
             return dml
@@ -2717,6 +2720,68 @@ class Catalog:
             text = re.sub(rf"(?<![A-Za-z0-9_.]){re.escape(q)}\.",
                           "", text, flags=re.IGNORECASE)
         return self.spark.sql(_unmask_sql_literals(text, lits))
+
+    def _sql_optimize_vacuum(self, query: str):
+        """The lakehouse-SQL maintenance spellings users type first.
+        None when `query` is neither statement.
+
+            OPTIMIZE db.t [WHERE <predicate>] [ZORDER BY (c1, c2)]
+                -> rewrite_data_files (predicate-scoped candidates,
+                   optional z-order clustering of the rewrite)
+            VACUUM db.t [RETAIN <n> HOURS]
+                -> expire_snapshots(older_than=now - n hours) +
+                   remove_orphan_files (default retention: the
+                   engine's snapshot-expiry defaults)
+        """
+        import json as _json
+        import re
+        import time as _time
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        dotted = rf"{ident}(?:\.{ident})+"
+        m = re.match(
+            rf"\s*optimize\s+({dotted})(?:\s+where\s+(.+?))?"
+            rf"(?:\s+zorder\s+by\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$",
+            query, re.IGNORECASE | re.DOTALL)
+        if m:
+            from linkedin_iceberg_spark.catalog import maintenance as MA
+            t = self.load_table(m.group(1))
+            kw = {}
+            if m.group(2):
+                from linkedin_iceberg_spark.expressions.parser import (
+                    parse_expr)
+                kw["where"] = parse_expr(m.group(2))
+            if m.group(3):
+                kw["zorder_by"] = [c.strip()
+                                   for c in m.group(3).split(",")]
+                kw["min_input_files"] = 1  # a re-cluster is the point
+            out = MA.rewrite_data_files(t, **kw)
+            return self.spark.createDataFrame(
+                [("optimize", _json.dumps(out, sort_keys=True))],
+                "operation string, detail string")
+        m = re.match(
+            rf"\s*vacuum\s+({dotted})"
+            rf"(?:\s+retain\s+(\d+)\s+hours?)?\s*;?\s*$",
+            query, re.IGNORECASE)
+        if m:
+            from linkedin_iceberg_spark.catalog import maintenance as MA
+            t = self.load_table(m.group(1))
+            out = {}
+            if m.group(2):
+                cutoff = int(_time.time() * 1000) - \
+                    int(m.group(2)) * 3600 * 1000
+                out["expire_snapshots"] = MA.expire_snapshots(t, cutoff)
+                out["remove_orphan_files"] = \
+                    MA.remove_orphan_files(t.refresh(), cutoff)
+            else:
+                out["expire_snapshots"] = MA.expire_snapshots(t)
+                out["remove_orphan_files"] = \
+                    MA.remove_orphan_files(t.refresh())
+            return self.spark.createDataFrame(
+                [("vacuum", _json.dumps(out, default=str,
+                                        sort_keys=True))],
+                "operation string, detail string")
+        return None
 
     def _sql_analyze(self, query: str):
         """Spark's ANALYZE TABLE grammar over the engine's stats planes.

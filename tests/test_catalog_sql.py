@@ -994,3 +994,30 @@ def test_sql_metadata_broadcast_hint(catalog, spark, sf_dir):
         assert "BroadcastHashJoin" not in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sql_optimize_and_vacuum(catalog, spark, sf_dir):
+    import json as _json
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.opt", o)
+    t.append(o.filter(F.col("o_orderkey") < 500).repartition(3))
+    t.append(o.filter(F.col("o_orderkey") >= 500).repartition(3))
+    before = t.to_df().count()
+    st = catalog.sql("OPTIMIZE db.opt").head()
+    out = _json.loads(st["detail"])
+    assert out["rewritten_files"] >= 2 and out["commits"] == 1
+    t.refresh()
+    assert t.to_df().count() == before
+    # ZORDER BY re-clusters even right-sized files
+    st = catalog.sql(
+        "OPTIMIZE db.opt ZORDER BY (o_custkey, o_orderkey)").head()
+    assert _json.loads(st["detail"])["rewritten_files"] >= 1
+    t.refresh()
+    assert t.to_df().count() == before
+    # VACUUM expires the rewrite history and removes orphans
+    st = catalog.sql("VACUUM db.opt RETAIN 0 HOURS").head()
+    out = _json.loads(st["detail"])
+    assert "expire_snapshots" in out and "remove_orphan_files" in out
+    t.refresh()
+    assert t.to_df().count() == before
+    assert len(t.metadata.snapshots) == 1  # only the current survives
