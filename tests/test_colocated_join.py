@@ -351,3 +351,33 @@ def test_sql_route_conf_gate(spark, catalog):
         assert off_df.collect() == on
     finally:
         spark.conf.unset("spark.liceberg.sql.colocatedJoin")
+
+
+def test_sql_string_key_point_lookup(spark, catalog):
+    """String join keys: bucket layout, the SQL route, and quoted-
+    literal point-lookup pruning all work on murmur3 string buckets."""
+    o = _orders(spark)
+    left = o.select(F.col("o_orderpriority").alias("prio"),
+                    "o_orderkey")
+    right = (o.groupBy(F.col("o_orderpriority").alias("rprio"))
+             .agg(F.count("*").alias("prio_rows")))
+    sl = PartitionSpec.builder_for(Schema.from_spark(left.schema)) \
+        .bucket("prio", 4).build()
+    sr = PartitionSpec.builder_for(Schema.from_spark(right.schema)) \
+        .bucket("rprio", 4).build()
+    catalog.create_table("db.sl", left, spec=sl).append(left)
+    catalog.create_table("db.sr", right, spec=sr).append(right)
+    full = catalog.sql(
+        "SELECT l.o_orderkey, r.prio_rows FROM db.sl l "
+        "JOIN db.sr r ON l.prio = r.rprio")
+    pruned = catalog.sql(
+        "SELECT l.o_orderkey, r.prio_rows FROM db.sl l "
+        "JOIN db.sr r ON l.prio = r.rprio "
+        "WHERE l.prio = '1-URGENT'")
+    assert 0 < pruned.rdd.getNumPartitions() <= \
+        full.rdd.getNumPartitions()
+    want = (left.filter(F.col("prio") == "1-URGENT")
+            .join(right, F.col("prio") == F.col("rprio"))
+            .select("o_orderkey", "prio_rows").collect())
+    assert sorted(pruned.collect()) == sorted(want)
+    assert "MapInPandas" in _plan(pruned)
