@@ -2581,6 +2581,7 @@ class Catalog:
                         "other_column", "k"),
         "build_key_index": ("table", "column"),
         "refresh_key_index": ("table", "column"),
+        "rebucket": ("table", "column", "buckets"),
         "optimize": ("table",),
         "ancestors_of": ("table", "snapshot_id"),
         "add_files": ("table", "source_table", "format"),
@@ -2862,6 +2863,8 @@ class Catalog:
             CALL kmv_overlap('db.a', '<col>', 'db.b', '<col>' [, <k>])
             CALL build_key_index('db.t', '<col>')
             CALL refresh_key_index('db.t', '<col>')
+            CALL rebucket('db.t', '<col>', <n>)  (spec evolution +
+                full rewrite -> co-locatable on the column)
             CALL optimize('db.t')   (compaction + pos-delete rewrite +
                                      dangling-delete drop + manifests)
             CALL ancestors_of('db.t' [, <snapshot_id>])  (returns rows)
@@ -3046,6 +3049,29 @@ class Catalog:
             other = self.load_table(rest[1])
             k = int(rest[3]) if rest[3:] else KMV_DEFAULT_K
             out = kmv_table_overlap(t, rest[0], other, rest[2], k=k)
+        elif proc == "rebucket":
+            # make a table co-locatable: evolve the spec to bucket the
+            # column (replacing any prior bucket on it, keeping other
+            # partition fields) and rewrite EVERY live file under the
+            # new spec, so colocated joins never hit the mixed-spec
+            # fallback.  One spec commit + one rewrite commit; readers
+            # of old snapshots keep their old specs.
+            from linkedin_iceberg_spark.catalog import maintenance as MA
+            col, n = rest[0], int(rest[1])
+            if col not in t.schema.column_names():
+                raise ValueError(f"no such column {col!r}")
+
+            def build(b):
+                import re as _re2
+                for f in t.spec.fields:
+                    if f.source_name == col and _re2.match(
+                            r"bucket\[\d+\]$", f.transform_str):
+                        continue  # replaced by the new modulus
+                    _replay_spec_field(b, f)
+                b.bucket(col, n)
+            t.update_spec(build)
+            out = MA.rewrite_data_files(t.refresh(), min_input_files=1)
+            out["buckets"] = n
         elif proc == "build_key_index":
             from linkedin_iceberg_spark.catalog.key_index import (
                 build_key_index)

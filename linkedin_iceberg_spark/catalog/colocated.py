@@ -39,20 +39,26 @@ from pyspark.sql import DataFrame
 
 
 def _bucket_layout(table, key: str):
-    """(modulus, partition_field_name) when the table's live files are
-    all bucketed on `key`; None otherwise."""
+    """(modulus, {spec_id: partition_field_name}) from the CURRENT
+    default spec's bucket on `key`; the map holds only specs whose
+    bucket modulus MATCHES it, so files written under an older/other
+    modulus (a table mid-rebucket) miss the map and force the fallback
+    instead of mis-bucketing.  None when the current spec doesn't
+    bucket the key."""
     import re
-    mods = set()
-    pname_by_spec = {}
-    for spec in table.metadata.bound_specs():
+    md = table.metadata
+    by_spec = {}   # spec_id -> (n, pname)
+    for spec in md.bound_specs():
         for pf in spec.fields:
             m = re.match(r"bucket\[(\d+)\]$", pf.transform_str)
             if m and pf.source_name == key:
-                pname_by_spec[spec.spec_id] = pf.name
-                mods.add(int(m.group(1)))
-    if len(mods) != 1:
+                by_spec[spec.spec_id] = (int(m.group(1)), pf.name)
+    cur = by_spec.get(md.default_spec_id)
+    if cur is None:
         return None
-    return mods.pop(), pname_by_spec
+    n = cur[0]
+    return n, {sid: pname for sid, (sn, pname) in by_spec.items()
+               if sn == n}
 
 
 def colocated_bucket_join(left, right, key: str, how: str = "inner",

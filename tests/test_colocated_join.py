@@ -381,3 +381,45 @@ def test_sql_string_key_point_lookup(spark, catalog):
             .select("o_orderkey", "prio_rows").collect())
     assert sorted(pruned.collect()) == sorted(want)
     assert "MapInPandas" in _plan(pruned)
+
+
+def test_call_rebucket_enables_colocated_join(spark, catalog):
+    """CALL rebucket: an UNPARTITIONED fact and a bucket(4) dim both
+    rebucket to 8 and the join stops falling back — MapInPandas, no
+    join operator, values identical.  Mid-rebucket (spec evolved,
+    files not yet rewritten) the mixed-modulus guard forces the
+    fallback instead of mis-bucketing."""
+    import json as _json
+    o, c = _orders(spark), _customer(spark)
+    flat = catalog.create_table("db.fact", o)
+    flat.append(o.repartition(3))
+    d4 = _bucketed(catalog, "db.dim", c, n=4)
+    want = (o.select("o_custkey", "o_orderkey")
+            .join(c.select("o_custkey", "c_name"), "o_custkey")
+            .count())
+    st = catalog.sql("CALL rebucket('db.fact', 'o_custkey', 8)").head()
+    out = _json.loads(st["detail"])
+    assert out["buckets"] == 8 and out["rewritten_files"] >= 3
+    # dim is still bucket(4): modulus mismatch -> fallback, same rows
+    flat.refresh()
+    j0 = colocated_bucket_join(flat, d4, "o_custkey",
+                               left_cols=["o_custkey", "o_orderkey"],
+                               right_cols=["o_custkey", "c_name"])
+    assert j0.count() == want
+    catalog.sql("CALL rebucket('db.dim', 'o_custkey', 8)")
+    d4.refresh()
+    j = colocated_bucket_join(flat, d4, "o_custkey",
+                              left_cols=["o_custkey", "o_orderkey"],
+                              right_cols=["o_custkey", "c_name"])
+    plan = _plan(j)
+    assert "MapInPandas" in plan and "SortMergeJoin" not in plan \
+        and "Exchange" not in plan
+    assert j.count() == want
+    # mid-rebucket guard: evolve the dim spec again WITHOUT rewriting —
+    # old bucket(8) files under the new bucket(16) default must fall back
+    d4.update_spec(lambda b: b.bucket("o_custkey", 16))
+    d4.refresh()
+    j2 = colocated_bucket_join(flat, d4, "o_custkey",
+                               left_cols=["o_custkey", "o_orderkey"],
+                               right_cols=["o_custkey", "c_name"])
+    assert j2.count() == want
