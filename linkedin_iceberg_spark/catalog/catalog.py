@@ -2708,9 +2708,23 @@ class Catalog:
                     continue
                 key_values = vals
                 break
+        # per-side FILE pruning from the WHERE (partition projection,
+        # metrics, dictionaries): each side's provable conjuncts plan a
+        # filtered scan; surviving files are read whole and the full
+        # WHERE still runs over the view.  For LEFT joins only the left
+        # side pre-prunes (pre-restricting the NULL-extended side would
+        # interact with IS-NULL-sensitive WHEREs).
+        plain2 = {lt_name: (lt, la), rt_name: (rt, ra)}
+        counts2 = {lt_name: 1, rt_name: 1}
+        lflt = _extract_scan_filter(masked, lits, lt_name, la,
+                                    lt, plain2, counts2)
+        rflt = None if how == "left" else \
+            _extract_scan_filter(masked, lits, rt_name, ra,
+                                 rt, plain2, counts2)
         j = colocated_bucket_join(lt, rt, lkey, how=how,
                                   left_cols=lcols, right_cols=rcols,
-                                  right_key=rkey, key_values=key_values)
+                                  right_key=rkey, key_values=key_values,
+                                  left_filter=lflt, right_filter=rflt)
         import hashlib as _h
         view = "liceberg_cj_" + _h.md5(
             f"{lt_name}|{rt_name}|{lkey}|{rkey}".encode()).hexdigest()[:8]

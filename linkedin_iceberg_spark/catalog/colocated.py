@@ -65,7 +65,9 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
                           left_cols: list = None,
                           right_cols: list = None,
                           right_key: str = None,
-                          key_values: list = None) -> DataFrame:
+                          key_values: list = None,
+                          left_filter=None,
+                          right_filter=None) -> DataFrame:
     """Join two engine Tables on `key` (= `right_key` when the sides
     name it differently) bucket-by-bucket with no shuffle and no Spark
     join operator; falls back to the plain Spark join (one shuffle,
@@ -82,7 +84,19 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
     read on BOTH sides; rows of other keys sharing those buckets still
     come back, so the caller's filter stays load-bearing.  Sound for
     left joins too: left rows outside the values are exactly the rows
-    the caller's filter drops."""
+    the caller's filter drops.
+
+    ``left_filter`` / ``right_filter`` (engine Expressions): FILE
+    pruning only — each side plans through the standard scan pipeline
+    (partition projection, metrics skip, dictionaries), dropping files
+    that provably hold no rows satisfying the caller's post-join WHERE;
+    surviving files are read WHOLE (no residual applied), so the caller
+    must still apply the full WHERE.  Soundness is the caller's
+    contract: a side filter must be a top-level AND conjunct of the
+    post-join WHERE over that side's own columns — for how='left' pass
+    left_filter only (pre-restricting the RIGHT side of a left join
+    would change NULL-extension under IS-NULL-sensitive WHEREs; the SQL
+    route enforces this)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     rkey = right_key or key
@@ -109,11 +123,14 @@ def colocated_bucket_join(left, right, key: str, how: str = "inner",
         return _fallback()  # unbucketed side or modulus mismatch
 
     sides = []
-    for table, pnames, cols in ((left, lb[1], lcols),
-                                (right, rb[1], rcols)):
+    for table, pnames, cols, flt in ((left, lb[1], lcols, left_filter),
+                                     (right, rb[1], rcols,
+                                      right_filter)):
         if any(not isinstance(f.type, str) for f in table.schema.fields):
             return _fallback()  # nested schemas: alignment is top-level
-        tasks = table.new_scan().plan_files()
+        scan = table.new_scan().filter(flt) if flt is not None \
+            else table.new_scan()
+        tasks = scan.plan_files()
         if any(t.deletes for t in tasks) or \
                 any(t.file.file_format != "parquet" for t in tasks):
             return _fallback()

@@ -423,3 +423,44 @@ def test_call_rebucket_enables_colocated_join(spark, catalog):
                                left_cols=["o_custkey", "o_orderkey"],
                                right_cols=["o_custkey", "c_name"])
     assert j2.count() == want
+
+
+def test_sql_where_prunes_side_files(spark, catalog):
+    """WHERE conjuncts prune each side's FILES inside the co-located
+    plan: two appends give every bucket a low- and a high-orderkey
+    file; a WHERE below the cutoff never touches the high files
+    (poison: physically moved away), and values match the generic
+    plan."""
+    import shutil
+    o, c = _orders(spark), _customer(spark)
+    so = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+        .bucket("o_custkey", 4).build()
+    t1 = catalog.create_table("db.fact", o, spec=so)
+    t1.append(o.filter(F.col("o_orderkey") < 700))
+    t1.append(o.filter(F.col("o_orderkey") >= 700))
+    t2 = _bucketed(catalog, "db.dim", c, n=4)
+    q = ("SELECT o.o_orderkey, c.c_name FROM db.fact o JOIN db.dim c "
+         "ON o.o_custkey = c.o_custkey WHERE o.o_orderkey < 700")
+    df = catalog.sql(q)
+    assert "MapInPandas" in _plan(df)
+    want = (o.filter(F.col("o_orderkey") < 700)
+            .join(c, "o_custkey").select("o_orderkey", "c_name")
+            .collect())
+    assert sorted(df.collect()) == sorted(want)
+    # poison: the >=700 files are provably outside the WHERE - move them
+    t1.refresh()
+    moved = []
+    for e in t1._live_data_and_deletes()[0]:
+        lo = (e.data_file.lower_bounds or {}).get(
+            t1.schema.id_for_name("o_orderkey"))
+        if lo is not None and lo >= 700:
+            p = e.data_file.file_path
+            shutil.move(p, p + ".poison")
+            moved.append(p)
+    assert moved, "test setup: expected prunable high files"
+    try:
+        again = catalog.sql(q).collect()
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert sorted(again) == sorted(want)
