@@ -1,0 +1,277 @@
+"""Per-file BLOOM-FILTER file skipping: point lookups on
+high-cardinality columns.
+
+The engine's file-skipping ladder so far: min/max bounds (free, useless
+for unsorted point lookups), the dictionary store (exact, but only for
+columns whose per-file NDV fits a cap), and the key index (exact
+key -> files, but it materializes every key).  Bloom filters fill the
+remaining cell — columns with MILLIONS of distinct values per file,
+where a dictionary overflows and a key index is too heavy, but an
+`id = ?` lookup should still touch one file out of thousands.  The
+modern table format grew the same answer (Parquet bloom filters consumed
+at planning time); the 0.9-era reference stops at bounds
+(ref: api/.../expressions/InclusiveMetricsEvaluator.java — bounds and
+null counts only), so this plane is additive, like the KMV/dictionary
+stores beside it.
+
+Layout: ``<location>/stats_bloom/<field_id>/*.parquet`` with one row per
+data file — ``(file_path, nbits, k, bits)``.  Keyed by FIELD ID so
+renames keep the store and a re-used name never sees a stale one.  Data
+files are immutable, so entries never go stale; ``analyze_bloom`` is
+incremental by construction (only live files missing from the store are
+scanned — appends sketch the new tail, compaction sketches the rewritten
+output).
+
+Hashing: Spark's ``xxhash64`` (seed 42) over the value in the COLUMN'S
+OWN Spark type, computed executor-side at build time and by a one-row
+Spark job at probe time — both sides go through the same JVM expression,
+so parity is by construction, never by a reimplementation.  Positions
+use Kirsch-Mitzenmacher double hashing of the two 32-bit halves.
+
+Sizing is per file from the observed distinct-hash count: a file needs
+``-n ln(fpp) / ln(2)^2`` bits; above ``max_bits`` (default 1 MiB) the
+row stores NULL bits — recorded so the file is never rescanned, and such
+files simply never prune.  A file with NO non-null values stores empty
+bits and always prunes under eq/IN (NULL never satisfies either), the
+same contract as the dictionary store's empty array.
+
+Scale: the build is one scan of the un-sketched files (distinct hashes
+per file, then an Arrow-batched per-file bitset build); probing reads
+only the store (file-level metadata, no data I/O), tests candidates
+DISTRIBUTED via mapInPandas, and collects only the DROP list — bounded
+by the candidate count.  Pruning is advisory: files missing from the
+store, overflow rows, unsupported predicate shapes, and literals that do
+not cast to the column type are all left untouched, so correctness never
+depends on the filter.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+BLOOM_DEFAULT_FPP = 0.01
+BLOOM_MAX_BITS = 1 << 23  # 1 MiB of bits per (file, column)
+_BLOOM_TYPES = {"int", "long", "string", "date", "timestamp"}
+
+_OVERFLOW = -1  # nbits sentinel: too many distinct values, bits NULL
+
+
+def _bloom_dir(table, field_id: int) -> str:
+    return os.path.join(table.location, "stats_bloom", str(field_id))
+
+
+def _params(n: int, fpp: float) -> tuple:
+    """Classic sizing: nbits = -n ln(p)/ln(2)^2, k = nbits/n * ln(2).
+    Floored at 64 bits and byte-aligned; k clamped to [1, 16]."""
+    if n <= 0:
+        return 0, 0
+    nbits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    nbits = (nbits + 7) & ~7
+    k = max(1, min(16, int(round(nbits / n * math.log(2)))))
+    return nbits, k
+
+
+def _positions(u64, nbits: int, k: int):
+    """k bit positions for each unsigned-64 hash in ``u64`` (numpy
+    array), via double hashing of the 32-bit halves: h1 + i*h2 mod
+    nbits, h2 forced odd so it never degenerates to a fixed point.
+    Returns shape (len(u64), k)."""
+    import numpy as np
+
+    h1 = (u64 & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = ((u64 >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(nbits)
+
+
+def _field(table, col: str):
+    f = next((f for f in table.schema.fields if f.name == col), None)
+    if f is None:
+        raise ValueError(f"no such column {col!r}")
+    if not (isinstance(f.type, str) and f.type in _BLOOM_TYPES):
+        raise ValueError(
+            f"bloom stats support {sorted(_BLOOM_TYPES)} columns; "
+            f"{col!r} is {f.type!r}")
+    return f
+
+
+def analyze_bloom(table, col: str, fpp: float = BLOOM_DEFAULT_FPP,
+                  max_bits: int = BLOOM_MAX_BITS) -> int:
+    """Bring the column's bloom store up to date: sketch only the live
+    data files missing from it.  Returns the number of files analyzed
+    now."""
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    f = _field(table, col)
+    spark = table.spark
+    from linkedin_iceberg_spark.shipping import ship_package
+    ship_package(spark)  # build/probe closures import _positions from here
+    d = _bloom_dir(table, f.field_id)
+    entries, _ = table._live_data_and_deletes()
+    live = {e.data_file.file_path for e in entries}
+    have = set()
+    if os.path.isdir(d) and any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        have = {r["file_path"] for r in
+                spark.read.parquet(d)
+                .select("file_path").distinct().collect()}
+    todo = sorted(live - have)
+    if not todo:
+        return 0
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        path = pdf["file_path"].iloc[0]
+        u = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+        n = len(u)
+        nbits, k = _params(n, fpp)
+        if nbits > max_bits:
+            return pd.DataFrame([{"file_path": path,
+                                  "nbits": _OVERFLOW, "k": 0,
+                                  "bits": None}])
+        bits = np.zeros(nbits >> 3, dtype=np.uint8)
+        if n:
+            pos = _positions(u, nbits, k).ravel()
+            np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                             (np.uint8(1) << (pos & np.uint64(7))
+                              .astype(np.uint8)))
+        return pd.DataFrame([{"file_path": path, "nbits": nbits,
+                              "k": k, "bits": bits.tobytes()}])
+
+    src = (spark.read.schema(table.schema.to_spark()).parquet(*todo)
+           .select(F.regexp_replace(F.col("_metadata.file_path"),
+                                    "^file:", "").alias("file_path"),
+                   F.xxhash64(F.col(col)).alias("h"))
+           .where(F.col(col).isNotNull())
+           .distinct())
+    built = src.groupBy("file_path").applyInPandas(
+        build, "file_path string, nbits long, k int, bits binary")
+    paths_df = spark.createDataFrame([(p,) for p in todo],
+                                     "file_path string")
+    # files whose column is all-NULL produce no hash rows: fill with
+    # empty bits (they can never satisfy eq/IN, so they always prune)
+    merged = (paths_df.join(built, "file_path", "left")
+              .select("file_path",
+                      F.coalesce(F.col("nbits"), F.lit(0)).alias("nbits"),
+                      F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+                      F.when(F.col("nbits").isNull(),
+                             F.lit(b"")).otherwise(F.col("bits"))
+                      .alias("bits")))
+    merged.write.mode("append").parquet(d)
+    return len(todo)
+
+
+def _literal_hashes(table, field, lits: list):
+    """xxhash64 of each literal AS THE COLUMN'S SPARK TYPE, via a one-row
+    Spark job — the identical JVM expression the build used, so parity
+    is structural.  Returns None when any literal fails to cast (we
+    cannot prove absence of a value we cannot hash — skip the conjunct,
+    stay sound)."""
+    stype = next(sf.dataType for sf in table.schema.to_spark().fields
+                 if sf.name == field.name)
+    try:
+        exprs = []
+        for i, v in enumerate(lits):
+            c = F.lit(v).try_cast(stype)
+            exprs.append(F.xxhash64(c).alias(f"h{i}"))
+            exprs.append(c.isNull().alias(f"n{i}"))
+        row = table.spark.range(1).select(*exprs).head()
+    except Exception:
+        return None
+    if any(row[f"n{i}"] for i in range(len(lits))):
+        return None
+    return [row[f"h{i}"] for i in range(len(lits))]
+
+
+def bloom_prune(table, data_entries: list, bound) -> list:
+    """Drop manifest entries whose bloom filter PROVES no row can match:
+    for each top-level AND conjunct that is eq/IN over a plain column of
+    a supported type, a file whose stored filter reports every literal
+    absent cannot contain a matching row.  One-sided by construction —
+    a bloom can only say "definitely absent" — so false positives cost
+    only an unpruned file, never a row.  Called from plan_files when the
+    table has a stats_bloom directory; advisory only, same contract as
+    dictionary_prune."""
+    from linkedin_iceberg_spark.expressions.expressions import (
+        And, BoundReference, Operation, Predicate)
+
+    conjuncts = []
+
+    def walk(e):
+        if isinstance(e, And):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, Predicate) and \
+                isinstance(e.term, BoundReference) and \
+                isinstance(e.term.type, str) and \
+                e.term.type in _BLOOM_TYPES:
+            if e.op == Operation.EQ:
+                conjuncts.append((e.term.field_id, [e.literal]))
+            elif e.op == Operation.IN:
+                conjuncts.append((e.term.field_id, sorted(e.literals)))
+
+    walk(bound)
+    if not conjuncts:
+        return data_entries
+    spark = table.spark
+    from linkedin_iceberg_spark.shipping import ship_package
+    ship_package(spark)
+    fields_by_id = {f.field_id: f for f in table.schema.fields}
+    candidates = {e.data_file.file_path for e in data_entries}
+    cand_df = None
+    drop: set = set()
+    for fid, lits in conjuncts:
+        d = _bloom_dir(table, fid)
+        field = fields_by_id.get(fid)
+        if field is None or not os.path.isdir(d) or not any(
+                p.endswith(".parquet") for p in os.listdir(d)):
+            continue
+        hashes = _literal_hashes(table, field, lits)
+        if hashes is None:
+            continue
+        if cand_df is None:
+            cand_df = spark.createDataFrame(
+                [(p,) for p in sorted(candidates)], "file_path string")
+
+        def probe(batches, hashes=hashes):
+            import numpy as np
+            import pandas as pd
+
+            hs = np.array([h & 0xFFFFFFFFFFFFFFFF for h in hashes],
+                          dtype=np.uint64)
+            for pdf in batches:
+                gone = []
+                for path, nbits, k, bits in zip(
+                        pdf["file_path"], pdf["nbits"], pdf["k"],
+                        pdf["bits"]):
+                    if nbits == 0:
+                        gone.append(path)  # all-NULL file: never matches
+                        continue
+                    if nbits < 0 or bits is None:
+                        continue  # overflow: no advice
+                    arr = np.frombuffer(bits, dtype=np.uint8)
+                    pos = _positions(hs, int(nbits), int(k))
+                    hit = ((arr[(pos >> np.uint64(3)).astype(np.int64)]
+                            >> (pos & np.uint64(7)).astype(np.uint8))
+                           & 1).all(axis=1)
+                    if not hit.any():  # every literal definitely absent
+                        gone.append(path)
+                yield pd.DataFrame({"file_path": gone})
+
+        try:
+            excluded = (spark.read.parquet(d)
+                        .join(cand_df, "file_path", "left_semi")
+                        .mapInPandas(probe, "file_path string")
+                        .collect())
+        except Exception:
+            continue  # malformed store: skip, stay sound
+        drop |= {r["file_path"] for r in excluded} & candidates
+    if not drop:
+        return data_entries
+    return [e for e in data_entries
+            if e.data_file.file_path not in drop]

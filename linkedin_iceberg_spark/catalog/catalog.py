@@ -2577,6 +2577,7 @@ class Catalog:
         "analyze_table": ("table", "columns"),
         "analyze_kmv": ("table", "columns", "k"),
         "analyze_dictionary": ("table", "column", "max_ndv"),
+        "analyze_bloom": ("table", "column", "fpp"),
         "kmv_overlap": ("table", "column", "other_table",
                         "other_column", "k"),
         "build_key_index": ("table", "column"),
@@ -2874,6 +2875,7 @@ class Catalog:
             CALL analyze_table('db.t', '<col>[,<col>...]')
             CALL analyze_kmv('db.t', '<col>[,<col>...]' [, <k>])
             CALL analyze_dictionary('db.t', '<col>' [, <max_ndv>])
+            CALL analyze_bloom('db.t', '<col>' [, '<fpp>'])
             CALL kmv_overlap('db.a', '<col>', 'db.b', '<col>' [, <k>])
             CALL build_key_index('db.t', '<col>')
             CALL refresh_key_index('db.t', '<col>')
@@ -3055,6 +3057,15 @@ class Catalog:
             cap = int(rest[1]) if rest[1:] else DICT_DEFAULT_MAX_NDV
             out = {"files_analyzed":
                    analyze_dictionary(t, rest[0], max_ndv=cap)}
+        elif proc == "analyze_bloom":
+            # the bloom file-skipping plane: per-file filters consulted
+            # by scan planning for eq/IN point lookups on columns too
+            # distinct for a dictionary (fpp accepts a quoted decimal,
+            # e.g. CALL analyze_bloom('db.t', 'id', '0.001'))
+            from linkedin_iceberg_spark.catalog.bloom import (
+                BLOOM_DEFAULT_FPP, analyze_bloom)
+            fpp = float(rest[1]) if rest[1:] else BLOOM_DEFAULT_FPP
+            out = {"files_analyzed": analyze_bloom(t, rest[0], fpp=fpp)}
         elif proc == "kmv_overlap":
             # table-vs-table corpus overlap from the KMV stores (the
             # decontamination audit as one CALL)

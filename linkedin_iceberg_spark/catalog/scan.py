@@ -710,6 +710,16 @@ class TableScan:
             from linkedin_iceberg_spark.catalog import analyze as AN
             data_entries = AN.dictionary_prune(table, data_entries, bound)
 
+        # level 4 (opt-in): bloom-filter skipping — the high-cardinality
+        # complement of the dictionary store (analyze_bloom): eq/IN
+        # conjuncts drop files whose per-file bloom proves the literals
+        # absent.  One-sided (false positives only cost an unpruned
+        # file); advisory only; absent store = no-op.
+        if data_entries and self.row_filter is not None and \
+                os.path.isdir(os.path.join(table.location, "stats_bloom")):
+            from linkedin_iceberg_spark.catalog import bloom as BL
+            data_entries = BL.bloom_prune(table, data_entries, bound)
+
         residuals_by_spec = {s.spec_id: ResidualEvaluator(s, bound)
                              for s in md.bound_specs()}
         return match_deletes(data_entries, delete_entries,

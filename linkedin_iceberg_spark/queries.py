@@ -6197,6 +6197,49 @@ def table_scan_dict_pruned(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_scan_bloom_pruned", """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey = (SELECT min(o_custkey) FROM orders WHERE o_custkey >=
+    (SELECT CAST(floor((min(o_custkey) + max(o_custkey)) / 2.0) AS BIGINT)
+     FROM orders))
+ORDER BY o_orderkey""")
+def table_scan_bloom_pruned(spark, sf_dir):
+    """Bloom-filter file skipping (catalog/bloom.py analyze_bloom +
+    bloom_prune in plan_files): the HIGH-cardinality complement of the
+    dictionary store.  Files are hash-clustered by o_custkey, so every
+    file's min/max spans the key domain (bounds prune nothing) and the
+    per-file value sets are too distinct for an exact dictionary at
+    realistic caps — but each file's bloom answers `custkey = ?` in a
+    few hundred bytes, pruning the point lookup to ~1 file of 8
+    (asserted strictly below live).  One-sided by construction: a false
+    positive costs an unpruned file, never a row — the full filtered
+    result is the query answer, so the oracle proves no row was lost.
+    The modern format reads Parquet blooms at plan time for exactly
+    this shape; the 0.9-era reference stops at bounds (ref:
+    api/.../expressions/InclusiveMetricsEvaluator.java), making this
+    plane additive like the KMV/dictionary stores beside it."""
+    from linkedin_iceberg_spark.catalog.bloom import analyze_bloom
+    from linkedin_iceberg_spark.expressions import eq as E_eq
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_bloom", o)
+    t.append(o.repartition(8, "o_custkey"))
+    # a MID-domain key: the global min/max would be prunable by plain
+    # bounds, which is exactly what this query must NOT credit
+    mn, mx = (int(v) for v in
+              o.agg(F.min("o_custkey"), F.max("o_custkey")).head())
+    key = int(o.filter(F.col("o_custkey") >= (mn + mx) // 2)
+              .agg(F.min("o_custkey")).head()[0])
+    before = len(t.new_scan().filter(E_eq("o_custkey", key))
+                 .plan_files())
+    analyze_bloom(t, "o_custkey")
+    scan = t.new_scan().filter(E_eq("o_custkey", key))
+    assert len(scan.plan_files()) < before, "bloom pruned nothing"
+    return (scan.to_df()
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_sql_approx_ndv", f"""
 SELECT {{KMV_SQL_NDV}} AS ndv_cust,
        CAST((SELECT count(*) FROM orders WHERE o_totalprice > 1000)

@@ -409,6 +409,14 @@ CONTRACTS = {
         # filter pushed; no Python anywhere
         ["Scan parquet", "PushedFilters", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "table_scan_bloom_pruned": (
+        # bloom skipping dropped the non-matching files at PLAN time
+        # (asserted inside the query: planned < bounds-only count for a
+        # MID-domain key), so the scan reads the surviving ~1 file with
+        # the eq filter pushed; the probe itself runs over the store at
+        # plan time, never in this data plan — no Python anywhere
+        ["Scan parquet", "PushedFilters", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
