@@ -2170,11 +2170,12 @@ class Catalog:
                 stats = []
                 for sub, label in (("stats", "hll"),
                                    ("stats_kmv", "kmv"),
-                                   ("stats_dict", "dict")):
+                                   ("stats_dict", "dict"),
+                                   ("stats_bloom", "bloom")):
                     base = os.path.join(t.location, sub)
                     if os.path.isdir(base):
                         names = sorted(os.listdir(base))
-                        if sub == "stats_dict":
+                        if sub in ("stats_dict", "stats_bloom"):
                             names = [t.schema.name_for_id(int(fid))
                                      or fid for fid in names]
                         stats.append(f"{label}:{','.join(names)}")

@@ -500,7 +500,8 @@ class Table:
 
     def _auto_analyze(self) -> None:
         """Write-time stats maintenance, property-driven: with
-        ``stats.auto`` set (e.g. ``kmv:user_id,doc_id;dict:lang``), an
+        ``stats.auto`` set (e.g. ``kmv:user_id,doc_id;dict:lang;
+        bloom:doc_id``), an
         append incrementally extends the named per-file stores — only
         the files this commit added get sketched, so the cost rides on
         the write, and approx_count_distinct / dictionary skipping stay
@@ -523,6 +524,10 @@ class Table:
                 elif kind.strip().lower() == "dict":
                     for c in names:
                         AN.analyze_dictionary(self, c)
+                elif kind.strip().lower() == "bloom":
+                    from linkedin_iceberg_spark.catalog import bloom as BL
+                    for c in names:
+                        BL.analyze_bloom(self, c)
         except Exception:
             pass  # stats are advisory; the write already committed
 

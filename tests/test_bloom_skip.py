@@ -278,3 +278,31 @@ def test_store_duplication_invariance(spark, catalog):
     assert len(scan.plan_files()) < before
     assert scan.to_df().count() == \
         o.filter(F.col("o_custkey") == key).count()
+
+
+def test_stats_auto_bloom_maintains_at_write_time(spark, catalog):
+    """stats.auto=bloom:col extends the store inside append (only the
+    commit's new files sketch) and compaction keeps it covered, so
+    point lookups stay pruned with no ANALYZE cadence."""
+    from linkedin_iceberg_spark.catalog import maintenance as MA
+    o = _orders(spark)
+    t = catalog.create_table("db.auto", o)
+    t.update_properties(set_props={"stats.auto": "bloom:o_custkey"})
+    t = t.refresh()
+    t.append(o.repartition(8, "o_custkey"))
+    key = int(_midkey(o))
+    assert analyze_bloom(t, "o_custkey") == 0  # append already covered
+    live = len(t.new_scan().plan_files())
+    scan = t.new_scan().filter(eq("o_custkey", key))
+    assert len(scan.plan_files()) < live
+    assert scan.to_df().count() == \
+        o.filter(F.col("o_custkey") == key).count()
+    MA.rewrite_data_files(t, min_input_files=1)
+    t = t.refresh()
+    assert analyze_bloom(t, "o_custkey") == 0  # compaction re-covered
+    assert t.new_scan().filter(eq("o_custkey", key)).to_df().count() == \
+        o.filter(F.col("o_custkey") == key).count()
+    # DESCRIBE EXTENDED reports the coverage by column NAME
+    rows = {r["col_name"]: r["data_type"]
+            for r in catalog.sql("DESCRIBE EXTENDED db.auto").collect()}
+    assert "bloom:o_custkey" in rows.get("Statistics", "")
