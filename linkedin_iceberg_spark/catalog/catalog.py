@@ -967,6 +967,9 @@ class Catalog:
         fast = self._sql_count_star(query, lits)
         if fast is not None:
             return fast
+        fast = self._sql_colocated_groupby(query, lits)
+        if fast is not None:
+            return fast
         fast = self._sql_group_count(query, lits)
         if fast is not None:
             return fast
@@ -1124,6 +1127,148 @@ class Catalog:
                 rf"(?<![A-Za-z0-9_.]){re.escape(dotted)}(?![A-Za-z0-9_])",
                 resolved[dotted], rewritten)
         return self.spark.sql(_unmask_sql_literals(rewritten, lits))
+
+    def _sql_colocated_groupby(self, masked: str, lits: list):
+        """`SELECT <key>, <aggs...> FROM db.t [WHERE key = lit | key IN
+        (...)] GROUP BY <key> [HAVING ...] [ORDER BY <out cols>]` over a
+        table whose CURRENT spec buckets `<key>` routes to the
+        zero-shuffle co-located aggregation (catalog/colocated.py
+        colocated_groupby): every group lives wholly inside one bucket,
+        so per-bucket tasks aggregate their own files and the plan
+        carries NO exchange and NO Spark aggregate operator — the
+        shuffle a plain GROUP BY pays is the one the bucketed layout
+        already paid at write time.  Aggs: count(*) / count(c) /
+        count(DISTINCT c) / sum / min / max / avg.  WHERE is accepted
+        ONLY as key-membership conjuncts (they commute with grouping
+        and double as bucket pruning); anything else falls to the
+        generic route.  Runs BEFORE _sql_group_count but bails when the
+        spec ALSO identity-partitions the key (the metadata fold is
+        zero-I/O there, strictly better).  NOTE sum/avg over floating
+        columns follow the engine's per-bucket combination order, which
+        may differ from Spark's shuffle order in the last ulp — the
+        same engine-defined-semantics stance as approx_ndv.  Disable
+        with spark.liceberg.sql.colocatedAggregate=false.  None when
+        the statement is not exactly this shape."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from linkedin_iceberg_spark.catalog.colocated import (
+            _bucket_layout, colocated_groupby)
+        from linkedin_iceberg_spark.expressions.expressions import (
+            Operation, Predicate, Reference)
+
+        if self.spark.conf.get("spark.liceberg.sql.colocatedAggregate",
+                               "true").lower() == "false":
+            return None
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        m = re.match(
+            rf"\s*select\s+(.+?)\s+from\s+({ident}(?:\.{ident})+)"
+            rf"(?:\s+where\s+(.+?))?\s+group\s+by\s+({ident})"
+            rf"(?:\s+having\s+(.+?))?(?:\s+order\s+by\s+(.+?))?\s*;?\s*$",
+            masked, re.IGNORECASE | re.DOTALL)
+        if not m or not self.table_exists(m.group(2)):
+            return None
+        t = self.load_table(m.group(2))
+        key = m.group(4)
+        own = set(t.schema.column_names())
+        if key not in own or _bucket_layout(t, key) is None:
+            return None
+        if any(pf.transform_str == "identity" and pf.source_name == key
+               for pf in t.spec.fields):
+            return None  # metadata grouped fold is zero-I/O: keep it
+        agg_re = re.compile(
+            rf"\s*(count|sum|min|max|avg)\(\s*"
+            rf"(\*|distinct\s+{ident}|{ident})\s*\)"
+            rf"(?:\s+as\s+({ident}))?\s*$", re.IGNORECASE)
+        col_re = re.compile(rf"\s*({ident})(?:\s+as\s+({ident}))?\s*$",
+                            re.IGNORECASE)
+        aggs, items = [], []  # items: (is_key, out-name)
+        for raw in _split_top_level_commas(m.group(1)):
+            am = agg_re.match(raw)
+            if am:
+                fn, arg = am.group(1).lower(), am.group(2)
+                if arg == "*":
+                    if fn != "count":
+                        return None
+                    name = am.group(3) or "count(1)"
+                    aggs.append(("count", None, name))
+                elif re.match(r"(?i)distinct\s", arg):
+                    if fn != "count":
+                        return None
+                    c = arg.split()[-1]
+                    if c not in own:
+                        return None
+                    name = am.group(3) or f"count(DISTINCT {c})"
+                    aggs.append(("count_distinct", c, name))
+                else:
+                    if arg not in own:
+                        return None
+                    name = am.group(3) or f"{fn}({arg})"
+                    aggs.append((fn, arg, name))
+                items.append((False, name))
+                continue
+            km = col_re.match(raw)
+            if km and km.group(1) == key:
+                items.append((True, km.group(2) or key))
+                continue
+            return None
+        if not aggs:
+            return None
+        key_out = next((n for is_k, n in items if is_k), None)
+        if key_out is None:
+            return None  # grouped output without the key: generic route
+        key_values = None
+        if m.group(3):
+            vals = None
+            for conj in _split_top_level_and(m.group(3)):
+                e = _try_parse_conjunct(conj, lits, m.group(2), None,
+                                        own, set())
+                if not (isinstance(e, Predicate) and
+                        isinstance(e.term, Reference) and
+                        e.term.name == key):
+                    return None
+                if e.op == Operation.EQ:
+                    got = {e.literal}
+                elif e.op == Operation.IN:
+                    got = set(e.literals)
+                else:
+                    return None
+                vals = got if vals is None else (vals & got)
+            key_values = sorted(vals)
+        out_names = [n for _is_k, n in items]
+        orders = []
+        if m.group(6):
+            for o in _split_top_level_commas(m.group(6)):
+                om = re.match(rf"\s*({ident})(?:\s+(asc|desc))?\s*$",
+                              o, re.IGNORECASE)
+                if not om or om.group(1) not in out_names:
+                    return None
+                c = F.col(om.group(1))
+                orders.append(c.desc() if om.group(2)
+                              and om.group(2).lower() == "desc"
+                              else c.asc())
+        having = None
+        if m.group(5):
+            hv_re = re.compile(
+                rf"\s*({ident})\s*(=|<>|!=|<=|>=|<|>)\s*"
+                rf"(-?\d+(?:\.\d+)?|\x00\d+\x00)\s*$")
+            for conj in _split_top_level_and(m.group(5)):
+                hm = hv_re.match(conj)
+                if not hm or hm.group(1) not in out_names:
+                    return None
+                name, op, val = hm.groups()
+                val = _unmask_sql_literals(val, lits)
+                cond = F.expr(f"`{name}` {'!=' if op == '<>' else op} "
+                              f"{val}")
+                having = cond if having is None else (having & cond)
+        df = colocated_groupby(t, key, aggs, key_values=key_values)
+        if key_out != key:
+            df = df.withColumnRenamed(key, key_out)
+        df = df.select(*out_names)
+        if having is not None:
+            df = df.filter(having)
+        return df.orderBy(*orders) if orders else df
 
     def _sql_group_count(self, masked: str, lits: list):
         """`SELECT <group cols...>, count(*) | min(c) | max(c) |

@@ -488,3 +488,272 @@ def colocated_feature_assembly(base, key: str, features: list,
     rdd = spark.sparkContext.parallelize(descs, len(descs))
     seed = spark.createDataFrame(rdd, "bucket long, desc string")
     return seed.mapInPandas(assemble, schema=out_schema)
+
+
+_GROUPBY_FUNCS = {"count", "count_distinct", "sum", "min", "max", "avg"}
+
+
+def colocated_groupby(table, key: str, aggs: list,
+                      key_values: list = None) -> DataFrame:
+    """ZERO-SHUFFLE GROUP BY on the bucket key: when the table's current
+    spec buckets `key`, every group lives wholly inside one bucket, so
+    the aggregation decomposes into n_buckets independent jobs whose
+    inputs are already materialized as disjoint file sets — each bucket
+    becomes ONE task that partial-aggregates its files and combines
+    in memory, and the physical plan contains NO exchange and NO Spark
+    aggregate operator at all.  A plain `groupBy(key)` would hash-
+    shuffle the whole table; at 100 TB on a pre-bucketed entity key
+    (user_id, doc_id) this is the shuffle the layout already paid for
+    at write time.
+
+    ``aggs`` is a list of ``(func, col, alias)`` with func in
+    count / count_distinct / sum / min / max / avg (col None = count(*)).
+    Groups with only NULLs yield SQL semantics (sum/min/max/avg NULL,
+    counts 0).  Rows with a NULL key live in the spec's null partition
+    and force the fallback (their files carry no bucket ordinal).
+
+    ``key_values``: restrict the result to these keys — only their
+    buckets are READ (file-level pruning) and the key filter applies
+    exactly in the task (filtering on the GROUP key commutes with
+    grouping, so this equals WHERE key IN (...) GROUP BY key).
+
+    Falls back to the plain Spark groupBy (identical rows, one shuffle)
+    whenever the co-located contract doesn't hold: unbucketed or
+    mid-rebucket layout, pending row-level deletes, non-parquet files,
+    nested schemas.
+
+    Scale shape and its cliff, named: task memory is bounded by the
+    GROUP count per bucket (plus distinct (key,col) pairs for
+    count_distinct), not rows — files partial-aggregate one at a time.
+    ref: the reference plans bucketed scans but leaves aggregation to
+    Spark (spark/src/.../IcebergSource.java); storage-partitioned
+    aggregation is the SPJ idea (SPARK-37377) applied to GROUP BY."""
+    import json as _json3
+
+    for fn, col, alias in aggs:
+        if fn not in _GROUPBY_FUNCS:
+            raise ValueError(f"unsupported agg {fn!r} (supported: "
+                             f"{sorted(_GROUPBY_FUNCS)})")
+        if col is None and fn != "count":
+            raise ValueError(f"{fn} requires a column")
+        if col is not None and col not in table.schema.column_names():
+            raise ValueError(f"no such column {col!r}")
+    if len({a for _, _, a in aggs}) != len(aggs):
+        raise ValueError("duplicate output aliases")
+
+    from pyspark.sql import functions as F
+
+    def _fallback():
+        df = table.to_df()
+        if key_values is not None:
+            df = df.filter(F.col(key).isin(list(key_values)))
+        sparks = []
+        for fn, col, alias in aggs:
+            if fn == "count":
+                sparks.append((F.count(F.lit(1)) if col is None
+                               else F.count(F.col(col))).alias(alias))
+            elif fn == "count_distinct":
+                sparks.append(F.count_distinct(F.col(col)).alias(alias))
+            elif fn == "avg":
+                sparks.append(F.avg(F.col(col)).alias(alias))
+            else:
+                sparks.append(getattr(F, fn)(F.col(col)).alias(alias))
+        return df.groupBy(key).agg(*sparks)
+
+    lb = _bucket_layout(table, key)
+    if lb is None:
+        return _fallback()
+    if any(not isinstance(f.type, str) for f in table.schema.fields):
+        return _fallback()
+    n_buckets, pnames = lb
+    tasks = table.new_scan().plan_files()
+    if any(t.deletes for t in tasks) or \
+            any(t.file.file_format != "parquet" for t in tasks):
+        return _fallback()
+    need = sorted({key} | {c for _, c, _ in aggs if c is not None})
+    md = table.metadata
+    current = md.schema
+    by_bucket: dict = {}
+    rev_by_sid: dict = {}
+    for t in tasks:
+        pn = pnames.get(t.file.spec_id)
+        b = (t.file.partition or {}).get(pn) if pn else None
+        if b is None:
+            return _fallback()  # un-bucketed (or null-key) file
+        sid = t.file.schema_id
+        if sid not in rev_by_sid:
+            written = md.schema_by_id(sid)
+            rev_by_sid[sid] = {
+                f.name: written.name_for_id(f.field_id)
+                for f in current.fields if f.name in need
+                and written.name_for_id(f.field_id) is not None}
+        by_bucket.setdefault(int(b), []).append(
+            {"path": t.file.file_path, "sid": t.file.schema_id})
+
+    buckets = sorted(by_bucket)
+    if key_values is not None:
+        kf = next(f for f in table.schema.fields if f.name == key)
+        from linkedin_iceberg_spark.transforms.transforms import (
+            parse_transform)
+        tf = parse_transform(f"bucket[{n_buckets}]", kf.type)
+        want_b = {tf.apply(v) for v in key_values if v is not None}
+        buckets = [b for b in buckets if b in want_b]
+
+    import pyarrow as pa
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from linkedin_iceberg_spark.catalog.local_read import type_to_arrow
+    spark_fields = {f.name: f for f in table.schema.to_spark().fields}
+    out_fields = [spark_fields[key]]
+    for fn, col, alias in aggs:
+        if fn in ("count", "count_distinct"):
+            out_fields.append(StructField(alias, LongType(), False))
+        elif fn == "avg":
+            out_fields.append(StructField(alias, DoubleType(), True))
+        elif fn == "sum":
+            src = spark_fields[col].dataType.simpleString()
+            out_fields.append(StructField(
+                alias, LongType() if src in ("int", "bigint")
+                else DoubleType(), True))
+        else:  # min/max keep the column's type
+            out_fields.append(StructField(
+                alias, spark_fields[col].dataType, True))
+    out_schema = StructType(out_fields)
+    spark = table.spark
+    if not buckets:
+        return spark.createDataFrame([], out_schema)
+
+    arrow_types = {c: type_to_arrow(
+        next(f.type for f in table.schema.fields if f.name == c))
+        for c in need}
+    ser_types = pa.schema(
+        [pa.field(n, t) for n, t in sorted(arrow_types.items())]) \
+        .serialize().to_pybytes()
+    descs = [(b, _json3.dumps({
+        "splits": by_bucket[b],
+        "rev": {str(s): m for s, m in rev_by_sid.items()},
+    })) for b in buckets]
+    aggs_ = list(aggs)
+    kv = sorted(key_values) if key_values is not None else None
+    out_names = [key] + [a for _, _, a in aggs_]
+
+    def agg_bucket(batches):
+        import json as _j
+
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        tgt = {f.name: f.type for f in
+               _pa.ipc.read_schema(_pa.py_buffer(ser_types))}
+
+        def read_file(sp, rev):
+            m = rev.get(str(sp["sid"]), {})
+            pf = _pq.ParquetFile(sp["path"])
+            have = set(pf.schema_arrow.names)
+            cols = [m[c] for c in need if m.get(c) in have]
+            t = pf.read(columns=cols or None)
+            t = t.rename_columns(
+                [next((c for c, s in m.items() if s == n), n)
+                 for n in t.column_names])
+            data = {}
+            for c in need:
+                if c in t.column_names:
+                    arr = t[c].combine_chunks()
+                    data[c] = arr if arr.type == tgt[c] \
+                        else arr.cast(tgt[c])
+                else:
+                    data[c] = _pa.nulls(len(t), tgt[c])
+            return _pa.table(data).to_pandas(types_mapper=_pd.ArrowDtype)
+
+        for pdf in batches:
+            for desc_s in pdf["desc"]:
+                d = _j.loads(desc_s)
+                partials = []   # per-file partial aggregate frames
+                pairs = []      # per-file distinct (key, col) frames
+                for sp in d["splits"]:
+                    f = read_file(sp, d["rev"])
+                    f = f[f[key].notna()]
+                    if kv is not None:
+                        f = f[f[key].isin(kv)]
+                    if not len(f):
+                        continue
+                    g = f.groupby(key, sort=False)
+                    part = {}
+                    for fn, col, alias in aggs_:
+                        if fn == "count":
+                            part[f"c::{alias}"] = g.size() if col is None \
+                                else g[col].count()
+                        elif fn == "sum":
+                            part[f"s::{alias}"] = g[col].sum(min_count=1)
+                        elif fn == "min":
+                            part[f"n::{alias}"] = g[col].min()
+                        elif fn == "max":
+                            part[f"x::{alias}"] = g[col].max()
+                        elif fn == "avg":
+                            part[f"as::{alias}"] = g[col].sum(min_count=1)
+                            part[f"ac::{alias}"] = g[col].count()
+                        elif fn == "count_distinct":
+                            pairs.append((alias, f[[key, col]]
+                                          .dropna().drop_duplicates()))
+                    if part:
+                        partials.append(_pd.DataFrame(part))
+                if not partials and not pairs:
+                    continue
+                merged = None
+                if partials:
+                    allp = _pd.concat(partials)
+
+                    def _sum_keep_null(x):
+                        # SQL sum over only-NULL partials is NULL, not 0
+                        return x.sum(min_count=1)
+
+                    combine = {}
+                    for c in allp.columns:
+                        kind = c.split("::", 1)[0]
+                        combine[c] = {"c": "sum", "s": _sum_keep_null,
+                                      "n": "min", "x": "max",
+                                      "as": _sum_keep_null,
+                                      "ac": "sum"}[kind]
+                    merged = allp.groupby(level=0, sort=False).agg(combine)
+                out = _pd.DataFrame(index=merged.index if merged is not None
+                                    else _pd.Index([], name=key))
+                for fn, col, alias in aggs_:
+                    if fn == "count":
+                        out[alias] = merged[f"c::{alias}"].fillna(0)
+                    elif fn == "sum":
+                        out[alias] = merged[f"s::{alias}"]
+                    elif fn == "min":
+                        out[alias] = merged[f"n::{alias}"]
+                    elif fn == "max":
+                        out[alias] = merged[f"x::{alias}"]
+                    elif fn == "avg":
+                        s = merged[f"as::{alias}"].astype("float64[pyarrow]")
+                        c = merged[f"ac::{alias}"]
+                        out[alias] = s / c.where(c > 0)
+                    elif fn == "count_distinct":
+                        pf_ = [p for a, p in pairs if a == alias]
+                        if pf_:
+                            u = _pd.concat(pf_).drop_duplicates()
+                            cd = u.groupby(key, sort=False).size()
+                            out[alias] = cd.reindex(out.index).fillna(0) \
+                                if merged is not None else cd
+                        else:
+                            out[alias] = 0
+                if merged is None and pairs:
+                    # distinct-only agg list: rebuild the index from pairs
+                    u = _pd.concat([p for _, p in pairs]).drop_duplicates()
+                    cd = u.groupby(key, sort=False).size()
+                    out = _pd.DataFrame({aggs_[0][2]: cd})
+                    for fn, col, alias in aggs_[1:]:
+                        out[alias] = _pd.concat(
+                            [p for a, p in pairs if a == alias]) \
+                            .drop_duplicates().groupby(key, sort=False) \
+                            .size().reindex(out.index).fillna(0)
+                if len(out):
+                    yield out.reset_index(names=key)[out_names]
+
+    rdd = spark.sparkContext.parallelize(descs, len(descs))
+    seed = spark.createDataFrame(rdd, "bucket long, desc string")
+    return seed.mapInPandas(agg_bucket, schema=out_schema)

@@ -1888,6 +1888,15 @@ class Table:
             colocated_bucket_join)
         return colocated_bucket_join(self, other, key, **kw)
 
+    def colocated_groupby(self, key: str, aggs: list, **kw) -> DataFrame:
+        """Zero-shuffle GROUP BY on the bucket key (this table's spec
+        buckets `key`) — per-bucket aggregation with no exchange and no
+        Spark aggregate operator; see catalog/colocated.py.  Falls back
+        to the plain Spark groupBy whenever the contract doesn't hold."""
+        from linkedin_iceberg_spark.catalog.colocated import (
+            colocated_groupby)
+        return colocated_groupby(self, key, aggs, **kw)
+
     def upsert(self, df: DataFrame, key_cols: list) -> "Table":
         from linkedin_iceberg_spark.catalog.row_delta import upsert
         return upsert(self, df, key_cols)

@@ -6127,6 +6127,47 @@ def join_colocated_buckets(spark, sf_dir):
                      "c_name", "c_acctbal").orderBy("o_orderkey"))
 
 
+@q("agg_colocated_groupby", """
+SELECT o_custkey,
+       count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS sk,
+       min(o_totalprice) AS mn,
+       max(o_totalprice) AS mx,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS dp
+FROM orders GROUP BY o_custkey ORDER BY o_custkey""")
+def agg_colocated_groupby(spark, sf_dir):
+    """Zero-shuffle co-located GROUP BY (catalog/colocated.py
+    colocated_groupby — the storage-partitioned idea applied to
+    aggregation): the table buckets o_custkey with modulus 8, so every
+    group lives wholly inside one bucket and the aggregation decomposes
+    into 8 independent per-bucket tasks that partial-aggregate their
+    files and combine in memory.  The in-query assertion pins the
+    defining property: NO exchange and NO Spark aggregate operator in
+    the physical plan — a plain groupBy(o_custkey) would hash-shuffle
+    the whole table, the shuffle the bucketed layout already paid for
+    at write time.  count/sum-of-bigint/min/max/count(DISTINCT) are all
+    integer- or order-exact, so the oracle replays the aggregation
+    bit-for-bit."""
+    def build(cat):
+        o = ld(spark, sf_dir, "orders")
+        from linkedin_iceberg_spark import PartitionSpec, Schema
+        so = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .bucket("o_custkey", 8).build()
+        cat.create_table("q.cg_orders", o, spec=so).append(o)
+
+    cat = _cached_table(spark, sf_dir, "coloc_groupby", build)
+    t = cat.load_table("q.cg_orders")
+    g = t.colocated_groupby("o_custkey", [
+        ("count", None, "n"), ("sum", "o_orderkey", "sk"),
+        ("min", "o_totalprice", "mn"), ("max", "o_totalprice", "mx"),
+        ("count_distinct", "o_orderpriority", "dp")])
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "co-located groupby shuffled"
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, \
+        "co-located groupby fell back to a Spark aggregate"
+    return g.orderBy("o_custkey")
+
+
 def _kmv_oracle_sql(values_sql: str, from_sql: str, k: int) -> str:
     from linkedin_iceberg_spark.catalog.analyze import kmv_estimate_sql
     return kmv_estimate_sql(values_sql, from_sql, k)

@@ -402,6 +402,14 @@ CONTRACTS = {
         ["MapInPandas"],
         ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
          "CartesianProduct"]),
+    "agg_colocated_groupby": (
+        # the aggregation happens INSIDE the per-bucket MapInPandas
+        # task (groups are bucket-confined, so per-bucket results are
+        # final): the output sort is the only exchange-bearing stage;
+        # no Spark aggregate operator may appear anywhere
+        ["MapInPandas"],
+        ["HashAggregate", "SortAggregate", "ObjectHashAggregate",
+         "CartesianProduct"]),
     "table_scan_dict_pruned": (
         # dictionary skipping already dropped the non-matching files at
         # PLAN time (asserted inside the query: planned < live), so the
