@@ -6487,8 +6487,20 @@ _PRIORITY = [
     # rotates out for table_sql_count_meta (new r7: SELECT count(*)
     # through Catalog.sql answered from manifest record counts — the
     # verdict's stretch #7, poison-proven zero data input)
-    "table_equality_deletes", "table_compaction", "table_sql_count_meta",
-    "table_format_orc", "table_remove_orphans", "table_sql_pruned",
+    # r8 session 4: table_equality_deletes (green r2-r7, 6 lifetime
+    # rows, unchanged; the deletes family keeps table_overwrite_where +
+    # table_purge_forgotten + table_sql_dml in-window, and
+    # table_sql_merge_sync routes through the same equality-delete
+    # plane) rotates out for table_scan_bloom_pruned (new r8: bloom
+    # file skipping — per-file filters prune high-cardinality eq/IN
+    # point lookups that bounds AND dictionaries cannot);
+    # table_format_orc (green r2-r7, 6 lifetime rows, unchanged; the
+    # format family keeps table_batch_source_read — the unified
+    # DataSource surface — in-window) rotates out for
+    # agg_colocated_groupby (new r8: zero-shuffle co-located GROUP BY,
+    # no-exchange/no-aggregate-operator plan asserted in the query)
+    "table_scan_bloom_pruned", "table_compaction", "table_sql_count_meta",
+    "agg_colocated_groupby", "table_remove_orphans", "table_sql_pruned",
     # r4: table_merge_schema_append (lifetime-green, unchanged; schema
     # family keeps table_schema_evolution in-window) rotates out for
     # text_pack_sharded (new: per-shard packing — pack_sequences'
