@@ -1273,7 +1273,8 @@ class Catalog:
     def _sql_group_count(self, masked: str, lits: list):
         """`SELECT <group cols...>, count(*) | min(c) | max(c) |
         approx_count_distinct(c) FROM db.t [WHERE <pushable>]
-        GROUP BY <group cols> [HAVING ...] [ORDER BY <out cols>]`
+        GROUP BY <group cols> [HAVING ...] [ORDER BY <out cols>]
+        [LIMIT n — ordered only; the heavy-hitters shape]`
         answered from metadata via count_rows_grouped /
         agg_minmax_grouped / approx_ndv_grouped — per-partition record
         counts, exact file bounds, and per-file KMV sketches are pure
@@ -1294,11 +1295,13 @@ class Catalog:
         m = re.match(
             rf"\s*select\s+(.+?)\s+from\s+({ident}(?:\.{ident})+)"
             rf"(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+?)"
-            rf"(?:\s+having\s+(.+?))?(?:\s+order\s+by\s+(.+?))?\s*;?\s*$",
+            rf"(?:\s+having\s+(.+?))?(?:\s+order\s+by\s+(.+?))?"
+            rf"(?:\s+limit\s+(\d+))?\s*;?\s*$",
             masked, re.IGNORECASE | re.DOTALL)
         if not m or not self.table_exists(m.group(2)):
             return None
         having_text, order_text = m.group(5), m.group(6)
+        limit_n = int(m.group(7)) if m.group(7) else None
         t = self.load_table(m.group(2))
         own = set(t.schema.column_names())
         group_cols = []
@@ -1444,7 +1447,13 @@ class Catalog:
         df = self.spark.createDataFrame(rows, T.StructType(fields))
         if having is not None:
             df = df.filter(having)
-        return df.orderBy(*orders) if orders else df
+        if orders:
+            df = df.orderBy(*orders)
+        if limit_n is not None:
+            if not orders:
+                return None  # unordered LIMIT is arbitrary: generic route
+            df = df.limit(limit_n)
+        return df
 
     def _sql_count_star(self, masked: str, lits: list):
         """`SELECT count(*) | min(c) | max(c) | approx_count_distinct(c)
@@ -2316,11 +2325,13 @@ class Catalog:
                 for sub, label in (("stats", "hll"),
                                    ("stats_kmv", "kmv"),
                                    ("stats_dict", "dict"),
-                                   ("stats_bloom", "bloom")):
+                                   ("stats_bloom", "bloom"),
+                                   ("stats_hist", "hist")):
                     base = os.path.join(t.location, sub)
                     if os.path.isdir(base):
                         names = sorted(os.listdir(base))
-                        if sub in ("stats_dict", "stats_bloom"):
+                        if sub in ("stats_dict", "stats_bloom",
+                                   "stats_hist"):
                             names = [t.schema.name_for_id(int(fid))
                                      or fid for fid in names]
                         stats.append(f"{label}:{','.join(names)}")
@@ -2724,6 +2735,7 @@ class Catalog:
         "analyze_kmv": ("table", "columns", "k"),
         "analyze_dictionary": ("table", "column", "max_ndv"),
         "analyze_bloom": ("table", "column", "fpp"),
+        "analyze_histogram": ("table", "column", "max_ndv"),
         "kmv_overlap": ("table", "column", "other_table",
                         "other_column", "k"),
         "build_key_index": ("table", "column"),
@@ -3022,6 +3034,7 @@ class Catalog:
             CALL analyze_kmv('db.t', '<col>[,<col>...]' [, <k>])
             CALL analyze_dictionary('db.t', '<col>' [, <max_ndv>])
             CALL analyze_bloom('db.t', '<col>' [, '<fpp>'])
+            CALL analyze_histogram('db.t', '<col>' [, <max_ndv>])
             CALL kmv_overlap('db.a', '<col>', 'db.b', '<col>' [, <k>])
             CALL build_key_index('db.t', '<col>')
             CALL refresh_key_index('db.t', '<col>')
@@ -3212,6 +3225,15 @@ class Catalog:
                 BLOOM_DEFAULT_FPP, analyze_bloom)
             fpp = float(rest[1]) if rest[1:] else BLOOM_DEFAULT_FPP
             out = {"files_analyzed": analyze_bloom(t, rest[0], fpp=fpp)}
+        elif proc == "analyze_histogram":
+            # the histogram plane: per-file exact value counts, folded
+            # by the grouped-count metadata route (GROUP BY col with
+            # zero data I/O on covered files)
+            from linkedin_iceberg_spark.catalog.analyze import (
+                DICT_DEFAULT_MAX_NDV, analyze_histogram)
+            cap = int(rest[1]) if rest[1:] else DICT_DEFAULT_MAX_NDV
+            out = {"files_analyzed":
+                   analyze_histogram(t, rest[0], max_ndv=cap)}
         elif proc == "kmv_overlap":
             # table-vs-table corpus overlap from the KMV stores (the
             # decontamination audit as one CALL)

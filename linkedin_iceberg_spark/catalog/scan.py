@@ -248,6 +248,27 @@ class TableScan:
                 counts[key] = counts.get(key, 0) + t.file.record_count
             else:
                 slow.append(t)
+        if slow and exact and len(group_cols) == 1:
+            # second metadata chance: files the spec cannot decide may
+            # still carry a persisted per-file HISTOGRAM of the group
+            # column (analyze_histogram) — counts are additive, so
+            # covered delete-free decided files fold from the store and
+            # only the remainder is read (the KMV-style per-file
+            # degradation, for plain counting)
+            eligible = sorted({
+                t.file.file_path for t in slow
+                if (self.row_filter is None or
+                    isinstance(t.residual, AlwaysTrue))
+                and not t.deletes})
+            if eligible:
+                from linkedin_iceberg_spark.catalog import analyze as AN
+                folded, covered = AN.histogram_fold(
+                    self.table, group_cols[0], eligible)
+                if covered:
+                    for v, n in folded.items():
+                        counts[(v,)] = counts.get((v,), 0) + n
+                    slow = [t for t in slow
+                            if t.file.file_path not in covered]
         if slow:
             for r in (self._to_df_default(tasks=slow)
                       .groupBy(*group_cols).count().collect()):

@@ -528,6 +528,9 @@ class Table:
                     from linkedin_iceberg_spark.catalog import bloom as BL
                     for c in names:
                         BL.analyze_bloom(self, c)
+                elif kind.strip().lower() == "hist":
+                    for c in names:
+                        AN.analyze_histogram(self, c)
         except Exception:
             pass  # stats are advisory; the write already committed
 

@@ -6127,6 +6127,39 @@ def join_colocated_buckets(spark, sf_dir):
                      "c_name", "c_acctbal").orderBy("o_orderkey"))
 
 
+@q("meta_histogram_counts", """
+SELECT o_orderpriority, count(*) AS n FROM orders
+GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""")
+def meta_histogram_counts(spark, sf_dir):
+    """Metadata-only GROUP BY counts (catalog/analyze.py
+    analyze_histogram + histogram_fold inside count_rows_grouped): the
+    persisted per-file value histograms of a low-NDV column make
+    `GROUP BY col -> count(*)` a pure metadata fold — files are
+    immutable and counts are additive, so the snapshot answer is the
+    sum of its live files' histograms, zero data I/O (poison-proven in
+    tests/test_histogram.py).  The column is NOT a partition column, so
+    the manifest record-count fold (table_sql_group_count's plane)
+    cannot decide these files — the histogram is the missing level.
+    The in-query assertion pins full coverage: every live file folds
+    from the store, none is read.  The SQL route adds ORDER BY count +
+    LIMIT-with-ORDER support — the 'top languages / sources' corpus
+    question answered from metadata."""
+    from linkedin_iceberg_spark.catalog.analyze import (analyze_histogram,
+                                                        histogram_fold)
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_hist", o)
+    t.append(o.repartition(6))
+    analyze_histogram(t, "o_orderpriority")
+    live = {e.data_file.file_path
+            for e in t._live_data_and_deletes()[0]}
+    _counts, covered = histogram_fold(t, "o_orderpriority", sorted(live))
+    assert covered == live, "histogram fold left files uncovered"
+    return cat.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM q.orders_hist "
+        "GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority")
+
+
 @q("agg_colocated_groupby", """
 SELECT o_custkey,
        count(*) AS n,
@@ -6742,7 +6775,13 @@ _PRIORITY = [
     # keeps ivf_pruned/ivf_refresh/pq/matryoshka in-window) rotates out
     # for dedup_semdedup (new: SemDeDup — k-means-cell-blocked semantic
     # dedup, training loop value-checked in the oracle)
-    "dedup_semdedup", "similarity_ivf_pruned",
+    # r8 session 4: similarity_ivf_pruned (green r3-r7, 5 lifetime
+    # rows, unchanged; the similarity family keeps keyword_index +
+    # hybrid_rrf + pq_search + ivf_refresh in-window) rotates out for
+    # meta_histogram_counts (new r8: per-file value histograms — GROUP
+    # BY a low-NDV non-partition column folds from metadata with zero
+    # data I/O, plus ordered-LIMIT heavy hitters on the SQL route)
+    "dedup_semdedup", "meta_histogram_counts",
     # r4: table_scan_bucket_pruned (green r1+r2+r3, unchanged; scan family
     # keeps table_scan_pruned + table_scan_planned_tasks in-window) rotates
     # out for similarity_ivf_refresh (new: growth-gated k-means retrain +
