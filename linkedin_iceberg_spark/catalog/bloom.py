@@ -167,25 +167,27 @@ def analyze_bloom(table, col: str, fpp: float = BLOOM_DEFAULT_FPP,
 
 
 def _literal_hashes(table, field, lits: list):
-    """xxhash64 of each literal AS THE COLUMN'S SPARK TYPE, via a one-row
+    """xxhash64 of each literal AS THE COLUMN'S SPARK TYPE, via a tiny
     Spark job — the identical JVM expression the build used, so parity
-    is structural.  Returns None when any literal fails to cast (we
-    cannot prove absence of a value we cannot hash — skip the conjunct,
-    stay sound)."""
+    is structural.  One ROW per literal (not one column), so a
+    runtime-filter IN list of thousands of keys hashes in a single
+    cheap job.  Returns None when the literals don't fit the column
+    type (we cannot prove absence of a value we cannot hash — skip the
+    conjunct, stay sound)."""
+    from pyspark.sql import types as T
     stype = next(sf.dataType for sf in table.schema.to_spark().fields
                  if sf.name == field.name)
     try:
-        exprs = []
-        for i, v in enumerate(lits):
-            c = F.lit(v).try_cast(stype)
-            exprs.append(F.xxhash64(c).alias(f"h{i}"))
-            exprs.append(c.isNull().alias(f"n{i}"))
-        row = table.spark.range(1).select(*exprs).head()
+        df = table.spark.createDataFrame(
+            [(v,) for v in lits],
+            T.StructType([T.StructField("v", stype, True)]))
+        rows = df.select(F.xxhash64("v").alias("h"),
+                         F.col("v").isNull().alias("n")).collect()
     except Exception:
         return None
-    if any(row[f"n{i}"] for i in range(len(lits))):
+    if len(rows) != len(lits) or any(r["n"] for r in rows):
         return None
-    return [row[f"h{i}"] for i in range(len(lits))]
+    return [r["h"] for r in rows]
 
 
 def bloom_prune(table, data_entries: list, bound) -> list:

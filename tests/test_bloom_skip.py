@@ -306,3 +306,43 @@ def test_stats_auto_bloom_maintains_at_write_time(spark, catalog):
     rows = {r["col_name"]: r["data_type"]
             for r in catalog.sql("DESCRIBE EXTENDED db.auto").collect()}
     assert "bloom:o_custkey" in rows.get("Statistics", "")
+
+
+def test_runtime_filter_composes_with_bloom(spark, catalog):
+    """runtime_filtered_join's IN-list path goes through plan_files, so
+    the bloom store prunes FACT files for the dim's key set with no new
+    code — the DPP-analog join reads only the keys' files (poison-
+    proven), and a thousand-key IN list hashes in one job."""
+    from linkedin_iceberg_spark.catalog.runtime_filter import (
+        runtime_filtered_join)
+    o = _orders(spark)
+    t = _clustered(catalog, o)
+    analyze_bloom(t, "o_custkey")
+    keys = sorted(int(r[0]) for r in
+                  o.select("o_custkey").distinct().limit(5).collect())
+    build = spark.createDataFrame([(k,) for k in keys],
+                                  "o_custkey bigint")
+    # which files survive the IN through the bloom store?
+    tasks = t.new_scan().filter(in_("o_custkey", keys)).plan_files()
+    live = {e.data_file.file_path
+            for e in t._live_data_and_deletes()[0]}
+    kept = {x.file.file_path for x in tasks}
+    assert len(kept) < len(live)
+    moved = []
+    for p in live - kept:
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        j = runtime_filtered_join(t, build, "o_custkey",
+                                  use_key_index=False)
+        got = j.count()
+        want = o.filter(F.col("o_custkey").isin(keys)).count()
+        assert got == want
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    # scale shape: a large IN list still hashes in one row-based job
+    many = list(range(1, 2001))
+    big = spark.createDataFrame([(k,) for k in many], "o_custkey bigint")
+    j2 = runtime_filtered_join(t, big, "o_custkey", use_key_index=False)
+    assert j2.count() == o.filter(F.col("o_custkey").isin(many)).count()
