@@ -1129,15 +1129,18 @@ class Catalog:
         return self.spark.sql(_unmask_sql_literals(rewritten, lits))
 
     def _sql_colocated_groupby(self, masked: str, lits: list):
-        """`SELECT <key>, <aggs...> FROM db.t [WHERE key = lit | key IN
-        (...)] GROUP BY <key> [HAVING ...] [ORDER BY <out cols>]` over a
-        table whose CURRENT spec buckets `<key>` routes to the
+        """`SELECT <group cols>, <aggs...> FROM db.t [WHERE key = lit |
+        key IN (...)] GROUP BY <group cols> [HAVING ...] [ORDER BY
+        <out cols>]` where ONE group column is bucketed by the CURRENT
+        spec routes to the
         zero-shuffle co-located aggregation (catalog/colocated.py
         colocated_groupby): every group lives wholly inside one bucket,
         so per-bucket tasks aggregate their own files and the plan
         carries NO exchange and NO Spark aggregate operator — the
         shuffle a plain GROUP BY pays is the one the bucketed layout
-        already paid at write time.  Aggs: count(*) / count(c) /
+        already paid at write time.  Secondary group columns (GROUP BY
+        user_id, event_type) ride along free — the bucket key already
+        confines every group to one bucket.  Aggs: count(*) / count(c) /
         count(DISTINCT c) / sum / min / max / avg.  WHERE is accepted
         ONLY as key-membership conjuncts (they commute with grouping
         and double as bucket pruning); anything else falls to the
@@ -1164,18 +1167,28 @@ class Catalog:
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
         m = re.match(
             rf"\s*select\s+(.+?)\s+from\s+({ident}(?:\.{ident})+)"
-            rf"(?:\s+where\s+(.+?))?\s+group\s+by\s+({ident})"
+            rf"(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+?)"
             rf"(?:\s+having\s+(.+?))?(?:\s+order\s+by\s+(.+?))?\s*;?\s*$",
             masked, re.IGNORECASE | re.DOTALL)
         if not m or not self.table_exists(m.group(2)):
             return None
         t = self.load_table(m.group(2))
-        key = m.group(4)
         own = set(t.schema.column_names())
-        if key not in own or _bucket_layout(t, key) is None:
+        gcols = []
+        for g in _split_top_level_commas(m.group(4)):
+            g = g.strip()
+            if not re.match(rf"{ident}$", g) or g not in own:
+                return None
+            gcols.append(g)
+        if not gcols or len(set(gcols)) != len(gcols):
             return None
-        if any(pf.transform_str == "identity" and pf.source_name == key
-               for pf in t.spec.fields):
+        key = next((c for c in gcols
+                    if _bucket_layout(t, c) is not None), None)
+        if key is None:
+            return None
+        idents = {pf.source_name for pf in t.spec.fields
+                  if pf.transform_str == "identity"}
+        if all(c in idents for c in gcols):
             return None  # metadata grouped fold is zero-I/O: keep it
         agg_re = re.compile(
             rf"\s*(count|sum|min|max|avg)\(\s*"
@@ -1209,15 +1222,15 @@ class Catalog:
                 items.append((False, name))
                 continue
             km = col_re.match(raw)
-            if km and km.group(1) == key:
-                items.append((True, km.group(2) or key))
+            if km and km.group(1) in gcols:
+                items.append((km.group(1), km.group(2) or km.group(1)))
                 continue
             return None
         if not aggs:
             return None
-        key_out = next((n for is_k, n in items if is_k), None)
-        if key_out is None:
-            return None  # grouped output without the key: generic route
+        col_out = {c: n for c, n in items if c is not False}
+        if set(col_out) != set(gcols):
+            return None  # every group col must appear in the output
         key_values = None
         if m.group(3):
             vals = None
@@ -1236,7 +1249,7 @@ class Catalog:
                     return None
                 vals = got if vals is None else (vals & got)
             key_values = sorted(vals)
-        out_names = [n for _is_k, n in items]
+        out_names = [n for _c, n in items]
         orders = []
         if m.group(6):
             for o in _split_top_level_commas(m.group(6)):
@@ -1262,9 +1275,10 @@ class Catalog:
                 cond = F.expr(f"`{name}` {'!=' if op == '<>' else op} "
                               f"{val}")
                 having = cond if having is None else (having & cond)
-        df = colocated_groupby(t, key, aggs, key_values=key_values)
-        if key_out != key:
-            df = df.withColumnRenamed(key, key_out)
+        df = colocated_groupby(t, gcols, aggs, key_values=key_values)
+        for c, n in col_out.items():
+            if n != c:
+                df = df.withColumnRenamed(c, n)
         df = df.select(*out_names)
         if having is not None:
             df = df.filter(having)

@@ -493,29 +493,38 @@ def colocated_feature_assembly(base, key: str, features: list,
 _GROUPBY_FUNCS = {"count", "count_distinct", "sum", "min", "max", "avg"}
 
 
-def colocated_groupby(table, key: str, aggs: list,
+def colocated_groupby(table, key, aggs: list,
                       key_values: list = None) -> DataFrame:
-    """ZERO-SHUFFLE GROUP BY on the bucket key: when the table's current
-    spec buckets `key`, every group lives wholly inside one bucket, so
-    the aggregation decomposes into n_buckets independent jobs whose
-    inputs are already materialized as disjoint file sets — each bucket
-    becomes ONE task that partial-aggregates its files and combines
-    in memory, and the physical plan contains NO exchange and NO Spark
-    aggregate operator at all.  A plain `groupBy(key)` would hash-
-    shuffle the whole table; at 100 TB on a pre-bucketed entity key
-    (user_id, doc_id) this is the shuffle the layout already paid for
-    at write time.
+    """ZERO-SHUFFLE GROUP BY containing the bucket key: when the
+    table's current spec buckets one of the group columns, every group
+    lives wholly inside one bucket (the bucket key functionally
+    determines the bucket), so the aggregation decomposes into
+    n_buckets independent jobs whose inputs are already materialized as
+    disjoint file sets — each bucket becomes ONE task that
+    partial-aggregates its files and combines in memory, and the
+    physical plan contains NO exchange and NO Spark aggregate operator
+    at all.  A plain `groupBy` would hash-shuffle the whole table; at
+    100 TB on a pre-bucketed entity key (user_id, doc_id) this is the
+    shuffle the layout already paid for at write time.
+
+    ``key`` is the group column list (a string is a single-column
+    group); exactly the SQL GROUP BY list, in output order.  One of
+    them must be the bucketed column — secondary group columns
+    (GROUP BY user_id, event_type) ride along free because they cannot
+    split a group across buckets.
 
     ``aggs`` is a list of ``(func, col, alias)`` with func in
     count / count_distinct / sum / min / max / avg (col None = count(*)).
     Groups with only NULLs yield SQL semantics (sum/min/max/avg NULL,
-    counts 0).  Rows with a NULL key live in the spec's null partition
-    and force the fallback (their files carry no bucket ordinal).
+    counts 0); NULL values in SECONDARY group columns form their own
+    groups (SQL GROUP BY), while rows with a NULL bucket key live in
+    the spec's null partition and force the fallback (their files carry
+    no bucket ordinal).
 
-    ``key_values``: restrict the result to these keys — only their
-    buckets are READ (file-level pruning) and the key filter applies
-    exactly in the task (filtering on the GROUP key commutes with
-    grouping, so this equals WHERE key IN (...) GROUP BY key).
+    ``key_values``: restrict the result to these bucket-key values —
+    only their buckets are READ (file-level pruning) and the key filter
+    applies exactly in the task (filtering on a group column commutes
+    with grouping, so this equals WHERE key IN (...) GROUP BY ...).
 
     Falls back to the plain Spark groupBy (identical rows, one shuffle)
     whenever the co-located contract doesn't hold: unbucketed or
@@ -523,30 +532,41 @@ def colocated_groupby(table, key: str, aggs: list,
     nested schemas.
 
     Scale shape and its cliff, named: task memory is bounded by the
-    GROUP count per bucket (plus distinct (key,col) pairs for
+    GROUP count per bucket (plus distinct (group, col) tuples for
     count_distinct), not rows — files partial-aggregate one at a time.
     ref: the reference plans bucketed scans but leaves aggregation to
     Spark (spark/src/.../IcebergSource.java); storage-partitioned
     aggregation is the SPJ idea (SPARK-37377) applied to GROUP BY."""
     import json as _json3
 
+    gcols = [key] if isinstance(key, str) else list(key)
+    if not gcols or len(set(gcols)) != len(gcols):
+        raise ValueError(f"invalid group column list {gcols!r}")
+    known = set(table.schema.column_names())
+    for c in gcols:
+        if c not in known:
+            raise ValueError(f"no such column {c!r}")
     for fn, col, alias in aggs:
         if fn not in _GROUPBY_FUNCS:
             raise ValueError(f"unsupported agg {fn!r} (supported: "
                              f"{sorted(_GROUPBY_FUNCS)})")
         if col is None and fn != "count":
             raise ValueError(f"{fn} requires a column")
-        if col is not None and col not in table.schema.column_names():
+        if col is not None and col not in known:
             raise ValueError(f"no such column {col!r}")
     if len({a for _, _, a in aggs}) != len(aggs):
         raise ValueError("duplicate output aliases")
 
     from pyspark.sql import functions as F
 
+    bucket_col = next((c for c in gcols
+                       if _bucket_layout(table, c) is not None), None)
+
     def _fallback():
         df = table.to_df()
         if key_values is not None:
-            df = df.filter(F.col(key).isin(list(key_values)))
+            kc = bucket_col or gcols[0]
+            df = df.filter(F.col(kc).isin(list(key_values)))
         sparks = []
         for fn, col, alias in aggs:
             if fn == "count":
@@ -558,19 +578,18 @@ def colocated_groupby(table, key: str, aggs: list,
                 sparks.append(F.avg(F.col(col)).alias(alias))
             else:
                 sparks.append(getattr(F, fn)(F.col(col)).alias(alias))
-        return df.groupBy(key).agg(*sparks)
+        return df.groupBy(*gcols).agg(*sparks)
 
-    lb = _bucket_layout(table, key)
-    if lb is None:
+    if bucket_col is None:
         return _fallback()
     if any(not isinstance(f.type, str) for f in table.schema.fields):
         return _fallback()
-    n_buckets, pnames = lb
+    n_buckets, pnames = _bucket_layout(table, bucket_col)
     tasks = table.new_scan().plan_files()
     if any(t.deletes for t in tasks) or \
             any(t.file.file_format != "parquet" for t in tasks):
         return _fallback()
-    need = sorted({key} | {c for _, c, _ in aggs if c is not None})
+    need = sorted(set(gcols) | {c for _, c, _ in aggs if c is not None})
     md = table.metadata
     current = md.schema
     by_bucket: dict = {}
@@ -592,7 +611,8 @@ def colocated_groupby(table, key: str, aggs: list,
 
     buckets = sorted(by_bucket)
     if key_values is not None:
-        kf = next(f for f in table.schema.fields if f.name == key)
+        kf = next(f for f in table.schema.fields
+                  if f.name == bucket_col)
         from linkedin_iceberg_spark.transforms.transforms import (
             parse_transform)
         tf = parse_transform(f"bucket[{n_buckets}]", kf.type)
@@ -605,7 +625,7 @@ def colocated_groupby(table, key: str, aggs: list,
 
     from linkedin_iceberg_spark.catalog.local_read import type_to_arrow
     spark_fields = {f.name: f for f in table.schema.to_spark().fields}
-    out_fields = [spark_fields[key]]
+    out_fields = [spark_fields[c] for c in gcols]
     for fn, col, alias in aggs:
         if fn in ("count", "count_distinct"):
             out_fields.append(StructField(alias, LongType(), False))
@@ -636,7 +656,9 @@ def colocated_groupby(table, key: str, aggs: list,
     })) for b in buckets]
     aggs_ = list(aggs)
     kv = sorted(key_values) if key_values is not None else None
-    out_names = [key] + [a for _, _, a in aggs_]
+    out_names = list(gcols) + [a for _, _, a in aggs_]
+    gcols_ = list(gcols)
+    bkey = bucket_col
 
     def agg_bucket(batches):
         import json as _j
@@ -647,6 +669,7 @@ def colocated_groupby(table, key: str, aggs: list,
 
         tgt = {f.name: f.type for f in
                _pa.ipc.read_schema(_pa.py_buffer(ser_types))}
+        lv = list(range(len(gcols_)))
 
         def read_file(sp, rev):
             m = rev.get(str(sp["sid"]), {})
@@ -671,15 +694,17 @@ def colocated_groupby(table, key: str, aggs: list,
             for desc_s in pdf["desc"]:
                 d = _j.loads(desc_s)
                 partials = []   # per-file partial aggregate frames
-                pairs = []      # per-file distinct (key, col) frames
+                pairs = []      # per-file distinct (group, col) frames
                 for sp in d["splits"]:
                     f = read_file(sp, d["rev"])
-                    f = f[f[key].notna()]
+                    f = f[f[bkey].notna()]
                     if kv is not None:
-                        f = f[f[key].isin(kv)]
+                        f = f[f[bkey].isin(kv)]
                     if not len(f):
                         continue
-                    g = f.groupby(key, sort=False)
+                    # dropna=False: NULLs in SECONDARY group columns
+                    # form their own groups, SQL GROUP BY semantics
+                    g = f.groupby(gcols_, sort=False, dropna=False)
                     part = {}
                     for fn, col, alias in aggs_:
                         if fn == "count":
@@ -695,8 +720,9 @@ def colocated_groupby(table, key: str, aggs: list,
                             part[f"as::{alias}"] = g[col].sum(min_count=1)
                             part[f"ac::{alias}"] = g[col].count()
                         elif fn == "count_distinct":
-                            pairs.append((alias, f[[key, col]]
-                                          .dropna().drop_duplicates()))
+                            pairs.append((alias, f[gcols_ + [col]]
+                                          .dropna(subset=[col])
+                                          .drop_duplicates()))
                     if part:
                         partials.append(_pd.DataFrame(part))
                 if not partials and not pairs:
@@ -716,9 +742,30 @@ def colocated_groupby(table, key: str, aggs: list,
                                       "n": "min", "x": "max",
                                       "as": _sum_keep_null,
                                       "ac": "sum"}[kind]
-                    merged = allp.groupby(level=0, sort=False).agg(combine)
-                out = _pd.DataFrame(index=merged.index if merged is not None
-                                    else _pd.Index([], name=key))
+                    merged = allp.groupby(level=lv, sort=False,
+                                          dropna=False).agg(combine)
+
+                def _distinct_counts(alias):
+                    pf_ = [p for a, p in pairs if a == alias]
+                    if not pf_:
+                        return None
+                    u = _pd.concat(pf_).drop_duplicates()
+                    return u.groupby(gcols_, sort=False,
+                                     dropna=False).size()
+
+                if merged is not None:
+                    idx = merged.index
+                else:
+                    # all-distinct agg list: the group set is the UNION
+                    # across aliases (a group all-NULL in one distinct
+                    # column may still count in another)
+                    idx = None
+                    for _fn, _c, alias in aggs_:
+                        cd = _distinct_counts(alias)
+                        if cd is not None:
+                            idx = cd.index if idx is None \
+                                else idx.union(cd.index)
+                out = _pd.DataFrame(index=idx)
                 for fn, col, alias in aggs_:
                     if fn == "count":
                         out[alias] = merged[f"c::{alias}"].fillna(0)
@@ -733,26 +780,11 @@ def colocated_groupby(table, key: str, aggs: list,
                         c = merged[f"ac::{alias}"]
                         out[alias] = s / c.where(c > 0)
                     elif fn == "count_distinct":
-                        pf_ = [p for a, p in pairs if a == alias]
-                        if pf_:
-                            u = _pd.concat(pf_).drop_duplicates()
-                            cd = u.groupby(key, sort=False).size()
-                            out[alias] = cd.reindex(out.index).fillna(0) \
-                                if merged is not None else cd
-                        else:
-                            out[alias] = 0
-                if merged is None and pairs:
-                    # distinct-only agg list: rebuild the index from pairs
-                    u = _pd.concat([p for _, p in pairs]).drop_duplicates()
-                    cd = u.groupby(key, sort=False).size()
-                    out = _pd.DataFrame({aggs_[0][2]: cd})
-                    for fn, col, alias in aggs_[1:]:
-                        out[alias] = _pd.concat(
-                            [p for a, p in pairs if a == alias]) \
-                            .drop_duplicates().groupby(key, sort=False) \
-                            .size().reindex(out.index).fillna(0)
+                        cd = _distinct_counts(alias)
+                        out[alias] = (cd.reindex(out.index).fillna(0)
+                                      if cd is not None else 0)
                 if len(out):
-                    yield out.reset_index(names=key)[out_names]
+                    yield out.reset_index(names=gcols_)[out_names]
 
     rdd = spark.sparkContext.parallelize(descs, len(descs))
     seed = spark.createDataFrame(rdd, "bucket long, desc string")

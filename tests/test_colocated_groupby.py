@@ -255,3 +255,59 @@ def test_sql_route_session_gate_and_identity_bail(spark, catalog):
         df._jdf.queryExecution().executedPlan().toString()
     want = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
     _assert_same(df, want, key="o_orderpriority")
+
+
+def test_multi_column_group(spark, catalog):
+    """GROUP BY bucket_key, secondary: groups stay bucket-confined, so
+    the plan is still exchange-free; NULLs in the secondary column form
+    their own groups (SQL GROUP BY)."""
+    o = _orders(spark).withColumn(
+        "st", F.when(F.col("o_orderkey") % 5 != 0,
+                     F.col("o_orderstatus")))
+    t = catalog.create_table("db.mc", o)
+    sch = Schema.from_spark(o.schema)
+    spec = PartitionSpec.builder_for(sch).bucket("o_custkey", 8).build()
+    t = catalog.create_table("db.mc2", o, spec=spec)
+    t.append(o)
+    got = colocated_groupby(
+        t, ["o_custkey", "st"],
+        [("count", None, "n"), ("sum", "o_orderkey", "sk"),
+         ("count_distinct", "o_orderpriority", "dp")])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+    want = o.groupBy("o_custkey", "st").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("sk"),
+        F.count_distinct("o_orderpriority").alias("dp"))
+    import pandas as pd
+    g = got.toPandas().sort_values(["o_custkey", "st"],
+                                   na_position="last") \
+        .reset_index(drop=True)
+    w = want.toPandas().sort_values(["o_custkey", "st"],
+                                    na_position="last") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[w.columns.tolist()].astype(w.dtypes.to_dict()), w,
+        check_dtype=False, rtol=1e-12)
+
+
+def test_sql_multi_column_group(spark, catalog):
+    o = _orders(spark)
+    _bucketed(catalog, o, "db.sqlmc")
+    df = catalog.sql(
+        "SELECT o_custkey, o_orderstatus, count(*) AS n, "
+        "max(o_totalprice) AS mx FROM db.sqlmc "
+        "GROUP BY o_custkey, o_orderstatus "
+        "ORDER BY o_custkey, o_orderstatus")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "MapInPandas" in plan
+    want = (o.groupBy("o_custkey", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("o_totalprice").alias("mx")))
+    import pandas as pd
+    g = df.toPandas().sort_values(["o_custkey", "o_orderstatus"]) \
+        .reset_index(drop=True)
+    w = want.toPandas().sort_values(["o_custkey", "o_orderstatus"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[w.columns.tolist()].astype(w.dtypes.to_dict()), w,
+        check_dtype=False, rtol=1e-12)
