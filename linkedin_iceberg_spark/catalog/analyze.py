@@ -665,3 +665,182 @@ def histogram_fold(table, col: str, file_paths: list):
     if nulls:
         counts[None] = counts.get(None, 0) + nulls
     return counts, covered
+
+
+# =========================================================================
+# Top-k plane: per-file truncated histograms with merge-exact BOUNDS
+# =========================================================================
+
+def _topk_dir(table, field_id: int, m: int) -> str:
+    # the truncation width is part of the key: stores built at
+    # different m have different bounds algebra and never mix
+    return os.path.join(table.location, "stats_topk",
+                        f"{field_id}_m{m}")
+
+
+TOPK_DEFAULT_M = 256
+
+
+def _per_file_topk(src, m: int):
+    """(file_path, values, counts, rest_cap, other_total) per file from
+    a (file_path, v) frame: the file's top-m values by count (count
+    desc, value asc — the deterministic SpaceSaving order), the count
+    of its (m+1)-th value as the CAP on any unstored value's count in
+    that file, and the total mass left unstored."""
+    from pyspark.sql import Window
+
+    per_val = (src.where(F.col("v").isNotNull())
+               .groupBy("file_path", "v")
+               .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("file_path").orderBy(F.col("n").desc(),
+                                                F.col("v").asc())
+    ranked = per_val.withColumn("rn", F.row_number().over(w))
+    top = (ranked.filter(F.col("rn") <= m)
+           .groupBy("file_path")
+           .agg(F.sort_array(F.collect_list(F.struct("rn", "v", "n")))
+                .alias("pairs"))
+           .select("file_path",
+                   F.col("pairs.v").alias("values"),
+                   F.col("pairs.n").alias("counts")))
+    rest = (ranked.filter(F.col("rn") > m)
+            .groupBy("file_path")
+            .agg(F.max("n").alias("rest_cap"),
+                 F.sum("n").alias("other_total")))
+    return (top.join(rest, "file_path", "left")
+            .select("file_path", "values", "counts",
+                    F.coalesce("rest_cap", F.lit(0)).alias("rest_cap"),
+                    F.coalesce("other_total", F.lit(0))
+                    .alias("other_total")))
+
+
+def analyze_topk(table, col: str, m: int = TOPK_DEFAULT_M) -> int:
+    """Per-file TRUNCATED histograms for heavy-hitter queries on
+    HIGH-cardinality columns (domains, user ids) where the exact
+    histogram plane overflows: each live file stores its top-``m``
+    values with exact counts plus the (m+1)-th count as a per-file
+    error cap — the classic SpaceSaving/Misra-Gries merge algebra, per
+    immutable file.  approx_top_k folds any snapshot's stores into
+    [lower, upper] count bounds per value with a per-row GUARANTEED
+    flag; files missing from the store are summarized live at query
+    time with the identical recipe, so coverage gaps degrade cost, not
+    correctness of the bounds.  Incremental tail-only, field-id-keyed,
+    like every other stats plane here.  Returns files analyzed now."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    f = next((f for f in table.schema.fields if f.name == col), None)
+    if f is None:
+        raise ValueError(f"no such column {col!r}")
+    if not (isinstance(f.type, str) and f.type in _DICT_TYPES):
+        raise ValueError(
+            f"top-k stats support {sorted(_DICT_TYPES)} columns; "
+            f"{col!r} is {f.type!r}")
+    spark = table.spark
+    d = _topk_dir(table, f.field_id, m)
+    entries, _ = table._live_data_and_deletes()
+    live = {e.data_file.file_path for e in entries}
+    have = set()
+    if os.path.isdir(d) and any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        have = {r["file_path"] for r in
+                spark.read.parquet(d)
+                .select("file_path").distinct().collect()}
+    todo = sorted(live - have)
+    if not todo:
+        return 0
+    src = (spark.read.schema(table.schema.to_spark()).parquet(*todo)
+           .select(F.regexp_replace(F.col("_metadata.file_path"),
+                                    "^file:", "").alias("file_path"),
+                   F.col(col).alias("v")))
+    _per_file_topk(src, m).write.mode("append").parquet(d)
+    return len(todo)
+
+
+def approx_top_k(table, col: str, k: int,
+                 m: int = TOPK_DEFAULT_M) -> list:
+    """The table's top-``k`` values of ``col`` by row count, with exact
+    [lower, upper] bounds merged from the per-file stores
+    (analyze_topk): lower = the value's stored mass, upper = lower +
+    the rest-caps of every file that did NOT store it.  Returns rows
+    ``(value, lower, upper, guaranteed)`` ordered by lower desc, value
+    asc; ``guaranteed`` is True when no other value — stored elsewhere
+    or entirely unseen — can possibly outrank it.  NULLs are excluded
+    (a heavy-hitter of missingness is the histogram plane's NULL
+    group).  Pending row-level deletes force a full live computation
+    (exact bounds, lower == upper); uncovered files are summarized live
+    per file with the identical truncated recipe, so the bounds stay
+    valid at any coverage level."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    f = next((ff for ff in table.schema.fields if ff.name == col), None)
+    if f is None:
+        raise ValueError(f"no such column {col!r}")
+    spark = table.spark
+    tasks = table.new_scan().plan_files()
+    if any(t.deletes for t in tasks):
+        rows = (table.to_df().where(F.col(col).isNotNull())
+                .groupBy(F.col(col).alias("v"))
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("v").asc())
+                .limit(k).collect())
+        return [(r["v"], r["n"], r["n"], True) for r in rows]
+    live = sorted({t.file.file_path for t in tasks})
+    if not live:
+        return []
+    d = _topk_dir(table, f.field_id, m)
+    parts = []
+    covered = set()
+    if os.path.isdir(d) and any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        paths_df = spark.createDataFrame([(p,) for p in live],
+                                         "file_path string")
+        store = (spark.read.parquet(d)
+                 .join(paths_df, "file_path", "left_semi")
+                 .dropDuplicates(["file_path"]))
+        covered = {r["file_path"] for r in
+                   store.select("file_path").collect()}
+        if covered:
+            parts.append(store)
+    uncovered = sorted(set(live) - covered)
+    if uncovered:
+        src = (spark.read.schema(table.schema.to_spark())
+               .parquet(*uncovered)
+               .select(F.regexp_replace(F.col("_metadata.file_path"),
+                                        "^file:", "").alias("file_path"),
+                       F.col(col).alias("v")))
+        parts.append(_per_file_topk(src, m))
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    allf = allf.cache()
+    try:
+        total_rest = allf.agg(F.sum("rest_cap")).head()[0] or 0
+        # per candidate value: stored mass (lower) and the rest-caps of
+        # the files that DID store it — slack is the complement
+        per_val = (allf.select(
+            "rest_cap",
+            F.explode(F.arrays_zip("values", "counts")).alias("vc"))
+            .groupBy(F.col("vc.values").alias("v"))
+            .agg(F.sum("vc.counts").alias("lower"),
+                 F.sum("rest_cap").alias("rest_present")))
+        cand = (per_val.select(
+            "v", "lower",
+            (F.col("lower") + F.lit(total_rest) -
+             F.col("rest_present")).alias("upper"))
+            .orderBy(F.col("lower").desc(), F.col("v").asc()))
+        top = cand.limit(k).collect()
+        if not top:
+            return []
+        # the strongest possible rival: the best upper bound among
+        # candidates NOT returned, or a completely unseen value whose
+        # upper bound is the total rest mass
+        kth_lower = top[-1]["lower"]
+        rival = (cand.filter(
+            (F.col("lower") < kth_lower) |
+            ((F.col("lower") == kth_lower) &
+             (F.col("v") > top[-1]["v"])))
+            .agg(F.max("upper")).head()[0])
+        threshold = max(rival or 0, total_rest)
+        return [(r["v"], r["lower"], r["upper"],
+                 bool(r["lower"] >= threshold)) for r in top]
+    finally:
+        allf.unpersist()

@@ -2340,7 +2340,8 @@ class Catalog:
                                    ("stats_kmv", "kmv"),
                                    ("stats_dict", "dict"),
                                    ("stats_bloom", "bloom"),
-                                   ("stats_hist", "hist")):
+                                   ("stats_hist", "hist"),
+                                   ("stats_topk", "topk")):
                     base = os.path.join(t.location, sub)
                     if os.path.isdir(base):
                         names = sorted(os.listdir(base))
@@ -2348,6 +2349,16 @@ class Catalog:
                                    "stats_hist"):
                             names = [t.schema.name_for_id(int(fid))
                                      or fid for fid in names]
+                        elif sub == "stats_topk":
+                            # dir names are "<fid>_m<m>"
+                            out_n = []
+                            for n in names:
+                                fid, _, mm = n.partition("_m")
+                                cn = (t.schema.name_for_id(int(fid))
+                                      if fid.isdigit() else None)
+                                out_n.append(f"{cn or n}({mm})"
+                                             if mm else (cn or n))
+                            names = out_n
                         stats.append(f"{label}:{','.join(names)}")
                 if stats:
                     rows.append(("Statistics", "; ".join(stats), ""))
@@ -2750,6 +2761,8 @@ class Catalog:
         "analyze_dictionary": ("table", "column", "max_ndv"),
         "analyze_bloom": ("table", "column", "fpp"),
         "analyze_histogram": ("table", "column", "max_ndv"),
+        "analyze_topk": ("table", "column", "m"),
+        "approx_top_k": ("table", "column", "k", "m"),
         "kmv_overlap": ("table", "column", "other_table",
                         "other_column", "k"),
         "build_key_index": ("table", "column"),
@@ -3049,6 +3062,8 @@ class Catalog:
             CALL analyze_dictionary('db.t', '<col>' [, <max_ndv>])
             CALL analyze_bloom('db.t', '<col>' [, '<fpp>'])
             CALL analyze_histogram('db.t', '<col>' [, <max_ndv>])
+            CALL analyze_topk('db.t', '<col>' [, <m>])
+            CALL approx_top_k('db.t', '<col>', <k> [, <m>])  (rows)
             CALL kmv_overlap('db.a', '<col>', 'db.b', '<col>' [, <k>])
             CALL build_key_index('db.t', '<col>')
             CALL refresh_key_index('db.t', '<col>')
@@ -3248,6 +3263,22 @@ class Catalog:
             cap = int(rest[1]) if rest[1:] else DICT_DEFAULT_MAX_NDV
             out = {"files_analyzed":
                    analyze_histogram(t, rest[0], max_ndv=cap)}
+        elif proc == "analyze_topk":
+            # the heavy-hitter plane: per-file truncated histograms
+            # with SpaceSaving merge bounds
+            from linkedin_iceberg_spark.catalog.analyze import (
+                TOPK_DEFAULT_M, analyze_topk)
+            m_ = int(rest[1]) if rest[1:] else TOPK_DEFAULT_M
+            out = {"files_analyzed": analyze_topk(t, rest[0], m=m_)}
+        elif proc == "approx_top_k":
+            from linkedin_iceberg_spark.catalog.analyze import (
+                TOPK_DEFAULT_M, approx_top_k)
+            m_ = int(rest[2]) if rest[2:] else TOPK_DEFAULT_M
+            rows = approx_top_k(t, rest[0], int(rest[1]), m=m_)
+            return self.spark.createDataFrame(
+                [(str(v), lo, hi, g) for v, lo, hi, g in rows],
+                "value string, lower long, upper long, "
+                "guaranteed boolean")
         elif proc == "kmv_overlap":
             # table-vs-table corpus overlap from the KMV stores (the
             # decontamination audit as one CALL)

@@ -6160,6 +6160,38 @@ def meta_histogram_counts(spark, sf_dir):
         "GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority")
 
 
+@q("meta_topk_bounded", """
+SELECT o_custkey AS v, count(*) AS n FROM orders
+GROUP BY o_custkey ORDER BY n DESC, v LIMIT 10""")
+def meta_topk_bounded(spark, sf_dir):
+    """Heavy-hitter plane (catalog/analyze.py analyze_topk +
+    approx_top_k): per-file TRUNCATED histograms — each live file's
+    top-m values with exact counts plus the (m+1)-th count as that
+    file's error cap — merge into [lower, upper] count bounds with a
+    per-value GUARANTEED flag, the SpaceSaving/Misra-Gries algebra
+    applied per immutable file.  This is the high-cardinality
+    complement of the exact histogram plane: 'top domains in a 100 TB
+    corpus' without ever materializing the full value set.  The query
+    runs the EXACT regime (m above every file's NDV), where the bounds
+    provably collapse (lower == upper, all guaranteed — asserted
+    in-query), so the oracle replays it as a plain GROUP BY top-k;
+    tests/test_topk.py pins the truncated regime's bound validity and
+    skewed-hitter guarantees."""
+    from linkedin_iceberg_spark.catalog.analyze import (analyze_topk,
+                                                        approx_top_k)
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_topk", o)
+    t.append(o.repartition(4))
+    analyze_topk(t, "o_custkey", m=65536)
+    rows = approx_top_k(t, "o_custkey", 10, m=65536)
+    assert all(lo == hi and g for _v, lo, hi, g in rows), \
+        "exact regime must collapse the bounds"
+    return spark.createDataFrame(
+        [(int(v), int(lo)) for v, lo, _hi, _g in rows],
+        "v bigint, n bigint")
+
+
 @q("agg_colocated_groupby", """
 SELECT o_custkey,
        count(*) AS n,
@@ -6533,7 +6565,13 @@ _PRIORITY = [
     # agg_colocated_groupby (new r8: zero-shuffle co-located GROUP BY,
     # no-exchange/no-aggregate-operator plan asserted in the query)
     "table_scan_bloom_pruned", "table_compaction", "table_sql_count_meta",
-    "agg_colocated_groupby", "table_remove_orphans", "table_sql_pruned",
+    # r8 session 4: table_remove_orphans (green r4-r7, 4 lifetime rows,
+    # unchanged; the maintenance family keeps table_compaction — whose
+    # CALL optimize composite also exercises orphan-adjacent cleanup —
+    # in-window) rotates out for meta_topk_bounded (new r8: the
+    # heavy-hitter plane — per-file truncated histograms merged into
+    # [lower, upper] bounds, exact-regime collapse asserted in-query)
+    "agg_colocated_groupby", "meta_topk_bounded", "table_sql_pruned",
     # r4: table_merge_schema_append (lifetime-green, unchanged; schema
     # family keeps table_schema_evolution in-window) rotates out for
     # text_pack_sharded (new: per-shard packing — pack_sequences'

@@ -147,6 +147,15 @@ PROBE_QUERIES = [
     "table_scan_dict_pruned",
     "join_colocated_buckets",
     "join_feature_assembly",
+    # r8 session 4: the bloom plane (per-file distinct-hash scan +
+    # Arrow bitset build is ~linear; the point lookup reads ~1 file at
+    # ANY scale), the co-located GROUP BY (per-bucket partial
+    # aggregation, NO shuffle — group count per bucket bounds memory),
+    # and the histogram fold (analyze is one scan, the grouped count
+    # itself is metadata-only and should stay ~flat beyond the build)
+    "table_scan_bloom_pruned",
+    "agg_colocated_groupby",
+    "meta_histogram_counts",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
