@@ -531,6 +531,9 @@ class Table:
                 elif kind.strip().lower() == "hist":
                     for c in names:
                         AN.analyze_histogram(self, c)
+                elif kind.strip().lower() == "topk":
+                    for c in names:
+                        AN.analyze_topk(self, c)
         except Exception:
             pass  # stats are advisory; the write already committed
 

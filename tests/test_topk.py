@@ -131,3 +131,15 @@ def test_bad_args(spark, catalog):
         analyze_topk(t, "o_custkey", m=0)
     with pytest.raises(ValueError):
         approx_top_k(t, "o_custkey", 0)
+
+
+def test_stats_auto_topk(spark, catalog):
+    o = _orders(spark)
+    t = catalog.create_table("db.auto", o)
+    t.update_properties(set_props={"stats.auto": "topk:o_orderpriority"})
+    t = t.refresh()
+    t.append(o.repartition(3))
+    assert analyze_topk(t, "o_orderpriority") == 0  # append covered it
+    true = _true_counts(o, "o_orderpriority")
+    got = approx_top_k(t, "o_orderpriority", 5)
+    assert {v: lo for v, lo, _hi, _g in got} == true
