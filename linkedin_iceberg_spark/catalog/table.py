@@ -1178,7 +1178,8 @@ class Table:
     def _commit_file_swap(self, removed: list, added: list,
                           operation: str,
                           seen_paths: Optional[set] = None,
-                          conflict_fn: Optional[Callable] = None) -> "Table":
+                          conflict_fn: Optional[Callable] = None,
+                          extra_summary: Optional[dict] = None) -> "Table":
         """Shared commit: drop `removed` entries, add `added` files.
         Rewrites the survivor set into fresh manifests (ref:
         ManifestFilterManager rewriting manifests that contain deletes).
@@ -1247,6 +1248,7 @@ class Table:
             added_data = [f for f in added if f.content == M.CONTENT_DATA]
             added_dels = len(added) - len(added_data)
             summary = {
+                **(extra_summary or {}),
                 "deleted-data-files": str(len(removed_data)),
                 "added-data-files": str(len(added_data)),
                 "deleted-delete-files": str(removed_dels),

@@ -105,6 +105,22 @@ class _TableBatchReader(DataSourceReader):
         self.ref = options.get("ref") or None
         self.as_of_ms = int(options["as_of_ms"]) \
             if options.get("as_of_ms") else None
+        # incremental scan options (ref: spark/.../TestDataSourceOptions
+        # testIncrementalScanOptions; IncrementalDataTableScan
+        # appendsBetween): rows APPENDED in (start, end] — append-only
+        # semantics, row-level deletes are not applied, exactly the
+        # reference's incremental contract
+        self.start_snapshot_id = int(options["start_snapshot_id"]) \
+            if options.get("start_snapshot_id") else None
+        self.end_snapshot_id = int(options["end_snapshot_id"]) \
+            if options.get("end_snapshot_id") else None
+        if self.end_snapshot_id and not self.start_snapshot_id:
+            raise ValueError(
+                "end_snapshot_id requires start_snapshot_id")
+        if self.start_snapshot_id and (self.snapshot_id or self.ref or
+                                       self.as_of_ms):
+            raise ValueError("incremental options cannot combine with "
+                             "snapshot_id/ref/as_of_ms")
         self._expr = None
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
@@ -144,12 +160,36 @@ class _TableBatchReader(DataSourceReader):
             scan = scan.as_of_time(self.as_of_ms)
         if self._expr is not None:
             scan = scan.filter(self._expr)
+        tasks = None
+        if self.start_snapshot_id is not None:
+            from linkedin_iceberg_spark.catalog.incremental import (
+                appended_entries_between)
+            end = self.end_snapshot_id or md.current_snapshot_id
+            entries = appended_entries_between(
+                t, self.start_snapshot_id, end)
+            # pruning rides the normal scan of the END snapshot (same
+            # filter Spark re-applies row-level, so intersecting is
+            # sound); appended files no longer live at `end` are
+            # already excluded by the incremental walk
+            survivors = {x.file.file_path
+                         for x in scan.use_snapshot(end).plan_files()}
+
+            class _IncTask:
+                __slots__ = ("file", "deletes")
+
+            tasks = []
+            for e in entries:
+                if e.data_file.file_path in survivors:
+                    it = _IncTask()
+                    it.file = e.data_file
+                    it.deletes = []
+                    tasks.append(it)
         current = md.schema
         target = pa.schema([pa.field(f.name, type_to_arrow(f.type),
                                      nullable=not f.required)
                             for f in current.fields])
         parts = []
-        for task in scan.plan_files():
+        for task in (tasks if tasks is not None else scan.plan_files()):
             if task.file.file_format not in ("parquet", "orc", "avro"):
                 raise ValueError(
                     f"{SOURCE_NAME} reads parquet/orc/avro data files; "
@@ -420,6 +460,15 @@ class _TableBatchWriter(DataSourceArrowWriter):
         # each staged file cluster so parquet row-group stats stay
         # tight (zorder interleaves are left to table.append)
         self.sort_by = sort_by or []
+        # extra snapshot metadata (ref: spark/.../TestDataSourceOptions
+        # testExtraSnapshotMetadata, the SnapshotSummary EXTRA_METADATA
+        # plane): .option("snapshotproperty.k", "v") lands k=v in the
+        # committed snapshot's summary verbatim
+        self.snapshot_props = {
+            k[len("snapshotproperty."):]: v
+            for k, v in options.items()
+            if k.lower().startswith("snapshotproperty.")
+            and k[len("snapshotproperty."):]}
         self.staging = os.path.join(
             self.location, "data", f"dsv2-{_uuid.uuid4().hex[:12]}")
 
@@ -507,9 +556,11 @@ class _TableBatchWriter(DataSourceArrowWriter):
                 removed=data + dels, added=files,
                 operation=OP_OVERWRITE,
                 seen_paths={e.data_file.file_path
-                            for e in data + dels})
+                            for e in data + dels},
+                extra_summary=self.snapshot_props or None)
         elif files:
-            t._commit_append_files(files)
+            t._commit_append_files(
+                files, extra_summary=self.snapshot_props or None)
 
     def abort(self, messages):
         import shutil
@@ -566,6 +617,7 @@ class _TableStreamWriter(_TableBatchWriter,
             for (p, pdict) in staged]
         if files:
             t._commit_append_files(files, extra_summary={
+                **getattr(self, "snapshot_props", {}),
                 EPOCH_KEY: str(batchId), QUERY_KEY: self.query_id})
 
     def abort(self, messages, batchId: int) -> None:
@@ -708,8 +760,11 @@ def register_batch_source(spark) -> str:
     return SOURCE_NAME
 
 
-def read_table(spark, table, snapshot_id=None, ref=None, as_of_ms=None):
-    """Convenience: ``spark.read.format(...)`` over an engine table."""
+def read_table(spark, table, snapshot_id=None, ref=None, as_of_ms=None,
+               start_snapshot_id=None, end_snapshot_id=None):
+    """Convenience: ``spark.read.format(...)`` over an engine table.
+    ``start_snapshot_id``/``end_snapshot_id`` select the incremental
+    append scan — rows appended in (start, end]."""
     register_batch_source(spark)
     r = spark.read.format(SOURCE_NAME) \
         .option("location", table.location) \
@@ -721,4 +776,8 @@ def read_table(spark, table, snapshot_id=None, ref=None, as_of_ms=None):
         r = r.option("ref", ref)
     if as_of_ms:
         r = r.option("as_of_ms", str(as_of_ms))
+    if start_snapshot_id:
+        r = r.option("start_snapshot_id", str(start_snapshot_id))
+    if end_snapshot_id:
+        r = r.option("end_snapshot_id", str(end_snapshot_id))
     return r.load()

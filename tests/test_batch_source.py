@@ -427,3 +427,65 @@ def test_nested_struct_evolution_alignment(catalog, spark):
     assert out[3].info is None
     assert out[4].info.note == "n" and out[4].tags[0].key == "t4"
     assert out[1].tags[0].key == "t1"
+
+
+def test_incremental_scan_options(spark, catalog, sf_dir):
+    """start/end_snapshot_id read options (ref: spark/.../
+    TestDataSourceOptions testIncrementalScanOptions): rows APPENDED in
+    (start, end], append-only semantics, composing with pushed
+    filters."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.inc", o)
+    t.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    s1 = t.refresh().metadata.current_snapshot_id
+    t = t.refresh()
+    t.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    s2 = t.refresh().metadata.current_snapshot_id
+    t = t.refresh()
+    t.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    t = t.refresh()
+    got = read_table(spark, t, start_snapshot_id=s1,
+                     end_snapshot_id=s2)
+    assert got.count() == o.filter(F.col("o_orderkey") % 3 == 1).count()
+    got2 = read_table(spark, t, start_snapshot_id=s1)
+    assert got2.count() == \
+        o.filter(F.col("o_orderkey") % 3 != 0).count()
+    lo = int(o.agg(F.expr("percentile(o_totalprice, 0.5)")).head()[0])
+    got3 = read_table(spark, t, start_snapshot_id=s1) \
+        .filter(F.col("o_totalprice") > lo)
+    assert got3.count() == o.filter(
+        (F.col("o_orderkey") % 3 != 0) &
+        (F.col("o_totalprice") > lo)).count()
+    with pytest.raises(Exception):
+        read_table(spark, t, snapshot_id=s1,
+                   start_snapshot_id=s1).count()
+    with pytest.raises(Exception):
+        read_table(spark, t, end_snapshot_id=s2).count()
+
+
+def test_snapshot_property_write_option(spark, catalog, sf_dir):
+    """snapshotproperty.* write options land in the snapshot summary
+    (ref: spark/.../TestDataSourceOptions testExtraSnapshotMetadata) —
+    on append AND on overwrite commits."""
+    from linkedin_iceberg_spark.sources.batch_source import (
+        SOURCE_NAME, register_batch_source)
+    register_batch_source(spark)
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.props", o)
+    (o.limit(50).write.format(SOURCE_NAME)
+     .option("location", t.location)
+     .option("snapshotproperty.ingest-job", "nightly-42")
+     .option("snapshotproperty.source", "kafka")
+     .mode("append").save())
+    summ = t.refresh().metadata.current_snapshot.summary
+    assert summ.get("ingest-job") == "nightly-42"
+    assert summ.get("source") == "kafka"
+    assert summ.get("added-records") == "50"  # system keys win
+    (o.limit(20).write.format(SOURCE_NAME)
+     .option("location", t.location)
+     .option("snapshotproperty.reload", "full")
+     .mode("overwrite").save())
+    t = t.refresh()
+    summ = t.metadata.current_snapshot.summary
+    assert summ.get("reload") == "full"
+    assert t.to_df().count() == 20
