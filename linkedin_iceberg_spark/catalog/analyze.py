@@ -409,6 +409,12 @@ def dictionary_prune(table, data_entries: list, bound) -> list:
     if not conjuncts:
         return data_entries
     spark = table.spark
+    if spark is None:
+        # Spark-less planning context (the Python DataSource plans in a
+        # worker process with no session): store-backed pruning needs
+        # Spark jobs, so it simply doesn't advise here — the pushed
+        # filter still re-applies row-level, correctness unchanged
+        return data_entries
     drop: set = set()
     candidates = {e.data_file.file_path for e in data_entries}
     for fid, lits in conjuncts:

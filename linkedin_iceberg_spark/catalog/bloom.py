@@ -221,6 +221,11 @@ def bloom_prune(table, data_entries: list, bound) -> list:
     if not conjuncts:
         return data_entries
     spark = table.spark
+    if spark is None:
+        # Spark-less planning context (Python DataSource planning
+        # worker): probing needs the JVM xxhash64 — no advice, the
+        # pushed filter re-applies row-level, correctness unchanged
+        return data_entries
     from linkedin_iceberg_spark.shipping import ship_package
     ship_package(spark)
     fields_by_id = {f.field_id: f for f in table.schema.fields}

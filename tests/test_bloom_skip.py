@@ -346,3 +346,25 @@ def test_runtime_filter_composes_with_bloom(spark, catalog):
     big = spark.createDataFrame([(k,) for k in many], "o_custkey bigint")
     j2 = runtime_filtered_join(t, big, "o_custkey", use_key_index=False)
     assert j2.count() == o.filter(F.col("o_custkey").isin(many)).count()
+
+
+def test_datasource_read_with_stores_stays_correct(spark, catalog):
+    """The Python DataSource plans in a Spark-LESS worker process, so
+    store-backed pruning (bloom/dictionary) cannot run its Spark jobs
+    there: both prune hooks must silently no-op — NOT crash on the
+    absent session — and the pushed filter still answers exactly
+    (regression: dictionary_prune used to dereference table.spark
+    unguarded on this path)."""
+    from linkedin_iceberg_spark.catalog.analyze import analyze_dictionary
+    from linkedin_iceberg_spark.sources.batch_source import read_table
+    o = _orders(spark)
+    t = _clustered(catalog, o)
+    analyze_bloom(t, "o_custkey")
+    analyze_dictionary(t, "o_orderpriority")
+    key = int(_midkey(o))
+    got = read_table(spark, t) \
+        .filter((F.col("o_custkey") == key) &
+                (F.col("o_orderpriority") == "1-URGENT")).count()
+    want = o.filter((F.col("o_custkey") == key) &
+                    (F.col("o_orderpriority") == "1-URGENT")).count()
+    assert got == want
