@@ -757,7 +757,28 @@ def analyze_topk(table, col: str, m: int = TOPK_DEFAULT_M) -> int:
            .select(F.regexp_replace(F.col("_metadata.file_path"),
                                     "^file:", "").alias("file_path"),
                    F.col(col).alias("v")))
-    _per_file_topk(src, m).write.mode("append").parquet(d)
+    built = _per_file_topk(src, m)
+    # files whose column is all-NULL (or empty) produce no value rows:
+    # record them with empty arrays so they are never rescanned and
+    # never count as a coverage gap
+    paths_df = spark.createDataFrame([(p,) for p in todo],
+                                     "file_path string")
+    stype = next(sf.dataType for sf in table.schema.to_spark().fields
+                 if sf.name == col)
+    from pyspark.sql import types as T
+    arr_t = T.ArrayType(stype)
+    cnt_t = T.ArrayType(T.LongType())
+    merged = (paths_df.join(built, "file_path", "left")
+              .select("file_path",
+                      F.coalesce(F.col("values"),
+                                 F.array().cast(arr_t)).alias("values"),
+                      F.coalesce(F.col("counts"),
+                                 F.array().cast(cnt_t)).alias("counts"),
+                      F.coalesce(F.col("rest_cap"), F.lit(0))
+                      .alias("rest_cap"),
+                      F.coalesce(F.col("other_total"), F.lit(0))
+                      .alias("other_total")))
+    merged.write.mode("append").parquet(d)
     return len(todo)
 
 

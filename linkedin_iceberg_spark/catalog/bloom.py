@@ -149,19 +149,34 @@ def analyze_bloom(table, col: str, fpp: float = BLOOM_DEFAULT_FPP,
                    F.xxhash64(F.col(col)).alias("h"))
            .where(F.col(col).isNotNull())
            .distinct())
-    built = src.groupBy("file_path").applyInPandas(
-        build, "file_path string, nbits long, k int, bits binary")
+    # overflow files are decided from their distinct COUNT alone —
+    # never materialize a too-big hash group in a task just to throw
+    # it away (at the default cap a group tops out around ~875k hashes)
+    bits_per_val = -math.log(fpp) / (math.log(2) ** 2)
+    max_n = max(0, int(max_bits / bits_per_val) + 2)
+    while max_n > 0 and _params(max_n, fpp)[0] > max_bits:
+        max_n -= 1
+    counts = src.groupBy("file_path").agg(F.count("*").alias("n"))
+    under = counts.filter(F.col("n") <= max_n).select("file_path")
+    built = (src.join(under, "file_path", "left_semi")
+             .groupBy("file_path").applyInPandas(
+                 build, "file_path string, nbits long, k int, "
+                        "bits binary"))
     paths_df = spark.createDataFrame([(p,) for p in todo],
                                      "file_path string")
-    # files whose column is all-NULL produce no hash rows: fill with
-    # empty bits (they can never satisfy eq/IN, so they always prune)
-    merged = (paths_df.join(built, "file_path", "left")
+    # all-NULL files produce no hash rows: empty bits (they can never
+    # satisfy eq/IN, so they always prune); over-cap files: overflow
+    # sentinel (recorded, never prunes)
+    merged = (paths_df
+              .join(counts, "file_path", "left")
+              .join(built, "file_path", "left")
               .select("file_path",
-                      F.coalesce(F.col("nbits"), F.lit(0)).alias("nbits"),
+                      F.when(F.col("n").isNull(), F.lit(0))
+                      .when(F.col("n") > max_n, F.lit(_OVERFLOW))
+                      .otherwise(F.col("nbits")).alias("nbits"),
                       F.coalesce(F.col("k"), F.lit(0)).alias("k"),
-                      F.when(F.col("nbits").isNull(),
-                             F.lit(b"")).otherwise(F.col("bits"))
-                      .alias("bits")))
+                      F.when(F.col("n").isNull(), F.lit(b""))
+                      .otherwise(F.col("bits")).alias("bits")))
     merged.write.mode("append").parquet(d)
     return len(todo)
 

@@ -143,3 +143,21 @@ def test_stats_auto_topk(spark, catalog):
     true = _true_counts(o, "o_orderpriority")
     got = approx_top_k(t, "o_orderpriority", 5)
     assert {v: lo for v, lo, _hi, _g in got} == true
+
+
+def test_all_null_file_recorded_not_rescanned(spark, catalog):
+    o = _orders(spark).withColumn(
+        "maybe", F.when(F.col("o_orderkey") % 2 == 0,
+                        F.col("o_orderpriority")))
+    t = catalog.create_table("db.an", o)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1)
+             .withColumn("maybe", F.lit(None).cast("string"))
+             .coalesce(1))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1))
+    assert analyze_topk(t, "maybe", m=16) == 2
+    assert analyze_topk(t, "maybe", m=16) == 0  # all-NULL file recorded
+    want = _true_counts(o.filter(F.col("o_orderkey") % 2 == 0),
+                        "o_orderpriority")
+    got = approx_top_k(t, "maybe", 5, m=16)
+    assert {v: lo for v, lo, _hi, _g in got} == want
+    assert all(lo == hi and g for _v, lo, hi, g in got)
