@@ -417,6 +417,20 @@ CONTRACTS = {
         # filter pushed; no Python anywhere
         ["Scan parquet", "PushedFilters", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "meta_histogram_counts": (
+        # the GROUP BY count folded entirely from the histogram store:
+        # the plan's only source is the driver-materialized result rows
+        # (Scan ExistingRDD) — NO parquet data scan anywhere
+        ["Scan ExistingRDD"],
+        ["Scan parquet", "HashAggregate", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"]),
+    "meta_topk_bounded": (
+        # approx_top_k merged the per-file stores driver-side; the
+        # returned frame is the bounded result rows only — no data
+        # scan, no aggregate operator in this plan
+        ["Scan ExistingRDD"],
+        ["Scan parquet", "HashAggregate", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"]),
     "table_scan_bloom_pruned": (
         # bloom skipping dropped the non-matching files at PLAN time
         # (asserted inside the query: planned < bounds-only count for a
