@@ -163,27 +163,26 @@ class _TableBatchReader(DataSourceReader):
         tasks = None
         if self.start_snapshot_id is not None:
             from linkedin_iceberg_spark.catalog.incremental import (
-                appended_entries_between)
+                appended_entries_between, prune_incremental_entries)
             end = self.end_snapshot_id or md.current_snapshot_id
             entries = appended_entries_between(
                 t, self.start_snapshot_id, end)
-            # pruning rides the normal scan of the END snapshot (same
-            # filter Spark re-applies row-level, so intersecting is
-            # sound); appended files no longer live at `end` are
-            # already excluded by the incremental walk
-            survivors = {x.file.file_path
-                         for x in scan.use_snapshot(end).plan_files()}
+            # prune directly on the incremental entries (partition +
+            # metrics evaluators, same as plan_files) — NEVER by
+            # intersecting with the end snapshot's live view: later
+            # compaction / manifest merges rewrite that view and would
+            # silently drop appended rows
+            entries = prune_incremental_entries(md, entries, self._expr)
 
             class _IncTask:
                 __slots__ = ("file", "deletes")
 
             tasks = []
             for e in entries:
-                if e.data_file.file_path in survivors:
-                    it = _IncTask()
-                    it.file = e.data_file
-                    it.deletes = []
-                    tasks.append(it)
+                it = _IncTask()
+                it.file = e.data_file
+                it.deletes = []
+                tasks.append(it)
         current = md.schema
         target = pa.schema([pa.field(f.name, type_to_arrow(f.type),
                                      nullable=not f.required)
