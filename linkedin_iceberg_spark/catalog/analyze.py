@@ -38,6 +38,69 @@ def _stats_dir(table, col: str) -> str:
     return os.path.join(table.location, "stats", col)
 
 
+def column_source(table, col: str, paths: list, entries: list = None):
+    """One ``(file_path, v)`` row per data row of ``paths``, with ``v``
+    the column's value read under each file's WRITTEN name and type
+    (resolved through the file's schema_id) and cast to the CURRENT
+    engine type.
+
+    Every stats-plane build reads through here: a plain
+    ``read.schema(current).parquet(...)`` silently nulls out files
+    written before a column RENAME (r8 ADVICE: the bloom store then
+    records "always prunes" bits and the histogram plane folds real
+    rows into the NULL group), and hashes files written before an
+    int->long PROMOTION under the narrow type (xxhash64(int) !=
+    xxhash64(long)).  Only the store path was field-id keyed; this
+    makes the build side field-id keyed too, the same ``rev_by_sid``
+    recipe colocated_groupby uses.  Files whose written schema lacks
+    the field genuinely read as NULL for every row — correct, and kept
+    (row counts matter to the histogram's NULL group).
+    """
+    from pyspark.sql import types as T
+
+    from linkedin_iceberg_spark.schema import type_to_spark
+
+    spark = table.spark
+    md = table.metadata
+    f = next(f_ for f_ in table.schema.fields if f_.name == col)
+    cur_stype = type_to_spark(f.type)
+    if entries is None:
+        entries, _ = table._live_data_and_deletes()
+    sid_by_path = {e.data_file.file_path: e.data_file.schema_id
+                   for e in entries}
+    by_sid: dict = {}
+    for p in paths:
+        by_sid.setdefault(sid_by_path.get(p, md.current_schema_id),
+                          []).append(p)
+    fp = F.regexp_replace(F.col("_metadata.file_path"),
+                          "^file:", "").alias("file_path")
+    frames = []
+    for sid in sorted(by_sid):
+        ps = sorted(by_sid[sid])
+        written = md.schema_by_id(sid)
+        wname = written.name_for_id(f.field_id)
+        if wname is None:
+            # field absent when these files were written: all rows NULL.
+            # Read one real column only to preserve per-file row counts.
+            w0 = written.fields[0]
+            rschema = T.StructType([T.StructField(
+                w0.name, type_to_spark(w0.type), True)])
+            frames.append(spark.read.schema(rschema).parquet(*ps)
+                          .select(fp, F.lit(None).cast(cur_stype)
+                                  .alias("v")))
+        else:
+            wtype = written.find_field(f.field_id).type
+            rschema = T.StructType([T.StructField(
+                wname, type_to_spark(wtype), True)])
+            frames.append(spark.read.schema(rschema).parquet(*ps)
+                          .select(fp, F.col(wname).cast(cur_stype)
+                                  .alias("v")))
+    out = frames[0]
+    for d_ in frames[1:]:
+        out = out.unionByName(d_)
+    return out
+
+
 def analyze_table(table, columns: list) -> dict:
     """Bring the per-file sketch store up to date for ``columns``:
     sketch only the live data files missing from each column's store.
@@ -61,14 +124,9 @@ def analyze_table(table, columns: list) -> dict:
         out[col] = len(todo)
         if not todo:
             continue
-        sketches = (table.spark.read.schema(table.schema.to_spark())
-                    .parquet(*todo)
-                    .select(F.regexp_replace(F.col("_metadata.file_path"),
-                                             "^file:", "")
-                            .alias("file_path"),
-                            F.col(col))
+        sketches = (column_source(table, col, todo, entries)
                     .groupBy("file_path")
-                    .agg(F.hll_sketch_agg(col).alias("sketch")))
+                    .agg(F.hll_sketch_agg("v").alias("sketch")))
         sketches.write.mode("append").parquet(d)
     return out
 
@@ -227,11 +285,8 @@ def analyze_table_kmv(table, columns: list, k: int = KMV_DEFAULT_K) -> dict:
         out[col] = len(todo)
         if not todo:
             continue
-        src = (table.spark.read.schema(table.schema.to_spark())
-               .parquet(*todo)
-               .select(F.regexp_replace(F.col("_metadata.file_path"),
-                                        "^file:", "").alias("file_path"),
-                       _kmv_hash(col).alias("h"))
+        src = (column_source(table, col, todo, entries)
+               .select("file_path", _kmv_hash("v").alias("h"))
                .where(F.col("h").isNotNull())
                .distinct())
         # bottom-k per file via a per-partition-keyed window: one shuffle
@@ -349,10 +404,7 @@ def analyze_dictionary(table, col: str,
     todo = sorted(live - have)
     if not todo:
         return 0
-    src = (spark.read.schema(table.schema.to_spark()).parquet(*todo)
-           .select(F.regexp_replace(F.col("_metadata.file_path"),
-                                    "^file:", "").alias("file_path"),
-                   F.col(col).alias("v"))
+    src = (column_source(table, col, todo, entries)
            .where(F.col("v").isNotNull())
            .distinct())
     counts = src.groupBy("file_path").agg(F.count("*").alias("n"))
@@ -509,9 +561,8 @@ def _kmv_bottomk(table, col: str, k: int) -> list:
     live = [t for t in fast if t.file.file_path not in covered]
     if live:
         frames.append(
-            spark.read.schema(table.schema.to_spark())
-            .parquet(*[t.file.file_path for t in live])
-            .select(_kmv_hash(col).alias("h")))
+            column_source(table, col, [t.file.file_path for t in live])
+            .select(_kmv_hash("v").alias("h")))
     if slow:
         frames.append(scan._to_df_default(tasks=slow)
                       .select(_kmv_hash(col).alias("h")))
@@ -580,10 +631,7 @@ def analyze_histogram(table, col: str,
     todo = sorted(live - have)
     if not todo:
         return 0
-    src = (spark.read.schema(table.schema.to_spark()).parquet(*todo)
-           .select(F.regexp_replace(F.col("_metadata.file_path"),
-                                    "^file:", "").alias("file_path"),
-                   F.col(col).alias("v")))
+    src = column_source(table, col, todo, entries)
     per_val = (src.where(F.col("v").isNotNull())
                .groupBy("file_path", "v")
                .agg(F.count("*").alias("n")))
@@ -753,10 +801,7 @@ def analyze_topk(table, col: str, m: int = TOPK_DEFAULT_M) -> int:
     todo = sorted(live - have)
     if not todo:
         return 0
-    src = (spark.read.schema(table.schema.to_spark()).parquet(*todo)
-           .select(F.regexp_replace(F.col("_metadata.file_path"),
-                                    "^file:", "").alias("file_path"),
-                   F.col(col).alias("v")))
+    src = column_source(table, col, todo, entries)
     built = _per_file_topk(src, m)
     # files whose column is all-NULL (or empty) produce no value rows:
     # record them with empty arrays so they are never rescanned and
@@ -829,11 +874,7 @@ def approx_top_k(table, col: str, k: int,
             parts.append(store)
     uncovered = sorted(set(live) - covered)
     if uncovered:
-        src = (spark.read.schema(table.schema.to_spark())
-               .parquet(*uncovered)
-               .select(F.regexp_replace(F.col("_metadata.file_path"),
-                                        "^file:", "").alias("file_path"),
-                       F.col(col).alias("v")))
+        src = column_source(table, col, uncovered)
         parts.append(_per_file_topk(src, m))
     allf = parts[0]
     for p in parts[1:]:

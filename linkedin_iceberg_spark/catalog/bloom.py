@@ -143,11 +143,13 @@ def analyze_bloom(table, col: str, fpp: float = BLOOM_DEFAULT_FPP,
         return pd.DataFrame([{"file_path": path, "nbits": nbits,
                               "k": k, "bits": bits.tobytes()}])
 
-    src = (spark.read.schema(table.schema.to_spark()).parquet(*todo)
-           .select(F.regexp_replace(F.col("_metadata.file_path"),
-                                    "^file:", "").alias("file_path"),
-                   F.xxhash64(F.col(col)).alias("h"))
-           .where(F.col(col).isNotNull())
+    # schema-aware read (analyze.column_source): pre-rename files keep
+    # their values and pre-promotion values hash as the CURRENT type —
+    # matching _literal_hashes, which hashes probes as the current type
+    from linkedin_iceberg_spark.catalog.analyze import column_source
+    src = (column_source(table, col, todo, entries)
+           .select("file_path", F.xxhash64(F.col("v")).alias("h"))
+           .where(F.col("v").isNotNull())
            .distinct())
     # overflow files are decided from their distinct COUNT alone —
     # never materialize a too-big hash group in a task just to throw

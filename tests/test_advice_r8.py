@@ -171,11 +171,14 @@ def test_topk_after_rename(catalog, spark):
     from linkedin_iceberg_spark.catalog.analyze import (analyze_topk,
                                                         approx_top_k)
     analyze_topk(t, "val", m=64)
-    got = approx_top_k(t, "val", 5, m=64)
-    # pre-rename values 0..6 each appear ~71-72x over 500 rows (x2 files);
-    # 42 appears 100x — the true heavy hitter
-    v, lo, hi, guaranteed = got[0]
-    assert v == 42 and lo == hi == 100 and guaranteed
+    got = {v: (lo, hi, g) for v, lo, hi, g in approx_top_k(t, "val", 5, m=64)}
+    # pre-rename: 0..6 ~71x (file 1), 7/8/9 ~167x (file 2); post-rename:
+    # 42 100x.  An all-NULL misread of the pre-rename files would surface
+    # 42 as top-1 and lose 7/8/9 entirely.
+    assert got[7] == (167, 167, True)
+    assert got[8] == (167, 167, True)
+    assert got[9] == (166, 166, True)
+    assert got[42] == (100, 100, True)
 
 
 # ------------------------------------------------------------ items 3-5
