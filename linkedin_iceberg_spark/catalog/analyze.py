@@ -673,6 +673,32 @@ def analyze_histogram(table, col: str,
     return len(todo)
 
 
+def histogram_covers(table, col: str, file_paths: list = None) -> bool:
+    """True when every (given or live) data file has a concrete
+    non-overflow histogram row for ``col`` — a grouped count is then a
+    zero-data-I/O metadata fold, strictly better than ANY read-based
+    plan, including the zero-shuffle co-located one (SQL route
+    tiebreaker, r8 ADVICE)."""
+    fid = table.schema.id_for_name(col)
+    if fid is None:
+        return False
+    d = _hist_dir(table, fid)
+    if not os.path.isdir(d) or not any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        return False
+    if file_paths is None:
+        entries, _ = table._live_data_and_deletes()
+        file_paths = [e.data_file.file_path for e in entries]
+    want = set(file_paths)
+    if not want:
+        return True
+    have = {r["file_path"] for r in
+            table.spark.read.parquet(d)
+            .where(F.col("values").isNotNull())
+            .select("file_path").distinct().collect()}
+    return want <= have
+
+
 def histogram_fold(table, col: str, file_paths: list):
     """Fold `col`'s per-file histograms over ``file_paths``: returns
     ({value-or-None: count}, covered-path-set) using ONLY store rows

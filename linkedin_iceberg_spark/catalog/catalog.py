@@ -1275,6 +1275,16 @@ class Catalog:
                 cond = F.expr(f"`{name}` {'!=' if op == '<>' else op} "
                               f"{val}")
                 having = cond if having is None else (having & cond)
+        if key_values is None and len(gcols) == 1 and \
+                all(fn == "count" and c is None for fn, c, _n in aggs):
+            # count-only GROUP BY on one column: if the histogram store
+            # covers every live file, the metadata fold answers with
+            # ZERO data I/O — defer to _sql_group_count (r8 ADVICE:
+            # the co-located read was winning this exact shape)
+            from linkedin_iceberg_spark.catalog.analyze import (
+                histogram_covers)
+            if histogram_covers(t, gcols[0]):
+                return None
         df = colocated_groupby(t, gcols, aggs, key_values=key_values)
         for c, n in col_out.items():
             if n != c:

@@ -695,6 +695,9 @@ def colocated_groupby(table, key, aggs: list,
                 d = _j.loads(desc_s)
                 partials = []   # per-file partial aggregate frames
                 pairs = []      # per-file distinct (group, col) frames
+                raw_keys = []   # per-file group keys BEFORE any dropna
+                only_distinct = all(fn == "count_distinct"
+                                    for fn, _c, _a in aggs_)
                 for sp in d["splits"]:
                     f = read_file(sp, d["rev"])
                     f = f[f[bkey].notna()]
@@ -702,6 +705,12 @@ def colocated_groupby(table, key, aggs: list,
                         f = f[f[bkey].isin(kv)]
                     if not len(f):
                         continue
+                    if only_distinct:
+                        # distinct-only agg lists have no partial-agg
+                        # index to define the group set; groups all-NULL
+                        # in every counted column must still appear
+                        # (SQL returns them with count 0)
+                        raw_keys.append(f[gcols_].drop_duplicates())
                     # dropna=False: NULLs in SECONDARY group columns
                     # form their own groups, SQL GROUP BY semantics
                     g = f.groupby(gcols_, sort=False, dropna=False)
@@ -720,12 +729,18 @@ def colocated_groupby(table, key, aggs: list,
                             part[f"as::{alias}"] = g[col].sum(min_count=1)
                             part[f"ac::{alias}"] = g[col].count()
                         elif fn == "count_distinct":
-                            pairs.append((alias, f[gcols_ + [col]]
+                            # a group column counted DISTINCT would
+                            # duplicate the pandas label — select it
+                            # once (distinct-of-key within a key group
+                            # is 1 non-null row)
+                            sel = f[gcols_] if col in gcols_ \
+                                else f[gcols_ + [col]]
+                            pairs.append((alias, sel
                                           .dropna(subset=[col])
                                           .drop_duplicates()))
                     if part:
                         partials.append(_pd.DataFrame(part))
-                if not partials and not pairs:
+                if not partials and not pairs and not raw_keys:
                     continue
                 merged = None
                 if partials:
@@ -756,15 +771,12 @@ def colocated_groupby(table, key, aggs: list,
                 if merged is not None:
                     idx = merged.index
                 else:
-                    # all-distinct agg list: the group set is the UNION
-                    # across aliases (a group all-NULL in one distinct
-                    # column may still count in another)
-                    idx = None
-                    for _fn, _c, alias in aggs_:
-                        cd = _distinct_counts(alias)
-                        if cd is not None:
-                            idx = cd.index if idx is None \
-                                else idx.union(cd.index)
+                    # all-distinct agg list: the group set comes from
+                    # the RAW pre-dropna group keys, so groups whose
+                    # rows are NULL in every counted column survive
+                    idx = (_pd.concat(raw_keys).drop_duplicates()
+                           .groupby(gcols_, sort=False, dropna=False)
+                           .size().index)
                 out = _pd.DataFrame(index=idx)
                 for fn, col, alias in aggs_:
                     if fn == "count":

@@ -212,7 +212,9 @@ def test_colocated_count_distinct_keeps_all_null_groups(catalog, bucketed):
     got = {r["k"]: r["cd"] for r in catalog.sql(
         "SELECT k, count(DISTINCT u) AS cd FROM db.cd_buckets GROUP BY k"
     ).collect()}
-    want = {k: (0 if k == 3 else 4) for k in range(10)}
+    # i%10 and i%4 are coupled mod 20: each non-null group sees exactly
+    # the two values {u(k%4), u((k+2)%4)}
+    want = {k: (0 if k == 3 else 2) for k in range(10)}
     assert got == want
 
 
