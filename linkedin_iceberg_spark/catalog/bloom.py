@@ -207,6 +207,74 @@ def _literal_hashes(table, field, lits: list):
     return [r["h"] for r in rows]
 
 
+def prune_files_by_hashes(table, field_id: int, candidates: set,
+                          hashes: list) -> set:
+    """File paths among ``candidates`` whose stored bloom PROVES that
+    NONE of the xxhash64 ``hashes`` is present (plus all-NULL files,
+    which can never satisfy an equality).  The probe is distributed
+    (mapInPandas over the store, candidates semi-joined in) and the
+    driver collects only the drop list.  Hash lists scale to runtime-
+    filter key sets (~10^6): the per-file test chunks the hash array to
+    bound task memory and EXITS EARLY on the first hit, so files that
+    do contain a key (the common case) pay one chunk, and only files
+    about to be pruned scan the full list.  Empty set on any store
+    problem — advisory only, one-sided by construction."""
+    spark = table.spark
+    if spark is None or not hashes or not candidates:
+        return set()
+    d = _bloom_dir(table, field_id)
+    if not os.path.isdir(d) or not any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        return set()
+    from linkedin_iceberg_spark.shipping import ship_package
+    ship_package(spark)
+    cand_df = spark.createDataFrame(
+        [(p,) for p in sorted(candidates)], "file_path string")
+    import numpy as _np
+    hs_bytes = _np.array([h & 0xFFFFFFFFFFFFFFFF for h in hashes],
+                         dtype=_np.uint64).tobytes()  # 8 B/key closure
+
+    def probe(batches, hs_bytes=hs_bytes):
+        import numpy as np
+        import pandas as pd
+
+        hs = np.frombuffer(hs_bytes, dtype=np.uint64)
+        chunk = 131_072  # 128k hashes * k<=16 positions: <17 MB/task
+        for pdf in batches:
+            gone = []
+            for path, nbits, k, bits in zip(
+                    pdf["file_path"], pdf["nbits"], pdf["k"],
+                    pdf["bits"]):
+                if nbits == 0:
+                    gone.append(path)  # all-NULL file: never matches
+                    continue
+                if nbits < 0 or bits is None:
+                    continue  # overflow: no advice
+                arr = np.frombuffer(bits, dtype=np.uint8)
+                any_hit = False
+                for lo in range(0, len(hs), chunk):
+                    part = hs[lo:lo + chunk]
+                    pos = _positions(part, int(nbits), int(k))
+                    hit = ((arr[(pos >> np.uint64(3)).astype(np.int64)]
+                            >> (pos & np.uint64(7)).astype(np.uint8))
+                           & 1).all(axis=1)
+                    if hit.any():
+                        any_hit = True
+                        break
+                if not any_hit:  # every hash definitely absent
+                    gone.append(path)
+            yield pd.DataFrame({"file_path": gone})
+
+    try:
+        excluded = (spark.read.parquet(d)
+                    .join(cand_df, "file_path", "left_semi")
+                    .mapInPandas(probe, "file_path string")
+                    .collect())
+    except Exception:
+        return set()  # malformed store: no advice, stay sound
+    return {r["file_path"] for r in excluded} & set(candidates)
+
+
 def bloom_prune(table, data_entries: list, bound) -> list:
     """Drop manifest entries whose bloom filter PROVES no row can match:
     for each top-level AND conjunct that is eq/IN over a plain column of
@@ -247,7 +315,6 @@ def bloom_prune(table, data_entries: list, bound) -> list:
     ship_package(spark)
     fields_by_id = {f.field_id: f for f in table.schema.fields}
     candidates = {e.data_file.file_path for e in data_entries}
-    cand_df = None
     drop: set = set()
     for fid, lits in conjuncts:
         d = _bloom_dir(table, fid)
@@ -258,43 +325,7 @@ def bloom_prune(table, data_entries: list, bound) -> list:
         hashes = _literal_hashes(table, field, lits)
         if hashes is None:
             continue
-        if cand_df is None:
-            cand_df = spark.createDataFrame(
-                [(p,) for p in sorted(candidates)], "file_path string")
-
-        def probe(batches, hashes=hashes):
-            import numpy as np
-            import pandas as pd
-
-            hs = np.array([h & 0xFFFFFFFFFFFFFFFF for h in hashes],
-                          dtype=np.uint64)
-            for pdf in batches:
-                gone = []
-                for path, nbits, k, bits in zip(
-                        pdf["file_path"], pdf["nbits"], pdf["k"],
-                        pdf["bits"]):
-                    if nbits == 0:
-                        gone.append(path)  # all-NULL file: never matches
-                        continue
-                    if nbits < 0 or bits is None:
-                        continue  # overflow: no advice
-                    arr = np.frombuffer(bits, dtype=np.uint8)
-                    pos = _positions(hs, int(nbits), int(k))
-                    hit = ((arr[(pos >> np.uint64(3)).astype(np.int64)]
-                            >> (pos & np.uint64(7)).astype(np.uint8))
-                           & 1).all(axis=1)
-                    if not hit.any():  # every literal definitely absent
-                        gone.append(path)
-                yield pd.DataFrame({"file_path": gone})
-
-        try:
-            excluded = (spark.read.parquet(d)
-                        .join(cand_df, "file_path", "left_semi")
-                        .mapInPandas(probe, "file_path string")
-                        .collect())
-        except Exception:
-            continue  # malformed store: skip, stay sound
-        drop |= {r["file_path"] for r in excluded} & candidates
+        drop |= prune_files_by_hashes(table, fid, candidates, hashes)
     if not drop:
         return data_entries
     return [e for e in data_entries

@@ -39,6 +39,12 @@ from linkedin_iceberg_spark.expressions import (always_false, and_,
 # at the reference's 200-literal limit anyway
 DEFAULT_MAX_KEYS = 10_000
 
+# the envelope's companion: up to this many distinct build-key HASHES
+# (8 bytes each — 8 MB at the cap) still probe the fact table's bloom
+# store per file, keeping pruning exact-ish when the key is
+# uncorrelated with file layout and the envelope prunes nothing
+DEFAULT_MAX_HASHES = 1_000_000
+
 
 def _collect_keys(build_df: DataFrame, build_col: str,
                   max_keys: int) -> Optional[list]:
@@ -57,6 +63,54 @@ def _envelope(build_df: DataFrame, build_col: str, probe_col: str):
     from pyspark.sql import functions as F
     lo, hi = build_df.agg(F.min(build_col), F.max(build_col)).first()
     return and_(gt_eq(probe_col, lo), lt_eq(probe_col, hi))
+
+
+def _collect_key_hashes(table, build_df: DataFrame, build_col: str,
+                        probe_col: str,
+                        max_hashes: int = DEFAULT_MAX_HASHES):
+    """DISTINCT xxhash64 hashes of the build keys AS THE PROBE COLUMN'S
+    TYPE (the cast makes the hash byte-identical to the one
+    analyze_bloom stored), or None above ``max_hashes``."""
+    from pyspark.sql import functions as F
+    stype = next((sf.dataType for sf in table.schema.to_spark().fields
+                  if sf.name == probe_col), None)
+    if stype is None:
+        return None
+    rows = (build_df.select(F.col(build_col).cast(stype).alias("_rf_k"))
+            .filter(F.col("_rf_k").isNotNull())
+            .select(F.xxhash64("_rf_k").alias("h")).distinct()
+            .limit(max_hashes + 1).collect())
+    return None if len(rows) > max_hashes else [r["h"] for r in rows]
+
+
+def _bloom_tighten(table, build_df: DataFrame, build_col: str,
+                   probe_col: str, tasks: list,
+                   max_hashes: int = DEFAULT_MAX_HASHES) -> list:
+    """Drop planned fact tasks whose per-file bloom proves NO build key
+    can be present.  Advisory: any problem (no store, too many keys,
+    unsupported type) returns the tasks unchanged."""
+    import os as _os
+
+    if not tasks:
+        return tasks
+    if not _os.path.isdir(_os.path.join(table.location, "stats_bloom")):
+        return tasks
+    fid = table.schema.id_for_name(probe_col)
+    if fid is None:
+        return tasks
+    try:
+        hashes = _collect_key_hashes(table, build_df, build_col,
+                                     probe_col, max_hashes)
+    except Exception:  # noqa: BLE001 — un-hashable type: no advice
+        return tasks
+    if hashes is None:
+        return tasks
+    from linkedin_iceberg_spark.catalog.bloom import prune_files_by_hashes
+    drop = prune_files_by_hashes(
+        table, fid, {t.file.file_path for t in tasks}, hashes)
+    if not drop:
+        return tasks
+    return [t for t in tasks if t.file.file_path not in drop]
 
 
 def runtime_filter(build_df: DataFrame, build_col: str, probe_col: str,
@@ -106,12 +160,23 @@ def runtime_filtered_join(table, build_df: DataFrame, probe_col: str,
             scan_df = None
     if scan_df is None:
         if keys is None:
+            # above max_keys: scan with the sound [min, max] envelope,
+            # then tighten with the per-file BLOOM store probed by the
+            # build side's key hashes — for a probe column uncorrelated
+            # with file layout the envelope prunes ~nothing, while the
+            # blooms keep pruning exact-ish at any key count
             flt = _envelope(build_df, build_col, probe_col)
+            scan = table.new_scan().filter(flt)
+            tasks = scan.plan_files()
+            tasks = _bloom_tighten(table, build_df, build_col, probe_col,
+                                   tasks)
+            scan_df = scan._to_df_default(tasks=tasks)
         elif not keys:
             flt = always_false()
+            scan_df = table.new_scan().filter(flt).to_df()
         else:
             flt = in_(probe_col, keys)
-        scan_df = table.new_scan().filter(flt).to_df()
+            scan_df = table.new_scan().filter(flt).to_df()
     cond = scan_df[probe_col] == build_df[build_col]
     return scan_df.join(build_df, cond,
                         "left_semi" if how == "semi" else how)

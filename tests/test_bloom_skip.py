@@ -368,3 +368,39 @@ def test_datasource_read_with_stores_stays_correct(spark, catalog):
     want = o.filter((F.col("o_custkey") == key) &
                     (F.col("o_orderpriority") == "1-URGENT")).count()
     assert got == want
+
+
+def test_runtime_filter_envelope_path_tightens_with_bloom(spark, catalog):
+    """r9: above max_keys the runtime filter degrades to the [min, max]
+    envelope, which prunes NOTHING on hash-clustered files — the bloom
+    store, probed with the build side's distinct key HASHES, must still
+    drop every fact file provably missing all keys (poison-proven)."""
+    from linkedin_iceberg_spark.catalog.runtime_filter import (
+        runtime_filtered_join)
+    o = _orders(spark)
+    t = _clustered(catalog, o, name="db.o_rtfb")
+    analyze_bloom(t, "o_custkey")
+    keys = sorted(int(r[0]) for r in
+                  o.select("o_custkey").distinct().limit(6).collect())
+    build = spark.createDataFrame([(k,) for k in keys],
+                                  "o_custkey bigint")
+    # ground truth: the files the bloom store keeps for these keys
+    tasks = t.new_scan().filter(in_("o_custkey", keys)).plan_files()
+    kept = {x.file.file_path for x in tasks}
+    live = {e.data_file.file_path
+            for e in t._live_data_and_deletes()[0]}
+    assert len(kept) < len(live)
+    moved = []
+    for p in live - kept:
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        # max_keys=4 < 6 distinct keys: forces the envelope path
+        j = runtime_filtered_join(t, build, "o_custkey",
+                                  use_key_index=False, max_keys=4)
+        got = j.count()
+        want = o.filter(F.col("o_custkey").isin(keys)).count()
+        assert got == want
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
