@@ -298,26 +298,75 @@ class TableScan:
 
     _GROUPABLE_TYPES = ("int", "long", "string", "boolean")
 
+    def _bound_exactness(self, col: str):
+        """Per-side predicates deciding whether a stored file bound IS
+        the column's exact min/max in that file: ``(lo_ok, hi_ok)``,
+        each a callable(bound)->bool or None (side never foldable).
+
+        - integrals/decimals/dates/timestamps/booleans: both exact.
+        - float/double: LOWER is exact (the stats collector drops NaN
+          bounds, and parquet writers exclude NaN from stats; Spark's
+          min ignores NaN whenever any non-NaN value exists — and an
+          all-NaN file stores no bounds at all, falling to the read
+          path).  UPPER is never foldable: Spark orders NaN LARGEST,
+          so one unrecorded NaN would beat any finite stored bound.
+        - string: bounds are truncated by the metrics mode (reference
+          default truncate(16), MetricsModes.java:34-96), so a bound is
+          provably exact only when STRICTLY SHORTER than the truncation
+          length (truncate of a shorter string is the identity; a
+          bound AT the length is ambiguous).  The effective length is
+          min(resolved mode length, 16) so bounds written under an
+          older default-16 history stay sound even if the mode was
+          later widened or set to full — the same current-mode gate the
+          reference's aggregate pushdown applies."""
+        from linkedin_iceberg_spark.catalog.stats import (
+            TRUNCATE_LEN, _parse_metrics_mode)
+        f = next((f for f in self.table.schema.fields if f.name == col),
+                 None)
+        t = f.type if f is not None else None
+        if not isinstance(t, str):
+            return None, None
+        if t in ("int", "long", "date", "boolean") or \
+                t.startswith(("decimal", "timestamp")):
+            return (lambda b: True), (lambda b: True)
+        if t in ("float", "double"):
+            return (lambda b: True), None
+        if t == "string":
+            props = self.table.properties
+            mode = props.get(f"write.metadata.metrics.column.{col}",
+                             props.get("write.metadata.metrics.default",
+                                       "truncate(16)"))
+            kind, tl = _parse_metrics_mode(mode)
+            if kind != "bounds":
+                return None, None
+            n_eff = min(tl, TRUNCATE_LEN) if tl is not None \
+                else TRUNCATE_LEN
+            ok = (lambda b: isinstance(b, str) and len(b) < n_eff)
+            return ok, ok
+        return None, None
+
     def agg_minmax_grouped(self, group_cols: list, col: str) -> dict:
         """GROUP BY <identity-partition columns> MIN/MAX(col) with the
         file-bounds short-circuit (the grouped sibling of agg_minmax):
-        a delete-free, residual-decided file with EXACT bounds for
-        `col` contributes them to its partition group; everything else
-        is actually read and folded in per group.  Strings and floats
-        never take the fast path (truncated bounds / NaN ordering).
-
-        Returns {tuple(group values): (lo, hi)}."""
+        a delete-free, residual-decided file whose stored bound is
+        provably the file's EXACT min/max (_bound_exactness — includes
+        short strings and float lower bounds) contributes it to its
+        partition group; each side degrades independently, so a float
+        column folds its MIN from metadata while only the MAX pays a
+        read.  Returns {tuple(group values): (lo, hi)}."""
         from pyspark.sql import functions as F
 
         types = {f.name: f.type for f in self.table.schema.fields}
         fid = self.table.schema.id_for_name(col)
-        exact = all(isinstance(types.get(c), str)
-                    and types[c] in self._GROUPABLE_TYPES
-                    for c in group_cols) \
-            and isinstance(types.get(col), str) \
-            and not types[col].startswith(("string", "float", "double"))
-        out: dict = {}
-        slow: list = []
+        gexact = all(isinstance(types.get(c), str)
+                     and types[c] in self._GROUPABLE_TYPES
+                     for c in group_cols)
+        lo_ok, hi_ok = self._bound_exactness(col) if gexact \
+            else (None, None)
+        out_lo: dict = {}
+        out_hi: dict = {}
+        slow_lo: list = []
+        slow_hi: list = []
         spec_map: dict = {}
         for t in self.plan_files():
             decided = self.row_filter is None or \
@@ -325,29 +374,59 @@ class TableScan:
             lb = (t.file.lower_bounds or {}).get(fid)
             ub = (t.file.upper_bounds or {}).get(fid)
             key = self._group_key_from_metadata(t, group_cols, spec_map) \
-                if exact else None
-            if not (exact and decided and not t.deletes and key is not None
-                    and lb is not None and ub is not None):
-                slow.append(t)
-                continue
-            cur = out.get(key)
-            out[key] = (lb if cur is None or lb < cur[0] else cur[0],
-                        ub if cur is None or ub > cur[1] else cur[1])
-        if slow:
-            for r in (self._to_df_default(tasks=slow)
+                if gexact else None
+            base = gexact and decided and not t.deletes and key is not None
+            if base and lb is not None and lo_ok is not None and lo_ok(lb):
+                cur = out_lo.get(key)
+                out_lo[key] = lb if cur is None or lb < cur else cur
+            else:
+                slow_lo.append(t)
+            if base and ub is not None and hi_ok is not None and hi_ok(ub):
+                cur = out_hi.get(key)
+                out_hi[key] = ub if cur is None or ub > cur else cur
+            else:
+                slow_hi.append(t)
+
+        def scan_fold(tasks, fn, alias, into, better):
+            for r in (self._to_df_default(tasks=tasks)
+                      .groupBy(*group_cols)
+                      .agg(fn(col).alias(alias)).collect()):
+                key = tuple(r[c] for c in group_cols)
+                v = r[alias]
+                cur = into.get(key)
+                if key not in into:
+                    into[key] = v
+                elif v is not None and (cur is None or better(v, cur)):
+                    into[key] = v
+
+        same = {id(t) for t in slow_lo} == {id(t) for t in slow_hi}
+        if slow_lo and same:
+            # both sides read the same files: one combined scan
+            for r in (self._to_df_default(tasks=slow_lo)
                       .groupBy(*group_cols)
                       .agg(F.min(col).alias("_lo"),
                            F.max(col).alias("_hi")).collect()):
                 key = tuple(r[c] for c in group_cols)
                 slo, shi = r["_lo"], r["_hi"]
-                cur = out.get(key)
-                if cur is None:
-                    out[key] = (slo, shi)
-                else:
-                    lo = slo if slo is not None and slo < cur[0] else cur[0]
-                    hi = shi if shi is not None and shi > cur[1] else cur[1]
-                    out[key] = (lo, hi)
-        return out
+                cur = out_lo.get(key)
+                if key not in out_lo:
+                    out_lo[key] = slo
+                elif slo is not None and (cur is None or slo < cur):
+                    out_lo[key] = slo
+                cur = out_hi.get(key)
+                if key not in out_hi:
+                    out_hi[key] = shi
+                elif shi is not None and (cur is None or shi > cur):
+                    out_hi[key] = shi
+        else:
+            if slow_lo:
+                scan_fold(slow_lo, F.min, "_lo", out_lo,
+                          lambda v, cur: v < cur)
+            if slow_hi:
+                scan_fold(slow_hi, F.max, "_hi", out_hi,
+                          lambda v, cur: v > cur)
+        return {k: (out_lo.get(k), out_hi.get(k))
+                for k in set(out_lo) | set(out_hi)}
 
     def agg_minmax(self, col: str) -> tuple:
         """(min, max) of a column with the file-stats short-circuit (the
@@ -359,37 +438,51 @@ class TableScan:
         task falls the whole aggregate back to a real scan (bounds of a
         partially-matching file may belong to filtered-out rows).
 
-        String bounds are truncated by the stats collector, and
-        float/double bounds exclude NaN (which Spark's max treats as the
-        LARGEST value) — so only integrals, decimals, dates, and
-        timestamps take the fast path."""
+        Sides degrade independently (_bound_exactness): short string
+        bounds (strictly under the truncation length) and float/double
+        LOWER bounds are provably exact and fold from metadata; float
+        upper bounds never fold (one unrecorded NaN would beat any
+        finite bound under Spark's NaN-is-largest ordering), and
+        truncated string bounds pay a read only on the affected side."""
         fid = self.table.schema.id_for_name(col)
-        ftype = next((f.type for f in self.table.schema.fields
-                      if f.field_id == fid), None)
-        exact = isinstance(ftype, str) and not ftype.startswith(
-            ("string", "float", "double"))
+        lo_ok, hi_ok = self._bound_exactness(col)
         tasks = self.plan_files()
         lo = hi = None
-        slow: list = []
+        slow_lo: list = []
+        slow_hi: list = []
         for t in tasks:
             decided = self.row_filter is None or \
                 isinstance(t.residual, AlwaysTrue)
             lb = (t.file.lower_bounds or {}).get(fid)
             ub = (t.file.upper_bounds or {}).get(fid)
-            if not (decided and exact and not t.deletes
-                    and lb is not None and ub is not None):
-                slow.append(t)
-                continue
-            lo = lb if lo is None or lb < lo else lo
-            hi = ub if hi is None or ub > hi else hi
-        if slow:
-            # hybrid: metadata bounds for the decided files, a real scan
-            # ONLY over the undecidable ones, folded together
-            row = self._to_df_default(tasks=slow) \
+            base = decided and not t.deletes
+            if base and lb is not None and lo_ok is not None and lo_ok(lb):
+                lo = lb if lo is None or lb < lo else lo
+            else:
+                slow_lo.append(t)
+            if base and ub is not None and hi_ok is not None and hi_ok(ub):
+                hi = ub if hi is None or ub > hi else hi
+            else:
+                slow_hi.append(t)
+        # hybrid: metadata bounds for the decided files, a real scan
+        # ONLY over the undecidable ones, folded together per side
+        if slow_lo and slow_lo == slow_hi:
+            row = self._to_df_default(tasks=slow_lo) \
                 .agg(F.min(col), F.max(col)).head()
             slo, shi = row[0], row[1]
             lo = slo if lo is None or (slo is not None and slo < lo) else lo
             hi = shi if hi is None or (shi is not None and shi > hi) else hi
+        else:
+            if slow_lo:
+                slo = self._to_df_default(tasks=slow_lo) \
+                    .agg(F.min(col)).head()[0]
+                lo = slo if lo is None or (slo is not None and slo < lo) \
+                    else lo
+            if slow_hi:
+                shi = self._to_df_default(tasks=slow_hi) \
+                    .agg(F.max(col)).head()[0]
+                hi = shi if hi is None or (shi is not None and shi > hi) \
+                    else hi
         return lo, hi
 
     def approx_ndv(self, col: str, k: int = None) -> int:
