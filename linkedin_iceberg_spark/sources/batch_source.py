@@ -121,6 +121,27 @@ class _TableBatchReader(DataSourceReader):
                                        self.as_of_ms):
             raise ValueError("incremental options cannot combine with "
                              "snapshot_id/ref/as_of_ms")
+
+        # split-size / lookback / file-open-cost read options override
+        # the table's read.split.* properties for this read only (ref:
+        # spark/.../TestDataSourceOptions.java:178,290 — the same three
+        # knobs, same precedence)
+        def _opt_int(*names):
+            for n in names:
+                v = options.get(n)
+                if v:
+                    return int(v)
+            return None
+
+        self.split_size = _opt_int("split-size", "split_size")
+        self.lookback = _opt_int("lookback")
+        self.open_cost = _opt_int("file-open-cost", "file_open_cost")
+        if self.split_size is not None and self.split_size <= 0:
+            raise ValueError("split-size must be > 0")
+        if self.lookback is not None and self.lookback <= 0:
+            raise ValueError("lookback must be > 0")
+        if self.open_cost is not None and self.open_cost < 0:
+            raise ValueError("file-open-cost must be >= 0")
         self._expr = None
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
@@ -250,19 +271,19 @@ class _TableBatchReader(DataSourceReader):
             return [_TaskPartition({"empty": True, "target": target})]
         # size-based task coalescing (the split-planning discipline,
         # S6): a 100 TB table of small files must not become one Spark
-        # task per file — pack file specs into ~maxPartitionBytes-sized
-        # input partitions; read() drains every spec in its pack
-        limit = 128 * 1024 * 1024
-        packs, cur, acc = [], [], 0
-        for p in parts:
-            sz = max(p.spec.get("bytes", 0), 1)
-            if cur and acc + sz > limit:
-                packs.append(cur)
-                cur, acc = [], 0
-            cur.append(p.spec)
-            acc += sz
-        if cur:
-            packs.append(cur)
+        # task per file — lookback bin-packing with an open-file cost
+        # floor (TableScanUtil.planTasks shape), sized by the table's
+        # read.split.* properties and overridden per read by the
+        # split-size/lookback/file-open-cost options
+        from linkedin_iceberg_spark.catalog import split_planning as SP
+        p_size, p_lb, p_cost = SP.props_for(md.properties)
+        size = self.split_size if self.split_size is not None else p_size
+        lb = self.lookback if self.lookback is not None else p_lb
+        cost = self.open_cost if self.open_cost is not None else p_cost
+        packs = list(SP.bin_pack(
+            [p.spec for p in parts], size, lb,
+            lambda s: max(s.get("bytes", 0), cost, 1),
+            largest_bin_first=True))
         return [_TaskPartition({"specs": pack, "target": target})
                 for pack in packs]
 
@@ -450,10 +471,19 @@ class _TableBatchWriter(DataSourceArrowWriter):
     remains the vectorized write path (transforms as Spark columns)."""
 
     def __init__(self, options: dict, overwrite: bool,
-                 part_fields: list = None, sort_by: list = None):
+                 part_fields: list = None, sort_by: list = None,
+                 write_format: str = "parquet", engine_schema=None):
         import uuid as _uuid
         self.location = options["location"]
         self.overwrite = overwrite
+        # the write-format OPTION overrides the table's
+        # write.format.default property for this write only (ref:
+        # spark/.../TestDataSourceOptions.java:78); resolved driver-side
+        # in TableBatchDataSource.writer()
+        self.write_format = write_format
+        # engine Schema rides to the workers for the avro codec (it has
+        # no pyarrow writer); None for parquet/orc
+        self.engine_schema = engine_schema
         self.part_fields = part_fields or []  # [(pf, src, transform, type)]
         # the table's declared write order (write.sort-by): rows inside
         # each staged file cluster so parquet row-group stats stay
@@ -486,10 +516,23 @@ class _TableBatchWriter(DataSourceArrowWriter):
             if self.sort_by:
                 part_tbl = part_tbl.sort_by(
                     [(c, "ascending") for c in self.sort_by])
+            fmt = self.write_format
             path = _os.path.join(self.staging,
-                                 f"part-{_uuid.uuid4().hex}.parquet")
-            pq.write_table(part_tbl, path, compression="snappy")
-            return (path, pdict)
+                                 f"part-{_uuid.uuid4().hex}.{fmt}")
+            if fmt == "orc":
+                from pyarrow import orc as _orc
+                _orc.write_table(part_tbl, path)
+            elif fmt == "avro":
+                # the pure-Python codec from the shipped package (the
+                # same one the read path uses); rows as per-field tuples
+                from linkedin_iceberg_spark.sources.avro_codec import (
+                    write_avro)
+                names = [f.name for f in self.engine_schema.fields]
+                cols = [part_tbl.column(n).to_pylist() for n in names]
+                write_avro(path, list(zip(*cols)), self.engine_schema)
+            else:
+                pq.write_table(part_tbl, path, compression="snappy")
+            return (path, pdict, part_tbl.num_rows)
 
         if not self.part_fields:
             return _FileCommit([stage(tbl, {})])
@@ -522,11 +565,34 @@ class _TableBatchWriter(DataSourceArrowWriter):
             files.append(stage(part_tbl, pdict))
         return _FileCommit(files)
 
+    def _staged_stats(self, md, path: str, nrows: int) -> dict:
+        """Footer stats per staged file, by format: parquet/orc read
+        their footers; avro (no footer stats) records the exact row
+        count the write task carried plus the file size — bounds-less
+        entries are always sound (inclusive evaluators answer
+        might-match without them)."""
+        from linkedin_iceberg_spark.catalog.stats import (
+            collect_file_stats, collect_orc_file_stats)
+        if self.write_format == "orc":
+            return collect_orc_file_stats(path, md.schema)
+        if self.write_format == "avro":
+            return {"record_count": int(nrows),
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "value_counts": {}, "null_value_counts": {},
+                    "nan_value_counts": {}, "lower_bounds": {},
+                    "upper_bounds": {}}
+        mode = md.properties.get("write.metadata.metrics.default",
+                                 "truncate(16)")
+        cmodes = {k[len("write.metadata.metrics.column."):]: v
+                  for k, v in md.properties.items()
+                  if k.startswith("write.metadata.metrics.column.")}
+        return collect_file_stats(path, md.schema, mode,
+                                  column_modes=cmodes)
+
     def commit(self, messages):
         from linkedin_iceberg_spark.catalog import manifests as M
         from linkedin_iceberg_spark.catalog.metadata import (
             OP_OVERWRITE, TableOperations)
-        from linkedin_iceberg_spark.catalog.stats import collect_file_stats
         from linkedin_iceberg_spark.catalog.table import Table
 
         ops = TableOperations(self.location)
@@ -534,21 +600,14 @@ class _TableBatchWriter(DataSourceArrowWriter):
         if md is None:
             raise ValueError(f"no table at {self.location}")
         t = Table(None, ops, md, getattr(md, "_version", 1))
-        schema = md.schema
-        mode = md.properties.get("write.metadata.metrics.default",
-                                 "truncate(16)")
-        cmodes = {k[len("write.metadata.metrics.column."):]: v
-                  for k, v in md.properties.items()
-                  if k.startswith("write.metadata.metrics.column.")}
         files = []
         for m in messages:
-            for (path, pdict) in getattr(m, "files", []) or []:
-                st = collect_file_stats(path, schema, mode,
-                                        column_modes=cmodes)
+            for (path, pdict, nrows) in getattr(m, "files", []) or []:
                 files.append(M.DataFile(
-                    file_path=path, file_format="parquet",
+                    file_path=path, file_format=self.write_format,
                     partition=pdict, spec_id=md.default_spec_id,
-                    schema_id=md.current_schema_id, **st))
+                    schema_id=md.current_schema_id,
+                    **self._staged_stats(md, path, nrows)))
         if self.overwrite:
             data, dels = t._live_data_and_deletes()
             t._commit_file_swap(
@@ -578,15 +637,17 @@ class _TableStreamWriter(_TableBatchWriter,
     native format instead of foreachBatch."""
 
     def __init__(self, options: dict, part_fields: list = None,
-                 sort_by: list = None):
+                 sort_by: list = None, write_format: str = "parquet",
+                 engine_schema=None):
         super().__init__(options, overwrite=False,
-                         part_fields=part_fields, sort_by=sort_by)
+                         part_fields=part_fields, sort_by=sort_by,
+                         write_format=write_format,
+                         engine_schema=engine_schema)
         self.query_id = options.get("queryid") or "dsv2-stream"
 
     def commit(self, messages, batchId: int) -> None:
         from linkedin_iceberg_spark.catalog import manifests as M
         from linkedin_iceberg_spark.catalog.metadata import TableOperations
-        from linkedin_iceberg_spark.catalog.stats import collect_file_stats
         from linkedin_iceberg_spark.catalog.table import Table
         from linkedin_iceberg_spark.streaming.sink import (
             EPOCH_KEY, QUERY_KEY, _committed_epochs)
@@ -597,23 +658,17 @@ class _TableStreamWriter(_TableBatchWriter,
         staged = [fp for m in messages if m is not None
                   for fp in (getattr(m, "files", []) or [])]
         if batchId in _committed_epochs(t, self.query_id):
-            for p, _ in staged:
+            for p, *_rest in staged:
                 try:
                     os.remove(p)
                 except OSError:
                     pass
             return
-        mode = md.properties.get("write.metadata.metrics.default",
-                                 "truncate(16)")
-        cmodes = {k[len("write.metadata.metrics.column."):]: v
-                  for k, v in md.properties.items()
-                  if k.startswith("write.metadata.metrics.column.")}
         files = [M.DataFile(
-            file_path=p, file_format="parquet", partition=pdict,
+            file_path=p, file_format=self.write_format, partition=pdict,
             spec_id=md.default_spec_id, schema_id=md.current_schema_id,
-            **collect_file_stats(p, md.schema, mode,
-                                 column_modes=cmodes))
-            for (p, pdict) in staged]
+            **self._staged_stats(md, p, nrows))
+            for (p, pdict, nrows) in staged]
         if files:
             t._commit_append_files(files, extra_summary={
                 **getattr(self, "snapshot_props", {}),
@@ -630,7 +685,7 @@ class _TableStreamWriter(_TableBatchWriter,
         # epoch leaves no orphan parquet under <location>/data/.
         dirs = set()
         for m in messages or []:
-            for p, _ in (getattr(m, "files", []) or []):
+            for p, *_rest in (getattr(m, "files", []) or []):
                 try:
                     os.remove(p)
                     dirs.add(os.path.dirname(p))
@@ -685,15 +740,39 @@ class TableBatchDataSource(DataSource):
         if overwrite:
             raise ValueError("stream writes are append-only")
         self._check_write_schema(schema)
+        fmt, eng = self._write_format()
         return _TableStreamWriter(
-            self.options, self._part_fields(schema), self._sort_by())
-
+            self.options, self._part_fields(schema), self._sort_by(),
+            write_format=fmt, engine_schema=eng)
 
     def writer(self, schema, overwrite: bool) -> _TableBatchWriter:
         self._check_write_schema(schema)
+        fmt, eng = self._write_format()
         return _TableBatchWriter(self.options, overwrite,
                                  self._part_fields(schema),
-                                 self._sort_by())
+                                 self._sort_by(),
+                                 write_format=fmt, engine_schema=eng)
+
+    def _write_format(self):
+        """(format, engine-schema-or-None): the write-format option
+        overrides the table's write.format.default property (ref:
+        spark/.../TestDataSourceOptions.java:78); the engine Schema is
+        shipped to workers only for avro (its codec isn't pyarrow)."""
+        from linkedin_iceberg_spark.catalog.metadata import TableOperations
+        md = TableOperations(self.options["location"]).refresh()
+        fmt = (self.options.get("write-format")
+               or self.options.get("write_format")
+               or (md.properties.get("write.format.default", "parquet")
+                   if md else "parquet")).lower()
+        if fmt not in ("parquet", "orc", "avro"):
+            raise ValueError(
+                f"write-format must be parquet|orc|avro, got {fmt!r}")
+        eng = md.schema if (md is not None and fmt == "avro") else None
+        if fmt == "avro" and eng is not None and any(
+                not isinstance(f.type, str) for f in eng.fields):
+            raise ValueError("avro format writes support primitive "
+                             "columns; use table.append")
+        return fmt, eng
 
     def _check_write_schema(self, schema) -> None:
         # staged parquet becomes table data verbatim, so the incoming

@@ -489,3 +489,82 @@ def test_snapshot_property_write_option(spark, catalog, sf_dir):
     summ = t.metadata.current_snapshot.summary
     assert summ.get("reload") == "full"
     assert t.to_df().count() == 20
+
+
+def test_split_size_read_options(spark, catalog, sf_dir):
+    """split-size / file-open-cost read options control input-partition
+    packing (ref: spark/.../TestDataSourceOptions.java:178,290): a tiny
+    split-size yields ~one partition per file, a huge one packs all
+    files together — results identical either way."""
+    from linkedin_iceberg_spark.sources.batch_source import (
+        SOURCE_NAME, register_batch_source)
+    register_batch_source(spark)
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.splitopt", o)
+    t.append(o.repartition(6))
+    t = t.refresh()
+    n_files = len(t._live_data_and_deletes()[0])
+    assert n_files >= 6
+
+    def load(**opts):
+        r = spark.read.format(SOURCE_NAME).option("location", t.location)
+        for k, v in opts.items():
+            r = r.option(k.replace("_", "-"), str(v))
+        return r.load()
+
+    tiny = load(split_size=1)
+    assert tiny.rdd.getNumPartitions() == n_files
+    big = load(split_size=1 << 40)
+    assert big.rdd.getNumPartitions() == 1
+    # open-cost floor: with a cost of half the split size, at most two
+    # (weight-2x) files fit per pack
+    floored = load(split_size=1 << 20, file_open_cost=1 << 19)
+    assert floored.rdd.getNumPartitions() >= (n_files + 1) // 2
+    assert _sorted(tiny.collect()) == _sorted(big.collect()) \
+        == _sorted(t.to_df().collect())
+    with pytest.raises(Exception):
+        load(split_size=0).count()
+
+
+def test_write_format_option(spark, catalog, sf_dir):
+    """write-format option overrides write.format.default (ref:
+    spark/.../TestDataSourceOptions.java:78): orc and avro staged files
+    commit with correct formats, stats, and round-trip through every
+    read path."""
+    from linkedin_iceberg_spark.sources.batch_source import (
+        SOURCE_NAME, register_batch_source)
+    register_batch_source(spark)
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    t = catalog.create_table("db.wfmt", o)
+    (o.limit(40).write.format(SOURCE_NAME)
+     .option("location", t.location)
+     .option("write-format", "orc").mode("append").save())
+    t = t.refresh()
+    entries, _ = t._live_data_and_deletes()
+    assert {e.data_file.file_format for e in entries} == {"orc"}
+    assert t.to_df().count() == 40
+    (o.limit(25).write.format(SOURCE_NAME)
+     .option("location", t.location)
+     .option("write-format", "avro").mode("append").save())
+    t = t.refresh()
+    entries, _ = t._live_data_and_deletes()
+    assert {e.data_file.file_format for e in entries} == {"orc", "avro"}
+    assert sum(e.data_file.record_count for e in entries) == 65
+    assert t.to_df().count() == 65
+    # the DataSource read path handles the mixed-format table too
+    assert read_table(spark, t).count() == 65
+    # table property default honored when no option is given
+    t.update_properties(set_props={"write.format.default": "orc"})
+    t = t.refresh()
+    (o.limit(5).write.format(SOURCE_NAME)
+     .option("location", t.location).mode("append").save())
+    t = t.refresh()
+    entries, _ = t._live_data_and_deletes()
+    assert sorted(e.data_file.file_format for e in entries).count("orc") \
+        >= 2
+    assert t.to_df().count() == 70
+    with pytest.raises(Exception):
+        (o.limit(1).write.format(SOURCE_NAME)
+         .option("location", t.location)
+         .option("write-format", "csv").mode("append").save())
