@@ -976,6 +976,9 @@ class Catalog:
         fast = self._sql_colocated_join(query, lits)
         if fast is not None:
             return fast
+        fast = self._sql_colocated_multijoin(query, lits)
+        if fast is not None:
+            return fast
 
         ident = r"[A-Za-z_][A-Za-z0-9_]*"
         dotted_pat = rf"{ident}(?:\.{ident})+"
@@ -2784,6 +2787,138 @@ class Catalog:
         "migrate": ("table", "location"),
         "snapshot": ("source_table", "table"),
     }
+
+    def _sql_colocated_multijoin(self, masked: str, lits: list):
+        """Automatic N-way (3+ table) storage-partitioned join on the
+        SQL path — the star/feature-assembly shape: ``FROM base JOIN f1
+        ON base.k = f1.k1 JOIN f2 ON base.k = f2.k2 ...`` where every
+        side buckets its key with ONE modulus executes bucket-by-bucket
+        through colocated_feature_assembly (no exchange, no Spark join
+        operator; one task assembles each bucket of every side), and
+        the rest of the statement runs over the assembled view.  The
+        r8 gap this closes: 3+ table SQL over co-bucketed tables fell
+        back to N-1 full shuffle joins.
+
+        Conservative gates (generic route otherwise): every ON equates
+        the BASE's single key with that side's key, all joins are the
+        same kind (all INNER or all LEFT), non-key column names are
+        disjoint, no subqueries, SELECT names its columns.  Shares the
+        spark.liceberg.sql.colocatedJoin session gate with the 2-way
+        route."""
+        import re
+
+        from linkedin_iceberg_spark.catalog.colocated import (
+            _bucket_layout, colocated_feature_assembly)
+
+        if self.spark.conf.get("spark.liceberg.sql.colocatedJoin",
+                               "true").lower() == "false":
+            return None
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        dotted = rf"{ident}(?:\.{ident})+"
+        join_re = re.compile(
+            rf"\s+((?:left\s+(?:outer\s+)?|inner\s+)?)join\s+({dotted})"
+            rf"(?:\s+(?:as\s+)?({ident}))?"
+            rf"\s+on\s+({ident})\.({ident})\s*=\s*({ident})\.({ident})",
+            re.IGNORECASE)
+        head = re.match(
+            rf"\s*select\s+(.+?)\s+from\s+({dotted})"
+            rf"(?:\s+(?:as\s+)?({ident}))?(?=\s+(?:left\s+|inner\s+)?join\b)",
+            masked, re.IGNORECASE | re.DOTALL)
+        if not head:
+            return None
+        sel, base_name, base_alias = head.groups()
+        pos = head.end()
+        joins = []
+        while True:
+            jm = join_re.match(masked, pos)
+            if not jm:
+                break
+            joins.append(jm.groups())
+            pos = jm.end()
+        if len(joins) < 2:
+            return None  # two-table statements keep the richer route
+        rest = masked[pos:].rstrip().rstrip(";")
+        if re.search(r"\b(join|select|from|union)\b", sel + rest,
+                     re.IGNORECASE) or "*" in sel:
+            return None
+        if not self.table_exists(base_name):
+            return None
+        names = [base_name] + [j[1] for j in joins]
+        if len(set(n.lower() for n in names)) != len(names):
+            return None  # self-joins: generic route
+        if not all(self.table_exists(n) for n in names):
+            return None
+        kinds = {(j[0].strip().lower() or "inner").split()[0]
+                 for j in joins}
+        if len(kinds) != 1:
+            return None
+        how = "left" if kinds == {"left"} else "inner"
+        base = self.load_table(base_name)
+        bq = (base_alias or base_name.rsplit(".", 1)[-1]).lower()
+        quals = {bq}
+        feats = []  # (table, qualifier, feature_key)
+        base_key = None
+        for (_k, fname, falias, q1, c1, q2, c2) in joins:
+            ft = self.load_table(fname)
+            fq = (falias or fname.rsplit(".", 1)[-1]).lower()
+            if fq in quals:
+                return None
+            quals.add(fq)
+            pair = {q1.lower(): c1, q2.lower(): c2}
+            if set(pair) != {bq, fq}:
+                return None  # every ON must anchor on the base
+            bkey, fkey = pair[bq], pair[fq]
+            if base_key is None:
+                base_key = bkey
+            elif bkey != base_key:
+                return None  # one entity key per assembly
+            if fkey not in set(ft.schema.column_names()):
+                return None
+            feats.append((ft, fq, fkey))
+        if base_key not in set(base.schema.column_names()):
+            return None
+        # disjoint non-key names (the assembly output carries bare
+        # column names, the key once)
+        seen = set(base.schema.column_names()) - {base_key}
+        for ft, _fq, fkey in feats:
+            non_key = set(ft.schema.column_names()) - {fkey}
+            if seen & non_key:
+                return None
+            seen |= non_key
+        # all sides co-bucketed with one modulus, else generic route
+        layouts = [_bucket_layout(base, base_key)] + \
+            [_bucket_layout(ft, fk) for ft, _q, fk in feats]
+        if any(lo is None for lo in layouts) or \
+                len({lo[0] for lo in layouts}) != 1:
+            return None
+        toks = {t.lower() for t in re.findall(ident, masked)}
+        bcols = [c for c in base.schema.column_names()
+                 if c.lower() in toks or c == base_key]
+        fspecs = []
+        for ft, _fq, fk in feats:
+            fcols = [c for c in ft.schema.column_names()
+                     if c.lower() in toks or c == fk]
+            fspecs.append((ft, fk, fcols))
+        j = colocated_feature_assembly(base, base_key, fspecs,
+                                       base_cols=bcols, how=how)
+        import hashlib as _h
+        view = "liceberg_mj_" + _h.md5(
+            "|".join(names + [base_key]).encode()).hexdigest()[:8]
+        j.createOrReplaceTempView(view)
+        text = f"SELECT {sel} FROM {view}{rest}"
+        # the assembled view carries bare names (key once): strip
+        # qualifiers, and rewrite feature-key references to the key
+        for (_k, fname, falias, _q1, _c1, _q2, _c2), (_ft, fq, fk) \
+                in zip(joins, feats):
+            if fk != base_key:
+                text = re.sub(
+                    rf"(?<![A-Za-z0-9_.]){re.escape(fq)}\.{re.escape(fk)}"
+                    rf"(?![A-Za-z0-9_])",
+                    base_key, text, flags=re.IGNORECASE)
+        for q in quals | {n.lower() for n in names}:
+            text = re.sub(rf"(?<![A-Za-z0-9_.]){re.escape(q)}\.",
+                          "", text, flags=re.IGNORECASE)
+        return self.spark.sql(_unmask_sql_literals(text, lits))
 
     def _sql_colocated_join(self, masked: str, lits: list):
         """Automatic storage-partitioned join on the SQL path: a single
