@@ -1426,7 +1426,14 @@ class Catalog:
         exacts = {}  # col -> {key: exact distinct from dictionaries}
         for k, c, _n in items:
             if k in ("min", "max") and c not in minmax:
-                minmax[c] = scan.agg_minmax_grouped(group_cols, c)
+                # request only the sides the statement asks for: a
+                # min-only column must not pay the max side's read
+                # (float max never folds — NaN ordering)
+                sides = tuple(s for s, kk in (("lo", "min"), ("hi", "max"))
+                              if any(k2 == kk and c2 == c
+                                     for k2, c2, _ in items))
+                minmax[c] = scan.agg_minmax_grouped(group_cols, c,
+                                                    sides=sides)
             elif k == "approx_count_distinct" and c not in ndvs:
                 ndvs[c] = scan.approx_ndv_grouped(group_cols, c)
             elif k == "count_distinct" and c not in exacts:
@@ -1586,7 +1593,11 @@ class Catalog:
                 fields.append(T.StructField(name, T.LongType(), False))
             else:
                 if col not in minmax:
-                    minmax[col] = scan.agg_minmax(col)
+                    sides = tuple(
+                        s for s, kk in (("lo", "min"), ("hi", "max"))
+                        if any(k2 == kk and c2 == col
+                               for k2, c2, _ in items))
+                    minmax[col] = scan.agg_minmax(col, sides=sides)
                 lo, hi = minmax[col]
                 values.append(lo if kind == "min" else hi)
                 fields.append(T.StructField(name, spark_types[col], True))

@@ -345,7 +345,8 @@ class TableScan:
             return ok, ok
         return None, None
 
-    def agg_minmax_grouped(self, group_cols: list, col: str) -> dict:
+    def agg_minmax_grouped(self, group_cols: list, col: str,
+                           sides: tuple = ("lo", "hi")) -> dict:
         """GROUP BY <identity-partition columns> MIN/MAX(col) with the
         file-bounds short-circuit (the grouped sibling of agg_minmax):
         a delete-free, residual-decided file whose stored bound is
@@ -353,9 +354,13 @@ class TableScan:
         short strings and float lower bounds) contributes it to its
         partition group; each side degrades independently, so a float
         column folds its MIN from metadata while only the MAX pays a
-        read.  Returns {tuple(group values): (lo, hi)}."""
+        read.  ``sides`` restricts the work to the requested sides
+        (a min-only caller must not pay the max side's read); the
+        unrequested side returns None.  Returns
+        {tuple(group values): (lo, hi)}."""
         from pyspark.sql import functions as F
 
+        need_lo, need_hi = "lo" in sides, "hi" in sides
         types = {f.name: f.type for f in self.table.schema.fields}
         fid = self.table.schema.id_for_name(col)
         gexact = all(isinstance(types.get(c), str)
@@ -376,16 +381,20 @@ class TableScan:
             key = self._group_key_from_metadata(t, group_cols, spec_map) \
                 if gexact else None
             base = gexact and decided and not t.deletes and key is not None
-            if base and lb is not None and lo_ok is not None and lo_ok(lb):
-                cur = out_lo.get(key)
-                out_lo[key] = lb if cur is None or lb < cur else cur
-            else:
-                slow_lo.append(t)
-            if base and ub is not None and hi_ok is not None and hi_ok(ub):
-                cur = out_hi.get(key)
-                out_hi[key] = ub if cur is None or ub > cur else cur
-            else:
-                slow_hi.append(t)
+            if need_lo:
+                if base and lb is not None and lo_ok is not None \
+                        and lo_ok(lb):
+                    cur = out_lo.get(key)
+                    out_lo[key] = lb if cur is None or lb < cur else cur
+                else:
+                    slow_lo.append(t)
+            if need_hi:
+                if base and ub is not None and hi_ok is not None \
+                        and hi_ok(ub):
+                    cur = out_hi.get(key)
+                    out_hi[key] = ub if cur is None or ub > cur else cur
+                else:
+                    slow_hi.append(t)
 
         def scan_fold(tasks, fn, alias, into, better):
             for r in (self._to_df_default(tasks=tasks)
@@ -428,7 +437,7 @@ class TableScan:
         return {k: (out_lo.get(k), out_hi.get(k))
                 for k in set(out_lo) | set(out_hi)}
 
-    def agg_minmax(self, col: str) -> tuple:
+    def agg_minmax(self, col: str, sides: tuple = ("lo", "hi")) -> tuple:
         """(min, max) of a column with the file-stats short-circuit (the
         same discipline as count_rows, ref: Iceberg's SparkScan aggregate
         pushdown): when every task is delete-free, the filter decides
@@ -445,6 +454,7 @@ class TableScan:
         finite bound under Spark's NaN-is-largest ordering), and
         truncated string bounds pay a read only on the affected side."""
         fid = self.table.schema.id_for_name(col)
+        need_lo, need_hi = "lo" in sides, "hi" in sides
         lo_ok, hi_ok = self._bound_exactness(col)
         tasks = self.plan_files()
         lo = hi = None
@@ -456,14 +466,18 @@ class TableScan:
             lb = (t.file.lower_bounds or {}).get(fid)
             ub = (t.file.upper_bounds or {}).get(fid)
             base = decided and not t.deletes
-            if base and lb is not None and lo_ok is not None and lo_ok(lb):
-                lo = lb if lo is None or lb < lo else lo
-            else:
-                slow_lo.append(t)
-            if base and ub is not None and hi_ok is not None and hi_ok(ub):
-                hi = ub if hi is None or ub > hi else hi
-            else:
-                slow_hi.append(t)
+            if need_lo:
+                if base and lb is not None and lo_ok is not None \
+                        and lo_ok(lb):
+                    lo = lb if lo is None or lb < lo else lo
+                else:
+                    slow_lo.append(t)
+            if need_hi:
+                if base and ub is not None and hi_ok is not None \
+                        and hi_ok(ub):
+                    hi = ub if hi is None or ub > hi else hi
+                else:
+                    slow_hi.append(t)
         # hybrid: metadata bounds for the decided files, a real scan
         # ONLY over the undecidable ones, folded together per side
         if slow_lo and slow_lo == slow_hi:

@@ -6509,24 +6509,25 @@ def table_sql_minmax_meta(spark, sf_dir):
         cat.create_table("q.mm_meta", o, spec=spec).append(o)
 
     cat = _cached_table(spark, sf_dir, "minmax_meta", build)
-    t = cat.load_table("q.mm_meta")
     from linkedin_iceberg_spark.catalog.scan import TableScan
     orig = TableScan._to_df_default
 
     def poisoned(self, tasks=None):
-        raise AssertionError("string min/max fold touched data")
+        raise AssertionError("metadata min/max fold touched data")
 
+    # the WHOLE statement folds with zero data I/O (string bounds both
+    # sides; the float's requested MIN side only — the sides= plumbing
+    # keeps the never-foldable float MAX from being computed unasked):
+    # the read path is poisoned for the duration to prove it
     TableScan._to_df_default = poisoned
     try:
-        folded = t.new_scan().agg_minmax_grouped(
-            ["o_orderstatus"], "o_orderpriority")
+        df = cat.sql(
+            "SELECT o_orderstatus, min(o_orderpriority) AS lo, "
+            "max(o_orderpriority) AS hi, min(o_totalprice) AS price_lo "
+            "FROM q.mm_meta GROUP BY o_orderstatus ORDER BY o_orderstatus")
     finally:
         TableScan._to_df_default = orig
-    assert folded and all(v[0] is not None for v in folded.values())
-    return cat.sql(
-        "SELECT o_orderstatus, min(o_orderpriority) AS lo, "
-        "max(o_orderpriority) AS hi, min(o_totalprice) AS price_lo "
-        "FROM q.mm_meta GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    return df
 
 
 @q("table_ds_write_format", """

@@ -439,6 +439,34 @@ CONTRACTS = {
         # plan time, never in this data plan — no Python anywhere
         ["Scan parquet", "PushedFilters", "codegen id"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # ---- r9 additions ----------------------------------------------------
+    "table_sql_multijoin": (
+        # N-way star SQL over co-bucketed tables: the assembly happens
+        # INSIDE per-bucket MapInPandas tasks — NO Spark join operator
+        # anywhere (the final ORDER BY may range-exchange)
+        ["MapInPandas"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct"]),
+    "table_sql_minmax_meta": (
+        # grouped string min/max + float min folded ENTIRELY from
+        # manifest bounds (the query poisons the read path to prove
+        # it): the plan's only source is the driver-built result rows
+        ["Scan ExistingRDD"],
+        ["Scan parquet", "HashAggregate", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"]),
+    "table_incremental_compacted": (
+        # append-only incremental read after in-range compaction: a
+        # plain pruned parquet scan of the appended files' own
+        # manifests — no aggregation, no Python
+        ["Scan parquet"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    "join_runtime_bloom": (
+        # envelope+bloom runtime filter: pruning happened at PLAN time
+        # (store probe), the data plan is the ordinary equi-join with
+        # no Python and no nested loop
+        ["Join"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "BroadcastNestedLoopJoin"]),
 }
 
 
