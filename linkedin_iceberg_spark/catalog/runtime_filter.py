@@ -65,52 +65,32 @@ def _envelope(build_df: DataFrame, build_col: str, probe_col: str):
     return and_(gt_eq(probe_col, lo), lt_eq(probe_col, hi))
 
 
-def _collect_key_hashes(table, build_df: DataFrame, build_col: str,
-                        probe_col: str,
-                        max_hashes: int = DEFAULT_MAX_HASHES):
-    """DISTINCT xxhash64 hashes of the build keys AS THE PROBE COLUMN'S
-    TYPE (the cast makes the hash byte-identical to the one
-    analyze_bloom stored), or None above ``max_hashes``."""
+def _collect_keys_and_hashes(table, build_df: DataFrame, build_col: str,
+                             probe_col: str,
+                             max_hashes: int = DEFAULT_MAX_HASHES):
+    """ONE job over the build side: up to ``max_hashes`` distinct
+    (raw key, xxhash64-of-probe-typed key) pairs — the envelope folds
+    driver-side from the raw keys and the hashes feed the bloom probe.
+    A pair's hash is None when the probe-type cast nulled the raw key
+    (type mismatch): the caller must then treat the hash list as
+    UNSOUND for pruning (a dropped key would lose rows) while the raw
+    keys stay valid for the envelope.  None above the cap."""
     from pyspark.sql import functions as F
     stype = next((sf.dataType for sf in table.schema.to_spark().fields
                   if sf.name == probe_col), None)
     if stype is None:
         return None
-    rows = (build_df.select(F.col(build_col).cast(stype).alias("_rf_k"))
-            .filter(F.col("_rf_k").isNotNull())
-            .select(F.xxhash64("_rf_k").alias("h")).distinct()
+    rows = (build_df.select(F.col(build_col).alias("_rf_k"))
+            .filter(F.col("_rf_k").isNotNull()).distinct()
+            .select("_rf_k",
+                    F.col("_rf_k").cast(stype).alias("_rf_c"))
+            .select("_rf_k", "_rf_c",
+                    F.when(F.col("_rf_c").isNotNull(),
+                           F.xxhash64("_rf_c")).alias("_rf_h"))
             .limit(max_hashes + 1).collect())
-    return None if len(rows) > max_hashes else [r["h"] for r in rows]
-
-
-def _bloom_tighten(table, build_df: DataFrame, build_col: str,
-                   probe_col: str, tasks: list,
-                   max_hashes: int = DEFAULT_MAX_HASHES) -> list:
-    """Drop planned fact tasks whose per-file bloom proves NO build key
-    can be present.  Advisory: any problem (no store, too many keys,
-    unsupported type) returns the tasks unchanged."""
-    import os as _os
-
-    if not tasks:
-        return tasks
-    if not _os.path.isdir(_os.path.join(table.location, "stats_bloom")):
-        return tasks
-    fid = table.schema.id_for_name(probe_col)
-    if fid is None:
-        return tasks
-    try:
-        hashes = _collect_key_hashes(table, build_df, build_col,
-                                     probe_col, max_hashes)
-    except Exception:  # noqa: BLE001 — un-hashable type: no advice
-        return tasks
-    if hashes is None:
-        return tasks
-    from linkedin_iceberg_spark.catalog.bloom import prune_files_by_hashes
-    drop = prune_files_by_hashes(
-        table, fid, {t.file.file_path for t in tasks}, hashes)
-    if not drop:
-        return tasks
-    return [t for t in tasks if t.file.file_path not in drop]
+    if len(rows) > max_hashes or not rows:
+        return None
+    return [(r["_rf_k"], r["_rf_h"]) for r in rows]
 
 
 def runtime_filter(build_df: DataFrame, build_col: str, probe_col: str,
@@ -164,12 +144,43 @@ def runtime_filtered_join(table, build_df: DataFrame, probe_col: str,
             # then tighten with the per-file BLOOM store probed by the
             # build side's key hashes — for a probe column uncorrelated
             # with file layout the envelope prunes ~nothing, while the
-            # blooms keep pruning exact-ish at any key count
-            flt = _envelope(build_df, build_col, probe_col)
+            # blooms keep pruning exact-ish at any key count.  One
+            # planning job collects raw keys AND probe-typed hashes
+            # together (the r8 verdict's double-evaluation watch); the
+            # driver folds the envelope from the collected keys, so the
+            # build side is evaluated once for planning + once for the
+            # join itself.
+            pairs = None
+            try:
+                pairs = _collect_keys_and_hashes(
+                    table, build_df, build_col, probe_col)
+            except Exception:  # noqa: BLE001 — un-castable: agg path
+                pairs = None
+            if pairs is not None:
+                raws = [r for r, _h in pairs]
+                flt = and_(gt_eq(probe_col, min(raws)),
+                           lt_eq(probe_col, max(raws)))
+                hashes = [h for _r, h in pairs
+                          if h is not None]
+                sound = all(h is not None for _r, h in pairs)
+            else:
+                # >max_hashes distinct keys (or un-castable): one
+                # envelope aggregate, no bloom advice
+                flt = _envelope(build_df, build_col, probe_col)
+                hashes, sound = None, False
             scan = table.new_scan().filter(flt)
             tasks = scan.plan_files()
-            tasks = _bloom_tighten(table, build_df, build_col, probe_col,
-                                   tasks)
+            if sound and hashes:
+                from linkedin_iceberg_spark.catalog.bloom import (
+                    prune_files_by_hashes)
+                fid = table.schema.id_for_name(probe_col)
+                if fid is not None:
+                    drop = prune_files_by_hashes(
+                        table, fid, {t.file.file_path for t in tasks},
+                        hashes)
+                    if drop:
+                        tasks = [t for t in tasks
+                                 if t.file.file_path not in drop]
             scan_df = scan._to_df_default(tasks=tasks)
         elif not keys:
             flt = always_false()

@@ -6569,7 +6569,7 @@ def join_runtime_bloom(spark, sf_dir):
     degrades to a [min, max] envelope — useless on hash-clustered
     files whose bounds span the domain — but the fact table's BLOOM
     store, probed with the build side's distinct key hashes, keeps
-    pruning exact-ish at any key count (runtime_filter._bloom_tighten).
+    pruning exact-ish at any key count (bloom.prune_files_by_hashes).
     max_keys is forced tiny so the envelope path is the one under
     test; the oracle replays the plain join — pruning, never a
     semantics change."""

@@ -156,6 +156,16 @@ PROBE_QUERIES = [
     "table_scan_bloom_pruned",
     "agg_colocated_groupby",
     "meta_histogram_counts",
+    # r9: the bloom-tightened runtime filter (store probe cost ∝ files
+    # x build hashes with per-file early exit — the worst r8 ratio's
+    # fix, expect well under the old 6.18x), the N-way co-located SQL
+    # star (per-bucket assemblies, no shuffle), the zero-I/O grouped
+    # min/max fold (metadata-only, ~flat beyond the build), and the
+    # incremental-through-compaction read (cost ∝ appended slice)
+    "join_runtime_bloom",
+    "table_sql_multijoin",
+    "table_sql_minmax_meta",
+    "table_incremental_compacted",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
