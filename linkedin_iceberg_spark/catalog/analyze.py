@@ -35,7 +35,11 @@ from linkedin_iceberg_spark.catalog import manifests as M
 
 
 def _stats_dir(table, col: str) -> str:
-    return os.path.join(table.location, "stats", col)
+    # keyed by FIELD ID like every other stats plane (r9): rename-safe,
+    # and a NEW column reusing a dropped name never sees the old
+    # column's sketches (name-keyed stores silently served stale NDV)
+    return os.path.join(table.location, "stats",
+                        str(table.schema.id_for_name(col)))
 
 
 def column_source(table, col: str, paths: list, entries: list = None):
@@ -232,8 +236,11 @@ _KMV_SCALE = 1 << 60  # hash space: 60-bit md5-hex prefixes
 
 
 def _kmv_dir(table, col: str, k: int) -> str:
-    # k is part of the identity: a bottom-256 store cannot serve k=512
-    return os.path.join(table.location, "stats_kmv", col, f"k={k}")
+    # k is part of the identity: a bottom-256 store cannot serve k=512.
+    # FIELD-ID keyed (r9): rename-safe, re-added names never inherit
+    # the dropped column's hashes
+    return os.path.join(table.location, "stats_kmv",
+                        str(table.schema.id_for_name(col)), f"k={k}")
 
 
 def _kmv_hash(col):

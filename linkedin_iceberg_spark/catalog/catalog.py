@@ -2369,10 +2369,14 @@ class Catalog:
                     base = os.path.join(t.location, sub)
                     if os.path.isdir(base):
                         names = sorted(os.listdir(base))
-                        if sub in ("stats_dict", "stats_bloom",
-                                   "stats_hist"):
+                        if sub in ("stats", "stats_kmv", "stats_dict",
+                                   "stats_bloom", "stats_hist"):
+                            # every plane is FIELD-ID keyed (r9: hll +
+                            # kmv joined the others); orphaned dirs of
+                            # dropped columns keep their raw id
                             names = [t.schema.name_for_id(int(fid))
-                                     or fid for fid in names]
+                                     or fid for fid in names
+                                     if str(fid).isdigit()]
                         elif sub == "stats_topk":
                             # dir names are "<fid>_m<m>"
                             out_n = []

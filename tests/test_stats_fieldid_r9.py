@@ -1,0 +1,73 @@
+"""r9: the HLL and KMV stores join the other planes in FIELD-ID keying —
+a name-keyed store silently served the DROPPED column's sketches to a
+NEW column reusing the name (the same stale-identity family as the r8
+bloom/histogram rename advice, one step further down)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _drop_readd(catalog, spark, name):
+    df = spark.createDataFrame([(i, i % 100) for i in range(1000)],
+                               "id bigint, v bigint")
+    t = catalog.create_table(name, df)
+    t.append(df)
+    t = t.refresh()
+    return t, df
+
+
+def test_kmv_store_not_inherited_by_readded_name(catalog, spark):
+    from linkedin_iceberg_spark.catalog.analyze import analyze_table_kmv
+    t, _df = _drop_readd(catalog, spark, "db.kmv_readd")
+    analyze_table_kmv(t, ["v"])
+    assert t.new_scan().approx_ndv("v") == 100
+    up = t.update_schema()
+    up.delete_column("v")
+    up.commit()
+    t = t.refresh()
+    up = t.update_schema()
+    up.add_column("v", "long")
+    up.commit()
+    t = t.refresh()
+    # the new v has exactly 3 distinct values; old files read NULL
+    t.append(spark.createDataFrame([(10_000 + i, i % 3) for i in range(50)],
+                                   "id bigint, v bigint"))
+    t = t.refresh()
+    analyze_table_kmv(t, ["v"])
+    # name-keyed stores answered ~100 here (the dropped column's hashes)
+    assert t.new_scan().approx_ndv("v") == 3
+
+
+def test_hll_store_not_inherited_by_readded_name(catalog, spark):
+    from linkedin_iceberg_spark.catalog.analyze import (analyze_table,
+                                                        column_stats)
+    t, _df = _drop_readd(catalog, spark, "db.hll_readd")
+    analyze_table(t, ["v"])
+    assert abs(column_stats(t, "v")["ndv"] - 100) <= 2
+    up = t.update_schema()
+    up.delete_column("v")
+    up.commit()
+    t = t.refresh()
+    up = t.update_schema()
+    up.add_column("v", "long")
+    up.commit()
+    t = t.refresh()
+    t.append(spark.createDataFrame([(10_000 + i, i % 3) for i in range(50)],
+                                   "id bigint, v bigint"))
+    t = t.refresh()
+    analyze_table(t, ["v"])
+    assert abs(column_stats(t, "v")["ndv"] - 3) <= 1
+
+
+def test_kmv_store_survives_rename(catalog, spark):
+    """The flip side of field-id keying: a RENAME keeps the store —
+    zero re-analysis, coverage intact under the new name."""
+    from linkedin_iceberg_spark.catalog.analyze import analyze_table_kmv
+    t, _df = _drop_readd(catalog, spark, "db.kmv_ren")
+    analyze_table_kmv(t, ["v"])
+    up = t.update_schema()
+    up.rename_column("v", "val")
+    up.commit()
+    t = t.refresh()
+    assert analyze_table_kmv(t, ["val"]) == {"val": 0}  # fully covered
+    assert t.new_scan().approx_ndv("val") == 100
