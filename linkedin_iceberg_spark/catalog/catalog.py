@@ -1104,7 +1104,19 @@ class Catalog:
             scan = t.new_scan().filter(flt) if flt is not None \
                 else t.new_scan()
             tasks = scan.plan_files()
-            df = scan._to_df_default(tasks=tasks)
+            if re.search(r"(?<![A-Za-z0-9_])_(?:file|pos)(?![A-Za-z0-9_])",
+                         query) and not (
+                    {"_file", "_pos"} & set(t.schema.column_names())):
+                # the statement references the reserved metadata columns
+                # (_file / _pos, MetadataColumns.java parity): register
+                # the view with them attached; Spark re-applies the
+                # WHERE row-level, so skipping residual grouping here
+                # is sound
+                from linkedin_iceberg_spark.catalog.deletes import (
+                    apply_deletes)
+                df = apply_deletes(t, tasks, keep_metadata=True)
+            else:
+                df = scan._to_df_default(tasks=tasks)
             # metadata-informed broadcast hint (the estimateStatistics
             # analog a pure-Python source can't report to Catalyst):
             # the PRUNED scan's summed file bytes x decompression

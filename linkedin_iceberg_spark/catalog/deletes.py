@@ -100,9 +100,15 @@ def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
     return base.select(*align_columns(written, schema), "_file", "_pos")
 
 
-def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
+def apply_deletes(table, tasks: list, df_ignored=None,
+                  keep_metadata: bool = False) -> DataFrame:
     """Produce the live rows of the scan tasks with all attached position/
-    equality delete files applied."""
+    equality delete files applied.  ``keep_metadata`` carries the
+    reference's reserved metadata columns through to the caller:
+    ``_file`` (data file path) and ``_pos`` (the row's ORIGINAL position
+    in its data file — stable across delete application, matching
+    MetadataColumns.ROW_POSITION; NULL for non-parquet formats, where
+    Spark exposes no row index)."""
     spark = table.spark
     md = table.metadata
     schema = md.schema
@@ -127,12 +133,16 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
     for (schema_id, fmt, bp, dkey), gtasks in groups.items():
         paths = [t.file.file_path for t in gtasks]
         has_deletes = bool(dkey)
-        if not has_deletes:
+        if not has_deletes and not keep_metadata:
             # fast path: plain projected read, no metadata columns
             from linkedin_iceberg_spark.catalog.scan import (
                 read_files_as_current_schema)
             parts.append(read_files_as_current_schema(
                 spark, md, {(schema_id, fmt, bp): paths}))
+            continue
+        if not has_deletes:
+            parts.append(_read_group_with_positions(
+                spark, md, schema_id, paths, fmt, base_path=bp))
             continue
 
         data = _read_group_with_positions(spark, md, schema_id, paths, fmt,
@@ -162,8 +172,18 @@ def apply_deletes(table, tasks: list, df_ignored=None) -> DataFrame:
             data = data.join(_maybe_broadcast(keys, _total_records([f])),
                              on=cond, how="left_anti")
 
-        parts.append(data.select(*schema.column_names()))
+        cols = list(schema.column_names())
+        if keep_metadata:
+            cols += ["_file", "_pos"]
+        parts.append(data.select(*cols))
 
+    if not parts:
+        from pyspark.sql import types as T
+        fields = list(schema.to_spark().fields)
+        if keep_metadata:
+            fields += [T.StructField("_file", T.StringType(), True),
+                       T.StructField("_pos", T.LongType(), True)]
+        return spark.createDataFrame([], T.StructType(fields))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -874,10 +874,35 @@ class TableScan:
     def to_df(self, use_planned_tasks: bool = False,
               split_size: Optional[int] = None,
               lookback: Optional[int] = None,
-              open_file_cost: Optional[int] = None) -> DataFrame:
+              open_file_cost: Optional[int] = None,
+              metadata_columns: bool = False) -> DataFrame:
+        if metadata_columns:
+            return self._to_df_metadata()
         if use_planned_tasks:
             return self._to_df_planned(split_size, lookback, open_file_cost)
         return self._to_df_default()
+
+    def _to_df_metadata(self) -> DataFrame:
+        """The scan with the reference's reserved METADATA COLUMNS
+        appended (ref: core/.../MetadataColumns.java:35-50): ``_file``
+        (the row's data file path) and ``_pos`` (its ORIGINAL position
+        in that file — stable under position-delete application, the
+        ROW_POSITION contract; NULL for non-parquet formats).  The full
+        row filter re-applies as a Spark Column (no residual grouping
+        on this path), and ``select()`` may project the metadata
+        columns like any other."""
+        from pyspark.sql import types as T
+
+        from linkedin_iceberg_spark.catalog.deletes import apply_deletes
+        tasks = self.plan_files()
+        if not tasks:
+            fields = list(self.table.metadata.schema.to_spark().fields)
+            fields += [T.StructField("_file", T.StringType(), True),
+                       T.StructField("_pos", T.LongType(), True)]
+            return self._finish(self.table.spark.createDataFrame(
+                [], T.StructType(fields)))
+        return self._finish(apply_deletes(self.table, tasks,
+                                          keep_metadata=True))
 
     def _to_df_planned(self, split_size=None, lookback=None,
                        open_file_cost=None) -> DataFrame:

@@ -6559,6 +6559,29 @@ def table_ds_write_format(spark, sf_dir):
     return t.to_df().orderBy("o_orderkey")
 
 
+@q("table_metadata_columns", """
+SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS _pos
+FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")
+def table_metadata_columns(spark, sf_dir):
+    """r9: reserved metadata columns (ref: core/.../MetadataColumns.java
+    :35-50, spark/.../TestSparkParquetReadMetadataColumns.java): _file /
+    _pos ride any scan via to_df(metadata_columns=True) and the SQL
+    route.  A single sorted file makes _pos oracle-replayable as a row
+    number; the in-query assertion pins _file to the physical path."""
+    o = (ld(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") <= 500).select("o_orderkey"))
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.mcols", o)
+    t.append(o.coalesce(1).sortWithinPartitions("o_orderkey"))
+    t = t.refresh()
+    df = t.new_scan().to_df(metadata_columns=True)
+    live = {e.data_file.file_path
+            for e in t._live_data_and_deletes()[0]}
+    assert {r["_file"] for r in
+            df.select("_file").distinct().collect()} == live
+    return df.select("o_orderkey", "_pos").orderBy("o_orderkey")
+
+
 @q("join_runtime_bloom", """
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice AS price, c.c_name
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -6660,8 +6683,8 @@ _PRIORITY = [
     # table_sql_star_multidim, the r8 verdict's explicit rotation ask)
     "table_sql_multijoin", "table_incremental_compacted",
     "table_sql_minmax_meta", "table_ds_write_format",
-    "join_runtime_bloom", "table_sql_group_count",
-    "table_sql_star_multidim",
+    "join_runtime_bloom", "table_metadata_columns",
+    "table_sql_group_count", "table_sql_star_multidim",
     "stats_exact_quantiles", "table_batch_source_read",
     # r5: meta_scan_summary (green r4, unchanged; the metadata family
     # keeps meta_find_files in-window) rotates out for meta_analyze_ndv
