@@ -100,20 +100,30 @@ def _filter_to_expr(f: Filter):
 class _TableBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.location = options["location"]
-        self.snapshot_id = int(options["snapshot_id"]) \
-            if options.get("snapshot_id") else None
+
+        def _alias(*names):
+            # both spellings: the reference's hyphenated option names
+            # (snapshot-id, start-snapshot-id, as-of-timestamp — drop-in
+            # parity for TestDataSourceOptions users) and our
+            # underscored ones
+            for n in names:
+                v = options.get(n)
+                if v:
+                    return int(v)
+            return None
+
+        self.snapshot_id = _alias("snapshot_id", "snapshot-id")
         self.ref = options.get("ref") or None
-        self.as_of_ms = int(options["as_of_ms"]) \
-            if options.get("as_of_ms") else None
+        self.as_of_ms = _alias("as_of_ms", "as-of-timestamp")
         # incremental scan options (ref: spark/.../TestDataSourceOptions
         # testIncrementalScanOptions; IncrementalDataTableScan
         # appendsBetween): rows APPENDED in (start, end] — append-only
         # semantics, row-level deletes are not applied, exactly the
         # reference's incremental contract
-        self.start_snapshot_id = int(options["start_snapshot_id"]) \
-            if options.get("start_snapshot_id") else None
-        self.end_snapshot_id = int(options["end_snapshot_id"]) \
-            if options.get("end_snapshot_id") else None
+        self.start_snapshot_id = _alias("start_snapshot_id",
+                                        "start-snapshot-id")
+        self.end_snapshot_id = _alias("end_snapshot_id",
+                                      "end-snapshot-id")
         if self.end_snapshot_id and not self.start_snapshot_id:
             raise ValueError(
                 "end_snapshot_id requires start_snapshot_id")

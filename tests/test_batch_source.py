@@ -568,3 +568,38 @@ def test_write_format_option(spark, catalog, sf_dir):
         (o.limit(1).write.format(SOURCE_NAME)
          .option("location", t.location)
          .option("write-format", "csv").mode("append").save())
+
+
+def test_reference_hyphenated_option_spellings(spark, catalog, sf_dir):
+    """The reference's option names are hyphenated (snapshot-id,
+    start-snapshot-id, end-snapshot-id, as-of-timestamp — ref:
+    TestDataSourceOptions.java:206-290): both spellings must work."""
+    from linkedin_iceberg_spark.sources.batch_source import (
+        SOURCE_NAME, register_batch_source)
+    register_batch_source(spark)
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = catalog.create_table("db.hyph", o)
+    t.append(o.filter("o_orderkey <= 100"))
+    t = t.refresh()
+    s1 = t.metadata.current_snapshot_id
+    ts1 = t.metadata.current_snapshot.timestamp_ms
+    t.append(o.filter("o_orderkey > 100 AND o_orderkey <= 160"))
+    t = t.refresh()
+    s2 = t.metadata.current_snapshot_id
+
+    def load(**opts):
+        r = spark.read.format(SOURCE_NAME).option("location", t.location)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    n1 = o.filter("o_orderkey <= 100").count()
+    n2 = o.filter("o_orderkey > 100 AND o_orderkey <= 160").count()
+    assert load(**{"snapshot-id": s1}).count() == n1
+    assert load(**{"as-of-timestamp": ts1}).count() == n1
+    assert load(**{"start-snapshot-id": s1,
+                   "end-snapshot-id": s2}).count() == n2
+    with pytest.raises(Exception):
+        load(**{"end-snapshot-id": s2}).count()
+    with pytest.raises(Exception):
+        load(**{"snapshot-id": s1, "start-snapshot-id": s1}).count()
