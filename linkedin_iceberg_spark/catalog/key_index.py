@@ -52,7 +52,11 @@ class StaleKeyIndexError(Exception):
 
 
 def _index_dir(table, key_col: str) -> str:
-    return os.path.join(table.location, "index", key_col)
+    # FIELD-ID keyed (r9, like every stats plane): a rename keeps the
+    # index valid with zero rebuild; a re-added name (new field id)
+    # never inherits the dropped column's key->file map
+    return os.path.join(table.location, "index",
+                        str(table.schema.id_for_name(key_col)))
 
 
 def _meta_path(table, key_col: str) -> str:
@@ -72,11 +76,12 @@ def build_key_index(table, key_col: str) -> dict:
     shutil.rmtree(staging, ignore_errors=True)
     if entries:
         paths = [e.data_file.file_path for e in entries]
-        pairs = (table.spark.read.schema(table.schema.to_spark())
-                 .parquet(*paths)
-                 .select(F.col(key_col).alias("key"),
-                         F.regexp_replace(F.col("_metadata.file_path"),
-                                          "^file:", "").alias("file_path"))
+        # schema-aware read (analyze.column_source): files written
+        # before a rename keep their keys — a current-name read nulls
+        # them out and the index would silently MISS those files
+        from linkedin_iceberg_spark.catalog.analyze import column_source
+        pairs = (column_source(table, key_col, paths, entries)
+                 .select(F.col("v").alias("key"), "file_path")
                  .distinct())
         total = sum(e.data_file.record_count for e in entries)
         n_out = max(1, total // INDEX_FILE_ROWS)
@@ -214,11 +219,9 @@ def refresh_key_index(table, key_col: str) -> dict:
         return meta
     if fold_paths:
         idx_dir = _index_dir(table, key_col)
-        pairs = (table.spark.read.schema(table.schema.to_spark())
-                 .parquet(*fold_paths)
-                 .select(F.col(key_col).alias("key"),
-                         F.regexp_replace(F.col("_metadata.file_path"),
-                                          "^file:", "").alias("file_path"))
+        from linkedin_iceberg_spark.catalog.analyze import column_source
+        pairs = (column_source(table, key_col, fold_paths)
+                 .select(F.col("v").alias("key"), "file_path")
                  .distinct())
         pairs.write.mode("append").parquet(idx_dir)
     meta = {**meta, "snapshot_id": watermark,

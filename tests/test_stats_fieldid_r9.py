@@ -71,3 +71,50 @@ def test_kmv_store_survives_rename(catalog, spark):
     t = t.refresh()
     assert analyze_table_kmv(t, ["val"]) == {"val": 0}  # fully covered
     assert t.new_scan().approx_ndv("val") == 100
+
+
+def test_key_index_survives_rename_and_pre_rename_files(catalog, spark):
+    """The key index is field-id keyed and builds through the
+    schema-aware read: keys in files written BEFORE a rename still
+    resolve (a current-name read indexed them as NULL, silently losing
+    rows through read_by_keys), and the index stays valid — no rebuild —
+    after the rename."""
+    from linkedin_iceberg_spark.catalog.key_index import (build_key_index,
+                                                          read_by_keys)
+    df = spark.createDataFrame([(i, 1000 + i) for i in range(500)],
+                               "id bigint, k bigint")
+    t = catalog.create_table("db.kidx_ren", df)
+    t.append(df.repartition(4))
+    t = t.refresh()
+    up = t.update_schema()
+    up.rename_column("k", "key_col")
+    up.commit()
+    t = t.refresh()
+    build_key_index(t, "key_col")
+    got = read_by_keys(t, "key_col", [1007, 1399])
+    assert sorted(r["id"] for r in got.collect()) == [7, 399]
+
+
+def test_key_index_not_inherited_by_readded_name(catalog, spark):
+    """Drop + re-add of a column name is a NEW field id: lookups must
+    not serve the dropped column's key->file map."""
+    import pytest as _pt
+
+    from linkedin_iceberg_spark.catalog.key_index import (
+        StaleKeyIndexError, build_key_index, lookup_files)
+    df = spark.createDataFrame([(i, 1000 + i) for i in range(100)],
+                               "id bigint, k bigint")
+    t = catalog.create_table("db.kidx_readd", df)
+    t.append(df)
+    t = t.refresh()
+    build_key_index(t, "k")
+    up = t.update_schema()
+    up.delete_column("k")
+    up.commit()
+    t = t.refresh()
+    up = t.update_schema()
+    up.add_column("k", "long")
+    up.commit()
+    t = t.refresh()
+    with _pt.raises(StaleKeyIndexError):
+        lookup_files(t, "k", [1007])
