@@ -542,9 +542,12 @@ class TableScan:
         live_fast = [t for t in fast if t.file.file_path not in covered]
         if live_fast:
             paths = [t.file.file_path for t in live_fast]
+            # schema-aware live hash (analyze.column_source): a
+            # current-name read nulls out pre-rename files' values,
+            # silently undercounting NDV until the store covers them
             frames.append(
-                spark.read.schema(self.table.schema.to_spark())
-                .parquet(*paths).select(AN._kmv_hash(col).alias("h")))
+                AN.column_source(self.table, col, paths)
+                .select(AN._kmv_hash("v").alias("h")))
         if slow:
             frames.append(self._to_df_default(tasks=slow)
                           .select(AN._kmv_hash(col).alias("h")))
@@ -701,13 +704,13 @@ class TableScan:
         d = AN._kmv_dir(self.table, col, k)
         frames = []
         covered: set = set()
+        sfields = {f.name: f.dataType
+                   for f in self.table.schema.to_spark().fields}
+        key_schema = ST.StructType(
+            [ST.StructField("file_path", ST.StringType(), False)] +
+            [ST.StructField(c, sfields[c], True) for c in group_cols])
         if fast and os.path.isdir(d) and any(
                 f.endswith(".parquet") for f in os.listdir(d)):
-            sfields = {f.name: f.dataType
-                       for f in self.table.schema.to_spark().fields}
-            key_schema = ST.StructType(
-                [ST.StructField("file_path", ST.StringType(), False)] +
-                [ST.StructField(c, sfields[c], True) for c in group_cols])
             keys_df = spark.createDataFrame(
                 [(p, *key) for p, key in sorted(fast.items())],
                 key_schema)
@@ -717,10 +720,16 @@ class TableScan:
             frames.append(store.select(*group_cols, "h"))
         live_fast = [p for p in fast if p not in covered]
         if live_fast:
+            # schema-aware live hash; group-key values come from the
+            # MANIFEST partition tuples (fast[p]), never a by-name read
+            # of possibly-renamed group columns
+            lf = sorted(live_fast)
+            lf_keys = spark.createDataFrame(
+                [(p, *fast[p]) for p in lf], key_schema)
             frames.append(
-                spark.read.schema(self.table.schema.to_spark())
-                .parquet(*sorted(live_fast))
-                .select(*group_cols, AN._kmv_hash(col).alias("h")))
+                AN.column_source(self.table, col, lf)
+                .join(lf_keys, "file_path")
+                .select(*group_cols, AN._kmv_hash("v").alias("h")))
         if slow:
             frames.append(self._to_df_default(tasks=slow)
                           .select(*group_cols,

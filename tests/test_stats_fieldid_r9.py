@@ -118,3 +118,24 @@ def test_key_index_not_inherited_by_readded_name(catalog, spark):
     t = t.refresh()
     with _pt.raises(StaleKeyIndexError):
         lookup_files(t, "k", [1007])
+
+
+def test_approx_ndv_live_hash_is_rename_safe(catalog, spark):
+    """approx_ndv's LIVE path (files not yet covered by the KMV store)
+    must hash pre-rename files under their written name — a current-name
+    read nulled them out and undercounted NDV."""
+    df = spark.createDataFrame([(i, i % 40) for i in range(800)],
+                               "id bigint, v bigint")
+    t = catalog.create_table("db.ndv_live_ren", df)
+    t.append(df)
+    t = t.refresh()
+    up = t.update_schema()
+    up.rename_column("v", "val")
+    up.commit()
+    t = t.refresh()
+    t.append(spark.createDataFrame(
+        [(9000 + i, 100 + i % 5) for i in range(100)],
+        "id bigint, val bigint"))
+    t = t.refresh()
+    # NO analyze: the whole answer rides the live-hash path
+    assert t.new_scan().approx_ndv("val") == 45
