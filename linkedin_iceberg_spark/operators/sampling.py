@@ -261,3 +261,90 @@ def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
     return (df.withColumn("shard", shard)
             .filter(F.col("shard").isNotNull())
             .withColumn("pos", F.row_number().over(w)))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (hashed n-gram importance ranking)
+# ---------------------------------------------------------------------------
+
+def _hash60(col, salt: str):
+    """60-bit md5 prefix of ``salt-<value>`` — the module's portable-hash
+    recipe over an arbitrary string Column (hash_bucket's generalization)."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("-"), col.cast("string"))),
+        1, 15), 16, 10).cast("long")
+
+
+def _bigram_buckets(df: DataFrame, text_col: str, buckets: int,
+                    salt: str) -> DataFrame:
+    """One row per (whitespace-lowercase) BIGRAM occurrence with its
+    hashed feature bucket — empty tokens filtered BEFORE pairing so the
+    token indices match the SQL replay's list_filter exactly."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    out = df.withColumn("_tk", toks)
+    bg = F.when(F.size("_tk") >= 2, F.expr(
+        "transform(sequence(0, size(_tk)-2), "
+        "i -> concat(_tk[i], ' ', _tk[i+1]))")) \
+        .otherwise(F.array().cast("array<string>"))
+    return (out.withColumn("_bg", F.explode(bg))
+            .withColumn("_b", _hash60(F.col("_bg"), salt) % buckets)
+            .drop("_tk", "_bg"))
+
+
+def dsir_select(raw_df: DataFrame, target_df: DataFrame, text_col: str,
+                id_col: str, n: int, buckets: int = 4096,
+                scale: int = 1_000_000, smoothing: int = 1,
+                salt: str = "dsir") -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — hashed n-gram
+    importance over a raw corpus against a small target corpus): score
+    every raw document by how target-like its hashed-BIGRAM profile is
+    and keep the top ``n``.
+
+    Feature: lowercase whitespace bigram -> 60-bit md5 bucket mod
+    ``buckets`` (the module's one portable-hash recipe).  The per-bucket
+    importance is the INTEGER
+        S(b) = round(scale * ln( ((tc_b+s) * (RC + s*B))
+                               / ((rc_b+s) * (TC + s*B)) ))
+    (tc/rc = target/raw occurrence counts, TC/RC their totals, s the
+    add-s smoothing, B = buckets) and a document's score is the integer
+    SUM of its bigram occurrences' S values — so ranking replays
+    bit-identically in external SQL (the paper's stochastic Gumbel
+    resampling would trade that replay for sampling noise; the engine
+    ships the deterministic top-n flavor, ties broken by the portable
+    id hash).  Documents with fewer than two tokens score 0.
+
+    Scale: two bigram-count aggregations (map-side combinable ints), an
+    S-table of at most ``buckets`` rows broadcast into the raw explode,
+    one integer per-doc sum, and a bounded TakeOrdered top-n — no
+    all-pairs stage, no floats in any per-row path (ln runs once per
+    BUCKET, not per row).  Returns the selected rows of ``raw_df`` with
+    an integer ``dsir_score`` column."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    B, s = buckets, smoothing
+    tgt = _bigram_buckets(target_df.select(text_col), text_col, B, salt)
+    raw = _bigram_buckets(raw_df.select(id_col, text_col),
+                          text_col, B, salt)
+    tc = tgt.groupBy("_b").agg(F.count("*").alias("tc"))
+    rc = raw.groupBy("_b").agg(F.count("*").alias("rc"))
+    tot_t = tgt.count()
+    tot_r = raw.count()
+    stable = (rc.join(tc, "_b", "left")
+              .select("_b", F.round(F.lit(scale) * F.log(
+                  ((F.coalesce(F.col("tc"), F.lit(0)) + s)
+                   * F.lit(tot_r + s * B)).cast("double")
+                  / ((F.col("rc") + s)
+                     * F.lit(tot_t + s * B)).cast("double")))
+                  .cast("long").alias("s_b")))
+    scores = (raw.join(F.broadcast(stable), "_b")
+              .groupBy(id_col).agg(F.sum("s_b").alias("dsir_score")))
+    ranked = (raw_df.join(scores, id_col, "left")
+              .withColumn("dsir_score",
+                          F.coalesce(F.col("dsir_score"), F.lit(0)))
+              .orderBy(F.col("dsir_score").desc(),
+                       _hash60(F.col(id_col), salt).asc(),
+                       F.col(id_col).asc())
+              .limit(n))
+    return ranked

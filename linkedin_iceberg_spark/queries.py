@@ -6559,6 +6559,59 @@ def table_ds_write_format(spark, sf_dir):
     return t.to_df().orderBy("o_orderkey")
 
 
+@q("sample_dsir_select", """
+WITH tk AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+rawbg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+           i -> (('0x' || substr(md5('dsir-' || t[i] || ' ' || t[i+1]),
+                  1, 15))::BIGINT % 1024))) AS b
+  FROM tk),
+tgtbg AS (
+  SELECT b FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+      i -> (('0x' || substr(md5('dsir-' || t[i] || ' ' || t[i+1]),
+             1, 15))::BIGINT % 1024))) AS b
+    FROM tk WHERE lang = 'de')),
+tc AS (SELECT b, count(*) AS tc FROM tgtbg GROUP BY b),
+rc AS (SELECT b, count(*) AS rc FROM rawbg GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM tgtbg) AS tt,
+               (SELECT count(*) FROM rawbg) AS rt),
+stab AS (
+  SELECT rc.b,
+         round(1000000 * ln(((coalesce(tc.tc, 0) + 1) * (rt + 1024))::DOUBLE
+                            / ((rc.rc + 1) * (tt + 1024))::DOUBLE))::BIGINT
+           AS s_b
+  FROM rc LEFT JOIN tc USING (b), tot),
+sc AS (SELECT doc_id, sum(s_b) AS dsir_score
+       FROM rawbg JOIN stab USING (b) GROUP BY doc_id)
+SELECT d.doc_id, d.lang,
+       coalesce(sc.dsir_score, 0)::BIGINT AS dsir_score
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY dsir_score DESC,
+         (('0x' || substr(md5('dsir-' || d.doc_id::VARCHAR),
+           1, 15))::BIGINT) ASC,
+         d.doc_id ASC
+LIMIT 120""")
+def sample_dsir_select(spark, sf_dir):
+    """r9: DSIR-style data selection (Xie et al. 2023, hashed n-gram
+    importance resampling — deterministic top-n flavor): raw documents
+    ranked by how target-like (lang='de') their hashed-bigram profile
+    is.  Integer importance table (ln once per BUCKET, never per row),
+    integer per-doc scores, portable md5 tie-break — the full pipeline
+    replays bit-identically in the DuckDB oracle."""
+    from linkedin_iceberg_spark.operators.sampling import dsir_select
+    docs = ld(spark, sf_dir, "documents")
+    out = dsir_select(docs, docs.filter(F.col("lang") == "de"),
+                      "text", "doc_id", 120, buckets=1024)
+    return out.select("doc_id", "lang", "dsir_score") \
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+
+
 @q("table_metadata_columns", """
 SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS _pos
 FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")
@@ -6684,6 +6737,7 @@ _PRIORITY = [
     "table_sql_multijoin", "table_incremental_compacted",
     "table_sql_minmax_meta", "table_ds_write_format",
     "join_runtime_bloom", "table_metadata_columns",
+    "sample_dsir_select",
     "table_sql_group_count", "table_sql_star_multidim",
     "stats_exact_quantiles", "table_batch_source_read",
     # r5: meta_scan_summary (green r4, unchanged; the metadata family
