@@ -166,6 +166,10 @@ PROBE_QUERIES = [
     "table_sql_multijoin",
     "table_sql_minmax_meta",
     "table_incremental_compacted",
+    # r9 late: DSIR importance selection — a bigram explode over the
+    # corpus (the trigram-novelty cost class) + a broadcast S-table
+    # join + TakeOrdered; expected ~linear
+    "sample_dsir_select",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
