@@ -16,6 +16,7 @@ still does parquet row-group pruning, column pruning, and codegen on top.
 from __future__ import annotations
 
 import json
+import math
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
@@ -368,6 +369,11 @@ class TableScan:
                      for c in group_cols)
         lo_ok, hi_ok = self._bound_exactness(col) if gexact \
             else (None, None)
+        # float MAX normally never folds (an unrecorded NaN beats any
+        # finite bound), EXCEPT per file with an explicitly recorded
+        # ZERO NaN count (the DataSource write path computes them from
+        # its Arrow batches — footer-only files stay unknown and read)
+        is_float = gexact and types.get(col) in ("float", "double")
         out_lo: dict = {}
         out_hi: dict = {}
         slow_lo: list = []
@@ -389,8 +395,12 @@ class TableScan:
                 else:
                     slow_lo.append(t)
             if need_hi:
-                if base and ub is not None and hi_ok is not None \
-                        and hi_ok(ub):
+                hi_exact = (hi_ok is not None and hi_ok(ub)) if ub is not \
+                    None else False
+                if not hi_exact and is_float and ub is not None and \
+                        (t.file.nan_value_counts or {}).get(fid) == 0:
+                    hi_exact = True  # provably NaN-free file
+                if base and ub is not None and hi_exact:
                     cur = out_hi.get(key)
                     out_hi[key] = ub if cur is None or ub > cur else cur
                 else:
@@ -409,6 +419,11 @@ class TableScan:
                     into[key] = v
 
         same = {id(t) for t in slow_lo} == {id(t) for t in slow_hi}
+        def hi_better(v, cur):
+            # Spark orders NaN LARGEST; python NaN comparisons are all
+            # False, so an explicit check keeps a scanned NaN winning
+            return (isinstance(v, float) and math.isnan(v)) or v > cur
+
         if slow_lo and same:
             # both sides read the same files: one combined scan
             for r in (self._to_df_default(tasks=slow_lo)
@@ -425,15 +440,15 @@ class TableScan:
                 cur = out_hi.get(key)
                 if key not in out_hi:
                     out_hi[key] = shi
-                elif shi is not None and (cur is None or shi > cur):
+                elif shi is not None and (cur is None or
+                                          hi_better(shi, cur)):
                     out_hi[key] = shi
         else:
             if slow_lo:
                 scan_fold(slow_lo, F.min, "_lo", out_lo,
                           lambda v, cur: v < cur)
             if slow_hi:
-                scan_fold(slow_hi, F.max, "_hi", out_hi,
-                          lambda v, cur: v > cur)
+                scan_fold(slow_hi, F.max, "_hi", out_hi, hi_better)
         return {k: (out_lo.get(k), out_hi.get(k))
                 for k in set(out_lo) | set(out_hi)}
 
@@ -456,6 +471,9 @@ class TableScan:
         fid = self.table.schema.id_for_name(col)
         need_lo, need_hi = "lo" in sides, "hi" in sides
         lo_ok, hi_ok = self._bound_exactness(col)
+        ftype = next((f.type for f in self.table.schema.fields
+                      if f.field_id == fid), None)
+        is_float = ftype in ("float", "double")
         tasks = self.plan_files()
         lo = hi = None
         slow_lo: list = []
@@ -473,19 +491,29 @@ class TableScan:
                 else:
                     slow_lo.append(t)
             if need_hi:
-                if base and ub is not None and hi_ok is not None \
-                        and hi_ok(ub):
+                hi_exact = (hi_ok is not None and hi_ok(ub)) if ub is not \
+                    None else False
+                if not hi_exact and is_float and ub is not None and \
+                        (t.file.nan_value_counts or {}).get(fid) == 0:
+                    hi_exact = True  # recorded-zero NaN count (DSv2 write)
+                if base and ub is not None and hi_exact:
                     hi = ub if hi is None or ub > hi else hi
                 else:
                     slow_hi.append(t)
         # hybrid: metadata bounds for the decided files, a real scan
         # ONLY over the undecidable ones, folded together per side
+        def _hi_wins(v, cur):
+            # Spark orders NaN LARGEST; python NaN comparisons are all
+            # False, so a scanned NaN must win the fold explicitly
+            return (isinstance(v, float) and math.isnan(v)) or v > cur
+
         if slow_lo and slow_lo == slow_hi:
             row = self._to_df_default(tasks=slow_lo) \
                 .agg(F.min(col), F.max(col)).head()
             slo, shi = row[0], row[1]
             lo = slo if lo is None or (slo is not None and slo < lo) else lo
-            hi = shi if hi is None or (shi is not None and shi > hi) else hi
+            hi = shi if hi is None or (shi is not None and
+                                       _hi_wins(shi, hi)) else hi
         else:
             if slow_lo:
                 slo = self._to_df_default(tasks=slow_lo) \
@@ -495,8 +523,8 @@ class TableScan:
             if slow_hi:
                 shi = self._to_df_default(tasks=slow_hi) \
                     .agg(F.max(col)).head()[0]
-                hi = shi if hi is None or (shi is not None and shi > hi) \
-                    else hi
+                hi = shi if hi is None or (shi is not None and
+                                           _hi_wins(shi, hi)) else hi
         return lo, hi
 
     def approx_ndv(self, col: str, k: int = None) -> int:

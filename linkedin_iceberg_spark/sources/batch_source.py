@@ -542,7 +542,18 @@ class _TableBatchWriter(DataSourceArrowWriter):
                 write_avro(path, list(zip(*cols)), self.engine_schema)
             else:
                 pq.write_table(part_tbl, path, compression="snappy")
-            return (path, pdict, part_tbl.num_rows)
+            # exact per-column NaN counts for float columns (parquet
+            # footers cannot provide them): a RECORDED ZERO later lets
+            # the scan fold the column's MAX from bounds — without it a
+            # possible unrecorded NaN (Spark's largest value) forbids
+            # the fold forever
+            import pyarrow.compute as _pc
+            nans = {}
+            for f_ in part_tbl.schema:
+                if pa.types.is_floating(f_.type):
+                    s = _pc.sum(_pc.is_nan(part_tbl.column(f_.name)))
+                    nans[f_.name] = int(s.as_py() or 0)
+            return (path, pdict, part_tbl.num_rows, nans)
 
         if not self.part_fields:
             return _FileCommit([stage(tbl, {})])
@@ -575,29 +586,39 @@ class _TableBatchWriter(DataSourceArrowWriter):
             files.append(stage(part_tbl, pdict))
         return _FileCommit(files)
 
-    def _staged_stats(self, md, path: str, nrows: int) -> dict:
+    def _staged_stats(self, md, path: str, nrows: int,
+                      nans: dict = None) -> dict:
         """Footer stats per staged file, by format: parquet/orc read
         their footers; avro (no footer stats) records the exact row
         count the write task carried plus the file size — bounds-less
         entries are always sound (inclusive evaluators answer
-        might-match without them)."""
+        might-match without them).  ``nans`` (column name -> exact NaN
+        count, computed by the write task from its Arrow batches) lands
+        in nan_value_counts keyed by field id; an explicit zero is the
+        signal that lets float MAX fold from bounds."""
         from linkedin_iceberg_spark.catalog.stats import (
             collect_file_stats, collect_orc_file_stats)
         if self.write_format == "orc":
-            return collect_orc_file_stats(path, md.schema)
-        if self.write_format == "avro":
-            return {"record_count": int(nrows),
-                    "file_size_in_bytes": os.path.getsize(path),
-                    "value_counts": {}, "null_value_counts": {},
-                    "nan_value_counts": {}, "lower_bounds": {},
-                    "upper_bounds": {}}
-        mode = md.properties.get("write.metadata.metrics.default",
-                                 "truncate(16)")
-        cmodes = {k[len("write.metadata.metrics.column."):]: v
-                  for k, v in md.properties.items()
-                  if k.startswith("write.metadata.metrics.column.")}
-        return collect_file_stats(path, md.schema, mode,
-                                  column_modes=cmodes)
+            st = collect_orc_file_stats(path, md.schema)
+        elif self.write_format == "avro":
+            st = {"record_count": int(nrows),
+                  "file_size_in_bytes": os.path.getsize(path),
+                  "value_counts": {}, "null_value_counts": {},
+                  "nan_value_counts": {}, "lower_bounds": {},
+                  "upper_bounds": {}}
+        else:
+            mode = md.properties.get("write.metadata.metrics.default",
+                                     "truncate(16)")
+            cmodes = {k[len("write.metadata.metrics.column."):]: v
+                      for k, v in md.properties.items()
+                      if k.startswith("write.metadata.metrics.column.")}
+            st = collect_file_stats(path, md.schema, mode,
+                                    column_modes=cmodes)
+        for name, n in (nans or {}).items():
+            fid = md.schema.id_for_name(name)
+            if fid is not None:
+                st["nan_value_counts"][fid] = int(n)
+        return st
 
     def commit(self, messages):
         from linkedin_iceberg_spark.catalog import manifests as M
@@ -612,12 +633,13 @@ class _TableBatchWriter(DataSourceArrowWriter):
         t = Table(None, ops, md, getattr(md, "_version", 1))
         files = []
         for m in messages:
-            for (path, pdict, nrows) in getattr(m, "files", []) or []:
+            for (path, pdict, nrows, *rest) in getattr(m, "files", []) or []:
                 files.append(M.DataFile(
                     file_path=path, file_format=self.write_format,
                     partition=pdict, spec_id=md.default_spec_id,
                     schema_id=md.current_schema_id,
-                    **self._staged_stats(md, path, nrows)))
+                    **self._staged_stats(md, path, nrows,
+                                         rest[0] if rest else None)))
         if self.overwrite:
             data, dels = t._live_data_and_deletes()
             t._commit_file_swap(
@@ -677,8 +699,8 @@ class _TableStreamWriter(_TableBatchWriter,
         files = [M.DataFile(
             file_path=p, file_format=self.write_format, partition=pdict,
             spec_id=md.default_spec_id, schema_id=md.current_schema_id,
-            **self._staged_stats(md, p, nrows))
-            for (p, pdict, nrows) in staged]
+            **self._staged_stats(md, p, nrows, rest[0] if rest else None))
+            for (p, pdict, nrows, *rest) in staged]
         if files:
             t._commit_append_files(files, extra_summary={
                 **getattr(self, "snapshot_props", {}),

@@ -154,3 +154,46 @@ def test_counts_mode_disables_string_fold(catalog, spark):
     t = t.refresh()
     got = t.new_scan().agg_minmax_grouped(["g"], "s")
     assert got == {("A",): ("v0", "v9")}
+
+
+def test_float_max_folds_with_recorded_zero_nan_counts(catalog, spark):
+    """DataSource-written files carry exact NaN counts from the write
+    task's Arrow batches: a recorded ZERO lets float MAX fold from
+    bounds (poison-proven), while a file with recorded NaNs still pays
+    the read and yields Spark's NaN-is-largest answer."""
+    import math
+    import shutil
+
+    from linkedin_iceberg_spark.sources.batch_source import (
+        SOURCE_NAME, register_batch_source)
+    register_batch_source(spark)
+    clean = spark.createDataFrame(
+        [(i, float(i) * 0.5 - 3.0) for i in range(200)],
+        "id bigint, x double")
+    t = catalog.create_table("db.nanfold", clean)
+    (clean.write.format(SOURCE_NAME).option("location", t.location)
+     .mode("append").save())
+    t = t.refresh()
+    entries, _ = t._live_data_and_deletes()
+    fid = t.schema.id_for_name("x")
+    assert all((e.data_file.nan_value_counts or {}).get(fid) == 0
+               for e in entries)
+    moved = []
+    for e in entries:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        lo, hi = t.new_scan().agg_minmax("x")  # fully metadata now
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert (lo, hi) == (-3.0, 96.5)
+    # a NaN-bearing DataSource write: recorded count > 0, max reads
+    dirty = spark.createDataFrame([(900, float("nan")), (901, 5.0)],
+                                  "id bigint, x double")
+    (dirty.write.format(SOURCE_NAME).option("location", t.location)
+     .mode("append").save())
+    t = t.refresh()
+    lo2, hi2 = t.new_scan().agg_minmax("x")
+    assert lo2 == -3.0 and math.isnan(hi2)
