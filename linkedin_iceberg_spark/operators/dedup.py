@@ -630,6 +630,166 @@ FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
 ORDER BY t.{id_col}"""
 
 
+def dedup_substrings(df: DataFrame, k: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     hash_mode: str = "md5") -> DataFrame:
+    """Corpus-wide EXACT SUBSTRING dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022): any run of >= `k`
+    tokens that occurs more than once across the corpus is cut from every
+    occurrence except the first (first-seen wins — smaller doc id, then
+    smaller start position), and each document's surviving tokens are
+    reassembled.  This is the suffix-array ExactSubstr recipe re-expressed
+    for a distributed engine: a repeated substring of length >= k is
+    EXACTLY a maximal run of repeated k-token windows, so duplicated
+    window detection + adjacent-window merging reproduces the suffix
+    array's verdicts without ever building one.
+
+    vs dedup_spans (C4-style): spans cut only ALIGNED fixed windows —
+    a duplicate shifted by one token escapes; this operator marks every
+    k-window at every offset, so arbitrary-position repeats are caught.
+
+    Pipeline (all built-in functions, UDF-free):
+      1. one tokenize per doc; k-token windows via index transform
+         (tokens never leave their row)                      (no shuffle)
+      2. window hash: md5 of the window text (portable mode, replayable
+         in ANSI SQL) or xxhash64 (fast mode)                (no shuffle)
+      3. first-seen per hash: min over a (doc, pos) STRUCT — shuffle on
+         the 16-byte hash, group sizes are duplicate multiplicities
+      4. non-first duplicated windows merge into MAXIMAL spans per doc
+         (gaps-and-islands over dropped window starts — the merge step
+         keeps the cut-position explode proportional to COVERED tokens,
+         not windows x k)
+      5. cut covered positions, reassemble surviving tokens in order
+
+    Returns (id, clean_text, n_tokens, n_removed) — one row per input
+    document; docs shorter than k tokens carry no windows and are kept
+    whole.
+
+    Scale: every shuffle is on (hash) or (doc, position) ints; step 4's
+    window function runs over DROPPED windows only (duplicate-volume
+    sized, not corpus sized); nothing is quadratic and no text wider
+    than one document's tokens ever crosses the wire.
+
+    ref: the reference has no text plane; first-seen-wins matches
+    dedup_exact/dedup_spans above."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (single-token runs are stopwords,"
+                         " not substrings)")
+    toked = _ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks"))
+
+    win_text = F.col("_wt")
+    if hash_mode == "md5":
+        win_hash = F.md5(win_text)
+    else:
+        win_hash = F.xxhash64(win_text)
+    win = (toked.filter(F.size("_toks") >= k)
+           .select(
+               id_col,
+               F.posexplode(F.expr(
+                   f"transform(sequence(0, size(_toks) - {k}),"
+                   f" i -> concat_ws(' ', slice(_toks, i + 1, {k})))"))
+               .alias("p", "_wt"))
+           .select(id_col, "p", win_hash.alias("_h")))
+
+    keyed = win.withColumn("_ord", F.struct(F.col(id_col), F.col("p")))
+    first = keyed.groupBy("_h").agg(F.min("_ord").alias("_first"))
+    dropped = (keyed.join(first, "_h")
+               .filter(F.col("_ord") != F.col("_first"))
+               .select(id_col, "p"))
+
+    # gaps-and-islands: successive dropped windows whose coverage
+    # [p, p+k) overlaps-or-touches merge into one maximal span
+    ow = W.partitionBy(id_col).orderBy("p")
+    run = W.partitionBy(id_col).orderBy("p") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    isl = (dropped
+           .withColumn("_prev", F.lag("p").over(ow))
+           .withColumn("_new",
+                       F.when(F.col("_prev").isNull()
+                              | (F.col("p") > F.col("_prev") + k), 1)
+                       .otherwise(0))
+           .withColumn("_isl", F.sum("_new").over(run)))
+    spans = (isl.groupBy(id_col, "_isl")
+             .agg(F.min("p").alias("_s"),
+                  (F.max("p") + k - 1).alias("_e")))
+    drop_pos = spans.select(
+        id_col, F.explode(F.expr("sequence(_s, _e)")).alias("pos"))
+
+    toks = toked.select(id_col,
+                        F.posexplode("_toks").alias("pos", "tok"))
+    kept = toks.join(drop_pos, [id_col, "pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda s: s.tok), " ").alias("clean_text"),
+                    F.count("*").alias("_n_kept")))
+    totals = toked.select(id_col, F.size("_toks").alias("_n"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("_n").cast("long").alias("n_tokens"),
+                    (F.col("_n") - F.coalesce("_n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
+def dedup_substrings_oracle_sql(k: int = 8, table: str = "documents",
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    """ANSI-SQL (DuckDB) replay of dedup_substrings(hash_mode="md5") with
+    every stage inlined — tokenize, k-token windows at every offset, md5
+    window hash, order-encoded first-seen min, duplicated-window position
+    union, cut, ordered reassembly.  The SQL replaces the Spark side's
+    gaps-and-islands merge with an explode + DISTINCT over covered
+    positions (identical position SET, simpler to express); the
+    order encoding (id * 1e6 + p) assumes non-negative integer ids with
+    < 1e6 tokens per document — true for the registered driver query;
+    the operator itself uses a struct min with no such restriction."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split_regex({text_col}, '\\s+') AS tk
+  FROM {table}
+), starts AS (
+  SELECT {id_col}, tk,
+         unnest(range(0, greatest(len(tk) - {k} + 1, 0))) AS p
+  FROM t
+), win AS (
+  SELECT {id_col}, p,
+         md5(array_to_string(tk[p + 1 : p + {k}], ' ')) AS h,
+         {id_col} * 1000000 + p AS ord
+  FROM starts
+), first AS (
+  SELECT h, min(ord) AS first_ord FROM win GROUP BY h
+), dropped AS (
+  SELECT w.{id_col}, w.p
+  FROM win w JOIN first f ON w.h = f.h AND w.ord <> f.first_ord
+), droppos AS (
+  SELECT DISTINCT {id_col}, unnest(range(p, p + {k})) AS pos
+  FROM dropped
+), toks AS (
+  SELECT {id_col}, tk, unnest(range(1, len(tk) + 1)) AS p1
+  FROM t
+), kept AS (
+  SELECT x.{id_col}, x.p1 - 1 AS pos, x.tk[x.p1] AS tok
+  FROM toks x LEFT JOIN droppos d
+    ON d.{id_col} = x.{id_col} AND d.pos = x.p1 - 1
+  WHERE d.{id_col} IS NULL
+), rebuilt AS (
+  SELECT {id_col}, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY {id_col}
+), totals AS (
+  SELECT {id_col}, len(tk) AS n_tokens FROM t
+)
+SELECT t.{id_col}, coalesce(r.clean_text, '') AS clean_text,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
+ORDER BY t.{id_col}"""
+
+
 def dedup_text_clustered(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 16,
                          bands: int = 8, shingle_n: int = 3,

@@ -1267,6 +1267,31 @@ _REGISTRY["dedup_spans"] = (_REGISTRY["dedup_spans"][0],
                             _dedup_spans_oracle())
 
 
+@q("dedup_substrings", None)  # oracle attached below (generated SQL)
+def dedup_substrings(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, suffix-array
+    recipe re-expressed distributively): every >= 8-token run repeated
+    anywhere in the corpus is cut from all but its first occurrence
+    (ANY offset — vs dedup_spans' aligned windows) and surviving text
+    reassembles.  The generated oracle replays tokenize -> all-offset
+    windows -> md5 -> order-encoded first-seen -> position union -> cut
+    -> ordered reassembly, value-checking every document's cleaned
+    text."""
+    from linkedin_iceberg_spark.operators.dedup import dedup_substrings
+    d = ld(spark, sf_dir, "documents")
+    return dedup_substrings(d, k=8).orderBy("doc_id")
+
+
+def _dedup_substrings_oracle() -> str:
+    from linkedin_iceberg_spark.operators.dedup import (
+        dedup_substrings_oracle_sql)
+    return dedup_substrings_oracle_sql(k=8)
+
+
+_REGISTRY["dedup_substrings"] = (_REGISTRY["dedup_substrings"][0],
+                                 _dedup_substrings_oracle())
+
+
 @q("dedup_text_clustered", None)  # oracle attached below (generated SQL)
 def dedup_text_clustered(spark, sf_dir):
     """Near-dup text dedup with CLUSTER keep-decisions (r4): banded
