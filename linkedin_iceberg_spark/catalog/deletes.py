@@ -19,8 +19,9 @@ no group shares lineage with another (deep shared-lineage unions send
 Catalyst's plan deduplication into pathological re-analysis).
 
   position: left_anti join on (_file, _pos) where _pos is the in-file row
-            index from Spark's parquet ``_metadata.row_index`` — no shuffle,
-            no window.
+            index — Spark's parquet ``_metadata.row_index``, or the
+            per-file row counter of the whole-file ORC/Avro readers
+            (exact for every format since r10) — no shuffle, no window.
   equality: left_anti join on the key columns (null-safe), delete side
             broadcast.
 
@@ -68,23 +69,49 @@ def _total_records(files) -> int:
     return total
 
 
+def _identity_constants(md, file, written) -> dict:
+    """Per-file identity-partition constants {written name: encoded value}
+    from the manifest partition tuple — the pyarrow read path's analog of
+    the native reader's ``basePath`` directory reconstruction (same recipe
+    as scan._to_df_planned / local_read).  The file's OWN spec binds the
+    fields (md.spec_by_id binds; raw md.specs entries are unbound)."""
+    from linkedin_iceberg_spark.catalog.serde import encode_value
+    spec = md.spec_by_id(file.spec_id)
+    out = {}
+    for pf in spec.fields:
+        if pf.transform_str == "identity" and pf.name in file.partition:
+            wname = written.name_for_id(pf.source_id)
+            if wname is not None:
+                out[wname] = encode_value(file.partition[pf.name],
+                                          pf.source_type or "string")
+    return out
+
+
 def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
-                               paths: list, fmt: str = "parquet",
+                               gfiles: list, fmt: str = "parquet",
                                base_path: str = None) -> DataFrame:
     """Read one schema-group of data files projected to the CURRENT schema
     by field id, with _file/_pos metadata columns attached.
 
-    _metadata.row_index is parquet-only in Spark; position deletes against
-    other formats are rejected at the writer, so fmt is always parquet when
-    positions are required — other formats only reach here for equality
-    deletes, where _pos is unused (kept for a uniform shape via a null)."""
+    _pos is EXACT for every format (r10): parquet rides Spark's native
+    ``_metadata.row_index``; ORC and Avro route through the whole-file
+    pyarrow/codec readers (sources/orc_spark.py, avro_spark.py) whose
+    per-file row counter is the same ROW_POSITION — so position deletes
+    and the reserved metadata columns are format-agnostic, matching the
+    reference's delete machinery (core/.../deletes/Deletes.java:60-127)."""
     from linkedin_iceberg_spark.catalog.scan import align_columns
     schema = md.schema
     written = md.schema_by_id(schema_id)
+    paths = [f.file_path for f in gfiles]
     if fmt == "avro":
         from linkedin_iceberg_spark.sources.avro_spark import read_avro_files
-        base = read_avro_files(spark, paths, written, with_file_col=True) \
-            .withColumn("_pos", F.lit(None).cast("long"))
+        base = read_avro_files(spark, paths, written, with_file_col=True,
+                               with_pos_col=True)
+    elif fmt == "orc":
+        from linkedin_iceberg_spark.sources.orc_spark import read_orc_files
+        pconst = {f.file_path: _identity_constants(md, f, written)
+                  for f in gfiles} if base_path is not None else None
+        base = read_orc_files(spark, paths, written, pconst)
     else:
         reader = spark.read.schema(written.to_spark()).format(fmt)
         if base_path is not None:
@@ -92,11 +119,8 @@ def _read_group_with_positions(spark: SparkSession, md, schema_id: int,
             reader = reader.option("basePath", base_path)
         base = reader.load(paths) \
             .withColumn("_file", F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:", ""))
-        if fmt == "parquet":
-            base = base.withColumn("_pos", F.col("_metadata.row_index"))
-        else:
-            base = base.withColumn("_pos", F.lit(None).cast("long"))
+                F.col("_metadata.file_path"), "^file:", "")) \
+            .withColumn("_pos", F.col("_metadata.row_index"))
     return base.select(*align_columns(written, schema), "_file", "_pos")
 
 
@@ -107,8 +131,7 @@ def apply_deletes(table, tasks: list, df_ignored=None,
     reference's reserved metadata columns through to the caller:
     ``_file`` (data file path) and ``_pos`` (the row's ORIGINAL position
     in its data file — stable across delete application, matching
-    MetadataColumns.ROW_POSITION; NULL for non-parquet formats, where
-    Spark exposes no row index)."""
+    MetadataColumns.ROW_POSITION; exact for parquet, ORC, and Avro)."""
     spark = table.spark
     md = table.metadata
     schema = md.schema
@@ -142,10 +165,12 @@ def apply_deletes(table, tasks: list, df_ignored=None,
             continue
         if not has_deletes:
             parts.append(_read_group_with_positions(
-                spark, md, schema_id, paths, fmt, base_path=bp))
+                spark, md, schema_id, [t.file for t in gtasks], fmt,
+                base_path=bp))
             continue
 
-        data = _read_group_with_positions(spark, md, schema_id, paths, fmt,
+        data = _read_group_with_positions(spark, md, schema_id,
+                                          [t.file for t in gtasks], fmt,
                                           base_path=bp)
 
         pos_paths = [p for p in dkey

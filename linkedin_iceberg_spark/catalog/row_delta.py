@@ -111,10 +111,11 @@ def row_delta(table, data_df: Optional[DataFrame] = None,
     data_files = table._write_data_files(data_df) if data_df is not None else []
     delete_files: list = []
     if position_deletes is not None:
-        if table.file_format != "parquet":
-            raise NotImplementedError(
-                "position deletes need Spark's parquet _metadata.row_index; "
-                f"table format is {table.file_format} — use equality deletes")
+        # format-agnostic since r10: parquet rides _metadata.row_index,
+        # ORC/Avro ride the whole-file readers' exact per-file row counter
+        # (deletes._read_group_with_positions), so every write format the
+        # engine produces can be a position-delete target — matching the
+        # reference's Deletes.java
         # the reference requires position deletes sorted by (path, pos)
         pos = position_deletes.select("file_path", "pos") \
             .sortWithinPartitions("file_path", "pos")

@@ -924,7 +924,9 @@ class TableScan:
         appended (ref: core/.../MetadataColumns.java:35-50): ``_file``
         (the row's data file path) and ``_pos`` (its ORIGINAL position
         in that file — stable under position-delete application, the
-        ROW_POSITION contract; NULL for non-parquet formats).  The full
+        ROW_POSITION contract; exact for parquet, ORC, and Avro — the
+        non-parquet formats ride the whole-file pyarrow/codec readers,
+        whose per-file row counter is the same number).  The full
         row filter re-applies as a Spark Column (no residual grouping
         on this path), and ``select()`` may project the metadata
         columns like any other."""

@@ -29,9 +29,15 @@ _PANDAS_DTYPES = {
 
 
 def read_avro_files(spark: SparkSession, paths: list, written,
-                    with_file_col: bool = False) -> DataFrame:
+                    with_file_col: bool = False,
+                    with_pos_col: bool = False) -> DataFrame:
     """DataFrame over Avro container files with the written schema.
-    Decoding runs in mapInPandas tasks, one or more files per task."""
+    Decoding runs in mapInPandas tasks, one or more files per task.
+
+    ``with_pos_col`` appends ``_pos`` — the EXACT in-file row position
+    (each task decodes whole files, so a per-file row counter is the
+    reference's ROW_POSITION), letting position deletes and the reserved
+    metadata columns work on Avro data files (r10)."""
     from linkedin_iceberg_spark.shipping import ship_to_active_session
     ship_to_active_session()
 
@@ -65,10 +71,13 @@ def read_avro_files(spark: SparkSession, paths: list, written,
                 out = pd.DataFrame(cols)
                 if with_file_col:
                     out["_file"] = p
+                if with_pos_col:
+                    out["_pos"] = range(len(rows))
                 yield out
 
     spark_schema = written.to_spark()
-    ddl_extra = ", _file string" if with_file_col else ""
+    ddl_extra = (", _file string" if with_file_col else "") \
+        + (", _pos bigint" if with_pos_col else "")
     out = paths_df.mapInPandas(
         decode, ",".join(f"`{f.name}` {f.dataType.simpleString()}"
                          for f in spark_schema.fields) + ddl_extra)

@@ -107,10 +107,15 @@ def test_avro_schema_evolution_and_eq_deletes(catalog, orders_df, spark):
     assert row.price == want and row.note is None
 
 
-def test_avro_position_deletes_rejected(catalog, orders_df, spark):
+def test_avro_position_deletes_apply(catalog, orders_df, spark):
+    """r10: position deletes are format-agnostic — Avro files ride the
+    codec reader's exact per-file row counter (they were rejected with
+    NotImplementedError before)."""
     t = catalog.create_table("db.avro4", orders_df,
                              properties={"write.format-default": "avro"})
     t.append(orders_df)
-    pos = spark.createDataFrame([("x", 0)], "file_path string, pos bigint")
-    with pytest.raises(NotImplementedError, match="position deletes"):
-        t.row_delta(position_deletes=pos)
+    victim = t._live_data_and_deletes()[0][0].data_file.file_path
+    pos = spark.createDataFrame([(victim, p) for p in (0, 1, 2)],
+                                "file_path string, pos bigint")
+    t.row_delta(position_deletes=pos)
+    assert t.refresh().to_df().count() == orders_df.count() - 3

@@ -41,13 +41,18 @@ def test_orc_equality_deletes(catalog, orders_df, spark):
     assert t.to_df().count() == orders_df.count() - deleted
 
 
-def test_orc_position_deletes_rejected(catalog, orders_df, spark):
+def test_orc_position_deletes_apply(catalog, orders_df, spark):
+    """r10: position deletes are format-agnostic — ORC files ride the
+    whole-file pyarrow reader's exact per-file row counter (they were
+    rejected with NotImplementedError before)."""
     t = catalog.create_table("db.orc3", orders_df,
                              properties={"write.format-default": "orc"})
     t.append(orders_df)
-    pos = spark.createDataFrame([("x", 0)], "file_path string, pos bigint")
-    with pytest.raises(NotImplementedError):
-        t.row_delta(position_deletes=pos)
+    victim = t._live_data_and_deletes()[0][0].data_file.file_path
+    pos = spark.createDataFrame([(victim, p) for p in (0, 1, 2)],
+                                "file_path string, pos bigint")
+    t.row_delta(position_deletes=pos)
+    assert t.refresh().to_df().count() == orders_df.count() - 3
 
 
 def test_orc_stream_source(catalog, orders_df, spark, tmp_path):
