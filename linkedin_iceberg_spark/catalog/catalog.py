@@ -2826,12 +2826,24 @@ class Catalog:
         r8 gap this closes: 3+ table SQL over co-bucketed tables fell
         back to N-1 full shuffle joins.
 
+        r10: CHAIN-shaped statements route too when the key is
+        transitively the same — ``base.k = f1.k AND f1.k = f2.k`` is
+        the star in disguise (inner-join equality transitivity), so an
+        ON may anchor on an EARLIER side's key column instead of the
+        base.  Chains are INNER-only: under LEFT joins an unmatched
+        f1 leaves f1.k NULL, so ``f1.k = f2.k`` never matches where
+        the star's ``base.k = f2.k`` would — not the same query.
+        A chain hop on a DIFFERENT column (``f1.j = f2.j``) bails to
+        the generic route: per-bucket assembly needs one entity key,
+        and j-bucketing does not align with k-bucketing.
+
         Conservative gates (generic route otherwise): every ON equates
-        the BASE's single key with that side's key, all joins are the
-        same kind (all INNER or all LEFT), non-key column names are
-        disjoint, no subqueries, SELECT names its columns.  Shares the
-        spark.liceberg.sql.colocatedJoin session gate with the 2-way
-        route."""
+        the entity key (directly on the base, or transitively through
+        earlier sides), all joins are the same kind (all INNER or all
+        LEFT; LEFT additionally requires every ON to anchor the base),
+        non-key column names are disjoint, no subqueries, SELECT names
+        its columns.  Shares the spark.liceberg.sql.colocatedJoin
+        session gate with the 2-way route."""
         import re
 
         from linkedin_iceberg_spark.catalog.colocated import (
@@ -2885,6 +2897,8 @@ class Catalog:
         quals = {bq}
         feats = []  # (table, qualifier, feature_key)
         base_key = None
+        key_class = set()   # (qual, col) pairs proven equal to the key
+        chain_anchored = False
         for (_k, fname, falias, q1, c1, q2, c2) in joins:
             ft = self.load_table(fname)
             fq = (falias or fname.rsplit(".", 1)[-1]).lower()
@@ -2892,18 +2906,31 @@ class Catalog:
                 return None
             quals.add(fq)
             pair = {q1.lower(): c1, q2.lower(): c2}
-            if set(pair) != {bq, fq}:
-                return None  # every ON must anchor on the base
-            bkey, fkey = pair[bq], pair[fq]
-            if base_key is None:
-                base_key = bkey
-            elif bkey != base_key:
-                return None  # one entity key per assembly
+            if fq not in pair or len(pair) != 2:
+                return None
+            fkey = pair[fq]
+            (aq, ac), = [(q, c) for q, c in pair.items() if q != fq]
+            if aq == bq:
+                if base_key is None:
+                    base_key = ac
+                elif ac != base_key:
+                    return None  # one entity key per assembly
+            elif (aq, ac) in key_class:
+                # chain hop anchored on an earlier side's key column —
+                # transitively the entity key (sound for INNER only,
+                # enforced below)
+                chain_anchored = True
+            else:
+                return None  # different-key chain: generic route
             if fkey not in set(ft.schema.column_names()):
                 return None
+            key_class.add((fq, fkey))
             feats.append((ft, fq, fkey))
-        if base_key not in set(base.schema.column_names()):
+        if base_key is None or \
+                base_key not in set(base.schema.column_names()):
             return None
+        if chain_anchored and how != "inner":
+            return None  # LEFT chain: NULL keys break transitivity
         # disjoint non-key names (the assembly output carries bare
         # column names, the key once)
         seen = set(base.schema.column_names()) - {base_key}

