@@ -436,17 +436,241 @@ def analyze_dictionary(table, col: str,
     return len(todo)
 
 
+PAIR_DICT_DEFAULT_MAX_NDV = 4096
+# probe cost guard: an (IN x IN) conjunction expands to the literal
+# cross product; past this many pairs the probe is skipped (metrics
+# evaluation uses the same 200-literal discipline)
+PAIR_PROBE_MAX_LITERALS = 200
+
+
+def _pair_dir(table, fid_lo: int, fid_hi: int) -> str:
+    # field-id keyed and order-normalized: rename-safe, and one store
+    # serves the conjunction regardless of how the WHERE spells it
+    return os.path.join(table.location, "stats_dict_pair",
+                        f"{fid_lo}_{fid_hi}")
+
+
+def _pair_fields(table, cols: list):
+    """Resolve + canonically order (by field id) the two columns."""
+    fields = []
+    for col in cols:
+        f = next((f_ for f_ in table.schema.fields if f_.name == col),
+                 None)
+        if f is None:
+            raise ValueError(f"no such column {col!r}")
+        if not (isinstance(f.type, str) and f.type in _DICT_TYPES):
+            raise ValueError(
+                f"pair dictionary stats support {sorted(_DICT_TYPES)} "
+                f"columns; {col!r} is {f.type!r}")
+        fields.append(f)
+    if len(fields) != 2 or fields[0].field_id == fields[1].field_id:
+        raise ValueError("exactly two distinct columns required")
+    return sorted(fields, key=lambda f: f.field_id)
+
+
+def analyze_dictionary_pair(table, cols: list,
+                            max_ndv: int = PAIR_DICT_DEFAULT_MAX_NDV
+                            ) -> int:
+    """Per-file exact distinct value-PAIR sets over a two-column
+    conjunction — the JOINT-distribution store the single-column planes
+    cannot be (r8/r9 verdict stretch): ``a = x AND b = y`` prunes by
+    each column's store independently, so a file containing x in `a`
+    and y in `b` but never ON THE SAME ROW passes both.  This store
+    records xxhash64(a, b) of every fully-non-NULL row pair per file
+    (hash absent => the pair provably never co-occurs => prune; a hash
+    collision only KEEPS a file — one-sided, always sound).
+
+    Store contract mirrors analyze_dictionary: one row per file,
+    ``values`` = sorted distinct pair hashes when NDV <= max_ndv, NULL
+    on overflow (never rescanned, never prunes), EMPTY array when the
+    file has no row with both columns non-NULL (an eq-conjunction can
+    never match there, so such files always prune — including files
+    written before either column existed).  Values hash under the
+    CURRENT engine types via each file's WRITTEN name/type (the
+    column_source discipline), so renames and int->long promotion
+    never split the hash space.  Returns files analyzed now.
+
+    Scale: one scan of the new tail reading exactly two columns;
+    distinct + collect_set are per-file (map-side combinable); the
+    store is one 8-byte hash per distinct pair per file."""
+    from pyspark.sql import types as T
+
+    from linkedin_iceberg_spark.schema import type_to_spark
+
+    f_lo, f_hi = _pair_fields(table, cols)
+    spark = table.spark
+    md = table.metadata
+    d = _pair_dir(table, f_lo.field_id, f_hi.field_id)
+    entries, _ = table._live_data_and_deletes()
+    live = {e.data_file.file_path for e in entries}
+    have = set()
+    if os.path.isdir(d) and any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        have = {r["file_path"] for r in
+                spark.read.parquet(d)
+                .select("file_path").distinct().collect()}
+    todo = sorted(live - have)
+    if not todo:
+        return 0
+
+    # schema-aware two-column read, row-aligned (column_source reads one
+    # column; a pair needs both from the same row)
+    sid_by_path = {e.data_file.file_path: e.data_file.schema_id
+                   for e in entries}
+    by_sid: dict = {}
+    for p in todo:
+        by_sid.setdefault(sid_by_path.get(p, md.current_schema_id),
+                          []).append(p)
+    fp = F.regexp_replace(F.col("_metadata.file_path"),
+                          "^file:", "").alias("file_path")
+    frames = []
+    for sid in sorted(by_sid):
+        ps = sorted(by_sid[sid])
+        written = md.schema_by_id(sid)
+        w_lo = written.name_for_id(f_lo.field_id)
+        w_hi = written.name_for_id(f_hi.field_id)
+        if w_lo is None or w_hi is None:
+            # either column absent at write time: every row has a NULL
+            # side, no pair can co-occur — the file lands in the store
+            # as an empty array via the left join below
+            continue
+        rschema = T.StructType([
+            T.StructField(w_lo, type_to_spark(
+                written.find_field(f_lo.field_id).type), True),
+            T.StructField(w_hi, type_to_spark(
+                written.find_field(f_hi.field_id).type), True)])
+        frames.append(
+            spark.read.schema(rschema).parquet(*ps)
+            .select(fp,
+                    F.col(w_lo).cast(type_to_spark(f_lo.type)).alias("_a"),
+                    F.col(w_hi).cast(type_to_spark(f_hi.type)).alias("_b")))
+    if frames:
+        src = frames[0]
+        for d_ in frames[1:]:
+            src = src.unionByName(d_)
+        nn = (src.where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+              .select("file_path",
+                      F.xxhash64("_a", "_b").alias("h"))
+              .distinct())
+        counts = nn.groupBy("file_path").agg(F.count("*").alias("n"))
+        ok = counts.filter(F.col("n") <= max_ndv).select("file_path")
+        vals = (nn.join(ok, "file_path", "left_semi")
+                .groupBy("file_path")
+                .agg(F.sort_array(F.collect_set("h")).alias("values")))
+    else:
+        counts = vals = None
+    arr = T.ArrayType(T.LongType())
+    paths_df = spark.createDataFrame([(p,) for p in todo],
+                                     "file_path string")
+    if counts is None:
+        merged = paths_df.select(
+            "file_path", F.array().cast(arr).alias("values"))
+    else:
+        merged = (paths_df
+                  .join(counts, "file_path", "left")
+                  .join(vals, "file_path", "left")
+                  .select("file_path",
+                          F.when(F.col("n").isNull(),
+                                 F.array().cast(arr))    # no non-null pair
+                          .when(F.col("n") > max_ndv,
+                                F.lit(None).cast(arr))   # overflow
+                          .otherwise(F.col("values")).alias("values")))
+    merged.write.mode("append").parquet(d)
+    return len(todo)
+
+
+def pair_dictionary_prune(table, data_entries: list, bound,
+                          conjuncts: list) -> list:
+    """Drop entries whose PAIR store proves the conjunction impossible:
+    for every two eq/IN conjuncts whose field-id pair has a persisted
+    pair store, files with a concrete hash set containing NO literal
+    pair hash cannot hold a matching row.  ``conjuncts`` is
+    dictionary_prune's walked [(field_id, literals)] list.  Advisory
+    only; every guard failure keeps the file."""
+    if len(conjuncts) < 2:
+        return data_entries
+    spark = table.spark
+    if spark is None:
+        return data_entries
+    root = os.path.join(table.location, "stats_dict_pair")
+    if not os.path.isdir(root):
+        return data_entries
+    from linkedin_iceberg_spark.schema import type_to_spark
+    by_fid = {}
+    for fid, lits in conjuncts:
+        # two conjuncts on one column: intersect-by-keep is already
+        # handled per-conjunct by the single-column pass; first wins here
+        by_fid.setdefault(fid, lits)
+    stype_by_fid = {f.field_id: type_to_spark(f.type)
+                    for f in table.schema.fields
+                    if isinstance(f.type, str)}
+    drop: set = set()
+    candidates = {e.data_file.file_path for e in data_entries}
+    for dname in sorted(os.listdir(root)):
+        lo_s, _, hi_s = dname.partition("_")
+        try:
+            fid_lo, fid_hi = int(lo_s), int(hi_s)
+        except ValueError:
+            continue
+        if fid_lo not in by_fid or fid_hi not in by_fid:
+            continue
+        lits_lo, lits_hi = by_fid[fid_lo], by_fid[fid_hi]
+        if len(lits_lo) * len(lits_hi) > PAIR_PROBE_MAX_LITERALS:
+            continue
+        t_lo, t_hi = stype_by_fid.get(fid_lo), stype_by_fid.get(fid_hi)
+        if t_lo is None or t_hi is None:
+            continue
+        d = os.path.join(root, dname)
+        if not any(p.endswith(".parquet") for p in os.listdir(d)):
+            continue
+        # hash every literal pair EXACTLY as the build did (cast to the
+        # current engine types, xxhash64 in field-id order); a cast that
+        # NULLs a literal makes its hash meaningless — skip the store
+        # (sound: pruning is advisory)
+        pairs = [(a, b) for a in lits_lo for b in lits_hi]
+        try:
+            exprs = []
+            for i, (a, b) in enumerate(pairs):
+                ca = F.lit(a).cast(t_lo)
+                cb = F.lit(b).cast(t_hi)
+                exprs += [ca.alias(f"a{i}"), cb.alias(f"b{i}"),
+                          F.xxhash64(ca, cb).alias(f"h{i}")]
+            row = spark.range(1).select(*exprs).first()
+            if any(row[f"a{i}"] is None or row[f"b{i}"] is None
+                   for i in range(len(pairs))):
+                continue
+            hashes = [row[f"h{i}"] for i in range(len(pairs))]
+            store = spark.read.parquet(d)
+            gone = (store
+                    .where(F.col("values").isNotNull() &
+                           ~F.arrays_overlap(
+                               F.col("values"),
+                               F.array(*[F.lit(h).cast("long")
+                                         for h in hashes])))
+                    .select("file_path").collect())
+        except Exception:  # noqa: BLE001 — any probe trouble: keep all
+            continue
+        drop |= {r["file_path"] for r in gone} & candidates
+    if not drop:
+        return data_entries
+    return [e for e in data_entries
+            if e.data_file.file_path not in drop]
+
+
 def dictionary_prune(table, data_entries: list, bound) -> list:
     """Drop manifest entries whose persisted dictionary PROVES no row can
     match: for each top-level AND conjunct that is eq/IN over a plain
     column of a dictionary-supported type, a file present in that
     column's store with a concrete value set and no overlap with the
     literals cannot contain a matching row (NULLs never satisfy eq/IN).
+    After the per-column pass, PAIR stores (analyze_dictionary_pair)
+    re-check two-conjunct combinations jointly — dropping files each
+    single column keeps when the values never co-occur on one row.
     Files missing from the store, overflow entries (values NULL), and
     every other predicate shape are untouched — pruning is advisory,
     correctness never depends on it.  Called from plan_files when the
-    table has a stats_dict directory; time travel is safe because
-    entries are keyed by immutable file path."""
+    table has a stats_dict or stats_dict_pair directory; time travel is
+    safe because entries are keyed by immutable file path."""
     from linkedin_iceberg_spark.expressions.expressions import (
         And, BoundReference, Operation, Predicate)
     conjuncts = []
@@ -497,10 +721,11 @@ def dictionary_prune(table, data_entries: list, bound) -> list:
         except Exception:
             continue  # literal/store type mismatch: skip, stay sound
         drop |= {r["file_path"] for r in gone} & candidates
-    if not drop:
-        return data_entries
-    return [e for e in data_entries
-            if e.data_file.file_path not in drop]
+    if drop:
+        data_entries = [e for e in data_entries
+                        if e.data_file.file_path not in drop]
+    # pair pass: joint co-occurrence pruning over two-conjunct combos
+    return pair_dictionary_prune(table, data_entries, bound, conjuncts)
 
 
 def kmv_table_overlap(left, left_col: str, right, right_col: str,

@@ -2799,6 +2799,8 @@ class Catalog:
         "analyze_table": ("table", "columns"),
         "analyze_kmv": ("table", "columns", "k"),
         "analyze_dictionary": ("table", "column", "max_ndv"),
+        "analyze_dictionary_pair": ("table", "column", "column2",
+                                    "max_ndv"),
         "analyze_bloom": ("table", "column", "fpp"),
         "analyze_histogram": ("table", "column", "max_ndv"),
         "analyze_topk": ("table", "column", "m"),
@@ -3259,6 +3261,7 @@ class Catalog:
             CALL analyze_table('db.t', '<col>[,<col>...]')
             CALL analyze_kmv('db.t', '<col>[,<col>...]' [, <k>])
             CALL analyze_dictionary('db.t', '<col>' [, <max_ndv>])
+            CALL analyze_dictionary_pair('db.t', '<a>', '<b>' [, <max_ndv>])
             CALL analyze_bloom('db.t', '<col>' [, '<fpp>'])
             CALL analyze_histogram('db.t', '<col>' [, <max_ndv>])
             CALL analyze_topk('db.t', '<col>' [, <m>])
@@ -3444,6 +3447,17 @@ class Catalog:
             cap = int(rest[1]) if rest[1:] else DICT_DEFAULT_MAX_NDV
             out = {"files_analyzed":
                    analyze_dictionary(t, rest[0], max_ndv=cap)}
+        elif proc == "analyze_dictionary_pair":
+            # the JOINT-distribution file-skipping plane (r10): per-file
+            # exact value-PAIR hash sets consulted by scan planning for
+            # two-column eq/IN conjunctions that each single-column
+            # store keeps (values present, never on the same row)
+            from linkedin_iceberg_spark.catalog.analyze import (
+                PAIR_DICT_DEFAULT_MAX_NDV, analyze_dictionary_pair)
+            cap = int(rest[2]) if rest[2:] else PAIR_DICT_DEFAULT_MAX_NDV
+            out = {"files_analyzed":
+                   analyze_dictionary_pair(t, [rest[0], rest[1]],
+                                           max_ndv=cap)}
         elif proc == "analyze_bloom":
             # the bloom file-skipping plane: per-file filters consulted
             # by scan planning for eq/IN point lookups on columns too

@@ -871,7 +871,9 @@ class TableScan:
         # the literals (bounds can't: an unsorted column's min/max spans
         # the domain in every file).  Advisory only; absent store = no-op.
         if data_entries and self.row_filter is not None and \
-                os.path.isdir(os.path.join(table.location, "stats_dict")):
+                (os.path.isdir(os.path.join(table.location, "stats_dict"))
+                 or os.path.isdir(os.path.join(table.location,
+                                               "stats_dict_pair"))):
             from linkedin_iceberg_spark.catalog import analyze as AN
             data_entries = AN.dictionary_prune(table, data_entries, bound)
 

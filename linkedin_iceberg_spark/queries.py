@@ -6371,6 +6371,54 @@ def table_scan_bloom_pruned(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_scan_pair_pruned", """
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderkey % 4 AS pa,
+         (o_orderkey + 2) % 4 AS pb
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderkey % 4, o_orderkey % 4
+  FROM orders
+)
+SELECT k, pa, pb FROM t WHERE pa = 1 AND pb = 1 ORDER BY k""")
+def table_scan_pair_pruned(spark, sf_dir):
+    """r10: multi-column CONJUNCTION file skipping
+    (analyze_dictionary_pair + the pair pass in dictionary_prune).
+    File A's pairs are (i, i+2 mod 4), file B's (i, i): for
+    ``pa = 1 AND pb = 1`` BOTH single-column dictionaries keep file A
+    (1 occurs in each column) — only the joint value-PAIR store proves
+    the values never share a row, pruning the scan to file B alone
+    (asserted strictly in-query).  One-sided hash-set semantics: a
+    collision keeps a file, absence proves absence; the oracle replays
+    the full filtered result, proving no row was lost."""
+    from linkedin_iceberg_spark.catalog.analyze import (
+        analyze_dictionary, analyze_dictionary_pair)
+    from linkedin_iceberg_spark.expressions import and_ as E_and
+    from linkedin_iceberg_spark.expressions import eq as E_eq
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    fa = o.select(F.col("o_orderkey").alias("k"),
+                  (F.col("o_orderkey") % 4).alias("pa"),
+                  ((F.col("o_orderkey") + 2) % 4).alias("pb"))
+    fb = o.select((F.col("o_orderkey") + 10_000_000).alias("k"),
+                  (F.col("o_orderkey") % 4).alias("pa"),
+                  (F.col("o_orderkey") % 4).alias("pb"))
+    t = cat.create_table("q.pair_pruned", fa)
+    t.append(fa.coalesce(1))
+    t.append(fb.coalesce(1))
+    t = t.refresh()
+    flt = E_and(E_eq("pa", 1), E_eq("pb", 1))
+    analyze_dictionary(t, "pa")
+    analyze_dictionary(t, "pb")
+    single = len(t.new_scan().filter(flt).plan_files())
+    assert single == 2, "single-column stores should keep both files"
+    analyze_dictionary_pair(t, ["pa", "pb"])
+    tasks = t.new_scan().filter(flt).plan_files()
+    assert len(tasks) == 1, "pair store failed to prune the no-co-occur file"
+    return (t.new_scan().filter(flt).to_df()
+            .select("k", "pa", "pb").orderBy("k"))
+
+
 @q("table_sql_approx_ndv", f"""
 SELECT {{KMV_SQL_NDV}} AS ndv_cust,
        CAST((SELECT count(*) FROM orders WHERE o_totalprice > 1000)
