@@ -170,6 +170,15 @@ PROBE_QUERIES = [
     # corpus (the trigram-novelty cost class) + a broadcast S-table
     # join + TakeOrdered; expected ~linear
     "sample_dsir_select",
+    # r10: exact-substring dedup (all-offset k-token windows — one md5
+    # hash shuffle ∝ corpus tokens, islands merge ∝ duplicated volume;
+    # expected ~linear like dedup_spans), the chain-spelled co-located
+    # star (per-bucket assembly, no shuffle), and the pair-dictionary
+    # conjunction prune (analyze is one two-column scan; the pruned
+    # lookup reads the surviving file slice)
+    "dedup_substrings",
+    "table_sql_chain_join",
+    "table_scan_pair_pruned",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
