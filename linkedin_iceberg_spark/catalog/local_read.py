@@ -170,21 +170,37 @@ def _apply_equality_deletes(tbl, task, current, written):
     return tbl
 
 
-def scan_to_arrow(scan):
+def scan_to_arrow(scan, metadata_columns: bool = False):
     """Execute a TableScan locally; returns one pyarrow Table in the
-    current schema (selected columns only, residuals applied)."""
+    current schema (selected columns only, residuals applied).
+
+    ``metadata_columns`` appends the reference's reserved columns
+    (MetadataColumns.java:35-50): ``_file`` (data file path) and
+    ``_pos`` (the row's ORIGINAL in-file position — attached before
+    delete application, so position deletes leave GAPS, the
+    ROW_POSITION contract).  Exact for every format here: the local
+    reader consumes whole files, so a per-file row counter IS the
+    position — same recipe the Spark-side ORC/Avro readers use (r10)."""
     import pyarrow as pa
     md = scan.table.metadata
     current = md.schema
     tasks = scan.plan_files()
 
-    target = pa.schema([pa.field(f.name, type_to_arrow(f.type),
-                                 nullable=not f.required)
-                        for f in current.fields])
+    target_fields = [pa.field(f.name, type_to_arrow(f.type),
+                              nullable=not f.required)
+                     for f in current.fields]
+    if metadata_columns:
+        target_fields += [pa.field("_file", pa.string()),
+                          pa.field("_pos", pa.int64())]
+    target = pa.schema(target_fields)
     parts = []
     for task in tasks:
         written = md.schema_by_id(task.file.schema_id)
         tbl = _read_file_arrow(task, written)
+        if metadata_columns:
+            # original positions ride the delete masks as a column
+            tbl = tbl.append_column(
+                "__pos", pa.array(range(len(tbl)), type=pa.int64()))
         tbl = _apply_position_deletes(tbl, task)
         tbl = _apply_equality_deletes(tbl, task, current, written)
         # in-place imported Hive-layout files lack their identity partition
@@ -214,8 +230,15 @@ def scan_to_arrow(scan):
                 continue
             arrays.append(_align_array(arr, wf.type if wf else None,
                                        f.type, len(tbl)))
-        tbl = pa.table(dict(zip([f.name for f in current.fields], arrays)),
-                       schema=target)
+        names = [f.name for f in current.fields]
+        if metadata_columns:
+            arrays += [
+                pa.array([task.file.file_path] * len(tbl),
+                         type=pa.string()),
+                tbl["__pos"].combine_chunks() if len(tbl)
+                else pa.array([], type=pa.int64())]
+            names += ["_file", "_pos"]
+        tbl = pa.table(dict(zip(names, arrays)), schema=target)
         residual = task.residual
         if residual is not None and not isinstance(residual, AlwaysTrue):
             try:

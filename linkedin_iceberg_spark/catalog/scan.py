@@ -1188,16 +1188,18 @@ class TableScan:
             out = out.select(*self.selected)
         return out
 
-    def to_arrow(self):
+    def to_arrow(self, metadata_columns: bool = False):
         """Local generic read (ref: data/.../IcebergGenerics.java): execute
         this scan on the driver with pyarrow only — same planning, pruning,
         residuals, and delete application as to_df(), no Spark needed.
-        Sandbox-scale by design; to_df() is the distributed path."""
+        Sandbox-scale by design; to_df() is the distributed path.
+        ``metadata_columns`` appends ``_file``/``_pos`` (r10 — same
+        reserved-column contract as to_df(metadata_columns=True))."""
         from linkedin_iceberg_spark.catalog.local_read import scan_to_arrow
-        return scan_to_arrow(self)
+        return scan_to_arrow(self, metadata_columns=metadata_columns)
 
-    def to_pandas(self):
-        return self.to_arrow().to_pandas()
+    def to_pandas(self, metadata_columns: bool = False):
+        return self.to_arrow(metadata_columns=metadata_columns).to_pandas()
 
     def _finish(self, df: DataFrame) -> DataFrame:
         if self.row_filter is not None:

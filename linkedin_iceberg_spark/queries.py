@@ -6793,6 +6793,26 @@ def join_runtime_bloom(spark, sf_dir):
 
 
 _PRIORITY = [
+    # r10 head: the round's new operators first — exact-substring dedup
+    # (Lee et al. 2022), the chain-spelled co-located star, and the
+    # pair-dictionary conjunction prune — plus the two old rows whose
+    # READ PATHS CHANGED this round (position deletes + metadata
+    # columns are format-agnostic now: the avro/orc whole-file readers
+    # carry exact _pos, so table_position_deletes and table_format_avro
+    # re-earn their rows on the new code).
+    "dedup_substrings", "table_sql_chain_join", "table_scan_pair_pruned",
+    "table_position_deletes", "table_format_avro",
+    # r10 rotation (verdict ask #7 — lifetime coverage is 202/202, so
+    # the window now re-checks the OLDEST green rows): 15 entries whose
+    # last driver row is r1-r3 rotate back in; out go 20 r9-green
+    # UNCHANGED entries, every family keeping in-window representation
+    # (see the tail block).
+    "agg_count_distinct", "agg_cube", "join_broadcast_dims",
+    "join_left_outer", "window_running_sum", "window_rank_dense",
+    "set_union_distinct", "scalar_date_funcs", "scalar_array_funcs",
+    "sort_multi_nulls", "dedup_ngram_jaccard", "events_session_window",
+    "table_time_travel", "streaming_stateful_sessions",
+    "table_rollback_wap",
     # table-format plane: the queries that distinguish this engine
     # r4: the verdict's #1 ask — rotate the 8 registered-but-never-
     # windowed queries in so S10/S11/S12/A4 (+ the four relational ones)
@@ -6856,12 +6876,10 @@ _PRIORITY = [
     # write-format, bloom-tightened runtime filter) — plus the only two
     # queries of 195 never driver-windowed (table_sql_group_count,
     # table_sql_star_multidim, the r8 verdict's explicit rotation ask)
-    "table_sql_multijoin", "table_incremental_compacted",
-    "table_sql_minmax_meta", "table_ds_write_format",
+    "table_sql_multijoin",
+    "table_sql_minmax_meta",
     "join_runtime_bloom", "table_metadata_columns",
     "sample_dsir_select",
-    "table_sql_group_count", "table_sql_star_multidim",
-    "stats_exact_quantiles", "table_batch_source_read",
     # r5: meta_scan_summary (green r4, unchanged; the metadata family
     # keeps meta_find_files in-window) rotates out for meta_analyze_ndv
     # (new: incremental per-file NDV sketch statistics)
@@ -6874,8 +6892,6 @@ _PRIORITY = [
     # analyze_ndv + count_pushdown + sql_count_meta) rotates out for
     # text_rocchio_classify (new: integer-exact nearest-centroid
     # classifier, trained and replayed in the oracle)
-    "table_sql_merge_sync", "text_rocchio_classify",
-    "table_changelog_mirror", "stats_global_quantiles",
     # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
     # table_overwrite_where in-window) rotates out for table_update_where
     # (new: keyless copy-on-write UPDATE with pruned candidates)
@@ -6898,7 +6914,7 @@ _PRIORITY = [
     # family keeps retention + transitions in-window) rotates out for
     # table_sql_ddl (registered r6, never windowed; widened r7 with
     # plain CREATE TABLE + VALUES + DESCRIBE/SHOW)
-    "table_sql_merge", "table_sql_ddl",
+    "table_sql_merge",
     # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
     # out for table_changelog (new: CDC scan over a MERGE commit)
     # r4 late: table_changelog (green r3, unchanged; CDC evidence stands
@@ -6934,7 +6950,6 @@ _PRIORITY = [
     # family keeps events_retention, and the events TABLE gains a new
     # exerciser) rotates out for join_interval_events (new: bucketized
     # point-in-interval join — hash equi-plan, never a nested loop)
-    "join_interval_events", "table_write_ordered",
     # r6: table_sql_over_view (green r4+r5, unchanged; the SQL family
     # keeps table_sql_direct + table_sql_dml in-window and gains the
     # strictly-stronger pruned variant) rotates out for table_sql_pruned
@@ -6957,14 +6972,14 @@ _PRIORITY = [
     # DataSource surface — in-window) rotates out for
     # agg_colocated_groupby (new r8: zero-shuffle co-located GROUP BY,
     # no-exchange/no-aggregate-operator plan asserted in the query)
-    "table_scan_bloom_pruned", "table_compaction", "table_sql_count_meta",
+      "table_sql_count_meta",
     # r8 session 4: table_remove_orphans (green r4-r7, 4 lifetime rows,
     # unchanged; the maintenance family keeps table_compaction — whose
     # CALL optimize composite also exercises orphan-adjacent cleanup —
     # in-window) rotates out for meta_topk_bounded (new r8: the
     # heavy-hitter plane — per-file truncated histograms merged into
     # [lower, upper] bounds, exact-regime collapse asserted in-query)
-    "agg_colocated_groupby", "meta_topk_bounded", "table_sql_pruned",
+    "agg_colocated_groupby",  "table_sql_pruned",
     # r4: table_merge_schema_append (lifetime-green, unchanged; schema
     # family keeps table_schema_evolution in-window) rotates out for
     # text_pack_sharded (new: per-shard packing — pack_sequences'
@@ -6991,7 +7006,7 @@ _PRIORITY = [
     # family keeps hybrid_rrf + pq_search + ivf_pruned + ivf_refresh)
     # rotates out for similarity_keyword_index (new: persisted inverted
     # keyword index, the file-pruned keyword serving channel)
-    "table_overwrite_where", "similarity_keyword_index", "table_rename_flow",
+    "table_overwrite_where",
     # metadata tables / streaming / multimodal
     # r3 late: meta_partitions_months (green r1+r2, unchanged; family keeps
     # meta_files_stats in-window) rotates out for legacy_hive_scan (new:
@@ -7008,7 +7023,7 @@ _PRIORITY = [
     # r8: the KMV statistics plane — per-file bottom-k portable-hash
     # sketches whose estimate the oracle replays EXACTLY, unlike the
     # 5%-band HLL row it strengthens)
-    "table_sql_view", "meta_kmv_ndv",
+     "meta_kmv_ndv",
     # r3: streaming_sink_counts / streaming_source_total (green r1+r2,
     # unchanged) rotate out for the two new streaming operators — bounded-
     # state dedup and the watermarked stream-stream interval join
@@ -7032,7 +7047,7 @@ _PRIORITY = [
     # table_sql_insert_overwrite (new r7: CREATE TABLE (cols) + INSERT
     # SELECT/VALUES + dynamic-partition INSERT OVERWRITE, the verdict's
     # #1 ask)
-    "similarity_hybrid_rrf", "table_sql_insert_overwrite",
+    "similarity_hybrid_rrf",
     # r5: streaming_partition_reprocess (green r4, unchanged;
     # streaming family keeps incremental_dedup in-window and
     # lifetime rows across sinks/joins/sessions) rotates out for
@@ -7218,6 +7233,40 @@ _PRIORITY = [
     # out for similarity_ivf_refresh (new: growth-gated k-means retrain +
     # atomic index swap, full-retrain SQL oracle)
     "similarity_ivf_refresh",
+    # r10 rotated OUT (below the 50-cut; all r9-green, operators
+    # unchanged this round, families keep in-window representation):
+    # incremental (pytest x3 + mview in-window), DataSource write-format
+    # / batch read (dsv2 roundtrip in-window), grouped-count + star
+    # multidim folds (count_meta + minmax_meta + runtime_bloom/filtered
+    # in-window), exact/global quantiles (sampled in-window), merge_sync
+    # (sql_merge in-window), rocchio (lm_score in-window), changelog
+    # mirror (snapshot_diff in-window), ddl/view/insert_overwrite
+    # (sql_dml + mview + chain_join in-window), interval join (tpch_q10
+    # + broadcast_dims in-window), write_ordered (overwrite_where),
+    # bloom scan (pair_pruned + sql_pruned), compaction
+    # (purge_forgotten + rollback_wap), topk plane (kmv_ndv), keyword
+    # index (hybrid_rrf + pq_search), rename flow (field-id pytest
+    # suites).
+    "table_incremental_compacted",
+    "table_ds_write_format",
+    "table_sql_group_count",
+    "table_sql_star_multidim",
+    "stats_exact_quantiles",
+    "stats_global_quantiles",
+    "table_batch_source_read",
+    "table_sql_merge_sync",
+    "text_rocchio_classify",
+    "table_changelog_mirror",
+    "table_sql_ddl",
+    "join_interval_events",
+    "table_write_ordered",
+    "table_scan_bloom_pruned",
+    "table_compaction",
+    "meta_topk_bounded",
+    "similarity_keyword_index",
+    "table_rename_flow",
+    "table_sql_insert_overwrite",
+    "table_sql_view",
 ]
 
 
