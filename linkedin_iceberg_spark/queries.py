@@ -6757,6 +6757,44 @@ def table_metadata_columns(spark, sf_dir):
     return df.select("o_orderkey", "_pos").orderBy("o_orderkey")
 
 
+@q("table_ds_metadata_columns", """
+WITH numbered AS (
+  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS _pos
+  FROM orders WHERE o_orderkey <= 600
+)
+SELECT o_orderkey, _pos FROM numbered
+WHERE _pos NOT IN (0, 3, 7) ORDER BY o_orderkey""")
+def table_ds_metadata_columns(spark, sf_dir):
+    """r10: reserved metadata columns on the DataSource surface —
+    spark.read.format(...).option("metadata-columns", "true") appends
+    _file/_pos (MetadataColumns.java parity on DSv2, like the modern
+    SparkBatchScan).  _pos is the ORIGINAL in-file row index attached
+    BEFORE delete masks: a position-delete commit leaves GAPS (0,3,7),
+    which the oracle replays as a row-number anti-filter over a single
+    sorted file — value-checking gap stability cross-engine.  The
+    in-query assertion pins _file to the one physical path."""
+    from linkedin_iceberg_spark.sources.batch_source import (
+        SOURCE_NAME, register_batch_source)
+    register_batch_source(spark)
+    o = (ld(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") <= 600).select("o_orderkey"))
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.ds_mcols", o)
+    t.append(o.coalesce(1).sortWithinPartitions("o_orderkey"))
+    t = t.refresh()
+    victim = t._live_data_and_deletes()[0][0].data_file.file_path
+    pos = spark.createDataFrame([(victim, p) for p in (0, 3, 7)],
+                                "file_path string, pos bigint")
+    t.row_delta(position_deletes=pos)
+    t = t.refresh()
+    df = (spark.read.format(SOURCE_NAME)
+          .option("location", t.location)
+          .option("metadata-columns", "true").load())
+    assert {r["_file"] for r in
+            df.select("_file").distinct().collect()} == {victim}
+    return df.select("o_orderkey", "_pos").orderBy("o_orderkey")
+
+
 @q("join_runtime_bloom", """
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice AS price, c.c_name
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -6801,6 +6839,7 @@ _PRIORITY = [
     # carry exact _pos, so table_position_deletes and table_format_avro
     # re-earn their rows on the new code).
     "dedup_substrings", "table_sql_chain_join", "table_scan_pair_pruned",
+    "table_ds_metadata_columns",
     "table_position_deletes", "table_format_avro",
     # r10 rotation (verdict ask #7 — lifetime coverage is 202/202, so
     # the window now re-checks the OLDEST green rows): 15 entries whose

@@ -146,6 +146,14 @@ class _TableBatchReader(DataSourceReader):
         self.split_size = _opt_int("split-size", "split_size")
         self.lookback = _opt_int("lookback")
         self.open_cost = _opt_int("file-open-cost", "file_open_cost")
+        # reserved metadata columns (r10 — MetadataColumns.java parity
+        # on the DataSource surface): _file + _pos appended to every
+        # row; _pos is EXACT (each task reads whole files, so the
+        # per-file row counter is ROW_POSITION, attached before delete
+        # masks)
+        self.meta_cols = str(options.get("metadata-columns")
+                             or options.get("metadata_columns")
+                             or "").lower() in ("true", "1", "yes")
         if self.split_size is not None and self.split_size <= 0:
             raise ValueError("split-size must be > 0")
         if self.lookback is not None and self.lookback <= 0:
@@ -159,6 +167,14 @@ class _TableBatchReader(DataSourceReader):
         expr = None
         for f in filters:
             try:
+                attr = getattr(f, "columnPath", None) or \
+                    getattr(f, "attribute", None)
+                if self.meta_cols and attr and attr[0] in ("_file",
+                                                           "_pos"):
+                    # filters on reserved columns never reach the engine
+                    # scan (they are not table columns); Spark re-applies
+                    # them row-level like every other returned filter
+                    continue
                 e = _filter_to_expr(f)
             except Exception:
                 e = None
@@ -215,9 +231,13 @@ class _TableBatchReader(DataSourceReader):
                 it.deletes = []
                 tasks.append(it)
         current = md.schema
-        target = pa.schema([pa.field(f.name, type_to_arrow(f.type),
-                                     nullable=not f.required)
-                            for f in current.fields])
+        tfields = [pa.field(f.name, type_to_arrow(f.type),
+                            nullable=not f.required)
+                   for f in current.fields]
+        if self.meta_cols:
+            tfields += [pa.field("_file", pa.string()),
+                        pa.field("_pos", pa.int64())]
+        target = pa.schema(tfields)
         parts = []
         for task in (tasks if tasks is not None else scan.plan_files()):
             if task.file.file_format not in ("parquet", "orc", "avro"):
@@ -276,6 +296,7 @@ class _TableBatchReader(DataSourceReader):
                 "target": target,
                 "pos_deletes": pos_deletes,
                 "eq_deletes": eq_deletes,
+                "meta": self.meta_cols,
             }))
         if not parts:
             return [_TaskPartition({"empty": True, "target": target})]
@@ -335,6 +356,10 @@ class _TableBatchReader(DataSourceReader):
             tbl = tbl.select([c for c in s["read_cols"]])
         else:
             tbl = pq.read_table(s["path"], columns=s["read_cols"])
+        if s.get("meta"):
+            # original in-file positions ride the delete masks below
+            tbl = tbl.append_column(
+                "__pos", pa.array(range(len(tbl)), type=pa.int64()))
         dead: set = set()
         for p in s["pos_deletes"]:
             dt = pq.read_table(p, columns=["file_path", "pos"])
@@ -356,6 +381,8 @@ class _TableBatchReader(DataSourceReader):
                 if len(tbl) else pa.array([], type=pa.bool_())
             tbl = tbl.filter(keep)
         arrays = []
+        # zip() pairs only the schema columns; the reserved metadata
+        # fields (when present) append after the loop
         for (name, kind, v, wt, ct), field in zip(s["out"], target):
             if kind == "col":
                 arr = tbl[v]
@@ -377,6 +404,11 @@ class _TableBatchReader(DataSourceReader):
                 arrays.append(pa.array([v] * len(tbl), type=field.type))
             else:
                 arrays.append(pa.nulls(len(tbl), type=field.type))
+        if s.get("meta"):
+            arrays.append(pa.array([s["path"]] * len(tbl),
+                                   type=pa.string()))
+            arrays.append(tbl["__pos"].combine_chunks() if len(tbl)
+                          else pa.array([], type=pa.int64()))
         out = pa.table(dict(zip([f.name for f in target], arrays)),
                        schema=target)
         yield from out.to_batches()
@@ -742,7 +774,8 @@ class TableBatchDataSource(DataSource):
         return SOURCE_NAME
 
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
         sj = self.options.get("schemajson")
         if sj:
             return StructType.fromJson(json.loads(sj))
@@ -750,7 +783,14 @@ class TableBatchDataSource(DataSource):
         md = TableOperations(self.options["location"]).refresh()
         if md is None:
             raise ValueError(f"no table at {self.options['location']}")
-        return md.schema.to_spark()
+        out = md.schema.to_spark()
+        if str(self.options.get("metadata-columns")
+               or self.options.get("metadata_columns")
+               or "").lower() in ("true", "1", "yes"):
+            out = StructType(list(out.fields) +
+                             [StructField("_file", StringType(), True),
+                              StructField("_pos", LongType(), True)])
+        return out
 
     def reader(self, schema) -> _TableBatchReader:
         return _TableBatchReader(self.options)
