@@ -2787,6 +2787,7 @@ class Catalog:
         "rewrite_data_files": ("table", "where"),
         "rewrite_manifests": ("table",),
         "rewrite_position_deletes": ("table",),
+        "vacuum_stats": ("table",),
         "remove_dangling_deletes": ("table",),
         "expire_snapshots": ("table", "older_than", "retain_last"),
         "remove_orphan_files": ("table", "older_than"),
@@ -3248,6 +3249,7 @@ class Catalog:
             CALL rewrite_data_files('db.t')
             CALL rewrite_manifests('db.t')
             CALL rewrite_position_deletes('db.t')
+            CALL vacuum_stats('db.t')
             CALL remove_dangling_deletes('db.t')
             CALL expire_snapshots('db.t' [, <older_than_ms>
                                   [, <retain_last>]])
@@ -3371,6 +3373,10 @@ class Catalog:
             out = MA.rewrite_manifests(t)
         elif proc == "rewrite_position_deletes":
             out = MA.rewrite_position_deletes(t)
+        elif proc == "vacuum_stats":
+            # GC the advisory stats planes: drop store rows for data
+            # files no snapshot references any more (r10)
+            out = MA.vacuum_stats(t)
         elif proc == "remove_dangling_deletes":
             out = MA.remove_dangling_deletes(t)
         elif proc == "expire_snapshots":

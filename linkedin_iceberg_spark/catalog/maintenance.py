@@ -873,3 +873,85 @@ def purge_where(table, expr, older_than_ms: Optional[int] = None,
     out["expire"] = expire_snapshots(
         table, older_than_ms=older_than_ms, retain_last=1)
     return out
+
+
+def vacuum_stats(table, dry_run: bool = False) -> dict:
+    """GC the advisory stats planes (r10): drop store rows whose
+    ``file_path`` is referenced by NO snapshot.
+
+    Every file-skipping plane — stats/ (sketches), stats_kmv/,
+    stats_dict/, stats_dict_pair/, stats_hist/, stats_topk/,
+    stats_bloom/ — keys its rows by immutable data-file path, so
+    entries never go STALE; but after compaction / expiry the dead
+    paths linger and every plan-time probe scans them forever.  This
+    action rewrites each leaf store with only the rows whose path some
+    snapshot still references (the same all-snapshots reference set
+    remove_orphan_files uses — time travel to ANY retained snapshot
+    keeps its store rows).
+
+    The secondary key index (index/) is NOT touched: it has its own
+    snapshot-stamped freshness contract (key_index.py) and rebuilding
+    it is the documented remedy.
+
+    No gc.enabled gate: the stores are advisory (absence only costs
+    pruning, never correctness), and the swap is per-leaf-dir — a crash
+    between swaps loses at most one store directory, which the next
+    ``analyze_*`` call rebuilds for live files.
+
+    Scale: one manifest read for the reference set; per store a
+    left_semi join of (store rows) x (referenced paths) — both sides
+    one row per FILE, metadata-sized at any corpus scale; the rewrite
+    coalesces to one part (a store is ~bytes-per-file, not per-row).
+
+    Returns {"rows_dropped": total, "stores": {relpath: dropped}}."""
+    import shutil
+
+    table.refresh()
+    spark = table.spark
+    md = table.metadata
+
+    lists = [table.ops.new_metadata_path(s.manifest_list)
+             for s in md.snapshots]
+    if lists:
+        man_paths = [table.ops.new_metadata_path(r.manifest_path)
+                     for r in spark.read.parquet(*lists)
+                     .select("manifest_path").distinct().collect()]
+        valid = spark.read.parquet(*man_paths) \
+            .select("file_path").distinct()
+    else:
+        valid = spark.createDataFrame([], "file_path string")
+
+    # collect leaf store dirs first (the swap below renames dirs)
+    leaves = []
+    root = md.location
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("stats"):
+            continue
+        for sub, _dirs, files in os.walk(os.path.join(root, d)):
+            if any(f.endswith(".parquet") for f in files):
+                leaves.append(sub)
+
+    stores: dict = {}
+    total_dropped = 0
+    for sub in leaves:
+        df = spark.read.parquet(sub)
+        if "file_path" not in df.columns:
+            continue
+        n_all = df.count()
+        kept = df.join(valid, "file_path", "left_semi")
+        n_keep = kept.count()
+        if n_keep == n_all:
+            continue
+        rel = os.path.relpath(sub, root)
+        stores[rel] = n_all - n_keep
+        total_dropped += n_all - n_keep
+        if dry_run:
+            continue
+        tmp = sub + ".vacuum_tmp"
+        old = sub + ".vacuum_old"
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(sub, old)
+        os.rename(tmp, sub)
+        shutil.rmtree(old, ignore_errors=True)
+    return {"rows_dropped": total_dropped, "stores": stores,
+            "dry_run": dry_run}
