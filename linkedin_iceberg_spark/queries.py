@@ -4356,6 +4356,72 @@ def table_compaction(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("table_vacuum_stats", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""")
+def table_vacuum_stats(spark, sf_dir):
+    """vacuum_stats maintenance (r10): GC the advisory file-skipping
+    stores after compaction + snapshot expiry.  Store rows are keyed by
+    immutable data-file path so they never go STALE, but once
+    compaction rewrites files and expiry drops the snapshots that
+    referenced them, the dead paths linger in every plan-time probe
+    forever.  CALL vacuum_stats drops exactly the rows no retained
+    snapshot references (time travel to ANY live snapshot keeps its
+    rows — asserted here: zero rows dropped while history is retained,
+    >0 only after expiry).
+
+    Proven in-query: the dead compacted-away paths are gone from the
+    dictionary store, rows for live files survive, and the point-lookup
+    prune still bites FROM THE VACUUMED STORE (the scan plans 1 of 2
+    live files).  The oracle replays the final visible state."""
+    import json as _json
+    import time as _time
+
+    from linkedin_iceberg_spark.catalog.analyze import analyze_dictionary
+    from linkedin_iceberg_spark.expressions import eq, in_
+
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_vs", o)
+    t.append(o.filter(F.col("o_orderstatus") == "F").repartition(2))
+    t.append(o.filter(F.col("o_orderstatus") != "F").coalesce(1))
+    t = t.refresh()
+    analyze_dictionary(t, "o_orderstatus")
+    doomed = {e.data_file.file_path
+              for e in t._live_data_and_deletes()[0]
+              if e.data_file.record_count and "F" in {
+                  r["o_orderstatus"] for r in spark.read.parquet(
+                      e.data_file.file_path)
+                  .select("o_orderstatus").distinct().collect()}}
+    # compact ONLY the two 'F' files; the mixed O/P file is untouched
+    t.rewrite_data_files(where=eq("o_orderstatus", "F"),
+                         min_input_files=2)
+    t = t.refresh()
+    analyze_dictionary(t, "o_orderstatus")  # cover the merged file too
+    pre = _json.loads(cat.sql(
+        "CALL vacuum_stats('q.orders_vs')").head()["detail"])
+    assert pre["rows_dropped"] == 0, pre  # history still references all
+    t.expire_snapshots(
+        older_than_ms=int(_time.time() * 1000) + 1000, retain_last=1)
+    t = t.refresh()
+    out = _json.loads(cat.sql(
+        "CALL vacuum_stats('q.orders_vs')").head()["detail"])
+    assert out["rows_dropped"] >= len(doomed) > 0, (out, doomed)
+    store_dir = os.path.join(t.location, "stats_dict")
+    leaf = os.path.join(store_dir, sorted(os.listdir(store_dir))[0])
+    kept = {r["file_path"] for r in spark.read.parquet(leaf)
+            .select("file_path").collect()}
+    assert kept.isdisjoint(doomed), "dead store rows survived vacuum"
+    assert len(kept) == 2, kept  # merged F file + the O/P file
+    # the prune still bites from the vacuumed store: 1 of 2 live files
+    tasks = t.new_scan().filter(in_("o_orderstatus", ["O", "P"])) \
+        .plan_files()
+    assert len(tasks) == 1, [x.file.file_path for x in tasks]
+    return (t.new_scan().filter(in_("o_orderstatus", ["O", "P"]))
+            .to_df().select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 @q("table_rewrite_pos_deletes", """
 WITH a AS (
   SELECT o_orderkey, o_totalprice,
@@ -6839,7 +6905,7 @@ _PRIORITY = [
     # carry exact _pos, so table_position_deletes and table_format_avro
     # re-earn their rows on the new code).
     "dedup_substrings", "table_sql_chain_join", "table_scan_pair_pruned",
-    "table_ds_metadata_columns",
+    "table_vacuum_stats", "table_ds_metadata_columns",
     "table_position_deletes", "table_format_avro",
     # r10 rotation (verdict ask #7 — lifetime coverage is 202/202, so
     # the window now re-checks the OLDEST green rows): 15 entries whose
@@ -7210,7 +7276,12 @@ _PRIORITY = [
     # in-window) rotates out for join_colocated_buckets (new r8: the
     # storage-partitioned-join analog — zero-shuffle, no-join-operator
     # per-bucket merge, plan-asserted in the query)
-    "join_runtime_filtered", "similarity_pq_search",
+    "join_runtime_filtered",
+    # r10 late: similarity_pq_search (green r5-r9, unchanged; the
+    # similarity family keeps hybrid_rrf + ivf_refresh in-window) slides
+    # below the 50-cut to make room for table_vacuum_stats (new r10:
+    # stats-store GC) at the window head
+    "similarity_pq_search",
     "join_colocated_buckets",
     # r4: scalar_math_funcs (green r3; scalar family has lifetime-green
     # string/json/cond siblings) rotates out for table_count_pushdown
