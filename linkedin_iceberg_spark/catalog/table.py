@@ -501,7 +501,7 @@ class Table:
     def _auto_analyze(self) -> None:
         """Write-time stats maintenance, property-driven: with
         ``stats.auto`` set (e.g. ``kmv:user_id,doc_id;dict:lang;
-        bloom:doc_id``), an
+        bloom:doc_id;dictpair:lang+source``), an
         append incrementally extends the named per-file stores — only
         the files this commit added get sketched, so the cost rides on
         the write, and approx_count_distinct / dictionary skipping stay
@@ -534,6 +534,14 @@ class Table:
                 elif kind.strip().lower() == "topk":
                     for c in names:
                         AN.analyze_topk(self, c)
+                elif kind.strip().lower() == "dictpair":
+                    # pairs spell their two columns with '+':
+                    # ``dictpair:lang+source,status+priority`` (r10)
+                    for c in names:
+                        pair = [p.strip() for p in c.split("+")
+                                if p.strip()]
+                        if len(pair) == 2:
+                            AN.analyze_dictionary_pair(self, pair)
         except Exception:
             pass  # stats are advisory; the write already committed
 

@@ -145,6 +145,24 @@ def test_call_surface(catalog, spark, tbl):
     assert json.loads(again["detail"])["files_analyzed"] == 0
 
 
+def test_stats_auto_dictpair_maintains_at_write_time(catalog, spark):
+    """stats.auto=dictpair:a+b extends the pair store inside append —
+    only the commit's new files sketch, and the conjunction prune works
+    with no explicit ANALYZE call."""
+    a = spark.createDataFrame([(1, 2), (2, 1)], "a bigint, b bigint")
+    b = spark.createDataFrame([(1, 1)], "a bigint, b bigint")
+    t = catalog.create_table("db.pairauto", a)
+    t.update_properties(set_props={"stats.auto": "dictpair:a+b"})
+    t = t.refresh()
+    t.append(a.coalesce(1))
+    t.append(b.coalesce(1))
+    t = t.refresh()
+    # never called analyze_dictionary_pair — the writes kept the store
+    assert len(_pf(t, and_(eq("a", 1), eq("b", 1)))) == 1
+    # nothing left for an explicit run to scan
+    assert analyze_dictionary_pair(t, ["a", "b"]) == 0
+
+
 def test_appends_extend_store_incrementally(tbl, spark):
     analyze_dictionary_pair(tbl, ["a", "b"])
     extra = spark.createDataFrame([(9, 9, "fc")],
