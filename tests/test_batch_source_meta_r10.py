@@ -70,6 +70,46 @@ def test_pos_original_after_deletes_and_filters_push(tbl, spark):
         got.filter(F.col("id") > 100).count()
 
 
+def test_mixed_formats_pos_and_deletes_compose(catalog, spark):
+    """The two r10 features compose: a parquet+ORC+Avro table read
+    through the DataSource with metadata-columns carries exact per-file
+    _pos for EVERY format, and a position delete on the ORC file leaves
+    gaps instead of renumbering."""
+    register_batch_source(spark)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(90)],
+                               "id bigint, s string")
+    t = catalog.create_table("db.dsmetafmt", df)
+    t.append(df.filter("id < 30").coalesce(1))          # parquet
+    t.update_properties(set_props={"write.format-default": "orc"})
+    t = t.refresh()
+    t.append(df.filter("id >= 30 and id < 60").coalesce(1))
+    t.update_properties(set_props={"write.format-default": "avro"})
+    t = t.refresh()
+    t.append(df.filter("id >= 60").coalesce(1))
+    t = t.refresh()
+    live = {e.data_file.file_path: e.data_file.record_count
+            for e in t._live_data_and_deletes()[0]}
+    assert {p.rsplit(".", 1)[-1] for p in live} == \
+        {"parquet", "orc", "avro"}
+    got = _read(spark, t)
+    by_file = {}
+    for r in got.collect():
+        by_file.setdefault(r["_file"], []).append(r["_pos"])
+    for p, poss in by_file.items():
+        assert sorted(poss) == list(range(live[p])), p
+    orc_file = next(p for p in live if p.endswith(".orc"))
+    pos = spark.createDataFrame([(orc_file, p) for p in (0, 3)],
+                                "file_path string, pos bigint")
+    t.row_delta(position_deletes=pos)
+    t = t.refresh()
+    got = _read(spark, t)
+    assert got.count() == 88
+    vic = sorted(r["_pos"] for r in
+                 got.filter(F.col("_file") == orc_file).collect())
+    assert vic == [p for p in range(live[orc_file])
+                   if p not in (0, 3)]
+
+
 def test_default_read_unchanged(tbl, spark):
     got = (spark.read.format(SOURCE_NAME)
            .option("location", tbl.location).load())
