@@ -42,11 +42,15 @@ def _stats_dir(table, col: str) -> str:
                         str(table.schema.id_for_name(col)))
 
 
-def column_source(table, col: str, paths: list, entries: list = None):
+def column_source(table, col: str, paths: list, entries: list = None,
+                  with_pos: bool = False):
     """One ``(file_path, v)`` row per data row of ``paths``, with ``v``
     the column's value read under each file's WRITTEN name and type
     (resolved through the file's schema_id) and cast to the CURRENT
-    engine type.
+    engine type.  With ``with_pos`` a third column ``pos`` carries the
+    row's in-file position (``_metadata.row_index`` — the same
+    ROW_POSITION number the reserved ``_pos`` column serves), for
+    planes whose per-row hash must be replayable (the sample plane).
 
     Every stats-plane build reads through here: a plain
     ``read.schema(current).parquet(...)`` silently nulls out files
@@ -78,6 +82,8 @@ def column_source(table, col: str, paths: list, entries: list = None):
                           []).append(p)
     fp = F.regexp_replace(F.col("_metadata.file_path"),
                           "^file:", "").alias("file_path")
+    extra = ([F.col("_metadata.row_index").alias("pos")]
+             if with_pos else [])
     frames = []
     for sid in sorted(by_sid):
         ps = sorted(by_sid[sid])
@@ -91,14 +97,14 @@ def column_source(table, col: str, paths: list, entries: list = None):
                 w0.name, type_to_spark(w0.type), True)])
             frames.append(spark.read.schema(rschema).parquet(*ps)
                           .select(fp, F.lit(None).cast(cur_stype)
-                                  .alias("v")))
+                                  .alias("v"), *extra))
         else:
             wtype = written.find_field(f.field_id).type
             rschema = T.StructType([T.StructField(
                 wname, type_to_spark(wtype), True)])
             frames.append(spark.read.schema(rschema).parquet(*ps)
                           .select(fp, F.col(wname).cast(cur_stype)
-                                  .alias("v")))
+                                  .alias("v"), *extra))
     out = frames[0]
     for d_ in frames[1:]:
         out = out.unionByName(d_)
@@ -1170,3 +1176,201 @@ def approx_top_k(table, col: str, k: int,
                  bool(r["lower"] >= threshold)) for r in top]
     finally:
         allf.unpersist()
+
+
+# ─────────────────────────────────────────────────────────────────────
+# Per-file SAMPLE plane (r10): quantiles with zero data I/O.
+# ─────────────────────────────────────────────────────────────────────
+
+SAMPLE_DEFAULT_K = 1024
+SAMPLE_SALT = "v1"
+_SAMPLE_TYPES = {"int", "long", "float", "double", "string", "date",
+                 "timestamp"}
+
+
+def _sample_dir(table, field_id: int, k: int) -> str:
+    # field-id keyed like every plane (rename-safe); k is part of the
+    # key because bottom-k stores of different k don't substitute
+    return os.path.join(table.location, "stats_sample",
+                        f"{field_id}_{k}")
+
+
+def sample_hash(v, pos, salt: str = SAMPLE_SALT):
+    """The plane's portable per-ROW hash: ``md5('<salt>-<value>-<pos>')``
+    over the value's string form and the row's in-file position.  The
+    position makes duplicate VALUES independent draws (a pure value
+    hash would sample distinct values, biasing quantiles), and the
+    string recipe replays in ANSI SQL for int/long/string/date columns
+    (DuckDB: ``md5(salt || '-' || v::VARCHAR || '-' || pos::VARCHAR)``
+    — the same discipline as the KMV/minhash portable hashes).
+    float/double columns hash consistently WITHIN the engine (build
+    and serve use the same Spark cast) but their string forms are not
+    guaranteed across engines."""
+    return F.md5(F.concat(F.lit(salt), F.lit("-"), v.cast("string"),
+                          F.lit("-"), pos.cast("string")))
+
+
+def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
+                   salt: str = SAMPLE_SALT) -> int:
+    """Per-file bottom-``k`` row SAMPLE store — the quantile plane.
+
+    For each live data file missing from the store, persists the
+    file's ``k`` rows with the smallest `sample_hash` (a uniform,
+    deterministic row sample) as rows ``(file_path, h, value, pos,
+    n_nonnull)``; all-NULL/empty files record a NULL marker row so
+    coverage checks see them.  Because the per-file k equals the
+    serving k, the bottom-k of the union of per-file bottom-ks IS the
+    global bottom-k (the KMV property, same argument as the KMV NDV
+    plane) — so `sampled_quantiles_from_store` answers percentile
+    questions over any covered snapshot with ZERO data I/O, and its
+    live fallback computes the byte-identical result.
+
+    The modern table format ships sketch blobs in stats files (Puffin;
+    the 0.9-era reference's metrics stop at per-column bounds,
+    api/.../Metrics.java:32-44) — this plane is that idea with a
+    mergeable SAMPLE instead of an opaque sketch, so the estimate is
+    replayable in plain SQL.  Incremental by construction (immutable
+    files never re-scan); parquet data files only (the build reads
+    ``_metadata.row_index``).  Returns files analyzed now."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    f = next((ff for ff in table.schema.fields if ff.name == col), None)
+    if f is None:
+        raise ValueError(f"no such column {col!r}")
+    if not (isinstance(f.type, str) and f.type in _SAMPLE_TYPES):
+        raise ValueError(
+            f"sample stats support {sorted(_SAMPLE_TYPES)} columns; "
+            f"{col!r} is {f.type!r}")
+    from pyspark.sql import Window as W
+
+    from linkedin_iceberg_spark.schema import type_to_spark
+    spark = table.spark
+    cur_stype = type_to_spark(f.type)
+    d = _sample_dir(table, f.field_id, k)
+    entries, _ = table._live_data_and_deletes()
+    live = {e.data_file.file_path for e in entries}
+    have = set()
+    if os.path.isdir(d) and any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        have = {r["file_path"] for r in
+                spark.read.parquet(d)
+                .select("file_path").distinct().collect()}
+    todo = sorted(live - have)
+    if not todo:
+        return 0
+    bad = [p for p in todo if not p.endswith(".parquet")]
+    if bad:
+        raise ValueError(
+            f"sample stats require parquet data files; found "
+            f"{os.path.basename(bad[0])!r}")
+    src = column_source(table, col, todo, entries, with_pos=True)
+    nn = src.where(F.col("v").isNotNull())
+    w = W.partitionBy("file_path").orderBy(
+        F.col("h").asc(), F.col("v").asc(), F.col("pos").asc())
+    sampled = (nn.withColumn("h", sample_hash(F.col("v"), F.col("pos"),
+                                              salt))
+               .withColumn("_sr", F.row_number().over(w))
+               .filter(F.col("_sr") <= k).drop("_sr"))
+    counts = nn.groupBy("file_path").agg(
+        F.count(F.lit(1)).alias("n_nonnull"))
+    out = (sampled.join(counts, "file_path")
+           .select("file_path", "h", F.col("v").alias("value"), "pos",
+                   "n_nonnull"))
+    # all-NULL/empty files get a marker row: covered, nothing sampled
+    paths_df = spark.createDataFrame([(p,) for p in todo],
+                                     "file_path string")
+    markers = (paths_df.join(counts.select("file_path"),
+                             "file_path", "left_anti")
+               .select("file_path",
+                       F.lit(None).cast("string").alias("h"),
+                       F.lit(None).cast(cur_stype).alias("value"),
+                       F.lit(None).cast("long").alias("pos"),
+                       F.lit(0).cast("long").alias("n_nonnull")))
+    out.unionByName(markers).write.mode("append").parquet(d)
+    return len(todo)
+
+
+def sampled_quantiles_from_store(table, col: str,
+                                 pcts=(25, 50, 75, 90),
+                                 k: int = SAMPLE_DEFAULT_K,
+                                 salt: str = SAMPLE_SALT):
+    """Deterministic sampled quantiles served from the per-file sample
+    store with ZERO data I/O — percentile questions ("p99 document
+    length", "median order value") over a 100 TB table for the cost of
+    reading k rows per live file of metadata.
+
+    All-or-nothing like the exact-count plane: the store serves only
+    when EVERY live data file has store rows and no row-level deletes
+    are pending; otherwise the identical recipe runs live over the
+    scan (reserved ``_pos`` supplies the same in-file positions the
+    build hashed), producing the byte-identical sample and therefore
+    byte-identical quantiles — per-file bottom-k then global bottom-k
+    equals global bottom-k outright, since any globally-smallest-k row
+    is in its own file's bottom-k.  Rank arithmetic is the house
+    convention (max(1, ceil(p/100 * n)) over ascending (value, pos)),
+    so an external engine replays store and live paths alike.
+
+    Returns a DataFrame (pct, n_sampled, quantile_value) ordered by
+    pct; NULL values never participate (quantiles of the non-null
+    population, matching `sampled_quantiles`)."""
+    if not pcts or any(p < 1 or p > 100 for p in pcts):
+        raise ValueError(f"pcts must be integer percents in [1,100], "
+                         f"got {list(pcts)!r}")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    f = next((ff for ff in table.schema.fields if ff.name == col), None)
+    if f is None:
+        raise ValueError(f"no such column {col!r}")
+    from pyspark.sql import Window as W
+
+    from linkedin_iceberg_spark.operators.quantiles import _targets
+    from linkedin_iceberg_spark.schema import type_to_spark
+    spark = table.spark
+    cur_stype = type_to_spark(f.type)
+    entries, deletes = table._live_data_and_deletes()
+    live = sorted({e.data_file.file_path for e in entries})
+    d = _sample_dir(table, f.field_id, k)
+    store = None
+    covered = set()
+    if live and os.path.isdir(d) and any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        paths_df = spark.createDataFrame([(p,) for p in live],
+                                         "file_path string")
+        store = (spark.read.parquet(d)
+                 .join(paths_df, "file_path", "left_semi"))
+        covered = {r["file_path"] for r in
+                   store.select("file_path").distinct().collect()}
+    if live and not deletes and set(live) <= covered:
+        # store-served: k rows per file of metadata, no data input
+        src = (store.where(F.col("h").isNotNull())
+               .select("h", F.col("value").cast(cur_stype).alias("_v"),
+                       "pos"))
+    else:
+        # identical recipe over the live scan (same hash, same order)
+        df = table.new_scan().to_df(metadata_columns=True)
+        v = F.col(col)
+        src = (df.where(v.isNotNull())
+               .select(sample_hash(v, F.col("_pos"), salt).alias("h"),
+                       v.alias("_v"), F.col("_pos").alias("pos")))
+    order = [F.col("h").asc(), F.col("_v").asc(), F.col("pos").asc()]
+    # global bottom-k: per-partition heads first (each task keeps <= k),
+    # the final window ranks <= k * n_partitions survivors
+    wl = W.partitionBy("_pid").orderBy(*order)
+    local = (src.withColumn("_pid", F.spark_partition_id())
+             .withColumn("_sr", F.row_number().over(wl))
+             .filter(F.col("_sr") <= k).drop("_sr", "_pid"))
+    wg = W.partitionBy(F.lit(1)).orderBy(*order)
+    sample = (local.withColumn("_sr", F.row_number().over(wg))
+              .filter(F.col("_sr") <= k).drop("_sr"))
+    ranked = sample.select(
+        F.col("_v"),
+        F.row_number().over(
+            W.partitionBy(F.lit(1))
+            .orderBy(F.col("_v").asc(), F.col("pos").asc()))
+        .cast("long").alias("_rk"))
+    counts = sample.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (ranked.join(F.broadcast(_targets(counts, list(pcts), [])),
+                        "_rk")
+            .select("pct", F.col("_n").cast("long").alias("n_sampled"),
+                    F.col("_v").alias("quantile_value"))
+            .orderBy("pct"))

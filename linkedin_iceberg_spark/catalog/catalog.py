@@ -2805,6 +2805,7 @@ class Catalog:
         "analyze_bloom": ("table", "column", "fpp"),
         "analyze_histogram": ("table", "column", "max_ndv"),
         "analyze_topk": ("table", "column", "m"),
+        "analyze_sample": ("table", "column", "k"),
         "approx_top_k": ("table", "column", "k", "m"),
         "kmv_overlap": ("table", "column", "other_table",
                         "other_column", "k"),
@@ -3267,6 +3268,7 @@ class Catalog:
             CALL analyze_bloom('db.t', '<col>' [, '<fpp>'])
             CALL analyze_histogram('db.t', '<col>' [, <max_ndv>])
             CALL analyze_topk('db.t', '<col>' [, <m>])
+            CALL analyze_sample('db.t', '<col>' [, <k>])
             CALL approx_top_k('db.t', '<col>', <k> [, <m>])  (rows)
             CALL kmv_overlap('db.a', '<col>', 'db.b', '<col>' [, <k>])
             CALL build_key_index('db.t', '<col>')
@@ -3489,6 +3491,13 @@ class Catalog:
                 TOPK_DEFAULT_M, analyze_topk)
             m_ = int(rest[1]) if rest[1:] else TOPK_DEFAULT_M
             out = {"files_analyzed": analyze_topk(t, rest[0], m=m_)}
+        elif proc == "analyze_sample":
+            # the sample plane (r10): per-file bottom-k row samples,
+            # merged into zero-data-I/O quantiles
+            from linkedin_iceberg_spark.catalog.analyze import (
+                SAMPLE_DEFAULT_K, analyze_sample)
+            k = int(rest[1]) if rest[1:] else SAMPLE_DEFAULT_K
+            out = {"files_analyzed": analyze_sample(t, rest[0], k=k)}
         elif proc == "approx_top_k":
             from linkedin_iceberg_spark.catalog.analyze import (
                 TOPK_DEFAULT_M, approx_top_k)

@@ -534,6 +534,9 @@ class Table:
                 elif kind.strip().lower() == "topk":
                     for c in names:
                         AN.analyze_topk(self, c)
+                elif kind.strip().lower() == "sample":
+                    for c in names:
+                        AN.analyze_sample(self, c)
                 elif kind.strip().lower() == "dictpair":
                     # pairs spell their two columns with '+':
                     # ``dictpair:lang+source,status+priority`` (r10)

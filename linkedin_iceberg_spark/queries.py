@@ -2276,6 +2276,76 @@ def stats_sampled_quantiles(spark, sf_dir):
                              group_col="lang", id_col="doc_id", k=64)
 
 
+@q("stats_store_quantiles", """
+WITH pos_ AS (
+  SELECT o_custkey AS v,
+         row_number() OVER (PARTITION BY o_orderkey % 2
+                            ORDER BY o_orderkey) - 1 AS pos
+  FROM orders
+),
+hashed AS (
+  SELECT v, pos,
+         md5('v1-' || v::VARCHAR || '-' || pos::VARCHAR) AS h
+  FROM pos_ WHERE v IS NOT NULL
+),
+sample AS (
+  SELECT v, pos FROM (
+    SELECT v, pos, row_number() OVER (ORDER BY h, v, pos) AS sr
+    FROM hashed
+  ) WHERE sr <= 512
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v, pos) AS rk FROM sample
+),
+cnt AS (SELECT count(*) AS n FROM sample),
+p AS (SELECT unnest([10, 50, 90]) AS pct),
+tgt AS (
+  SELECT pct, n, greatest(1, (pct * n + 99) // 100) AS rk
+  FROM cnt CROSS JOIN p
+)
+SELECT t.pct, CAST(t.n AS BIGINT) AS n_sampled, r.v AS quantile_value
+FROM ranked r JOIN tgt t ON t.rk = r.rk
+ORDER BY t.pct""")
+def stats_store_quantiles(spark, sf_dir):
+    """The per-file SAMPLE plane (r10): analyze_sample persists each
+    data file's bottom-512 rows by the portable md5 (value, in-file
+    position) hash; sampled_quantiles_from_store merges the stores into
+    the GLOBAL bottom-512 (per-file k == serve k, so the KMV property
+    makes the merge exact) and applies the house rank arithmetic —
+    percentile answers with ZERO data I/O, poison-proven in-query by
+    physically hiding every data file while the result materializes.
+    The table is built as two sorted single-file appends (even/odd
+    order keys) so the oracle replays the physical in-file positions
+    with a window, then the hash, the sample, and the ranks — the
+    store path value-checked end to end."""
+    from linkedin_iceberg_spark.catalog.analyze import (
+        analyze_sample, sampled_quantiles_from_store)
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_sq", o)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0)
+             .orderBy("o_orderkey").coalesce(1))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1)
+             .orderBy("o_orderkey").coalesce(1))
+    t = t.refresh()
+    assert analyze_sample(t, "o_custkey", k=512) == 2
+    res = sampled_quantiles_from_store(t, "o_custkey",
+                                       pcts=(10, 50, 90), k=512)
+    # read-path poison: hide EVERY data file; the store must answer
+    import shutil
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        shutil.move(e.data_file.file_path,
+                    e.data_file.file_path + ".poison")
+        moved.append(e.data_file.file_path)
+    try:
+        rows = res.collect()
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    return spark.createDataFrame(rows, res.schema)
+
+
 @q("stats_global_quantiles", """
 WITH rows_ AS (
   SELECT n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL
@@ -6905,7 +6975,8 @@ _PRIORITY = [
     # carry exact _pos, so table_position_deletes and table_format_avro
     # re-earn their rows on the new code).
     "dedup_substrings", "table_sql_chain_join", "table_scan_pair_pruned",
-    "table_vacuum_stats", "table_ds_metadata_columns",
+    "table_vacuum_stats", "stats_store_quantiles",
+    "table_ds_metadata_columns",
     "table_position_deletes", "table_format_avro",
     # r10 rotation (verdict ask #7 — lifetime coverage is 202/202, so
     # the window now re-checks the OLDEST green rows): 15 entries whose
@@ -7221,7 +7292,12 @@ _PRIORITY = [
     # dedup_exact (green r1+r2, family has four other in-window entries)
     # rotates out for table_scan_planned_tasks (new r3 feature: S6 split
     # planning wired into the Spark read path).
-    "stats_sampled_quantiles",
+    # r10 late: stats_sampled_quantiles (green r8+r9, operator
+    # unchanged; the quantile family keeps the strictly-stronger
+    # store-backed sibling stats_store_quantiles — same hash recipe,
+    # same rank arithmetic, plus the persisted plane and the read-path
+    # poison — at the window head, and exact/global rows stand) slides
+    # below the 50-cut for the new plane's entry
     # r3 late: join_inner_equi and window_topk_per_group (both green r1+r2,
     # unchanged; their families keep asof/multiway and five lifetime-green
     # window variants) rotate out for sample_stratified (new: deterministic
@@ -7357,6 +7433,7 @@ _PRIORITY = [
     # (purge_forgotten + rollback_wap), topk plane (kmv_ndv), keyword
     # index (hybrid_rrf + pq_search), rename flow (field-id pytest
     # suites).
+    "stats_sampled_quantiles",
     "table_incremental_compacted",
     "table_ds_write_format",
     "table_sql_group_count",

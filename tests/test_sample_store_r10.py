@@ -1,0 +1,148 @@
+"""r10: the per-file SAMPLE plane — quantiles with zero data I/O.
+
+analyze_sample persists each live data file's bottom-k rows by the
+portable (value, pos) hash; sampled_quantiles_from_store merges the
+stores into the GLOBAL bottom-k (per-file k == serve k, so the KMV
+merge property makes store and live paths byte-identical) and applies
+the house rank arithmetic.  Deletes / uncovered files force the
+identical live recipe; the store path is poison-proven metadata-only."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedin_iceberg_spark.catalog.analyze import (
+    _sample_dir,
+    analyze_sample,
+    sampled_quantiles_from_store,
+)
+
+
+@pytest.fixture()
+def tbl(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000, f"s{i % 7}") for i in range(600)],
+        "id bigint, x bigint, s string")
+    t = catalog.create_table("db.sampq", df)
+    t.append(df.filter("id < 200").repartition(2))
+    t.append(df.filter("id >= 200").repartition(3))
+    return t.refresh()
+
+
+def _rows(df):
+    return [(r["pct"], r["n_sampled"], r["quantile_value"])
+            for r in df.collect()]
+
+
+def test_store_path_equals_live_path(tbl):
+    live = _rows(sampled_quantiles_from_store(tbl, "x", k=64))
+    assert analyze_sample(tbl, "x", k=64) == 5
+    served = _rows(sampled_quantiles_from_store(tbl, "x", k=64))
+    assert served == live and len(served) == 4
+
+
+def test_store_path_is_metadata_only(tbl):
+    analyze_sample(tbl, "x", k=64)
+    want = _rows(sampled_quantiles_from_store(tbl, "x", k=64))
+    moved = []
+    for e in tbl._live_data_and_deletes()[0]:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        got = _rows(sampled_quantiles_from_store(tbl, "x", k=64))
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert got == want
+
+
+def test_incremental_and_appends_force_live_until_covered(tbl, spark):
+    assert analyze_sample(tbl, "x", k=64) == 5
+    assert analyze_sample(tbl, "x", k=64) == 0
+    extra = spark.createDataFrame([(10_000 + i, 2000 + i, "zz")
+                                   for i in range(40)],
+                                  "id bigint, x bigint, s string")
+    tbl.append(extra.coalesce(1))
+    t = tbl.refresh()
+    # uncovered tail -> live path, which must SEE the new rows
+    got = _rows(sampled_quantiles_from_store(t, "x", pcts=(100,), k=4096))
+    assert got[0][2] == 2039
+    assert analyze_sample(t, "x", k=64) == 1
+    assert got == _rows(
+        sampled_quantiles_from_store(t, "x", pcts=(100,), k=4096))
+
+
+def test_exact_when_population_fits_k(tbl):
+    """n_nonnull <= k: the sample IS the population, quantiles exact."""
+    from linkedin_iceberg_spark.operators.quantiles import exact_quantiles
+    analyze_sample(tbl, "x", k=4096)
+    got = _rows(sampled_quantiles_from_store(tbl, "x",
+                                             pcts=(1, 50, 99), k=4096))
+    exact = [(r["pct"], r["quantile_value"]) for r in
+             exact_quantiles(tbl.to_df(), "x", pcts=(1, 50, 99),
+                             group_col=None, id_col="id").collect()]
+    assert [(p, v) for p, _, v in got] == exact
+    assert all(n == 600 for _, n, _ in got)
+
+
+def test_deletes_force_live_path(tbl, spark):
+    analyze_sample(tbl, "x", k=64)
+    keys = spark.createDataFrame([(i,) for i in range(0, 600, 2)],
+                                 "id bigint")
+    tbl.row_delta(equality_delete_keys=keys, key_cols=["id"])
+    t = tbl.refresh()
+    got = sampled_quantiles_from_store(t, "x", pcts=(100,), k=4096)
+    live_max = t.to_df().agg(F.max("x")).head()[0]
+    assert got.head()["quantile_value"] == live_max
+    assert got.head()["n_sampled"] == 300
+
+
+def test_rename_keeps_store(tbl):
+    analyze_sample(tbl, "x", k=64)
+    want = _rows(sampled_quantiles_from_store(tbl, "x", k=64))
+    tbl.update_schema().rename_column("x", "y").commit()
+    t = tbl.refresh()
+    assert analyze_sample(t, "y", k=64) == 0      # store still covers
+    assert _rows(sampled_quantiles_from_store(t, "y", k=64)) == want
+
+
+def test_all_null_and_string_columns(catalog, spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id bigint, s string")
+    t = catalog.create_table("db.sampnull", df)
+    t.append(df.coalesce(1))
+    t.append(spark.createDataFrame([(3, "b"), (4, "a")],
+                                   "id bigint, s string").coalesce(1))
+    t = t.refresh()
+    assert analyze_sample(t, "s", k=8) == 2       # marker row for nulls
+    got = _rows(sampled_quantiles_from_store(t, "s", pcts=(50, 100),
+                                             k=8))
+    assert got == [(50, 2, "a"), (100, 2, "b")]
+
+
+def test_type_and_arg_guards(tbl):
+    with pytest.raises(ValueError):
+        analyze_sample(tbl, "nope")
+    with pytest.raises(ValueError):
+        analyze_sample(tbl, "x", k=0)
+    with pytest.raises(ValueError):
+        sampled_quantiles_from_store(tbl, "x", pcts=(0,))
+
+
+def test_call_and_stats_auto(catalog, spark):
+    import json
+    df = spark.createDataFrame([(i, i % 50) for i in range(300)],
+                               "id bigint, x bigint")
+    t = catalog.create_table("db.sampauto", df)
+    t.update_properties(set_props={"stats.auto": "sample:x"})
+    t = t.refresh()
+    t.append(df.coalesce(1))
+    t = t.refresh()
+    # the write maintained the store: nothing left to analyze
+    out = catalog.sql("CALL analyze_sample('db.sampauto', 'x')").head()
+    assert json.loads(out["detail"])["files_analyzed"] == 0
+    d = _sample_dir(t, t.schema.id_for_name("x"), 1024)
+    assert os.path.isdir(d)
