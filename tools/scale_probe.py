@@ -179,6 +179,11 @@ PROBE_QUERIES = [
     "dedup_substrings",
     "table_sql_chain_join",
     "table_scan_pair_pruned",
+    # r10 late: the sample plane (analyze is one scan with per-file
+    # bottom-k windows; the serve itself is store-only — k rows per
+    # file — so the query should grow with the BUILD, never the data
+    # volume beyond one pass)
+    "stats_store_quantiles",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
