@@ -1503,9 +1503,11 @@ class Catalog:
 
     def _sql_count_star(self, masked: str, lits: list):
         """`SELECT count(*) | min(c) | max(c) | approx_count_distinct(c)
-        | count(DISTINCT c) [, ...] FROM db.t [WHERE <pushable>]`
+        | count(DISTINCT c) | approx_percentile(c, <frac>) [, ...]
+        FROM db.t [WHERE <pushable>]`
         answered from manifest metadata via the scan's count_rows() /
-        agg_minmax() / approx_ndv() / exact_ndv_from_dict() planes — partition-aligned counts, exact-bounds
+        agg_minmax() / approx_ndv() / exact_ndv_from_dict() /
+        sample-store planes — partition-aligned counts, exact-bounds
         min/max, and KMV-store distinct estimates are metadata
         operations, zero data I/O, and all degrade gracefully by
         actually reading only undecidable/uncovered files (ref: the
@@ -1513,10 +1515,18 @@ class Catalog:
         the driver-green table_count_pushdown path).  NOTE
         approx_count_distinct here is the ENGINE's deterministic KMV
         semantics, not Spark's HLL++ — documented in approx_ndv; the
-        two differ only within each other's error bands.  None (falls
-        through to the generic
+        two differ only within each other's error bands.  Likewise
+        approx_percentile (alias percentile_approx) is the ENGINE's
+        deterministic bottom-k SAMPLE semantics
+        (analyze.sampled_quantiles_from_store — store-served when the
+        sample plane covers the live files, byte-identical live recipe
+        otherwise) rather than Spark's KLL-ish sketch; the fraction
+        must land on an integer percent (the house rank convention)
+        and a WHERE clause sends the statement to the generic route (a
+        persisted row sample cannot filter on other columns).  None
+        (falls through to the generic
         Spark route) unless the ENTIRE statement is this shape, every
-        select item is one of the three aggregates, and EVERY WHERE
+        select item is one of the listed aggregates, and EVERY WHERE
         conjunct parses into an engine predicate — partial extraction
         is sound for scans (the residual WHERE re-applies) but NOT for
         a metadata-answered aggregate, so all-or-nothing."""
@@ -1539,9 +1549,11 @@ class Catalog:
         item_re = re.compile(
             rf"\s*(count\(\s*\*\s*\)"
             rf"|count\(\s*distinct\s+({ident})\s*\)"
-            rf"|(min|max|approx_count_distinct)\(\s*({ident})\s*\))"
+            rf"|(min|max|approx_count_distinct)\(\s*({ident})\s*\)"
+            rf"|(approx_percentile|percentile_approx)"
+            rf"\(\s*({ident})\s*,\s*(0?\.\d+|[01](?:\.0*)?)\s*\))"
             rf"(?:\s+as\s+({ident}))?\s*$", re.IGNORECASE)
-        items = []  # (kind, col-or-None, out-name)
+        items = []  # (kind, col-or-None, out-name, extra)
         for raw in _split_top_level_commas(m.group(1)):
             im = item_re.match(raw)
             if not im:
@@ -1550,16 +1562,29 @@ class Catalog:
                 kind, col = "count_distinct", im.group(2)
                 if col not in own:
                     return None
-                name = im.group(5) or f"count(DISTINCT {col})"
+                name = im.group(8) or f"count(DISTINCT {col})"
+                items.append((kind, col, name, None))
             elif im.group(3):  # min/max/approx_count_distinct
                 kind, col = im.group(3).lower(), im.group(4)
                 if col not in own:
                     return None
-                name = im.group(5) or f"{kind}({col})"
+                name = im.group(8) or f"{kind}({col})"
+                items.append((kind, col, name, None))
+            elif im.group(5):  # approx_percentile(col, frac)
+                col, frac = im.group(6), float(im.group(7))
+                if col not in own:
+                    return None
+                pct = round(frac * 100)
+                # the house rank convention is integer percents in
+                # [1, 100]; anything finer takes the generic route
+                if abs(frac * 100 - pct) > 1e-9 or not 1 <= pct <= 100:
+                    return None
+                name = im.group(8) or f"approx_percentile({col}, {frac})"
+                items.append(("approx_percentile", col, name, int(pct)))
             else:
                 kind, col = "count", None
-                name = im.group(5) or "count(1)"  # Spark's name
-            items.append((kind, col, name))
+                name = im.group(8) or "count(1)"  # Spark's name
+                items.append((kind, col, name, None))
         if not items:
             return None
         expr = None
@@ -1581,10 +1606,24 @@ class Catalog:
         values, fields = [], []
         spark_types = {f.name: f.dataType
                        for f in t.schema.to_spark().fields}
-        for kind, col, name in items:
+        for kind, col, name, extra in items:
             if kind == "count":
                 values.append(scan.count_rows())
                 fields.append(T.StructField(name, T.LongType(), False))
+            elif kind == "approx_percentile":
+                # engine-defined semantics: the deterministic bottom-k
+                # sample quantile (store-served when covered, identical
+                # live recipe otherwise).  A WHERE clause already bailed
+                # above — a persisted row sample cannot filter rows.
+                if expr is not None:
+                    return None
+                from linkedin_iceberg_spark.catalog.analyze import (
+                    sampled_quantiles_from_store)
+                row = sampled_quantiles_from_store(
+                    t, col, pcts=(extra,)).head()
+                values.append(None if row is None
+                              else row["quantile_value"])
+                fields.append(T.StructField(name, spark_types[col], True))
             elif kind == "approx_count_distinct":
                 # engine-defined semantics: the deterministic KMV
                 # estimate (scan.approx_ndv) — served from the per-file
@@ -1608,7 +1647,7 @@ class Catalog:
                     sides = tuple(
                         s for s, kk in (("lo", "min"), ("hi", "max"))
                         if any(k2 == kk and c2 == col
-                               for k2, c2, _ in items))
+                               for k2, c2, _, _ in items))
                     minmax[col] = scan.agg_minmax(col, sides=sides)
                 lo, hi = minmax[col]
                 values.append(lo if kind == "min" else hi)

@@ -2346,6 +2346,75 @@ def stats_store_quantiles(spark, sf_dir):
     return spark.createDataFrame(rows, res.schema)
 
 
+@q("table_sql_approx_quantile", """
+WITH pos_ AS (
+  SELECT o_custkey AS v,
+         row_number() OVER (PARTITION BY o_orderkey % 2
+                            ORDER BY o_orderkey) - 1 AS pos
+  FROM orders
+),
+hashed AS (
+  SELECT v, pos,
+         md5('v1-' || v::VARCHAR || '-' || pos::VARCHAR) AS h
+  FROM pos_ WHERE v IS NOT NULL
+),
+sample AS (
+  SELECT v, pos FROM (
+    SELECT v, pos, row_number() OVER (ORDER BY h, v, pos) AS sr
+    FROM hashed
+  ) WHERE sr <= 1024
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v, pos) AS rk FROM sample
+),
+cnt AS (SELECT count(*) AS n FROM sample),
+tgt AS (
+  SELECT pct, greatest(1, (pct * n + 99) // 100) AS rk
+  FROM cnt CROSS JOIN (SELECT unnest([50, 90]) AS pct)
+)
+SELECT max(CASE WHEN t.pct = 50 THEN r.v END) AS p50,
+       max(CASE WHEN t.pct = 90 THEN r.v END) AS p90
+FROM ranked r JOIN tgt t ON t.rk = r.rk""")
+def table_sql_approx_quantile(spark, sf_dir):
+    """approx_percentile / percentile_approx through Catalog.sql served
+    from the SAMPLE plane (r10): the statement answers from the
+    per-file bottom-k stores with ZERO data I/O — poison-proven
+    in-query by hiding every data file while the single result row
+    materializes — under the ENGINE's deterministic sample semantics
+    (the approx_count_distinct-is-KMV stance).  The oracle replays the
+    whole pipeline at the route's default k=1024: physical in-file
+    positions, the portable hash, the global bottom-k, and the house
+    rank arithmetic for both fractions."""
+    import shutil
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_sap", o)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0)
+             .orderBy("o_orderkey").coalesce(1))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1)
+             .orderBy("o_orderkey").coalesce(1))
+    t = t.refresh()
+    cat.sql("CALL analyze_sample('q.orders_sap', 'o_custkey')")
+    # the fast-aggregate route evaluates INSIDE cat.sql, so the poison
+    # goes on first: the statement must plan, sample-merge, and rank
+    # with every data file physically gone
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        shutil.move(e.data_file.file_path,
+                    e.data_file.file_path + ".poison")
+        moved.append(e.data_file.file_path)
+    try:
+        res = cat.sql(
+            "SELECT approx_percentile(o_custkey, 0.5) AS p50, "
+            "percentile_approx(o_custkey, 0.9) AS p90 "
+            "FROM q.orders_sap")
+        rows = res.collect()
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    return spark.createDataFrame(rows, res.schema)
+
+
 @q("stats_global_quantiles", """
 WITH rows_ AS (
   SELECT n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL
@@ -6976,6 +7045,7 @@ _PRIORITY = [
     # re-earn their rows on the new code).
     "dedup_substrings", "table_sql_chain_join", "table_scan_pair_pruned",
     "table_vacuum_stats", "stats_store_quantiles",
+    "table_sql_approx_quantile",
     "table_ds_metadata_columns",
     "table_position_deletes", "table_format_avro",
     # r10 rotation (verdict ask #7 — lifetime coverage is 202/202, so
@@ -7199,7 +7269,10 @@ _PRIORITY = [
     # r8: the KMV statistics plane — per-file bottom-k portable-hash
     # sketches whose estimate the oracle replays EXACTLY, unlike the
     # 5%-band HLL row it strengthens)
-     "meta_kmv_ndv",
+    # r10 late: meta_kmv_ndv (green r8+r9, operator unchanged; the KMV
+    # family keeps table_sql_approx_ndv + meta_kmv_overlap_tables
+    # in-window) slides below the 50-cut for table_sql_approx_quantile
+    # (new r10: the SQL spelling of the sample plane)
     # r3: streaming_sink_counts / streaming_source_total (green r1+r2,
     # unchanged) rotate out for the two new streaming operators — bounded-
     # state dedup and the watermarked stream-stream interval join
@@ -7434,6 +7507,7 @@ _PRIORITY = [
     # index (hybrid_rrf + pq_search), rename flow (field-id pytest
     # suites).
     "stats_sampled_quantiles",
+    "meta_kmv_ndv",
     "table_incremental_compacted",
     "table_ds_write_format",
     "table_sql_group_count",

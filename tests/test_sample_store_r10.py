@@ -132,6 +132,39 @@ def test_type_and_arg_guards(tbl):
         sampled_quantiles_from_store(tbl, "x", pcts=(0,))
 
 
+def test_sql_approx_percentile_routes_to_plane(catalog, spark, tbl):
+    """SELECT approx_percentile(c, f) through Catalog.sql serves the
+    ENGINE's deterministic sample semantics — store-backed when
+    covered, identical live recipe before coverage; WHERE clauses and
+    non-integer percents take the generic Spark route."""
+    t = catalog.load_table("db.sampq")
+    want = {p: sampled_quantiles_from_store(t, "x", pcts=(p,), k=1024)
+            .head()["quantile_value"] for p in (50, 90)}
+    pre = catalog.sql("SELECT approx_percentile(x, 0.5) AS p50, "
+                      "percentile_approx(x, 0.9) AS p90 "
+                      "FROM db.sampq").head()
+    assert (pre["p50"], pre["p90"]) == (want[50], want[90])
+    analyze_sample(t, "x")          # default k matches the SQL route
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        got = catalog.sql("SELECT approx_percentile(x, 0.5) AS p50, "
+                          "count(*) AS n FROM db.sampq").head()
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert got["p50"] == want[50] and got["n"] == 600
+    # WHERE / finer-than-percent fractions: generic route, still sane
+    assert catalog.sql("SELECT approx_percentile(x, 0.5) AS p "
+                       "FROM db.sampq WHERE id < 100").head()["p"] \
+        is not None
+    assert catalog.sql("SELECT approx_percentile(x, 0.505) AS p "
+                       "FROM db.sampq").head()["p"] is not None
+
+
 def test_call_and_stats_auto(catalog, spark):
     import json
     df = spark.createDataFrame([(i, i % 50) for i in range(300)],
