@@ -1188,11 +1188,89 @@ _SAMPLE_TYPES = {"int", "long", "float", "double", "string", "date",
                  "timestamp"}
 
 
-def _sample_dir(table, field_id: int, k: int) -> str:
+def _sample_dir(table, field_id: int, k: int,
+                group_field_id: int = None) -> str:
     # field-id keyed like every plane (rename-safe); k is part of the
-    # key because bottom-k stores of different k don't substitute
-    return os.path.join(table.location, "stats_sample",
-                        f"{field_id}_{k}")
+    # key because bottom-k stores of different k don't substitute, and
+    # a grouped store (per-(file, group) bottom-k) never substitutes
+    # for a global one
+    leaf = (f"{field_id}_{k}" if group_field_id is None
+            else f"{field_id}_g{group_field_id}_{k}")
+    return os.path.join(table.location, "stats_sample", leaf)
+
+
+def _sample_fields(table, col: str, group_col):
+    f = next((ff for ff in table.schema.fields if ff.name == col), None)
+    if f is None:
+        raise ValueError(f"no such column {col!r}")
+    if not (isinstance(f.type, str) and f.type in _SAMPLE_TYPES):
+        raise ValueError(
+            f"sample stats support {sorted(_SAMPLE_TYPES)} columns; "
+            f"{col!r} is {f.type!r}")
+    if group_col is None:
+        return f, None
+    g = next((ff for ff in table.schema.fields
+              if ff.name == group_col), None)
+    if g is None:
+        raise ValueError(f"no such column {group_col!r}")
+    if g.field_id == f.field_id:
+        raise ValueError("group_col must differ from the value column")
+    if not (isinstance(g.type, str)
+            and g.type in _SAMPLE_TYPES | {"boolean"}):
+        raise ValueError(f"group column {group_col!r} type {g.type!r} "
+                         f"unsupported")
+    return f, g
+
+
+def _sample_source(table, f, g, paths: list, entries: list):
+    """(file_path, v, pos[, g]) rows for ``paths`` — the column_source
+    discipline (WRITTEN name/type per schema_id, cast to current) with
+    the in-file row index, reading the group column from the SAME row
+    when grouped."""
+    from pyspark.sql import types as T
+
+    from linkedin_iceberg_spark.schema import type_to_spark
+
+    spark = table.spark
+    md = table.metadata
+    cur_v = type_to_spark(f.type)
+    cur_g = type_to_spark(g.type) if g is not None else None
+    sid_by_path = {e.data_file.file_path: e.data_file.schema_id
+                   for e in entries}
+    by_sid: dict = {}
+    for p in paths:
+        by_sid.setdefault(sid_by_path.get(p, md.current_schema_id),
+                          []).append(p)
+    fp = F.regexp_replace(F.col("_metadata.file_path"),
+                          "^file:", "").alias("file_path")
+    pos = F.col("_metadata.row_index").alias("pos")
+    frames = []
+    for sid in sorted(by_sid):
+        ps = sorted(by_sid[sid])
+        written = md.schema_by_id(sid)
+        sfields, sel = [], [fp]
+        for fld, cur, alias in (((f, cur_v, "v"),) +
+                                (((g, cur_g, "g"),) if g is not None
+                                 else ())):
+            wname = written.name_for_id(fld.field_id)
+            if wname is None:
+                sel.append(F.lit(None).cast(cur).alias(alias))
+            else:
+                wtype = written.find_field(fld.field_id).type
+                sfields.append(T.StructField(
+                    wname, type_to_spark(wtype), True))
+                sel.append(F.col(wname).cast(cur).alias(alias))
+        if not sfields:
+            # neither column existed: read one real column for counts
+            w0 = written.fields[0]
+            sfields = [T.StructField(w0.name, type_to_spark(w0.type),
+                                     True)]
+        frames.append(spark.read.schema(T.StructType(sfields))
+                      .parquet(*ps).select(*sel, pos))
+    out = frames[0]
+    for d_ in frames[1:]:
+        out = out.unionByName(d_)
+    return out
 
 
 def sample_hash(v, pos, salt: str = SAMPLE_SALT):
@@ -1211,7 +1289,7 @@ def sample_hash(v, pos, salt: str = SAMPLE_SALT):
 
 
 def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
-                   salt: str = SAMPLE_SALT) -> int:
+                   salt: str = SAMPLE_SALT, group_col: str = None) -> int:
     """Per-file bottom-``k`` row SAMPLE store — the quantile plane.
 
     For each live data file missing from the store, persists the
@@ -1225,6 +1303,13 @@ def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
     questions over any covered snapshot with ZERO data I/O, and its
     live fallback computes the byte-identical result.
 
+    With ``group_col`` the store keeps the bottom-k PER (file, group)
+    — "p50 length per language" from metadata; the merge argument
+    holds within each group (NULL groups sample like any other).  The
+    store costs k rows per group per file, so group on low-cardinality
+    dimensions (language/source/label); a wild group column costs
+    store size, never correctness.
+
     The modern table format ships sketch blobs in stats files (Puffin;
     the 0.9-era reference's metrics stop at per-column bounds,
     api/.../Metrics.java:32-44) — this plane is that idea with a
@@ -1234,19 +1319,14 @@ def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
     ``_metadata.row_index``).  Returns files analyzed now."""
     if k <= 0:
         raise ValueError("k must be positive")
-    f = next((ff for ff in table.schema.fields if ff.name == col), None)
-    if f is None:
-        raise ValueError(f"no such column {col!r}")
-    if not (isinstance(f.type, str) and f.type in _SAMPLE_TYPES):
-        raise ValueError(
-            f"sample stats support {sorted(_SAMPLE_TYPES)} columns; "
-            f"{col!r} is {f.type!r}")
+    f, g = _sample_fields(table, col, group_col)
     from pyspark.sql import Window as W
 
     from linkedin_iceberg_spark.schema import type_to_spark
     spark = table.spark
     cur_stype = type_to_spark(f.type)
-    d = _sample_dir(table, f.field_id, k)
+    d = _sample_dir(table, f.field_id, k,
+                    g.field_id if g is not None else None)
     entries, _ = table._live_data_and_deletes()
     live = {e.data_file.file_path for e in entries}
     have = set()
@@ -1263,25 +1343,31 @@ def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
         raise ValueError(
             f"sample stats require parquet data files; found "
             f"{os.path.basename(bad[0])!r}")
-    src = column_source(table, col, todo, entries, with_pos=True)
+    src = _sample_source(table, f, g, todo, entries)
     nn = src.where(F.col("v").isNotNull())
-    w = W.partitionBy("file_path").orderBy(
+    part = ["file_path"] + (["g"] if g is not None else [])
+    w = W.partitionBy(*part).orderBy(
         F.col("h").asc(), F.col("v").asc(), F.col("pos").asc())
+    # n_nonnull rides a window over the SAME partitioning (a groupBy +
+    # join would drop NULL groups on the equality join key)
+    cw = W.partitionBy(*part)
+    gcols = (["g"] if g is not None else [])
     sampled = (nn.withColumn("h", sample_hash(F.col("v"), F.col("pos"),
                                               salt))
+               .withColumn("n_nonnull",
+                           F.count(F.lit(1)).over(cw).cast("long"))
                .withColumn("_sr", F.row_number().over(w))
                .filter(F.col("_sr") <= k).drop("_sr"))
-    counts = nn.groupBy("file_path").agg(
-        F.count(F.lit(1)).alias("n_nonnull"))
-    out = (sampled.join(counts, "file_path")
-           .select("file_path", "h", F.col("v").alias("value"), "pos",
-                   "n_nonnull"))
+    out = sampled.select("file_path", *gcols, "h",
+                         F.col("v").alias("value"), "pos", "n_nonnull")
     # all-NULL/empty files get a marker row: covered, nothing sampled
     paths_df = spark.createDataFrame([(p,) for p in todo],
                                      "file_path string")
-    markers = (paths_df.join(counts.select("file_path"),
+    marker_g = ([F.lit(None).cast(type_to_spark(g.type)).alias("g")]
+                if g is not None else [])
+    markers = (paths_df.join(nn.select("file_path").distinct(),
                              "file_path", "left_anti")
-               .select("file_path",
+               .select("file_path", *marker_g,
                        F.lit(None).cast("string").alias("h"),
                        F.lit(None).cast(cur_stype).alias("value"),
                        F.lit(None).cast("long").alias("pos"),
@@ -1293,7 +1379,8 @@ def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
 def sampled_quantiles_from_store(table, col: str,
                                  pcts=(25, 50, 75, 90),
                                  k: int = SAMPLE_DEFAULT_K,
-                                 salt: str = SAMPLE_SALT):
+                                 salt: str = SAMPLE_SALT,
+                                 group_col: str = None):
     """Deterministic sampled quantiles served from the per-file sample
     store with ZERO data I/O — percentile questions ("p99 document
     length", "median order value") over a 100 TB table for the cost of
@@ -1311,16 +1398,18 @@ def sampled_quantiles_from_store(table, col: str,
     so an external engine replays store and live paths alike.
 
     Returns a DataFrame (pct, n_sampled, quantile_value) ordered by
-    pct; NULL values never participate (quantiles of the non-null
-    population, matching `sampled_quantiles`)."""
+    pct — with ``group_col``, ([group], pct, n_sampled, quantile_value)
+    ordered by (group, pct), each group's quantiles over ITS bottom-k
+    sample (served from a store built with the same ``group_col``).
+    NULL values never participate (quantiles of the non-null
+    population, matching `sampled_quantiles`); a NULL group is a group
+    like any other."""
     if not pcts or any(p < 1 or p > 100 for p in pcts):
         raise ValueError(f"pcts must be integer percents in [1,100], "
                          f"got {list(pcts)!r}")
     if k <= 0:
         raise ValueError("k must be positive")
-    f = next((ff for ff in table.schema.fields if ff.name == col), None)
-    if f is None:
-        raise ValueError(f"no such column {col!r}")
+    f, g = _sample_fields(table, col, group_col)
     from pyspark.sql import Window as W
 
     from linkedin_iceberg_spark.operators.quantiles import _targets
@@ -1329,7 +1418,8 @@ def sampled_quantiles_from_store(table, col: str,
     cur_stype = type_to_spark(f.type)
     entries, deletes = table._live_data_and_deletes()
     live = sorted({e.data_file.file_path for e in entries})
-    d = _sample_dir(table, f.field_id, k)
+    d = _sample_dir(table, f.field_id, k,
+                    g.field_id if g is not None else None)
     store = None
     covered = set()
     if live and os.path.isdir(d) and any(
@@ -1340,37 +1430,65 @@ def sampled_quantiles_from_store(table, col: str,
                  .join(paths_df, "file_path", "left_semi"))
         covered = {r["file_path"] for r in
                    store.select("file_path").distinct().collect()}
+    gsel = ([F.col("g")] if g is not None else [])
     if live and not deletes and set(live) <= covered:
-        # store-served: k rows per file of metadata, no data input
+        # store-served: k rows per (file[, group]) of metadata, no
+        # data input
         src = (store.where(F.col("h").isNotNull())
-               .select("h", F.col("value").cast(cur_stype).alias("_v"),
+               .select(*gsel, "h",
+                       F.col("value").cast(cur_stype).alias("_v"),
                        "pos"))
     else:
         # identical recipe over the live scan (same hash, same order)
         df = table.new_scan().to_df(metadata_columns=True)
         v = F.col(col)
+        live_g = ([F.col(group_col).alias("g")] if g is not None
+                  else [])
         src = (df.where(v.isNotNull())
-               .select(sample_hash(v, F.col("_pos"), salt).alias("h"),
+               .select(*live_g,
+                       sample_hash(v, F.col("_pos"), salt).alias("h"),
                        v.alias("_v"), F.col("_pos").alias("pos")))
     order = [F.col("h").asc(), F.col("_v").asc(), F.col("pos").asc()]
-    # global bottom-k: per-partition heads first (each task keeps <= k),
-    # the final window ranks <= k * n_partitions survivors
-    wl = W.partitionBy("_pid").orderBy(*order)
-    local = (src.withColumn("_pid", F.spark_partition_id())
-             .withColumn("_sr", F.row_number().over(wl))
-             .filter(F.col("_sr") <= k).drop("_sr", "_pid"))
-    wg = W.partitionBy(F.lit(1)).orderBy(*order)
-    sample = (local.withColumn("_sr", F.row_number().over(wg))
-              .filter(F.col("_sr") <= k).drop("_sr"))
+    if g is not None:
+        # groups are the parallel unit: one bottom-k window per group
+        wg = W.partitionBy("g").orderBy(*order)
+        sample = (src.withColumn("_sr", F.row_number().over(wg))
+                  .filter(F.col("_sr") <= k).drop("_sr"))
+        gcols = ["g"]
+    else:
+        # global bottom-k: per-partition heads first (each task keeps
+        # <= k), the final window ranks <= k * n_partitions survivors
+        wl = W.partitionBy("_pid").orderBy(*order)
+        local = (src.withColumn("_pid", F.spark_partition_id())
+                 .withColumn("_sr", F.row_number().over(wl))
+                 .filter(F.col("_sr") <= k).drop("_sr", "_pid"))
+        wg = W.partitionBy(F.lit(1)).orderBy(*order)
+        sample = (local.withColumn("_sr", F.row_number().over(wg))
+                  .filter(F.col("_sr") <= k).drop("_sr"))
+        gcols = []
     ranked = sample.select(
-        F.col("_v"),
+        *gcols, F.col("_v"),
         F.row_number().over(
-            W.partitionBy(F.lit(1))
+            (W.partitionBy(*gcols) if gcols else
+             W.partitionBy(F.lit(1)))
             .orderBy(F.col("_v").asc(), F.col("pos").asc()))
         .cast("long").alias("_rk"))
-    counts = sample.groupBy().agg(F.count(F.lit(1)).alias("_n"))
-    return (ranked.join(F.broadcast(_targets(counts, list(pcts), [])),
-                        "_rk")
-            .select("pct", F.col("_n").cast("long").alias("n_sampled"),
+    counts = sample.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_n"))
+    tgt = F.broadcast(_targets(counts, list(pcts), gcols))
+    if g is not None:
+        # null-safe group join: a NULL group is a group like any other
+        tgt = (tgt.withColumnRenamed("g", "_tg")
+               .withColumnRenamed("_rk", "_trk"))
+        joined = ranked.join(
+            tgt, F.col("g").eqNullSafe(F.col("_tg"))
+            & (F.col("_rk") == F.col("_trk")))
+        return (joined
+                .select(F.col("g").alias(group_col), "pct",
+                        F.col("_n").cast("long").alias("n_sampled"),
+                        F.col("_v").alias("quantile_value"))
+                .orderBy(group_col, "pct"))
+    return (ranked.join(tgt, "_rk")
+            .select("pct",
+                    F.col("_n").cast("long").alias("n_sampled"),
                     F.col("_v").alias("quantile_value"))
             .orderBy("pct"))

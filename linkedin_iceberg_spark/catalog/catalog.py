@@ -2844,7 +2844,7 @@ class Catalog:
         "analyze_bloom": ("table", "column", "fpp"),
         "analyze_histogram": ("table", "column", "max_ndv"),
         "analyze_topk": ("table", "column", "m"),
-        "analyze_sample": ("table", "column", "k"),
+        "analyze_sample": ("table", "column", "k", "group_col"),
         "approx_top_k": ("table", "column", "k", "m"),
         "kmv_overlap": ("table", "column", "other_table",
                         "other_column", "k"),
@@ -3307,7 +3307,7 @@ class Catalog:
             CALL analyze_bloom('db.t', '<col>' [, '<fpp>'])
             CALL analyze_histogram('db.t', '<col>' [, <max_ndv>])
             CALL analyze_topk('db.t', '<col>' [, <m>])
-            CALL analyze_sample('db.t', '<col>' [, <k>])
+            CALL analyze_sample('db.t', '<col>' [, <k> [, '<group>']])
             CALL approx_top_k('db.t', '<col>', <k> [, <m>])  (rows)
             CALL kmv_overlap('db.a', '<col>', 'db.b', '<col>' [, <k>])
             CALL build_key_index('db.t', '<col>')
@@ -3536,7 +3536,9 @@ class Catalog:
             from linkedin_iceberg_spark.catalog.analyze import (
                 SAMPLE_DEFAULT_K, analyze_sample)
             k = int(rest[1]) if rest[1:] else SAMPLE_DEFAULT_K
-            out = {"files_analyzed": analyze_sample(t, rest[0], k=k)}
+            grp = rest[2] if rest[2:] else None
+            out = {"files_analyzed":
+                   analyze_sample(t, rest[0], k=k, group_col=grp)}
         elif proc == "approx_top_k":
             from linkedin_iceberg_spark.catalog.analyze import (
                 TOPK_DEFAULT_M, approx_top_k)

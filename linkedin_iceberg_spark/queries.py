@@ -2346,6 +2346,75 @@ def stats_store_quantiles(spark, sf_dir):
     return spark.createDataFrame(rows, res.schema)
 
 
+@q("stats_store_quantiles_grouped", """
+WITH pos_ AS (
+  SELECT lang, n_chars AS v,
+         row_number() OVER (PARTITION BY doc_id % 2
+                            ORDER BY doc_id) - 1 AS pos
+  FROM documents
+),
+hashed AS (
+  SELECT lang, v, pos,
+         md5('v1-' || v::VARCHAR || '-' || pos::VARCHAR) AS h
+  FROM pos_ WHERE v IS NOT NULL
+),
+sample AS (
+  SELECT lang, v, pos FROM (
+    SELECT lang, v, pos,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY h, v, pos) AS sr
+    FROM hashed
+  ) WHERE sr <= 16
+),
+ranked AS (
+  SELECT lang, v,
+         row_number() OVER (PARTITION BY lang ORDER BY v, pos) AS rk
+  FROM sample
+),
+cnt AS (SELECT lang, count(*) AS n FROM sample GROUP BY lang),
+p AS (SELECT unnest([25, 50, 90]) AS pct),
+tgt AS (
+  SELECT lang, pct, n, greatest(1, (pct * n + 99) // 100) AS rk
+  FROM cnt CROSS JOIN p
+)
+SELECT r.lang, t.pct, CAST(t.n AS BIGINT) AS n_sampled,
+       r.v AS quantile_value
+FROM ranked r JOIN tgt t ON t.lang = r.lang AND t.rk = r.rk
+ORDER BY r.lang, t.pct""")
+def stats_store_quantiles_grouped(spark, sf_dir):
+    """GROUPED store quantiles (r10): analyze_sample(group_col=...)
+    keeps the bottom-k per (file, group), so "p50 document length PER
+    LANGUAGE" answers from metadata — per-group merge exactness by the
+    same KMV argument, poison-proven in-query.  The oracle replays the
+    grouped pipeline: physical positions, the hash, each language's
+    bottom-16, and the grouped rank arithmetic."""
+    import shutil
+    from linkedin_iceberg_spark.catalog.analyze import (
+        analyze_sample, sampled_quantiles_from_store)
+    d = ld(spark, sf_dir, "documents")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.docs_sgq", d)
+    t.append(d.filter(F.col("doc_id") % 2 == 0)
+             .orderBy("doc_id").coalesce(1))
+    t.append(d.filter(F.col("doc_id") % 2 == 1)
+             .orderBy("doc_id").coalesce(1))
+    t = t.refresh()
+    assert analyze_sample(t, "n_chars", k=16, group_col="lang") == 2
+    res = sampled_quantiles_from_store(t, "n_chars", pcts=(25, 50, 90),
+                                       k=16, group_col="lang")
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        shutil.move(e.data_file.file_path,
+                    e.data_file.file_path + ".poison")
+        moved.append(e.data_file.file_path)
+    try:
+        rows = res.collect()
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    return spark.createDataFrame(rows, res.schema)
+
+
 @q("table_sql_approx_quantile", """
 WITH pos_ AS (
   SELECT o_custkey AS v,
@@ -7507,6 +7576,10 @@ _PRIORITY = [
     # index (hybrid_rrf + pq_search), rename flow (field-id pytest
     # suites).
     "stats_sampled_quantiles",
+    # registered r10 late, queued for the next rotation (the sample
+    # plane holds TWO in-window driver rows this round via its global
+    # and SQL spellings; the grouped spelling is local-green)
+    "stats_store_quantiles_grouped",
     "meta_kmv_ndv",
     "table_incremental_compacted",
     "table_ds_write_format",

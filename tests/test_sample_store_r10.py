@@ -123,6 +123,59 @@ def test_all_null_and_string_columns(catalog, spark):
     assert got == [(50, 2, "a"), (100, 2, "b")]
 
 
+def _grows(df):
+    return [(r["s"], r["pct"], r["n_sampled"], r["quantile_value"])
+            for r in df.collect()]
+
+
+def test_grouped_store_equals_grouped_live(tbl):
+    live = _grows(sampled_quantiles_from_store(tbl, "x", k=32,
+                                               group_col="s"))
+    assert analyze_sample(tbl, "x", k=32, group_col="s") == 5
+    served = _grows(sampled_quantiles_from_store(tbl, "x", k=32,
+                                                 group_col="s"))
+    assert served == live
+    assert {g for g, *_ in served} == {f"s{i}" for i in range(7)}
+    # grouped and global stores are separate planes
+    assert analyze_sample(tbl, "x", k=32) == 5
+
+
+def test_grouped_store_is_metadata_only_and_null_group(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, i % 100, None if i % 3 == 0 else f"g{i % 2}")
+         for i in range(300)],
+        "id bigint, x bigint, s string")
+    t = catalog.create_table("db.sampg", df)
+    t.append(df.repartition(2))
+    t = t.refresh()
+    live = _grows(sampled_quantiles_from_store(t, "x", k=64,
+                                               group_col="s"))
+    assert {g for g, *_ in live} == {None, "g0", "g1"}
+    analyze_sample(t, "x", k=64, group_col="s")
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        p = e.data_file.file_path
+        shutil.move(p, p + ".poison")
+        moved.append(p)
+    try:
+        got = _grows(sampled_quantiles_from_store(t, "x", k=64,
+                                                  group_col="s"))
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    assert got == live
+
+
+def test_grouped_call_surface(catalog, spark, tbl):
+    import json
+    out = catalog.sql(
+        "CALL analyze_sample('db.sampq', 'x', 32, 's')").head()
+    assert json.loads(out["detail"])["files_analyzed"] == 5
+    again = catalog.sql(
+        "CALL analyze_sample('db.sampq', 'x', 32, 's')").head()
+    assert json.loads(again["detail"])["files_analyzed"] == 0
+
+
 def test_type_and_arg_guards(tbl):
     with pytest.raises(ValueError):
         analyze_sample(tbl, "nope")
