@@ -184,6 +184,7 @@ PROBE_QUERIES = [
     # file — so the query should grow with the BUILD, never the data
     # volume beyond one pass)
     "stats_store_quantiles",
+    "stats_store_quantiles_grouped",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
