@@ -218,6 +218,53 @@ def test_sql_approx_percentile_routes_to_plane(catalog, spark, tbl):
                        "FROM db.sampq").head()["p"] is not None
 
 
+def test_vacuum_gcs_sample_store_and_serving_survives(tbl, spark):
+    """The sample store participates in vacuum_stats GC: after
+    compaction + expiry the dead files' k-row blocks drop, live blocks
+    stay, and the store still serves (covered by the compacted file's
+    fresh rows)."""
+    import time
+
+    from linkedin_iceberg_spark.catalog.maintenance import vacuum_stats
+    analyze_sample(tbl, "x", k=64)
+    tbl.rewrite_data_files(target_size_bytes=1 << 30, min_input_files=2)
+    t = tbl.refresh()
+    analyze_sample(t, "x", k=64)
+    t.expire_snapshots(older_than_ms=int(time.time() * 1000) + 1000,
+                       retain_last=1)
+    t = t.refresh()
+    out = vacuum_stats(t)
+    rel = [s for s in out["stores"] if s.startswith("stats_sample")]
+    assert rel and out["stores"][rel[0]] > 0
+    live = {e.data_file.file_path for e in t._live_data_and_deletes()[0]}
+    d = _sample_dir(t, t.schema.id_for_name("x"), 64)
+    kept = {r["file_path"] for r in spark.read.parquet(d)
+            .select("file_path").distinct().collect()}
+    assert kept == live
+    got = _rows(sampled_quantiles_from_store(t, "x", k=64))
+    assert len(got) == 4 and all(n > 0 for _, n, _ in got)
+
+
+def test_live_fallback_on_mixed_format_table(catalog, spark):
+    """analyze_sample refuses non-parquet files (documented), but the
+    SERVE path's live fallback rides the format-agnostic _pos — a
+    mixed parquet+ORC table still answers, and adding coverage later
+    for parquet-only tables is unaffected."""
+    df = spark.createDataFrame([(i, i % 40) for i in range(200)],
+                               "id bigint, x bigint")
+    t = catalog.create_table("db.sampmix", df)
+    t.append(df.filter("id < 100").coalesce(1))        # parquet
+    t.update_properties(set_props={"write.format-default": "orc"})
+    t = t.refresh()
+    t.append(df.filter("id >= 100").coalesce(1))       # orc
+    t = t.refresh()
+    with pytest.raises(ValueError, match="parquet"):
+        analyze_sample(t, "x", k=16)
+    got = _rows(sampled_quantiles_from_store(t, "x", pcts=(100,),
+                                             k=4096))
+    assert got == [(100, 200, 39)]
+
+
 def test_call_and_stats_auto(catalog, spark):
     import json
     df = spark.createDataFrame([(i, i % 50) for i in range(300)],
