@@ -89,22 +89,71 @@ def column_source(table, col: str, paths: list, entries: list = None,
         ps = sorted(by_sid[sid])
         written = md.schema_by_id(sid)
         wname = written.name_for_id(f.field_id)
-        if wname is None:
+        pq = [p for p in ps if p.endswith(".parquet")]
+        other = [p for p in ps if not p.endswith(".parquet")]
+        if pq and wname is None:
             # field absent when these files were written: all rows NULL.
             # Read one real column only to preserve per-file row counts.
             w0 = written.fields[0]
             rschema = T.StructType([T.StructField(
                 w0.name, type_to_spark(w0.type), True)])
-            frames.append(spark.read.schema(rschema).parquet(*ps)
+            frames.append(spark.read.schema(rschema).parquet(*pq)
                           .select(fp, F.lit(None).cast(cur_stype)
                                   .alias("v"), *extra))
-        else:
+        elif pq:
             wtype = written.find_field(f.field_id).type
             rschema = T.StructType([T.StructField(
                 wname, type_to_spark(wtype), True)])
-            frames.append(spark.read.schema(rschema).parquet(*ps)
+            frames.append(spark.read.schema(rschema).parquet(*pq)
                           .select(fp, F.col(wname).cast(cur_stype)
                                   .alias("v"), *extra))
+        if other:
+            # ORC/Avro data files route through the whole-file readers
+            # (r10): spark.read.parquet would crash on them, and the
+            # per-file row counter there is exact, so even the
+            # position-hashed planes stay format-agnostic
+            frames.append(_other_format_source(
+                spark, written, wname, f, cur_stype, other, with_pos))
+    out = frames[0]
+    for d_ in frames[1:]:
+        out = out.unionByName(d_)
+    return out
+
+
+def _other_format_source(spark, written, wname, f, cur_stype,
+                         paths: list, with_pos: bool):
+    """(file_path, v[, pos]) over ORC/Avro data files via the
+    whole-file pyarrow/codec readers (sources/orc_spark.py,
+    avro_spark.py) — ORC reads prune to the one physical column, Avro
+    decodes rows with the full written schema (the pure-Python codec
+    has no column projection)."""
+    from linkedin_iceberg_spark.schema import Schema as _S
+    frames = []
+    orc = [p for p in paths if p.endswith(".orc")]
+    avro = [p for p in paths if p.endswith(".avro")]
+    other = [p for p in paths if not (p.endswith(".orc")
+                                      or p.endswith(".avro"))]
+    if other:
+        raise ValueError(f"unsupported data file format: {other[0]!r}")
+    vcol = (F.col(wname).cast(cur_stype) if wname is not None
+            else F.lit(None).cast(cur_stype)).alias("v")
+    sel = [F.col("_file").alias("file_path"), vcol] \
+        + ([F.col("_pos").alias("pos")] if with_pos else [])
+    if orc:
+        from linkedin_iceberg_spark.sources.orc_spark import (
+            read_orc_files)
+        # pruned one-field schema: the reader physically decodes only
+        # this column (plus an empty read for row counts when absent)
+        pruned = _S([written.find_field(f.field_id)]
+                    if wname is not None else [written.fields[0]],
+                    schema_id=written.schema_id)
+        frames.append(read_orc_files(spark, orc, pruned).select(*sel))
+    if avro:
+        from linkedin_iceberg_spark.sources.avro_spark import (
+            read_avro_files)
+        frames.append(read_avro_files(spark, avro, written,
+                                      with_file_col=True,
+                                      with_pos_col=True).select(*sel))
     out = frames[0]
     for d_ in frames[1:]:
         out = out.unionByName(d_)
@@ -545,11 +594,21 @@ def analyze_dictionary_pair(table, cols: list,
                 written.find_field(f_lo.field_id).type), True),
             T.StructField(w_hi, type_to_spark(
                 written.find_field(f_hi.field_id).type), True)])
-        frames.append(
-            spark.read.schema(rschema).parquet(*ps)
-            .select(fp,
-                    F.col(w_lo).cast(type_to_spark(f_lo.type)).alias("_a"),
-                    F.col(w_hi).cast(type_to_spark(f_hi.type)).alias("_b")))
+        ab = [F.col(w_lo).cast(type_to_spark(f_lo.type)).alias("_a"),
+              F.col(w_hi).cast(type_to_spark(f_hi.type)).alias("_b")]
+        pq = [p for p in ps if p.endswith(".parquet")]
+        other = [p for p in ps if not p.endswith(".parquet")]
+        if pq:
+            frames.append(spark.read.schema(rschema).parquet(*pq)
+                          .select(fp, *ab))
+        if other:
+            # ORC/Avro files pair-hash through the whole-file readers
+            frames.append(
+                _other_format_rows(
+                    spark, written,
+                    [written.find_field(f_lo.field_id),
+                     written.find_field(f_hi.field_id)], other)
+                .select(F.col("_file").alias("file_path"), *ab))
     if frames:
         src = frames[0]
         for d_ in frames[1:]:
@@ -1248,28 +1307,71 @@ def _sample_source(table, f, g, paths: list, entries: list):
     for sid in sorted(by_sid):
         ps = sorted(by_sid[sid])
         written = md.schema_by_id(sid)
-        sfields, sel = [], [fp]
+        pq = [p for p in ps if p.endswith(".parquet")]
+        other = [p for p in ps if not p.endswith(".parquet")]
+        sfields, sel, osel, pruned = [], [fp], \
+            [F.col("_file").alias("file_path")], []
         for fld, cur, alias in (((f, cur_v, "v"),) +
                                 (((g, cur_g, "g"),) if g is not None
                                  else ())):
             wname = written.name_for_id(fld.field_id)
             if wname is None:
                 sel.append(F.lit(None).cast(cur).alias(alias))
+                osel.append(F.lit(None).cast(cur).alias(alias))
             else:
                 wtype = written.find_field(fld.field_id).type
                 sfields.append(T.StructField(
                     wname, type_to_spark(wtype), True))
+                pruned.append(written.find_field(fld.field_id))
                 sel.append(F.col(wname).cast(cur).alias(alias))
-        if not sfields:
-            # neither column existed: read one real column for counts
-            w0 = written.fields[0]
-            sfields = [T.StructField(w0.name, type_to_spark(w0.type),
-                                     True)]
-        frames.append(spark.read.schema(T.StructType(sfields))
-                      .parquet(*ps).select(*sel, pos))
+                osel.append(F.col(wname).cast(cur).alias(alias))
+        if pq:
+            pq_fields = sfields or [T.StructField(
+                written.fields[0].name,
+                type_to_spark(written.fields[0].type), True)]
+            frames.append(spark.read.schema(T.StructType(pq_fields))
+                          .parquet(*pq).select(*sel, pos))
+        if other:
+            # ORC/Avro: whole-file readers carry the exact per-file
+            # row counter — the same ROW_POSITION number, so the
+            # position-hashed sample recipe is format-agnostic (r10)
+            frames.append(_other_format_rows(
+                spark, written, pruned, other)
+                .select(*osel, F.col("_pos").alias("pos")))
     out = frames[0]
     for d_ in frames[1:]:
         out = out.unionByName(d_)
+    return out
+
+
+def _other_format_rows(spark, written, pruned_fields: list,
+                       paths: list):
+    """Raw (written columns, _file, _pos) rows over ORC/Avro files —
+    ORC physically prunes to ``pruned_fields``, Avro decodes the full
+    written schema (no codec projection)."""
+    from linkedin_iceberg_spark.schema import Schema as _S
+    orc = [p for p in paths if p.endswith(".orc")]
+    avro = [p for p in paths if p.endswith(".avro")]
+    other = [p for p in paths if not (p.endswith(".orc")
+                                      or p.endswith(".avro"))]
+    if other:
+        raise ValueError(f"unsupported data file format: {other[0]!r}")
+    frames = []
+    if orc:
+        from linkedin_iceberg_spark.sources.orc_spark import (
+            read_orc_files)
+        pruned = _S(pruned_fields or [written.fields[0]],
+                    schema_id=written.schema_id)
+        frames.append(read_orc_files(spark, orc, pruned))
+    if avro:
+        from linkedin_iceberg_spark.sources.avro_spark import (
+            read_avro_files)
+        frames.append(read_avro_files(spark, avro, written,
+                                      with_file_col=True,
+                                      with_pos_col=True))
+    out = frames[0]
+    for d_ in frames[1:]:
+        out = out.unionByName(d_, allowMissingColumns=True)
     return out
 
 
@@ -1315,8 +1417,10 @@ def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
     api/.../Metrics.java:32-44) — this plane is that idea with a
     mergeable SAMPLE instead of an opaque sketch, so the estimate is
     replayable in plain SQL.  Incremental by construction (immutable
-    files never re-scan); parquet data files only (the build reads
-    ``_metadata.row_index``).  Returns files analyzed now."""
+    files never re-scan); format-agnostic — parquet positions come from
+    ``_metadata.row_index``, ORC/Avro from the whole-file readers' exact
+    per-file row counter (the same ROW_POSITION number).  Returns files
+    analyzed now."""
     if k <= 0:
         raise ValueError("k must be positive")
     f, g = _sample_fields(table, col, group_col)
@@ -1338,11 +1442,6 @@ def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
     todo = sorted(live - have)
     if not todo:
         return 0
-    bad = [p for p in todo if not p.endswith(".parquet")]
-    if bad:
-        raise ValueError(
-            f"sample stats require parquet data files; found "
-            f"{os.path.basename(bad[0])!r}")
     src = _sample_source(table, f, g, todo, entries)
     nn = src.where(F.col("v").isNotNull())
     part = ["file_path"] + (["g"] if g is not None else [])

@@ -63,7 +63,13 @@ def read_orc_files(spark: SparkSession, files: list, written,
         for pdf in batches:
             for path, pconst_s in zip(pdf["path"], pdf["pconst"]):
                 from pyarrow import orc as _orc
-                tbl = _orc.ORCFile(path).read()
+                of = _orc.ORCFile(path)
+                fnames = set(of.schema.names)
+                # physical column pruning: read only the target fields
+                # the file actually stores (a one-column ANALYZE over a
+                # wide ORC file must not decode the whole file)
+                want = [f.name for f in tgt if f.name in fnames]
+                tbl = of.read(columns=want) if want else of.read()
                 pconst = _j.loads(pconst_s)
                 names = set(tbl.column_names)
                 data = {}

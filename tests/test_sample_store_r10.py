@@ -245,24 +245,31 @@ def test_vacuum_gcs_sample_store_and_serving_survives(tbl, spark):
     assert len(got) == 4 and all(n > 0 for _, n, _ in got)
 
 
-def test_live_fallback_on_mixed_format_table(catalog, spark):
-    """analyze_sample refuses non-parquet files (documented), but the
-    SERVE path's live fallback rides the format-agnostic _pos — a
-    mixed parquet+ORC table still answers, and adding coverage later
-    for parquet-only tables is unaffected."""
-    df = spark.createDataFrame([(i, i % 40) for i in range(200)],
+def test_mixed_format_store_equals_live(catalog, spark):
+    """The plane is format-agnostic: ORC/Avro files sample through the
+    whole-file readers' exact per-file row counter — the store path
+    over a parquet+ORC+Avro table matches the live _pos recipe
+    byte-for-byte."""
+    df = spark.createDataFrame([(i, (i * 13) % 40) for i in range(300)],
                                "id bigint, x bigint")
     t = catalog.create_table("db.sampmix", df)
     t.append(df.filter("id < 100").coalesce(1))        # parquet
     t.update_properties(set_props={"write.format-default": "orc"})
     t = t.refresh()
-    t.append(df.filter("id >= 100").coalesce(1))       # orc
+    t.append(df.filter("id >= 100 and id < 200").coalesce(1))
+    t.update_properties(set_props={"write.format-default": "avro"})
     t = t.refresh()
-    with pytest.raises(ValueError, match="parquet"):
-        analyze_sample(t, "x", k=16)
+    t.append(df.filter("id >= 200").coalesce(1))
+    t = t.refresh()
+    fmts = {e.data_file.file_path.rsplit(".", 1)[-1]
+            for e in t._live_data_and_deletes()[0]}
+    assert fmts == {"parquet", "orc", "avro"}
+    live = _rows(sampled_quantiles_from_store(t, "x", k=32))
+    assert analyze_sample(t, "x", k=32) == 3
+    assert _rows(sampled_quantiles_from_store(t, "x", k=32)) == live
     got = _rows(sampled_quantiles_from_store(t, "x", pcts=(100,),
                                              k=4096))
-    assert got == [(100, 200, 39)]
+    assert got == [(100, 300, 39)]
 
 
 def test_call_and_stats_auto(catalog, spark):
