@@ -500,9 +500,20 @@ PAIR_PROBE_MAX_LITERALS = 200
 
 def _pair_dir(table, fid_lo: int, fid_hi: int) -> str:
     # field-id keyed and order-normalized: rename-safe, and one store
-    # serves the conjunction regardless of how the WHERE spells it
+    # serves the conjunction regardless of how the WHERE spells it.
+    # r11: the two hashed ENGINE TYPES are part of the key — xxhash64
+    # is not stable across int->long promotion (the JVM hashes the
+    # physical width), so a store built pre-promotion never overlaps
+    # post-promotion literal hashes and would wrongly prune every file
+    # with a concrete hash set.  Type-keying makes promotion invalidate
+    # the store naturally: the probe finds nothing under the new types
+    # (keeps all files — sound) and the next build lands fresh.
+    t_lo = next((f.type for f in table.schema.fields
+                 if f.field_id == fid_lo), "x")
+    t_hi = next((f.type for f in table.schema.fields
+                 if f.field_id == fid_hi), "x")
     return os.path.join(table.location, "stats_dict_pair",
-                        f"{fid_lo}_{fid_hi}")
+                        f"{fid_lo}_{fid_hi}__{t_lo}_{t_hi}")
 
 
 def _pair_fields(table, cols: list):
@@ -542,8 +553,11 @@ def analyze_dictionary_pair(table, cols: list,
     never match there, so such files always prune — including files
     written before either column existed).  Values hash under the
     CURRENT engine types via each file's WRITTEN name/type (the
-    column_source discipline), so renames and int->long promotion
-    never split the hash space.  Returns files analyzed now.
+    column_source discipline), so renames never split the hash space;
+    type PROMOTION does (xxhash64(int) != xxhash64(long)), which is why
+    the store directory is keyed by the hashed types (`_pair_dir`) —
+    promotion orphans the old store and the next build starts fresh
+    under the new key.  Returns files analyzed now.
 
     Scale: one scan of the new tail reading exactly two columns;
     distinct + collect_set are per-file (map-side combinable); the
@@ -671,51 +685,54 @@ def pair_dictionary_prune(table, data_entries: list, bound,
                     if isinstance(f.type, str)}
     drop: set = set()
     candidates = {e.data_file.file_path for e in data_entries}
-    for dname in sorted(os.listdir(root)):
-        lo_s, _, hi_s = dname.partition("_")
-        try:
-            fid_lo, fid_hi = int(lo_s), int(hi_s)
-        except ValueError:
-            continue
-        if fid_lo not in by_fid or fid_hi not in by_fid:
-            continue
-        lits_lo, lits_hi = by_fid[fid_lo], by_fid[fid_hi]
-        if len(lits_lo) * len(lits_hi) > PAIR_PROBE_MAX_LITERALS:
-            continue
-        t_lo, t_hi = stype_by_fid.get(fid_lo), stype_by_fid.get(fid_hi)
-        if t_lo is None or t_hi is None:
-            continue
-        d = os.path.join(root, dname)
-        if not any(p.endswith(".parquet") for p in os.listdir(d)):
-            continue
-        # hash every literal pair EXACTLY as the build did (cast to the
-        # current engine types, xxhash64 in field-id order); a cast that
-        # NULLs a literal makes its hash meaningless — skip the store
-        # (sound: pruning is advisory)
-        pairs = [(a, b) for a in lits_lo for b in lits_hi]
-        try:
-            exprs = []
-            for i, (a, b) in enumerate(pairs):
-                ca = F.lit(a).cast(t_lo)
-                cb = F.lit(b).cast(t_hi)
-                exprs += [ca.alias(f"a{i}"), cb.alias(f"b{i}"),
-                          F.xxhash64(ca, cb).alias(f"h{i}")]
-            row = spark.range(1).select(*exprs).first()
-            if any(row[f"a{i}"] is None or row[f"b{i}"] is None
-                   for i in range(len(pairs))):
+    # probe only stores whose dir key matches the CURRENT engine types
+    # (_pair_dir embeds them, r11): a store built under promoted-away
+    # types simply isn't found — its hashes are meaningless now, and
+    # keeping the files is the sound answer.  Legacy un-typed dirs
+    # ("<lo>_<hi>") never match the expected name either.
+    fids = sorted(by_fid)
+    for i, fid_lo in enumerate(fids):
+        for fid_hi in fids[i + 1:]:
+            if not os.path.isdir(_pair_dir(table, fid_lo, fid_hi)):
                 continue
-            hashes = [row[f"h{i}"] for i in range(len(pairs))]
-            store = spark.read.parquet(d)
-            gone = (store
-                    .where(F.col("values").isNotNull() &
-                           ~F.arrays_overlap(
-                               F.col("values"),
-                               F.array(*[F.lit(h).cast("long")
-                                         for h in hashes])))
-                    .select("file_path").collect())
-        except Exception:  # noqa: BLE001 — any probe trouble: keep all
-            continue
-        drop |= {r["file_path"] for r in gone} & candidates
+            lits_lo, lits_hi = by_fid[fid_lo], by_fid[fid_hi]
+            if len(lits_lo) * len(lits_hi) > PAIR_PROBE_MAX_LITERALS:
+                continue
+            t_lo = stype_by_fid.get(fid_lo)
+            t_hi = stype_by_fid.get(fid_hi)
+            if t_lo is None or t_hi is None:
+                continue
+            d = _pair_dir(table, fid_lo, fid_hi)
+            if not any(p.endswith(".parquet") for p in os.listdir(d)):
+                continue
+            # hash every literal pair EXACTLY as the build did (cast to
+            # the current engine types, xxhash64 in field-id order); a
+            # cast that NULLs a literal makes its hash meaningless —
+            # skip the store (sound: pruning is advisory)
+            pairs = [(a, b) for a in lits_lo for b in lits_hi]
+            try:
+                exprs = []
+                for i2, (a, b) in enumerate(pairs):
+                    ca = F.lit(a).cast(t_lo)
+                    cb = F.lit(b).cast(t_hi)
+                    exprs += [ca.alias(f"a{i2}"), cb.alias(f"b{i2}"),
+                              F.xxhash64(ca, cb).alias(f"h{i2}")]
+                row = spark.range(1).select(*exprs).first()
+                if any(row[f"a{i2}"] is None or row[f"b{i2}"] is None
+                       for i2 in range(len(pairs))):
+                    continue
+                hashes = [row[f"h{i2}"] for i2 in range(len(pairs))]
+                store = spark.read.parquet(d)
+                gone = (store
+                        .where(F.col("values").isNotNull() &
+                               ~F.arrays_overlap(
+                                   F.col("values"),
+                                   F.array(*[F.lit(h).cast("long")
+                                             for h in hashes])))
+                        .select("file_path").collect())
+            except Exception:  # noqa: BLE001 — probe trouble: keep all
+                continue
+            drop |= {r["file_path"] for r in gone} & candidates
     if not drop:
         return data_entries
     return [e for e in data_entries
@@ -1248,13 +1265,21 @@ _SAMPLE_TYPES = {"int", "long", "float", "double", "string", "date",
 
 
 def _sample_dir(table, field_id: int, k: int,
-                group_field_id: int = None) -> str:
+                group_field_id: int = None,
+                salt: str = SAMPLE_SALT) -> str:
     # field-id keyed like every plane (rename-safe); k is part of the
     # key because bottom-k stores of different k don't substitute, and
     # a grouped store (per-(file, group) bottom-k) never substitutes
-    # for a global one
+    # for a global one.  A non-default SALT is part of the key too
+    # (r11): hashes computed under a different salt are a different
+    # sample — serving them would silently break the store/live
+    # byte-identical guarantee.  The default salt keeps the bare name,
+    # so existing stores stay addressable.
     leaf = (f"{field_id}_{k}" if group_field_id is None
             else f"{field_id}_g{group_field_id}_{k}")
+    if salt != SAMPLE_SALT:
+        import hashlib as _hl
+        leaf += "_s" + _hl.md5(salt.encode()).hexdigest()[:8]
     return os.path.join(table.location, "stats_sample", leaf)
 
 
@@ -1430,7 +1455,7 @@ def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
     spark = table.spark
     cur_stype = type_to_spark(f.type)
     d = _sample_dir(table, f.field_id, k,
-                    g.field_id if g is not None else None)
+                    g.field_id if g is not None else None, salt)
     entries, _ = table._live_data_and_deletes()
     live = {e.data_file.file_path for e in entries}
     have = set()
@@ -1470,9 +1495,147 @@ def analyze_sample(table, col: str, k: int = SAMPLE_DEFAULT_K,
                        F.lit(None).cast("string").alias("h"),
                        F.lit(None).cast(cur_stype).alias("value"),
                        F.lit(None).cast("long").alias("pos"),
-                       F.lit(0).cast("long").alias("n_nonnull")))
-    out.unionByName(markers).write.mode("append").parquet(d)
+                       (F.lit(None) if g is not None else F.lit(0))
+                       .cast("long").alias("n_nonnull")))
+    parts = [out, markers]
+    if g is not None:
+        # grouped stores additionally record a marker per (file, GROUP)
+        # whose values are all NULL (r11: n_nonnull = 0, h NULL) — the
+        # store then enumerates the file's full group universe, which
+        # the SQL grouped-percentile route needs to emit Spark's NULL
+        # row for such groups with zero data I/O.  The file-coverage
+        # marker above is distinguishable by n_nonnull IS NULL.
+        univ = src.select("file_path", "g").distinct()
+        seen = nn.select("file_path", "g").distinct() \
+            .withColumnRenamed("file_path", "_mf") \
+            .withColumnRenamed("g", "_mg")
+        missing = (univ.join(
+            seen, (F.col("file_path") == F.col("_mf"))
+            & F.col("g").eqNullSafe(F.col("_mg")), "left_anti"))
+        parts.append(missing.select(
+            "file_path", "g",
+            F.lit(None).cast("string").alias("h"),
+            F.lit(None).cast(cur_stype).alias("value"),
+            F.lit(None).cast("long").alias("pos"),
+            F.lit(0).cast("long").alias("n_nonnull")))
+    res = parts[0]
+    for p_ in parts[1:]:
+        res = res.unionByName(p_)
+    res.write.mode("append").parquet(d)
     return len(todo)
+
+
+def _pos_delete_mask(table, entries, delete_entries):
+    """The pending POSITION-delete rows as a (file_path, pos) DataFrame,
+    sequence-scoped exactly as the scan applies them: `match_deletes`
+    decides per data file which delete files attach (DeleteFileIndex
+    semantics; ref core/.../deletes/Deletes.java:60-127 applies deletes
+    per-file), and each delete ROW counts only against the data file it
+    names AND is attached to — a row naming a file the delete does not
+    apply to under sequence scoping is ignored.  Returns None when any
+    live delete is an EQUALITY delete (store rows carry no key columns,
+    so equality deletes cannot mask metadata — callers fall back to the
+    live scan).  Metadata-sized: delete rows, never data."""
+    from linkedin_iceberg_spark.catalog import manifests as M
+    if any(e.data_file.content != M.CONTENT_POSITION_DELETES
+           for e in delete_entries):
+        return None
+    from linkedin_iceberg_spark.catalog.deletes import (
+        POS_DELETE_SCHEMA, _maybe_broadcast, _total_records)
+    from linkedin_iceberg_spark.catalog.scan import match_deletes
+    spark = table.spark
+    tasks = match_deletes(entries, delete_entries)
+    pairs = sorted({(t.file.file_path, d.data_file.file_path)
+                    for t in tasks for d in t.deletes})
+    if not pairs:
+        return spark.createDataFrame([], POS_DELETE_SCHEMA)
+    dpaths = sorted({p for _, p in pairs})
+    app = spark.createDataFrame(pairs, "file_path string, dpath string")
+    by_path = {e.data_file.file_path: e.data_file
+               for e in delete_entries}
+    n_del = _total_records([by_path[p] for p in dpaths])
+    rows = (spark.read.schema(POS_DELETE_SCHEMA).parquet(*dpaths)
+            .withColumn("dpath", F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:", ""))
+            .join(F.broadcast(app), ["file_path", "dpath"], "left_semi")
+            .select("file_path", "pos").distinct())
+    return _maybe_broadcast(rows, n_del)
+
+
+def _masked_serve_exact(store, masked_src, sample, g, k: int) -> bool:
+    """Whether the delete-masked store serve is provably byte-identical
+    to the live recipe.  A masked per-file (per-(file, group)) store is
+    the unit's live bottom-(stored - deleted): exact UNLESS the final
+    bottom-k consumes EVERY remaining masked row of a TRUNCATED unit
+    (n_nonnull > k) that lost stored rows — then the unit's next-ranked
+    live row (never stored) might belong in the sample.  Three
+    metadata-sized aggregates; #units ≈ #files (× groups), the same
+    driver scale as the coverage collect."""
+    unit = ["file_path"] + (["g"] if g is not None else [])
+
+    def key(r):
+        return (r["file_path"],) + ((r["g"],) if g is not None else ())
+
+    pre = (store.where(F.col("h").isNotNull())
+           .groupBy(*unit)
+           .agg(F.count(F.lit(1)).alias("c"),
+                F.max("n_nonnull").alias("nn")).collect())
+    post = {key(r): r["c"] for r in
+            masked_src.groupBy(*unit)
+            .agg(F.count(F.lit(1)).alias("c")).collect()}
+    sel = {key(r): r["c"] for r in
+           sample.groupBy(*unit)
+           .agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in pre:
+        u = key(r)
+        masked_n = post.get(u, 0)
+        if masked_n == r["c"]:
+            continue  # no stored row of this unit deleted
+        if r["nn"] is not None and r["nn"] > k \
+                and sel.get(u, 0) >= masked_n:
+            return False
+    return True
+
+
+def sample_store_groups(table, col: str, k: int = SAMPLE_DEFAULT_K,
+                        salt: str = SAMPLE_SALT,
+                        group_col: str = None):
+    """The table's full group universe from a GROUPED sample store —
+    every group value present in any live file, INCLUDING groups whose
+    every value is NULL (their per-(file, group) marker rows, r11) —
+    with zero data I/O.  Returns a list of group values, or None when
+    the answer cannot come from metadata: store missing / not covering
+    every live file, any pending row-level deletes (a delete could
+    remove a group's last row), or a store written before the grouped
+    markers existed (detected by a file-coverage marker with
+    n_nonnull = 0, the pre-r11 spelling)."""
+    f, g = _sample_fields(table, col, group_col)
+    if g is None:
+        raise ValueError("group_col is required")
+    spark = table.spark
+    entries, deletes = table._live_data_and_deletes()
+    if deletes:
+        return None
+    live = sorted({e.data_file.file_path for e in entries})
+    d = _sample_dir(table, f.field_id, k, g.field_id, salt)
+    if not live or not os.path.isdir(d) or not any(
+            p.endswith(".parquet") for p in os.listdir(d)):
+        return None
+    paths_df = spark.createDataFrame([(p,) for p in live],
+                                     "file_path string")
+    store = (spark.read.parquet(d)
+             .join(paths_df, "file_path", "left_semi"))
+    cov_files = {r["file_path"] for r in
+                 store.select("file_path").distinct().collect()}
+    if set(live) - cov_files:
+        return None
+    # sampled rows (h non-null) and all-NULL-group markers (h NULL,
+    # n_nonnull = 0) name real groups; file-coverage markers for empty
+    # files (h NULL, n_nonnull NULL) do not
+    rows = (store.where(F.col("h").isNotNull()
+                        | F.col("n_nonnull").isNotNull())
+            .select("g").distinct().collect())
+    return [r["g"] for r in rows]
 
 
 def sampled_quantiles_from_store(table, col: str,
@@ -1485,16 +1648,28 @@ def sampled_quantiles_from_store(table, col: str,
     length", "median order value") over a 100 TB table for the cost of
     reading k rows per live file of metadata.
 
-    All-or-nothing like the exact-count plane: the store serves only
-    when EVERY live data file has store rows and no row-level deletes
-    are pending; otherwise the identical recipe runs live over the
-    scan (reserved ``_pos`` supplies the same in-file positions the
-    build hashed), producing the byte-identical sample and therefore
-    byte-identical quantiles — per-file bottom-k then global bottom-k
-    equals global bottom-k outright, since any globally-smallest-k row
-    is in its own file's bottom-k.  Rank arithmetic is the house
-    convention (max(1, ceil(p/100 * n)) over ascending (value, pos)),
-    so an external engine replays store and live paths alike.
+    The store serves when EVERY live data file has store rows;
+    otherwise the identical recipe runs live over the scan (reserved
+    ``_pos`` supplies the same in-file positions the build hashed),
+    producing the byte-identical sample and therefore byte-identical
+    quantiles — per-file bottom-k then global bottom-k equals global
+    bottom-k outright, since any globally-smallest-k row is in its own
+    file's bottom-k.  Rank arithmetic is the house convention
+    (max(1, ceil(p/100 * n)) over ascending (value, pos)), so an
+    external engine replays store and live paths alike.
+
+    Pending POSITION deletes do NOT force the live path (r11): store
+    rows carry ``(file_path, pos)``, so the sequence-scoped delete rows
+    anti-join them away (`_pos_delete_mask`) and a masked per-file
+    store is exactly the file's live bottom-(k - deleted-stored) —
+    after a MERGE/DELETE, a percentile question is still a metadata
+    read, never a corpus scan.  Exactness guard: if the final bottom-k
+    would consume EVERY remaining masked row of some TRUNCATED file
+    (n_nonnull > k with stored rows deleted), the file's next-ranked
+    live rows are unknown to the store and the serve falls back to the
+    live scan — checked with metadata-sized aggregates before the plan
+    is returned, so the answer is byte-identical to live in all cases.
+    EQUALITY deletes still fall back (store rows carry no key columns).
 
     Returns a DataFrame (pct, n_sampled, quantile_value) ordered by
     pct — with ``group_col``, ([group], pct, n_sampled, quantile_value)
@@ -1518,7 +1693,7 @@ def sampled_quantiles_from_store(table, col: str,
     entries, deletes = table._live_data_and_deletes()
     live = sorted({e.data_file.file_path for e in entries})
     d = _sample_dir(table, f.field_id, k,
-                    g.field_id if g is not None else None)
+                    g.field_id if g is not None else None, salt)
     store = None
     covered = set()
     if live and os.path.isdir(d) and any(
@@ -1530,31 +1705,15 @@ def sampled_quantiles_from_store(table, col: str,
         covered = {r["file_path"] for r in
                    store.select("file_path").distinct().collect()}
     gsel = ([F.col("g")] if g is not None else [])
-    if live and not deletes and set(live) <= covered:
-        # store-served: k rows per (file[, group]) of metadata, no
-        # data input
-        src = (store.where(F.col("h").isNotNull())
-               .select(*gsel, "h",
-                       F.col("value").cast(cur_stype).alias("_v"),
-                       "pos"))
-    else:
-        # identical recipe over the live scan (same hash, same order)
-        df = table.new_scan().to_df(metadata_columns=True)
-        v = F.col(col)
-        live_g = ([F.col(group_col).alias("g")] if g is not None
-                  else [])
-        src = (df.where(v.isNotNull())
-               .select(*live_g,
-                       sample_hash(v, F.col("_pos"), salt).alias("h"),
-                       v.alias("_v"), F.col("_pos").alias("pos")))
+    gcols = ["g"] if g is not None else []
     order = [F.col("h").asc(), F.col("_v").asc(), F.col("pos").asc()]
-    if g is not None:
-        # groups are the parallel unit: one bottom-k window per group
-        wg = W.partitionBy("g").orderBy(*order)
-        sample = (src.withColumn("_sr", F.row_number().over(wg))
-                  .filter(F.col("_sr") <= k).drop("_sr"))
-        gcols = ["g"]
-    else:
+
+    def bottom_k(src):
+        if g is not None:
+            # groups are the parallel unit: one bottom-k window/group
+            wg = W.partitionBy("g").orderBy(*order)
+            return (src.withColumn("_sr", F.row_number().over(wg))
+                    .filter(F.col("_sr") <= k).drop("_sr"))
         # global bottom-k: per-partition heads first (each task keeps
         # <= k), the final window ranks <= k * n_partitions survivors
         wl = W.partitionBy("_pid").orderBy(*order)
@@ -1562,9 +1721,42 @@ def sampled_quantiles_from_store(table, col: str,
                  .withColumn("_sr", F.row_number().over(wl))
                  .filter(F.col("_sr") <= k).drop("_sr", "_pid"))
         wg = W.partitionBy(F.lit(1)).orderBy(*order)
-        sample = (local.withColumn("_sr", F.row_number().over(wg))
-                  .filter(F.col("_sr") <= k).drop("_sr"))
-        gcols = []
+        return (local.withColumn("_sr", F.row_number().over(wg))
+                .filter(F.col("_sr") <= k).drop("_sr"))
+
+    def live_src():
+        # identical recipe over the live scan (same hash, same order)
+        df = table.new_scan().to_df(metadata_columns=True)
+        v = F.col(col)
+        live_g = ([F.col(group_col).alias("g")] if g is not None
+                  else [])
+        return (df.where(v.isNotNull())
+                .select(F.col("_file").alias("file_path"), *live_g,
+                        sample_hash(v, F.col("_pos"), salt).alias("h"),
+                        v.alias("_v"), F.col("_pos").alias("pos")))
+
+    src = sample = None
+    if live and set(live) <= covered:
+        # store-served: k rows per (file[, group]) of metadata, no
+        # data input
+        src = (store.where(F.col("h").isNotNull())
+               .select("file_path", *gsel, "h",
+                       F.col("value").cast(cur_stype).alias("_v"),
+                       "pos"))
+        if deletes:
+            mask = _pos_delete_mask(table, entries, deletes)
+            if mask is None:
+                src = None  # equality deletes: live fallback
+            else:
+                src = src.join(mask, ["file_path", "pos"], "left_anti")
+                sample = bottom_k(src)
+                if not _masked_serve_exact(store, src, sample, g, k):
+                    src = sample = None  # under-sampled file: live
+    if src is None:
+        src = live_src()
+        sample = None
+    if sample is None:
+        sample = bottom_k(src)
     ranked = sample.select(
         *gcols, F.col("_v"),
         F.row_number().over(

@@ -60,7 +60,19 @@ _OVERFLOW = -1  # nbits sentinel: too many distinct values, bits NULL
 
 
 def _bloom_dir(table, field_id: int) -> str:
-    return os.path.join(table.location, "stats_bloom", str(field_id))
+    """Field-id AND engine-type keyed (r11): xxhash64 is not stable
+    across type promotion (xxhash64(int) != xxhash64(long) — the JVM
+    hashes the physical width), so a store built pre-promotion would
+    never overlap post-promotion probe hashes and every file would be
+    wrongly pruned.  Keying the directory by the CURRENT engine type
+    makes promotion invalidate the store naturally: the probe finds no
+    store under the new type (keeps all files — sound), and the next
+    ANALYZE / stats.auto build lands under the new key."""
+    ftype = next((f.type for f in table.schema.fields
+                  if f.field_id == field_id), None)
+    leaf = str(field_id) if not isinstance(ftype, str) \
+        else f"{field_id}_{ftype}"
+    return os.path.join(table.location, "stats_bloom", leaf)
 
 
 def _params(n: int, fpp: float) -> tuple:

@@ -1311,15 +1311,21 @@ class Catalog:
 
     def _sql_group_count(self, masked: str, lits: list):
         """`SELECT <group cols...>, count(*) | min(c) | max(c) |
-        approx_count_distinct(c) FROM db.t [WHERE <pushable>]
+        approx_count_distinct(c) | approx_percentile(c, <frac>)
+        FROM db.t [WHERE <pushable>]
         GROUP BY <group cols> [HAVING ...] [ORDER BY <out cols>]
         [LIMIT n — ordered only; the heavy-hitters shape]`
         answered from metadata via count_rows_grouped /
-        agg_minmax_grouped / approx_ndv_grouped — per-partition record
-        counts, exact file bounds, and per-file KMV sketches are pure
-        metadata folds when the group columns are identity partition
-        columns, and degrade gracefully (only the undecidable files
-        are read) otherwise.  None (generic route)
+        agg_minmax_grouped / approx_ndv_grouped /
+        sampled_quantiles_from_store — per-partition record counts,
+        exact file bounds, per-file KMV sketches, and the grouped
+        SAMPLE plane are pure metadata folds when covered, and degrade
+        gracefully (only the undecidable/uncovered files are read)
+        otherwise.  approx_percentile (alias percentile_approx) is the
+        ENGINE's deterministic bottom-k sample semantics (r11: the
+        grouped spelling of the _sql_count_star route) — ONE group
+        column, integer percents, and no WHERE (a persisted row sample
+        cannot filter on other columns).  None (generic route)
         unless the whole statement is this shape and EVERY WHERE
         conjunct parses (all-or-nothing, same rule as _sql_count_star:
         a metadata answer can't re-apply a residual WHERE)."""
@@ -1358,9 +1364,14 @@ class Catalog:
         cntd_re = re.compile(
             rf"\s*count\(\s*distinct\s+({ident})\s*\)"
             rf"(?:\s+as\s+({ident}))?\s*$", re.IGNORECASE)
+        pctl_re = re.compile(
+            rf"\s*(approx_percentile|percentile_approx)"
+            rf"\(\s*({ident})\s*,\s*(0?\.\d+|[01](?:\.0*)?)\s*\)"
+            rf"(?:\s+as\s+({ident}))?\s*$", re.IGNORECASE)
         col_re = re.compile(rf"\s*({ident})(?:\s+as\s+({ident}))?\s*$",
                             re.IGNORECASE)
-        items = []  # (kind, col-or-None, out-name)
+        items = []      # (kind, col-or-None, out-name)
+        pct_of = {}     # out-name -> integer percent (percentile items)
         for raw in _split_top_level_commas(m.group(1)):
             cm = cnt_re.match(raw)
             if cm:
@@ -1371,6 +1382,26 @@ class Catalog:
                 items.append(("count_distinct", dm.group(1),
                               dm.group(2) or
                               f"count(DISTINCT {dm.group(1)})"))
+                continue
+            pm = pctl_re.match(raw)
+            if pm and pm.group(2) in own:
+                # GROUPED approx_percentile (r11): the engine's
+                # deterministic bottom-k SAMPLE semantics, served per
+                # group from a grouped sample store when one covers
+                # (col, group) — "p50 length per language" from
+                # metadata — identical live recipe otherwise.  Same
+                # rules as the global route (_sql_count_star): integer
+                # percents only, and a WHERE bails below (a persisted
+                # row sample cannot filter on other columns).
+                frac = float(pm.group(3))
+                pct = round(frac * 100)
+                if abs(frac * 100 - pct) > 1e-9 or not 1 <= pct <= 100:
+                    return None
+                name = (pm.group(4)
+                        or f"{pm.group(1).lower()}({pm.group(2)}, "
+                           f"{pm.group(3)})")
+                items.append(("approx_percentile", pm.group(2), name))
+                pct_of[name] = int(pct)
                 continue
             mmm = mm_re.match(raw)
             if mmm and mmm.group(2) in own:
@@ -1383,6 +1414,10 @@ class Catalog:
                 items.append(("col", km.group(1),
                               km.group(2) or km.group(1)))
                 continue
+            return None
+        if pct_of and (len(group_cols) != 1 or m.group(3)):
+            # the grouped sample plane keys on ONE group column, and a
+            # WHERE cannot filter a persisted sample: generic route
             return None
         if all(k == "col" for k, _c, _n in items):
             return None  # no aggregate at all: generic route
@@ -1455,6 +1490,24 @@ class Catalog:
                 if ex is None:
                     return None
                 exacts[c] = ex
+        qmaps = {}  # (col, pct) -> {group value: quantile_value}
+        if pct_of:
+            from linkedin_iceberg_spark.catalog.analyze import (
+                sampled_quantiles_from_store)
+            by_col: dict = {}
+            for k, c, n in items:
+                if k == "approx_percentile":
+                    by_col.setdefault(c, set()).add(pct_of[n])
+            gcol = group_cols[0]
+            try:
+                for c, ps in sorted(by_col.items()):
+                    for r in sampled_quantiles_from_store(
+                            t, c, pcts=tuple(sorted(ps)),
+                            group_col=gcol).collect():
+                        qmaps.setdefault((c, r["pct"]), {})[r[gcol]] = \
+                            r["quantile_value"]
+            except ValueError:
+                return None  # unsupported value/group type: generic
         keys = set()
         if counts is not None:
             keys |= set(counts)
@@ -1464,6 +1517,28 @@ class Catalog:
             keys |= set(nd)
         for ex in exacts.values():
             keys |= set(ex)
+        if pct_of:
+            # groups whose every value is NULL have no sample rows but
+            # must still appear (Spark returns them with a NULL
+            # percentile).  The grouped store's per-(file, group)
+            # markers enumerate the full universe from metadata;
+            # uncovered/deleted tables enumerate live (the percentile
+            # serve fell back to a live scan in that case anyway).
+            from linkedin_iceberg_spark.catalog.analyze import (
+                sample_store_groups)
+            gvals = None
+            for c in sorted(by_col):
+                try:
+                    gvals = sample_store_groups(t, c,
+                                                group_col=group_cols[0])
+                except ValueError:
+                    gvals = None
+                if gvals is not None:
+                    break
+            if gvals is None:
+                gvals = [r[0] for r in t.to_df()
+                         .select(group_cols[0]).distinct().collect()]
+            keys |= {(v,) for v in gvals}
         stypes = {f.name: f.dataType for f in t.schema.to_spark().fields}
         fields = []
         for k, c, n in items:
@@ -1484,6 +1559,9 @@ class Catalog:
                     row.append(int(ndvs[c].get(key, 0)))
                 elif k == "count_distinct":
                     row.append(int(exacts[c].get(key, 0)))
+                elif k == "approx_percentile":
+                    row.append(qmaps.get((c, pct_of[_n]),
+                                         {}).get(key[0]))
                 elif k == "col":
                     row.append(kv[c])
                 else:
@@ -2421,13 +2499,21 @@ class Catalog:
                     if os.path.isdir(base):
                         names = sorted(os.listdir(base))
                         if sub in ("stats", "stats_kmv", "stats_dict",
-                                   "stats_bloom", "stats_hist"):
+                                   "stats_hist"):
                             # every plane is FIELD-ID keyed (r9: hll +
                             # kmv joined the others); orphaned dirs of
                             # dropped columns keep their raw id
                             names = [t.schema.name_for_id(int(fid))
                                      or fid for fid in names
                                      if str(fid).isdigit()]
+                        elif sub == "stats_bloom":
+                            # r11: "<fid>_<engine type>" — the store is
+                            # type-keyed (xxhash64 is not promotion-
+                            # stable); legacy plain-id dirs still parse
+                            names = [t.schema.name_for_id(int(p0)) or n
+                                     for n in names
+                                     for p0 in [n.partition("_")[0]]
+                                     if p0.isdigit()]
                         elif sub == "stats_topk":
                             # dir names are "<fid>_m<m>"
                             out_n = []
@@ -2877,13 +2963,23 @@ class Catalog:
         f1 leaves f1.k NULL, so ``f1.k = f2.k`` never matches where
         the star's ``base.k = f2.k`` would — not the same query.
         A chain hop on a DIFFERENT column (``f1.j = f2.j``) bails to
-        the generic route: per-bucket assembly needs one entity key,
-        and j-bucketing does not align with k-bucketing.
+        the generic route: per-bucket assembly needs an entity key
+        equality class, and j-bucketing does not align with
+        k-bucketing.
+
+        r11: TWO-KEY stars route too — ``base.k1 = f1.a AND
+        base.k2 = f2.b`` with the base's spec bucketing BOTH keys and
+        each dim bucketing its key with its key group's modulus
+        executes as grid-cell assembly (colocated_multikey_assembly):
+        a base partition is a (bucket(k1), bucket(k2)) cell joining
+        f1's bucket(k1) and f2's bucket(k2) — still no exchange, no
+        join operator.  Trade-off documented there: a dim bucket is
+        read once per occupied cell on its axis.
 
         Conservative gates (generic route otherwise): every ON equates
-        the entity key (directly on the base, or transitively through
-        earlier sides), all joins are the same kind (all INNER or all
-        LEFT; LEFT additionally requires every ON to anchor the base),
+        an anchored base key (directly on the base, or transitively
+        through earlier sides — its equality class), all joins are the
+        same kind (all INNER or all LEFT; chains are INNER-only),
         non-key column names are disjoint, no subqueries, SELECT names
         its columns.  Shares the spark.liceberg.sql.colocatedJoin
         session gate with the 2-way route."""
@@ -2938,9 +3034,9 @@ class Catalog:
         base = self.load_table(base_name)
         bq = (base_alias or base_name.rsplit(".", 1)[-1]).lower()
         quals = {bq}
-        feats = []  # (table, qualifier, feature_key)
-        base_key = None
-        key_class = set()   # (qual, col) pairs proven equal to the key
+        feats = []  # (table, qualifier, feature_key, anchor base key)
+        base_keys = []      # distinct anchored base keys, in order
+        key_class = {}      # (qual, col) -> the base key it equals
         chain_anchored = False
         for (_k, fname, falias, q1, c1, q2, c2) in joins:
             ft = self.load_table(fname)
@@ -2954,64 +3050,81 @@ class Catalog:
             fkey = pair[fq]
             (aq, ac), = [(q, c) for q, c in pair.items() if q != fq]
             if aq == bq:
-                if base_key is None:
-                    base_key = ac
-                elif ac != base_key:
-                    return None  # one entity key per assembly
+                # r11: dims may anchor DIFFERENT base keys — a
+                # two-key star routes to the grid-cell assembly when
+                # the base's spec buckets every anchored key
+                anchor = ac
+                if ac not in base_keys:
+                    base_keys.append(ac)
             elif (aq, ac) in key_class:
                 # chain hop anchored on an earlier side's key column —
-                # transitively the entity key (sound for INNER only,
+                # transitively ITS base key (sound for INNER only,
                 # enforced below)
+                anchor = key_class[(aq, ac)]
                 chain_anchored = True
             else:
                 return None  # different-key chain: generic route
             if fkey not in set(ft.schema.column_names()):
                 return None
-            key_class.add((fq, fkey))
-            feats.append((ft, fq, fkey))
-        if base_key is None or \
-                base_key not in set(base.schema.column_names()):
+            key_class[(fq, fkey)] = anchor
+            feats.append((ft, fq, fkey, anchor))
+        bnames = set(base.schema.column_names())
+        if not base_keys or any(bk not in bnames for bk in base_keys):
             return None
         if chain_anchored and how != "inner":
             return None  # LEFT chain: NULL keys break transitivity
         # disjoint non-key names (the assembly output carries bare
-        # column names, the key once)
-        seen = set(base.schema.column_names()) - {base_key}
-        for ft, _fq, fkey in feats:
+        # column names, each key once)
+        seen = bnames - set(base_keys)
+        for ft, _fq, fkey, _a in feats:
             non_key = set(ft.schema.column_names()) - {fkey}
             if seen & non_key:
                 return None
             seen |= non_key
-        # all sides co-bucketed with one modulus, else generic route
-        layouts = [_bucket_layout(base, base_key)] + \
-            [_bucket_layout(ft, fk) for ft, _q, fk in feats]
-        if any(lo is None for lo in layouts) or \
-                len({lo[0] for lo in layouts}) != 1:
+        # each key group co-bucketed with one modulus, else generic
+        # route (moduli may differ ACROSS keys, r11)
+        base_lo = {bk: _bucket_layout(base, bk) for bk in base_keys}
+        if any(lo is None for lo in base_lo.values()):
             return None
+        for ft, _fq, fk, anchor in feats:
+            lo = _bucket_layout(ft, fk)
+            if lo is None or lo[0] != base_lo[anchor][0]:
+                return None
         toks = {t.lower() for t in re.findall(ident, masked)}
         bcols = [c for c in base.schema.column_names()
-                 if c.lower() in toks or c == base_key]
-        fspecs = []
-        for ft, _fq, fk in feats:
-            fcols = [c for c in ft.schema.column_names()
-                     if c.lower() in toks or c == fk]
-            fspecs.append((ft, fk, fcols))
-        j = colocated_feature_assembly(base, base_key, fspecs,
-                                       base_cols=bcols, how=how)
+                 if c.lower() in toks or c in base_keys]
+        if len(base_keys) == 1:
+            fspecs = []
+            for ft, _fq, fk, _a in feats:
+                fcols = [c for c in ft.schema.column_names()
+                         if c.lower() in toks or c == fk]
+                fspecs.append((ft, fk, fcols))
+            j = colocated_feature_assembly(base, base_keys[0], fspecs,
+                                           base_cols=bcols, how=how)
+        else:
+            from linkedin_iceberg_spark.catalog.colocated import (
+                colocated_multikey_assembly)
+            kf = []
+            for ft, _fq, fk, anchor in feats:
+                fcols = [c for c in ft.schema.column_names()
+                         if c.lower() in toks or c == fk]
+                kf.append((anchor, ft, fk, fcols))
+            j = colocated_multikey_assembly(base, kf, base_cols=bcols,
+                                            how=how)
         import hashlib as _h
         view = "liceberg_mj_" + _h.md5(
-            "|".join(names + [base_key]).encode()).hexdigest()[:8]
+            "|".join(names + base_keys).encode()).hexdigest()[:8]
         j.createOrReplaceTempView(view)
         text = f"SELECT {sel} FROM {view}{rest}"
-        # the assembled view carries bare names (key once): strip
-        # qualifiers, and rewrite feature-key references to the key
-        for (_k, fname, falias, _q1, _c1, _q2, _c2), (_ft, fq, fk) \
-                in zip(joins, feats):
-            if fk != base_key:
+        # the assembled view carries bare names (each key once): strip
+        # qualifiers, and rewrite feature-key references to their key
+        for (_k, fname, falias, _q1, _c1, _q2, _c2), \
+                (_ft, fq, fk, anchor) in zip(joins, feats):
+            if fk != anchor:
                 text = re.sub(
                     rf"(?<![A-Za-z0-9_.]){re.escape(fq)}\.{re.escape(fk)}"
                     rf"(?![A-Za-z0-9_])",
-                    base_key, text, flags=re.IGNORECASE)
+                    anchor, text, flags=re.IGNORECASE)
         for q in quals | {n.lower() for n in names}:
             text = re.sub(rf"(?<![A-Za-z0-9_.]){re.escape(q)}\.",
                           "", text, flags=re.IGNORECASE)

@@ -490,6 +490,261 @@ def colocated_feature_assembly(base, key: str, features: list,
     return seed.mapInPandas(assemble, schema=out_schema)
 
 
+def colocated_multikey_assembly(base, key_feats: list,
+                                base_cols: list = None,
+                                how: str = "left") -> DataFrame:
+    """TWO-KEY (N-key) zero-shuffle star assembly (r11): dims anchor
+    DIFFERENT base keys — ``FROM base JOIN d1 ON base.k1 = d1.a JOIN
+    d2 ON base.k2 = d2.b`` — and the base's spec buckets EVERY anchored
+    key (a multi-field bucket spec), each dim bucketing its key with
+    its key group's modulus (moduli may differ ACROSS keys).
+
+    Decomposition: a base partition is a GRID CELL (bucket(k1)=i,
+    bucket(k2)=j, ...); a base row in cell (i, j) can only meet d1 rows
+    in d1's bucket i and d2 rows in d2's bucket j, so each occupied
+    cell is one independent in-memory assembly — no exchange, no Spark
+    join operator, the scan is the join (the same argument as
+    `colocated_feature_assembly`, once per key axis).
+
+    Scale trade-off, named: dim bucket i of key k1 is read by EVERY
+    occupied cell (i, *) — up to prod(other keys' moduli) times.  The
+    grid wins when dims are feature tables much smaller than the base
+    (the star norm); for dims comparable to the base a shuffle join
+    reads less total bytes — callers choose, and every contract
+    violation falls back to chained Spark joins with identical rows.
+
+    ``key_feats``: list of (base_key, feature_table, feature_key,
+    cols-or-None)."""
+    import json as _json2
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    bcols = base_cols or base.schema.column_names()
+    base_keys = []
+    for bk, _t, _fk, _c in key_feats:
+        if bk not in base_keys:
+            base_keys.append(bk)
+    for bk in base_keys:
+        if bk not in bcols:
+            raise ValueError(f"key {bk!r} must be selected on the base")
+    feats = [(bk, t, fk, cols or t.schema.column_names())
+             for bk, t, fk, cols in key_feats]
+    for _bk, t, fk, cols in feats:
+        if fk not in cols:
+            raise ValueError(f"feature key {fk!r} must be selected")
+    claimed = set(bcols)
+    for _bk, _t, fk, cols in feats:
+        non_key = set(cols) - {fk}
+        clash = claimed & non_key
+        if fk not in base_keys and fk in claimed:
+            clash |= {fk}
+        if clash:
+            raise ValueError("colocated_multikey_assembly requires "
+                             f"disjoint non-key columns; shared: "
+                             f"{sorted(clash)}")
+        claimed |= non_key
+
+    def _fallback():
+        out = base.to_df().select(*bcols)
+        for bk, t, fk, cols in feats:
+            f_df = t.to_df().select(*cols)
+            if fk == bk:
+                out = out.join(f_df, on=bk, how=how)
+            else:
+                out = out.join(f_df, on=out[bk] == f_df[fk], how=how) \
+                    .drop(fk)
+        return out
+
+    # per key group: base layout + each anchored dim's layout, one
+    # modulus within the group
+    base_lo = {bk: _bucket_layout(base, bk) for bk in base_keys}
+    if any(lo is None for lo in base_lo.values()):
+        return _fallback()
+    feat_lo = []
+    for bk, t, fk, _cols in feats:
+        lo = _bucket_layout(t, fk)
+        if lo is None or lo[0] != base_lo[bk][0]:
+            return _fallback()
+        feat_lo.append(lo)
+
+    # plan the base into grid cells and each dim into buckets
+    def _plan(table, cols, cell_of):
+        """{cell: [split dicts]}, rev maps; None on contract breach."""
+        if any(not isinstance(f.type, str)
+               for f in table.schema.fields):
+            return None
+        tasks = table.new_scan().plan_files()
+        if any(t.deletes for t in tasks) or \
+                any(t.file.file_format != "parquet" for t in tasks):
+            return None
+        by_cell: dict = {}
+        md = table.metadata
+        rev_by_sid: dict = {}
+        for t in tasks:
+            cell = cell_of(t.file)
+            if cell is None:
+                return None
+            sid = t.file.schema_id
+            if sid not in rev_by_sid:
+                written = md.schema_by_id(sid)
+                rev_by_sid[sid] = {
+                    f.name: written.name_for_id(f.field_id)
+                    for f in md.schema.fields if f.name in cols
+                    and written.name_for_id(f.field_id) is not None}
+            by_cell.setdefault(cell, []).append(
+                {"path": t.file.file_path, "sid": t.file.schema_id})
+        return by_cell, rev_by_sid
+
+    def _base_cell(file):
+        out = []
+        for bk in base_keys:
+            pn = base_lo[bk][1].get(file.spec_id)
+            b = (file.partition or {}).get(pn) if pn else None
+            if b is None:
+                return None
+            out.append(int(b))
+        return tuple(out)
+
+    planned_base = _plan(base, bcols, _base_cell)
+    if planned_base is None:
+        return _fallback()
+    planned_feats = []
+    for (bk, t, fk, cols), lo in zip(feats, feat_lo):
+        def _feat_cell(file, _pn=lo[1]):
+            pn = _pn.get(file.spec_id)
+            b = (file.partition or {}).get(pn) if pn else None
+            return None if b is None else int(b)
+        pf = _plan(t, cols, _feat_cell)
+        if pf is None:
+            return _fallback()
+        planned_feats.append(pf)
+
+    cells = set(planned_base[0])
+    if how == "inner":
+        for (bk, _t, _fk, _c), (by, _rev) in zip(feats, planned_feats):
+            axis = base_keys.index(bk)
+            cells = {c for c in cells if c[axis] in by}
+    cells = sorted(cells)
+
+    import pyarrow as pa
+
+    from linkedin_iceberg_spark.catalog.local_read import type_to_arrow
+    spark = base.spark
+    from pyspark.sql.types import StructType
+    all_sides = [(base, None, bcols)] + \
+        [(t, fk, cols) for _bk, t, fk, cols in feats]
+    arrow_types = {}
+    sf_base = {f.name: f for f in base.schema.to_spark().fields}
+    out_fields = [sf_base[c] for c in bcols]
+    for i, (table, fk, cols) in enumerate(all_sides):
+        for f in table.schema.fields:
+            if f.name in cols:
+                arrow_types[(i, f.name)] = type_to_arrow(f.type)
+        if i > 0:
+            sf = {f.name: f for f in table.schema.to_spark().fields}
+            out_fields += [sf[c] for c in cols if c != fk]
+    out_schema = StructType(out_fields)
+    if not cells:
+        return spark.createDataFrame([], out_schema)
+    ser_types = pa.schema(
+        [pa.field(f"{i}::{n}", t)
+         for (i, n), t in sorted(arrow_types.items())]) \
+        .serialize().to_pybytes()
+
+    descs = []
+    for c in cells:
+        sides = [{"splits": planned_base[0][c],
+                  "rev": {str(s): mm for s, mm
+                          in planned_base[1].items()}}]
+        for (bk, _t, _fk, _cl), (by, rev) in zip(feats, planned_feats):
+            axis = base_keys.index(bk)
+            sides.append({"splits": by.get(c[axis], []),
+                          "rev": {str(s): mm for s, mm
+                                  in rev.items()}})
+        descs.append((int(c[0]), _json2.dumps(sides)))
+    anchor_per_feat = [bk for bk, _t, _fk, _c in feats]
+    fkey_per_feat = [fk for _bk, _t, fk, _c in feats]
+    nonkey_per_feat = [[c for c in cols if c != fk]
+                       for _bk, _t, fk, cols in feats]
+    out_names = list(bcols) + [c for nk in nonkey_per_feat for c in nk]
+    how_ = how
+    bcols_ = list(bcols)
+
+    def assemble(batches):
+        import json as _j
+
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        tgt = {}
+        for f in _pa.ipc.read_schema(_pa.py_buffer(ser_types)):
+            i, n = f.name.split("::", 1)
+            tgt[(int(i), n)] = f.type
+
+        def read_side(i, splits, rev, want):
+            tbls = []
+            for sp in splits:
+                m = rev.get(str(sp["sid"]), {})
+                pf = _pq.ParquetFile(sp["path"])
+                have = set(pf.schema_arrow.names)
+                cols = [m[c] for c in want if m.get(c) in have]
+                t = pf.read(columns=cols or None)
+                t = t.rename_columns(
+                    [next((c for c, s in m.items() if s == n), n)
+                     for n in t.column_names])
+                data = {}
+                for c in want:
+                    ty = tgt[(i, c)]
+                    if c in t.column_names:
+                        arr = t[c].combine_chunks()
+                        data[c] = arr if arr.type == ty \
+                            else arr.cast(ty)
+                    else:
+                        data[c] = _pa.nulls(len(t), ty)
+                tbls.append(_pa.table(data))
+            if not tbls:
+                return None
+            return _pa.concat_tables(tbls) \
+                .to_pandas(types_mapper=_pd.ArrowDtype)
+
+        for pdf in batches:
+            for desc_s in pdf["desc"]:
+                sides_d = _j.loads(desc_s)
+                out = read_side(0, sides_d[0]["splits"],
+                                sides_d[0]["rev"], bcols_)
+                if out is None or not len(out):
+                    continue
+                alive = True
+                for i in range(1, len(sides_d)):
+                    bk = anchor_per_feat[i - 1]
+                    fk = fkey_per_feat[i - 1]
+                    want = [fk] + nonkey_per_feat[i - 1]
+                    fp = read_side(i, sides_d[i]["splits"],
+                                   sides_d[i]["rev"], want)
+                    if fp is None or not len(fp):
+                        if how_ == "inner":
+                            alive = False
+                            break
+                        for c in nonkey_per_feat[i - 1]:
+                            out[c] = None
+                        continue
+                    if fk == bk:
+                        out = out.merge(fp, on=bk, how=how_)
+                    else:
+                        out = out.merge(fp, left_on=bk, right_on=fk,
+                                        how=how_).drop(columns=[fk])
+                    if not len(out):
+                        alive = False
+                        break
+                if alive and len(out):
+                    yield out[out_names]
+
+    rdd = spark.sparkContext.parallelize(descs, len(descs))
+    seed = spark.createDataFrame(rdd, "bucket long, desc string")
+    return seed.mapInPandas(assemble, schema=out_schema)
+
+
 _GROUPBY_FUNCS = {"count", "count_distinct", "sum", "min", "max", "avg"}
 
 

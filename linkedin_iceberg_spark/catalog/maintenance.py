@@ -921,13 +921,20 @@ def vacuum_stats(table, dry_run: bool = False) -> dict:
     else:
         valid = spark.createDataFrame([], "file_path string")
 
-    # collect leaf store dirs first (the swap below renames dirs)
+    # collect leaf store dirs first (the swap below renames dirs).
+    # Leftover .vacuum_tmp/.vacuum_old dirs from a run that died
+    # mid-swap are NOT leaves (they'd otherwise be re-vacuumed as if
+    # live, and their presence would fail this run's own renames) —
+    # they are cleared before each swap instead.
     leaves = []
     root = md.location
     for d in sorted(os.listdir(root)):
         if not d.startswith("stats"):
             continue
-        for sub, _dirs, files in os.walk(os.path.join(root, d)):
+        for sub, dirs, files in os.walk(os.path.join(root, d)):
+            dirs[:] = [x for x in dirs
+                       if not (x.endswith(".vacuum_tmp")
+                               or x.endswith(".vacuum_old"))]
             if any(f.endswith(".parquet") for f in files):
                 leaves.append(sub)
 
@@ -949,6 +956,12 @@ def vacuum_stats(table, dry_run: bool = False) -> dict:
             continue
         tmp = sub + ".vacuum_tmp"
         old = sub + ".vacuum_old"
+        # crash-safe against our own leftovers: a prior run that died
+        # between renames leaves tmp/old dirs that would fail this
+        # swap's renames — clear them first (old is a pre-GC copy, tmp
+        # a partial write; both are rebuildable advisory data)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         kept.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.rename(sub, old)
         os.rename(tmp, sub)

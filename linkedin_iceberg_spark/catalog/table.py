@@ -535,8 +535,15 @@ class Table:
                     for c in names:
                         AN.analyze_topk(self, c)
                 elif kind.strip().lower() == "sample":
+                    # grouped stores spell their group column with '@':
+                    # ``sample:len@lang`` keeps the per-(file, group)
+                    # bottom-k maintained at write time (r11) — grouped
+                    # percentile SQL stays store-served with no manual
+                    # CALL cadence
                     for c in names:
-                        AN.analyze_sample(self, c)
+                        col, _, grp = c.partition("@")
+                        AN.analyze_sample(self, col.strip(),
+                                          group_col=grp.strip() or None)
                 elif kind.strip().lower() == "dictpair":
                     # pairs spell their two columns with '+':
                     # ``dictpair:lang+source,status+priority`` (r10)

@@ -2484,6 +2484,168 @@ def table_sql_approx_quantile(spark, sf_dir):
     return spark.createDataFrame(rows, res.schema)
 
 
+@q("stats_store_quantiles_deleted", """
+WITH pos_ AS (
+  SELECT o_custkey AS v, o_orderkey % 2 AS par,
+         row_number() OVER (PARTITION BY o_orderkey % 2
+                            ORDER BY o_orderkey) - 1 AS pos
+  FROM orders
+),
+alive AS (
+  SELECT v, pos FROM pos_
+  WHERE NOT ((par = 0 AND pos < 25)
+             OR (par = 1 AND pos BETWEEN 10 AND 40))
+),
+hashed AS (
+  SELECT v, pos,
+         md5('v1-' || v::VARCHAR || '-' || pos::VARCHAR) AS h
+  FROM alive WHERE v IS NOT NULL
+),
+sample AS (
+  SELECT v, pos FROM (
+    SELECT v, pos, row_number() OVER (ORDER BY h, v, pos) AS sr
+    FROM hashed
+  ) WHERE sr <= 512
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v, pos) AS rk FROM sample
+),
+cnt AS (SELECT count(*) AS n FROM sample),
+p AS (SELECT unnest([10, 50, 90]) AS pct),
+tgt AS (
+  SELECT pct, n, greatest(1, (pct * n + 99) // 100) AS rk
+  FROM cnt CROSS JOIN p
+)
+SELECT t.pct, CAST(t.n AS BIGINT) AS n_sampled, r.v AS quantile_value
+FROM ranked r JOIN tgt t ON t.rk = r.rk
+ORDER BY t.pct""")
+def stats_store_quantiles_deleted(spark, sf_dir):
+    """r11: DELETE-TOLERANT store quantiles — the r10 verdict's one
+    named scale cliff closed.  A position-delete commit (pos 0-24 of
+    the even file, 10-40 of the odd) no longer forces the live path:
+    the sequence-scoped delete rows anti-join the store rows on
+    (file_path, pos), and a masked per-file store is exactly the
+    file's live bottom-(k - deleted-stored) — so the percentile
+    question stays a METADATA read after the DELETE, poison-proven
+    in-query by physically hiding every data file.  The oracle replays
+    physical positions, the delete predicate, the hash, the bottom-512
+    of the SURVIVING rows, and the rank arithmetic — byte-identical to
+    the live recipe by the KMV-merge + mask argument
+    (analyze._masked_serve_exact guards the truncated-exhaustion edge
+    with a live fallback)."""
+    import shutil
+    from linkedin_iceberg_spark.catalog.analyze import (
+        analyze_sample, sampled_quantiles_from_store)
+    o = ld(spark, sf_dir, "orders")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.orders_sqd", o)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0)
+             .orderBy("o_orderkey").coalesce(1))
+    t = t.refresh()
+    even = {e.data_file.file_path
+            for e in t._live_data_and_deletes()[0]}
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1)
+             .orderBy("o_orderkey").coalesce(1))
+    t = t.refresh()
+    odd = {e.data_file.file_path
+           for e in t._live_data_and_deletes()[0]} - even
+    assert analyze_sample(t, "o_custkey", k=512) == 2
+    (ep,), (op_,) = sorted(even), sorted(odd)
+    pos = spark.createDataFrame(
+        [(ep, i) for i in range(25)]
+        + [(op_, i) for i in range(10, 41)],
+        "file_path string, pos bigint")
+    t.row_delta(position_deletes=pos)
+    t = t.refresh()
+    res = sampled_quantiles_from_store(t, "o_custkey",
+                                       pcts=(10, 50, 90), k=512)
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        shutil.move(e.data_file.file_path,
+                    e.data_file.file_path + ".poison")
+        moved.append(e.data_file.file_path)
+    try:
+        rows = res.collect()
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    return spark.createDataFrame(rows, res.schema)
+
+
+@q("table_sql_approx_quantile_grouped", """
+WITH pos_ AS (
+  SELECT lang, n_chars AS v,
+         row_number() OVER (PARTITION BY doc_id % 2
+                            ORDER BY doc_id) - 1 AS pos
+  FROM documents
+),
+hashed AS (
+  SELECT lang, v, pos,
+         md5('v1-' || v::VARCHAR || '-' || pos::VARCHAR) AS h
+  FROM pos_ WHERE v IS NOT NULL
+),
+sample AS (
+  SELECT lang, v, pos FROM (
+    SELECT lang, v, pos,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY h, v, pos) AS sr
+    FROM hashed
+  ) WHERE sr <= 1024
+),
+ranked AS (
+  SELECT lang, v,
+         row_number() OVER (PARTITION BY lang ORDER BY v, pos) AS rk
+  FROM sample
+),
+cnt AS (SELECT lang, count(*) AS n FROM sample GROUP BY lang),
+tgt AS (
+  SELECT lang, pct, greatest(1, (pct * n + 99) // 100) AS rk
+  FROM cnt CROSS JOIN (SELECT unnest([50, 90]) AS pct)
+)
+SELECT r.lang,
+       max(CASE WHEN t.pct = 50 THEN r.v END) AS p50,
+       max(CASE WHEN t.pct = 90 THEN r.v END) AS p90
+FROM ranked r JOIN tgt t ON t.lang = r.lang AND t.rk = r.rk
+GROUP BY r.lang
+ORDER BY r.lang""")
+def table_sql_approx_quantile_grouped(spark, sf_dir):
+    """r11: the GROUPED SQL spelling of the sample plane —
+    ``SELECT lang, approx_percentile(n_chars, 0.5) ... GROUP BY lang``
+    routes through the grouped sample store (_sql_group_count), so
+    "p50 document length per language" answers from METADATA with zero
+    data I/O (poison goes on BEFORE cat.sql: the grouped fast route
+    evaluates eagerly).  The oracle replays the grouped pipeline at
+    the route's default k=1024: physical positions, the portable hash,
+    each language's bottom-k, and the grouped rank arithmetic for both
+    fractions."""
+    import shutil
+    d = ld(spark, sf_dir, "documents")
+    cat = _tmp_catalog(spark)
+    t = cat.create_table("q.docs_gq", d)
+    t.append(d.filter(F.col("doc_id") % 2 == 0)
+             .orderBy("doc_id").coalesce(1))
+    t.append(d.filter(F.col("doc_id") % 2 == 1)
+             .orderBy("doc_id").coalesce(1))
+    t = t.refresh()
+    cat.sql("CALL analyze_sample('q.docs_gq', 'n_chars', 1024, "
+            "'lang')")
+    moved = []
+    for e in t._live_data_and_deletes()[0]:
+        shutil.move(e.data_file.file_path,
+                    e.data_file.file_path + ".poison")
+        moved.append(e.data_file.file_path)
+    try:
+        res = cat.sql(
+            "SELECT lang, approx_percentile(n_chars, 0.5) AS p50, "
+            "percentile_approx(n_chars, 0.9) AS p90 "
+            "FROM q.docs_gq GROUP BY lang ORDER BY lang")
+        rows = res.collect()
+    finally:
+        for p in moved:
+            shutil.move(p + ".poison", p)
+    return spark.createDataFrame(rows, res.schema)
+
+
 @q("stats_global_quantiles", """
 WITH rows_ AS (
   SELECT n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL
@@ -6854,6 +7016,59 @@ def table_sql_chain_join(spark, sf_dir):
                    ("SortMergeJoin", "BroadcastHashJoin",
                     "ShuffledHashJoin", "CartesianProduct")), \
         "chain-join SQL fell back to Spark join operators"
+    return df
+
+
+@q("table_sql_two_key_star", """
+SELECT o.o_orderkey, o.o_custkey, c1.c_acctbal AS bal, d2.pr AS pr
+FROM orders o
+JOIN (SELECT c_custkey, c_acctbal FROM customer) c1
+     ON o.o_custkey = c1.c_custkey
+JOIN (SELECT o_orderkey AS k2, o_orderpriority AS pr FROM orders) d2
+     ON o.o_orderkey = d2.k2
+ORDER BY o.o_orderkey""")
+def table_sql_two_key_star(spark, sf_dir):
+    """r11: TWO-KEY co-located star — dims anchor DIFFERENT base keys
+    (``b.o_custkey = s.k1 AND b.o_orderkey = g.k2``), the base's spec
+    buckets BOTH keys, and the statement executes as grid-cell
+    assembly (colocated_multikey_assembly): a base partition is a
+    (bucket(custkey)=i, bucket(orderkey)=j) cell joining dim1's bucket
+    i and dim2's bucket j — NO exchange, NO Spark join operator
+    (asserted in-query), closing the r10 verdict's single-entity-key
+    gap.  Key groups carry DIFFERENT moduli (8 and 4) — only
+    within-group agreement is required.  Trade-off at scale is
+    documented on the operator: a dim bucket is read once per occupied
+    cell on its axis, the win case being dims much smaller than the
+    base (the star norm).  The oracle replays the star as plain
+    joins."""
+    def build(cat):
+        from linkedin_iceberg_spark import PartitionSpec, Schema
+        o = ld(spark, sf_dir, "orders")
+        c = ld(spark, sf_dir, "customer")
+        f1 = c.select(F.col("c_custkey").alias("k1"),
+                      F.col("c_acctbal").alias("bal"))
+        f2 = o.select(F.col("o_orderkey").alias("k2"),
+                      F.col("o_orderpriority").alias("pr"))
+        so = PartitionSpec.builder_for(Schema.from_spark(o.schema)) \
+            .bucket("o_custkey", 8).bucket("o_orderkey", 4).build()
+        s1 = PartitionSpec.builder_for(Schema.from_spark(f1.schema)) \
+            .bucket("k1", 8).build()
+        s2 = PartitionSpec.builder_for(Schema.from_spark(f2.schema)) \
+            .bucket("k2", 4).build()
+        cat.create_table("q.tk_base", o, spec=so).append(o)
+        cat.create_table("q.tk_f1", f1, spec=s1).append(f1)
+        cat.create_table("q.tk_f2", f2, spec=s2).append(f2)
+
+    cat = _cached_table(spark, sf_dir, "two_key_star", build)
+    df = cat.sql(
+        "SELECT b.o_orderkey, b.o_custkey, s.bal, g.pr "
+        "FROM q.tk_base b JOIN q.tk_f1 s ON b.o_custkey = s.k1 "
+        "JOIN q.tk_f2 g ON b.o_orderkey = g.k2 ORDER BY b.o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not any(op in plan for op in
+                   ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "CartesianProduct")), \
+        "two-key star SQL fell back to Spark join operators"
     return df
 
 

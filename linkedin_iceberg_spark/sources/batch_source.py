@@ -787,6 +787,15 @@ class TableBatchDataSource(DataSource):
         if str(self.options.get("metadata-columns")
                or self.options.get("metadata_columns")
                or "").lower() in ("true", "1", "yes"):
+            clash = {f.name for f in out.fields} & {"_file", "_pos"}
+            if clash:
+                # the reference rejects reserved-name collisions
+                # (MetadataColumns); a silent duplicate-name schema
+                # would shadow one column ambiguously
+                raise ValueError(
+                    f"table schema already contains reserved metadata "
+                    f"column(s) {sorted(clash)}; cannot attach _file/"
+                    f"_pos via metadata-columns=true")
             out = StructType(list(out.fields) +
                              [StructField("_file", StringType(), True),
                               StructField("_pos", LongType(), True)])

@@ -60,33 +60,64 @@ def read_orc_files(spark: SparkSession, files: list, written,
         import pyarrow.compute as _pc
 
         tgt = _pa.ipc.read_schema(_pa.py_buffer(ser_schema))
+
+        def emit(tbl, n, path, pconst, pos0):
+            names = set(tbl.column_names) if tbl is not None else set()
+            data = {}
+            for f in tgt:
+                if f.name in names:
+                    arr = tbl[f.name]
+                    if isinstance(arr, _pa.ChunkedArray):
+                        arr = arr.combine_chunks()  # read_stripe gives
+                    # plain Arrays; whole-table reads give ChunkedArrays
+                    data[f.name] = arr if arr.type == f.type \
+                        else arr.cast(f.type)
+                elif f.name in pconst:
+                    data[f.name] = _pc.cast(
+                        _pa.array([pconst[f.name]] * n), f.type)
+                else:
+                    data[f.name] = _pa.nulls(n, f.type)
+            out = _pa.table(data).to_pandas()
+            out["_file"] = path
+            out["_pos"] = range(pos0, pos0 + n)
+            return out
+
         for pdf in batches:
             for path, pconst_s in zip(pdf["path"], pdf["pconst"]):
                 from pyarrow import orc as _orc
                 of = _orc.ORCFile(path)
+                pconst = _j.loads(pconst_s)
                 fnames = set(of.schema.names)
                 # physical column pruning: read only the target fields
                 # the file actually stores (a one-column ANALYZE over a
                 # wide ORC file must not decode the whole file)
                 want = [f.name for f in tgt if f.name in fnames]
-                tbl = of.read(columns=want) if want else of.read()
-                pconst = _j.loads(pconst_s)
-                names = set(tbl.column_names)
-                data = {}
-                for f in tgt:
-                    if f.name in names:
-                        arr = tbl[f.name].combine_chunks()
-                        data[f.name] = arr if arr.type == f.type \
-                            else arr.cast(f.type)
-                    elif f.name in pconst:
-                        data[f.name] = _pc.cast(
-                            _pa.array([pconst[f.name]] * len(tbl)), f.type)
-                    else:
-                        data[f.name] = _pa.nulls(len(tbl), f.type)
-                out = _pa.table(data).to_pandas()
-                out["_file"] = path
-                out["_pos"] = range(len(out))
-                yield out
+                if want:
+                    # stripe loop (r11): task memory is bounded by ONE
+                    # stripe, not the whole file — an imported multi-GB
+                    # ORC file no longer spikes a task.  The running
+                    # offset keeps _pos exact across stripe boundaries
+                    # (stripes are read in file order).
+                    pos = 0
+                    for si in range(of.nstripes):
+                        tbl = of.read_stripe(si, columns=want)
+                        yield emit(tbl, len(tbl), path, pconst, pos)
+                        pos += len(tbl)
+                    if of.nstripes == 0:
+                        yield emit(None, 0, path, pconst, 0)
+                else:
+                    # NONE of the target fields stored (file written
+                    # before every requested column existed): only the
+                    # row COUNT matters — synthesize constants/nulls
+                    # from file metadata (of.nrows) without decoding a
+                    # single column, in bounded chunks
+                    n = of.nrows
+                    chunk = 1 << 17
+                    if n == 0:
+                        yield emit(None, 0, path, pconst, 0)
+                    for pos in range(0, n, chunk):
+                        yield emit(None, min(chunk, n - pos), path,
+                                   pconst, pos)
 
     spark_schema = written.to_spark()
     ddl = ",".join(f"`{f.name}` {f.dataType.simpleString()}"

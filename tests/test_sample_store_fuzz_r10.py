@@ -42,6 +42,42 @@ def _mk_table(catalog, spark, seed):
     return t.refresh(), rng
 
 
+@pytest.mark.parametrize("seed", [111, 222, 333, 444])
+def test_store_equals_live_with_random_pos_deletes(catalog, spark, seed):
+    """r11: after random position deletes (stored and unstored rows
+    alike) the serve — store-masked or guard-forced live — must still
+    equal the live replay byte-for-byte."""
+    import os
+    import shutil
+
+    t, rng = _mk_table(catalog, spark, seed)
+    k = rng.choice([2, 16, 4096])
+    grouped = rng.random() < 0.5
+    gkw = {"group_col": "s"} if grouped else {}
+    analyze_sample(t, "v", k=k, **gkw)
+    # random (file, pos) deletes: positions may or may not exist/be
+    # stored — both are legal delete-file contents
+    files = [e.data_file.file_path
+             for e in t._live_data_and_deletes()[0]]
+    pairs = sorted({(rng.choice(files), rng.randrange(0, 120))
+                    for _ in range(rng.randrange(1, 25))})
+    pos = spark.createDataFrame(pairs, "file_path string, pos bigint")
+    t.row_delta(position_deletes=pos)
+    t = t.refresh()
+    pcts = sorted(rng.sample(range(1, 101), 2))
+    served = sampled_quantiles_from_store(t, "v", pcts=pcts, k=k,
+                                          **gkw).collect()
+    d = os.path.join(t.location, "stats_sample")
+    shutil.move(d, d + ".hide")
+    try:
+        live = sampled_quantiles_from_store(t, "v", pcts=pcts, k=k,
+                                            **gkw).collect()
+    finally:
+        shutil.move(d + ".hide", d)
+    assert [tuple(r) for r in served] == [tuple(r) for r in live], \
+        (seed, k, pcts, grouped, pairs)
+
+
 @pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66])
 def test_store_equals_live_randomized(catalog, spark, seed):
     t, rng = _mk_table(catalog, spark, seed)
