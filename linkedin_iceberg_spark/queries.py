@@ -7320,502 +7320,93 @@ def join_runtime_bloom(spark, sf_dir):
 
 
 _PRIORITY = [
-    # r10 head: the round's new operators first — exact-substring dedup
-    # (Lee et al. 2022), the chain-spelled co-located star, and the
-    # pair-dictionary conjunction prune — plus the two old rows whose
-    # READ PATHS CHANGED this round (position deletes + metadata
-    # columns are format-agnostic now: the avro/orc whole-file readers
-    # carry exact _pos, so table_position_deletes and table_format_avro
-    # re-earn their rows on the new code).
-    "dedup_substrings", "table_sql_chain_join", "table_scan_pair_pruned",
-    "table_vacuum_stats", "stats_store_quantiles",
-    "table_sql_approx_quantile",
-    "table_ds_metadata_columns",
-    "table_position_deletes", "table_format_avro",
-    # r10 rotation (verdict ask #7 — lifetime coverage is 202/202, so
-    # the window now re-checks the OLDEST green rows): 15 entries whose
-    # last driver row is r1-r3 rotate back in; out go 20 r9-green
-    # UNCHANGED entries, every family keeping in-window representation
-    # (see the tail block).
-    "agg_count_distinct", "agg_cube", "join_broadcast_dims",
-    "join_left_outer", "window_running_sum", "window_rank_dense",
-    "set_union_distinct", "scalar_date_funcs", "scalar_array_funcs",
-    "sort_multi_nulls", "dedup_ngram_jaccard", "events_session_window",
-    "table_time_travel", "streaming_stateful_sessions",
-    "table_rollback_wap",
-    # table-format plane: the queries that distinguish this engine
-    # r4: the verdict's #1 ask — rotate the 8 registered-but-never-
-    # windowed queries in so S10/S11/S12/A4 (+ the four relational ones)
-    # get CORRECTNESS rows.  Out go 8 lifetime-green (r1+r2+r3) unchanged
-    # entries whose families keep in-window representatives:
-    #   table_time_travel        -> table_local_read   (S10; scan family
-    #       keeps table_scan_pruned/bucket_pruned/planned_tasks)
-    #   table_spec_evolution     -> meta_find_files    (S11; DML family
-    #       keeps update/merge/overwrite/changelog/compaction)
-    #   table_schema_evolution_nested -> meta_scan_summary (S12; family
-    #       keeps table_schema_evolution + table_merge_schema_append)
-    #   table_position_deletes   -> table_remove_orphans (A4; deletes
-    #       family keeps table_equality_deletes + table_delete_where)
-    #   table_format_avro        -> table_sql_over_view (format family
-    #       keeps table_format_orc)
-    #   table_transaction        -> agg_grouping_sets
-    #   meta_files_stats         -> agg_approx_percentile (meta family
-    #       gains find_files + scan_summary this round)
-    #   join_asof                -> join_skew_salted (joins family rep)
-    # r4 late: table_scan_pruned (green r1+r2+r3, unchanged; the scan
-    # family keeps table_scan_planned_tasks + table_local_read in-window)
-    # rotates out for sample_temperature_mix (new: sqrt-temperature
-    # source rebalancing with an integer-exact quota oracle)
-    # r4 late: table_delete_where (green r1+r2+r3, unchanged; the DML
-    # family keeps update_where/merge_full/overwrite_where/equality_
-    # deletes in-window) rotates out for table_rewrite_pos_deletes (new:
-    # position-delete compaction — merge + dedupe + dead-row purge)
-    # r7 session 2 rotation (window stays 50; retire multi-round-green
-    # unchanged entries whose families keep in-window representation):
-    #   sample_temperature_mix (green r4+r5+r6; sampling keeps
-    #     weighted_pps + shuffle_shards) -> stats_exact_quantiles (new:
-    #     exact per-group order-statistics quantiles)
-    #   table_local_read (green r4+r5+r6; the alternative-read-path
-    #     family) -> table_batch_source_read (new: the batch Python
-    #     DataSource — the strictly richer read integration: deletes,
-    #     schema alignment, plan-time filter pushdown)
-    # r8 rotation (window stays 50; retire 3+-round-green unchanged
-    # entries whose families keep in-window representation, rotate in
-    # the 8 registered-but-never-windowed r7 queries):
-    #   table_rewrite_pos_deletes (green r4-r7; deletes family keeps
-    #     equality_deletes + purge_forgotten) -> table_sql_merge_sync
-    #   meta_analyze_ndv (green r5-r7; meta family keeps sql_count_meta
-    #     + count_pushdown) -> stats_global_quantiles
-    #   table_object_store_layout (green r5-r7; the write-layout family
-    #     gains its declared-order sibling) -> table_write_ordered
-    #   table_branch_merge (green r5-r7; refs family keeps
-    #     branch_workflow + snapshot_diff) -> table_rename_flow
-    #   table_key_index_lookup (green r5-r7; the persisted-index family
-    #     keeps similarity_keyword_index + ivf_pruned/refresh)
-    #     -> table_sql_view
-    #   table_snapshot_clone (green r4-r7; snapshot family keeps
-    #     branch_workflow + snapshot_diff) -> table_sql_mview
-    #   streaming_incremental_dedup (green r3-r7; streaming family
-    #     gains the DSv2 round-trip) -> streaming_dsv2_roundtrip
-    #   table_scan_planned_tasks (green r3-r7; scan family keeps
-    #     sql_pruned + batch_source_read, which plans through the same
-    #     split planner) -> stats_sampled_quantiles
-    # r9 head: this round's new capabilities first — the ADVICE fixes
-    # (incremental-through-compaction) and the four closed verdict gaps
-    # (N-way co-located SQL, string/float min/max folds, DataSource
-    # write-format, bloom-tightened runtime filter) — plus the only two
-    # queries of 195 never driver-windowed (table_sql_group_count,
-    # table_sql_star_multidim, the r8 verdict's explicit rotation ask)
-    "table_sql_multijoin",
-    "table_sql_minmax_meta",
-    "join_runtime_bloom", "table_metadata_columns",
-    "sample_dsir_select",
-    # r5: meta_scan_summary (green r4, unchanged; the metadata family
-    # keeps meta_find_files in-window) rotates out for meta_analyze_ndv
-    # (new: incremental per-file NDV sketch statistics)
-    # r5: table_schema_evolution (green r1+r4, unchanged; the schema
-    # family keeps its lifetime rows incl. merge_schema_append and the
-    # nested-evolution pytest suite) rotates out for
-    # table_changelog_mirror (new: exactly-once CDC mirror, streamable
-    # through the table stream source)
-    # r7 session 2: meta_find_files (green r4+r5+r6; meta family keeps
-    # analyze_ndv + count_pushdown + sql_count_meta) rotates out for
-    # text_rocchio_classify (new: integer-exact nearest-centroid
-    # classifier, trained and replayed in the oracle)
-    # r3: table_overwrite_dynamic (green r1+r2; overwrite family keeps
-    # table_overwrite_where in-window) rotates out for table_update_where
-    # (new: keyless copy-on-write UPDATE with pruned candidates)
-    # r3 late: table_incremental_scan (green r1+r2, code unchanged) rotates
-    # out for text_chunk (new: token-window chunking with overlap)
-    # r4 late: text_chunk (green r3, unchanged; text family keeps pack/
-    # pack_sharded/split_assign/trigram_novelty + the release pipeline
-    # in-window) rotates out for events_funnel (new: ordered-funnel
-    # conversion — the events family's first in-window rep since r3)
-    # r5: table_update_where (green r3+r4, unchanged; DML family keeps
-    # overwrite_where/equality_deletes/rewrite_pos_deletes in-window)
-    # rotates out for table_sql_direct (new: Catalog.sql — SQL over
-    # engine tables with zero manual view registration)
-    # r7: table_sql_direct (green r5+r6, unchanged; the SQL family keeps
-    # table_sql_dml — whose INSERT path CHANGED this round — and
-    # table_sql_pruned in-window, and gains merge/ddl/insert_overwrite/
-    # count_meta rows) rotates out for table_sql_merge (registered r6,
-    # never windowed; grammar widened r7 with UPDATE SET * + INSERT
-    # (cols) VALUES); events_funnel (green r4+r5+r6, unchanged; events
-    # family keeps retention + transitions in-window) rotates out for
-    # table_sql_ddl (registered r6, never windowed; widened r7 with
-    # plain CREATE TABLE + VALUES + DESCRIBE/SHOW)
-    "table_sql_merge",
-    # r3: table_scan_truncate_pruned (green r1+r2; bucket twin stays) rotates
-    # out for table_changelog (new: CDC scan over a MERGE commit)
-    # r4 late: table_changelog (green r3, unchanged; CDC evidence stands
-    # on its r3 row and the in-window upsert sink) rotates out for
-    # dedup_text_clustered (new: transitive near-dup clusters with a
-    # recursive-CTE full-pipeline oracle)
-    # r7: dedup_text_clustered (green r4+r5+r6, unchanged; dedup family
-    # keeps edit_distance/minhash_lsh_full/spans/semdedup in-window)
-    # rotates out for text_lm_score (registered r6, never windowed —
-    # the corpus-trained bigram LM quality score)
-    "text_lm_score",
-    # r3: table_merge_upsert (green r1+r2) rotates out for table_merge_full
-    # (new: conditional matched-update/delete + unmatched-insert MERGE)
-    # r3 late: table_migrate_import (green r1+r2; the import plane keeps
-    # legacy_hive_scan in-window and add_files pytest coverage) rotates out
-    # for text_pack (new: concat-cut sequence packing)
-    # r3 late: table_expire_snapshots (green r1+r2; maintenance family
-    # keeps compaction/rewrite-manifests/rollback in-window) rotates out
-    # for table_incremental_view (new: changelog-driven view maintenance)
-    # r4: table_incremental_view and table_rewrite_manifests (both green
-    # r3, unchanged; maintenance family keeps compaction + rollback_wap,
-    # CDC family keeps table_changelog) rotate out for text_token_entropy
-    # and similarity_matryoshka (new operators)
-    # r5: table_merge_full (green r3+r4, unchanged; DML family keeps
-    # update_where/overwrite_where/equality_deletes/rewrite_pos_deletes
-    # in-window) rotates out for events_transitions (registered r4,
-    # never windowed — the last events-family query without a driver
-    # row); text_pack (green r3+r4, operator unchanged this round; text
-    # family keeps pack_sharded/token_entropy/trigram_novelty in-window)
-    # rotates out for table_object_store_layout (registered r4 late,
-    # never windowed — hashed object-store file layout)
-    # r7 session 2: events_transitions (green r5+r6, unchanged; events
-    # family keeps events_retention, and the events TABLE gains a new
-    # exerciser) rotates out for join_interval_events (new: bucketized
-    # point-in-interval join — hash equi-plan, never a nested loop)
-    # r6: table_sql_over_view (green r4+r5, unchanged; the SQL family
-    # keeps table_sql_direct + table_sql_dml in-window and gains the
-    # strictly-stronger pruned variant) rotates out for table_sql_pruned
-    # (new: WHERE predicates pushed from Catalog.sql into scan planning
-    # — manifest/file-level pruning on the SQL path, verdict #1)
-    # r7: text_token_entropy (green r4+r5+r6, unchanged; the text family
-    # keeps pack_sharded/trigram_novelty in-window and gains lm_score)
-    # rotates out for table_sql_count_meta (new r7: SELECT count(*)
-    # through Catalog.sql answered from manifest record counts — the
-    # verdict's stretch #7, poison-proven zero data input)
-    # r8 session 4: table_equality_deletes (green r2-r7, 6 lifetime
-    # rows, unchanged; the deletes family keeps table_overwrite_where +
-    # table_purge_forgotten + table_sql_dml in-window, and
-    # table_sql_merge_sync routes through the same equality-delete
-    # plane) rotates out for table_scan_bloom_pruned (new r8: bloom
-    # file skipping — per-file filters prune high-cardinality eq/IN
-    # point lookups that bounds AND dictionaries cannot);
-    # table_format_orc (green r2-r7, 6 lifetime rows, unchanged; the
-    # format family keeps table_batch_source_read — the unified
-    # DataSource surface — in-window) rotates out for
-    # agg_colocated_groupby (new r8: zero-shuffle co-located GROUP BY,
-    # no-exchange/no-aggregate-operator plan asserted in the query)
-      "table_sql_count_meta",
-    # r8 session 4: table_remove_orphans (green r4-r7, 4 lifetime rows,
-    # unchanged; the maintenance family keeps table_compaction — whose
-    # CALL optimize composite also exercises orphan-adjacent cleanup —
-    # in-window) rotates out for meta_topk_bounded (new r8: the
-    # heavy-hitter plane — per-file truncated histograms merged into
-    # [lower, upper] bounds, exact-regime collapse asserted in-query)
-    "agg_colocated_groupby",  "table_sql_pruned",
-    # r4: table_merge_schema_append (lifetime-green, unchanged; schema
-    # family keeps table_schema_evolution in-window) rotates out for
-    # text_pack_sharded (new: per-shard packing — pack_sequences'
-    # shard_col mode, the verdict's "kill the last single-task plan" ask;
-    # its global twin text_pack stays in-window since the operator code
-    # changed this round)
-    # r7 session 2: text_pack_sharded (green r4+r5+r6; text family
-    # keeps lm_score + trigram_novelty, packing keeps its pytest suite)
-    # rotates out for pipeline_quality_gate (new: LM score -> exact
-    # per-language percentile cut -> gated keep-set, one composed
-    # full-pipeline oracle)
-    "pipeline_quality_gate",
-    # r3: three commit operators that were pytest-only get driver rows —
-    # overwrite-by-filter (W4), rewrite-manifests (W9), rollback+WAP (W13).
-    # They take the slots of meta_snapshots_log / events_sliding_window /
-    # multimodal_meta (each green in r2; their families keep in-window
-    # representatives: meta_partitions+files, events tumbling+session,
-    # multimodal decode_features).
-    # r5: table_rollback_wap (green r3+r4, unchanged; snapshot-mgmt
-    # family keeps tag_travel/branch_workflow/snapshot_clone in-window)
-    # rotates out for table_branch_merge (new: diverged-branch merge as
-    # ordered conflict-validated cherry-picks)
-    # r7 session 2: similarity_matryoshka (green r4+r5+r6; similarity
-    # family keeps hybrid_rrf + pq_search + ivf_pruned + ivf_refresh)
-    # rotates out for similarity_keyword_index (new: persisted inverted
-    # keyword index, the file-pruned keyword serving channel)
-    "table_overwrite_where",
-    # metadata tables / streaming / multimodal
-    # r3 late: meta_partitions_months (green r1+r2, unchanged; family keeps
-    # meta_files_stats in-window) rotates out for legacy_hive_scan (new:
-    # the legacy Hive table adapter — plain Hive directory through the
-    # Table/TableScan API with partition pruning + residuals)
-    # r5: legacy_hive_scan (green r3+r4, unchanged; the import/legacy
-    # plane keeps its lifetime-green table_migrate_import row and full
-    # pytest coverage) rotates out for table_key_index_lookup (new:
-    # secondary key index — point-lookup file pruning for
-    # high-cardinality non-partition keys)
-    # r8 session 3: agg_grouping_sets (green r4-r7, unchanged; the agg/
-    # sketch family keeps agg_kmv_overlap in-window plus lifetime rows
-    # across cube/rollup/pivot/hll) rotates out for meta_kmv_ndv (new
-    # r8: the KMV statistics plane — per-file bottom-k portable-hash
-    # sketches whose estimate the oracle replays EXACTLY, unlike the
-    # 5%-band HLL row it strengthens)
-    # r10 late: meta_kmv_ndv (green r8+r9, operator unchanged; the KMV
-    # family keeps table_sql_approx_ndv + meta_kmv_overlap_tables
-    # in-window) slides below the 50-cut for table_sql_approx_quantile
-    # (new r10: the SQL spelling of the sample plane)
-    # r3: streaming_sink_counts / streaming_source_total (green r1+r2,
-    # unchanged) rotate out for the two new streaming operators — bounded-
-    # state dedup and the watermarked stream-stream interval join
-    # r4: streaming_stream_join (green r3, unchanged; streaming family
-    # keeps dedup/sessions/upsert/incremental-dedup in-window) rotates
-    # out for agg_hll_mergeable (new: mergeable HLL sketch rollup)
-    # r4: streaming_dedup (green r3, unchanged; family keeps sessions/
-    # upsert/incremental-dedup/enrichment) rotates out for
-    # table_tag_travel (new: named refs pinned through deletes + expiry)
-    # r4 late: streaming_stateful_sessions (green r3; the family keeps
-    # upsert/incremental-dedup/enrichment in-window and the sessions op
-    # is pytest-covered) rotates out for streaming_partition_reprocess
-    # (new: Kappa-style idempotent partition reprocessing)
-    # r7: table_tag_travel (green r4+r5+r6, unchanged; snapshot-mgmt
-    # family keeps branch_workflow/branch_merge/snapshot_clone/
-    # snapshot_diff in-window) rotates out for similarity_hybrid_rrf
-    # (registered r6, never windowed — reciprocal-rank-fusion hybrid
-    # retrieval, now with the optional IVF-index channel);
-    # agg_hll_mergeable (green r4+r5+r6, unchanged; the sketch family
-    # keeps grouping_sets + kmv_overlap in-window) rotates out for
-    # table_sql_insert_overwrite (new r7: CREATE TABLE (cols) + INSERT
-    # SELECT/VALUES + dynamic-partition INSERT OVERWRITE, the verdict's
-    # #1 ask)
-    "similarity_hybrid_rrf",
-    # r5: streaming_partition_reprocess (green r4, unchanged;
-    # streaming family keeps incremental_dedup in-window and
-    # lifetime rows across sinks/joins/sessions) rotates out for
-    # table_sql_dml (new: the INSERT/DELETE/UPDATE surface of
-    # Catalog.sql with asserted affected-row counts)
-    "table_sql_dml",
-    "multimodal_decode_features",
-    # event windows + text analysis (text_bpe_tokens new in r3; takes the
-    # slot of double-green similarity_topk below)
-    # r3: events_session_window (green r1+r2; tumbling twin stays) rotates
-    # out for streaming_upsert_sink (new: epoch-idempotent CDC apply)
-    # r3 late: events_tumbling_window (green r1+r2, unchanged; family all
-    # lifetime-green) rotates out for text_repetition (new: Gopher-style
-    # duplicate-line + top-bigram repetition signals)
-    # r4 late: streaming_upsert_sink (green r3, unchanged; streaming
-    # family keeps incremental_dedup/enrichment/partition_reprocess
-    # in-window) rotates out for table_snapshot_clone (new: zero-copy
-    # snapshot-table clone with preserved delete sequence numbers)
-    "table_sql_mview",
-    # r3 late: text_token_stats (green r1+r2) rotates out for
-    # text_split_assign (new: deterministic hash-bucket train/val/test);
-    # text_quality_score (green r1+r2) rotates out for text_pii_scrub
-    # (new: email/long-number redaction with audit counts); text_lang_id
-    # (green r2) rotates out for text_decontaminate (new: 8-gram benchmark
-    # overlap anti-join)
-    # r4: text_decontaminate (green r3, unchanged; text family keeps
-    # five in-window entries) rotates out for streaming_enrichment
-    # (new: stream-static broadcast dimension join)
-    # r4 late: text_pii_scrub (green r3, unchanged; text family keeps
-    # chunk/pack/pack_sharded/split_assign) rotates out for
-    # pipeline_training_release (new: the end-to-end dedup->mix->split->
-    # pack release, one composed full-pipeline oracle)
-    # r4 late: text_split_assign (green r3, unchanged; the shared
-    # hash_bucket recipe keeps five in-window exercisers) rotates out
-    # for table_purge_forgotten (new: right-to-be-forgotten composite
-    # with a bytes-on-disk assertion)
-    # r5: streaming_enrichment (green r4, unchanged; streaming family
-    # keeps partition_reprocess + incremental_dedup in-window) rotates
-    # out for table_snapshot_diff (new: net row delta between arbitrary
-    # refs with metadata-only skip of unchanged files)
-    "table_purge_forgotten", "pipeline_training_release",
-    "table_snapshot_diff",
-    # r3 late: text_fingerprint (green r2; text family keeps six in-window
-    # entries) rotates out for streaming_incremental_dedup (new: persisted
-    # signature-index dedup across micro-batches, full-run SQL oracle)
-    # r4: text_bpe_tokens and text_repetition (both green r3, unchanged;
-    # text family keeps chunk/pack/pack_sharded/split_assign/pii_scrub/
-    # decontaminate in-window) rotate out for the two new mixture
-    # operators — per-source caps and token-budget selection
-    # r5: sample_cap_per_source (green r4, unchanged; sampling family
-    # keeps temperature_mix/token_budget/shuffle_shards in-window)
-    # rotates out for sample_weighted_pps (new: integer-exact
-    # probability-proportional-to-size Poisson sampling)
-    # r6: sample_token_budget_mix (green r4+r5, unchanged; the sampling
-    # family keeps temperature_mix/weighted_pps/shuffle_shards in-window)
-    # rotates out for join_tpch_q10 (registered r5, local-green, the only
-    # query without a lifetime driver row — verdict #2)
-    "streaming_dsv2_roundtrip", "sample_weighted_pps",
-    "join_tpch_q10",
-    # relational representatives (one-per-operator-family coverage).
-    # r3 rotation: agg_stats / scalar_json_funcs / subquery_above_segment_avg
-    # (each green in BOTH r1 and r2, unchanged since) rotate out for the
-    # three queries that have never carried a driver row — agg_approx_
-    # distinct (error-bound invariant oracle), dedup_simhash (new generated
-    # bit-vote oracle) and dedup_minhash_lsh_full (rows-only).
-    # dedup_exact (green r1+r2, family has four other in-window entries)
-    # rotates out for table_scan_planned_tasks (new r3 feature: S6 split
-    # planning wired into the Spark read path).
-    # r10 late: stats_sampled_quantiles (green r8+r9, operator
-    # unchanged; the quantile family keeps the strictly-stronger
-    # store-backed sibling stats_store_quantiles — same hash recipe,
-    # same rank arithmetic, plus the persisted plane and the read-path
-    # poison — at the window head, and exact/global rows stand) slides
-    # below the 50-cut for the new plane's entry
-    # r3 late: join_inner_equi and window_topk_per_group (both green r1+r2,
-    # unchanged; their families keep asof/multiway and five lifetime-green
-    # window variants) rotate out for sample_stratified (new: deterministic
-    # per-stratum hash sampling) and similarity_knn_join (new: batch k-NN
-    # join, exact-mode SQL oracle)
-    # r3 late: join_multiway (green r1+r2, unchanged; joins keep join_asof
-    # in-window) rotates out for similarity_ivf_train (new: k-means IVF
-    # training with a full-loop generated SQL oracle); agg_pricing_summary
-    # (green r1+r2; agg family keeps approx_distinct in-window and eight
-    # lifetime-green variants) rotates out for similarity_quantize (new:
-    # int8 quantization with integer-exact checksums)
-    # r4 late: similarity_quantize (green r3, unchanged; similarity family
-    # keeps ivf_train/ivf_pruned/ivf_refresh/ann_lsh/matryoshka in-window)
-    # rotates out for sample_shuffle_shards (new: deterministic global
-    # shuffle into training shards)
-    # r4 late: agg_approx_distinct (green r3, unchanged; agg family keeps
-    # hll_mergeable/grouping_sets/approx_percentile in-window) rotates
-    # out for table_branch_workflow (new: writable branch refs — isolated
-    # branch commits + fast-forward)
-    # r4 late: sample_stratified (green r3, unchanged; sampling family
-    # keeps temperature_mix/shuffle_shards/cap_per_source/token_budget/
-    # split_assign in-window) rotates out for events_retention (new:
-    # cohort retention triangle)
-    # r8 session 3: sample_shuffle_shards (green r4-r7, unchanged; the
-    # sampling family keeps weighted_pps in-window plus lifetime rows
-    # across stratified/caps/token-budget) rotates out for
-    # join_feature_assembly (new r8: N-way zero-shuffle feature
-    # assembly over one bucketed entity key, plan-asserted)
-    "join_feature_assembly", "table_branch_workflow", "events_retention",
-    # r4 late: similarity_knn_join (green r3, unchanged; similarity
-    # family keeps quantize/ivf_train/ivf_pruned/ann_lsh/matryoshka/
-    # refresh) rotates out for join_asof_forward (new: forward direction
-    # + tolerance bound of the as-of join)
-    # r5: similarity_ivf_train (green r3+r4, unchanged; the trained-
-    # index family keeps ivf_pruned/ivf_refresh/ann_lsh/matryoshka
-    # in-window, and PQ reuses the same audited kmeans_fit) rotates out
-    # for similarity_pq_search (new: product quantization with ADC
-    # shortlist + exact rerank)
-    # r5: join_asof_forward (green r4, unchanged; the as-of family holds
-    # lifetime rows r1-r4) rotates out for join_tpch_q3 (new: TPC-H Q3
-    # shipping priority, decimal-exact revenue); its twin join_tpch_q10
-    # is registered local-green and queued for the next rotation
-    # r8 late: join_skew_salted (green r4-r7; joins family keeps
-    # tpch_q3/q10 + interval_events and GAINS the runtime-filtered star
-    # join) rotates out for join_runtime_filtered (new r8: DPP-analog
-    # fact-scan pruning by dim keys); table_count_pushdown (green
-    # r4-r7; meta family keeps sql_count_meta — the SQL spelling of the
-    # same manifest-count plane) rotates out for table_sql_star_pruned
-    # (new r8: the auto runtime filter on the SQL path)
-    # r8 session 3: join_tpch_q3 (green r5+r6+r7, unchanged; joins
-    # family keeps tpch_q10 + interval_events + runtime_filtered
-    # in-window) rotates out for join_colocated_buckets (new r8: the
-    # storage-partitioned-join analog — zero-shuffle, no-join-operator
-    # per-bucket merge, plan-asserted in the query)
-    "join_runtime_filtered",
-    # r10 late: similarity_pq_search (green r5-r9, unchanged; the
-    # similarity family keeps hybrid_rrf + ivf_refresh in-window) slides
-    # below the 50-cut to make room for table_vacuum_stats (new r10:
-    # stats-store GC) at the window head
-    "similarity_pq_search",
-    "join_colocated_buckets",
-    # r4: scalar_math_funcs (green r3; scalar family has lifetime-green
-    # string/json/cond siblings) rotates out for table_count_pushdown
-    # (new: metadata-only COUNT(*))
-    # r5: agg_approx_percentile (green r4, unchanged; the agg/sketch
-    # family keeps grouping_sets + hll_mergeable in-window) rotates out
-    # for agg_kmv_overlap (new: KMV bottom-k set-overlap sketches —
-    # union/Jaccard/intersection estimation HLL cannot express)
-    # r8 session 3: agg_kmv_overlap (green r5+r6+r7, unchanged; the KMV
-    # family keeps in-window representation through the strictly
-    # STRONGER store-backed sibling below plus meta_kmv_ndv /
-    # table_sql_approx_ndv) rotates out for meta_kmv_overlap_tables
-    # (new r8: table-level corpus overlap from the persisted stores,
-    # full bottom-k algebra replayed by the oracle)
-    "table_sql_star_pruned", "meta_kmv_overlap_tables",
-    # dedup_ngram_jaccard (green r1+r2, unchanged) rotates out for
-    # dedup_embedding (new r3: cosine near-dup -> connected components ->
-    # keep-decision, full-pipeline generated oracle)
-    # r3 late: dedup_minhash_lsh (green r1+r2) rotates out for
-    # dedup_minhash_portable (new: exact candidate set value-checked via
-    # the md5-portable hash recipe)
-    # r4: dedup_simhash (green r3, unchanged; the generated bit-vote
-    # oracle stands) rotates out for dedup_spans (new: corpus-wide exact
-    # span dedup with full cleaned-text oracle)
-    # r4 late: dedup_embedding (green r3, unchanged; dedup family keeps
-    # text_clustered/spans/minhash_portable/lsh_full in-window) rotates
-    # out for text_trigram_novelty (new: corpus-rare-trigram quality
-    # signal with a broadcast frequency join)
-    # r4 late: dedup_minhash_portable (green r3, unchanged) rotates out
-    # for dedup_edit_distance (new) — whose oracle replays the SAME
-    # banded CTE for the identical candidate set AND adds the
-    # Levenshtein verify stage, strictly superset evidence
-    # r8 session 3: dedup_spans (green r4-r7, unchanged; dedup family
-    # keeps edit_distance/minhash_lsh_full/semdedup in-window) rotates
-    # out for table_scan_dict_pruned (new r8: dictionary file skipping —
-    # per-file exact value sets prune eq/IN point lookups bounds can't);
-    # text_trigram_novelty (green r4-r7, unchanged; text family keeps
-    # lm_score + pipeline_quality_gate + rocchio in-window) rotates out
-    # for table_sql_approx_ndv (new r8: approx_count_distinct through
-    # Catalog.sql answered from the KMV store, exactly replayed)
-    "dedup_edit_distance", "dedup_minhash_lsh_full",
+    # ── r11 window (first 50 = the driver correctness gate) ──
+    # Head: this round's NEW operators and every old row whose CODE
+    # PATH CHANGED this round and therefore re-earns its green:
+    #   - stats_store_quantiles_deleted / table_sql_approx_quantile_
+    #     grouped / table_sql_two_key_star: new r11 surface
+    #   - stats_store_quantiles_grouped: the ONE registered query of
+    #     210 with no lifetime driver row (r10 verdict ask #2), AND its
+    #     build now writes per-(file, group) markers
+    #   - stats_store_quantiles + table_sql_approx_quantile: the serve
+    #     path gained the position-delete mask + exactness guard
+    #   - table_scan_pair_pruned: pair store dirs are type-keyed now
+    #   - table_sql_multijoin + table_sql_chain_join: the multijoin
+    #     route was refactored for multi-key anchors
+    #   - table_vacuum_stats: leaf collection skips crashed-swap dirs
+    #   - table_sql_group_count: the grouped fast route gained the
+    #     percentile item kind
+    #   - table_scan_bloom_pruned: bloom store dirs are type-keyed now
+    #   - table_batch_source_read: schema() gained the reserved-name
+    #     collision guard
+    #   - table_format_orc: the whole-file ORC reader decodes
+    #     stripe-by-stripe now
+    "stats_store_quantiles_deleted", "table_sql_approx_quantile_grouped",
+    "table_sql_two_key_star", "stats_store_quantiles_grouped",
+    "stats_store_quantiles", "table_sql_approx_quantile",
+    "table_scan_pair_pruned", "table_sql_multijoin",
+    "table_sql_chain_join", "table_vacuum_stats",
+    "table_sql_group_count", "table_scan_bloom_pruned",
+    "table_batch_source_read", "table_format_orc",
+    # Oldest-green re-checks (verdict ask #8: keep rotating 15-20 of
+    # the oldest rows through the window): 16 entries whose last
+    # driver row is r4-r8
+    "similarity_ivf_refresh", "table_changelog_mirror",
+    "text_rocchio_classify", "table_sql_ddl", "join_interval_events",
+    "table_sql_insert_overwrite", "similarity_keyword_index",
+    "stats_exact_quantiles", "dedup_edit_distance",
     "table_scan_dict_pruned", "table_sql_approx_ndv",
-    # r3: similarity_ivf_topk (green r2, identical result set) rotates out
-    # for similarity_ivf_pruned (new: persisted IVF with partition pruning)
-    # r5: similarity_ann_lsh (green r3+r4, unchanged; the LSH recipe
-    # keeps its lifetime dedup_embedding rows and the similarity family
-    # keeps ivf_pruned/ivf_refresh/pq/matryoshka in-window) rotates out
-    # for dedup_semdedup (new: SemDeDup — k-means-cell-blocked semantic
-    # dedup, training loop value-checked in the oracle)
-    # r8 session 4: similarity_ivf_pruned (green r3-r7, 5 lifetime
-    # rows, unchanged; the similarity family keeps keyword_index +
-    # hybrid_rrf + pq_search + ivf_refresh in-window) rotates out for
-    # meta_histogram_counts (new r8: per-file value histograms — GROUP
-    # BY a low-NDV non-partition column folds from metadata with zero
-    # data I/O, plus ordered-LIMIT heavy hitters on the SQL route)
-    "dedup_semdedup", "meta_histogram_counts",
-    # r4: table_scan_bucket_pruned (green r1+r2+r3, unchanged; scan family
-    # keeps table_scan_pruned + table_scan_planned_tasks in-window) rotates
-    # out for similarity_ivf_refresh (new: growth-gated k-means retrain +
-    # atomic index swap, full-retrain SQL oracle)
-    "similarity_ivf_refresh",
-    # r10 rotated OUT (below the 50-cut; all r9-green, operators
-    # unchanged this round, families keep in-window representation):
-    # incremental (pytest x3 + mview in-window), DataSource write-format
-    # / batch read (dsv2 roundtrip in-window), grouped-count + star
-    # multidim folds (count_meta + minmax_meta + runtime_bloom/filtered
-    # in-window), exact/global quantiles (sampled in-window), merge_sync
-    # (sql_merge in-window), rocchio (lm_score in-window), changelog
-    # mirror (snapshot_diff in-window), ddl/view/insert_overwrite
-    # (sql_dml + mview + chain_join in-window), interval join (tpch_q10
-    # + broadcast_dims in-window), write_ordered (overwrite_where),
-    # bloom scan (pair_pruned + sql_pruned), compaction
-    # (purge_forgotten + rollback_wap), topk plane (kmv_ndv), keyword
-    # index (hybrid_rrf + pq_search), rename flow (field-id pytest
-    # suites).
-    "stats_sampled_quantiles",
-    # registered r10 late, queued for the next rotation (the sample
-    # plane holds TWO in-window driver rows this round via its global
-    # and SQL spellings; the grouped spelling is local-green)
-    "stats_store_quantiles_grouped",
-    "meta_kmv_ndv",
-    "table_incremental_compacted",
-    "table_ds_write_format",
-    "table_sql_group_count",
-    "table_sql_star_multidim",
-    "stats_exact_quantiles",
-    "stats_global_quantiles",
-    "table_batch_source_read",
-    "table_sql_merge_sync",
-    "text_rocchio_classify",
-    "table_changelog_mirror",
-    "table_sql_ddl",
-    "join_interval_events",
+    "meta_kmv_overlap_tables", "meta_histogram_counts",
+    "stats_sampled_quantiles", "table_sql_star_pruned",
     "table_write_ordered",
-    "table_scan_bloom_pruned",
-    "table_compaction",
-    "meta_topk_bounded",
-    "similarity_keyword_index",
-    "table_rename_flow",
-    "table_sql_insert_overwrite",
-    "table_sql_view",
+    # Held-over family representatives (all r10-green; kept so every
+    # major family retains an in-window row while 20 other r10-green
+    # UNCHANGED entries rotate below the cut — agg/window/scalar/sort/
+    # set-op/event-window siblings are lifetime-green 3+ rows each and
+    # untouched this round):
+    "dedup_substrings", "table_position_deletes",
+    "table_ds_metadata_columns", "streaming_dsv2_roundtrip",
+    "table_sql_merge", "table_sql_dml", "table_sql_count_meta",
+    "agg_colocated_groupby", "table_sql_pruned", "join_runtime_bloom",
+    "join_feature_assembly", "window_rank_dense",
+    "pipeline_training_release", "multimodal_decode_features",
+    "sample_weighted_pps", "events_retention", "table_branch_workflow",
+    "table_purge_forgotten", "text_lm_score", "table_sql_mview",
+    # ── below the 50-cut ──
+    # r11 rotated OUT (all r10-green, operators unchanged this round;
+    # families keep in-window representation per the head comment):
+    # table_format_avro (orc sibling in-window exercises the changed
+    # whole-file-reader path; avro codec untouched), agg_count_distinct,
+    # agg_cube (agg family: colocated_groupby + group_count in-window),
+    # join_broadcast_dims, join_left_outer, join_tpch_q10,
+    # join_runtime_filtered (joins family: interval_events +
+    # feature_assembly + runtime_bloom + multijoin + two_key_star),
+    # window_running_sum (rank_dense stays), set_union_distinct,
+    # scalar_date_funcs, scalar_array_funcs, sort_multi_nulls,
+    # dedup_ngram_jaccard (dedup: substrings + edit_distance),
+    # events_session_window (events_retention stays),
+    # table_time_travel, streaming_stateful_sessions (dsv2 stays),
+    # table_rollback_wap (branch_workflow stays), table_sql_minmax_meta
+    # (count_meta + group_count stay), table_metadata_columns
+    # (ds variant stays), sample_dsir_select (weighted_pps stays),
+    # table_overwrite_where (sql_dml + purge_forgotten stay),
+    # similarity_hybrid_rrf (ivf_refresh + keyword_index + pq_search
+    # rotate/stay), pipeline_quality_gate (training_release stays).
+    "table_format_avro", "agg_count_distinct", "agg_cube",
+    "join_broadcast_dims", "join_left_outer", "join_tpch_q10",
+    "join_runtime_filtered", "window_running_sum", "set_union_distinct",
+    "scalar_date_funcs", "scalar_array_funcs", "sort_multi_nulls",
+    "dedup_ngram_jaccard", "events_session_window", "table_time_travel",
+    "streaming_stateful_sessions", "table_rollback_wap",
+    "table_sql_minmax_meta", "table_metadata_columns",
+    "sample_dsir_select", "table_overwrite_where",
+    "similarity_hybrid_rrf", "pipeline_quality_gate",
+    "similarity_pq_search", "join_colocated_buckets",
+    "dedup_minhash_lsh_full", "dedup_semdedup", "meta_kmv_ndv",
+    "table_incremental_compacted", "table_ds_write_format",
+    "table_sql_star_multidim", "stats_global_quantiles",
+    "table_sql_merge_sync", "join_asof", "table_sql_view",
+    "table_compaction", "meta_topk_bounded", "table_rename_flow",
 ]
 
 

@@ -454,6 +454,21 @@ CONTRACTS = {
         ["MapInPandas"],
         ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
          "CartesianProduct"]),
+    "table_sql_two_key_star": (
+        # r11: TWO-KEY star — dims anchor different base keys, the
+        # base's spec buckets both, and the statement executes as
+        # grid-cell assembly: same no-join-operator contract as the
+        # single-key star (ORDER BY may range-exchange)
+        ["MapInPandas"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct"]),
+    "table_sql_approx_quantile_grouped": (
+        # r11: grouped SQL percentile served from the grouped sample
+        # store — the route evaluates eagerly and returns driver-built
+        # rows: no data scan, no aggregate, no Python in the plan
+        ["Scan ExistingRDD"],
+        ["Scan parquet", "HashAggregate", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"]),
     "table_sql_minmax_meta": (
         # grouped string min/max + float min folded ENTIRELY from
         # manifest bounds (the query poisons the read path to prove

@@ -185,6 +185,20 @@ PROBE_QUERIES = [
     # volume beyond one pass)
     "stats_store_quantiles",
     "stats_store_quantiles_grouped",
+    # r11 (verdict #7: the two unprobed r10 ops): the stats-store GC
+    # (both join sides one row per FILE — expect ~flat beyond the
+    # build) and the SQL percentile route (store-served, zero data
+    # I/O at answer time — growth rides on the ANALYZE scan only);
+    # plus the round's new surface: the delete-masked store serve
+    # (mask ∝ delete rows, guard aggregates metadata-sized), the
+    # grouped SQL percentile spelling, and the two-key grid-cell star
+    # (per-cell assembly, no shuffle; dim re-reads bounded by the
+    # other axis's modulus)
+    "table_vacuum_stats",
+    "table_sql_approx_quantile",
+    "stats_store_quantiles_deleted",
+    "table_sql_approx_quantile_grouped",
+    "table_sql_two_key_star",
 ]
 
 # Probe OVERRIDES: operators whose probe configuration must differ from
