@@ -1533,18 +1533,20 @@ def _pos_delete_mask(table, entries, delete_entries):
     per-file), and each delete ROW counts only against the data file it
     names AND is attached to — a row naming a file the delete does not
     apply to under sequence scoping is ignored.  Returns None when any
-    live delete is an EQUALITY delete (store rows carry no key columns,
-    so equality deletes cannot mask metadata — callers fall back to the
-    live scan).  Metadata-sized: delete rows, never data."""
+    ATTACHED delete is an EQUALITY delete (store rows carry no key
+    columns, so equality deletes cannot mask metadata — callers fall
+    back to the live scan); an equality delete that attaches to NO
+    live data file under sequence scoping deletes nothing and is
+    ignored.  Metadata-sized: delete rows, never data."""
     from linkedin_iceberg_spark.catalog import manifests as M
-    if any(e.data_file.content != M.CONTENT_POSITION_DELETES
-           for e in delete_entries):
-        return None
     from linkedin_iceberg_spark.catalog.deletes import (
         POS_DELETE_SCHEMA, _maybe_broadcast, _total_records)
     from linkedin_iceberg_spark.catalog.scan import match_deletes
     spark = table.spark
     tasks = match_deletes(entries, delete_entries)
+    if any(d.data_file.content != M.CONTENT_POSITION_DELETES
+           for t in tasks for d in t.deletes):
+        return None
     pairs = sorted({(t.file.file_path, d.data_file.file_path)
                     for t in tasks for d in t.deletes})
     if not pairs:

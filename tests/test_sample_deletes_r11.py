@@ -177,6 +177,25 @@ def test_grouped_pos_deletes_store_served(tbl, spark):
     assert got == want
 
 
+def test_dangling_equality_delete_ignored(tbl, spark):
+    """An equality delete that attaches to NO live data file under
+    sequence scoping (all its targets compacted away) deletes nothing:
+    the store still serves, metadata-only."""
+    keys = spark.createDataFrame([(i,) for i in range(0, 600, 2)],
+                                 "id bigint")
+    tbl.row_delta(equality_delete_keys=keys, key_cols=["id"])
+    t = tbl.refresh()
+    t.rewrite_data_files(target_size_bytes=1 << 30, min_input_files=2)
+    t = t.refresh()
+    if not t._live_data_and_deletes()[1]:
+        pytest.skip("compaction dropped the dangling delete entry")
+    assert analyze_sample(t, "x", k=64) > 0
+    want = _live_replay(t, "x", pcts=(50,), k=64)
+    got = _poisoned(t, sampled_quantiles_from_store(
+        t, "x", pcts=(50,), k=64))
+    assert got == want
+
+
 def test_delete_then_append_mixed_coverage_forces_live(tbl, spark):
     """Pos deletes + an uncovered new file: coverage fails first and
     the live path (which applies the deletes) answers."""
