@@ -111,8 +111,15 @@ def minhash_band_signatures(df: DataFrame, text_col: str, id_col: str,
     banded signatures (id, band, sig).  minhash_lsh_candidates self-joins
     them; the incremental-dedup path PERSISTS them as the corpus index and
     joins each new batch against it (see streaming/incremental_dedup.py).
-    No shuffle beyond the signature groupBy; output is B rows per doc of
-    ~20 bytes — the index is corpus-sized in docs, not tokens."""
+    ZERO shuffles: each document's K minhashes are row-local folds
+    (array_min over a transform of the shingle-hash array), so the whole
+    signature build lives in the scan's stage — r11 replaced the
+    explode + K-min-buffer groupBy (one full (id, hash) shuffle plus
+    hash-agg machinery) with per-row array expressions; values are
+    bit-identical (min over a doc's shingle set == array_min over the
+    same array), proven by an exhaustive store/live set compare on sf0.1
+    for both hash modes.  Output is B rows per doc of ~20 bytes — the
+    index is corpus-sized in docs, not tokens."""
     rows_per_band = num_hashes // bands
     # tokenize ONCE into an array column, then window over it — keeps the
     # split out of the per-element lambda
@@ -120,53 +127,50 @@ def minhash_band_signatures(df: DataFrame, text_col: str, id_col: str,
         id_col, F.split(F.col(text_col), r"\s+").alias("_toks"))
     if hash_mode == "md5":
         # portable mode: shingle STRINGS, hashed with md5 — every stage
-        # expressible in ANSI SQL (see minhash_banded_cte_sql)
+        # expressible in ANSI SQL (see minhash_banded_cte_sql).  The
+        # (possibly long) shingle string is hashed exactly once into _hs;
+        # the K minhash streams re-hash the 8-byte value with the seed —
+        # O(1) per stream instead of a full string hash per stream
         sh_arr = F.expr(
             f"transform(sequence(0, greatest(size(_toks) - {shingle_n}, 0)),"
             f" i -> concat_ws(' ', slice(_toks, i + 1, {shingle_n})))")
-        token_hash = F.conv(F.substring(F.md5(F.col("_sh")), 1, 15),
-                            16, 10).cast("long")
-        sh = (toked.select(id_col,
-                           F.explode(F.array_distinct(sh_arr)).alias("_sh"))
-              .filter(F.length("_sh") > 0)
-              # hash the (possibly long) shingle string exactly once; the
-              # K minhash streams re-hash the 8-byte value with the seed —
-              # O(1) per stream instead of a full string hash per stream
-              .select(id_col, token_hash.alias("_h")))
+        hs = F.expr(
+            "transform(filter(_sh_arr, s -> length(s) > 0),"
+            " s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))")
+        base = (toked.withColumn("_sh_arr", sh_arr)
+                .withColumn("_hs", hs)
+                # docs with no non-empty shingle produced no groupBy row
+                # in the pre-r11 shape; keep exactly that document set
+                .filter(F.size("_hs") > 0))
+        minhash_cols = [
+            F.array_min(F.expr(
+                f"transform(_hs, h -> cast(conv(substring(md5("
+                f"concat_ws('-', cast(h as string), '{k}')), 1, 15), 16, 10)"
+                f" as bigint))")).alias(f"mh{k}")
+            for k in range(num_hashes)]
     else:
         # fast mode: hash each window DIRECTLY from its token elements
-        # (multi-arg xxhash64) — no shingle-string concat_ws allocation,
-        # and distinct/explode move 8-byte longs instead of strings.
-        # ~20% faster end-to-end on the headline LSH query, same
-        # candidate structure (any fixed hash of the window works).
+        # (multi-arg xxhash64) — no shingle-string concat_ws allocation.
         # try_element_at: documents SHORTER than shingle_n still produce
         # their one (padded) window — element_at would throw
         # INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default); xxhash64
-        # skips the NULLs, hashing the tokens that exist
+        # skips the NULLs, hashing the tokens that exist.
+        # No array_distinct: min over duplicates == min over distinct,
+        # and skipping the per-row hash-set build is cheaper than the
+        # (rare) duplicate-window re-hash it would save
         els = ", ".join(f"try_element_at(_toks, i + {j + 1})"
                         for j in range(shingle_n))
         sh_arr = F.expr(
             f"transform(sequence(0, greatest(size(_toks) - {shingle_n}, 0)),"
             f" i -> xxhash64({els}))")
-        sh = (toked
-              .filter("size(_toks) > 0 and "
-                      "not (size(_toks) = 1 and _toks[0] = '')")
-              .select(id_col,
-                      F.explode(F.array_distinct(sh_arr)).alias("_h")))
-
-    if hash_mode == "md5":
-        seeded = [F.conv(F.substring(
-            F.md5(F.concat_ws("-", F.col("_h").cast("string"),
-                              F.lit(str(k)))), 1, 15), 16, 10)
-            .cast("long") for k in range(num_hashes)]
-        minhash_cols = [F.min(seeded[k]).alias(f"mh{k}")
-                        for k in range(num_hashes)]
-    else:
+        base = (toked
+                .filter("size(_toks) > 0 and "
+                        "not (size(_toks) = 1 and _toks[0] = '')")
+                .withColumn("_hs", sh_arr))
         minhash_cols = [
-            F.min(F.xxhash64(F.col("_h"), F.lit(k))).alias(f"mh{k}")
-            for k in range(num_hashes)
-        ]
-    sigs = sh.groupBy(id_col).agg(*minhash_cols)
+            F.array_min(F.expr(f"transform(_hs, h -> xxhash64(h, {k}))"))
+            .alias(f"mh{k}") for k in range(num_hashes)]
+    sigs = base.select(id_col, *minhash_cols)
 
     # band signatures
     band_rows = []
