@@ -143,10 +143,9 @@ def minhash_band_signatures(df: DataFrame, text_col: str, id_col: str,
                 # in the pre-r11 shape; keep exactly that document set
                 .filter(F.size("_hs") > 0))
         minhash_cols = [
-            F.array_min(F.expr(
-                f"transform(_hs, h -> cast(conv(substring(md5("
-                f"concat_ws('-', cast(h as string), '{k}')), 1, 15), 16, 10)"
-                f" as bigint))")).alias(f"mh{k}")
+            f"array_min(transform(_hs, h -> cast(conv(substring(md5("
+            f"concat_ws('-', cast(h as string), '{k}')), 1, 15), 16, 10)"
+            f" as bigint))) AS mh{k}"
             for k in range(num_hashes)]
     else:
         # fast mode: hash each window DIRECTLY from its token elements
@@ -168,26 +167,28 @@ def minhash_band_signatures(df: DataFrame, text_col: str, id_col: str,
                         "not (size(_toks) = 1 and _toks[0] = '')")
                 .withColumn("_hs", sh_arr))
         minhash_cols = [
-            F.array_min(F.expr(f"transform(_hs, h -> xxhash64(h, {k}))"))
-            .alias(f"mh{k}") for k in range(num_hashes)]
-    sigs = base.select(id_col, *minhash_cols)
+            f"array_min(transform(_hs, h -> xxhash64(h, {k}))) AS mh{k}"
+            for k in range(num_hashes)]
+    # string expressions + ONE selectExpr per stage: building K Column
+    # objects costs ~3 py4j round-trips each (r11 driver profile: ~0.3 s
+    # of the headline LSH query was expression construction); a single
+    # parse call is one round-trip for the whole projection — same plan,
+    # same values (see similarity._bucket_sql for the same discipline)
+    sigs = base.selectExpr(f"`{id_col}`", *minhash_cols)
 
-    # band signatures
-    band_rows = []
+    # band signatures: inline() the per-band structs in one projection
+    band_structs = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}")
-                for r in range(rows_per_band)]
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
         if hash_mode == "md5":
-            sig = F.conv(F.substring(
-                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])),
-                1, 15), 16, 10).cast("long")
+            cat = ", ".join(f"cast({c} as string)" for c in cols)
+            sig = (f"cast(conv(substring(md5(concat_ws('-', {cat})), 1, 15),"
+                   f" 16, 10) as bigint)")
         else:
-            sig = F.xxhash64(*cols)
-        band_rows.append(F.struct(F.lit(b).alias("band"),
-                                  sig.alias("sig")))
-    return (sigs.select(id_col, F.explode(F.array(*band_rows)).alias("b"))
-            .select(id_col, F.col("b.band").alias("band"),
-                    F.col("b.sig").alias("sig")))
+            sig = f"xxhash64({', '.join(cols)})"
+        band_structs.append(f"struct({b} AS band, {sig} AS sig)")
+    return sigs.selectExpr(
+        f"`{id_col}`", f"inline(array({', '.join(band_structs)}))")
 
 
 def minhash_lsh_verified(df: DataFrame, text_col: str, id_col: str,

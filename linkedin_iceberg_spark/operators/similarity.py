@@ -30,10 +30,19 @@ def cosine_topk(df: DataFrame, query_vec, k: int, id_col: str = "vec_id",
                 vec_col: str = "embedding", round_to: int = 5) -> DataFrame:
     """Exact top-k by cosine similarity to a constant query vector.
     Scale: the query vector is a literal (broadcast into codegen); Spark
-    executes TakeOrderedAndProject — per-partition heaps, no global sort."""
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    executes TakeOrderedAndProject — per-partition heaps, no global sort.
+    The whole cosine is ONE parsed SQL expression (a dim-element literal
+    array built as Column objects costs a py4j round-trip per element —
+    ~0.15 s of driver time per call at dim=64; same discipline as
+    _bucket_sql).  Arithmetic is bit-identical to the Column form: the
+    same zip_with/aggregate folds in the same element order."""
+    qarr = "array(" + ",".join(f"{float(x)!r}D" for x in query_vec) + ")"
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    cos = _dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    dot = (f"aggregate(zip_with({vec_col}, {qarr}, "
+           f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)")
+    nrm = (f"sqrt(aggregate({vec_col}, 0.0D, (acc, v) -> "
+           f"acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    cos = F.expr(f"{dot} / ({nrm} * {qnorm!r}D)")
     return (df.select(F.col(id_col), F.round(cos, round_to).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col(id_col))
             .limit(k))

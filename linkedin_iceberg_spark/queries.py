@@ -30,13 +30,33 @@ def q(name: str, oracle: Optional[str] = None):
     return deco
 
 
+# Input-relation memo ((appId, path) -> base DataFrame).  `spark.read
+# .parquet` without a schema runs a footer-inference Spark JOB per call
+# (~120 ms of driver + job-wave latency, measured r11), and even with an
+# explicit schema each call re-resolves the relation (~37 ms of py4j +
+# listing).  Resolving each immutable input ONCE per session and reusing
+# the unanalyzed base plan removes that wave from every later query.
+# This caches input METADATA only — never rows, computed plans, or
+# results: a DataFrame is a plan handle, every query still analyzes,
+# optimizes, scans, decodes and computes from the parquet bytes on every
+# invocation.  At scale this is exactly the catalog's job (a table's
+# schema/file-index comes from the metastore, not a per-query footer
+# probe — `spark.table()` behaves the same way).
+_BASE_DF_CACHE: dict = {}
+
+
 def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless
         # nanosAsLong is on.  The conf is runtime-settable, and the driver's
         # session (unlike ours, session.py) doesn't set it at build time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    df = _BASE_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _BASE_DF_CACHE[key] = df
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos read as long: truncate to micros, matching the oracle's
         # CAST(ts AS TIMESTAMP)
