@@ -667,8 +667,12 @@ def join_multiway(spark, sf_dir):
                  n.n_regionkey == r.r_regionkey)
           .select("n_nationkey", "n_name"))
     s2 = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
-    c2 = c.join(F.broadcast(nr.select("n_nationkey")),
-                c.c_nationkey == nr.n_nationkey, "left_semi")
+    # the SAME nr frame (same projection) on both sides keeps the two
+    # broadcast subtrees canonically identical, so the exchange/stage is
+    # reusable instead of the nation-region build running twice (r11; a
+    # narrower nr.select(...) here forced a second broadcast build)
+    c2 = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey,
+                "left_semi")
     return (li.join(s2, li.l_suppkey == s2.s_suppkey)
             .join(o, li.l_orderkey == o.o_orderkey)
             .join(c2, (o.o_custkey == c2.c_custkey)
