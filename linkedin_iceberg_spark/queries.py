@@ -96,18 +96,18 @@ def agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1: the canonical hash-agg with partial aggregation.
     Scale: map-side combine; 2-col group key -> tiny shuffle."""
     li = ld(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return (li.filter("l_shipdate <= timestamp'1998-09-02'")
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum("l_quantity").alias("sum_qty"),
-                 F.sum("l_extendedprice").alias("sum_base_price"),
-                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                  .alias("sum_disc_price"),
-                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                       * (1 + F.col("l_tax"))).alias("sum_charge"),
-                 F.avg("l_quantity").alias("avg_qty"),
-                 F.avg("l_extendedprice").alias("avg_price"),
-                 F.avg("l_discount").alias("avg_disc"),
-                 F.count("*").alias("count_order"))
+            .agg(F.expr("sum(l_quantity) AS sum_qty"),
+                 F.expr("sum(l_extendedprice) AS sum_base_price"),
+                 F.expr("sum(l_extendedprice * (1 - l_discount))"
+                        " AS sum_disc_price"),
+                 F.expr("sum(l_extendedprice * (1 - l_discount)"
+                        " * (1 + l_tax)) AS sum_charge"),
+                 F.expr("avg(l_quantity) AS avg_qty"),
+                 F.expr("avg(l_extendedprice) AS avg_price"),
+                 F.expr("avg(l_discount) AS avg_disc"),
+                 F.expr("count(*) AS count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
@@ -354,12 +354,11 @@ def join_inner_equi(spark, sf_dir):
     skew.  Filter pushed below the join."""
     li = ld(spark, sf_dir, "lineitem")
     o = ld(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        "o_orderdate >= timestamp'1995-01-01'")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderpriority")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                  .alias("revenue"),
-                 F.count("*").alias("n"))
+            .agg(F.expr("sum(l_extendedprice * (1 - l_discount)) AS revenue"),
+                 F.expr("count(*) AS n"))
             .orderBy("o_orderpriority"))
 
 
@@ -377,8 +376,8 @@ def join_broadcast_dims(spark, sf_dir):
     return (c.join(n, c.c_nationkey == n.n_nationkey)
             .join(r, n.n_regionkey == r.r_regionkey)
             .groupBy("r_name", "n_name")
-            .agg(F.count("*").alias("n_custs"),
-                 F.sum("c_acctbal").alias("total_bal"))
+            .agg(F.expr("count(*) AS n_custs"),
+                 F.expr("sum(c_acctbal) AS total_bal"))
             .orderBy("r_name", "n_name"))
 
 
@@ -658,12 +657,12 @@ def join_multiway(spark, sf_dir):
     ~20% faster than the hint-everything formulation at sf0.1."""
     c = ld(spark, sf_dir, "customer")
     o = ld(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        "o_orderdate >= timestamp'1995-01-01'")
     li = ld(spark, sf_dir, "lineitem")
     s = ld(spark, sf_dir, "supplier")
     n = ld(spark, sf_dir, "nation")
     r = ld(spark, sf_dir, "region")
-    nr = (n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+    nr = (n.join(F.broadcast(r.filter("r_name = 'ASIA'")),
                  n.n_regionkey == r.r_regionkey)
           .select("n_nationkey", "n_name"))
     s2 = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
@@ -678,9 +677,8 @@ def join_multiway(spark, sf_dir):
             .join(c2, (o.o_custkey == c2.c_custkey)
                   & (F.col("s_nationkey") == c2.c_nationkey))
             .groupBy("n_name")
-            .agg(F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2).alias("revenue"))
+            .agg(F.expr("round(sum(l_extendedprice * (1 - l_discount)), 2)"
+                        " AS revenue"))
             .orderBy(F.col("revenue").desc(), "n_name"))
 
 
@@ -830,12 +828,13 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM (
   FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
 def window_topk_per_group(spark, sf_dir):
     """Top-K per group.  Scale: single hash-partition shuffle on the group
-    key; no global sort."""
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
-                                           F.col("o_orderkey"))
+    key; no global sort (rn <= k plans a WindowGroupLimit — per-partition
+    partial top-k BEFORE the exchange)."""
     return (ld(spark, sf_dir, "orders")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 3)
+            .withColumn("rn", F.expr(
+                "row_number() OVER (PARTITION BY o_custkey "
+                "ORDER BY o_totalprice DESC, o_orderkey)"))
+            .filter("rn <= 3")
             .select("o_custkey", "o_orderkey", "o_totalprice")
             .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey"))
 
