@@ -1038,18 +1038,17 @@ FROM part WHERE p_partkey <= 500 AND p_name LIKE '%a%'
 ORDER BY p_partkey""")
 def scalar_string_funcs(spark, sf_dir):
     p = ld(spark, sf_dir, "part").filter(
-        (F.col("p_partkey") <= 500) & F.col("p_name").like("%a%"))
-    return (p.select(
+        "p_partkey <= 500 AND p_name LIKE '%a%'")
+    return (p.selectExpr(
         "p_partkey",
-        F.upper("p_name").alias("uname"),
-        F.lower("p_brand").alias("lbrand"),
-        F.substring("p_type", 1, 5).alias("type5"),
-        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type"))
-         .alias("brand_type"),
-        F.length("p_name").cast("long").alias("name_len"),
-        F.trim(F.col("p_name")).alias("tname"),
-        F.regexp_replace("p_name", " ", "_").alias("uname2"),
-        F.regexp_extract("p_type", r"([A-Za-z]+)", 1).alias("first_word"))
+        "upper(p_name) AS uname",
+        "lower(p_brand) AS lbrand",
+        "substring(p_type, 1, 5) AS type5",
+        "concat(p_brand, '#', p_type) AS brand_type",
+        "cast(length(p_name) AS bigint) AS name_len",
+        "trim(p_name) AS tname",
+        "regexp_replace(p_name, ' ', '_') AS uname2",
+        "regexp_extract(p_type, '([A-Za-z]+)', 1) AS first_word")
         .orderBy("p_partkey"))
 
 
