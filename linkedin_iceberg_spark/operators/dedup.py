@@ -92,6 +92,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     minhash_oracle_sql; same pattern as simhash's portable mode)."""
     banded = minhash_band_signatures(df, text_col, id_col, num_hashes,
                                      bands, shingle_n, hash_mode)
+    # materialize the banded signatures ONCE (lazy local checkpoint, ~B
+    # rows/doc of ~20 bytes) before self-joining: without it the planner
+    # computes the whole tokenize+hash pipeline TWICE — once per join
+    # side, one of them under a BroadcastExchange where no exchange reuse
+    # can fire (r11; same build-once discipline as
+    # runtime_filter.py's checkpointed dim side).  At scale this trades a
+    # doc-count-sized local write for a second full corpus scan+hash.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     bb = banded.alias("bb")
     pairs = (a.join(bb, (F.col("a.band") == F.col("bb.band"))
