@@ -1455,12 +1455,15 @@ def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
                 # names, not the files — Spark fills them from the paths
                 reader = reader.option("basePath", bp)
             df = reader.load(group_paths)
-        if sid != md.current_schema_id:
+        if sid != md.current_schema_id or bp is not None:
             df = df.select(*align_columns(written, current))
         # files written under the CURRENT schema need no alignment: the
         # read schema above is already current.to_spark(), so the select
         # would be an identity projection — skipping it saves a py4j
         # round-trip per field on every scan (r11; evolution paths are
-        # unchanged and still align by field id)
+        # unchanged and still align by field id).  Imported groups (bp set)
+        # must ALWAYS align: Spark appends the path-reconstructed partition
+        # columns at the END of the schema even with an explicit read
+        # schema, so the select is what restores current-schema order.
         out = df if out is None else out.unionByName(df)
     return out if out is not None else spark.createDataFrame([], cur_spark)
