@@ -98,6 +98,13 @@ def main() -> int:
         "queries": times,
         "sf": sf,
         "passes": 5,
+        # scaling legibility (r12): prove which core count took effect —
+        # $SPARK_GRAFT_CPUS is honored via session.py's master string, but
+        # without these fields an ~1 scaling ratio (structural at sf0.1:
+        # single-row-group inputs decode in one task) is indistinguishable
+        # from an ignored knob.  Additions only; contract unchanged.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         "load_avg_1m_start": round(load_start, 2),
         "load_avg_1m_end": round(os.getloadavg()[0], 2),
     }))

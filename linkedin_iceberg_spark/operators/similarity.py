@@ -36,11 +36,16 @@ def cosine_topk(df: DataFrame, query_vec, k: int, id_col: str = "vec_id",
     ~0.15 s of driver time per call at dim=64; same discipline as
     _bucket_sql).  Arithmetic is bit-identical to the Column form: the
     same zip_with/aggregate folds in the same element order."""
+    if not all(math.isfinite(float(x)) for x in query_vec):
+        # repr(float('nan'))/'inf' are not parsable SQL literals, and a
+        # non-finite query vector has no meaningful cosine anyway
+        raise ValueError("cosine_topk: query_vec must be finite")
+    vc = f"`{vec_col}`"
     qarr = "array(" + ",".join(f"{float(x)!r}D" for x in query_vec) + ")"
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    dot = (f"aggregate(zip_with({vec_col}, {qarr}, "
+    dot = (f"aggregate(zip_with({vc}, {qarr}, "
            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)")
-    nrm = (f"sqrt(aggregate({vec_col}, 0.0D, (acc, v) -> "
+    nrm = (f"sqrt(aggregate({vc}, 0.0D, (acc, v) -> "
            f"acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     cos = F.expr(f"{dot} / ({nrm} * {qnorm!r}D)")
     return (df.select(F.col(id_col), F.round(cos, round_to).alias("cos_sim"))

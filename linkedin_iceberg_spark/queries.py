@@ -52,7 +52,16 @@ def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session (unlike ours, session.py) doesn't set it at build time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, path)
+    # key on the SESSION identity (a DataFrame is bound to the SparkSession
+    # that created it — appId alone would hand a newSession() a plan that
+    # executes under the first session's conf) and the input's mtime (a
+    # same-session overwrite/regeneration of the file must not serve the
+    # stale cached file listing/schema).  One os.stat per call.
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (id(spark), spark.sparkContext.applicationId, path, mtime)
     df = _BASE_DF_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(path)

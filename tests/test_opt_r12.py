@@ -31,3 +31,51 @@ def test_add_files_partition_col_not_last(catalog, spark, tmp_path):
     got = sorted(df.collect(), key=lambda r: r["k"])
     exp = sorted(data.collect(), key=lambda r: r["k"])
     assert got == exp
+
+
+def test_ld_memo_invalidated_on_overwrite(spark, tmp_path):
+    """ADVICE r11 / VERDICT item 8: the base-relation memo must not serve a
+    stale file listing/schema after the input file is regenerated in the
+    same session (key now includes st_mtime_ns)."""
+    import shutil
+    import time
+
+    from linkedin_iceberg_spark import queries as Q
+
+    sf = str(tmp_path / "sfdir")
+    os.makedirs(sf)
+    path = os.path.join(sf, "orders.parquet")
+
+    spark.range(0, 10).selectExpr("id AS o_orderkey").toPandas() \
+        .to_parquet(path)
+    first = Q.ld(spark, sf, "orders")
+    assert first.count() == 10
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    spark.range(0, 25).selectExpr(
+        "id AS o_orderkey", "id * 2 AS o_extra").toPandas().to_parquet(path)
+    second = Q.ld(spark, sf, "orders")
+    assert second.count() == 25
+    assert "o_extra" in second.columns
+    shutil.rmtree(sf)
+
+
+def test_cosine_topk_quoting_and_nonfinite_guard(spark):
+    """ADVICE r11 (low): cosine_topk must quote the vector column (names
+    needing backticks) and reject non-finite query elements instead of
+    emitting unparsable SQL."""
+    import pytest
+
+    from linkedin_iceberg_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 1.0])],
+        "vec_id int, `my vec` array<double>")
+    got = cosine_topk(df, [1.0, 0.0], k=2, vec_col="my vec").collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert got[0]["cos_sim"] == 1.0
+
+    with pytest.raises(ValueError, match="finite"):
+        cosine_topk(df, [float("nan"), 1.0], k=1, vec_col="my vec")
+    with pytest.raises(ValueError, match="finite"):
+        cosine_topk(df, [float("inf"), 1.0], k=1, vec_col="my vec")
