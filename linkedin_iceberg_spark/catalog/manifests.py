@@ -188,12 +188,33 @@ def _decode_json_column(col: list, transform) -> list:
     return out
 
 
+# manifest parquet files are IMMUTABLE once committed (writers always
+# create new uuid-named files; compaction writes replacements), so the
+# decoded pyarrow Table — itself immutable — can be served from a
+# process-wide cache keyed on (path, mtime).  Same discipline as
+# metadata.py's _METADATA_CACHE: metadata only, bounded, mtime-guarded
+# against an out-of-band rewrite.  This is the analog of the reference's
+# manifest caching (ref: core/.../ManifestFiles.java CONTENT_CACHES).
+_MANIFEST_TABLE_CACHE: "dict[tuple, pa.Table]" = {}
+_MANIFEST_TABLE_CACHE_MAX = 512
+
+
 def read_manifest_table(path: str) -> "pa.Table":
     """Raw manifest as a pyarrow Table (columns still JSON-encoded) — the
     input to both the materializing read below and the vectorized planner
     (catalog/plan_vectorized.py), which filters column vectors BEFORE
     paying per-entry object construction."""
-    return pq.read_table(path)
+    try:
+        key = (os.path.abspath(path), os.stat(path).st_mtime_ns)
+    except OSError:
+        return pq.read_table(path)
+    t = _MANIFEST_TABLE_CACHE.get(key)
+    if t is None:
+        t = pq.read_table(path)
+        if len(_MANIFEST_TABLE_CACHE) >= _MANIFEST_TABLE_CACHE_MAX:
+            _MANIFEST_TABLE_CACHE.clear()
+        _MANIFEST_TABLE_CACHE[key] = t
+    return t
 
 
 def read_manifest(path: str, types_by_id: dict, ptypes: dict) -> list:
@@ -340,7 +361,10 @@ def write_manifest_list(path: str, infos: list, ptypes: dict) -> None:
 
 
 def read_manifest_list(path: str, ptypes: dict) -> list:
-    table = pq.read_table(path)
+    # manifest-list files are immutable uuid-named snapshots too — share
+    # the table cache; the mutable ManifestFileInfo rows below are still
+    # built fresh per call
+    table = read_manifest_table(path)
     d = table.to_pydict()
     out = []
     for i in range(table.num_rows):

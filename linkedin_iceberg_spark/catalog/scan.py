@@ -1422,6 +1422,54 @@ def data_group_key(md: TableMetadata, data_file) -> tuple:
             import_base_path(md, data_file.file_path))
 
 
+# Resolved file-group relation memo: `spark.read.schema(...).load(paths)`
+# costs ~25 ms of py4j + relation resolution per call even with an explicit
+# schema (r12 profile: the largest single slice of every engine-table scan
+# build).  Engine data files are immutable by construction (CoW writers
+# always create new uuid-named files), and the key is belt-and-braces
+# anyway: session identity + format + basePath + read-schema JSON + the
+# exact (path, mtime, size) signature of every file in the group, so any
+# append/rewrite/out-of-band change is a different key.  A DataFrame is an
+# unexecuted plan handle — rows are re-scanned and re-decoded on every
+# execution; this caches relation METADATA only (ld()'s discipline).
+# Groups larger than _RELATION_MEMO_MAX_FILES skip the memo: the per-file
+# os.stat signature would scale with file count while the resolution cost
+# it saves stays constant.
+_RELATION_MEMO: dict = {}
+_RELATION_MEMO_MAX = 128
+_RELATION_MEMO_MAX_FILES = 64
+
+
+def _load_file_group(spark: SparkSession, fmt: str, bp, schema_json: str,
+                     group_paths: list) -> DataFrame:
+    def build() -> DataFrame:
+        from pyspark.sql.types import StructType
+        reader = spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))).format(fmt)
+        if bp is not None:
+            # imported in place: partition columns live in the directory
+            # names, not the files — Spark fills them from the paths
+            reader = reader.option("basePath", bp)
+        return reader.load(group_paths)
+
+    if len(group_paths) > _RELATION_MEMO_MAX_FILES:
+        return build()
+    try:
+        sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+                    for p in group_paths)
+    except OSError:
+        return build()
+    key = (id(spark), spark.sparkContext.applicationId, fmt, bp,
+           schema_json, sig)
+    df = _RELATION_MEMO.get(key)
+    if df is None:
+        df = build()
+        if len(_RELATION_MEMO) >= _RELATION_MEMO_MAX:
+            _RELATION_MEMO.clear()
+        _RELATION_MEMO[key] = df
+    return df
+
+
 def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
                                  paths_by_schema: dict) -> DataFrame:
     """Read data files written under (possibly) older schemas/formats and
@@ -1449,12 +1497,10 @@ def read_files_as_current_schema(spark: SparkSession, md: TableMetadata,
                 read_avro_files)
             df = read_avro_files(spark, group_paths, written)
         else:
-            reader = spark.read.schema(written.to_spark()).format(fmt)
-            if bp is not None:
-                # imported in place: partition columns live in the directory
-                # names, not the files — Spark fills them from the paths
-                reader = reader.option("basePath", bp)
-            df = reader.load(group_paths)
+            df = _load_file_group(spark, fmt, bp,
+                                  json.dumps(written.to_spark().jsonValue(),
+                                             sort_keys=True),
+                                  group_paths)
         if sid != md.current_schema_id or bp is not None:
             df = df.select(*align_columns(written, current))
         # files written under the CURRENT schema need no alignment: the
