@@ -60,6 +60,87 @@ def test_ld_memo_invalidated_on_overwrite(spark, tmp_path):
     shutil.rmtree(sf)
 
 
+def _r11_band_signatures(df, text_col, id_col, num_hashes, bands,
+                         shingle_n, hash_mode):
+    """The r11 per-stream recipe (K separate array_min(transform(_hs,...))
+    projections), kept verbatim as the oracle for the r12 single-pass
+    aggregate() fold."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.operators.dedup import _ensure_parallelism
+
+    rows_per_band = num_hashes // bands
+    toked = _ensure_parallelism(df).select(
+        id_col, F.split(F.col(text_col), r"\s+").alias("_toks"))
+    if hash_mode == "md5":
+        sh_arr = F.expr(
+            f"transform(sequence(0, greatest(size(_toks) - {shingle_n}, 0)),"
+            f" i -> concat_ws(' ', slice(_toks, i + 1, {shingle_n})))")
+        hs = F.expr(
+            "transform(filter(_sh_arr, s -> length(s) > 0),"
+            " s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))")
+        base = (toked.withColumn("_sh_arr", sh_arr)
+                .withColumn("_hs", hs)
+                .filter(F.size("_hs") > 0))
+        minhash_cols = [
+            f"array_min(transform(_hs, h -> cast(conv(substring(md5("
+            f"concat_ws('-', cast(h as string), '{k}')), 1, 15), 16, 10)"
+            f" as bigint))) AS mh{k}"
+            for k in range(num_hashes)]
+    else:
+        els = ", ".join(f"try_element_at(_toks, i + {j + 1})"
+                        for j in range(shingle_n))
+        sh_arr = F.expr(
+            f"transform(sequence(0, greatest(size(_toks) - {shingle_n}, 0)),"
+            f" i -> xxhash64({els}))")
+        base = (toked
+                .filter("size(_toks) > 0 and "
+                        "not (size(_toks) = 1 and _toks[0] = '')")
+                .withColumn("_hs", sh_arr))
+        minhash_cols = [
+            f"array_min(transform(_hs, h -> xxhash64(h, {k}))) AS mh{k}"
+            for k in range(num_hashes)]
+    sigs = base.selectExpr(f"`{id_col}`", *minhash_cols)
+    band_structs = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        if hash_mode == "md5":
+            cat = ", ".join(f"cast({c} as string)" for c in cols)
+            sig = (f"cast(conv(substring(md5(concat_ws('-', {cat})), 1, 15),"
+                   f" 16, 10) as bigint)")
+        else:
+            sig = f"xxhash64({', '.join(cols)})"
+        band_structs.append(f"struct({b} AS band, {sig} AS sig)")
+    return sigs.selectExpr(
+        f"`{id_col}`", f"inline(array({', '.join(band_structs)}))")
+
+
+def test_minhash_fold_matches_r11_recipe(spark):
+    """r12 single-pass K-min fold: bit-identical band signatures vs the r11
+    per-stream recipe, both hash modes, on tricky inputs + real docs."""
+    from pyspark.sql import Row
+
+    from linkedin_iceberg_spark.operators.dedup import minhash_band_signatures
+
+    tricky = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f g h"),
+        Row(doc_id=2, text="a b c d e f g h"),
+        Row(doc_id=3, text="x"),
+        Row(doc_id=4, text=""),
+        Row(doc_id=5, text="a a a a a a"),
+        Row(doc_id=6, text="ü ö ä ß ü ö ä ß"),
+        Row(doc_id=7, text="b c d e f g h a"),
+    ])
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in [tricky, docs]:
+        for mode, nh in [("xxhash64", 32), ("md5", 16)]:
+            new = set(map(tuple, minhash_band_signatures(
+                df, "text", "doc_id", nh, 8, 3, mode).collect()))
+            old = set(map(tuple, _r11_band_signatures(
+                df, "text", "doc_id", nh, 8, 3, mode).collect()))
+            assert new == old, f"{mode}: {len(new ^ old)} mismatches"
+
+
 def test_cosine_topk_quoting_and_nonfinite_guard(spark):
     """ADVICE r11 (low): cosine_topk must quote the vector column (names
     needing backticks) and reject non-finite query elements instead of
