@@ -644,21 +644,30 @@ def pq_train(df: DataFrame, m: int, n_codes: int, n_iters: int = 2,
 
     Scale: m independent kmeans_fit runs over sliced views — each is
     the audited broadcast-iterate loop (one scan per iteration, driver
-    state = centroids only)."""
+    state = centroids only).  The m loops are INDEPENDENT, so they run
+    overlapped from a small driver thread pool (guide §2.6: actions are
+    only sequential because the driver calls them sequentially) — each
+    subspace's training is deterministic and touches no shared state, so
+    the codebooks are bit-identical to the sequential run while the
+    m * n_iters tiny job waves back-fill each other's stragglers instead
+    of queueing."""
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     if m <= 0 or dim % m != 0:
         raise ValueError(f"m must divide the embedding dim ({dim})")
     sub_len = dim // m
-    books = []
-    for s in range(m):
+
+    def train_one(s: int) -> list:
         sub = df.select(
             id_col,
             F.slice(F.col(vec_col), s * sub_len + 1, sub_len)
             .alias("embedding"))
-        books.append(kmeans_fit(sub, n_codes, n_iters, id_col=id_col,
-                                vec_col="embedding"))
-    return books
+        return kmeans_fit(sub, n_codes, n_iters, id_col=id_col,
+                          vec_col="embedding")
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(train_one, range(m)))
 
 
 def pq_encode(df: DataFrame, codebooks: list,

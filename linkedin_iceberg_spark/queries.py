@@ -5824,9 +5824,16 @@ def streaming_incremental_dedup(spark, sf_dir):
              d.filter((F.col("doc_id") >= cuts[0])
                       & (F.col("doc_id") < cuts[1])),
              d.filter(F.col("doc_id") >= cuts[1])]
+    now = _time.time()
     for i, p in enumerate(parts):
-        p.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
-        _time.sleep(0.25)  # distinct mtimes: batches arrive in id order
+        bdir = os.path.join(src, f"b{i}")
+        p.coalesce(1).write.parquet(bdir)
+        # distinct STRICTLY INCREASING mtimes so the file stream source
+        # processes batches in id order — set explicitly (r12) instead of
+        # sleeping 0.25 s between writes; same ordering guarantee, no wait
+        for root, _dirs, fns in os.walk(bdir):
+            for fn in fns:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
 
     cat = Catalog(spark, os.path.join(base, "wh"))
     from linkedin_iceberg_spark import PartitionSpec, Schema

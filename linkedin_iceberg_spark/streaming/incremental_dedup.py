@@ -41,21 +41,34 @@ def dedup_decide(batch_df: DataFrame, index_sigs: DataFrame,
     ALL to the index afterwards (first-seen wins needs rejected docs'
     signatures too).
     """
-    # the signature pipeline is referenced three times (index join + both
-    # sides of the self-join) and the caller appends it to the index —
-    # persist so it computes once per batch; the caller may unpersist
-    # after the append
+    # the signature pipeline is referenced three times (probe side + the
+    # batch's own rows on the earlier side) and the caller appends it to
+    # the index — persist so it computes once per batch; the caller may
+    # unpersist after the append
     sigs = minhash_band_signatures(batch_df, text_col, id_col, num_hashes,
                                    bands, shingle_n, hash_mode).persist()
-    hit_index = (sigs.join(index_sigs.select("band", "sig").distinct(),
-                           ["band", "sig"])
-                 .select(id_col).distinct())
-    a, b = sigs.alias("a"), sigs.alias("b")
-    hit_batch = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                        & (F.col("a.sig") == F.col("b.sig"))
-                        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-                 .select(F.col(f"b.{id_col}").alias(id_col)).distinct())
-    dups = hit_index.union(hit_batch).distinct()
+    # ONE equi-join on (band, sig) decides everything (r12; was two joins
+    # + an index-wide distinct + a union + three distincts — each an
+    # extra shuffle stage per micro-batch, and the distinct over the
+    # whole index was a full index shuffle at scale): the "earlier" side
+    # is the index's signatures (eid NULL — any index doc predates the
+    # batch) unioned with the batch's own rows (eid = id); a batch doc is
+    # a duplicate iff it matches an earlier row with eid NULL or
+    # eid < id.  Same duplicate SET as the r11 shape (multiplicities
+    # differ pre-distinct only).
+    id_type = sigs.schema[id_col].dataType
+    earlier = (index_sigs.select(
+                   F.col("band"), F.col("sig"),
+                   F.lit(None).cast(id_type).alias("_eid"))
+               .unionByName(sigs.select(
+                   F.col("band"), F.col("sig"),
+                   F.col(id_col).alias("_eid"))))
+    s, e = sigs.alias("s"), earlier.alias("e")
+    dups = (s.join(e, (F.col("s.band") == F.col("e.band"))
+                   & (F.col("s.sig") == F.col("e.sig"))
+                   & (F.col("e._eid").isNull()
+                      | (F.col("e._eid") < F.col(f"s.{id_col}"))))
+            .select(F.col(f"s.{id_col}").alias(id_col)).distinct())
     decisions = (batch_df.select(id_col)
                  .join(dups.withColumn("_dup", F.lit(True)),
                        on=id_col, how="left")

@@ -141,6 +141,80 @@ def test_minhash_fold_matches_r11_recipe(spark):
             assert new == old, f"{mode}: {len(new ^ old)} mismatches"
 
 
+def test_dedup_decide_single_join_matches_r11_shape(spark):
+    """r12 single-join dedup_decide: identical accept/reject decisions vs
+    the r11 two-join + union shape, including same-batch collisions,
+    index collisions, and both at once."""
+    import random
+
+    from pyspark.sql import Row, functions as F
+
+    from linkedin_iceberg_spark.operators.dedup import minhash_band_signatures
+    from linkedin_iceberg_spark.streaming.incremental_dedup import dedup_decide
+
+    def r11_decide(batch_df, index_sigs, id_col="doc_id", **kw):
+        sigs = minhash_band_signatures(batch_df, "text", id_col, **kw)
+        hit_index = (sigs.join(index_sigs.select("band", "sig").distinct(),
+                               ["band", "sig"])
+                     .select(id_col).distinct())
+        a, b = sigs.alias("a"), sigs.alias("b")
+        hit_batch = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                            & (F.col("a.sig") == F.col("b.sig"))
+                            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                     .select(F.col(f"b.{id_col}").alias(id_col)).distinct())
+        dups = hit_index.union(hit_batch).distinct()
+        return (batch_df.select(id_col)
+                .join(dups.withColumn("_dup", F.lit(True)),
+                      on=id_col, how="left")
+                .select(id_col, F.coalesce(~F.col("_dup"), F.lit(True))
+                        .alias("accepted")))
+
+    rng = random.Random(7)
+    words = [f"w{j}" for j in range(12)]
+    corpus = [Row(doc_id=i, text=" ".join(rng.choices(words, k=rng.randint(1, 9))))
+              for i in range(120)]
+    kw = dict(num_hashes=16, bands=8, shingle_n=3, hash_mode="md5")
+    index_docs = spark.createDataFrame(corpus[:60])
+    batch = spark.createDataFrame(corpus[60:])
+    index_sigs = minhash_band_signatures(index_docs, "text", "doc_id", **kw)
+
+    new, sigs = dedup_decide(batch, index_sigs, **kw)
+    old = r11_decide(batch, index_sigs, **kw)
+    got = sorted(map(tuple, new.collect()))
+    exp = sorted(map(tuple, old.collect()))
+    sigs.unpersist()
+    assert got == exp and len(got) == 60
+    # empty index: self-collisions only
+    empty = spark.createDataFrame([], "doc_id long, band int, sig long")
+    new2, sigs2 = dedup_decide(batch, empty, **kw)
+    old2 = r11_decide(batch, empty, **kw)
+    assert sorted(map(tuple, new2.collect())) == \
+        sorted(map(tuple, old2.collect()))
+    sigs2.unpersist()
+
+
+def test_pq_train_parallel_matches_sequential(spark):
+    """r12: pq_train overlaps its m independent subspace k-means loops on a
+    driver thread pool — codebooks must be bit-identical to the sequential
+    per-subspace run."""
+    from pyspark.sql import functions as F
+
+    from linkedin_iceberg_spark.operators.similarity import (
+        kmeans_fit, pq_train)
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(df, m=4, n_codes=8, n_iters=2)
+    dim = len(df.select("embedding").head()[0])
+    sub_len = dim // 4
+    for s in range(4):
+        sub = df.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * sub_len + 1, sub_len)
+            .alias("embedding"))
+        seq = kmeans_fit(sub, 8, 2, id_col="vec_id", vec_col="embedding")
+        assert books[s] == seq, f"subspace {s} differs"
+
+
 def test_cosine_topk_quoting_and_nonfinite_guard(spark):
     """ADVICE r11 (low): cosine_topk must quote the vector column (names
     needing backticks) and reject non-finite query elements instead of
