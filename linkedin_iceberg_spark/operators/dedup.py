@@ -136,16 +136,17 @@ def minhash_band_signatures(df: DataFrame, text_col: str, id_col: str,
     banded signatures (id, band, sig).  minhash_lsh_candidates self-joins
     them; the incremental-dedup path PERSISTS them as the corpus index and
     joins each new batch against it (see streaming/incremental_dedup.py).
-    ZERO shuffles: each document's K minhashes are row-local folds over
-    the shingle-hash array, so the whole signature build lives in the
-    scan's stage — r11 replaced the explode + K-min-buffer groupBy (one
-    full (id, hash) shuffle plus hash-agg machinery) with per-row array
-    expressions, r12 fused the K separate array_min(transform(...))
-    passes into ONE aggregate() traversal carrying a K-element running-min
-    accumulator; values are bit-identical at every step (min over a doc's
-    shingle set == fold-min over the same array), proven by exhaustive
-    set compares for both hash modes.  Output is B rows per doc of ~20
-    bytes — the index is corpus-sized in docs, not tokens."""
+    ZERO shuffles: each document's K minhashes are row-local folds
+    (array_min over a transform of the shingle-hash array), so the whole
+    signature build lives in the scan's stage — r11 replaced the
+    explode + K-min-buffer groupBy (one full (id, hash) shuffle plus
+    hash-agg machinery) with per-row array expressions; values are
+    bit-identical (min over a doc's shingle set == array_min over the
+    same array), proven by an exhaustive store/live set compare on sf0.1
+    for both hash modes.  Output is B rows per doc of ~20 bytes — the
+    index is corpus-sized in docs, not tokens.  (r12: a single-pass
+    K-accumulator aggregate() fold was measured and REJECTED — see the
+    inline note below.)"""
     rows_per_band = num_hashes // bands
     # tokenize ONCE into an array column, then window over it — keeps the
     # split out of the per-element lambda
@@ -168,9 +169,11 @@ def minhash_band_signatures(df: DataFrame, text_col: str, id_col: str,
                 # docs with no non-empty shingle produced no groupBy row
                 # in the pre-r11 shape; keep exactly that document set
                 .filter(F.size("_hs") > 0))
-        seed_hash = ("cast(conv(substring(md5(concat_ws('-',"
-                     " cast(h as string), cast(s as string))), 1, 15),"
-                     " 16, 10) as bigint)")
+        minhash_cols = [
+            f"array_min(transform(_hs, h -> cast(conv(substring(md5("
+            f"concat_ws('-', cast(h as string), '{k}')), 1, 15), 16, 10)"
+            f" as bigint))) AS mh{k}"
+            for k in range(num_hashes)]
     else:
         # fast mode: hash each window DIRECTLY from its token elements
         # (multi-arg xxhash64) — no shingle-string concat_ws allocation.
@@ -190,40 +193,30 @@ def minhash_band_signatures(df: DataFrame, text_col: str, id_col: str,
                 .filter("size(_toks) > 0 and "
                         "not (size(_toks) = 1 and _toks[0] = '')")
                 .withColumn("_hs", sh_arr))
-        seed_hash = "xxhash64(h, s)"
-    # ALL K minhashes in ONE traversal of _hs (r12): fold the shingle-hash
-    # array once, carrying a K-element accumulator that zip_with-updates
-    # every stream's running min per element — replacing K separate
-    # array_min(transform(_hs, ...)) projections that each re-traversed
-    # and re-allocated an |_hs|-sized array (guide §2.3/§4.2: do the work
-    # once).  The per-element seeded hash is textually identical to the
-    # r11 per-stream recipe with the literal seed replaced by the seed
-    # array's element (same int type, same values -> bit-identical mins;
-    # equivalence pinned by tests/test_opt_r11.py + test_opt_r12.py).
-    # Long.MaxValue is a safe fold identity: base filters guarantee >= 1
-    # element, and both hash recipes yield non-null values < MaxValue.
-    # Single nested HOF per projection — the Spark 4.1 lambda-collision
-    # hazard (same lambda-bearing Column in sibling expressions) does not
-    # apply to one aggregate with its own nested zip_with.
-    seeds = ", ".join(str(k) for k in range(num_hashes))
-    fold = (f"aggregate(_hs,"
-            f" array_repeat(cast(9223372036854775807 as bigint),"
-            f" {num_hashes}), (acc, h) -> zip_with(acc, array({seeds}),"
-            f" (a, s) -> least(a, {seed_hash})))")
+        minhash_cols = [
+            f"array_min(transform(_hs, h -> xxhash64(h, {k}))) AS mh{k}"
+            for k in range(num_hashes)]
+    # K separate array_min(transform(...)) projections DELIBERATELY (r12
+    # measured the alternative): a single-pass
+    # aggregate(_hs, array_repeat(MaxLong, K), (acc, h) -> zip_with(acc,
+    # seeds, (a, s) -> least(a, hash))) fold computes bit-identical
+    # signatures and looked ~15% faster at sf0.1 — but that win was
+    # DRIVER PLANNING time (one expression vs K); at 10x data the fold
+    # is 10-15% SLOWER per row (zip_with allocates a fresh K-element
+    # array per shingle element, where each transform runs a tight
+    # single-lambda loop over a primitive array).  Execution cost rules
+    # at 100 TB, so the per-stream shape stays.
     # string expressions + ONE selectExpr per stage: building K Column
     # objects costs ~3 py4j round-trips each (r11 driver profile: ~0.3 s
     # of the headline LSH query was expression construction); a single
     # parse call is one round-trip for the whole projection — same plan,
     # same values (see similarity._bucket_sql for the same discipline)
-    sigs = base.selectExpr(f"`{id_col}`", f"{fold} AS _mh")
+    sigs = base.selectExpr(f"`{id_col}`", *minhash_cols)
 
-    # band signatures: inline() the per-band structs in one projection.
-    # _mh is referenced bands x rows_per_band times here; CollapseProject
-    # will not inline a non-cheap HOF referenced more than once, so the
-    # fold stays computed exactly once (verified in the committed plan).
+    # band signatures: inline() the per-band structs in one projection
     band_structs = []
     for b in range(bands):
-        cols = [f"_mh[{b * rows_per_band + r}]" for r in range(rows_per_band)]
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
         if hash_mode == "md5":
             cat = ", ".join(f"cast({c} as string)" for c in cols)
             sig = (f"cast(conv(substring(md5(concat_ws('-', {cat})), 1, 15),"

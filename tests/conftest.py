@@ -10,6 +10,30 @@ from linkedin_iceberg_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def _slow_test_ids() -> set:
+    """Node ids (file.py::test[param]) of the slow tier — the longest
+    stress/fuzz/sweep tests, measured with --durations=0 (r12); kept as a
+    data file so the tier is auditable and regenerable."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "slow_tests.txt")
+    try:
+        with open(path) as fh:
+            return {ln.strip() for ln in fh
+                    if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_test_ids()
+    if not slow:
+        return
+    for item in items:
+        rel = os.path.basename(item.fspath.strpath) + "::" + item.name
+        if rel in slow:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests")

@@ -63,8 +63,11 @@ def test_ld_memo_invalidated_on_overwrite(spark, tmp_path):
 def _r11_band_signatures(df, text_col, id_col, num_hashes, bands,
                          shingle_n, hash_mode):
     """The r11 per-stream recipe (K separate array_min(transform(_hs,...))
-    projections), kept verbatim as the oracle for the r12 single-pass
-    aggregate() fold."""
+    projections), kept verbatim as an independently-constructed pin for
+    minhash_band_signatures.  (r12 prototyped a single-pass aggregate()
+    fold against this pin — bit-identical but 10-15% slower per row at
+    10x data, so the per-stream recipe stayed; the pin remains to protect
+    any future reshaping.)"""
     from pyspark.sql import functions as F
 
     from linkedin_iceberg_spark.operators.dedup import _ensure_parallelism
@@ -115,9 +118,9 @@ def _r11_band_signatures(df, text_col, id_col, num_hashes, bands,
         f"`{id_col}`", f"inline(array({', '.join(band_structs)}))")
 
 
-def test_minhash_fold_matches_r11_recipe(spark):
-    """r12 single-pass K-min fold: bit-identical band signatures vs the r11
-    per-stream recipe, both hash modes, on tricky inputs + real docs."""
+def test_minhash_band_signatures_pinned_recipe(spark):
+    """Band signatures bit-identical to the independently-constructed r11
+    recipe, both hash modes, on tricky inputs + real docs."""
     from pyspark.sql import Row
 
     from linkedin_iceberg_spark.operators.dedup import minhash_band_signatures

@@ -76,10 +76,19 @@ def test_explicit_sort_rewrite_overrides_table_sort_property(
     t.append(o.coalesce(1))
     t.rewrite_data_files(target_size_bytes=1, min_input_files=1,
                          sort_by=["o_orderkey"])
-    for task in t.new_scan().plan_files():
-        vals = [r.o_orderkey for r in
-                spark.read.parquet(task.file.file_path)
-                .select("o_orderkey").collect()]
+    # one read job over ALL rewritten files (a per-file read+collect loop
+    # was a Spark job + footer inference per tiny file — 169 s for the
+    # same assertions); rows stream in in-file order within each task, so
+    # grouping sequentially by _metadata.file_path preserves file order
+    files = [task.file.file_path for task in t.new_scan().plan_files()]
+    rows = (spark.read.parquet(*files)
+            .select("o_orderkey",
+                    F.col("_metadata.file_path").alias("_f")).collect())
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["_f"], []).append(r["o_orderkey"])
+    assert len(by_file) == len(files)
+    for vals in by_file.values():
         assert vals == sorted(vals)  # rewrite's order, not the property's
 
 
