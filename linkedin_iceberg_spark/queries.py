@@ -7358,7 +7358,47 @@ def join_runtime_bloom(spark, sf_dir):
 
 
 _PRIORITY = [
-    # ── r11 window (first 50 = the driver correctness gate) ──
+    # ── r12 window (first 50 = the driver correctness gate) ──
+    # Composition: (a) ALL 24 rows rotated out in r11 return (VERDICT r11
+    # item 7: no registered query goes more than two rounds without a
+    # driver row); (b) every row whose CODE PATH changed this round
+    # re-earns its green: the engine-table scan plane (manifest-table +
+    # file-group-relation memos, the imported-group alignment fix), the
+    # minhash consumers (recipe pinned after the measured fold revert),
+    # dedup_decide's single-join shape, cosine_topk's guard, pq_train's
+    # overlapped training, and ld()'s new session+mtime memo key (touches
+    # every parquet-backed query — the 11 oracle-bearing bench headline
+    # queries stand in for that surface).
+    #
+    # (a) the 24 r11-rotated-out rows, all back in:
+    "table_format_avro", "agg_count_distinct", "agg_cube",
+    "join_broadcast_dims", "join_left_outer", "join_tpch_q10",
+    "join_runtime_filtered", "window_running_sum", "set_union_distinct",
+    "scalar_date_funcs", "scalar_array_funcs", "sort_multi_nulls",
+    "dedup_ngram_jaccard", "events_session_window", "table_time_travel",
+    "streaming_stateful_sessions", "table_rollback_wap",
+    "table_sql_minmax_meta", "table_metadata_columns",
+    "sample_dsir_select", "table_overwrite_where",
+    "similarity_hybrid_rrf", "pipeline_quality_gate", "table_snapshot_diff",
+    # (b) changed-path rows — engine scan plane:
+    "table_scan_pruned", "table_position_deletes",
+    "table_ds_metadata_columns", "table_sql_merge", "table_sql_dml",
+    "stats_store_quantiles",
+    # (b) minhash consumers + the changed incremental decide:
+    "dedup_minhash_portable", "dedup_text_clustered", "dedup_edit_distance",
+    "pipeline_training_release", "streaming_incremental_dedup",
+    # (b) similarity / kmeans paths:
+    "similarity_pq_search", "similarity_topk", "similarity_ivf_topk",
+    "dedup_semdedup",
+    # (b) ld()-memo surface — the oracle-bearing bench headliners:
+    "agg_pricing_summary", "join_inner_equi", "join_multiway",
+    "window_topk_per_group", "join_asof", "sort_global_topk",
+    "set_dedup_rows", "scalar_string_funcs", "dedup_exact",
+    "text_quality_score", "events_tumbling_window",
+    # ── below the 50-cut: the r11 window's rows (all r11-green two
+    # rounds running; families keep representation above via the
+    # changed-path picks) ──
+    # ── r11 window (previous round's first 50) ──
     # Head: this round's NEW operators and every old row whose CODE
     # PATH CHANGED this round and therefore re-earns its green:
     #   - stats_store_quantiles_deleted / table_sql_approx_quantile_
