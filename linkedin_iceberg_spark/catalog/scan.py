@@ -1455,8 +1455,9 @@ def _load_file_group(spark: SparkSession, fmt: str, bp, schema_json: str,
     if len(group_paths) > _RELATION_MEMO_MAX_FILES:
         return build()
     try:
-        sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
-                    for p in group_paths)
+        stats = [os.stat(p) for p in group_paths]
+        sig = tuple((p, st.st_mtime_ns, st.st_size)
+                    for p, st in zip(group_paths, stats))
     except OSError:
         return build()
     key = (id(spark), spark.sparkContext.applicationId, fmt, bp,
