@@ -73,6 +73,17 @@ def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _set_batch_mtime(bdir: str, ts: float) -> None:
+    """Stamp every file under ``bdir`` with mtime ``ts`` (r12): the
+    file-stream queries need batches to arrive in b0 < b1 < ... mtime
+    order; an explicit strictly increasing stamp gives the same ordering
+    guarantee as the former 0.25 s sleeps between writes, without the
+    wait (0.5-0.75 s of pure sleep per streaming query)."""
+    for root, _dirs, fns in os.walk(bdir):
+        for fn in fns:
+            os.utime(os.path.join(root, fn), (ts, ts))
+
+
 def queries() -> dict:
     return {name: (lambda spark, sf_dir, _fn=fn: _fn(spark, sf_dir))
             for name, (fn, _sql) in _REGISTRY.items()}
@@ -5828,12 +5839,7 @@ def streaming_incremental_dedup(spark, sf_dir):
     for i, p in enumerate(parts):
         bdir = os.path.join(src, f"b{i}")
         p.coalesce(1).write.parquet(bdir)
-        # distinct STRICTLY INCREASING mtimes so the file stream source
-        # processes batches in id order — set explicitly (r12) instead of
-        # sleeping 0.25 s between writes; same ordering guarantee, no wait
-        for root, _dirs, fns in os.walk(bdir):
-            for fn in fns:
-                os.utime(os.path.join(root, fn), (now + i, now + i))
+        _set_batch_mtime(bdir, now + i)
 
     cat = Catalog(spark, os.path.join(base, "wh"))
     from linkedin_iceberg_spark import PartitionSpec, Schema
@@ -5946,10 +5952,11 @@ def streaming_enrichment(spark, sf_dir):
         n = F.broadcast(n)
     base = tempfile.mkdtemp(prefix="q_senrich_")
     src = os.path.join(base, "src")
+    _now = _time.time()
     for i in range(3):
         (e.filter(F.col("event_id") % 3 == i).orderBy(F.rand(seed=11 + i))
          .coalesce(1).write.parquet(os.path.join(src, f"b{i}")))
-        _time.sleep(0.25)  # distinct mtimes: batches arrive in order
+        _set_batch_mtime(os.path.join(src, f"b{i}"), _now + i)
 
     sink = f"senrich_{_uuid.uuid4().hex[:8]}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -6009,9 +6016,10 @@ def streaming_partition_reprocess(spark, sf_dir):
     # partition overwrite its days would double-count
     batches.append(e.filter(F.col("day").isin([str(d)
                                                for d in slices[0]])))
+    _now = _time.time()
     for i, p in enumerate(batches):
         p.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
-        _time.sleep(0.25)  # distinct mtimes: file source batches in order
+        _set_batch_mtime(os.path.join(src, f"b{i}"), _now + i)
 
     agg_schema = spark.createDataFrame(
         [], "day date, event_type string, n long, sum_v double")
@@ -6071,10 +6079,11 @@ def streaming_dedup(spark, sf_dir):
     batches = [e.filter(F.col("event_id") % 3 < 2),
                e.filter(F.col("event_id") % 3 > 0),
                e]
+    _now = _time.time()
     for i, p in enumerate(batches):
         p.orderBy(F.rand(seed=7 + i)).coalesce(1) \
             .write.parquet(os.path.join(src, f"b{i}"))
-        _time.sleep(0.25)  # distinct mtimes: file source batches in mtime order
+        _set_batch_mtime(os.path.join(src, f"b{i}"), _now + i)
 
     sink = f"sdedup_{_uuid.uuid4().hex[:8]}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -6125,13 +6134,14 @@ def streaming_stream_join(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="q_ssjoin_")
     lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
     mid = lo + (hi - lo) / 2
+    _now = _time.time()
     for side, etype in [("clicks", "click"), ("views", "view")]:
         s = e.filter(F.col("event_type") == etype) \
              .select("event_id", "ts", "user_id")
         for i, p in enumerate([s.filter(F.col("ts") < mid),
                                s.filter(F.col("ts") >= mid)]):
             p.coalesce(1).write.parquet(os.path.join(base, side, f"b{i}"))
-            _time.sleep(0.25)
+            _set_batch_mtime(os.path.join(base, side, f"b{i}"), _now + i)
 
     sink = f"ssjoin_{_uuid.uuid4().hex[:8]}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -6202,9 +6212,10 @@ def streaming_upsert_sink(spark, sf_dir):
     parts = [e.filter(F.col("ts") < cuts[0]),
              e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
              e.filter(F.col("ts") >= cuts[1])]
+    _now = _time.time()
     for i, p in enumerate(parts):
         p.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
-        _time.sleep(0.25)  # distinct mtimes: file source batches in mtime order
+        _set_batch_mtime(os.path.join(src, f"b{i}"), _now + i)
 
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -6375,11 +6386,12 @@ def streaming_stateful_sessions(spark, sf_dir):
     parts = [e.filter(F.col("ts") < cuts[0]),
              e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
              e.filter(F.col("ts") >= cuts[1])]
+    _now = _time.time()
     for i, p in enumerate(parts):
         # shuffle rows within the file: the operator must sort per batch
         p.orderBy(F.rand(seed=42 + i)).coalesce(1) \
             .write.parquet(os.path.join(src, f"b{i}"))
-        _time.sleep(0.25)  # distinct mtimes: file source batches in mtime order
+        _set_batch_mtime(os.path.join(src, f"b{i}"), _now + i)
 
     collected = []
 
